@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import QueryDef._
+
+/** Core relational surface over the TESTDATA star schema.
+  *
+  * Design notes for 100 TB scale:
+  *  - dimension tables (region/nation/supplier/customer) are broadcast —
+  *    no shuffle of the fact table for those joins;
+  *  - aggregations are partial-agg friendly (hash agg with map-side combine);
+  *  - filters sit directly on the scan so parquet pushdown + column pruning
+  *    apply (verified via explain in RelationalSpec).
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary — scan+filter+groupBy agg. */
+  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    lineitem
+      .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        r6(exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        r6(exactSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1), 6) AS avg_disc,
+      |  COUNT(1) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1997-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: 5-way join, dims broadcast — revenue by nation and order status. */
+  def q02JoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders   = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val nation   = Tables.load(spark, sfDir, "nation")
+    val region   = Tables.load(spark, sfDir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("o_orderstatus"))
+      .agg(
+        exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q02Sql: String =
+    """SELECT r_name, n_name, o_orderstatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(1) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name, o_orderstatus""".stripMargin
+
+  /** q03: top-20 customers by exact revenue (deterministic tie-break). */
+  def q03TopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders   = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("rev_dec").cast("double").as("revenue"))
+  }
+
+  val q03Sql: String =
+    """SELECT c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue FROM (
+      |  SELECT c_custkey, c_name, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_name
+      |  ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20
+      |) t""".stripMargin
+
+  /** q04: SQL window function — running order total per customer. */
+  def q04RunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double").as("running_total"),
+      row_number().over(w).as("order_seq"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+      |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q06: selective filter + narrow projection — pushdown showcase. */
+  def q06Revenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    lineitem
+      .filter(
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(
+        exactSumProd(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q06Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(1) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin
+
+  /** q07: anti+semi join — parts never ordered vs ordered (set-op surface). */
+  def q07PartOrderCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val part     = Tables.load(spark, sfDir, "part")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val ordered = part
+      .join(lineitem, col("p_partkey") === col("l_partkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("ordered").as("status"), col("n"))
+    val never = part
+      .join(lineitem, col("p_partkey") === col("l_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("never_ordered").as("status"), col("n"))
+    ordered.unionAll(never)
+  }
+
+  val q07Sql: String =
+    """SELECT 'ordered' AS status, COUNT(1) AS n FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+      |UNION ALL
+      |SELECT 'never_ordered' AS status, COUNT(1) AS n FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    QueryDef("q02_join_revenue", q02JoinRevenue, Some(q02Sql)),
+    QueryDef("q03_top_customers", q03TopCustomers, Some(q03Sql)),
+    QueryDef("q04_running_total", q04RunningTotal, Some(q04Sql)),
+    QueryDef("q06_filter_revenue", q06Revenue, Some(q06Sql)),
+    QueryDef("q07_part_coverage", q07PartOrderCoverage, Some(q07Sql)))
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q01 pricing summary groups by flag+status and aggregates") {
+    val df = Relational.q01PricingSummary(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(df.columns.sorted.toSeq ==
+      Seq("avg_disc", "avg_qty", "count_order", "l_linestatus", "l_returnflag",
+          "sum_base_price", "sum_disc_price", "sum_qty"))
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 1000, s"expected >1000 rows summarized, got $total")
+  }
+
+  test("q02 join plan broadcasts dimension tables") {
+    val df = Relational.q02JoinRevenue(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q06 filter reaches the parquet scan (pushdown)") {
+    val df = Relational.q06Revenue(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), s"no pushed filters in:\n$scan")
+    assert(scan.contains("l_discount"), "discount filter not pushed")
+    assert(df.collect().head.getAs[Long]("n_rows") > 0)
+  }
+
+  test("q04 running total is monotone within a customer") {
+    val rows = Relational.q04RunningTotal(spark, sfDir)
+      .filter("o_custkey = 1").orderBy("order_seq").collect()
+    val totals = rows.map(_.getAs[Double]("running_total"))
+    assert(totals.sameElements(totals.sorted), "running total must be nondecreasing")
+  }
+
+  test("every registered query runs on sf0.001") {
+    graft.queries.Registry.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n >= 0, s"${q.name} failed")
+    }
+  }
+}
