@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.models.{Lut, Model, ModelRegistry}
+
+/** Per-pixel Bayesian wind inversion (reference windspeed/windspeed.py:17-439,
+  * SURVEY.md §2.6) re-expressed Spark-first:
+  *
+  *  - LUTs are built ONCE on the driver and broadcast (windspeed.py rebuilds
+  *    them per dask block; a Spark `Broadcast` serializes once and is torrent-
+  *    distributed to every executor — the right shape for 1000 executors);
+  *  - the argmin-over-LUT loop runs inside `mapPartitions` as a tight JVM
+  *    loop (JIT ≈ numba). A 46M-cell LUT cross-joined against pixels would
+  *    be a catastrophic plan — SURVEY.md §2.6 — so this is deliberately a
+  *    kernel, not a join;
+  *  - the operator is embarrassingly parallel per pixel: no shuffle at all,
+  *    output partitioning == input partitioning, scales linearly with
+  *    executors at 100 TB.
+  *
+  * Cost function (windspeed.py:220-276):
+  *   copol:    J = ((u_lut-u_anc)/2)² + ((v_lut-v_anc)/2)² + ((lut_dB-s0_dB)/dsig_co)²
+  *   crosspol: J = ((wspd_lut-|wind_co|)/2)² (if copol solution) + ((lut_dB-s0_dB)/dsig_cr)²
+  * with nearest-incidence LUT slice (windspeed.py:212-213 — nearest, NOT
+  * interpolated), phi-ambiguity resolution for symmetric LUTs
+  * (windspeed.py:234-245), and NaN propagation rules (windspeed.py:197-207).
+  */
+object Inversion {
+
+  /** Pixel input contract for the kernel. NaN encodes "missing" exactly as
+    * in the reference (NaN-in → NaN-out, windspeed.py:197-207). */
+  final case class PxIn(
+      okey: Long, lnum: Long,
+      inc: Double,
+      s0coDb: Double, // NaN = no copol
+      s0crDb: Double, // NaN = no crosspol
+      dsigCr: Double,
+      ancRe: Double, ancIm: Double) // NaN = no ancillary
+
+  final case class PxOut(
+      okey: Long, lnum: Long,
+      coRe: Double, coIm: Double,
+      crRe: Double, crIm: Double)
+
+  /** dB LUT arrays pre-shaped for the kernel. */
+  final case class InvLuts(
+      co: Lut, coPhi180: Boolean, coCos: Array[Double], coSin: Array[Double],
+      cr: Lut) extends Serializable
+
+  private val emptyLut = Lut(Array.empty, Array.empty, Array.empty, Array.empty, "dB")
+
+  def toDbValues(lut: Lut): Lut =
+    lut.copy(values = lut.values.map(v => 10.0 * math.log10(v + 1e-15)), units = "dB")
+
+  /** Build + broadcast the inversion LUTs. `highRes = true` evaluates the
+    * GMFs directly on the high-res grid (the reference's
+    * `to_lut(resolution='high')` path, models.py:82-174 with do_interp=False).
+    */
+  def buildLuts(spark: SparkSession, coModel: Option[String], crModel: Option[String],
+      highRes: Boolean = true): Broadcast[InvLuts] = {
+    val co = coModel.map(n => toDbValues(ModelRegistry.get(n).toLut(highRes))).getOrElse(emptyLut)
+    val cr = crModel.map(n => toDbValues(ModelRegistry.get(n).toLut(highRes))).getOrElse(emptyLut)
+    // phi symmetric in [0,180] → two-solution ambiguity (windspeed.py:152-156)
+    val phi180 = co.phi.nonEmpty && (180.0 - (co.phi.last - co.phi.head)) < 2.0
+    val coCos = co.phi.map(p => math.cos(math.toRadians(p)))
+    val coSin = co.phi.map(p => math.sin(math.toRadians(p)))
+    spark.sparkContext.broadcast(InvLuts(co, phi180, coCos, coSin, cr))
+  }
+
+  /** The per-pixel kernel — mirrors __invert_from_model_1d (windspeed.py:183-282). */
+  def invertOne(luts: InvLuts, dsigCo: Double, px: PxIn): PxOut = {
+    val nan = Double.NaN
+    if (px.inc.isNaN) return PxOut(px.okey, px.lnum, nan, nan, nan, nan)
+    val hasCo = !px.s0coDb.isNaN
+    val hasAnc = !(px.ancRe.isNaN || px.ancIm.isNaN)
+    if (hasCo && !hasAnc) return PxOut(px.okey, px.lnum, nan, nan, nan, nan)
+
+    var coRe = nan; var coIm = nan
+    if (hasCo) {
+      val co = luts.co
+      val iInc = co.nearestInc(px.inc)
+      val mAnt = px.ancRe
+      val mAzi = if (luts.coPhi180) math.abs(px.ancIm) else px.ancIm
+      var bestJ = Double.MaxValue; var bestW = 0; var bestP = 0
+      val nP = co.phi.length
+      var w = 0
+      while (w < co.wspd.length) {
+        val wv = co.wspd(w)
+        var p = 0
+        while (p < nP) {
+          val uc = wv * luts.coCos(p) - mAnt
+          val vc = wv * luts.coSin(p) - mAzi
+          val ds = (co(iInc, w, p) - px.s0coDb) / dsigCo
+          val j = (uc / 2.0) * (uc / 2.0) + (vc / 2.0) * (vc / 2.0) + ds * ds
+          if (j < bestJ) { bestJ = j; bestW = w; bestP = p } // first wins on tie = numpy argmin
+          p += 1
+        }
+        w += 1
+      }
+      val wspdCo = co.wspd(bestW)
+      val phiCo = co.phi(bestP)
+      if (luts.coPhi180) {
+        // ±phi ambiguity: pick solution closest in angle to ancillary (windspeed.py:234-245)
+        val solRe = wspdCo * math.cos(math.toRadians(phiCo))
+        val solIm = wspdCo * math.sin(math.toRadians(phiCo))
+        val sol2Re = solRe; val sol2Im = -solIm
+        val d1 = angleDiff(px.ancRe, px.ancIm, solRe, solIm)
+        val d2 = angleDiff(px.ancRe, px.ancIm, sol2Re, sol2Im)
+        if (math.abs(d1) <= math.abs(d2)) { coRe = solRe; coIm = solIm }
+        else { coRe = sol2Re; coIm = sol2Im }
+      } else {
+        coRe = wspdCo * math.cos(math.toRadians(phiCo))
+        coIm = wspdCo * math.sin(math.toRadians(phiCo))
+      }
+    }
+
+    var crRe = nan; var crIm = nan
+    if (!px.s0crDb.isNaN && !px.dsigCr.isNaN) {
+      val cr = luts.cr
+      val iInc = cr.nearestInc(px.inc)
+      val coMag = math.hypot(coRe, coIm) // NaN if no copol solution
+      val hasCoSol = !coMag.isNaN
+      var bestJ = Double.MaxValue; var bestW = 0
+      var w = 0
+      while (w < cr.wspd.length) {
+        val ds = (cr(iInc, w) - px.s0crDb) / px.dsigCr
+        var j = ds * ds
+        if (hasCoSol) {
+          val dw = (cr.wspd(w) - coMag) / 2.0 // dwspd_fg = 2 (windspeed.py:141)
+          j += dw * dw
+        }
+        if (j < bestJ) { bestJ = j; bestW = w }
+        w += 1
+      }
+      val wspdDual = cr.wspd(bestW)
+      val phiDual = if (hasCoSol) math.atan2(coIm, coRe) else 0.0
+      crRe = wspdDual * math.cos(phiDual)
+      crIm = wspdDual * math.sin(phiDual)
+    }
+    PxOut(px.okey, px.lnum, coRe, coIm, crRe, crIm)
+  }
+
+  /** angle(a / b) for complex a, b — phase difference in (-pi, pi]. */
+  private def angleDiff(aRe: Double, aIm: Double, bRe: Double, bIm: Double): Double = {
+    // a/b = a * conj(b) / |b|^2; angle ignores the positive scale factor
+    val re = aRe * bRe + aIm * bIm
+    val im = aIm * bRe - aRe * bIm
+    math.atan2(im, re)
+  }
+
+  /** Distributed inversion: expects columns okey, lnum, inc, s0co_db,
+    * s0cr_db, dsig_cr, anc_re, anc_im (NaN where absent). No shuffle.
+    */
+  def invert(px: DataFrame, luts: Broadcast[InvLuts], dsigCo: Double = 0.1): Dataset[PxOut] = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    px.select(
+        col("okey"), col("lnum"), col("inc"),
+        col("s0co_db").as("s0coDb"), col("s0cr_db").as("s0crDb"),
+        col("dsig_cr").as("dsigCr"), col("anc_re").as("ancRe"), col("anc_im").as("ancIm"))
+      .as[PxIn]
+      .mapPartitions { it =>
+        val l = luts.value
+        it.map(p => invertOne(l, dsigCo, p))
+      }
+  }
+
+  /** Dual-pol blend (windspeed.py:424-428): keep copol wind when either
+    * speed is < 5 m/s, else the dual-pol wind. Pure column op.
+    */
+  def dualpolBlend(out: DataFrame): DataFrame = {
+    val wsCo = hypot(col("coRe"), col("coIm"))
+    val wsCr = hypot(col("crRe"), col("crIm"))
+    out
+      .withColumn("wspd", when(wsCo < 5.0 || wsCr < 5.0, wsCo).otherwise(wsCr))
+      .withColumn("dir_rad",
+        when(wsCo < 5.0 || wsCr < 5.0, atan2(col("coIm"), col("coRe")))
+          .otherwise(atan2(col("crIm"), col("crRe"))))
+  }
+}
