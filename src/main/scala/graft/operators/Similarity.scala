@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Two tiers, per the scale plan:
+  *  - [[cosineTopK]]: brute-force exact top-k — broadcast the (small) query
+  *    set against the full corpus; the corpus never shuffles. Right answer
+  *    for "few queries × huge corpus".
+  *  - [[rpBuckets]] / [[rpTopK]]: random-hyperplane LSH — each vector gets a
+  *    sign-bit bucket from deterministic pseudo-random hyperplanes; top-k
+  *    runs only within buckets. Right shape for "all-pairs at 100 TB":
+  *    bucket join replaces the quadratic cross join.
+  *
+  * All arithmetic is double (floats cast first), folds run left-to-right —
+  * bit-reproducible against the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(transform(a, x => x.cast("double")), transform(b, x => x.cast("double")),
+        (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x * x)
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dim i, plane j):
+    * integer-seeded, portable across engines. Values in [-0.5, 0.5).
+    */
+  def planeComponent(i: Column, j: Int): Column =
+    (((i + 1) * lit(2654435761L) + lit(40503L * (j + 1))) % 1000 - lit(500)).cast("double") / 1000.0
+
+  /** Sign-bit LSH bucket id from `planes` hyperplanes. */
+  def rpBucket(vec: Column, planes: Int = 8): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(i, j)),
+          (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _).as("bucket")
+  }
+
+  /** Approximate all-pairs top-1 neighbor within LSH buckets. */
+  def rpTopK(corpus: DataFrame, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol), rpBucket(col(vecCol), planes))
+    val l = b.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val r = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

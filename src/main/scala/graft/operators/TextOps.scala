@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators: dedup (exact, MinHash+LSH,
+  * SimHash), token analysis, quality scoring, language-ID heuristic, and
+  * document fingerprinting. These are first-class engine components (see
+  * BASELINE.json north_star) designed for the 100 TB shape:
+  *
+  *  - everything is expression-level (whole-stage codegen) or a single
+  *    hash-partitioned groupBy — no driver-side loops, no UDFs;
+  *  - token/shingle hashing is md5-prefix based: deterministic, seedless,
+  *    and portable across engines (the DuckDB oracle reproduces it);
+  *  - MinHash+LSH turns O(n²) near-dup search into per-bucket self-joins —
+  *    the bucket join is the only shuffle, and band hashes distribute
+  *    uniformly so AQE skew handling is rarely needed.
+  */
+object TextOps {
+
+  val HashP = 1000000007L
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit token hash from the md5 hex prefix — portable across engines. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles as strings ("w1 w2 w3"). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact dedup: content-hash grouping; `is_canonical` marks the minimum
+    * doc_id per hash group (the row a dedup pass would keep).
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val groups = docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+    docs
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(groups, "content_hash")
+      .select(col(idCol), col("content_hash"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"), col("n_copies"))
+  }
+
+  /** MinHash signature columns mh0..mh{k-1} per document over distinct
+    * word-3-gram shingles. One explode + one groupBy (map-side combinable).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(shingles(tokens(col(textCol)))).as("shingle"))
+      .select(col(idCol), (tokenHash(col("shingle")) % HashP).as("h"))
+      .distinct()
+    val aggs = (0 until numHashes).map { j =>
+      val a = 1000003L + 7919L * j
+      val b = 104729L * j + 12345L
+      min((lit(a) * col("h") + lit(b)) % HashP).as(s"mh$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band_id, band_hash) with `rows` signature values
+    * hashed per band. Docs sharing any band bucket are near-dup candidates.
+    */
+  def lshBands(sigs: DataFrame, numHashes: Int = 16, rows: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    val bands = numHashes / rows
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws(":", cols: _*)).as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Distinct candidate near-dup pairs (a < b) from LSH bucket self-join. */
+  def lshCandidatePairs(sigs: DataFrame, numHashes: Int = 16, rows: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    val bands = lshBands(sigs, numHashes, rows, idCol)
+    val l = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_hash"))
+    val r = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_hash"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over distinct token hashes. */
+  def simhash(docs: DataFrame, bits: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), (tokenHash(col("tok")) % HashP).as("h"))
+      .distinct()
+    val bitSums = (0 until bits).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$k")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until bits).map { k =>
+      when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: |A∩B| via an equi-join on
+    * distinct shingle hashes — relational, no quadratic blowup beyond the
+    * candidate set.
+    */
+  def jaccardPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+        explode(shingles(tokens(col(textCol)))).as("shingle"))
+      .select(col("jid"), (tokenHash(col("shingle")) % HashP).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select(col("jid").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("jid").as("doc_b"), col("h").as("h2")), "doc_b")
+      .filter(col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("jid").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("jid").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** Text statistics + quality signals, all codegen'd expressions. */
+  def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val nStop = size(filter(toks, t => t.isInCollection(StopWords)))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nTok.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      round(nDistinct.cast("double") / nTok, 6).as("ttr"),
+      round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
+      round((length(col(textCol)) - (nTok - 1)).cast("double") / nTok, 6).as("mean_tok_len"))
+  }
+
+  /** Marker-token language/dialect classifier (n-gram-frequency heuristic):
+    * score each class by marker hits, argmax with deterministic tie order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "scanish" -> Seq("scan", "join", "merge"),
+    "queryish" -> Seq("query", "filter", "group"),
+    "windowish" -> Seq("window", "hash", "sort"),
+    "rowish" -> Seq("row", "line", "column"))
+
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: LangMarkers.map { case (name, markers) =>
+        size(filter(toks, t => t.isInCollection(markers))).as(s"score_$name")
+      }): _*)
+    // argmax; earlier-listed class wins ties (chain order = priority)
+    val names = LangMarkers.map(_._1)
+    val pred = names.zipWithIndex.init.foldRight(lit(names.last)) { case ((name, i), rest) =>
+      val geAllLater = names.drop(i + 1)
+        .map(other => col(s"score_$name") >= col(s"score_$other"))
+        .reduce(_ && _)
+      when(geAllLater, lit(name)).otherwise(rest)
+    }
+    scored.select(col(idCol), pred.as("pred_lang"),
+      greatest(names.map(n => col(s"score_$n")): _*).as("best_score"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters — exact integer
+    * arithmetic, portable across engines. `textCol` is a column name.
+    */
+  def fingerprint(textCol: String): Column =
+    expr(s"aggregate(sequence(1, length($textCol)), 0L, " +
+      s"(acc, i) -> (acc * 31 + ascii(substr($textCol, i, 1))) % $HashP)")
+}

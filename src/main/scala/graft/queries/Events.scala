@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import QueryDef._
+
+/** Event-stream surface over the `events` table. These run as batch here;
+  * Streaming.scala wires the identical transformations to readStream with
+  * watermarks (micro-batch per scene/file, SURVEY.md §7.1 pipeline/).
+  *
+  * Timestamps are compared across engines in integer epoch units only
+  * (micros/seconds) — never as raw timestamps — to dodge ns/µs precision
+  * differences between Spark (µs) and DuckDB (ns).
+  */
+object Events {
+
+  /** q20: tumbling 1-hour window aggregation per event type. `ts` arrives
+    * as nanosecond longs (nanosAsLong) — hour bucketing is exact integer
+    * division, bit-identical to DuckDB's date_trunc+epoch.
+    */
+  def q20HourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(
+        expr("(ts DIV 3600000000000) * 3600").as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q20Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |       event_type,
+      |       COUNT(1) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q21: sessionization — a session breaks on a >30 min gap. Pure lag()
+    * window + aggregation; at scale this shuffles once on user_id.
+    */
+  def q21Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"),
+        max(col("ts_us") - col("prev_us")).as("max_gap_us"))
+  }
+
+  val q21Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events
+      |)
+      |SELECT user_id,
+      |       COUNT(1) AS n_events,
+      |       CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |       MAX(ts_us - prev_us) AS max_gap_us
+      |FROM t GROUP BY user_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
+    QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)))
+}

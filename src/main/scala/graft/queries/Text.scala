@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Similarity, TextOps}
+
+/** LLM-training-data pipeline surface over `documents` and `embeddings`. */
+object Text {
+
+  private val P = TextOps.HashP
+
+  // DuckDB fragments shared by the oracles
+  private val hashSql = "('0x' || substr(md5(%s), 1, 15))::BIGINT" // 60-bit md5-prefix hash
+
+  /** q30: exact dedup via content hash. */
+  def q30DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.exactDedup(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("content_hash"), col("is_canonical"),
+        col("n_copies").cast("long").as("n_copies"))
+
+  val q30Sql: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      |g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(1) AS n_copies
+      |      FROM h GROUP BY content_hash)
+      |SELECT h.doc_id, h.content_hash, h.doc_id = g.canonical_id AS is_canonical, g.n_copies
+      |FROM h JOIN g USING (content_hash)""".stripMargin
+
+  /** q31: token counting + quality signals. */
+  def q31TextStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.textStats(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("ttr"), col("stop_ratio"), col("mean_tok_len"))
+
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  ROUND(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS ttr,
+      |  ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and')))
+      |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+      |  ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+      |        / len(string_split(text, ' ')), 6) AS mean_tok_len
+      |FROM documents""".stripMargin
+
+  /** q32: marker-token language-ID heuristic. */
+  def q32LangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.langId(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("pred_lang"), col("best_score").cast("long").as("best_score"))
+
+  val q32Sql: String = {
+    val score = TextOps.LangMarkers.map { case (name, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS score_$name"
+    }.mkString(",\n  ")
+    val names = TextOps.LangMarkers.map(_._1)
+    val pred = names.zipWithIndex.init.foldRight(s"'${names.last}'") { case ((name, i), rest) =>
+      val cond = names.drop(i + 1).map(o => s"score_$name >= score_$o").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$name' ELSE $rest END"
+    }
+    val great = names.map(n => s"score_$n").mkString(", ")
+    s"""WITH s AS (SELECT doc_id,
+       |  $score
+       |FROM documents)
+       |SELECT doc_id, $pred AS pred_lang, GREATEST($great) AS best_score FROM s""".stripMargin
+  }
+
+  /** q33: rolling-hash document fingerprint (exact integer arithmetic). */
+  def q33Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint("text").as("fp"))
+
+  val q33Sql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_concat([CAST(0 AS BIGINT)],
+       |      list_transform(generate_series(1, length(text)), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+       |    (x, y) -> (x * 31 + y) % $P) AS fp
+       |FROM documents""".stripMargin
+
+  /** q34: 32-bit SimHash over distinct token hashes. */
+  def q34Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.simhash(Tables.load(spark, sfDir, "documents"))
+
+  val q34Sql: String = {
+    val sums = (0 until 32).map(k =>
+      s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k").mkString(",\n    ")
+    val bits = (0 until 32).map(k =>
+      s"(CASE WHEN s$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, ${hashSql.format("tok")} % $P AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+       |),
+       |s AS (SELECT doc_id,
+       |    $sums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
+  }
+
+  // shared shingle CTE (word 3-grams, distinct md5-prefix hashes)
+  private val shingleCte: String =
+    s"""shing AS (
+       |  SELECT DISTINCT doc_id, ${hashSql.format("sh")} % $P AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t0
+       |  ) t1
+       |)""".stripMargin
+
+  private def sigCte(numHashes: Int): String = {
+    val mins = (0 until numHashes).map { j =>
+      val a = 1000003L + 7919L * j
+      val b = 104729L * j + 12345L
+      s"MIN(($a * h + $b) % $P) AS mh$j"
+    }.mkString(",\n    ")
+    s"""sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM shing GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandsCte(numHashes: Int, rows: Int): String = {
+    val bands = (0 until numHashes / rows).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_id, md5($cols) AS band_hash FROM sig"
+    }
+    s"bands AS (\n  ${bands.mkString("\n  UNION ALL\n  ")}\n)"
+  }
+
+  private val candCte: String =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** q35: MinHash+LSH near-duplicate candidate pairs. */
+  def q35MinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = TextOps.minhashSignatures(Tables.load(spark, sfDir, "documents"))
+    TextOps.lshCandidatePairs(sigs)
+  }
+
+  val q35Sql: String =
+    s"""WITH $shingleCte,
+       |${sigCte(16)},
+       |${bandsCte(16, 4)},
+       |$candCte
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
+
+  /** q36: exact n-gram Jaccard over the LSH candidate pairs. */
+  def q36Jaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = TextOps.lshCandidatePairs(TextOps.minhashSignatures(docs))
+    TextOps.jaccardPairs(docs, pairs)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val q36Sql: String =
+    s"""WITH $shingleCte,
+       |${sigCte(16)},
+       |${bandsCte(16, 4)},
+       |$candCte,
+       |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_common
+       |  FROM cand c
+       |  JOIN shing sa ON sa.doc_id = c.doc_a
+       |  JOIN shing sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT m.doc_a, m.doc_b,
+       |       ROUND(m.n_common / (na.n_sh + nb.n_sh - m.n_common), 6) AS jaccard
+       |FROM common m
+       |JOIN sizes na ON na.doc_id = m.doc_a
+       |JOIN sizes nb ON nb.doc_id = m.doc_b""".stripMargin
+
+  // DuckDB left-fold dot product over double-cast list elements
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** q38: brute-force cosine top-5 for the first 10 query vectors. */
+  def q38AnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  val q38Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${dotSql("q.qv", "e.embedding")}
+       |      / (SQRT(${dotSql("q.qv", "q.qv")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id != q.query_id
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= 5""".stripMargin
+
+  /** q39: LSH-bucketed approximate nearest neighbor (the 100 TB scale path:
+    * bucket equi-join instead of quadratic cross join). */
+  def q39AnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.rpTopK(Tables.load(spark, sfDir, "embeddings"), k = 1, planes = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+
+  val q39Sql: String = {
+    val planes = 4
+    val proj = (0 until planes).map { j =>
+      val r = s"((i * 2654435761 + ${40503L * (j + 1)}) % 1000 - 500)::DOUBLE / 1000e0"
+      val p =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),
+           |  (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN ($p) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $proj AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    ROUND(${dotSql("l.embedding", "r.embedding")}
+       |      / (SQRT(${dotSql("l.embedding", "l.embedding")}) * SQRT(${dotSql("r.embedding", "r.embedding")})), 6) AS cos_sim
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= 1""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_dedup_exact", q30DedupExact, Some(q30Sql)),
+    QueryDef("q31_text_stats", q31TextStats, Some(q31Sql)),
+    QueryDef("q32_langid", q32LangId, Some(q32Sql)),
+    QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
+    QueryDef("q34_simhash", q34Simhash, Some(q34Sql)),
+    QueryDef("q35_minhash_pairs", q35MinhashPairs, Some(q35Sql)),
+    QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
+    QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
+    QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)))
+}

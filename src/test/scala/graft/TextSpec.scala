@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextOps}
+
+class TextSpec extends SparkSpec {
+  lazy val docs = graft.core.Tables.load(spark, sfDir, "documents")
+  lazy val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+
+  test("minhash LSH finds the planted near-duplicates and jaccard confirms them") {
+    val pairs = TextOps.lshCandidatePairs(TextOps.minhashSignatures(docs))
+    val j = TextOps.jaccardPairs(docs, pairs).collect()
+    assert(j.nonEmpty, "generator plants near-dups; LSH must surface some")
+    // candidates from 4x4 banding at these signature lengths are high-sim
+    assert(j.forall(_.getAs[Double]("jaccard") > 0.5),
+      s"low-sim false positive: ${j.mkString(",")}")
+  }
+
+  test("simhash of near-duplicates differs in few bits") {
+    val pairs = TextOps.lshCandidatePairs(TextOps.minhashSignatures(docs))
+    val sh = TextOps.simhash(docs)
+    val joined = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sim_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sim_b"), "doc_b")
+      .select(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .collect()
+    assert(joined.nonEmpty && joined.forall(_.getAs[Int]("hamming") <= 8),
+      s"near-dups should have small hamming distance: ${joined.mkString(",")}")
+  }
+
+  test("exact dedup marks exactly one canonical per hash group") {
+    val d = TextOps.exactDedup(docs)
+    val perHash = d.groupBy("content_hash")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"))
+      .collect()
+    assert(perHash.forall(_.getAs[Long]("n_canon") == 1L))
+  }
+
+  test("cosine top-k is self-consistent and ranked") {
+    val top = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 3), k = 5).collect()
+    assert(top.length == 15)
+    val byQ = top.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse), "rank must follow similarity desc")
+    }
+  }
+
+  test("text stats are sane") {
+    val s = TextOps.textStats(docs).collect()
+    assert(s.forall { r =>
+      r.getAs[Int]("n_tokens") > 0 &&
+      r.getAs[Double]("ttr") <= 1.0 + 1e-12 &&
+      r.getAs[Double]("stop_ratio") >= 0.0
+    })
+  }
+}
