@@ -17,18 +17,23 @@ import graft.core.Tables
   */
 object SceneDef {
 
-  val nLines = 120
-  val nSamples = 200
+  // Grid axes derive from the independently-random partkey/suppkey columns
+  // ((orderkey, linenumber) alone has 2 degrees of freedom and linear forms
+  // collapse to 1-D orbits): dense coverage of the 48×64 grid is required
+  // for the 3×3-stencil operators (q40+) to have full neighborhoods.
+  val nLines = 48
+  val nSamples = 64
 
   def scene(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
-    val sample = (col("l_orderkey") * 7 + col("l_linenumber") * 31) % nSamples
+    val line = (col("l_orderkey") + col("l_partkey") * 13) % nLines
+    val sample = (col("l_orderkey") + col("l_suppkey") * 17) % nSamples
     li.select(
       col("l_orderkey").as("okey"),
       col("l_linenumber").cast("long").as("lnum"),
-      (col("l_orderkey") % nLines).cast("int").as("line"),
+      line.cast("int").as("line"),
       sample.cast("int").as("sample"),
-      (lit(16.0) + lit(34.0) * sample / lit(199.0)).as("incidence"),
+      (lit(16.0) + lit(34.0) * sample / lit(63.0)).as("incidence"),
       (lit(0.2) + (col("l_partkey") % 249) * lit(0.2)).as("wspd"),
       ((col("l_suppkey") % 360) * lit(0.5)).as("phi"),
       (lit(3.0) + (col("l_partkey") % 154) * lit(0.5)).as("wspd_vh"),
@@ -45,13 +50,13 @@ object SceneDef {
     s"""SELECT
        |  l_orderkey AS okey,
        |  CAST(l_linenumber AS BIGINT) AS lnum,
-       |  CAST(l_orderkey % $nLines AS INTEGER) AS line,
-       |  CAST((l_orderkey * 7 + l_linenumber * 31) % $nSamples AS INTEGER) AS sample,
-       |  16e0 + 34e0 * ((l_orderkey * 7 + l_linenumber * 31) % $nSamples) / 199e0 AS incidence,
+       |  CAST((l_orderkey + l_partkey * 13) % $nLines AS INTEGER) AS line,
+       |  CAST((l_orderkey + l_suppkey * 17) % $nSamples AS INTEGER) AS sample,
+       |  16e0 + 34e0 * ((l_orderkey + l_suppkey * 17) % $nSamples) / 63e0 AS incidence,
        |  2e-1 + (l_partkey % 249) * 2e-1 AS wspd,
        |  (l_suppkey % 360) * 5e-1 AS phi,
        |  3e0 + (l_partkey % 154) * 5e-1 AS wspd_vh,
-       |  1e-3 + l_quantity * 5e-4 + (((l_orderkey * 7 + l_linenumber * 31) % $nSamples) % 7) * 1e-4 AS sigma0,
+       |  1e-3 + l_quantity * 5e-4 + (((l_orderkey + l_suppkey * 17) % $nSamples) % 7) * 1e-4 AS sigma0,
        |  1e-4 + (l_suppkey % 10) * 2e-5 AS nesz,
        |  (l_orderkey % 72) * 5e0 AS ground_heading
        |FROM lineitem""".stripMargin

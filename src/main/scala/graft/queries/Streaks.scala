@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Gradients
+import QueryDef._
+
+/** Gradient/streak surface (SURVEY.md §2.8) over the deterministic scene
+  * grid. The Spark side runs the tile+halo kernels; the DuckDB oracle
+  * re-expresses each stencil as 9-way self-joins — so a PASS proves the
+  * tiling layer (halo duplication, ownership, dense assembly) implements
+  * exactly the neighborhood semantics.
+  */
+object Streaks {
+
+  /** Unique dense grid from the scene: per-(line,sample) decimal-exact mean
+    * sigma0 (engine-order-independent — groupBy avg over plain doubles would
+    * not be bit-stable across engines).
+    */
+  def grid(spark: SparkSession, sfDir: String): DataFrame =
+    SceneDef.scene(spark, sfDir)
+      .groupBy(col("line"), col("sample"))
+      .agg((sum(col("sigma0").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("v"))
+
+  private val gridCte: String =
+    s"""scene AS (
+       |${SceneDef.sceneSql}
+       |),
+       |grid AS (
+       |  SELECT line, sample,
+       |         CAST(SUM(CAST(sigma0 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1) AS v
+       |  FROM scene GROUP BY line, sample
+       |)""".stripMargin
+
+  // 8-neighbor self-join + Scharr, term order identical to Gradients.scharrG2
+  private val scharrCte: String =
+    """g2 AS (
+      |  SELECT c.line, c.sample,
+      |    (-3e0*nw.v + 3e0*ne.v - 10e0*w.v + 10e0*e.v - 3e0*sw.v + 3e0*se.v) AS gx,
+      |    (-3e0*nw.v - 10e0*n.v - 3e0*ne.v + 3e0*sw.v + 10e0*s.v + 3e0*se.v) AS gy
+      |  FROM grid c
+      |  JOIN grid nw ON nw.line = c.line-1 AND nw.sample = c.sample-1
+      |  JOIN grid n  ON n.line  = c.line-1 AND n.sample  = c.sample
+      |  JOIN grid ne ON ne.line = c.line-1 AND ne.sample = c.sample+1
+      |  JOIN grid w  ON w.line  = c.line   AND w.sample  = c.sample-1
+      |  JOIN grid e  ON e.line  = c.line   AND e.sample  = c.sample+1
+      |  JOIN grid sw ON sw.line = c.line+1 AND sw.sample = c.sample-1
+      |  JOIN grid s  ON s.line  = c.line+1 AND s.sample  = c.sample
+      |  JOIN grid se ON se.line = c.line+1 AND se.sample = c.sample+1
+      |)""".stripMargin
+
+  /** q40: Scharr squared-gradient field via the tile+halo kernel. */
+  def q40Scharr(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.scharrG2(grid(spark, sfDir))
+      .select(col("line"), col("sample"),
+        (round(col("g2r"), 6) + lit(0.0)).as("g2r"), // +0 folds -0.0 → 0.0
+        (round(col("g2i"), 6) + lit(0.0)).as("g2i"))
+
+  val q40Sql: String =
+    s"""WITH $gridCte,
+       |$scharrCte
+       |SELECT line, sample, ROUND(gx*gx - gy*gy, 6) + 0e0 AS g2r, ROUND(2e0*gx*gy, 6) + 0e0 AS g2i
+       |FROM g2""".stripMargin
+
+  /** q41: 2× block-mean downsample (R3 coarsen / R12 INTER_AREA). */
+  def q41Coarsen(spark: SparkSession, sfDir: String): DataFrame =
+    SceneDef.scene(spark, sfDir)
+      .groupBy(expr("CAST(line DIV 2 AS INT)").as("cline"),
+               expr("CAST(sample DIV 2 AS INT)").as("csample"))
+      .agg((sum(col("sigma0").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("v"),
+        count(lit(1)).as("n_px"))
+
+  val q41Sql: String =
+    s"""WITH scene AS (
+       |${SceneDef.sceneSql}
+       |)
+       |SELECT CAST(FLOOR(line / 2) AS INTEGER) AS cline,
+       |       CAST(FLOOR(sample / 2) AS INTEGER) AS csample,
+       |       CAST(SUM(CAST(sigma0 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1) AS v,
+       |       COUNT(1) AS n_px
+       |FROM scene GROUP BY 1, 2""".stripMargin
+
+  private val windowSize = 16
+
+  // shared histogram CTE chain (median two-pass + 72-bin weights)
+  private val histCte: String =
+    s"""mags AS (
+       |  SELECT CAST(FLOOR(line / $windowSize) AS INTEGER) AS win_line,
+       |         CAST(FLOOR(sample / $windowSize) AS INTEGER) AS win_sample,
+       |         gx*gx - gy*gy AS g2r, 2e0*gx*gy AS g2i,
+       |         SQRT((gx*gx - gy*gy)*(gx*gx - gy*gy) + (2e0*gx*gy)*(2e0*gx*gy)) AS m
+       |  FROM g2
+       |),
+       |med AS (
+       |  SELECT win_line, win_sample, MEDIAN(m) AS med_m, COUNT(1) AS n_valid
+       |  FROM mags WHERE m > 0 GROUP BY win_line, win_sample
+       |),
+       |hist AS (
+       |  SELECT b.win_line, b.win_sample,
+       |         LEAST(CAST(FLOOR((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72)) AS INTEGER), 71) AS bin,
+       |         SUM(b.m / (b.m + d.med_m)) AS weight,
+       |         COUNT(1) AS n_px,
+       |         MIN(d.n_valid) AS n_valid
+       |  FROM mags b JOIN med d USING (win_line, win_sample)
+       |  WHERE b.m > 0
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** q42: windowed weighted angular histogram (R10) — the UDAF surface. */
+  def q42GradHist(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.gradientHistogram(Gradients.scharrG2(grid(spark, sfDir)), windowSize)
+      .select(col("win_line"), col("win_sample"), col("bin"),
+        round(col("weight"), 6).as("weight"), col("n_px"), col("n_valid"))
+
+  val q42Sql: String =
+    s"""WITH $gridCte,
+       |$scharrCte,
+       |$histCte
+       |SELECT win_line, win_sample, bin, ROUND(weight, 6) AS weight, n_px, n_valid
+       |FROM hist""".stripMargin
+
+  /** q43: circular smoothing of the histogram (R15), dilations 1,2,4. */
+  def q43CircSmooth(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.circSmooth(
+        Gradients.gradientHistogram(Gradients.scharrG2(grid(spark, sfDir)), windowSize))
+      .select(col("win_line"), col("win_sample"), col("bin"),
+        round(col("weight"), 6).as("weight"))
+
+  private def smoothPass(src: String, d: Int): String =
+    s"""SELECT win_line, win_sample,
+       |       (((bin + off) % 72) + 72) % 72 AS bin,
+       |       SUM(weight * k) AS weight
+       |FROM $src CROSS JOIN (VALUES (-$d, 25e-2), (0, 5e-1), ($d, 25e-2)) o(off, k)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val q43Sql: String =
+    s"""WITH $gridCte,
+       |$scharrCte,
+       |$histCte,
+       |s1 AS (${smoothPass("hist", 1)}),
+       |s2 AS (${smoothPass("s1", 2)}),
+       |s3 AS (${smoothPass("s2", 4)})
+       |SELECT win_line, win_sample, bin, ROUND(weight, 6) AS weight FROM s3""".stripMargin
+
+  /** q44: streak-direction peak per window (R16 + the +π/2 orthogonal). */
+  def q44Peak(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.peak(
+      Gradients.circSmooth(
+        Gradients.gradientHistogram(Gradients.scharrG2(grid(spark, sfDir)), windowSize)))
+
+  val q44Sql: String =
+    s"""WITH $gridCte,
+       |$scharrCte,
+       |$histCte,
+       |s1 AS (${smoothPass("hist", 1)}),
+       |s2 AS (${smoothPass("s1", 2)}),
+       |s3 AS (${smoothPass("s2", 4)})
+       |SELECT win_line, win_sample, CAST(bin AS INTEGER) AS peak_bin,
+       |       ROUND(weight, 6) AS peak_weight,
+       |       ROUND(-PI()/2 + (bin + 5e-1) * (PI()/72) + PI()/2, 6) AS streak_dir_rad
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY win_line, win_sample
+       |                               ORDER BY ROUND(weight, 6) DESC, bin) AS rk
+       |  FROM s3
+       |) WHERE rk = 1""".stripMargin
+
+  /** q45: multiscale fan-out (R13) — union over downscale configs. No SQL
+    * oracle (rows-only); per-config pieces are covered by q40-q42.
+    */
+  def q45Multiscale(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.multiscale(grid(spark, sfDir), downscales = Seq(1, 2), windowSizes = Seq(40))
+      .select(col("win_line"), col("win_sample"), col("bin"),
+        round(col("weight"), 6).as("weight"),
+        col("downscale_factor"), col("window_size"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_scharr", q40Scharr, Some(q40Sql)),
+    QueryDef("q41_coarsen", q41Coarsen, Some(q41Sql)),
+    QueryDef("q42_grad_hist", q42GradHist, Some(q42Sql)),
+    QueryDef("q43_circ_smooth", q43CircSmooth, Some(q43Sql)),
+    QueryDef("q44_peak", q44Peak, Some(q44Sql)),
+    QueryDef("q45_multiscale", q45Multiscale, None))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Gradients, Tiles}
+
+class GradientsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Dense synthetic grid with a periodic streak pattern at a known angle:
+    * bands constant along direction (cos θ, sin θ) → gradients point along
+    * θ, so the histogram peak must land at θ (mod π).
+    */
+  def streakGrid(n: Int, theta: Double): org.apache.spark.sql.DataFrame = {
+    val rows = for (l <- 0 until n; s <- 0 until n) yield {
+      // phase varies along the gradient direction θ
+      val phase = (l * math.cos(theta) + s * math.sin(theta)) * 2 * math.Pi / 8.0
+      (l, s, 1.0 + 0.5 * math.sin(phase))
+    }
+    rows.toDF("line", "sample", "v")
+  }
+
+  test("tile+halo stencil equals direct window computation (property, SURVEY §7.4 risk 2)") {
+    val g = streakGrid(50, 0.7)
+    // reference computation: single-tile (tileSize covers the whole grid)
+    val whole = Gradients.scharrG2(g, tileSize = 64)
+      .select("line", "sample", "g2r", "g2i").as[(Int, Int, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    // tiled with halo crossings every 16 px
+    val tiled = Gradients.scharrG2(g, tileSize = 16)
+      .select("line", "sample", "g2r", "g2i").as[(Int, Int, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(whole.length == 48 * 48) // interior only
+    assert(whole.sameElements(tiled), "tile boundaries must not change results")
+  }
+
+  test("histogram peak recovers the planted streak direction") {
+    for (theta <- Seq(0.3, 1.1)) {
+      val g = streakGrid(64, theta)
+      val hist = Gradients.gradientHistogram(Gradients.scharrG2(g, 32), windowSize = 62)
+      val peak = Gradients.peak(Gradients.circSmooth(hist)).collect().head
+      // gx differentiates along `sample`, gy along `line`, so the measured
+      // angle atan2(gy, gx) for a phase along (cosθ, sinθ) is π/2 − θ
+      val raw = math.Pi / 2 - theta
+      val expected = if (raw > math.Pi / 2) raw - math.Pi else if (raw < -math.Pi / 2) raw + math.Pi else raw
+      val gotGradDir = peak.getAs[Double]("streak_dir_rad") - math.Pi / 2
+      val binWidth = math.Pi / Gradients.NAngles
+      assert(math.abs(gotGradDir - expected) < 3 * binWidth,
+        s"theta=$theta expected=$expected got=$gotGradDir")
+    }
+  }
+
+  test("coarsen halves the grid with block means") {
+    val g = streakGrid(8, 0.0)
+    val c = Gradients.coarsen(g, 2).collect()
+    assert(c.length == 16)
+    assert(c.forall(_.getAs[Long]("n_px") == 4L))
+  }
+
+  test("circular smoothing conserves total weight") {
+    val g = streakGrid(40, 0.5)
+    val hist = Gradients.gradientHistogram(Gradients.scharrG2(g, 32), windowSize = 38)
+    val before = hist.agg(sum("weight")).as[Double].collect().head
+    val after = Gradients.circSmooth(hist).agg(sum("weight")).as[Double].collect().head
+    assert(math.abs(before - after) < 1e-9, s"$before vs $after")
+  }
+
+  test("stencil drops pixels with incomplete neighborhoods") {
+    val g = streakGrid(10, 0.0).filter(!(col("line") === 5 && col("sample") === 5))
+    val out = Gradients.scharrG2(g, 8).collect()
+    // 8x8 interior minus the 3x3 neighborhood of the hole
+    assert(out.length == 64 - 9)
+  }
+}

@@ -19,7 +19,7 @@ def norm(v):
     if v is None: return None
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return round(v, 9)
+        return round(v, 9) + 0.0  # folds -0.0 to 0.0
     return v
 
 def rows_of(cols, table):
