@@ -1,0 +1,88 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical Parquet LUT source/sink (replaces the reference's netCDF /
+  * npy+pickle / Fortran-binary LUT files — S2/S4/S5/S6 in SURVEY.md §2.1).
+  *
+  * Layout per FIXTURES.md §2: long-format rows (incidence, wspd, phi,
+  * sigma0) with model metadata carried as constant columns, so a LUT is
+  * both a broadcastable kernel input and an ordinary queryable table.
+  */
+object LutIO {
+
+  /** S6 — materialize a registered model's LUT and write it as Parquet. */
+  def writeLut(spark: SparkSession, modelName: String, path: String,
+      highRes: Boolean = false): Unit = {
+    val m = ModelRegistry.get(modelName)
+    val lut = m.toLut(highRes)
+    val nP = math.max(lut.phi.length, 1)
+    val rows = for {
+      i <- lut.inc.indices
+      w <- lut.wspd.indices
+      p <- 0 until nP
+    } yield (lut.inc(i), lut.wspd(w), if (lut.hasPhi) Some(lut.phi(p)) else None,
+      lut.values((i * lut.wspd.length + w) * nP + p))
+    import spark.implicits._
+    rows.toDF("incidence", "wspd", "phi", "sigma0")
+      .withColumn("model", lit(m.name))
+      .withColumn("pol", lit(m.pol))
+      .withColumn("units", lit(lut.units))
+      .withColumn("resolution", lit(if (highRes) "high" else "low"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** S2 — read a Parquet LUT back into a broadcastable [[Lut]] plus its
+    * metadata. Axis order is reconstructed from the sorted distinct values
+    * (the reference's dim-order validation, models.py:94-103, is implied by
+    * the dense-grid check below).
+    */
+  def readLut(spark: SparkSession, path: String): (Lut, Map[String, String]) = {
+    val df = spark.read.parquet(path)
+    val meta = df.select("model", "pol", "units", "resolution").distinct().collect()
+    require(meta.length == 1, s"LUT at $path must carry uniform metadata")
+    val m = meta.head
+    val rows = df.select("incidence", "wspd", "phi", "sigma0").collect()
+    val inc = rows.map(_.getDouble(0)).distinct.sorted
+    val wspd = rows.map(_.getDouble(1)).distinct.sorted
+    val hasPhi = !rows.head.isNullAt(2)
+    val phi = if (hasPhi) rows.map(_.getDouble(2)).distinct.sorted else Array.empty[Double]
+    val nP = math.max(phi.length, 1)
+    require(rows.length == inc.length * wspd.length * nP, s"LUT at $path is not a dense grid")
+    val incIdx = inc.zipWithIndex.toMap
+    val wspdIdx = wspd.zipWithIndex.toMap
+    val phiIdx = phi.zipWithIndex.toMap
+    val values = new Array[Double](rows.length)
+    rows.foreach { r =>
+      val p = if (hasPhi) phiIdx(r.getDouble(2)) else 0
+      values((incIdx(r.getDouble(0)) * wspd.length + wspdIdx(r.getDouble(1))) * nP + p) =
+        r.getDouble(3)
+    }
+    (Lut(inc, wspd, phi, values, m.getString(2)),
+      Map("model" -> m.getString(0), "pol" -> m.getString(1),
+        "units" -> m.getString(2), "resolution" -> m.getString(3)))
+  }
+
+  /** S2/S3 — register a Parquet LUT directory as a lookup-backed model
+    * (nearest-incidence + exact-grid evaluation like LutModel.__call__,
+    * models.py:318-347).
+    */
+  def registerParquetLut(spark: SparkSession, path: String, priority: Int = 10): Model = {
+    val (lut, meta) = readLut(spark, path)
+    val name = meta("model")
+    val fn: (Double, Double, Double) => Double = { (i, w, p) =>
+      val ii = Lut.nearestIndex(lut.inc, i)
+      val wi = Lut.nearestIndex(lut.wspd, w)
+      val pi = if (lut.hasPhi) Lut.nearestIndex(lut.phi, p) else 0
+      lut(ii, wi, pi)
+    }
+    ModelRegistry.register(Model(
+      name, meta("pol"), meta("units"), fn, hasPhi = lut.hasPhi,
+      incRange = (lut.inc.head, lut.inc.last),
+      wspdRange = (lut.wspd.head, lut.wspd.last),
+      phiRange = if (lut.hasPhi) (lut.phi.head, lut.phi.last) else (0.0, 180.0),
+      priority = priority))
+  }
+}

@@ -156,7 +156,12 @@ object Inversion {
   def invert(px: DataFrame, luts: Broadcast[InvLuts], dsigCo: Double = 0.1): Dataset[PxOut] = {
     val spark = px.sparkSession
     import spark.implicits._
-    px.select(
+    // The kernel is CPU-bound (LUT argmin per pixel); a single parquet file
+    // would otherwise pin it to one core. Cheap narrow-row shuffle → full
+    // parallelism; on a real cluster with many input splits this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val pxPar = if (px.rdd.getNumPartitions < par) px.repartition(par) else px
+    pxPar.select(
         col("okey"), col("lnum"), col("inc"),
         col("s0co_db").as("s0coDb"), col("s0cr_db").as("s0crDb"),
         col("dsig_cr").as("dsigCr"), col("anc_re").as("ancRe"), col("anc_im").as("ancIm"))

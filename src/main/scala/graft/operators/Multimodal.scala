@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extract run as partition
+  * kernels over fixed-size batches (the Scala analogue of `mapInPandas` —
+  * same batch shape, schema contract, and partitioning story).
+  *
+  * The actual media decode is STUBBED — this container has no image/audio
+  * codecs — behind [[decodeStub]]: a deterministic fake that derives pixels
+  * from the payload bytes. Everything around it (schema, batching,
+  * partition-local execution, output contract) is real and tested, so
+  * swapping in a real decoder is a one-function change.
+  *
+  * Scale notes: payloads never shuffle (all ops are map-side); feature
+  * vectors are orders of magnitude smaller than payloads, so downstream
+  * joins/ANN run on the extracted columns only.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+  final case class MediaFeatures(media_id: Long, kind: String,
+      n_bytes: Long, byte_entropy: Double, embedding: Array[Float])
+
+  /** STUB decode: a real implementation would decode `payload` with an image
+    * codec. The deterministic fake "samples" `n` values from the bytes so
+    * the full pipeline stays testable end-to-end.
+    */
+  def decodeStub(payload: Array[Byte], n: Int): Array[Float] = {
+    val out = new Array[Float](n)
+    var acc = 1469598103934665603L // FNV offset basis — deterministic
+    var i = 0
+    while (i < n) {
+      val b = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+      acc = (acc ^ b) * 1099511628211L
+      out(i) = ((acc >>> 16) % 1000L) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batch feature extraction: per-partition kernel, fixed embedding width.
+    * Mirrors a mapInPandas UDF signature: Iterator[batch] => Iterator[batch].
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+        val hist = new Array[Long](256)
+        bytes.foreach(b => hist(b & 0xff) += 1)
+        val n = math.max(bytes.length, 1).toDouble
+        val entropy = -hist.iterator.filter(_ > 0).map { c =>
+          val p = c / n; p * math.log(p) / math.log(2)
+        }.sum
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong, entropy,
+          decodeStub(bytes, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind payloads: emit every `stride`-th chunk as
+    * its own row (payload chunking stands in for frame extraction).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val nFrames = bytes.length / frameBytes
+      (0 until nFrames by stride).map { f =>
+        (m.media_id, f, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }.toDF("media_id", "frame_idx", "frame_payload")
+  }
+}

@@ -105,8 +105,14 @@ object Wind {
         round(degrees(col("dir_rad")), 4).as("dir_deg"))
   }
 
+  /** q17: model catalog browsing surface (M9, models.py:453-507) — driver-
+    * side registry exposed as a DataFrame; no external table → rows-only. */
+  def q17ModelCatalog(spark: SparkSession, sfDir: String): DataFrame =
+    graft.models.ModelRegistry.availableModels(spark)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_nesz_flat", q14NeszFlat, Some(q14Sql)),
     QueryDef("q15_invert_crosspol", q15InvertCrosspol, Some(q15Sql)),
-    QueryDef("q16_invert_dualpol", q16InvertDualpol, None))
+    QueryDef("q16_invert_dualpol", q16InvertDualpol, None),
+    QueryDef("q17_model_catalog", q17ModelCatalog, None))
 }

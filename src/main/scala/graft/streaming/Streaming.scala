@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY.md §7.1 pipeline/): the reference is
+  * strictly batch per-scene; this wraps the same transformations for
+  * continuous ingestion — file-source micro-batches for scene Parquet dirs
+  * and an event stream with watermarked tumbling windows + custom session
+  * state via mapGroupsWithState.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, nSessions: Long, lastTsUs: Long)
+  final case class SessionUpdate(userId: Long, nEvents: Long, nSessions: Long)
+
+  /** File-source stream of events parquet (ts as ns longs, like the batch path). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Watermarked tumbling 1-hour aggregation — the streaming twin of
+    * Events.q20HourlyAgg (same grouping semantics, plus late-data bound).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Custom session state: the streaming twin of Events.q21Sessionize.
+    * Gap > 30 min opens a new session; state survives across micro-batches.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          var (n, sessions, last) = (prev.nEvents, prev.nSessions, prev.lastTsUs)
+          batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val tsUs = e.ts / 1000
+            if (last == Long.MinValue || tsUs - last > 1800000000L) sessions += 1
+            n += 1
+            last = tsUs
+          }
+          state.update(SessionState(n, sessions, last))
+          SessionUpdate(userId, n, sessions)
+      }
+  }
+
+  /** Scene-at-a-time recipe runner: each new scene Parquet dir arriving under
+    * `inDir` flows through `recipe` (e.g. detrend → inversion) and appends to
+    * `outDir` — micro-batch per scene, the continuous-ingestion shape of
+    * SURVEY.md §3.1.
+    */
+  def sceneRecipe(spark: SparkSession, inDir: String, outDir: String, checkpoint: String)(
+      recipe: DataFrame => DataFrame): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        recipe(batch).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+}

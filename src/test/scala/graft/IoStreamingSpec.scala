@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.models.{LutIO, ModelRegistry}
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+
+class IoStreamingSpec extends SparkSpec {
+
+  test("LUT parquet roundtrip preserves grid and values (S2/S6)") {
+    val dir = Files.createTempDirectory("lut").toString + "/cmod5n_lr"
+    LutIO.writeLut(spark, "gmf_cmod5n", dir)
+    val (lut, meta) = LutIO.readLut(spark, dir)
+    val orig = ModelRegistry.get("gmf_cmod5n").toLut()
+    assert(meta("model") == "gmf_cmod5n" && meta("pol") == "VV" && meta("units") == "linear")
+    assert(lut.inc.sameElements(orig.inc) && lut.wspd.sameElements(orig.wspd))
+    assert(lut.phi.sameElements(orig.phi))
+    assert(lut.values.sameElements(orig.values))
+  }
+
+  test("parquet LUT registers as a lookup model (S3)") {
+    val dir = Files.createTempDirectory("lut").toString + "/dummy_lut"
+    LutIO.writeLut(spark, "gmf_dummy", dir)
+    val before = ModelRegistry.all.size
+    // re-register under the same name (idempotent overwrite of gmf_dummy)
+    val m = LutIO.registerParquetLut(spark, dir)
+    assert(ModelRegistry.all.size == before)
+    // lookup at a grid point equals the analytic function at that point
+    val lut = ModelRegistry.get("gmf_dummy").toLut()
+    assert(math.abs(m.eval(lut.inc(5), lut.wspd(10), 0.0) -
+      graft.functions.Gmf.dummy(lut.inc(5), lut.wspd(10))) < 1e-12)
+    // restore the analytic registration for other suites
+    ModelRegistry.register(graft.models.Model("gmf_dummy", "VH", "linear",
+      (i, w, _) => graft.functions.Gmf.dummy(i, w), hasPhi = false, wspdRange = (3.0, 80.0)))
+  }
+
+  test("streaming sessionization matches batch semantics across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    val h = 3600L * 1000000000L
+    // two events 10s apart (one session), then one 2h later (new session)
+    mem.addData(Event(1, 0, 7, "a", 1.0), Event(2, 10L * 1000000000L, 7, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, 2 * h, 7, "a", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[(Long, Long, Long)].collect()
+    q.stop()
+    val last = rows.last
+    assert(last == ((7L, 3L, 2L)), s"expected 3 events / 2 sessions, got ${rows.mkString(",")}")
+  }
+
+  test("streaming hourly counts run with watermark (smoke)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    mem.addData(Event(1, 1000L * 1000000000L, 1, "click", 2.0),
+      Event(2, 1010L * 1000000000L, 1, "click", 3.0))
+    q.processAllAvailable()
+    val n = spark.table("hourly").count()
+    q.stop()
+    assert(n >= 1)
+  }
+
+  test("multimodal feature extraction is deterministic with fixed batch shape") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 2, 4),
+      MediaRow(2, "audio", Array.tabulate(256)(i => i.toByte), 0, 0)).toDS()
+    val f = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(f.length == 2)
+    assert(f.forall(_.embedding.length == 16))
+    assert(math.abs(f(1).byte_entropy - 8.0) < 1e-9) // uniform 256 bytes
+    val f2 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(f.zip(f2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+  }
+
+  test("frame sampling chunks payloads with stride") {
+    import spark.implicits._
+    val media = Seq(MediaRow(1, "video", Array.tabulate(100)(_.toByte), 0, 0)).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, stride = 2).collect()
+    assert(frames.length == 5) // frames 0,2,4,6,8
+  }
+}
