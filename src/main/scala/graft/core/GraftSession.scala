@@ -26,6 +26,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // SQL-callable GMFs as native codegen expressions (graft.sql)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(master: String = "local[*]", appName: String = "graft"): SparkSession = {

@@ -30,6 +30,54 @@ final case class Lut(
   /** Index of the nearest axis value — the reference inverts against the
     * *nearest* incidence slice, not an interpolated one (windspeed.py:212-213). */
   def nearestInc(v: Double): Int = Lut.nearestIndex(inc, v)
+
+  /** M6 — multilinear regrid onto new axes (the reference's
+    * `lut.interp(..., bounds_error=True)` low→high path, models.py:154-167).
+    * Bi-linear for 2-D crosspol LUTs, tri-linear for 3-D copol.
+    */
+  def regrid(inc2: Array[Double], wspd2: Array[Double], phi2: Array[Double]): Lut = {
+    def locate(axis: Array[Double], x: Double): (Int, Double) = {
+      require(x >= axis.head - 1e-9 && x <= axis.last + 1e-9,
+        s"regrid point $x outside [${axis.head}, ${axis.last}] (bounds_error=True)")
+      var i = java.util.Arrays.binarySearch(axis, x)
+      if (i >= 0) (math.min(i, axis.length - 2), if (i >= axis.length - 1) 1.0 else 0.0)
+      else {
+        i = -i - 2 // insertion point - 1
+        val i0 = math.max(0, math.min(i, axis.length - 2))
+        (i0, (x - axis(i0)) / (axis(i0 + 1) - axis(i0)))
+      }
+    }
+    val nP2 = math.max(phi2.length, 1)
+    val out = new Array[Double](inc2.length * wspd2.length * nP2)
+    var ii = 0
+    while (ii < inc2.length) {
+      val (i0, fi) = locate(inc, inc2(ii))
+      var wi = 0
+      while (wi < wspd2.length) {
+        val (w0, fw) = locate(wspd, wspd2(wi))
+        var pi = 0
+        while (pi < nP2) {
+          val v =
+            if (!hasPhi) {
+              val v00 = apply(i0, w0); val v01 = apply(i0, w0 + 1)
+              val v10 = apply(i0 + 1, w0); val v11 = apply(i0 + 1, w0 + 1)
+              (v00 * (1 - fw) + v01 * fw) * (1 - fi) + (v10 * (1 - fw) + v11 * fw) * fi
+            } else {
+              val (p0, fp) = locate(phi, phi2(pi))
+              def c(di: Int, dw: Int): Double =
+                apply(i0 + di, w0 + dw, p0) * (1 - fp) + apply(i0 + di, w0 + dw, p0 + 1) * fp
+              (c(0, 0) * (1 - fw) + c(0, 1) * fw) * (1 - fi) +
+                (c(1, 0) * (1 - fw) + c(1, 1) * fw) * fi
+            }
+          out(((ii * wspd2.length) + wi) * nP2 + pi) = v
+          pi += 1
+        }
+        wi += 1
+      }
+      ii += 1
+    }
+    Lut(inc2, wspd2, if (hasPhi) phi2 else Array.empty, out, units)
+  }
 }
 
 object Lut {
@@ -97,6 +145,20 @@ final case class Model(
       i += 1
     }
     Lut(incAxis, wspdAxis, phiAxis, values, units)
+  }
+
+  /** The reference's DEFAULT to_lut path (models.py:82-174 + gmfs.py:364-366):
+    * evaluate on the cheap low-res grid, then multilinearly interpolate to
+    * the high-res axes — "the lut is generated at low res, for improved
+    * performance".
+    */
+  def toLutInterpolated(): Lut = {
+    val low = toLut(highRes = false)
+    val inc2 = Lut.linspaceByStep(incRange._1, incRange._2, 0.1)
+    val wspd2 = Lut.linspaceByStep(wspdRange._1, wspdRange._2, 0.1)
+    val phi2 = if (hasPhi) Lut.linspaceByStep(phiRange._1, phiRange._2, 1.0)
+               else Array.empty[Double]
+    low.regrid(inc2, wspd2, phi2)
   }
 }
 

@@ -40,6 +40,43 @@ object Gradients {
       (gx * gx - gy * gy, 2.0 * gx * gy) // (gx + i·gy)²
     }.withColumnsRenamed(Map("a" -> "g2r", "b" -> "g2i"))
 
+  /** R2: 3×3 Gaussian B2 = [1,2,1;2,4,2;1,2,1]/16 smoothing with edge
+    * renormalization — missing/edge neighbors drop out of BOTH numerator
+    * and denominator (`conv(v·w)/conv(ones·w)`, gradients.py:675-686).
+    * Output channel b carries the weight mass actually used.
+    */
+  def smoothB2(grid: DataFrame, tileSize: Int = 64): DataFrame =
+    Tiles.stencil(grid, tileSize, 1) { (nb, mask) =>
+      var num = 0.0; var den = 0.0
+      var k = 0
+      while (k < 9) {
+        if (mask(k)) {
+          val wl = if (k / 3 == 1) 2.0 else 1.0
+          val ws = if (k % 3 == 1) 2.0 else 1.0
+          num += wl * ws * nb(k); den += wl * ws
+        }
+        k += 1
+      }
+      Some((num / den, den))
+    }.withColumnsRenamed(Map("a" -> "v_smooth", "b" -> "w_used"))
+
+  /** R4/R19-P1: local mean + std over a (2r+1)² uniform window of present
+    * pixels; P1 = std/mean is the Koch/Zhao heterogeneity mask input
+    * (gradients.py:783-787). std via sqrt(max(E[x²]−E[x]², 0)).
+    */
+  def localStats(grid: DataFrame, radius: Int = 2, tileSize: Int = 64): DataFrame =
+    Tiles.stencil(grid, tileSize, radius) { (nb, mask) =>
+      var s = 0.0; var s2 = 0.0; var n = 0
+      var k = 0
+      while (k < nb.length) {
+        if (mask(k)) { s += nb(k); s2 += nb(k) * nb(k); n += 1 }
+        k += 1
+      }
+      val mean = s / n
+      val std = math.sqrt(math.max(s2 / n - mean * mean, 0.0))
+      Some((mean, std))
+    }.withColumnsRenamed(Map("a" -> "local_mean", "b" -> "local_std"))
+
   /** R3/R12: integer-factor downsample by block mean (exact INTER_AREA). */
   def coarsen(grid: DataFrame, factor: Int): DataFrame =
     grid.groupBy(

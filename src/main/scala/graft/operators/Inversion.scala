@@ -56,12 +56,18 @@ object Inversion {
 
   /** Build + broadcast the inversion LUTs. `highRes = true` evaluates the
     * GMFs directly on the high-res grid (the reference's
-    * `to_lut(resolution='high')` path, models.py:82-174 with do_interp=False).
+    * `to_lut(resolution='high')` path, models.py:82-174 with do_interp=False);
+    * `interpolated = true` uses the reference's DEFAULT path instead —
+    * low-res eval + multilinear regrid to high-res (gmfs.py:364-366).
     */
   def buildLuts(spark: SparkSession, coModel: Option[String], crModel: Option[String],
-      highRes: Boolean = true): Broadcast[InvLuts] = {
-    val co = coModel.map(n => toDbValues(ModelRegistry.get(n).toLut(highRes))).getOrElse(emptyLut)
-    val cr = crModel.map(n => toDbValues(ModelRegistry.get(n).toLut(highRes))).getOrElse(emptyLut)
+      highRes: Boolean = true, interpolated: Boolean = false): Broadcast[InvLuts] = {
+    def build(n: String): Lut = {
+      val m = ModelRegistry.get(n)
+      toDbValues(if (interpolated) m.toLutInterpolated() else m.toLut(highRes))
+    }
+    val co = coModel.map(build).getOrElse(emptyLut)
+    val cr = crModel.map(build).getOrElse(emptyLut)
     // phi symmetric in [0,180] → two-solution ambiguity (windspeed.py:152-156)
     val phi180 = co.phi.nonEmpty && (180.0 - (co.phi.last - co.phi.head)) < 2.0
     val coCos = co.phi.map(p => math.cos(math.toRadians(p)))

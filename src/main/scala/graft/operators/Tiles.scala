@@ -24,20 +24,20 @@ object Tiles {
   /** Emitted cell: a pixel owned by the tile with its dense neighborhood. */
   final case class StencilOut(line: Int, sample: Int, a: Double, b: Double)
 
-  /** Run a 3×3-neighborhood kernel over a (line, sample, v) grid.
+  /** Run a masked neighborhood kernel of the given radius over a
+    * (line, sample, v) grid.
     *
-    * @param kernel given the 9 neighborhood values (row-major, NW..SE),
-    *               returns the two output channels. Only pixels whose full
-    *               3×3 neighborhood is present are emitted (inner-join
-    *               semantics — matches the relational oracle and avoids
-    *               boundary-policy ambiguity at scene edges).
+    * @param kernel (values, presentMask) over the (2r+1)² row-major
+    *               neighborhood (NW..SE) of a *present* center pixel →
+    *               Some((a, b)) to emit, None to drop.
     */
-  def stencil3x3(grid: DataFrame, tileSize: Int)(
-      kernel: Array[Double] => (Double, Double)): DataFrame = {
+  def stencil(grid: DataFrame, tileSize: Int, radius: Int)(
+      kernel: (Array[Double], Array[Boolean]) => Option[(Double, Double)]): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     val t = tileSize
-    val halo = 1
+    require(t >= radius, s"tile $t must be >= kernel radius $radius (map_overlap rule)")
+    val halo = radius
 
     val tiled: Dataset[TilePx] = grid
       .select(col("line").cast("int"), col("sample").cast("int"), col("v").cast("double"))
@@ -56,6 +56,7 @@ object Tiles {
         } yield TilePx(tl, ts, l, s, v)
       }
 
+    val side = 2 * radius + 1
     tiled
       .groupByKey(p => (p.tl, p.ts))
       .flatMapGroups { (key: (Int, Int), it: Iterator[TilePx]) =>
@@ -68,31 +69,43 @@ object Tiles {
           val i = (p.line - l0) * w + (p.sample - s0)
           vals(i) = p.v; present(i) = true
         }
-        val out = Iterator.range(0, t).flatMap { li =>
+        Iterator.range(0, t).flatMap { li =>
           Iterator.range(0, t).flatMap { si =>
             val l = tl * t + li; val s = ts * t + si
             val ci = (l - l0) * w + (s - s0)
-            val nb = new Array[Double](9)
-            var ok = true
-            var k = 0
-            var dl = -1
-            while (dl <= 1) {
-              var ds = -1
-              while (ds <= 1) {
-                val j = ci + dl * w + ds
-                if (!present(j)) ok = false else nb(k) = vals(j)
-                k += 1; ds += 1
+            if (!present(ci)) Iterator.empty
+            else {
+              val nb = new Array[Double](side * side)
+              val mask = new Array[Boolean](side * side)
+              var k = 0
+              var dl = -radius
+              while (dl <= radius) {
+                var ds = -radius
+                while (ds <= radius) {
+                  val j = ci + dl * w + ds
+                  mask(k) = present(j)
+                  if (present(j)) nb(k) = vals(j)
+                  k += 1; ds += 1
+                }
+                dl += 1
               }
-              dl += 1
+              kernel(nb, mask) match {
+                case Some((a, b)) => Iterator.single(StencilOut(l, s, a, b))
+                case None => Iterator.empty
+              }
             }
-            if (ok) {
-              val (a, b) = kernel(nb)
-              Iterator.single(StencilOut(l, s, a, b))
-            } else Iterator.empty
           }
         }
-        out
       }
       .toDF()
   }
+
+  /** 3×3 full-neighborhood kernel (inner-join semantics: pixels with any
+    * missing neighbor are dropped — matches the relational 8-join oracle).
+    */
+  def stencil3x3(grid: DataFrame, tileSize: Int)(
+      kernel: Array[Double] => (Double, Double)): DataFrame =
+    stencil(grid, tileSize, 1) { (nb, mask) =>
+      if (mask.forall(identity)) Some(kernel(nb)) else None
+    }
 }

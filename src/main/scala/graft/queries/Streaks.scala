@@ -174,11 +174,60 @@ object Streaks {
         round(col("weight"), 6).as("weight"),
         col("downscale_factor"), col("window_size"))
 
+  /** q46: B2 Gaussian smoothing with edge renormalization (R2). Unlike the
+    * Scharr query, edge pixels ARE emitted — the renormalizing denominator
+    * is exactly the reference's `conv(ones)` edge handling.
+    */
+  def q46Smooth(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.smoothB2(grid(spark, sfDir))
+      .select(col("line"), col("sample"),
+        round(col("v_smooth"), 8).as("v_smooth"), round(col("w_used"), 2).as("w_used"))
+
+  val q46Sql: String =
+    s"""WITH $gridCte
+       |SELECT c.line, c.sample,
+       |  ROUND(SUM((CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
+       |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END) * n.v)
+       |      / SUM((CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
+       |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)), 8) AS v_smooth,
+       |  ROUND(SUM((CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
+       |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)), 2) AS w_used
+       |FROM grid c JOIN grid n
+       |  ON n.line BETWEEN c.line - 1 AND c.line + 1
+       | AND n.sample BETWEEN c.sample - 1 AND c.sample + 1
+       |GROUP BY c.line, c.sample""".stripMargin
+
+  /** q47: local mean/std over a 5×5 window (R4 Mean operator shape; P1 =
+    * std/mean is the rain-artifact heterogeneity input, gradients.py:783-787).
+    */
+  def q47LocalStats(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.localStats(grid(spark, sfDir), radius = 2)
+      .select(col("line"), col("sample"),
+        round(col("local_mean"), 8).as("local_mean"),
+        round(col("local_std"), 8).as("local_std"),
+        round(col("local_std") / col("local_mean"), 6).as("p1"))
+
+  val q47Sql: String =
+    s"""WITH $gridCte
+       |SELECT c.line, c.sample,
+       |  ROUND(SUM(n.v) / COUNT(1), 8) AS local_mean,
+       |  ROUND(SQRT(GREATEST(SUM(n.v * n.v) / COUNT(1)
+       |    - (SUM(n.v) / COUNT(1)) * (SUM(n.v) / COUNT(1)), 0e0)), 8) AS local_std,
+       |  ROUND(SQRT(GREATEST(SUM(n.v * n.v) / COUNT(1)
+       |    - (SUM(n.v) / COUNT(1)) * (SUM(n.v) / COUNT(1)), 0e0))
+       |    / (SUM(n.v) / COUNT(1)), 6) AS p1
+       |FROM grid c JOIN grid n
+       |  ON n.line BETWEEN c.line - 2 AND c.line + 2
+       | AND n.sample BETWEEN c.sample - 2 AND c.sample + 2
+       |GROUP BY c.line, c.sample""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_scharr", q40Scharr, Some(q40Sql)),
     QueryDef("q41_coarsen", q41Coarsen, Some(q41Sql)),
     QueryDef("q42_grad_hist", q42GradHist, Some(q42Sql)),
     QueryDef("q43_circ_smooth", q43CircSmooth, Some(q43Sql)),
     QueryDef("q44_peak", q44Peak, Some(q44Sql)),
-    QueryDef("q45_multiscale", q45Multiscale, None))
+    QueryDef("q45_multiscale", q45Multiscale, None),
+    QueryDef("q46_smooth", q46Smooth, Some(q46Sql)),
+    QueryDef("q47_local_stats", q47LocalStats, Some(q47Sql)))
 }

@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.Gmf
+
+class SqlExtensionsSpec extends SparkSpec {
+
+  test("GMFs are SQL-callable via SparkSessionExtensions") {
+    val r = spark.sql("SELECT gmf_cmod5n(30.0, 10.0, 45.0) AS s").head.getDouble(0)
+    assert(r == Gmf.cmod5n(30.0, 10.0, 45.0))
+    val r2 = spark.sql("SELECT gmf_s1_v2(35.0, 15.0) AS s").head.getDouble(0)
+    assert(r2 == Gmf.s1V2(35.0, 15.0))
+  }
+
+  test("codegen path evaluates over a projection and handles nulls") {
+    import spark.implicits._
+    Seq((30.0, 10.0, 45.0), (40.0, 25.0, 90.0)).toDF("i", "w", "p")
+      .createOrReplaceTempView("pts")
+    val vals = spark.sql("SELECT gmf_cmod5(i, w, p) AS s FROM pts")
+      .collect().map(_.getDouble(0)).sorted
+    val exp = Array(Gmf.cmod5(30.0, 10.0, 45.0), Gmf.cmod5(40.0, 25.0, 90.0)).sorted
+    assert(vals.sameElements(exp))
+    // null in → null out (nullIntolerant)
+    val n = spark.sql("SELECT gmf_cmod5(CAST(NULL AS DOUBLE), 10.0, 45.0) AS s").head
+    assert(n.isNullAt(0))
+  }
+
+  test("expression stays inside whole-stage codegen (no fallback)") {
+    import spark.implicits._
+    val df = spark.range(100).select(
+      org.apache.spark.sql.functions.expr("gmf_s1_v2(16.0 + id % 50, 3.0 + id % 70)").as("s"))
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("gmfFn") || codegen.contains(".eval("),
+      s"expected inlined gmf call in generated code:\n${codegen.take(2000)}")
+    assert(df.agg(org.apache.spark.sql.functions.sum("s")).head.getDouble(0) > 0)
+  }
+}
