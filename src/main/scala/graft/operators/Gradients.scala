@@ -84,6 +84,33 @@ object Gradients {
         (col("sample") / factor).cast("int").as("sample"))
       .agg(avg(col("v")).as("v"), count(lit(1)).as("n_px"))
 
+  /** R3 — the anti-moiré reduce-by-2 pyramid step on one channel:
+    * pre-smooth ≈B4 (two renormalized B2 passes), 2×2 coarsen, post-smooth
+    * B2 (gradients.py:689-721; B4 = B2∗B2 exactly away from edges).
+    */
+  def reduce2(channel: DataFrame, tileSize: Int = 64): DataFrame = {
+    def sm(df: DataFrame): DataFrame =
+      smoothB2(df, tileSize).select(col("line"), col("sample"), col("v_smooth").as("v"))
+    sm(coarsen(sm(sm(channel)), 2).drop("n_px"))
+  }
+
+  /** R5 complete — local gradients at half resolution with quality:
+    * Scharr → squared complex gradient → R2 of (re, im, |g²|) → quality
+    * c = |R2(g²)| / (R2(|g²|) + 1e-5), clipped to ≤1 else 0
+    * (gradients.py:588-634).
+    */
+  def localGradients(grid: DataFrame, tileSize: Int = 64): DataFrame = {
+    val g2 = scharrG2(grid, tileSize)
+    def ch(c: String): DataFrame = g2.select(col("line"), col("sample"), col(c).as("v"))
+    val mag = g2.select(col("line"), col("sample"), hypot(col("g2r"), col("g2i")).as("v"))
+    val re2 = reduce2(ch("g2r"), tileSize).withColumnRenamed("v", "g2r")
+    val im2 = reduce2(ch("g2i"), tileSize).withColumnRenamed("v", "g2i")
+    val g3 = reduce2(mag, tileSize).withColumnRenamed("v", "g3")
+    val joined = re2.join(im2, Seq("line", "sample")).join(g3, Seq("line", "sample"))
+    val cRaw = hypot(col("g2r"), col("g2i")) / (col("g3") + lit(1e-5))
+    joined.withColumn("c", when(cRaw <= 1.0, cRaw).otherwise(lit(0.0)))
+  }
+
   /** R10: windowed weighted angular histogram over squared gradients.
     *
     * @param g2 output of [[scharrG2]]
@@ -132,6 +159,116 @@ object Gradients {
             pmod(col("bin") + col("off"), lit(NAngles)).as("bin"))
           .agg(sum(col("weight") * col("k")).as("weight"))
     }
+  }
+
+  /** Dilated renormalized B2 smoothing: taps at offsets {-d, 0, d}² with
+    * [1,2,1]² weights. B4-dilated-by-2 == (B2 dilated)∘(B2 dilated) since
+    * dilation distributes over convolution (gradients.py:741-744 B42).
+    */
+  def smoothB2Dilated(grid: DataFrame, d: Int, tileSize: Int = 64): DataFrame =
+    Tiles.stencil(grid, tileSize, d) { (nb, mask) =>
+      val side = 2 * d + 1
+      var num = 0.0; var den = 0.0
+      var ti = 0
+      while (ti < 3) {
+        var tj = 0
+        while (tj < 3) {
+          val k = (ti * d) * side + (tj * d)
+          if (mask(k)) {
+            val w = (if (ti == 1) 2.0 else 1.0) * (if (tj == 1) 2.0 else 1.0)
+            num += w * nb(k); den += w
+          }
+          tj += 1
+        }
+        ti += 1
+      }
+      Some((num / den, den))
+    }.select(col("line"), col("sample"), col("a").as("v"))
+
+  /** R4 — the `Mean` local-mean operator: B4 (≈B2∘B2) then B42 (dilated B4)
+    * (gradients.py:724-755).
+    */
+  def meanOp(channel: DataFrame, tileSize: Int = 64): DataFrame = {
+    def sm(df: DataFrame): DataFrame =
+      smoothB2(df, tileSize).select(col("line"), col("sample"), col("v_smooth").as("v"))
+    smoothB2Dilated(smoothB2Dilated(sm(sm(channel)), 2, tileSize), 2, tileSize)
+  }
+
+  /** Bilinear zoom regrid (ndimage.zoom order=1 analogue): maps each target
+    * cell to fractional source coords with the symmetric endpoint-preserving
+    * map src = dst·(nSrc−1)/(nDst−1), 4-neighbor inner join.
+    */
+  def zoomBilinear(src: DataFrame, srcNL: Int, srcNS: Int, dstNL: Int, dstNS: Int): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val targets = (for (l <- 0 until dstNL; s <- 0 until dstNS) yield (l, s))
+      .toDF("line", "sample")
+    val fl = col("line") * ((srcNL - 1).toDouble / math.max(dstNL - 1, 1))
+    val fs = col("sample") * ((srcNS - 1).toDouble / math.max(dstNS - 1, 1))
+    val t = targets.select(col("line"), col("sample"),
+      floor(fl).cast("int").as("i0"), (fl - floor(fl)).as("wi"),
+      floor(fs).cast("int").as("j0"), (fs - floor(fs)).as("wj"))
+      .withColumn("i1", least(col("i0") + 1, lit(srcNL - 1)))
+      .withColumn("j1", least(col("j0") + 1, lit(srcNS - 1)))
+    def s(nm: String, li: String, sj: String) = src.select(
+      col("line").as(li + "_l"), col("sample").as(sj + "_s"), col("v").as(nm))
+    t.join(broadcast(s("v00", "i0", "j0")), col("i0") === col("i0_l") && col("j0") === col("j0_s"))
+      .join(broadcast(s("v01", "i0b", "j1")), col("i0") === col("i0b_l") && col("j1") === col("j1_s"))
+      .join(broadcast(s("v10", "i1", "j0b")), col("i1") === col("i1_l") && col("j0") === col("j0b_s"))
+      .join(broadcast(s("v11", "i1b", "j1b")), col("i1") === col("i1b_l") && col("j1") === col("j1b_s"))
+      .select(col("line"), col("sample"),
+        ((col("v00") * (lit(1.0) - col("wj")) + col("v01") * col("wj")) * (lit(1.0) - col("wi")) +
+         (col("v10") * (lit(1.0) - col("wj")) + col("v11") * col("wj")) * col("wi")).as("v"))
+  }
+
+  /** R19 — rain/artifact mask filtering parameters (Zhao 2021;
+    * gradients.py:758-825): P1 local heterogeneity, P2 high-frequency
+    * residual vs a smoothed-upsampled background, P3 gradient-energy ratio,
+    * P4 sqrt(quality); affine-clipped to [0,1] and combined
+    * F = sqrt(¼Σfᵢ²) with the small-F suppression.
+    *
+    * Input: full-res sigma0 grid (line, sample, v). Output at half
+    * resolution (r2 grid), inner-joined across components.
+    */
+  def filteringParameters(grid: DataFrame, tileSize: Int = 64): DataFrame = {
+    val image = grid.select(col("line"), col("sample"), sqrt(col("v")).as("v"))
+    val r2 = reduce2(image, tileSize)
+    val lg = localGradients(image, tileSize)
+    val j = meanOp(r2, tileSize).withColumnRenamed("v", "j")
+    val j1 = meanOp(r2.withColumn("v", col("v") * col("v")), tileSize).withColumnRenamed("v", "j1")
+
+    val dims = r2.agg(max("line"), max("sample")).head()
+    val (nL, nS) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
+    val resampl = coarsen(r2, 2).drop("n_px")
+    val rdims = resampl.agg(max("line"), max("sample")).head()
+    val bg = zoomBilinear(
+      smoothB2(resampl, tileSize).select(col("line"), col("sample"), col("v_smooth").as("v")),
+      rdims.getInt(0) + 1, rdims.getInt(1) + 1, nL, nS)
+      .withColumnRenamed("v", "bg")
+
+    val g4 = meanOp(lg.select(col("line"), col("sample"), col("g3").as("v")), tileSize)
+      .withColumnRenamed("v", "g4")
+
+    def clip01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
+
+    val joined = r2
+      .join(j, Seq("line", "sample"))
+      .join(j1, Seq("line", "sample"))
+      .join(bg, Seq("line", "sample"))
+      .join(lg.select(col("line"), col("sample"), col("g3"), col("c")), Seq("line", "sample"))
+      .join(g4, Seq("line", "sample"))
+    val p1 = sqrt(greatest(col("j1") - col("j") * col("j"), lit(0.0))) / (col("j") + lit(1e-5))
+    val p2 = pow(col("v") - col("bg"), 2) / (col("j") * col("j") + lit(1e-5))
+    val p3 = col("g3") / (col("g4") + lit(1e-5))
+    val p4 = sqrt(col("c"))
+    val f1 = clip01(lit(-50.0) * p1 + lit(2.75))
+    val f2 = clip01(lit(-5000.0) * p2 + lit(3.0))
+    val f3 = clip01(lit(-2.5) * p3 + lit(4.0))
+    val f4 = clip01(lit(-10.0) * p4 + lit(6.3))
+    val fRaw = sqrt((f1 * f1 + f2 * f2 + f3 * f3 + f4 * f4) / 4.0)
+    joined.select(col("line"), col("sample"),
+      f1.as("f1"), f2.as("f2"), f3.as("f3"), f4.as("f4"),
+      when(fRaw < 0.0015, 0.0).otherwise(fRaw).as("f"))
   }
 
   /** R16: histogram peak per window — deterministic argmax on rounded

@@ -221,6 +221,56 @@ object Streaks {
        | AND n.sample BETWEEN c.sample - 2 AND c.sample + 2
        |GROUP BY c.line, c.sample""".stripMargin
 
+  /** q48: the complete R5 local-gradients chain — Scharr → g² → R2 pyramid
+    * downsample of (re, im, |g²|) → quality c (gradients.py:588-634).
+    */
+  def q48LocalGradients(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.localGradients(grid(spark, sfDir))
+      .select(col("line"), col("sample"),
+        (round(col("g2r"), 8) + lit(0.0)).as("g2r"),
+        (round(col("g2i"), 8) + lit(0.0)).as("g2i"),
+        round(col("g3"), 8).as("g3"),
+        round(col("c"), 6).as("c"))
+
+  // one renormalized-B2 pass over 3 channels of `src`
+  private def smooth3Sql(src: String): String = {
+    val w = """(CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
+              | * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)""".stripMargin
+    s"""SELECT c.line, c.sample,
+       |  SUM($w * n.a) / SUM($w) AS a,
+       |  SUM($w * n.b) / SUM($w) AS b,
+       |  SUM($w * n.m) / SUM($w) AS m
+       |FROM $src c JOIN $src n
+       |  ON n.line BETWEEN c.line - 1 AND c.line + 1
+       | AND n.sample BETWEEN c.sample - 1 AND c.sample + 1
+       |GROUP BY c.line, c.sample""".stripMargin
+  }
+
+  val q48Sql: String =
+    s"""WITH $gridCte,
+       |$scharrCte,
+       |c0 AS (
+       |  SELECT line, sample, gx*gx - gy*gy AS a, 2e0*gx*gy AS b,
+       |         SQRT((gx*gx - gy*gy)*(gx*gx - gy*gy) + (2e0*gx*gy)*(2e0*gx*gy)) AS m
+       |  FROM g2
+       |),
+       |s1 AS (${smooth3Sql("c0")}),
+       |s2 AS (${smooth3Sql("s1")}),
+       |co AS (
+       |  SELECT CAST(FLOOR(line / 2) AS INTEGER) AS line,
+       |         CAST(FLOOR(sample / 2) AS INTEGER) AS sample,
+       |         AVG(a) AS a, AVG(b) AS b, AVG(m) AS m
+       |  FROM s2 GROUP BY 1, 2
+       |),
+       |s3 AS (${smooth3Sql("co")})
+       |SELECT line, sample,
+       |  ROUND(a, 8) + 0e0 AS g2r,
+       |  ROUND(b, 8) + 0e0 AS g2i,
+       |  ROUND(m, 8) AS g3,
+       |  ROUND(CASE WHEN SQRT(a*a + b*b) / (m + 1e-5) <= 1e0
+       |             THEN SQRT(a*a + b*b) / (m + 1e-5) ELSE 0e0 END, 6) AS c
+       |FROM s3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_scharr", q40Scharr, Some(q40Sql)),
     QueryDef("q41_coarsen", q41Coarsen, Some(q41Sql)),
@@ -229,5 +279,18 @@ object Streaks {
     QueryDef("q44_peak", q44Peak, Some(q44Sql)),
     QueryDef("q45_multiscale", q45Multiscale, None),
     QueryDef("q46_smooth", q46Smooth, Some(q46Sql)),
-    QueryDef("q47_local_stats", q47LocalStats, Some(q47Sql)))
+    QueryDef("q47_local_stats", q47LocalStats, Some(q47Sql)),
+    QueryDef("q48_local_gradients", q48LocalGradients, Some(q48Sql)),
+    QueryDef("q49_filtering_params", q49FilteringParams, None))
+
+  /** q49: R19 rain/artifact filtering parameters — composite of verified
+    * building blocks (q46/q47/q48); zoom/Mean composition is covered by
+    * GradientsSpec properties, driver records rows-only.
+    */
+  def q49FilteringParams(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.filteringParameters(grid(spark, sfDir))
+      .select(col("line"), col("sample"),
+        round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
+        round(col("f3"), 6).as("f3"), round(col("f4"), 6).as("f4"),
+        round(col("f"), 6).as("f"))
 }

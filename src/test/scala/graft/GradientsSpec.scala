@@ -64,6 +64,43 @@ class GradientsSpec extends SparkSpec {
     assert(math.abs(before - after) < 1e-9, s"$before vs $after")
   }
 
+  test("filtering parameters are in [0,1] and flag the heterogeneous region") {
+    // homogeneous field + a high-variance patch: f-scores must stay in range
+    val n = 64
+    val rows = for (l <- 0 until n; s <- 0 until n) yield {
+      val noise = if (l >= 20 && l < 30 && s >= 20 && s < 30)
+        0.5 * (((l * 31 + s * 17) % 97) / 97.0) else 0.0
+      (l, s, 0.05 + noise)
+    }
+    import spark.implicits._
+    val g = rows.toDF("line", "sample", "v")
+    val f = Gradients.filteringParameters(g).collect()
+    assert(f.nonEmpty)
+    for (r <- f; cName <- Seq("f1", "f2", "f3", "f4", "f")) {
+      val v = r.getAs[Double](cName)
+      assert(v >= 0.0 && v <= 1.0, s"$cName=$v out of range")
+    }
+    // the noisy patch (half-res ~[10,15]²) must score lower than the calm corner
+    val inPatch = f.filter(r => (10 to 14).contains(r.getAs[Int]("line")) &&
+      (10 to 14).contains(r.getAs[Int]("sample"))).map(_.getAs[Double]("f"))
+    val calm = f.filter(r => r.getAs[Int]("line") > 20 && r.getAs[Int]("sample") > 20)
+      .map(_.getAs[Double]("f"))
+    assert(inPatch.nonEmpty && calm.nonEmpty)
+    assert(inPatch.min < calm.max, "heterogeneous patch should reduce F somewhere")
+  }
+
+  test("zoom bilinear reproduces exact values at aligned nodes") {
+    import spark.implicits._
+    val src = (for (l <- 0 until 4; s <- 0 until 4) yield (l, s, (l * 10 + s).toDouble))
+      .toDF("line", "sample", "v")
+    val z = Gradients.zoomBilinear(src, 4, 4, 7, 7).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // odd target indices are midpoints; even align with source nodes
+    assert(z((0, 0)) == 0.0 && z((6, 6)) == 33.0)
+    assert(math.abs(z((2, 2)) - 11.0) < 1e-12) // node (1,1)
+    assert(math.abs(z((1, 0)) - 5.0) < 1e-12)  // midpoint of 0 and 10
+  }
+
   test("stencil drops pixels with incomplete neighborhoods") {
     val g = streakGrid(10, 0.0).filter(!(col("line") === 5 && col("sample") === 5))
     val out = Gradients.scharrG2(g, 8).collect()
