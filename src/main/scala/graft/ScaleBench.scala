@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.functions.GmfColumns
+import graft.models.ModelRegistry
+import graft.operators.{Directions, Gradients, Inversion}
+
+/** Engine-side domain targets (BASELINE.md): timings at the reference's
+  * full-scene sizes, validating the 100 TB design assumptions (broadcast
+  * LUTs, tile+halo shuffles) far beyond the sf0.1 gate. Prints one line per
+  * target. Usage: runMain graft.ScaleBench [lines samples]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val (nL, nS) = args match {
+      case Array(l, s) => (l.toInt, s.toInt)
+      case _ => (1700, 2500)
+    }
+    val spark = GraftSession.getOrCreate(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      appName = "graft-scale")
+    import spark.implicits._
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // 1. high-res copol LUT generation — 501×499×181 ≈ 45M cells (driver)
+    timed("lut_gen_highres_copol_45M") {
+      ModelRegistry.get("gmf_cmod5n").toLut(highRes = true).values.length
+    }
+
+    // 2. low-res + multilinear interp to high-res (the reference default)
+    timed("lut_interp_low_to_high_copol") {
+      ModelRegistry.get("gmf_cmod5n").toLutInterpolated().values.length
+    }
+
+    // synthetic full scene, forward-modeled wind (distributed generation)
+    val scene = spark.range(nL.toLong * nS)
+      .select(
+        (col("id") / nS).cast("int").as("line"),
+        (col("id") % nS).cast("int").as("sample"))
+      .withColumn("incidence", lit(16.0) + lit(34.0) * col("sample") / lit(nS - 1.0))
+      .withColumn("wspd_t", lit(4.0) + (col("line") % 40) * lit(0.7))
+      .withColumn("phi_t", (col("sample") % 360) * lit(0.5))
+
+    // 3. dual-pol inversion over the full scene (4.25M px default)
+    timed(s"dualpol_inversion_${nL}x$nS") {
+      val luts = Inversion.buildLuts(spark, Some("gmf_cmod5n"), Some("gmf_s1_v2"), highRes = false)
+      val px = scene.select(
+        col("line").cast("long").as("okey"), col("sample").cast("long").as("lnum"),
+        col("incidence").as("inc"),
+        Directions.toDb(GmfColumns.cmod5n(col("incidence"), col("wspd_t"), col("phi_t"))).as("s0co_db"),
+        Directions.toDb(GmfColumns.s1V2(col("incidence"), col("wspd_t"))).as("s0cr_db"),
+        lit(0.1).as("dsig_cr"),
+        (col("wspd_t") * cos(radians(col("phi_t")))).as("anc_re"),
+        (col("wspd_t") * sin(radians(col("phi_t")))).as("anc_im"))
+      Inversion.invert(px, luts).write.format("noop").mode("overwrite").save()
+    }
+
+    // 4. multiscale gradient histogram (2 downscales × 2 window sizes)
+    timed(s"gradients_multiscale_${nL}x$nS") {
+      val grid = scene.select(col("line"), col("sample"),
+        (lit(1.0) + sin(col("line") * 0.7 + col("sample") * 0.35)).as("v"))
+      Gradients.multiscale(grid, downscales = Seq(1, 2), windowSizes = Seq(160, 320))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    spark.stop()
+  }
+}
