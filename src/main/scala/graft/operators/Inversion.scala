@@ -39,10 +39,14 @@ object Inversion {
       dsigCr: Double,
       ancRe: Double, ancIm: Double) // NaN = no ancillary
 
+  /** coWspd/crWspd carry the argmin'd LUT axis values exactly — downstream
+    * thresholds (dualpol blend at 5 m/s) compare grid doubles, not a
+    * reconstructed |wind| that differs in the last ULP.
+    */
   final case class PxOut(
       okey: Long, lnum: Long,
-      coRe: Double, coIm: Double,
-      crRe: Double, crIm: Double)
+      coRe: Double, coIm: Double, coWspd: Double,
+      crRe: Double, crIm: Double, crWspd: Double)
 
   /** dB LUT arrays pre-shaped for the kernel. */
   final case class InvLuts(
@@ -78,12 +82,12 @@ object Inversion {
   /** The per-pixel kernel — mirrors __invert_from_model_1d (windspeed.py:183-282). */
   def invertOne(luts: InvLuts, dsigCo: Double, px: PxIn): PxOut = {
     val nan = Double.NaN
-    if (px.inc.isNaN) return PxOut(px.okey, px.lnum, nan, nan, nan, nan)
+    if (px.inc.isNaN) return PxOut(px.okey, px.lnum, nan, nan, nan, nan, nan, nan)
     val hasCo = !px.s0coDb.isNaN
     val hasAnc = !(px.ancRe.isNaN || px.ancIm.isNaN)
-    if (hasCo && !hasAnc) return PxOut(px.okey, px.lnum, nan, nan, nan, nan)
+    if (hasCo && !hasAnc) return PxOut(px.okey, px.lnum, nan, nan, nan, nan, nan, nan)
 
-    var coRe = nan; var coIm = nan
+    var coRe = nan; var coIm = nan; var coWspd = nan
     if (hasCo) {
       val co = luts.co
       val iInc = co.nearestInc(px.inc)
@@ -106,6 +110,7 @@ object Inversion {
         w += 1
       }
       val wspdCo = co.wspd(bestW)
+      coWspd = wspdCo
       val phiCo = co.phi(bestP)
       if (luts.coPhi180) {
         // ±phi ambiguity: pick solution closest in angle to ancillary (windspeed.py:234-245)
@@ -122,30 +127,30 @@ object Inversion {
       }
     }
 
-    var crRe = nan; var crIm = nan
+    var crRe = nan; var crIm = nan; var crWspd = nan
     if (!px.s0crDb.isNaN && !px.dsigCr.isNaN) {
       val cr = luts.cr
       val iInc = cr.nearestInc(px.inc)
-      val coMag = math.hypot(coRe, coIm) // NaN if no copol solution
-      val hasCoSol = !coMag.isNaN
+      val hasCoSol = !coWspd.isNaN // |wind_co| == the argmin'd wspd exactly
       var bestJ = Double.MaxValue; var bestW = 0
       var w = 0
       while (w < cr.wspd.length) {
         val ds = (cr(iInc, w) - px.s0crDb) / px.dsigCr
         var j = ds * ds
         if (hasCoSol) {
-          val dw = (cr.wspd(w) - coMag) / 2.0 // dwspd_fg = 2 (windspeed.py:141)
+          val dw = (cr.wspd(w) - coWspd) / 2.0 // dwspd_fg = 2 (windspeed.py:141)
           j += dw * dw
         }
         if (j < bestJ) { bestJ = j; bestW = w }
         w += 1
       }
       val wspdDual = cr.wspd(bestW)
+      crWspd = wspdDual
       val phiDual = if (hasCoSol) math.atan2(coIm, coRe) else 0.0
       crRe = wspdDual * math.cos(phiDual)
       crIm = wspdDual * math.sin(phiDual)
     }
-    PxOut(px.okey, px.lnum, coRe, coIm, crRe, crIm)
+    PxOut(px.okey, px.lnum, coRe, coIm, coWspd, crRe, crIm, crWspd)
   }
 
   /** angle(a / b) for complex a, b — phase difference in (-pi, pi]. */
@@ -179,15 +184,15 @@ object Inversion {
   }
 
   /** Dual-pol blend (windspeed.py:424-428): keep copol wind when either
-    * speed is < 5 m/s, else the dual-pol wind. Pure column op.
+    * speed is < 5 m/s, else the dual-pol wind. Pure column op; speeds are
+    * the exact argmin'd grid values from the kernel.
     */
   def dualpolBlend(out: DataFrame): DataFrame = {
-    val wsCo = hypot(col("coRe"), col("coIm"))
-    val wsCr = hypot(col("crRe"), col("crIm"))
+    val keepCo = col("coWspd") < 5.0 || col("crWspd") < 5.0
     out
-      .withColumn("wspd", when(wsCo < 5.0 || wsCr < 5.0, wsCo).otherwise(wsCr))
+      .withColumn("wspd", when(keepCo, col("coWspd")).otherwise(col("crWspd")))
       .withColumn("dir_rad",
-        when(wsCo < 5.0 || wsCr < 5.0, atan2(col("coIm"), col("coRe")))
+        when(keepCo, atan2(col("coIm"), col("coRe")))
           .otherwise(atan2(col("crIm"), col("crRe"))))
   }
 }

@@ -72,11 +72,11 @@ class InversionSpec extends SparkSpec {
   test("dualpol blend keeps copol wind below 5 m/s (windspeed.py:424-428)") {
     import spark.implicits._
     val df = Seq(
-      (3.0, 0.0, 8.0, 0.0),  // ws_co < 5 → copol kept
-      (10.0, 0.0, 9.0, 1.0)  // both ≥ 5 → dual kept
-    ).toDF("coRe", "coIm", "crRe", "crIm")
+      (3.0, 0.0, 3.0, 8.0, 0.0, 8.0),   // ws_co < 5 → copol kept
+      (10.0, 0.0, 10.0, 9.0, 1.0, 9.1)  // both ≥ 5 → dual kept
+    ).toDF("coRe", "coIm", "coWspd", "crRe", "crIm", "crWspd")
     val r = Inversion.dualpolBlend(df).select("wspd").as[Double].collect()
     assert(math.abs(r(0) - 3.0) < 1e-12)
-    assert(math.abs(r(1) - math.hypot(9.0, 1.0)) < 1e-12)
+    assert(math.abs(r(1) - 9.1) < 1e-12)
   }
 }
