@@ -230,20 +230,24 @@ object Gradients {
     * Input: full-res sigma0 grid (line, sample, v). Output at half
     * resolution (r2 grid), inner-joined across components.
     */
-  def filteringParameters(grid: DataFrame, tileSize: Int = 64): DataFrame = {
+  def filteringParameters(grid: DataFrame, tileSize: Int = 64,
+      knownDims: Option[(Int, Int)] = None): DataFrame = {
     val image = grid.select(col("line"), col("sample"), sqrt(col("v")).as("v"))
     val r2 = reduce2(image, tileSize)
     val lg = localGradients(image, tileSize)
     val j = meanOp(r2, tileSize).withColumnRenamed("v", "j")
     val j1 = meanOp(r2.withColumn("v", col("v") * col("v")), tileSize).withColumnRenamed("v", "j1")
 
-    val dims = r2.agg(max("line"), max("sample")).head()
-    val (nL, nS) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
+    // half-res dims: from the caller when known (skips a driver action)
+    val (nL, nS) = knownDims.getOrElse {
+      val dims = r2.agg(max("line"), max("sample")).head()
+      (dims.getInt(0) + 1, dims.getInt(1) + 1)
+    }
     val resampl = coarsen(r2, 2).drop("n_px")
-    val rdims = resampl.agg(max("line"), max("sample")).head()
+    // coarsen-by-2 of a dense [0, n) index range has ceil(n/2) cells
     val bg = zoomBilinear(
       smoothB2(resampl, tileSize).select(col("line"), col("sample"), col("v_smooth").as("v")),
-      rdims.getInt(0) + 1, rdims.getInt(1) + 1, nL, nS)
+      (nL + 1) / 2, (nS + 1) / 2, nL, nS)
       .withColumnRenamed("v", "bg")
 
     val g4 = meanOp(lg.select(col("line"), col("sample"), col("g3").as("v")), tileSize)

@@ -165,14 +165,67 @@ object Streaks {
        |  FROM s3
        |) WHERE rk = 1""".stripMargin
 
-  /** q45: multiscale fan-out (R13) — union over downscale configs. No SQL
-    * oracle (rows-only); per-config pieces are covered by q40-q42.
+  /** q45: multiscale fan-out (R13) — union over downscale configs with
+    * literal config columns; each config runs the verified scharr+histogram
+    * chain on its (optionally coarsened) grid.
     */
   def q45Multiscale(spark: SparkSession, sfDir: String): DataFrame =
     Gradients.multiscale(grid(spark, sfDir), downscales = Seq(1, 2), windowSizes = Seq(40))
       .select(col("win_line"), col("win_sample"), col("bin"),
         round(col("weight"), 6).as("weight"),
         col("downscale_factor"), col("window_size"))
+
+  // scharr + histogram CTE chain over grid relation `src`, suffix `sfx`
+  private def chainCtes(src: String, ws: Int, sfx: String): String =
+    s"""g2$sfx AS (
+       |  SELECT c.line, c.sample,
+       |    (-3e0*nw.v + 3e0*ne.v - 10e0*w.v + 10e0*e.v - 3e0*sw.v + 3e0*se.v) AS gx,
+       |    (-3e0*nw.v - 10e0*n.v - 3e0*ne.v + 3e0*sw.v + 10e0*s.v + 3e0*se.v) AS gy
+       |  FROM $src c
+       |  JOIN $src nw ON nw.line = c.line-1 AND nw.sample = c.sample-1
+       |  JOIN $src n  ON n.line  = c.line-1 AND n.sample  = c.sample
+       |  JOIN $src ne ON ne.line = c.line-1 AND ne.sample = c.sample+1
+       |  JOIN $src w  ON w.line  = c.line   AND w.sample  = c.sample-1
+       |  JOIN $src e  ON e.line  = c.line   AND e.sample  = c.sample+1
+       |  JOIN $src sw ON sw.line = c.line+1 AND sw.sample = c.sample-1
+       |  JOIN $src s  ON s.line  = c.line+1 AND s.sample  = c.sample
+       |  JOIN $src se ON se.line = c.line+1 AND se.sample = c.sample+1
+       |),
+       |mags$sfx AS (
+       |  SELECT CAST(FLOOR(line / $ws) AS INTEGER) AS win_line,
+       |         CAST(FLOOR(sample / $ws) AS INTEGER) AS win_sample,
+       |         gx*gx - gy*gy AS g2r, 2e0*gx*gy AS g2i,
+       |         SQRT((gx*gx - gy*gy)*(gx*gx - gy*gy) + (2e0*gx*gy)*(2e0*gx*gy)) AS m
+       |  FROM g2$sfx
+       |),
+       |med$sfx AS (
+       |  SELECT win_line, win_sample, MEDIAN(m) AS med_m
+       |  FROM mags$sfx WHERE m > 0 GROUP BY win_line, win_sample
+       |),
+       |hist$sfx AS (
+       |  SELECT b.win_line, b.win_sample,
+       |         LEAST(CAST(FLOOR((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72)) AS INTEGER), 71) AS bin,
+       |         SUM(b.m / (b.m + d.med_m)) AS weight
+       |  FROM mags$sfx b JOIN med$sfx d USING (win_line, win_sample)
+       |  WHERE b.m > 0
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  val q45Sql: String =
+    s"""WITH $gridCte,
+       |grid2 AS (
+       |  SELECT CAST(FLOOR(line / 2) AS INTEGER) AS line,
+       |         CAST(FLOOR(sample / 2) AS INTEGER) AS sample,
+       |         AVG(v) AS v
+       |  FROM grid GROUP BY 1, 2
+       |),
+       |${chainCtes("grid", 40, "_a")},
+       |${chainCtes("grid2", 20, "_b")}
+       |SELECT win_line, win_sample, bin, ROUND(weight, 6) AS weight,
+       |       1 AS downscale_factor, 40 AS window_size FROM hist_a
+       |UNION ALL
+       |SELECT win_line, win_sample, bin, ROUND(weight, 6) AS weight,
+       |       2 AS downscale_factor, 40 AS window_size FROM hist_b""".stripMargin
 
   /** q46: B2 Gaussian smoothing with edge renormalization (R2). Unlike the
     * Scharr query, edge pixels ARE emitted — the renormalizing denominator
@@ -277,7 +330,7 @@ object Streaks {
     QueryDef("q42_grad_hist", q42GradHist, Some(q42Sql)),
     QueryDef("q43_circ_smooth", q43CircSmooth, Some(q43Sql)),
     QueryDef("q44_peak", q44Peak, Some(q44Sql)),
-    QueryDef("q45_multiscale", q45Multiscale, None),
+    QueryDef("q45_multiscale", q45Multiscale, Some(q45Sql)),
     QueryDef("q46_smooth", q46Smooth, Some(q46Sql)),
     QueryDef("q47_local_stats", q47LocalStats, Some(q47Sql)),
     QueryDef("q48_local_gradients", q48LocalGradients, Some(q48Sql)),
@@ -288,7 +341,8 @@ object Streaks {
     * GradientsSpec properties, driver records rows-only.
     */
   def q49FilteringParams(spark: SparkSession, sfDir: String): DataFrame =
-    Gradients.filteringParameters(grid(spark, sfDir))
+    Gradients.filteringParameters(grid(spark, sfDir),
+      knownDims = Some((SceneDef.nLines / 2, SceneDef.nSamples / 2)))
       .select(col("line"), col("sample"),
         round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
         round(col("f3"), 6).as("f3"), round(col("f4"), 6).as("f4"),
