@@ -334,11 +334,13 @@ object Streaks {
     QueryDef("q46_smooth", q46Smooth, Some(q46Sql)),
     QueryDef("q47_local_stats", q47LocalStats, Some(q47Sql)),
     QueryDef("q48_local_gradients", q48LocalGradients, Some(q48Sql)),
-    QueryDef("q49_filtering_params", q49FilteringParams, None))
+    QueryDef("q49_filtering_params", q49FilteringParams, Some(q49Sql)))
 
-  /** q49: R19 rain/artifact filtering parameters — composite of verified
-    * building blocks (q46/q47/q48); zoom/Mean composition is covered by
-    * GradientsSpec properties, driver records rows-only.
+  /** q49: R19 rain/artifact filtering parameters (gradients.py:758-825) —
+    * the full composite: P1 heterogeneity via the Mean operator (B4+B42
+    * dilated), P2 high-frequency residual vs a smoothed bilinear-upsampled
+    * background, P3 gradient-energy ratio, P4 sqrt(quality), affine-clipped
+    * and combined. The oracle re-expresses every stage relationally.
     */
   def q49FilteringParams(spark: SparkSession, sfDir: String): DataFrame =
     Gradients.filteringParameters(grid(spark, sfDir),
@@ -347,4 +349,117 @@ object Streaks {
         round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
         round(col("f3"), 6).as("f3"), round(col("f4"), 6).as("f4"),
         round(col("f"), 6).as("f"))
+
+  // single-channel renormalized B2 smoothing pass at dilation d
+  private def smooth1Sql(src: String, d: Int = 1): String = {
+    val w = s"""(CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
+               | * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)""".stripMargin
+    s"""SELECT c.line, c.sample, SUM($w * n.v) / SUM($w) AS v
+       |FROM $src c JOIN $src n
+       |  ON n.line IN (c.line - $d, c.line, c.line + $d)
+       | AND n.sample IN (c.sample - $d, c.sample, c.sample + $d)
+       |GROUP BY c.line, c.sample""".stripMargin
+  }
+
+  private def coarsen1Sql(src: String): String =
+    s"""SELECT CAST(FLOOR(line / 2) AS INTEGER) AS line,
+       |       CAST(FLOOR(sample / 2) AS INTEGER) AS sample, AVG(v) AS v
+       |FROM $src GROUP BY 1, 2""".stripMargin
+
+  // the R4 Mean operator: B2, B2, then dilated-by-2 B2 twice (B4 then B42)
+  private def meanOpCtes(src: String, sfx: String): String =
+    s"""mo1$sfx AS (${smooth1Sql(src)}),
+       |mo2$sfx AS (${smooth1Sql(s"mo1$sfx")}),
+       |mo3$sfx AS (${smooth1Sql(s"mo2$sfx", d = 2)}),
+       |mean$sfx AS (${smooth1Sql(s"mo3$sfx", d = 2)})""".stripMargin
+
+  lazy val q49Sql: String = {
+    val nL2 = SceneDef.nLines / 2; val nS2 = SceneDef.nSamples / 2
+    val (zL, zS) = ((nL2 + 1) / 2, (nS2 + 1) / 2) // coarse dims under r2
+    val fl = s"(${zL - 1}e0 / ${nL2 - 1}e0)"
+    val fs = s"(${zS - 1}e0 / ${nS2 - 1}e0)"
+    s"""WITH $gridCte,
+       |img AS (SELECT line, sample, SQRT(v) AS v FROM grid),
+       |i1 AS (${smooth1Sql("img")}),
+       |i2 AS (${smooth1Sql("i1")}),
+       |ic AS (${coarsen1Sql("i2")}),
+       |r2 AS (${smooth1Sql("ic")}),
+       |${meanOpCtes("r2", "_j")},
+       |r2sq AS (SELECT line, sample, v * v AS v FROM r2),
+       |${meanOpCtes("r2sq", "_j1")},
+       |g2i AS (
+       |  SELECT c.line, c.sample,
+       |    (-3e0*nw.v + 3e0*ne.v - 10e0*w.v + 10e0*e.v - 3e0*sw.v + 3e0*se.v) AS gx,
+       |    (-3e0*nw.v - 10e0*n.v - 3e0*ne.v + 3e0*sw.v + 10e0*s.v + 3e0*se.v) AS gy
+       |  FROM img c
+       |  JOIN img nw ON nw.line = c.line-1 AND nw.sample = c.sample-1
+       |  JOIN img n  ON n.line  = c.line-1 AND n.sample  = c.sample
+       |  JOIN img ne ON ne.line = c.line-1 AND ne.sample = c.sample+1
+       |  JOIN img w  ON w.line  = c.line   AND w.sample  = c.sample-1
+       |  JOIN img e  ON e.line  = c.line   AND e.sample  = c.sample+1
+       |  JOIN img sw ON sw.line = c.line+1 AND sw.sample = c.sample-1
+       |  JOIN img s  ON s.line  = c.line+1 AND s.sample  = c.sample
+       |  JOIN img se ON se.line = c.line+1 AND se.sample = c.sample+1
+       |),
+       |lg0 AS (
+       |  SELECT line, sample, gx*gx - gy*gy AS a, 2e0*gx*gy AS b,
+       |         SQRT((gx*gx - gy*gy)*(gx*gx - gy*gy) + (2e0*gx*gy)*(2e0*gx*gy)) AS m
+       |  FROM g2i
+       |),
+       |lg1 AS (${smooth3Sql("lg0")}),
+       |lg2 AS (${smooth3Sql("lg1")}),
+       |lgc AS (
+       |  SELECT CAST(FLOOR(line / 2) AS INTEGER) AS line,
+       |         CAST(FLOOR(sample / 2) AS INTEGER) AS sample,
+       |         AVG(a) AS a, AVG(b) AS b, AVG(m) AS m
+       |  FROM lg2 GROUP BY 1, 2
+       |),
+       |lg AS (${smooth3Sql("lgc")}),
+       |lgq AS (
+       |  SELECT line, sample, m AS g3,
+       |    CASE WHEN SQRT(a*a + b*b) / (m + 1e-5) <= 1e0
+       |         THEN SQRT(a*a + b*b) / (m + 1e-5) ELSE 0e0 END AS c
+       |  FROM lg
+       |),
+       |g3ch AS (SELECT line, sample, g3 AS v FROM lgq),
+       |${meanOpCtes("g3ch", "_g4")},
+       |rz AS (${coarsen1Sql("r2")}),
+       |rzs AS (${smooth1Sql("rz")}),
+       |zt AS (
+       |  SELECT line, sample,
+       |    CAST(FLOOR(line * $fl) AS INTEGER) AS i0,
+       |    line * $fl - FLOOR(line * $fl) AS wi,
+       |    CAST(FLOOR(sample * $fs) AS INTEGER) AS j0,
+       |    sample * $fs - FLOOR(sample * $fs) AS wj
+       |  FROM r2
+       |),
+       |bg AS (
+       |  SELECT t.line, t.sample,
+       |    (v00.v * (1e0 - t.wj) + v01.v * t.wj) * (1e0 - t.wi)
+       |      + (v10.v * (1e0 - t.wj) + v11.v * t.wj) * t.wi AS bg
+       |  FROM (SELECT *, LEAST(i0 + 1, ${zL - 1}) AS i1, LEAST(j0 + 1, ${zS - 1}) AS j1 FROM zt) t
+       |  JOIN rzs v00 ON v00.line = t.i0 AND v00.sample = t.j0
+       |  JOIN rzs v01 ON v01.line = t.i0 AND v01.sample = t.j1
+       |  JOIN rzs v10 ON v10.line = t.i1 AND v10.sample = t.j0
+       |  JOIN rzs v11 ON v11.line = t.i1 AND v11.sample = t.j1
+       |)
+       |SELECT r2.line, r2.sample,
+       |  ROUND(LEAST(GREATEST(-50e0 * (SQRT(GREATEST(j1c.v - jj.v * jj.v, 0e0)) / (jj.v + 1e-5)) + 2.75e0, 0e0), 1e0), 6) AS f1,
+       |  ROUND(LEAST(GREATEST(-5000e0 * ((r2.v - bg.bg) * (r2.v - bg.bg) / (jj.v * jj.v + 1e-5)) + 3e0, 0e0), 1e0), 6) AS f2,
+       |  ROUND(LEAST(GREATEST(-2.5e0 * (lgq.g3 / (g4.v + 1e-5)) + 4e0, 0e0), 1e0), 6) AS f3,
+       |  ROUND(LEAST(GREATEST(-10e0 * SQRT(lgq.c) + 6.3e0, 0e0), 1e0), 6) AS f4,
+       |  ROUND(CASE WHEN fr < 15e-4 THEN 0e0 ELSE fr END, 6) AS f
+       |FROM r2
+       |JOIN mean_j jj USING (line, sample)
+       |JOIN mean_j1 j1c USING (line, sample)
+       |JOIN bg USING (line, sample)
+       |JOIN lgq USING (line, sample)
+       |JOIN mean_g4 g4 USING (line, sample),
+       |LATERAL (SELECT SQRT((
+       |    LEAST(GREATEST(-50e0 * (SQRT(GREATEST(j1c.v - jj.v * jj.v, 0e0)) / (jj.v + 1e-5)) + 2.75e0, 0e0), 1e0) * LEAST(GREATEST(-50e0 * (SQRT(GREATEST(j1c.v - jj.v * jj.v, 0e0)) / (jj.v + 1e-5)) + 2.75e0, 0e0), 1e0)
+       |  + LEAST(GREATEST(-5000e0 * ((r2.v - bg.bg) * (r2.v - bg.bg) / (jj.v * jj.v + 1e-5)) + 3e0, 0e0), 1e0) * LEAST(GREATEST(-5000e0 * ((r2.v - bg.bg) * (r2.v - bg.bg) / (jj.v * jj.v + 1e-5)) + 3e0, 0e0), 1e0)
+       |  + LEAST(GREATEST(-2.5e0 * (lgq.g3 / (g4.v + 1e-5)) + 4e0, 0e0), 1e0) * LEAST(GREATEST(-2.5e0 * (lgq.g3 / (g4.v + 1e-5)) + 4e0, 0e0), 1e0)
+       |  + LEAST(GREATEST(-10e0 * SQRT(lgq.c) + 6.3e0, 0e0), 1e0) * LEAST(GREATEST(-10e0 * SQRT(lgq.c) + 6.3e0, 0e0), 1e0)
+       |  ) / 4e0) AS fr) fcalc""".stripMargin
+  }
 }
