@@ -145,6 +145,46 @@ object Gradients {
         min(col("n_valid")).as("n_valid"))
   }
 
+  /** R7-R9 proper: OVERLAPPING windowed histogram — the reference's rolling
+    * windows sampled at centers every `step` pixels
+    * (gradients.py:150-205: rolling(center=True).construct + sel(centers)).
+    * Each gradient pixel is flatMapped to every window containing it
+    * ((ws/step)² duplication — the shuffle-volume/overlap tradeoff of
+    * SURVEY.md R7), then the same two-pass median + binning as
+    * [[gradientHistogram]], keyed by center coordinates.
+    */
+  def gradientHistogramOverlapping(g2: DataFrame, windowSize: Int, step: Int): DataFrame = {
+    val spark = g2.sparkSession
+    import spark.implicits._
+    val h = windowSize / 2
+    val assigned = g2.select(col("line"), col("sample"), col("g2r"), col("g2i"))
+      .as[(Int, Int, Double, Double)]
+      .flatMap { case (l, s, re, im) =>
+        for {
+          kl <- math.max(Math.floorDiv(l - h, step) + 1, 0) to Math.floorDiv(l + h, step)
+          ks <- math.max(Math.floorDiv(s - h, step) + 1, 0) to Math.floorDiv(s + h, step)
+        } yield (kl * step, ks * step, re, im)
+      }
+      .toDF("cl", "cs", "g2r", "g2i")
+      .withColumn("m", hypot(col("g2r"), col("g2i")))
+
+    val med = assigned.filter(col("m") > 0)
+      .groupBy(col("cl"), col("cs"))
+      .agg(median(col("m")).as("med_m"), count(lit(1)).as("n_valid"))
+
+    val angle = atan2(col("g2i"), col("g2r")) / 2.0
+    val bin = least(
+      floor((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles)).cast("int"),
+      lit(NAngles - 1))
+    assigned.filter(col("m") > 0)
+      .join(med, Seq("cl", "cs"))
+      .select(col("cl"), col("cs"), bin.as("bin"),
+        (col("m") / (col("m") + col("med_m"))).as("r"), col("n_valid"))
+      .groupBy(col("cl"), col("cs"), col("bin"))
+      .agg(sum(col("r")).as("weight"), count(lit(1)).as("n_px"),
+        min(col("n_valid")).as("n_valid"))
+  }
+
   /** R15: circular smoothing — [1,2,1]/4 kernel at dilations 1,2,4 applied
     * sequentially on the wrapped 72-bin axis. Wraparound join, no arrays.
     */

@@ -334,7 +334,52 @@ object Streaks {
     QueryDef("q46_smooth", q46Smooth, Some(q46Sql)),
     QueryDef("q47_local_stats", q47LocalStats, Some(q47Sql)),
     QueryDef("q48_local_gradients", q48LocalGradients, Some(q48Sql)),
-    QueryDef("q49_filtering_params", q49FilteringParams, Some(q49Sql)))
+    QueryDef("q49_filtering_params", q49FilteringParams, Some(q49Sql)),
+    QueryDef("q50_hist_overlap", q50HistOverlap, Some(q50Sql)))
+
+  /** q50: overlapping rolling-window histogram (R7-R9) — windows of 16 px
+    * at centers every 4 px, each pixel feeding up to 16 windows.
+    */
+  def q50HistOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    Gradients.gradientHistogramOverlapping(
+        Gradients.scharrG2(grid(spark, sfDir)), windowSize = 16, step = 4)
+      .select(col("cl"), col("cs"), col("bin"),
+        round(col("weight"), 6).as("weight"), col("n_px"), col("n_valid"))
+
+  lazy val q50Sql: String = {
+    val h = 8; val step = 4
+    val kL = (SceneDef.nLines - 1 + h) / step + 1  // center index count per axis
+    val kS = (SceneDef.nSamples - 1 + h) / step + 1
+    s"""WITH $gridCte,
+       |$scharrCte,
+       |mags0 AS (
+       |  SELECT line, sample, gx*gx - gy*gy AS g2r, 2e0*gx*gy AS g2i,
+       |         SQRT((gx*gx - gy*gy)*(gx*gx - gy*gy) + (2e0*gx*gy)*(2e0*gx*gy)) AS m
+       |  FROM g2
+       |),
+       |centers AS (
+       |  SELECT CAST(kl * $step AS INTEGER) AS cl, CAST(ks * $step AS INTEGER) AS cs
+       |  FROM range(0, $kL) a(kl) CROSS JOIN range(0, $kS) b(ks)
+       |),
+       |assigned AS (
+       |  SELECT c.cl, c.cs, m.g2r, m.g2i, m.m
+       |  FROM mags0 m JOIN centers c
+       |    ON c.cl > m.line - $h AND c.cl <= m.line + $h
+       |   AND c.cs > m.sample - $h AND c.cs <= m.sample + $h
+       |),
+       |med2 AS (
+       |  SELECT cl, cs, MEDIAN(m) AS med_m, COUNT(1) AS n_valid
+       |  FROM assigned WHERE m > 0 GROUP BY cl, cs
+       |)
+       |SELECT b.cl, b.cs,
+       |  LEAST(CAST(FLOOR((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72)) AS INTEGER), 71) AS bin,
+       |  ROUND(SUM(b.m / (b.m + d.med_m)), 6) AS weight,
+       |  COUNT(1) AS n_px,
+       |  MIN(d.n_valid) AS n_valid
+       |FROM assigned b JOIN med2 d USING (cl, cs)
+       |WHERE b.m > 0
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
 
   /** q49: R19 rain/artifact filtering parameters (gradients.py:758-825) —
     * the full composite: P1 heterogeneity via the Mean operator (B4+B42
