@@ -71,7 +71,40 @@ object Events {
       |       MAX(ts_us - prev_us) AS max_gap_us
       |FROM t GROUP BY user_id""".stripMargin
 
+  /** q22: as-of join — each click annotated with the most recent purchase
+    * by the same user at or before it (AsOfJoin: union + carry-forward
+    * window, one shuffle; the oracle is the quadratic join+rank form).
+    */
+  def q22AsOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("value"), col("ts_us").as("pts"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases,
+        keyCol = "user_id", tsCol = "ts_us", rightOrd = "event_id",
+        payload = Seq("value", "pts"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_pts"), col("asof_value"))
+  }
+
+  val q22Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |),
+      |clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |purch AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS asof_pts, p.value AS asof_value
+      |FROM clicks c LEFT JOIN purch p
+      |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+      |QUALIFY p.event_id IS NULL
+      |  OR ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
-    QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)))
+    QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
+    QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)))
 }
