@@ -68,6 +68,40 @@ object Similarity {
     }.reduce(_ + _).as("bucket")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs inside an LSH
+    * bucket with cosine ≥ threshold — the O(n²)-free dedup path for
+    * embedding spaces (candidates only ever meet inside buckets).
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val cp = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), planes),
+      sqrt(norm2(col(vecCol))).as("nrm"))
+    val l = b.select(col(idCol).as("doc_a"), col(vecCol).as("q_vec"),
+      col("bucket"), col("nrm").as("q_nrm"))
+    val r = b.select(col(idCol).as("doc_b"), col(vecCol).as("c_vec"),
+      col("bucket"), col("nrm").as("c_nrm"))
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm"))
+      .as[(Long, Long, Array[Float], Double, Array[Float], Double)]
+      .mapPartitions { it =>
+        it.map { case (a, bId, qv, qn, cv, cn) =>
+          var acc = 0.0
+          var i = 0
+          val n = math.min(qv.length, cv.length)
+          while (i < n) { acc += qv(i).toDouble * cv(i).toDouble; i += 1 }
+          (a, bId, acc / (qn * cn))
+        }
+      }
+      .toDF("doc_a", "doc_b", "cos_raw")
+      .select(col("doc_a"), col("doc_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Approximate all-pairs top-1 neighbor within LSH buckets. Buckets and
     * norms are computed once per vector; the bucket equi-join partitions the
     * pairwise work, so parallelism follows bucket count (repartitioned off

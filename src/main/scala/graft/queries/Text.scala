@@ -236,7 +236,34 @@ object Text {
        |) WHERE rn <= 1""".stripMargin
   }
 
+  /** q37: embedding-cosine near-duplicate pairs — LSH-bucketed, cosine ≥ 0.3
+    * (the corpus plants no true dups; max pairwise cosine ≈ 0.51) on the rounded score (threshold applied post-rounding on both sides so
+    * the cliff is ULP-safe).
+    */
+  def q37EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.load(spark, sfDir, "embeddings"), threshold = 0.3)
+
+  lazy val q37Sql: String = {
+    val planes = 4
+    val proj = (0 until planes).map { j =>
+      val r = s"((i * 2654435761 + ${40503L * (j + 1)}) % 1000 - 500)::DOUBLE / 1000e0"
+      val p =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),
+           |  (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN ($p) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $proj AS bucket FROM embeddings)
+       |SELECT doc_a, doc_b, cos_sim FROM (
+       |  SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+       |    ROUND(${dotSql("l.embedding", "r.embedding")}
+       |      / (SQRT(${dotSql("l.embedding", "l.embedding")}) * SQRT(${dotSql("r.embedding", "r.embedding")})), 6) AS cos_sim
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |) s WHERE cos_sim >= 3e-1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q37_embed_neardup", q37EmbedNearDup, Some(q37Sql)),
     QueryDef("q30_dedup_exact", q30DedupExact, Some(q30Sql)),
     QueryDef("q31_text_stats", q31TextStats, Some(q31Sql)),
     QueryDef("q32_langid", q32LangId, Some(q32Sql)),
