@@ -17,7 +17,14 @@ object Directions {
   def meteoToSample(meteoDir: Column, groundHeading: Column): Column =
     lit(math.Pi / 2) - radians(meteoDir - groundHeading)
 
-  /** E2 (detrend.py:114-129): sample-axis rad → meteo deg. */
+  /** E2 (detrend.py:114-129): sample-axis angle → meteo deg.
+    *
+    * NOTE an intentional convention difference from the reference: the
+    * reference's `dir_sample_to_meteo` takes DEGREES; this takes RADIANS so
+    * that `sampleToMeteo(meteoToSample(d, h), h) == d` round-trips with E1
+    * (which produces radians). Callers porting reference code that passes
+    * degrees must `radians(...)` first.
+    */
   def sampleToMeteo(sampleDir: Column, groundHeading: Column): Column =
     lit(90.0) - degrees(sampleDir) + groundHeading
 

@@ -77,7 +77,17 @@ object Gradients {
       Some((mean, std))
     }.withColumnsRenamed(Map("a" -> "local_mean", "b" -> "local_std"))
 
-  /** R3/R12: integer-factor downsample by block mean (exact INTER_AREA). */
+  /** R3/R12: integer-factor downsample by block mean (exact INTER_AREA).
+    *
+    * Plain double `avg` is used deliberately: its partial-merge order is
+    * nondeterministic, but a block has ≤ factor² values, so order variants
+    * differ by a few ULPs (~1e-19 relative). Unlike [[graft.queries.Streaks.grid]]
+    * — whose inputs are exact decimal quanta that land exactly ON rounding
+    * boundaries, forcing the decimal-sum pattern there — coarsen's inputs are
+    * generic doubles (post-smoothing weighted means), so the probability of a
+    * value sitting within a ULP of a 1e-6/1e-8 rounding boundary is ~1e-14
+    * per cell; oracle comparisons round to ≥6 decimals on both sides.
+    */
   def coarsen(grid: DataFrame, factor: Int): DataFrame =
     grid.groupBy(
         (col("line") / factor).cast("int").as("line"),

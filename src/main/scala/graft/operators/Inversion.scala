@@ -83,7 +83,11 @@ object Inversion {
   def invertOne(luts: InvLuts, dsigCo: Double, px: PxIn): PxOut = {
     val nan = Double.NaN
     if (px.inc.isNaN) return PxOut(px.okey, px.lnum, nan, nan, nan, nan, nan, nan)
-    val hasCo = !px.s0coDb.isNaN
+    // guard on LUT presence too: copol input with no configured copol model
+    // must not enter the argmin loop (empty wspd axis → index out of bounds);
+    // such a pixel routes to the crosspol-only path, like the reference's
+    // mono-pol routing (windspeed.py:108-116)
+    val hasCo = !px.s0coDb.isNaN && luts.co.wspd.nonEmpty
     val hasAnc = !(px.ancRe.isNaN || px.ancIm.isNaN)
     if (hasCo && !hasAnc) return PxOut(px.okey, px.lnum, nan, nan, nan, nan, nan, nan)
 
