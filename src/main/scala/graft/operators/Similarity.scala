@@ -144,4 +144,55 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-flat approximate nearest neighbor — the third ANN tier.
+    *
+    * Coarse quantizer: every `stride`ᵗʰ corpus vector serves as a centroid
+    * (deterministic; at 100 TB the centroids would come from an offline
+    * k-means — the engine shape is identical since centroids are a broadcast
+    * either way). Each corpus vector joins its nearest centroid's inverted
+    * list; a query probes its `nprobe` nearest centroids and brute-forces
+    * only those lists.
+    *
+    * Scale anatomy: the centroid table is broadcast (assignment is map-side,
+    * no corpus shuffle), the inverted lists ARE the shuffle partitioning
+    * (one exchange on cent_id), and per-list candidate work is corpus/stride
+    * × nprobe instead of the full corpus — the classic IVF recall/cost dial.
+    * All cosines are left-to-right double folds → bit-identical to the
+    * DuckDB oracle, so nearest-centroid ranking needs no rounding guard.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int = 37,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        sqrt(norm2(col(vecCol))).as("cent_nrm"))
+
+    // nearest `n` centroids of each vector in `df` (by exact cosine,
+    // cent_id tiebreak); assignment is a broadcast nested loop — map-side
+    def nearestCents(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(outId), col(vecCol).as("v"),
+          sqrt(norm2(col(vecCol))).as("v_nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col(outId), col("v"), col("v_nrm"), col("cent_id"),
+          (dot(col("v"), col("cent_vec")) / (col("v_nrm") * col("cent_nrm"))).as("c_cos"))
+      val w = Window.partitionBy(col(outId)).orderBy(col("c_cos").desc, col("cent_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .drop("rn", "c_cos")
+    }
+
+    val lists = nearestCents(corpus, "neighbor_id", 1)
+      .select(col("cent_id"), col("neighbor_id"), col("v").as("c_vec"), col("v_nrm").as("c_nrm"))
+    val probes = nearestCents(queries, "query_id", nprobe)
+      .select(col("cent_id"), col("query_id"), col("v").as("q_vec"), col("v_nrm").as("q_nrm"))
+
+    val scored = probes.join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    // no dedup needed: every corpus vector lives in exactly one inverted
+    // list, so a (query, neighbor) pair meets at most once across probes
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -22,6 +22,17 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-style pre-tokenization (GPT-2-ish): letter runs, digit runs, and
+    * punctuation runs, each optionally glued to one leading space. RE2-safe
+    * (no lookahead/backrefs), so the SAME pattern string runs in Java regex
+    * (Spark) and RE2 (the DuckDB oracle) with identical leftmost-first
+    * alternation semantics.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** 60-bit token hash from the md5 hex prefix — portable across engines. */
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")

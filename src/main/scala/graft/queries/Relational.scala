@@ -162,7 +162,55 @@ object Relational {
       |SELECT 'never_ordered' AS status, COUNT(1) AS n FROM part
       |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin
 
+  /** q53: ROLLUP multi-level aggregation — per (flag, status), per flag, and
+    * grand total in one pass (Spark expands grouping sets before the hash
+    * agg, so it stays one shuffle with map-side partials at any scale).
+    */
+  def q53Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+  }
+
+  val q53Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(1) AS n_rows,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** q54: skew-resistant salted join (SkewJoin.salted) — result must equal
+    * the PLAIN equi-join, which is exactly what the oracle runs; the salt
+    * fan-out is invisible in the output by construction.
+    */
+  def q54SkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders   = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    graft.operators.SkewJoin
+      .salted(orders, customer, "o_custkey", "c_custkey", col("o_orderkey"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        exactSum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val q54Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  COUNT(1) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
+    QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_join_revenue", q02JoinRevenue, Some(q02Sql)),
     QueryDef("q03_top_customers", q03TopCustomers, Some(q03Sql)),

@@ -262,8 +262,72 @@ object Text {
        |) s WHERE cos_sim >= 3e-1""".stripMargin
   }
 
+  /** q51: IVF-flat ANN — coarse-quantizer inverted lists, nprobe=2 probe,
+    * brute-force only inside probed lists (the third ANN tier next to the
+    * q38 brute force and q39 LSH; see Similarity.ivfTopK scale anatomy).
+    */
+  def q51AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, stride = 37, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  val q51Sql: String = {
+    // nearest-`n` centroids of rel (aliased e) by exact cosine, cent_id tiebreak
+    def probeCte(filter: String, n: Int, outId: String): String =
+      s"""SELECT $outId, v, cent_id FROM (
+         |  SELECT e.vec_id AS $outId, e.embedding AS v, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${dotSql("e.embedding", "c.cent_vec")}
+         |        / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.cent_vec", "c.cent_vec")})) DESC,
+         |      c.cent_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c $filter
+         |) WHERE rn <= $n""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id % 37 = 0
+       |),
+       |lists AS (${probeCte("", 1, "neighbor_id")}),
+       |probes AS (${probeCte("WHERE e.vec_id < 10", 2, "query_id")}),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    ROUND(${dotSql("p.v", "a.v")}
+       |      / (SQRT(${dotSql("p.v", "p.v")}) * SQRT(${dotSql("a.v", "a.v")})), 6) AS cos_sim
+       |  FROM probes p JOIN lists a USING (cent_id)
+       |  WHERE p.query_id != a.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= 5""".stripMargin
+  }
+
+  /** q52: BPE-style pre-tokenization counts (token counting beyond the
+    * whitespace splitter of q31 — the training-data budget estimator).
+    */
+  def q52TokenBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpe = TextOps.bpeTokens(col("text"))
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(bpe).as("n_bpe"),
+      size(array_distinct(bpe)).as("n_bpe_unique"),
+      size(TextOps.tokens(col("text"))).as("n_ws"),
+      round(length(col("text")).cast("double") / size(bpe), 6).as("chars_per_tok"))
+  }
+
+  val q52Sql: String = {
+    val pat = "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, $pat)) AS INTEGER) AS n_bpe,
+       |  CAST(len(list_distinct(regexp_extract_all(text, $pat))) AS INTEGER) AS n_bpe_unique,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+       |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, $pat)), 6) AS chars_per_tok
+       |FROM documents""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_embed_neardup", q37EmbedNearDup, Some(q37Sql)),
+    QueryDef("q51_ann_ivf", q51AnnIvf, Some(q51Sql)),
+    QueryDef("q52_token_bpe", q52TokenBpe, Some(q52Sql)),
     QueryDef("q30_dedup_exact", q30DedupExact, Some(q30Sql)),
     QueryDef("q31_text_stats", q31TextStats, Some(q31Sql)),
     QueryDef("q32_langid", q32LangId, Some(q32Sql)),

@@ -37,6 +37,19 @@ class RelationalSpec extends SparkSpec {
     assert(totals.sameElements(totals.sorted), "running total must be nondecreasing")
   }
 
+  test("salted skew join is row-equivalent to the plain equi-join") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+    val customer = graft.core.Tables.load(spark, sfDir, "customer")
+    val salted = graft.operators.SkewJoin
+      .salted(orders, customer, "o_custkey", "c_custkey", col("o_orderkey"), salts = 4)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("every registered query runs on sf0.001") {
     graft.queries.Registry.all.foreach { q =>
       val n = q.fn(spark, sfDir).count()

@@ -54,4 +54,34 @@ class TextSpec extends SparkSpec {
       r.getAs[Double]("stop_ratio") >= 0.0
     })
   }
+
+  test("IVF top-k: ranked per query, no self matches, overlaps brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, stride = 11, nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q), "self match leaked")
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rows.length), s"ranks not consecutive for $q")
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse), "rank must follow similarity desc")
+    }
+    // approximate ≠ exact, but probing 2 of ~45 lists must still recover
+    // some of the true top-5 across 5 queries
+    val exact = Similarity.cosineTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = ivf.count(r =>
+      exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits > 0, "IVF recall collapsed to zero")
+  }
+
+  test("BPE pre-tokenizer splits letter/digit/punct runs with leading-space glue") {
+    import spark.implicits._
+    val got = Seq("Hello, world 42 it's x9y!")
+      .toDF("text")
+      .select(TextOps.bpeTokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(got == Seq("Hello", ",", " world", " 42", " it", "'", "s", " x", "9", "y", "!"),
+      got.mkString("|"))
+  }
 }
