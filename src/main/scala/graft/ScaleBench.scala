@@ -71,6 +71,16 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // 5. R5∘R3 local-gradients: compositional (13 exchanges) vs fused (1)
+    val grid = scene.select(col("line"), col("sample"),
+      (lit(1.0) + sin(col("line") * 0.7 + col("sample") * 0.35)).as("v"))
+    timed(s"local_gradients_chained_${nL}x$nS") {
+      Gradients.localGradients(grid).write.format("noop").mode("overwrite").save()
+    }
+    timed(s"local_gradients_fused_${nL}x$nS") {
+      Gradients.localGradientsFused(grid).write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Gradient / streak-direction analysis (reference gradients.py, SURVEY.md
@@ -119,6 +119,174 @@ object Gradients {
     val joined = re2.join(im2, Seq("line", "sample")).join(g3, Seq("line", "sample"))
     val cRaw = hypot(col("g2r"), col("g2i")) / (col("g3") + lit(1e-5))
     joined.withColumn("c", when(cRaw <= 1.0, cRaw).otherwise(lit(0.0)))
+  }
+
+  final case class LgPx(tl: Int, ts: Int, l: Int, s: Int, v: Double)
+  final case class LgOut(line: Int, sample: Int, g2r: Double, g2i: Double, g3: Double, c: Double)
+
+  /** R5∘R3 FUSED — the whole local-gradients chain (Scharr → g² → two B2
+    * pre-smooths → 2× coarsen → B2 post-smooth → quality c) in ONE tile+halo
+    * shuffle, the stencil-fusion optimization SURVEY.md §4.2 plans for
+    * composed pyramids: [[localGradients]] runs the identical math as 13
+    * exchanges (1 Scharr + 3 channels × (2 smooths + coarsen + smooth)) plus
+    * 2 joins; here each fine pixel is shuffled ONCE into the coarse tiles
+    * whose widened halo needs it, and every pyramid stage runs on the dense
+    * in-memory plane.
+    *
+    * Halo accounting (fine pixels): post-smooth needs coarse ±1 → fine ±2;
+    * the two pre-smooths need ±2; Scharr ±1 → halo 5. Exactness shrinks by
+    * one plane ring per stage, so owned coarse cells (≥5 from the plane
+    * edge, depending on cells ≥3 deep) always see their true global
+    * neighborhoods — the map_overlap rule generalized to a fused chain.
+    *
+    * Equivalence with the compositional version is bit-exact per stage
+    * (identical term order) except the 2×2 coarsen mean, whose shuffle-order
+    * sum can differ by ULPs (see [[coarsen]]); GradientsSpec asserts
+    * agreement to 1e-9.
+    */
+  def localGradientsFused(grid: DataFrame, tileSize: Int = 32): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val t = tileSize // coarse tile side; a tile spans 2t fine pixels
+    val H = 5        // fine-pixel halo (see scaladoc)
+    require(2 * t > H, s"fine tile span ${2 * t} must exceed halo $H")
+
+    val tiled: Dataset[LgPx] = grid
+      .select(col("line").cast("int"), col("sample").cast("int"), col("v").cast("double"))
+      .as[(Int, Int, Double)]
+      .flatMap { case (l, s, v) =>
+        val tl0 = Math.floorDiv(l, 2 * t); val ts0 = Math.floorDiv(s, 2 * t)
+        for {
+          dl <- -1 to 1
+          ds <- -1 to 1
+          tl = tl0 + dl
+          ts = ts0 + ds
+          if tl >= 0 && ts >= 0 &&
+            l >= 2 * tl * t - H && l <= 2 * (tl + 1) * t - 1 + H &&
+            s >= 2 * ts * t - H && s <= 2 * (ts + 1) * t - 1 + H
+        } yield LgPx(tl, ts, l, s, v)
+      }
+
+    tiled.groupByKey(p => (p.tl, p.ts)).flatMapGroups { (key: (Int, Int), it: Iterator[LgPx]) =>
+      val (tl, ts) = key
+      val w = 2 * t + 2 * H
+      val l0 = 2 * tl * t - H; val s0 = 2 * ts * t - H
+      val v = new Array[Double](w * w); val pres = new Array[Boolean](w * w)
+      it.foreach { p => val i = (p.l - l0) * w + (p.s - s0); v(i) = p.v; pres(i) = true }
+
+      // Scharr → squared complex gradient; full-neighborhood cells only
+      // (term order identical to scharrG2 for bit-equality)
+      val a = new Array[Double](w * w); val b = new Array[Double](w * w)
+      val m = new Array[Double](w * w); val pS = new Array[Boolean](w * w)
+      var r = 1
+      while (r < w - 1) {
+        var c = 1
+        while (c < w - 1) {
+          val i = r * w + c
+          if (pres(i - w - 1) && pres(i - w) && pres(i - w + 1) &&
+              pres(i - 1) && pres(i) && pres(i + 1) &&
+              pres(i + w - 1) && pres(i + w) && pres(i + w + 1)) {
+            val gx = -3.0 * v(i - w - 1) + 3.0 * v(i - w + 1) - 10.0 * v(i - 1) +
+              10.0 * v(i + 1) - 3.0 * v(i + w - 1) + 3.0 * v(i + w + 1)
+            val gy = -3.0 * v(i - w - 1) - 10.0 * v(i - w) - 3.0 * v(i - w + 1) +
+              3.0 * v(i + w - 1) + 10.0 * v(i + w) + 3.0 * v(i + w + 1)
+            a(i) = gx * gx - gy * gy; b(i) = 2.0 * gx * gy
+            m(i) = math.hypot(a(i), b(i)); pS(i) = true
+          }
+          c += 1
+        }
+        r += 1
+      }
+
+      // one renormalized-B2 pass over three planes (weights/order = smoothB2)
+      def smooth3(aa: Array[Double], bb: Array[Double], mm: Array[Double],
+          p: Array[Boolean], side: Int): (Array[Double], Array[Double], Array[Double]) = {
+        val a2 = new Array[Double](side * side)
+        val b2 = new Array[Double](side * side)
+        val m2 = new Array[Double](side * side)
+        var r = 0
+        while (r < side) {
+          var c = 0
+          while (c < side) {
+            val i = r * side + c
+            if (p(i)) {
+              var na = 0.0; var nb = 0.0; var nm = 0.0; var den = 0.0
+              var dl = -1
+              while (dl <= 1) {
+                var ds = -1
+                while (ds <= 1) {
+                  val rr = r + dl; val cc = c + ds
+                  if (rr >= 0 && rr < side && cc >= 0 && cc < side && p(rr * side + cc)) {
+                    val j = rr * side + cc
+                    val wgt = (if (dl == 0) 2.0 else 1.0) * (if (ds == 0) 2.0 else 1.0)
+                    na += wgt * aa(j); nb += wgt * bb(j); nm += wgt * mm(j); den += wgt
+                  }
+                  ds += 1
+                }
+                dl += 1
+              }
+              a2(i) = na / den; b2(i) = nb / den; m2(i) = nm / den
+            }
+            c += 1
+          }
+          r += 1
+        }
+        (a2, b2, m2)
+      }
+      val (a1, b1, m1) = smooth3(a, b, m, pS, w)
+      val (a2, b2, m2) = smooth3(a1, b1, m1, pS, w)
+
+      // 2×2 coarsen (mean over present cells) onto the coarse plane
+      val C = 2
+      val cw = t + 2 * C
+      val c0l = tl * t - C; val c0s = ts * t - C
+      val ca = new Array[Double](cw * cw); val cb = new Array[Double](cw * cw)
+      val cm = new Array[Double](cw * cw); val cp = new Array[Boolean](cw * cw)
+      var cl = 0
+      while (cl < cw) {
+        var cs = 0
+        while (cs < cw) {
+          val gl = c0l + cl; val gs = c0s + cs
+          if (gl >= 0 && gs >= 0) {
+            var sa = 0.0; var sb = 0.0; var sm = 0.0; var n = 0
+            var fi = 0
+            while (fi < 2) {
+              var fj = 0
+              while (fj < 2) {
+                val fl = 2 * gl + fi - l0; val fs = 2 * gs + fj - s0
+                if (fl >= 0 && fl < w && fs >= 0 && fs < w && pS(fl * w + fs)) {
+                  val j = fl * w + fs
+                  sa += a2(j); sb += b2(j); sm += m2(j); n += 1
+                }
+                fj += 1
+              }
+              fi += 1
+            }
+            if (n > 0) {
+              val i = cl * cw + cs
+              ca(i) = sa / n; cb(i) = sb / n; cm(i) = sm / n; cp(i) = true
+            }
+          }
+          cs += 1
+        }
+        cl += 1
+      }
+      val (fa, fb, fm) = smooth3(ca, cb, cm, cp, cw)
+
+      // quality + emit owned coarse cells
+      Iterator.range(0, t).flatMap { ol =>
+        Iterator.range(0, t).flatMap { os =>
+          val gl = tl * t + ol; val gs = ts * t + os
+          val i = (gl - c0l) * cw + (gs - c0s)
+          if (!cp(i)) Iterator.empty
+          else {
+            val cRaw = math.hypot(fa(i), fb(i)) / (fm(i) + 1e-5)
+            val cQ = if (cRaw <= 1.0) cRaw else 0.0
+            Iterator.single(LgOut(gl, gs, fa(i), fb(i), fm(i), cQ))
+          }
+        }
+      }
+    }.toDF()
   }
 
   /** R10: windowed weighted angular histogram over squared gradients.
@@ -284,7 +452,7 @@ object Gradients {
       knownDims: Option[(Int, Int)] = None): DataFrame = {
     val image = grid.select(col("line"), col("sample"), sqrt(col("v")).as("v"))
     val r2 = reduce2(image, tileSize)
-    val lg = localGradients(image, tileSize)
+    val lg = localGradientsFused(image)
     val j = meanOp(r2, tileSize).withColumnRenamed("v", "j")
     val j1 = meanOp(r2.withColumn("v", col("v") * col("v")), tileSize).withColumnRenamed("v", "j1")
 

@@ -278,7 +278,7 @@ object Streaks {
     * downsample of (re, im, |g²|) → quality c (gradients.py:588-634).
     */
   def q48LocalGradients(spark: SparkSession, sfDir: String): DataFrame =
-    Gradients.localGradients(grid(spark, sfDir))
+    Gradients.localGradientsFused(grid(spark, sfDir))
       .select(col("line"), col("sample"),
         (round(col("g2r"), 8) + lit(0.0)).as("g2r"),
         (round(col("g2i"), 8) + lit(0.0)).as("g2i"),

@@ -33,6 +33,23 @@ class GradientsSpec extends SparkSpec {
     assert(whole.sameElements(tiled), "tile boundaries must not change results")
   }
 
+  test("fused local-gradients chain matches the compositional one (13 shuffles → 1)") {
+    val g = streakGrid(40, 0.5)
+    val slow = Gradients.localGradients(g).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val fast = Gradients.localGradientsFused(g, tileSize = 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(slow.keySet == fast.keySet, s"cell sets differ: ${(slow.keySet diff fast.keySet).take(5)} / ${(fast.keySet diff slow.keySet).take(5)}")
+    slow.foreach { case (k, (r1, i1, g1, c1)) =>
+      val (r2, i2, g2, c2) = fast(k)
+      def close(x: Double, y: Double) = math.abs(x - y) <= 1e-9 * (1 + math.abs(x))
+      assert(close(r1, r2) && close(i1, i2) && close(g1, g2) && close(c1, c2),
+        s"$k: ($r1,$i1,$g1,$c1) vs ($r2,$i2,$g2,$c2)")
+    }
+  }
+
   test("histogram peak recovers the planted streak direction") {
     for (theta <- Seq(0.3, 1.1)) {
       val g = streakGrid(64, theta)
