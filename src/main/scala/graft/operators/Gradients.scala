@@ -450,25 +450,29 @@ object Gradients {
     */
   def filteringParameters(grid: DataFrame, tileSize: Int = 64,
       knownDims: Option[(Int, Int)] = None): DataFrame = {
+    import PlaneChain.{Coarsen2, Map1, Reduce2Steps, MeanOpSteps, Smooth}
     val image = grid.select(col("line"), col("sample"), sqrt(col("v")).as("v"))
-    val r2 = reduce2(image, tileSize)
+    // every pyramid chain below is ONE fused shuffle (PlaneChain) — the
+    // compositional spelling (reduce2/meanOp per channel) costs 4 exchanges
+    // per chain and re-executes shared prefixes per branch
+    val r2 = PlaneChain.run(image, Reduce2Steps)
     val lg = localGradientsFused(image)
-    val j = meanOp(r2, tileSize).withColumnRenamed("v", "j")
-    val j1 = meanOp(r2.withColumn("v", col("v") * col("v")), tileSize).withColumnRenamed("v", "j1")
+    val j = PlaneChain.run(image, Reduce2Steps ++ MeanOpSteps).withColumnRenamed("v", "j")
+    val j1 = PlaneChain.run(image, Reduce2Steps ++ (Map1(x => x * x) +: MeanOpSteps))
+      .withColumnRenamed("v", "j1")
 
     // half-res dims: from the caller when known (skips a driver action)
     val (nL, nS) = knownDims.getOrElse {
       val dims = r2.agg(max("line"), max("sample")).head()
       (dims.getInt(0) + 1, dims.getInt(1) + 1)
     }
-    val resampl = coarsen(r2, 2).drop("n_px")
     // coarsen-by-2 of a dense [0, n) index range has ceil(n/2) cells
     val bg = zoomBilinear(
-      smoothB2(resampl, tileSize).select(col("line"), col("sample"), col("v_smooth").as("v")),
+      PlaneChain.run(image, Reduce2Steps ++ Seq(Coarsen2, Smooth(1))),
       (nL + 1) / 2, (nS + 1) / 2, nL, nS)
       .withColumnRenamed("v", "bg")
 
-    val g4 = meanOp(lg.select(col("line"), col("sample"), col("g3").as("v")), tileSize)
+    val g4 = PlaneChain.run(lg.select(col("line"), col("sample"), col("g3").as("v")), MeanOpSteps)
       .withColumnRenamed("v", "g4")
 
     def clip01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))

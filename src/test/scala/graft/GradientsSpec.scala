@@ -50,6 +50,33 @@ class GradientsSpec extends SparkSpec {
     }
   }
 
+  test("PlaneChain fused reduce2 and meanOp match the compositional operators") {
+    import graft.operators.PlaneChain
+    val g = streakGrid(40, 1.1)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def close(x: Double, y: Double) = math.abs(x - y) <= 1e-9 * (1 + math.abs(x))
+
+    val r2slow = toMap(Gradients.reduce2(g).select("line", "sample", "v"))
+    val r2fast = toMap(PlaneChain.run(g, PlaneChain.Reduce2Steps, tileSize = 8))
+    assert(r2slow.keySet == r2fast.keySet)
+    r2slow.foreach { case (k, v) => assert(close(v, r2fast(k)), s"reduce2 $k: $v vs ${r2fast(k)}") }
+
+    val mSlow = toMap(Gradients.meanOp(g).select("line", "sample", "v"))
+    val mFast = toMap(PlaneChain.run(g, PlaneChain.MeanOpSteps, tileSize = 8))
+    assert(mSlow.keySet == mFast.keySet)
+    mSlow.foreach { case (k, v) => assert(close(v, mFast(k)), s"meanOp $k: $v vs ${mFast(k)}") }
+
+    // composed chain incl. a point map: meanOp(reduce2(g)²)
+    val sq = Gradients.reduce2(g).select(col("line"), col("sample"), (col("v") * col("v")).as("v"))
+    val jSlow = toMap(Gradients.meanOp(sq).select("line", "sample", "v"))
+    val jFast = toMap(PlaneChain.run(g,
+      PlaneChain.Reduce2Steps ++ (PlaneChain.Map1(x => x * x) +: PlaneChain.MeanOpSteps),
+      tileSize = 16)) // composed halo is 16 fine px; tile span must exceed it
+    assert(jSlow.keySet == jFast.keySet)
+    jSlow.foreach { case (k, v) => assert(close(v, jFast(k)), s"composed $k: $v vs ${jFast(k)}") }
+  }
+
   test("histogram peak recovers the planted streak direction") {
     for (theta <- Seq(0.3, 1.1)) {
       val g = streakGrid(64, theta)
