@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gradient / streak-direction analysis (reference gradients.py, SURVEY.md
@@ -301,19 +302,25 @@ object Gradients {
       (col("line") / windowSize).cast("int").as("win_line"),
       (col("sample") / windowSize).cast("int").as("win_sample"),
       col("g2r"), col("g2i"), mag.as("m"))
+      .filter(col("m") > 0)
 
-    // pass 1: in-window median of |g2| over valid gradients (gradients.py:869)
-    val med = base.filter(col("m") > 0)
-      .groupBy(col("win_line"), col("win_sample"))
-      .agg(median(col("m")).as("med_m"), count(lit(1)).as("n_valid"))
+    // in-window median of |g2| (gradients.py:869) as a WINDOW aggregate, not
+    // a groupBy + self-join: the join formulation re-executes the whole
+    // upstream (Scharr tile shuffle included) for each side unless runtime
+    // stage reuse happens to fire; the window keeps ONE pass, one shuffle on
+    // the window key, and the same exact median
+    val w = Window.partitionBy(col("win_line"), col("win_sample"))
+    val withMed = base.select(col("win_line"), col("win_sample"),
+      col("g2r"), col("g2i"), col("m"),
+      median(col("m")).over(w).as("med_m"),
+      count(lit(1)).over(w).as("n_valid"))
 
-    // pass 2: weight r = m/(m+median), bin by angle(sqrt(g2)) (gradients.py:853-877)
+    // weight r = m/(m+median), bin by angle(sqrt(g2)) (gradients.py:853-877)
     val angle = atan2(col("g2i"), col("g2r")) / 2.0
     val bin = least(
       floor((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles)).cast("int"),
       lit(NAngles - 1))
-    base.filter(col("m") > 0)
-      .join(med, Seq("win_line", "win_sample"))
+    withMed
       .select(col("win_line"), col("win_sample"),
         bin.as("bin"),
         (col("m") / (col("m") + col("med_m"))).as("r"),
@@ -345,17 +352,19 @@ object Gradients {
       }
       .toDF("cl", "cs", "g2r", "g2i")
       .withColumn("m", hypot(col("g2r"), col("g2i")))
+      .filter(col("m") > 0)
 
-    val med = assigned.filter(col("m") > 0)
-      .groupBy(col("cl"), col("cs"))
-      .agg(median(col("m")).as("med_m"), count(lit(1)).as("n_valid"))
+    // window-aggregate median, same rationale as [[gradientHistogram]]
+    val w = Window.partitionBy(col("cl"), col("cs"))
+    val withMed = assigned.select(col("cl"), col("cs"), col("g2r"), col("g2i"), col("m"),
+      median(col("m")).over(w).as("med_m"),
+      count(lit(1)).over(w).as("n_valid"))
 
     val angle = atan2(col("g2i"), col("g2r")) / 2.0
     val bin = least(
       floor((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles)).cast("int"),
       lit(NAngles - 1))
-    assigned.filter(col("m") > 0)
-      .join(med, Seq("cl", "cs"))
+    withMed
       .select(col("cl"), col("cs"), bin.as("bin"),
         (col("m") / (col("m") + col("med_m"))).as("r"), col("n_valid"))
       .groupBy(col("cl"), col("cs"), col("bin"))
