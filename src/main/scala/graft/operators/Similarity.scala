@@ -20,15 +20,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-to-right fold dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(transform(a, x => x.cast("double")), transform(b, x => x.cast("double")),
-        (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right dot product of two float-array columns, in double —
+    * the codegen'd [[graft.sql.DotProductExpression]] (registered by
+    * GraftExtensions, required in the session). Bit-identical to the
+    * Catalyst `aggregate(zip_with(...))` fold it replaces, but a primitive
+    * loop inside whole-stage codegen instead of per-element interpreted
+    * lambdas.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dot_f32", a, b)
 
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x * x)
+  def norm2(a: Column): Column = call_function("dot_f32", a, a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 

@@ -2,9 +2,11 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, TernaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 import graft.functions.Gmf
 
@@ -41,6 +43,67 @@ case class GmfExpression(fn: ScalarGmf, fnName: String,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Codegen'd left-to-right dot product over `array<float|double>` columns —
+  * the ANN hot-path primitive. The Catalyst higher-order fold
+  * (`aggregate(zip_with(...))`) evaluates lambda per element through the
+  * interpreter; this compiles to a tight primitive loop inside whole-stage
+  * codegen, accumulating in double in index order — bit-identical to the
+  * fold and to the DuckDB oracle's `list_reduce`.
+  *
+  * Precondition: array ELEMENTS are non-null (embedding vectors are dense);
+  * top-level null arrays propagate null via nullIntolerant.
+  */
+case class DotProductExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_f32"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"dot_f32 expects two array<float|double> args, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val gl = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val gr = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $gl * $gr; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Session extensions: every registered model becomes a SQL-callable scalar
   * (`SELECT gmf_cmod5n(inc, wspd, phi) FROM scene`) backed by the codegen
   * expression — the sql/ surface of SURVEY.md §7.1. Two-argument crosspol
@@ -75,6 +138,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo("graft.sql.DotProductExpression", "dot_f32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpression(a, b)
+        case other => throw new IllegalArgumentException(
+          s"dot_f32 expects (array, array), got ${other.length} args")
+      }))
     scalarFns.foreach { case (name, fn) =>
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -33,4 +33,23 @@ class SqlExtensionsSpec extends SparkSpec {
       s"expected inlined gmf call in generated code:\n${codegen.take(2000)}")
     assert(df.agg(org.apache.spark.sql.functions.sum("s")).head.getDouble(0) > 0)
   }
+
+  test("dot_f32 matches the higher-order fold bit-for-bit and is SQL-callable") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val fold = emb.select(
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(
+          org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")),
+          org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")),
+          (x, y) => x * y),
+        org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x).as("d")).collect()
+    val fast = emb.select(graft.operators.Similarity.norm2(col("embedding")).as("d")).collect()
+    fold.zip(fast).foreach { case (a, b) =>
+      assert(a.getDouble(0) == b.getDouble(0), "codegen dot must be bit-identical to the fold")
+    }
+    val viaSql = spark.sql(
+      "SELECT dot_f32(embedding, embedding) AS d FROM parquet.`" + sfDir + "/embeddings.parquet` LIMIT 1")
+    assert(viaSql.head.getDouble(0) > 0)
+  }
 }
