@@ -54,6 +54,21 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time twin of TextOps.exactDedup:
+    * documents arriving on a stream are deduplicated by content hash with
+    * `dropDuplicatesWithinWatermark`, so the dedup state store only keeps
+    * keys until the watermark passes them. Bounded state is the 100 TB
+    * requirement: an unbounded `dropDuplicates` on a stream grows its state
+    * forever, while near-dup ingest bursts (re-crawls, retries) land within
+    * the watermark horizon and are caught.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Scene-at-a-time recipe runner: each new scene Parquet dir arriving under
     * `inDir` flows through `recipe` (e.g. detrend → inversion) and appends to
     * `outDir` — micro-batch per scene, the continuous-ingestion shape of

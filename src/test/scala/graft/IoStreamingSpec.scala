@@ -56,6 +56,28 @@ class IoStreamingSpec extends SparkSpec {
     assert(last == ((7L, 3L, 2L)), s"expected 3 events / 2 sessions, got ${rows.mkString(",")}")
   }
 
+  test("streaming dedup drops same-content docs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "event_time", "text")
+    val q = Streaming.dedupStream(docs, "event_time", "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    mem.addData((1L, ts(0), "same text"), (2L, ts(1), "same text"), (3L, ts(1), "other"))
+    q.processAllAvailable()
+    mem.addData((4L, ts(2), "same text")) // still within watermark → dropped
+    q.processAllAvailable()
+    // advance watermark far past the dup keys, then flush
+    mem.addData((5L, ts(600), "late probe"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup").select("text").as[String].collect().toSeq
+    q.stop()
+    assert(texts.count(_ == "same text") == 1, s"dups leaked: $texts")
+    assert(texts.contains("other"))
+  }
+
   test("streaming hourly counts run with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
