@@ -168,6 +168,46 @@ object ModelRegistry {
 
   def register(m: Model): Model = { models.put(m.name, m); m }
 
+  /** M2 registration-time probing (gmfs.py:128-166) — derive metadata from
+    * the function itself instead of trusting the caller:
+    *  - scalar check: the function must evaluate at (35.0, 0.2, 90.0)
+    *    (gmfs.py:134 — any throw propagates);
+    *  - phi periodicity guess: if |f(phi) − f(−phi)| < 1e-15 for ALL probe
+    *    phis {0, 90, 180, 270}, opposite directions coincide → phi_range
+    *    [0, 180], else [0, 360]. NOTE: the reference (gmfs.py:145-158) tests
+    *    `min(diffs) < 1e-15`, but its probe list includes phi=0 whose diff
+    *    is identically 0 — the check is vacuously true and every model gets
+    *    [0, 180]. We implement the commented intent ("if phi is [0,180],
+    *    opposite dir will give the same sigma0") with `max`;
+    *  - units sanity (gmfs.py:160-162): dB sigma0 at low wind should be
+    *    negative, linear positive — mismatch logs a warning (like the
+    *    reference, it does NOT reject).
+    */
+  def registerProbed(name: String, pol: String, units: String,
+      fn: (Double, Double, Double) => Double,
+      wspdRange: (Double, Double) = (0.2, 50.0), priority: Int = 3): Model = {
+    val probe = fn(35.0, 0.2, 90.0) // scalar check — let it throw
+    val phiProbes = Seq(0.0, 90.0, 180.0, 270.0)
+    val diffs = phiProbes.map(p => math.abs(fn(35.0, 0.2, p) - fn(35.0, 0.2, -p)))
+    val phiRange = if (diffs.max < 1e-15) (0.0, 180.0) else (0.0, 360.0)
+    val sigma0s = probe +: phiProbes.map(fn(35.0, 0.2, _))
+    if ((units == "dB" && sigma0s.min > 0) || (units == "linear" && sigma0s.min < 0))
+      System.err.println(s"[registry] possible bad units '$units' for gmf $name")
+    register(Model(name, pol, units, fn, hasPhi = true,
+      wspdRange = wspdRange, phiRange = phiRange, priority = priority))
+  }
+
+  /** Probing registration for phi-less (crosspol) functions — the
+    * reference's `phi=None` acceptance branch (gmfs.py:138-142). */
+  def registerProbed(name: String, pol: String, units: String,
+      fn: (Double, Double) => Double, wspdRange: (Double, Double)): Model = {
+    val probe = fn(35.0, 3.0) // scalar check
+    if ((units == "dB" && probe > 0) || (units == "linear" && probe < 0))
+      System.err.println(s"[registry] possible bad units '$units' for gmf $name")
+    register(Model(name, pol, units, (i, w, _) => fn(i, w), hasPhi = false,
+      wspdRange = wspdRange))
+  }
+
   /** Name or alias → model (models.py:510-538). */
   def get(name: String): Model = {
     Option(models.get(name))

@@ -76,4 +76,19 @@ class GmfSpec extends AnyFunSuite {
     assert(lut.nearestInc(33.4) == ((33.4 - 16.0).round.toInt))
     assert(lut.nearestInc(15.0) == 0 && lut.nearestInc(90.0) == lut.inc.length - 1)
   }
+
+  test("probing registration guesses phi periodicity like the reference (gmfs.py:145-158)") {
+    import graft.models.ModelRegistry
+    // cmod5n is cos-series symmetric: f(phi) == f(-phi) → [0, 180]
+    val sym = ModelRegistry.registerProbed("probe_sym", "VV", "linear", graft.functions.Gmf.cmod5n)
+    assert(sym.phiRange == ((0.0, 180.0)))
+    // an asymmetric toy: sin term breaks f(phi) == f(-phi) → [0, 360]
+    val asym = ModelRegistry.registerProbed("probe_asym", "VV", "linear",
+      (i: Double, w: Double, p: Double) => 1e-3 * (1 + 0.5 * math.sin(math.toRadians(p))) * w / i)
+    assert(asym.phiRange == ((0.0, 360.0)))
+    // phi-less crosspol path registers without phi
+    val cross = ModelRegistry.registerProbed("probe_cross", "VH", "linear",
+      (i: Double, w: Double) => 1e-4 * w / i, (3.0, 80.0))
+    assert(!cross.hasPhi)
+  }
 }
