@@ -324,7 +324,58 @@ object Text {
        |FROM documents""".stripMargin
   }
 
+  /** q55: multimodal binary-column pipeline — documents' text re-enters as
+    * opaque binary payloads (UTF-8 bytes stand in for media blobs; the
+    * decode itself is stubbed per the container constraints, see
+    * operators.Multimodal), flows through the partition-kernel feature
+    * extractor (byte count + byte-histogram entropy), and carries typed
+    * metadata (magic prefix, frame count at 64-byte frames). This is the
+    * oracle gate for the multimodal plumbing: schema, batching, map-side
+    * execution.
+    */
+  def q55Multimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"), col("n_bytes"),
+        round(col("byte_entropy"), 6).as("entropy"))
+    val meta = docs.select(col("doc_id"),
+      substring(hex(encode(col("text"), "UTF-8")), 1, 8).as("magic_hex"),
+      expr("CAST(octet_length(encode(text, 'UTF-8')) DIV 64 AS BIGINT)").as("n_frames"))
+    feats.join(meta, Seq("doc_id"))
+  }
+
+  // byte-histogram entropy re-expressed relationally: documents are ASCII
+  // (octet_length == length, asserted at fixture build), so per-byte
+  // grouping is per-char ascii grouping; term order matches the kernel
+  // ((p*ln p)/ln 2, summed then negated)
+  val q55Sql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+      |),
+      |hist AS (
+      |  SELECT doc_id, ascii(substr(text, CAST(i AS BIGINT), 1)) AS byte, COUNT(1) AS c
+      |  FROM pos GROUP BY 1, 2
+      |),
+      |ent AS (
+      |  SELECT h.doc_id,
+      |    -SUM((h.c::DOUBLE / length(d.text)) * LN(h.c::DOUBLE / length(d.text)) / LN(2e0)) AS entropy
+      |  FROM hist h JOIN documents d USING (doc_id)
+      |  GROUP BY h.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+      |  ROUND(e.entropy, 6) AS entropy,
+      |  upper(substr(hex(encode(d.text)), 1, 8)) AS magic_hex,
+      |  CAST(octet_length(encode(d.text)) // 64 AS BIGINT) AS n_frames
+      |FROM documents d JOIN ent e USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_multimodal", q55Multimodal, Some(q55Sql)),
     QueryDef("q37_embed_neardup", q37EmbedNearDup, Some(q37Sql)),
     QueryDef("q51_ann_ivf", q51AnnIvf, Some(q51Sql)),
     QueryDef("q52_token_bpe", q52TokenBpe, Some(q52Sql)),

@@ -29,6 +29,10 @@ case class GmfExpression(fn: ScalarGmf, fnName: String,
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = fnName
+  // pure function of its inputs → all-literal calls constant-fold in the
+  // optimizer (the reference precomputes such constants at LUT-build time;
+  // here Catalyst's ConstantFolding does it for free once we declare purity)
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override protected def nullSafeEval(i: Any, w: Any, p: Any): Any =
     fn.eval(i.asInstanceOf[Double], w.asInstanceOf[Double], p.asInstanceOf[Double])

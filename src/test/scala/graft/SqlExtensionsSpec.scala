@@ -52,4 +52,12 @@ class SqlExtensionsSpec extends SparkSpec {
       "SELECT dot_f32(embedding, embedding) AS d FROM parquet.`" + sfDir + "/embeddings.parquet` LIMIT 1")
     assert(viaSql.head.getDouble(0) > 0)
   }
+
+  test("all-literal GMF calls constant-fold in the optimized plan") {
+    val df = spark.sql("SELECT gmf_cmod5n(35.0, 10.0, 45.0) AS s FROM range(5)")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("gmf_cmod5n"),
+      s"expected ConstantFolding to eliminate the call:\n$optimized")
+    assert(math.abs(df.head.getDouble(0) - graft.functions.Gmf.cmod5n(35.0, 10.0, 45.0)) < 1e-15)
+  }
 }
