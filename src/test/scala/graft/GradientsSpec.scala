@@ -77,6 +77,41 @@ class GradientsSpec extends SparkSpec {
     jSlow.foreach { case (k, v) => assert(close(v, jFast(k)), s"composed $k: $v vs ${jFast(k)}") }
   }
 
+  test("PlaneChain fusion matches compositional execution for random chains") {
+    import graft.operators.PlaneChain
+    import graft.operators.PlaneChain.{Coarsen2, Map1, Smooth, Step}
+    val g = streakGrid(48, 0.8)
+    val sq: Double => Double = x => x * x
+    val rnd = new scala.util.Random(7)
+    def runCompositional(steps: Seq[Step]): Map[(Int, Int), Double] = {
+      import spark.implicits._
+      val res = steps.foldLeft(g) {
+        case (df, Smooth(d)) => Gradients.smoothB2Dilated(df, d)
+        case (df, Coarsen2) => Gradients.coarsen(df, 2).drop("n_px")
+        case (df, Map1(f)) =>
+          df.select(col("line"), col("sample"), col("v")).as[(Int, Int, Double)]
+            .map { case (l, s, v) => (l, s, f(v)) }.toDF("line", "sample", "v")
+      }
+      res.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    }
+    (1 to 6).foreach { trial =>
+      val steps: Seq[Step] = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(4) match {
+        case 0 => Smooth(1)
+        case 1 => Smooth(2)
+        case 2 => Coarsen2
+        case 3 => Map1(sq)
+      })
+      val slow = runCompositional(steps)
+      val fast = PlaneChain.run(g, steps, tileSize = 12).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(slow.keySet == fast.keySet, s"trial $trial $steps: cell sets differ")
+      slow.foreach { case (k, v) =>
+        assert(math.abs(v - fast(k)) <= 1e-9 * (1 + math.abs(v)),
+          s"trial $trial $steps at $k: $v vs ${fast(k)}")
+      }
+    }
+  }
+
   test("histogram peak recovers the planted streak direction") {
     for (theta <- Seq(0.3, 1.1)) {
       val g = streakGrid(64, theta)
