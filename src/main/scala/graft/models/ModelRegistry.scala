@@ -187,7 +187,11 @@ object ModelRegistry {
       fn: (Double, Double, Double) => Double,
       wspdRange: (Double, Double) = (0.2, 50.0), priority: Int = 3): Model = {
     val probe = fn(35.0, 0.2, 90.0) // scalar check — let it throw
-    val phiProbes = Seq(0.0, 90.0, 180.0, 270.0)
+    // 45/135 added beyond the reference's {0,90,180,270}: diff(0) is
+    // identically 0, diff(180) vanishes for any 360-periodic formula, and
+    // diff(90) == diff(270) — without off-axis probes a sin(2·phi)
+    // asymmetry (zero at every listed angle) would be misclassified
+    val phiProbes = Seq(0.0, 45.0, 90.0, 135.0, 180.0, 270.0)
     val diffs = phiProbes.map(p => math.abs(fn(35.0, 0.2, p) - fn(35.0, 0.2, -p)))
     val phiRange = if (diffs.max < 1e-15) (0.0, 180.0) else (0.0, 360.0)
     val sigma0s = probe +: phiProbes.map(fn(35.0, 0.2, _))

@@ -199,91 +199,27 @@ object Gradients {
         r += 1
       }
 
-      // one renormalized-B2 pass over three planes (weights/order = smoothB2)
-      def smooth3(aa: Array[Double], bb: Array[Double], mm: Array[Double],
-          p: Array[Boolean], side: Int): (Array[Double], Array[Double], Array[Double]) = {
-        val a2 = new Array[Double](side * side)
-        val b2 = new Array[Double](side * side)
-        val m2 = new Array[Double](side * side)
-        var r = 0
-        while (r < side) {
-          var c = 0
-          while (c < side) {
-            val i = r * side + c
-            if (p(i)) {
-              var na = 0.0; var nb = 0.0; var nm = 0.0; var den = 0.0
-              var dl = -1
-              while (dl <= 1) {
-                var ds = -1
-                while (ds <= 1) {
-                  val rr = r + dl; val cc = c + ds
-                  if (rr >= 0 && rr < side && cc >= 0 && cc < side && p(rr * side + cc)) {
-                    val j = rr * side + cc
-                    val wgt = (if (dl == 0) 2.0 else 1.0) * (if (ds == 0) 2.0 else 1.0)
-                    na += wgt * aa(j); nb += wgt * bb(j); nm += wgt * mm(j); den += wgt
-                  }
-                  ds += 1
-                }
-                dl += 1
-              }
-              a2(i) = na / den; b2(i) = nb / den; m2(i) = nm / den
-            }
-            c += 1
-          }
-          r += 1
-        }
-        (a2, b2, m2)
+      // pyramid tail = PlaneChain's shared plane kernels, per channel
+      // (identical weights/order as smoothB2/coarsen, see PlaneChain)
+      def chain(vs: Array[Double]): PlaneChain.Plane = {
+        def sm(p: PlaneChain.Plane) = PlaneChain.smoothPlane(p, 1)
+        sm(PlaneChain.coarsenPlane(sm(sm(PlaneChain.Plane(vs, pS, w, l0, s0)))))
       }
-      val (a1, b1, m1) = smooth3(a, b, m, pS, w)
-      val (a2, b2, m2) = smooth3(a1, b1, m1, pS, w)
+      val fa = chain(a); val fb = chain(b); val fm = chain(m)
 
-      // 2×2 coarsen (mean over present cells) onto the coarse plane
-      val C = 2
-      val cw = t + 2 * C
-      val c0l = tl * t - C; val c0s = ts * t - C
-      val ca = new Array[Double](cw * cw); val cb = new Array[Double](cw * cw)
-      val cm = new Array[Double](cw * cw); val cp = new Array[Boolean](cw * cw)
-      var cl = 0
-      while (cl < cw) {
-        var cs = 0
-        while (cs < cw) {
-          val gl = c0l + cl; val gs = c0s + cs
-          if (gl >= 0 && gs >= 0) {
-            var sa = 0.0; var sb = 0.0; var sm = 0.0; var n = 0
-            var fi = 0
-            while (fi < 2) {
-              var fj = 0
-              while (fj < 2) {
-                val fl = 2 * gl + fi - l0; val fs = 2 * gs + fj - s0
-                if (fl >= 0 && fl < w && fs >= 0 && fs < w && pS(fl * w + fs)) {
-                  val j = fl * w + fs
-                  sa += a2(j); sb += b2(j); sm += m2(j); n += 1
-                }
-                fj += 1
-              }
-              fi += 1
-            }
-            if (n > 0) {
-              val i = cl * cw + cs
-              ca(i) = sa / n; cb(i) = sb / n; cm(i) = sm / n; cp(i) = true
-            }
-          }
-          cs += 1
-        }
-        cl += 1
-      }
-      val (fa, fb, fm) = smooth3(ca, cb, cm, cp, cw)
-
-      // quality + emit owned coarse cells
+      // quality + emit owned coarse cells (fa/fb/fm share geometry: same
+      // input presence and the same deterministic chain)
       Iterator.range(0, t).flatMap { ol =>
         Iterator.range(0, t).flatMap { os =>
           val gl = tl * t + ol; val gs = ts * t + os
-          val i = (gl - c0l) * cw + (gs - c0s)
-          if (!cp(i)) Iterator.empty
+          val row = gl - fa.l0; val cc = gs - fa.s0
+          if (row < 0 || row >= fa.side || cc < 0 || cc >= fa.side ||
+              !fa.pres(row * fa.side + cc)) Iterator.empty
           else {
-            val cRaw = math.hypot(fa(i), fb(i)) / (fm(i) + 1e-5)
+            val i = row * fa.side + cc
+            val cRaw = math.hypot(fa.vals(i), fb.vals(i)) / (fm.vals(i) + 1e-5)
             val cQ = if (cRaw <= 1.0) cRaw else 0.0
-            Iterator.single(LgOut(gl, gs, fa(i), fb(i), fm(i), cQ))
+            Iterator.single(LgOut(gl, gs, fa.vals(i), fb.vals(i), fm.vals(i), cQ))
           }
         }
       }
@@ -461,13 +397,17 @@ object Gradients {
       knownDims: Option[(Int, Int)] = None): DataFrame = {
     import PlaneChain.{Coarsen2, Map1, Reduce2Steps, MeanOpSteps, Smooth}
     val image = grid.select(col("line"), col("sample"), sqrt(col("v")).as("v"))
+    // fused chains emit at HALF input resolution → their tile side is
+    // tileSize/2 fine... output cells (floored at 16 so span always exceeds
+    // the chain halo)
+    val t2 = math.max(tileSize / 2, 16)
     // every pyramid chain below is ONE fused shuffle (PlaneChain) — the
     // compositional spelling (reduce2/meanOp per channel) costs 4 exchanges
     // per chain and re-executes shared prefixes per branch
-    val r2 = PlaneChain.run(image, Reduce2Steps)
-    val lg = localGradientsFused(image)
-    val j = PlaneChain.run(image, Reduce2Steps ++ MeanOpSteps).withColumnRenamed("v", "j")
-    val j1 = PlaneChain.run(image, Reduce2Steps ++ (Map1(x => x * x) +: MeanOpSteps))
+    val r2 = PlaneChain.run(image, Reduce2Steps, t2)
+    val lg = localGradientsFused(image, t2)
+    val j = PlaneChain.run(image, Reduce2Steps ++ MeanOpSteps, t2).withColumnRenamed("v", "j")
+    val j1 = PlaneChain.run(image, Reduce2Steps ++ (Map1(x => x * x) +: MeanOpSteps), t2)
       .withColumnRenamed("v", "j1")
 
     // half-res dims: from the caller when known (skips a driver action)
@@ -477,11 +417,11 @@ object Gradients {
     }
     // coarsen-by-2 of a dense [0, n) index range has ceil(n/2) cells
     val bg = zoomBilinear(
-      PlaneChain.run(image, Reduce2Steps ++ Seq(Coarsen2, Smooth(1))),
+      PlaneChain.run(image, Reduce2Steps ++ Seq(Coarsen2, Smooth(1)), math.max(t2 / 2, 16)),
       (nL + 1) / 2, (nS + 1) / 2, nL, nS)
       .withColumnRenamed("v", "bg")
 
-    val g4 = PlaneChain.run(lg.select(col("line"), col("sample"), col("g3").as("v")), MeanOpSteps)
+    val g4 = PlaneChain.run(lg.select(col("line"), col("sample"), col("g3").as("v")), MeanOpSteps, t2)
       .withColumnRenamed("v", "g4")
 
     def clip01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))

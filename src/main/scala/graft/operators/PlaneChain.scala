@@ -56,10 +56,11 @@ object PlaneChain {
   final case class PcOut(line: Int, sample: Int, v: Double)
 
   // a dense plane: values+presence over global cells [l0, l0+side) × [s0, s0+side)
-  private final case class Plane(vals: Array[Double], pres: Array[Boolean],
+  // (shared with localGradientsFused, the multi-channel fused chain)
+  private[operators] final case class Plane(vals: Array[Double], pres: Array[Boolean],
       side: Int, l0: Int, s0: Int)
 
-  private def smoothPlane(p: Plane, d: Int): Plane = {
+  private[operators] def smoothPlane(p: Plane, d: Int): Plane = {
     val side = p.side
     val out = new Array[Double](side * side)
     var r = 0
@@ -91,7 +92,7 @@ object PlaneChain {
     Plane(out, p.pres, side, p.l0, p.s0)
   }
 
-  private def coarsenPlane(p: Plane): Plane = {
+  private[operators] def coarsenPlane(p: Plane): Plane = {
     val nl0 = Math.floorDiv(p.l0, 2); val ns0 = Math.floorDiv(p.s0, 2)
     val side = Math.floorDiv(p.l0 + p.side - 1, 2) - nl0 + 1 // square plane; s-extent equal
     val vals = new Array[Double](side * side)

@@ -34,9 +34,13 @@ object SkewJoin {
   def salted(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       saltSrc: Column, salts: Int = 8): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by SkewJoin")
     val b = big.withColumn("__salt", pmod(hash(saltSrc), lit(salts)))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, b("__salt") === s("__salt") && col(bigKey) === col(smallKey))
+    // side-qualified key references: col(...) would be ambiguous whenever
+    // both sides use the same key column name
+    b.join(s, b("__salt") === s("__salt") && b(bigKey) === s(smallKey))
       .drop("__salt")
   }
 }

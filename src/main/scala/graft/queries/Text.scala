@@ -311,7 +311,10 @@ object Text {
       size(bpe).as("n_bpe"),
       size(array_distinct(bpe)).as("n_bpe_unique"),
       size(TextOps.tokens(col("text"))).as("n_ws"),
-      round(length(col("text")).cast("double") / size(bpe), 6).as("chars_per_tok"))
+      // zero-token guard: Spark double/0 and DuckDB double/0 disagree
+      // (NULL vs inf) — both sides emit NULL explicitly
+      when(size(bpe) > 0,
+        round(length(col("text")).cast("double") / size(bpe), 6)).as("chars_per_tok"))
   }
 
   val q52Sql: String = {
@@ -320,7 +323,9 @@ object Text {
        |  CAST(len(regexp_extract_all(text, $pat)) AS INTEGER) AS n_bpe,
        |  CAST(len(list_distinct(regexp_extract_all(text, $pat))) AS INTEGER) AS n_bpe_unique,
        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
-       |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, $pat)), 6) AS chars_per_tok
+       |  CASE WHEN len(regexp_extract_all(text, $pat)) = 0 THEN NULL
+       |       ELSE ROUND(CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, $pat)), 6)
+       |  END AS chars_per_tok
        |FROM documents""".stripMargin
   }
 
@@ -369,10 +374,10 @@ object Text {
       |)
       |SELECT d.doc_id,
       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-      |  ROUND(e.entropy, 6) AS entropy,
+      |  COALESCE(ROUND(e.entropy, 6), 0e0) AS entropy,
       |  upper(substr(hex(encode(d.text)), 1, 8)) AS magic_hex,
       |  CAST(octet_length(encode(d.text)) // 64 AS BIGINT) AS n_frames
-      |FROM documents d JOIN ent e USING (doc_id)""".stripMargin
+      |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_multimodal", q55Multimodal, Some(q55Sql)),

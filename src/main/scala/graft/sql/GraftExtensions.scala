@@ -54,14 +54,19 @@ case class GmfExpression(fn: ScalarGmf, fnName: String,
   * codegen, accumulating in double in index order — bit-identical to the
   * fold and to the DuckDB oracle's `list_reduce`.
   *
-  * Precondition: array ELEMENTS are non-null (embedding vectors are dense);
-  * top-level null arrays propagate null via nullIntolerant.
+  * Length-mismatched arrays yield NULL, matching the fold (zip_with pads
+  * the shorter side with nulls, which poison the sum). Precondition: array
+  * ELEMENTS are non-null (embedding vectors are dense); top-level null
+  * arrays propagate null via nullIntolerant.
   */
 case class DotProductExpression(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even over non-null children: length mismatch yields NULL, so
+  // codegen must keep a real isNull slot (not the FalseLiteral shortcut)
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -78,8 +83,9 @@ case class DotProductExpression(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -97,10 +103,14 @@ case class DotProductExpression(left: Expression, right: Expression)
       val gl = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val gr = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $gl * $gr; }
-         |${ev.value} = $acc;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $gl * $gr; }
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
