@@ -103,8 +103,46 @@ object Events {
       |QUALIFY p.event_id IS NULL
       |  OR ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) = 1""".stripMargin
 
+  /** q23: point-in-interval range join (operators.RangeJoin) — per-order
+    * 6-hour deterministic windows over January 2024 vs the event stream.
+    * Spark side runs the bucketized equi-join (a bare range predicate would
+    * plan as BroadcastNestedLoopJoin); the oracle runs the plain range join
+    * — matching proves the bucketization is exact, including the
+    * half-open [start, end) boundary.
+    */
+  def q23RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = 1704067200000000000L // 2024-01-01T00:00Z epoch ns
+    val hour = 3600000000000L
+    val orders = Tables.load(spark, sfDir, "orders")
+    val intervals = orders.select(col("o_orderkey"),
+      (lit(base) + (col("o_orderkey") % 29) * lit(24 * hour) +
+        (col("o_custkey") % 24) * lit(hour)).as("start_ns"))
+      .withColumn("end_ns", col("start_ns") + lit(6 * hour))
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("ts").as("ts_ns"), col("event_type"), col("value"))
+    graft.operators.RangeJoin
+      .pointInInterval(events, intervals, "ts_ns", "start_ns", "end_ns", bucketWidth = 6 * hour)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"))
+  }
+
+  val q23Sql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey,
+      |    CAST(1704067200000000000 + (o_orderkey % 29) * 86400000000000
+      |         + (o_custkey % 24) * 3600000000000 AS BIGINT) AS start_ns
+      |  FROM orders
+      |),
+      |ev AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events)
+      |SELECT o_orderkey, COUNT(1) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM iv JOIN ev ON ev.ts_ns >= iv.start_ns AND ev.ts_ns < iv.start_ns + 21600000000000
+      |GROUP BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
-    QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)))
+    QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),
+    QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)))
 }

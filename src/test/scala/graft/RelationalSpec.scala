@@ -50,6 +50,26 @@ class RelationalSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("bucketized range join equals the naive range predicate incl. boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // points at bucket edges, interval edges, and interior; intervals
+    // spanning multiple buckets, sub-bucket, and bucket-aligned
+    val points = Seq(0L, 9L, 10L, 19L, 20L, 25L, 99L, 100L, 101L)
+      .toDF("pt")
+    val intervals = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 5L, 105L), (4L, 20L, 21L))
+      .toDF("iv_id", "s", "e")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "pt", "s", "e", bucketWidth = 10L)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    val want = (for {
+      p <- Seq(0L, 9L, 10L, 19L, 20L, 25L, 99L, 100L, 101L)
+      (id, s, e) <- Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 5L, 105L), (4L, 20L, 21L))
+      if p >= s && p < e
+    } yield (id, p)).toSet
+    assert(got == want, s"diff: missing=${want diff got} extra=${got diff want}")
+  }
+
   test("every registered query runs on sf0.001") {
     graft.queries.Registry.all.foreach { q =>
       val n = q.fn(spark, sfDir).count()
