@@ -70,6 +70,31 @@ class RelationalSpec extends SparkSpec {
     assert(got == want, s"diff: missing=${want diff got} extra=${got diff want}")
   }
 
+  test("bucketed tables co-locate the join: no exchange on the join key") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+    val customer = graft.core.Tables.load(spark, sfDir, "customer")
+    orders.write.mode("overwrite").option("path", s"$tmp/b_orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    customer.write.mode("overwrite").option("path", s"$tmp/b_cust")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_cust")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("b_orders")
+        .join(spark.table("b_cust"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n${plan.take(3000)}")
+      assert(j.count() == orders.count(), "inner join on FK must preserve order rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
   test("every registered query runs on sf0.001") {
     graft.queries.Registry.all.foreach { q =>
       val n = q.fn(spark, sfDir).count()
