@@ -463,6 +463,25 @@ object Gradients {
           .as("streak_dir_rad"))
   }
 
+  /** R14 — nearest-center alignment for configs whose window-center grids
+    * differ (gradients.py:229-245 `sel(..., method='nearest')`): snap each
+    * row's (line, sample) onto the regular reference-center grid
+    * {origin + k·step} and re-aggregate whatever measure columns ride along
+    * (histogram weights sum per bin). Shared-grid configs make this a no-op
+    * (the multiscale fan-out's case); differing grids get a deterministic
+    * half-up snap. Pure column arithmetic + one groupBy — no join.
+    */
+  def alignToCenters(df: DataFrame, step: Double, keyCols: Seq[String],
+      sumCols: Seq[String], originLine: Double = 0.0, originSample: Double = 0.0): DataFrame = {
+    def snap(c: Column, origin: Double): Column =
+      (floor((c - lit(origin)) / lit(step) + lit(0.5)) * lit(step) + lit(origin)).cast("int")
+    df.withColumn("line", snap(col("line"), originLine))
+      .withColumn("sample", snap(col("sample"), originSample))
+      .groupBy((Seq(col("line"), col("sample")) ++ keyCols.map(col)): _*)
+      .agg(sumCols.head match { case h => sum(col(h)).as(h) },
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
   /** R13: multiscale fan-out — union of per-config pipelines with literal
     * config columns (pol/window/downscale become ordinary columns).
     */

@@ -112,6 +112,17 @@ class GradientsSpec extends SparkSpec {
     }
   }
 
+  test("R14 nearest-center alignment snaps off-grid centers and merges weights") {
+    import spark.implicits._
+    // centers at step 10; rows at 4 (→0), 5 (→10, half-up), 12 (→10), 26 (→30)
+    val df = Seq((4, 0, 1, 1.0), (5, 0, 1, 2.0), (12, 0, 1, 4.0), (26, 0, 1, 8.0))
+      .toDF("line", "sample", "bin", "weight")
+    val aligned = Gradients.alignToCenters(df, step = 10.0,
+        keyCols = Seq("bin"), sumCols = Seq("weight"))
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(aligned == Map(0 -> 1.0, 10 -> 6.0, 30 -> 8.0), aligned.toString)
+  }
+
   test("histogram peak recovers the planted streak direction") {
     for (theta <- Seq(0.3, 1.1)) {
       val g = streakGrid(64, theta)
