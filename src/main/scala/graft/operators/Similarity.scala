@@ -146,6 +146,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** One-or-more Lloyd (k-means) refinement passes over the IVF coarse
+    * quantizer, entirely as DataFrame ops:
+    *  - assignment is map-side (centroids broadcast, L2 argmin with
+    *    deterministic cent_id tiebreak);
+    *  - the update is `posexplode` → `groupBy(cent_id, dim).avg` →
+    *    re-assembled vectors — partial-agg friendly, one shuffle whose key
+    *    count is centroids × dims (tiny), so it scales to any corpus size;
+    *  - empty clusters keep their previous centroid (standard Lloyd fix).
+    * At 100 TB this is exactly how you'd train the quantizer in-engine
+    * before [[ivfTopK]]; a few passes on a sample suffice in practice.
+    */
+  def lloydRefine(corpus: DataFrame, centroids: DataFrame, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    (1 to iters).foldLeft(centroids) { (cents, _) =>
+      val c = cents.select(col("cent_id"), transform(col("cent_vec"),
+        x => x.cast("double")).as("c_vec"))
+      // L2 argmin: ||v - c||² ordered by (dist², cent_id); norm2(v) is
+      // constant per row so dist² ≡ norm2(c) − 2·dot(v,c) up to ordering
+      val scored = corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(c))
+        .select(col(idCol), col(vecCol), col("cent_id"),
+          (norm2(col("c_vec")) - lit(2.0) * dot(col(vecCol), col("c_vec"))).as("d2"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cent_id").asc)
+      val assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val updated = assigned
+        .select(col("cent_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cent_vec"))
+      // empty clusters: carry the previous centroid forward
+      cents.select(col("cent_id"), transform(col("cent_vec"), x => x.cast("double")).as("prev"))
+        .join(updated, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cent_vec"), col("prev")).as("cent_vec"))
+    }
+  }
+
   /** IVF-flat approximate nearest neighbor — the third ANN tier.
     *
     * Coarse quantizer: every `stride`ᵗʰ corpus vector serves as a centroid

@@ -75,6 +75,26 @@ class TextSpec extends SparkSpec {
     assert(hits > 0, "IVF recall collapsed to zero")
   }
 
+  test("Lloyd refinement strictly improves k-means cost on the embeddings") {
+    val cents0 = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    def wcss(cents: org.apache.spark.sql.DataFrame): Double = {
+      val c = cents.select(col("cent_id"),
+        org.apache.spark.sql.functions.transform(col("cent_vec"), x => x.cast("double")).as("c_vec"))
+      emb.crossJoin(org.apache.spark.sql.functions.broadcast(c))
+        .select(col("vec_id"),
+          (Similarity.norm2(col("embedding")) + Similarity.norm2(col("c_vec"))
+            - lit(2.0) * Similarity.dot(col("embedding"), col("c_vec"))).as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    val before = wcss(cents0)
+    val refined = Similarity.lloydRefine(emb, cents0, iters = 2)
+    assert(refined.count() == cents0.count(), "centroid count must be preserved")
+    val after = wcss(refined)
+    assert(after < before, s"Lloyd must not increase WCSS: $before -> $after")
+  }
+
   test("BPE pre-tokenizer splits letter/digit/punct runs with leading-space glue") {
     import spark.implicits._
     val got = Seq("Hello, world 42 it's x9y!")
