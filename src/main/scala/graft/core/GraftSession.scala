@@ -37,6 +37,21 @@ object GraftSession {
   }
 }
 
+/** Small planning helpers shared by CPU-bound operators. */
+object Plans {
+
+  /** Repartition `df` up to at least `minPar` output partitions — used ahead
+    * of CPU-bound per-row kernels that would otherwise inherit a single file
+    * split's parallelism. Reads the physical plan's output partitioning
+    * (planning only — unlike `.rdd`, no RDD lineage is materialized).
+    * On a real cluster with many input splits this is a no-op.
+    */
+  def ensureMinPartitions(df: DataFrame, minPar: Int): DataFrame =
+    if (df.queryExecution.executedPlan.outputPartitioning.numPartitions < minPar)
+      df.repartition(minPar)
+    else df
+}
+
 /** Loader for the driver-provided TPC-H-ish parquet tables (TESTDATA.md). */
 object Tables {
   val names: Seq[String] = Seq(

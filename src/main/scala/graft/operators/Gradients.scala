@@ -363,9 +363,17 @@ object Gradients {
     */
   def zoomBilinear(src: DataFrame, srcNL: Int, srcNS: Int, dstNL: Int, dstNS: Int): DataFrame = {
     val spark = src.sparkSession
-    import spark.implicits._
-    val targets = (for (l <- 0 until dstNL; s <- 0 until dstNS) yield (l, s))
-      .toDF("line", "sample")
+    // target grid generated distributed (one spark.range, id → (line, sample))
+    // — never materialized on the driver; the source raster is never
+    // broadcast (it grows with the scene). Shape: tag-explode each target's
+    // 4 corner keys, ONE shuffle equi-join against the source on (i, j),
+    // then pivot the tags back to v00..v11 columns so the final combine is
+    // the exact textbook bilinear expression (deterministic — no unordered
+    // float summation; boundary-clamped duplicate corners land on distinct
+    // tags, so each tag resolves to exactly one value per target).
+    val targets = spark.range(dstNL.toLong * dstNS).select(
+      (col("id") / dstNS).cast("int").as("line"),
+      (col("id") % dstNS).cast("int").as("sample"))
     val fl = col("line") * ((srcNL - 1).toDouble / math.max(dstNL - 1, 1))
     val fs = col("sample") * ((srcNS - 1).toDouble / math.max(dstNS - 1, 1))
     val t = targets.select(col("line"), col("sample"),
@@ -373,12 +381,20 @@ object Gradients {
       floor(fs).cast("int").as("j0"), (fs - floor(fs)).as("wj"))
       .withColumn("i1", least(col("i0") + 1, lit(srcNL - 1)))
       .withColumn("j1", least(col("j0") + 1, lit(srcNS - 1)))
-    def s(nm: String, li: String, sj: String) = src.select(
-      col("line").as(li + "_l"), col("sample").as(sj + "_s"), col("v").as(nm))
-    t.join(broadcast(s("v00", "i0", "j0")), col("i0") === col("i0_l") && col("j0") === col("j0_s"))
-      .join(broadcast(s("v01", "i0b", "j1")), col("i0") === col("i0b_l") && col("j1") === col("j1_s"))
-      .join(broadcast(s("v10", "i1", "j0b")), col("i1") === col("i1_l") && col("j0") === col("j0b_s"))
-      .join(broadcast(s("v11", "i1b", "j1b")), col("i1") === col("i1b_l") && col("j1") === col("j1b_s"))
+    def corner(tag: String, i: Column, j: Column): Column =
+      struct(lit(tag).as("tag"), i.as("i"), j.as("j"))
+    val corners = t.select(col("line"), col("sample"), col("wi"), col("wj"),
+        explode(array(
+          corner("00", col("i0"), col("j0")), corner("01", col("i0"), col("j1")),
+          corner("10", col("i1"), col("j0")), corner("11", col("i1"), col("j1")))).as("c"))
+      .select(col("line"), col("sample"), col("wi"), col("wj"),
+        col("c.tag").as("tag"), col("c.i").as("i"), col("c.j").as("j"))
+    val s = src.select(col("line").as("i"), col("sample").as("j"), col("v"))
+    def tagged(tag: String): Column =
+      max(when(col("tag") === tag, col("v"))).as("v" + tag)
+    corners.join(s, Seq("i", "j"))
+      .groupBy(col("line"), col("sample"), col("wi"), col("wj"))
+      .agg(tagged("00"), tagged("01"), tagged("10"), tagged("11"))
       .select(col("line"), col("sample"),
         ((col("v00") * (lit(1.0) - col("wj")) + col("v01") * col("wj")) * (lit(1.0) - col("wi")) +
          (col("v10") * (lit(1.0) - col("wj")) + col("v11") * col("wj")) * col("wi")).as("v"))
@@ -473,6 +489,11 @@ object Gradients {
     */
   def alignToCenters(df: DataFrame, step: Double, keyCols: Seq[String],
       sumCols: Seq[String], originLine: Double = 0.0, originSample: Double = 0.0): DataFrame = {
+    // the int cast below would silently collide distinct centers on a
+    // fractional grid — the snapped value must itself be integral
+    require(step == math.rint(step) && step > 0 &&
+      originLine == math.rint(originLine) && originSample == math.rint(originSample),
+      s"alignToCenters requires an integral grid (step=$step, origins=($originLine,$originSample))")
     def snap(c: Column, origin: Double): Column =
       (floor((c - lit(origin)) / lit(step) + lit(0.5)) * lit(step) + lit(origin)).cast("int")
     df.withColumn("line", snap(col("line"), originLine))

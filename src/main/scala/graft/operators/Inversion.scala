@@ -175,7 +175,7 @@ object Inversion {
     // would otherwise pin it to one core. Cheap narrow-row shuffle → full
     // parallelism; on a real cluster with many input splits this is a no-op.
     val par = spark.sparkContext.defaultParallelism
-    val pxPar = if (px.rdd.getNumPartitions < par) px.repartition(par) else px
+    val pxPar = graft.core.Plans.ensureMinPartitions(px, par)
     pxPar.select(
         col("okey"), col("lnum"), col("inc"),
         col("s0co_db").as("s0coDb"), col("s0cr_db").as("s0crDb"),

@@ -93,6 +93,10 @@ object PlaneChain {
   }
 
   private[operators] def coarsenPlane(p: Plane): Plane = {
+    // the square-plane shortcut below (single `side` for both axes) only
+    // holds when l0 and s0 share parity — enforce the invariant
+    require((p.l0 - p.s0) % 2 == 0,
+      s"coarsenPlane requires l0/s0 parity equality (l0=${p.l0}, s0=${p.s0})")
     val nl0 = Math.floorDiv(p.l0, 2); val ns0 = Math.floorDiv(p.s0, 2)
     val side = Math.floorDiv(p.l0 + p.side - 1, 2) - nl0 + 1 // square plane; s-extent equal
     val vals = new Array[Double](side * side)

@@ -78,7 +78,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
-    val cp = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
     val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), planes),
       sqrt(norm2(col(vecCol))).as("nrm"))
     val l = b.select(col(idCol).as("doc_a"), col(vecCol).as("q_vec"),
@@ -113,7 +113,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val cp = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
     val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), planes),
       sqrt(norm2(col(vecCol))).as("nrm"))
     val l = b.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

@@ -104,7 +104,7 @@ object Events {
       |  OR ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) = 1""".stripMargin
 
   /** q23: point-in-interval range join (operators.RangeJoin) — per-order
-    * 6-hour deterministic windows over January 2024 vs the event stream.
+    * 90-minute deterministic windows over January 2024 vs the event stream.
     * Spark side runs the bucketized equi-join (a bare range predicate would
     * plan as BroadcastNestedLoopJoin); the oracle runs the plain range join
     * — matching proves the bucketization is exact, including the

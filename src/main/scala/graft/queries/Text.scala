@@ -347,7 +347,10 @@ object Text {
       .as[Multimodal.MediaRow]
     val feats = Multimodal.extractFeatures(media).toDF()
       .select(col("media_id").as("doc_id"), col("n_bytes"),
-        round(col("byte_entropy"), 6).as("entropy"))
+        // + 0.0 normalizes -0.0 (single-byte/empty docs: -SUM(1·ln1) = -0.0)
+        // to +0.0 on both engines — Spark round() and DuckDB ROUND disagree
+        // on signed-zero preservation
+        (round(col("byte_entropy"), 6) + lit(0.0)).as("entropy"))
     val meta = docs.select(col("doc_id"),
       substring(hex(encode(col("text"), "UTF-8")), 1, 8).as("magic_hex"),
       expr("CAST(octet_length(encode(text, 'UTF-8')) DIV 64 AS BIGINT)").as("n_frames"))
@@ -374,7 +377,7 @@ object Text {
       |)
       |SELECT d.doc_id,
       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-      |  COALESCE(ROUND(e.entropy, 6), 0e0) AS entropy,
+      |  COALESCE(ROUND(e.entropy, 6), 0e0) + 0e0 AS entropy,
       |  upper(substr(hex(encode(d.text)), 1, 8)) AS magic_hex,
       |  CAST(octet_length(encode(d.text)) // 64 AS BIGINT) AS n_frames
       |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
