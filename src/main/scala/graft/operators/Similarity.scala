@@ -57,6 +57,22 @@ object Similarity {
   def planeComponent(i: Column, j: Int): Column =
     (((i + 1) * lit(2654435761L) + lit(40503L * (j + 1))) % 1000 - lit(500)).cast("double") / 1000.0
 
+  /** Hyperplane count targeting a bounded expected bucket occupancy: the
+    * smallest p with 2^p ≥ ⌈n / targetOccupancy⌉, clamped to [minPlanes,
+    * maxPlanes]. Pure integer math (no log2 doubles) so the DuckDB oracle's
+    * `LENGTH(bin(m-1))` mirror is bit-exact at power-of-two boundaries.
+    * Scaling planes with log2(n) keeps per-bucket pair work ~targetOccupancy²
+    * (total ~n·targetOccupancy — linear), where any fixed plane count would
+    * go quadratic at scale; the price is recall — each doubling of bucket
+    * count halves the chance a true near-pair shares every sign bit.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 16,
+      minPlanes: Int = 4, maxPlanes: Int = 32): Int = {
+    val m = (n + targetOccupancy - 1) / targetOccupancy
+    val p = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(maxPlanes, math.max(minPlanes, p))
+  }
+
   /** Sign-bit LSH bucket id from `planes` hyperplanes. */
   def rpBucket(vec: Column, planes: Int = 8): Column = {
     val v = transform(vec, x => x.cast("double"))
@@ -72,14 +88,18 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs inside an LSH
     * bucket with cosine ≥ threshold — the O(n²)-free dedup path for
     * embedding spaces (candidates only ever meet inside buckets).
+    * `planes = None` (the default) sizes the bucket space from the corpus
+    * count via [[autoPlanes]] — one cheap count job — so occupancy stays
+    * bounded as the corpus grows.
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 4,
+  def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val np = planes.getOrElse(autoPlanes(corpus.count()))
     val par = spark.sparkContext.defaultParallelism
     val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
-    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), planes),
+    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), np),
       sqrt(norm2(col(vecCol))).as("nrm"))
     val l = b.select(col(idCol).as("doc_a"), col(vecCol).as("q_vec"),
       col("bucket"), col("nrm").as("q_nrm"))
@@ -109,12 +129,13 @@ object Similarity {
     * the single input split first — CPU-bound work must not inherit file
     * granularity).
     */
-  def rpTopK(corpus: DataFrame, k: Int, planes: Int = 8,
+  def rpTopK(corpus: DataFrame, k: Int, planes: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
+    val np = planes.getOrElse(autoPlanes(corpus.count()))
     val par = spark.sparkContext.defaultParallelism
     val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
-    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), planes),
+    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), np),
       sqrt(norm2(col(vecCol))).as("nrm"))
     val l = b.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       col("bucket"), col("nrm").as("q_nrm"))
@@ -187,25 +208,38 @@ object Similarity {
 
   /** IVF-flat approximate nearest neighbor — the third ANN tier.
     *
-    * Coarse quantizer: every `stride`ᵗʰ corpus vector serves as a centroid
-    * (deterministic; at 100 TB the centroids would come from an offline
-    * k-means — the engine shape is identical since centroids are a broadcast
-    * either way). Each corpus vector joins its nearest centroid's inverted
-    * list; a query probes its `nprobe` nearest centroids and brute-forces
-    * only those lists.
+    * Coarse quantizer: a FIXED-size centroid set — the `numCents` corpus
+    * vectors first in deterministic md5(id) order (a cross-engine-portable
+    * uniform sample; Spark plans it as TakeOrderedAndProject, a per-partition
+    * partial top-K, never a full sort). `lloydIters > 0` refines the sample
+    * with [[lloydRefine]] — the offline-k-means training path (not used by
+    * the oracle-gated query: centroid averaging sums floats in shuffle
+    * order, which is not bit-reproducible). Each corpus vector joins its
+    * nearest centroid's inverted list; a query probes its `nprobe` nearest
+    * centroids and brute-forces only those lists.
     *
-    * Scale anatomy: the centroid table is broadcast (assignment is map-side,
-    * no corpus shuffle), the inverted lists ARE the shuffle partitioning
-    * (one exchange on cent_id), and per-list candidate work is corpus/stride
-    * × nprobe instead of the full corpus — the classic IVF recall/cost dial.
-    * All cosines are left-to-right double folds → bit-identical to the
-    * DuckDB oracle, so nearest-centroid ranking needs no rounding guard.
+    * Scale anatomy: the centroid table is a broadcast BOUNDED at `numCents`
+    * rows regardless of corpus size (assignment is map-side, no corpus
+    * shuffle; per-vector assignment cost is numCents dots, constant), the
+    * inverted lists ARE the shuffle partitioning (one exchange on cent_id),
+    * and per-query candidate work is ~(n/numCents)·nprobe instead of the
+    * full corpus — the classic IVF recall/cost dial. All cosines are
+    * left-to-right double folds → bit-identical to the DuckDB oracle, so
+    * nearest-centroid ranking needs no rounding guard.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int = 37,
-      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        sqrt(norm2(col(vecCol))).as("cent_nrm"))
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCents: Int = 64,
+      nprobe: Int = 2, lloydIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sampled = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+      .limit(numCents)
+    val trained =
+      if (lloydIters <= 0) sampled
+      else lloydRefine(corpus, sampled, lloydIters, idCol, vecCol)
+        .select(col("cent_id"), transform(col("cent_vec"), x => x.cast("float")).as("cent_vec"))
+    val cents = trained.select(col("cent_id"), col("cent_vec"),
+      sqrt(norm2(col("cent_vec"))).as("cent_nrm"))
 
     // nearest `n` centroids of each vector in `df` (by exact cosine,
     // cent_id tiebreak); assignment is a broadcast nested loop — map-side

@@ -207,23 +207,36 @@ object Text {
        |  FROM scored
        |) WHERE rn <= 5""".stripMargin
 
+  // auto-scaled LSH bucket CTEs: `np` mirrors Similarity.autoPlanes (pure
+  // integer math — LENGTH(bin(m-1)) is ceil(log2(m)) for m >= 2), and the
+  // bucket sum statically enumerates all 32 possible plane terms, each gated
+  // on j < np (DuckDB evaluates CASE branches lazily, so unused projections
+  // cost nothing). The Spark side builds only the np live terms — same sum.
+  private val npCte: String =
+    """np AS (
+      |  SELECT LEAST(32, GREATEST(4, CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS p
+      |  FROM (SELECT (COUNT(1) + 15) // 16 AS m FROM embeddings)
+      |)""".stripMargin
+
+  private val autoBucketExpr: String = (0 until 32).map { j =>
+    val r = s"((i * 2654435761 + ${40503L * (j + 1)}) % 1000 - 500)::DOUBLE / 1000e0"
+    val p =
+      s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),
+         |  (x, y) -> x + y)""".stripMargin
+    s"(CASE WHEN $j < np.p AND ($p) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
   /** q39: LSH-bucketed approximate nearest neighbor (the 100 TB scale path:
-    * bucket equi-join instead of quadratic cross join). */
+    * bucket equi-join instead of quadratic cross join; plane count derived
+    * from the corpus size for bounded bucket occupancy). */
   def q39AnnLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.rpTopK(Tables.load(spark, sfDir, "embeddings"), k = 1, planes = 4)
+    Similarity.rpTopK(Tables.load(spark, sfDir, "embeddings"), k = 1)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
 
-  val q39Sql: String = {
-    val planes = 4
-    val proj = (0 until planes).map { j =>
-      val r = s"((i * 2654435761 + ${40503L * (j + 1)}) % 1000 - 500)::DOUBLE / 1000e0"
-      val p =
-        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
-           |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),
-           |  (x, y) -> x + y)""".stripMargin
-      s"(CASE WHEN ($p) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, $proj AS bucket FROM embeddings),
+  lazy val q39Sql: String = {
+    s"""WITH $npCte,
+       |b AS (SELECT vec_id, embedding, $autoBucketExpr AS bucket FROM embeddings, np),
        |scored AS (
        |  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
        |    ROUND(${dotSql("l.embedding", "r.embedding")}
@@ -244,16 +257,8 @@ object Text {
     Similarity.nearDupPairs(Tables.load(spark, sfDir, "embeddings"), threshold = 0.3)
 
   lazy val q37Sql: String = {
-    val planes = 4
-    val proj = (0 until planes).map { j =>
-      val r = s"((i * 2654435761 + ${40503L * (j + 1)}) % 1000 - 500)::DOUBLE / 1000e0"
-      val p =
-        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
-           |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),
-           |  (x, y) -> x + y)""".stripMargin
-      s"(CASE WHEN ($p) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, $proj AS bucket FROM embeddings)
+    s"""WITH $npCte,
+       |b AS (SELECT vec_id, embedding, $autoBucketExpr AS bucket FROM embeddings, np)
        |SELECT doc_a, doc_b, cos_sim FROM (
        |  SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
        |    ROUND(${dotSql("l.embedding", "r.embedding")}
@@ -268,7 +273,7 @@ object Text {
     */
   def q51AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, stride = 37, nprobe = 2)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, numCents = 16, nprobe = 2)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
@@ -284,7 +289,8 @@ object Text {
          |  FROM embeddings e CROSS JOIN cents c $filter
          |) WHERE rn <= $n""".stripMargin
     s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id % 37 = 0
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
        |),
        |lists AS (${probeCte("", 1, "neighbor_id")}),
        |probes AS (${probeCte("WHERE e.vec_id < 10", 2, "query_id")}),

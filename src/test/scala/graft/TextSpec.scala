@@ -57,7 +57,7 @@ class TextSpec extends SparkSpec {
 
   test("IVF top-k: ranked per query, no self matches, overlaps brute force") {
     val queries = emb.filter(col("vec_id") < 5)
-    val ivf = Similarity.ivfTopK(emb, queries, k = 5, stride = 11, nprobe = 2).collect()
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, numCents = 45, nprobe = 2).collect()
     assert(ivf.nonEmpty)
     ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
       assert(rows.forall(_.getAs[Long]("neighbor_id") != q), "self match leaked")
@@ -73,6 +73,25 @@ class TextSpec extends SparkSpec {
     val hits = ivf.count(r =>
       exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
     assert(hits > 0, "IVF recall collapsed to zero")
+  }
+
+  test("autoPlanes targets bounded bucket occupancy with exact power-of-two edges") {
+    // smallest p with 2^p * 16 >= n, clamped to [4, 32]
+    assert(Similarity.autoPlanes(0) == 4)
+    assert(Similarity.autoPlanes(16) == 4)      // m=1 -> p=0 -> clamp
+    assert(Similarity.autoPlanes(1000) == 6)    // m=63, 2^6=64 >= 63
+    assert(Similarity.autoPlanes(1024) == 6)    // m=64 exactly: 2^6 suffices
+    assert(Similarity.autoPlanes(1025) == 7)    // m=65 -> 2^7
+    assert(Similarity.autoPlanes(1L << 40) == 32) // clamp at maxPlanes
+    assert(Similarity.autoPlanes(100000, targetOccupancy = 16, maxPlanes = 64) == 13)
+  }
+
+  test("IVF with Lloyd-refined centroids still returns ranked non-self results") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, numCents = 8, nprobe = 2,
+      lloydIters = 1).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
   }
 
   test("Lloyd refinement strictly improves k-means cost on the embeddings") {
