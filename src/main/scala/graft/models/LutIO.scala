@@ -16,20 +16,37 @@ object LutIO {
   def writeLut(spark: SparkSession, modelName: String, path: String,
       highRes: Boolean = false): Unit = {
     val m = ModelRegistry.get(modelName)
-    val lut = m.toLut(highRes)
+    writeLutData(spark, m.toLut(highRes), path,
+      Map("model" -> m.name, "pol" -> m.pol,
+        "resolution" -> (if (highRes) "high" else "low")))
+  }
+
+  /** Write a raw in-memory [[Lut]] in the canonical Parquet form — shared by
+    * the model export above and the external-format ingests
+    * ([[graft.sources.LutIngest]]). `meta` needs model/pol/resolution;
+    * units comes from the Lut itself.
+    */
+  def writeLutData(spark: SparkSession, lut: Lut, path: String,
+      meta: Map[String, String]): Unit = {
     val nP = math.max(lut.phi.length, 1)
-    val rows = for {
-      i <- lut.inc.indices
-      w <- lut.wspd.indices
-      p <- 0 until nP
-    } yield (lut.inc(i), lut.wspd(w), if (lut.hasPhi) Some(lut.phi(p)) else None,
-      lut.values((i * lut.wspd.length + w) * nP + p))
+    val nW = lut.wspd.length
+    // rows materialize distributed off a spark.range (a cmod7 LUT is ~1M
+    // cells — big enough that a driver-built Seq trips task-size warnings)
     import spark.implicits._
-    rows.toDF("incidence", "wspd", "phi", "sigma0")
-      .withColumn("model", lit(m.name))
-      .withColumn("pol", lit(m.pol))
+    val bc = spark.sparkContext.broadcast(lut)
+    spark.range(lut.values.length.toLong)
+      .map { id =>
+        val l = bc.value
+        val i = (id / (nW * nP)).toInt
+        val w = ((id / nP) % nW).toInt
+        val p = (id % nP).toInt
+        (l.inc(i), l.wspd(w), if (l.hasPhi) Some(l.phi(p)) else None, l.values(id.toInt))
+      }
+      .toDF("incidence", "wspd", "phi", "sigma0")
+      .withColumn("model", lit(meta("model")))
+      .withColumn("pol", lit(meta("pol")))
       .withColumn("units", lit(lut.units))
-      .withColumn("resolution", lit(if (highRes) "high" else "low"))
+      .withColumn("resolution", lit(meta("resolution")))
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }

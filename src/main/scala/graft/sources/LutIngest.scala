@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+import graft.models.{Lut, LutIO}
+
+/** S4/S5/S2 — external LUT format converters to the canonical Parquet LUT
+  * form, closing the "real user's day one" gap: every upstream LUT format
+  * the reference reads becomes ingestible without out-of-band tooling
+  * (except netCDF-4 containers, see [[Nc3]]).
+  *
+  * Usage (runMain graft.sources.LutIngest ...):
+  *   cmod7 <datFile|dir> <outPath>   — KNMI Fortran binary (cmod7.py:19-75)
+  *   npy <lutDir> <outPath>          — sarwing npy directory (pickle_luts.py:20-95;
+  *                                     axes as .npy, see [[Npy]] scaladoc)
+  *   nc <file|dir> <outDir>          — xsarsea nc_lut_*.nc classic files
+  *                                     (models.py:350-411, 436-451)
+  *
+  * Each conversion is per-file and driver-light (LUTs are ≤ a few MB —
+  * BASELINE.md); at fleet scale, directories of LUTs convert embarrassingly
+  * parallel, one file per task.
+  */
+object LutIngest {
+
+  /** cmod7: the .dat holds linear sigma0 at low resolution, pol VV. */
+  def ingestCmod7(spark: SparkSession, datPath: String, outPath: String): Unit = {
+    val f = new File(datPath)
+    val dat =
+      if (f.isDirectory) new File(f, "gmf_cmod7_vv.dat_little_endian").getPath
+      else datPath
+    LutIO.writeLutData(spark, Cmod7Dat.read(dat), outPath,
+      Map("model" -> "gmf_cmod7", "pol" -> "VV", "resolution" -> "low"))
+  }
+
+  /** sarwing npy directory: `sigma.npy` stored (inc, [phi,] wspd) — the
+    * reference transposes to (wspd[, phi], inc) then re-transposes to
+    * (inc, wspd[, phi]) (pickle_luts.py:27,85) — so the disk layout maps to
+    * the canonical layout by swapping the phi/wspd axes. Axis files:
+    * `incidence_angle.npy`, `wind_speed.npy`, optional `wind_direction.npy`
+    * (dual-pol); pol is inferred from the presence of wind_direction, like
+    * the reference infers it from the pkl filenames (pickle_luts.py:115-121).
+    * Values are dB, resolution high.
+    */
+  def ingestNpy(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val sigma = Npy.read(s"$dir/sigma.npy")
+    val inc = Npy.read(s"$dir/incidence_angle.npy").data
+    val wspd = Npy.read(s"$dir/wind_speed.npy").data
+    val phiFile = new File(dir, "wind_direction.npy")
+    val phi = if (phiFile.exists) Npy.read(phiFile.getPath).data else Array.empty[Double]
+    val (nI, nW, nP) = (inc.length, wspd.length, math.max(phi.length, 1))
+    val wantShape = if (phi.isEmpty) Seq(nI, nW) else Seq(nI, nP, nW)
+    require(sigma.shape.toSeq == wantShape,
+      s"$dir: sigma.npy shape ${sigma.shape.toSeq} != $wantShape (disk layout is (inc[, phi], wspd))")
+    val values = new Array[Double](sigma.size)
+    var i = 0
+    while (i < nI) {
+      var w = 0
+      while (w < nW) {
+        var p = 0
+        while (p < nP) {
+          values((i * nW + w) * nP + p) =
+            if (phi.isEmpty) sigma.at(Array(i, w)) else sigma.at(Array(i, p, w))
+          p += 1
+        }
+        w += 1
+      }
+      i += 1
+    }
+    val name = "sarwing_lut__" + new File(dir).getName.replaceFirst("^GMF_", "")
+    LutIO.writeLutData(spark, Lut(inc, wspd, phi, values, units = "dB"), outPath,
+      Map("model" -> name, "pol" -> (if (phi.nonEmpty) "VV" else "VH"),
+        "resolution" -> "high"))
+  }
+
+  /** xsarsea nc LUT: var `sigma0_model` over dims (incidence, wspd[, phi])
+    * with coordinate vars named after the dims; global attrs units/pol/
+    * model/resolution (models.py:350-411). */
+  def ingestNc(spark: SparkSession, ncPath: String, outPath: String): Unit = {
+    val nc = Nc3.read(ncPath)
+    val s0 = nc.variable("sigma0_model")
+    val dimNames = s0.dimIds.map(d => nc.dims(d).name)
+    require(dimNames.take(2) == Seq("incidence", "wspd") &&
+      (dimNames.length == 2 || dimNames == Seq("incidence", "wspd", "phi")),
+      s"$ncPath: sigma0_model dims must be (incidence, wspd[, phi]), got $dimNames")
+    val inc = nc.variable("incidence").data
+    val wspd = nc.variable("wspd").data
+    val phi = if (dimNames.length == 3) nc.variable("phi").data else Array.empty[Double]
+    def gatt(n: String, default: => String): String =
+      nc.gatt(n).map(_.text).getOrElse(default)
+    val name = gatt("model",
+      new File(ncPath).getName.stripSuffix(".nc"))
+    // C-order (inc, wspd[, phi]) on disk IS the canonical layout
+    LutIO.writeLutData(spark,
+      Lut(inc, wspd, phi, s0.data, units = gatt("units", "dB")), outPath,
+      Map("model" -> name, "pol" -> gatt("pol", "VV"),
+        "resolution" -> gatt("resolution", "high")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: LutIngest <cmod7|npy|nc> <in> <out>")
+    val Array(kind, in, out) = args
+    val spark = GraftSession.getOrCreate(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      appName = "graft-lut-ingest")
+    kind match {
+      case "cmod7" => ingestCmod7(spark, in, out)
+      case "npy" => ingestNpy(spark, in, out)
+      case "nc" =>
+        val f = new File(in)
+        if (f.isDirectory)
+          f.listFiles().filter(x => x.getName.startsWith("nc_lut_") && x.getName.endsWith(".nc"))
+            .foreach(x => ingestNc(spark, x.getPath,
+              s"$out/${x.getName.stripSuffix(".nc")}"))
+        else ingestNc(spark, in, out)
+      case other => sys.error(s"unknown ingest kind $other")
+    }
+    println(s"[lut-ingest] $kind $in -> $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-Scala NetCDF-3 "classic" reader/writer (public CDF-1/CDF-2 format
+  * spec; big-endian XDR layout). This is the S1/S2 ingest substrate: the
+  * reference opens scene and LUT files with `xr.open_dataset`
+  * (detrend.py:71-93, models.py:350-411); we read the classic-format subset
+  * and convert once to Parquet — Spark's native scale format.
+  *
+  * Supported: CDF-1 and CDF-2 magic, fixed-size and record variables, all
+  * six classic types (byte/char/short/int/float/double), dimension lists,
+  * global + per-variable attributes. Numeric data widens to Double; char
+  * attributes surface as Strings. NOT supported (by design): netCDF-4/HDF5
+  * containers and groups — the reference's `group="owiInversionTables_UV"`
+  * read is netCDF-4-only; those files need one out-of-band
+  * `nccopy -k classic` first.
+  */
+object Nc3 {
+
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  final case class Dim(name: String, length: Int) { def isRecord: Boolean = length == 0 }
+
+  /** Attribute value: char attrs → Left(string), numeric → Right(doubles). */
+  final case class Att(name: String, ncType: Int, value: Either[String, Array[Double]]) {
+    def text: String = value.left.getOrElse(sys.error(s"attr $name is numeric"))
+    def nums: Array[Double] = value.toOption.getOrElse(sys.error(s"attr $name is char"))
+  }
+
+  final case class Var(name: String, dimIds: Seq[Int], atts: Seq[Att], ncType: Int,
+      data: Array[Double]) {
+    def att(n: String): Option[Att] = atts.find(_.name == n)
+  }
+
+  final case class Nc3File(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[Var]) {
+    def gatt(n: String): Option[Att] = gatts.find(_.name == n)
+    def variable(n: String): Var =
+      vars.find(_.name == n).getOrElse(sys.error(s"no variable $n (have ${vars.map(_.name)})"))
+    def shapeOf(v: Var, numrecs: Int = -1): Seq[Int] =
+      v.dimIds.map(d => if (dims(d).isRecord) math.max(numrecs, 0) else dims(d).length)
+  }
+
+  private def typeSize(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case _ => sys.error(s"unknown nc type $t")
+  }
+
+  private def pad4(n: Long): Long = (n + 3) & ~3L
+
+  // ---------------------------------------------------------------- reader
+
+  def read(path: String): Nc3File = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes) // big-endian by default
+    require(bb.get() == 'C' && bb.get() == 'D' && bb.get() == 'F', s"$path: not a NetCDF file")
+    val version = bb.get()
+    require(version == 1 || version == 2,
+      s"$path: classic CDF-1/CDF-2 only (got version byte $version; netCDF-4/HDF5 needs `nccopy -k classic`)")
+    val wideOffsets = version == 2
+    val numrecs = bb.getInt()
+
+    def readName(): String = {
+      val n = bb.getInt()
+      val s = new Array[Byte](n)
+      bb.get(s)
+      bb.position(bb.position() + (pad4(n) - n).toInt)
+      new String(s, "UTF-8")
+    }
+
+    def readTagged(expectTag: Int): Int = {
+      val tag = bb.getInt(); val n = bb.getInt()
+      require(tag == expectTag || (tag == 0 && n == 0), s"$path: bad tag $tag (want $expectTag)")
+      n
+    }
+
+    def readValues(t: Int, n: Int): Either[String, Array[Double]] = {
+      val raw = pad4(n.toLong * typeSize(t)).toInt
+      val start = bb.position()
+      val out = t match {
+        case NcChar =>
+          val s = new Array[Byte](n); bb.get(s); Left(new String(s, "UTF-8"))
+        case NcByte => Right(Array.tabulate(n)(_ => bb.get().toDouble))
+        case NcShort => Right(Array.tabulate(n)(_ => bb.getShort().toDouble))
+        case NcInt => Right(Array.tabulate(n)(_ => bb.getInt().toDouble))
+        case NcFloat => Right(Array.tabulate(n)(_ => bb.getFloat().toDouble))
+        case NcDouble => Right(Array.tabulate(n)(_ => bb.getDouble()))
+      }
+      bb.position(start + raw)
+      out
+    }
+
+    def readAtts(): Seq[Att] = {
+      val n = readTagged(12) // NC_ATTRIBUTE
+      (0 until n).map { _ =>
+        val name = readName()
+        val t = bb.getInt()
+        val count = bb.getInt()
+        Att(name, t, readValues(t, count))
+      }
+    }
+
+    val nDims = readTagged(10) // NC_DIMENSION
+    val dims = (0 until nDims).map(_ => Dim(readName(), bb.getInt()))
+    val gatts = readAtts()
+
+    val nVars = readTagged(11) // NC_VARIABLE
+    final case class RawVar(name: String, dimIds: Seq[Int], atts: Seq[Att], ncType: Int,
+        vsize: Long, begin: Long)
+    val raws = (0 until nVars).map { _ =>
+      val name = readName()
+      val nd = bb.getInt()
+      val dimIds = (0 until nd).map(_ => bb.getInt())
+      val atts = readAtts()
+      val t = bb.getInt()
+      val vsize = java.lang.Integer.toUnsignedLong(bb.getInt())
+      val begin = if (wideOffsets) bb.getLong() else java.lang.Integer.toUnsignedLong(bb.getInt())
+      RawVar(name, dimIds, atts, t, vsize, begin)
+    }
+
+    val recVars = raws.filter(_.dimIds.headOption.exists(d => dims(d).isRecord))
+    // record slab stride: sum of record-var vsizes, except a SINGLE record
+    // var is packed contiguously without per-record padding (spec note 2)
+    val recSize =
+      if (recVars.length == 1) {
+        val v = recVars.head
+        v.dimIds.drop(1).map(d => dims(d).length.toLong).product * typeSize(v.ncType)
+      } else recVars.map(_.vsize).sum
+
+    def decode(t: Int, at: Long, count: Int): Array[Double] = {
+      val out = new Array[Double](count)
+      var p = at
+      var i = 0
+      val ts = typeSize(t)
+      while (i < count) {
+        out(i) = t match {
+          case NcByte => bytes(p.toInt).toDouble
+          case NcChar => java.lang.Byte.toUnsignedInt(bytes(p.toInt)).toDouble
+          case NcShort => bb.getShort(p.toInt).toDouble
+          case NcInt => bb.getInt(p.toInt).toDouble
+          case NcFloat => bb.getFloat(p.toInt).toDouble
+          case NcDouble => bb.getDouble(p.toInt)
+        }
+        p += ts
+        i += 1
+      }
+      out
+    }
+
+    val vars = raws.map { rv =>
+      val isRec = rv.dimIds.headOption.exists(d => dims(d).isRecord)
+      if (!isRec) {
+        val count = rv.dimIds.map(d => dims(d).length.toLong).product.toInt
+        Var(rv.name, rv.dimIds, rv.atts, rv.ncType, decode(rv.ncType, rv.begin, count))
+      } else {
+        val perRec = rv.dimIds.drop(1).map(d => dims(d).length.toLong).product.toInt
+        val out = new Array[Double](perRec * numrecs)
+        var r = 0
+        while (r < numrecs) {
+          val slab = decode(rv.ncType, rv.begin + r * recSize, perRec)
+          System.arraycopy(slab, 0, out, r * perRec, perRec)
+          r += 1
+        }
+        Var(rv.name, rv.dimIds, rv.atts, rv.ncType, out)
+      }
+    }
+    Nc3File(dims, gatts, vars)
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  /** Write a CDF-1 classic file with fixed-size variables only (fixture /
+    * export sink; record dims not needed for LUTs or materialized scenes).
+    * Numeric data is written as the variable's declared `ncType`.
+    */
+  def write(path: String, dims: Seq[Dim], gatts: Seq[Att], vars: Seq[Var]): Unit = {
+    require(dims.forall(!_.isRecord), "Nc3.write: record dimension unsupported")
+
+    def nameBytes(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      val out = new Array[Byte](4 + pad4(b.length).toInt)
+      ByteBuffer.wrap(out).putInt(b.length).put(b)
+      out
+    }
+
+    def attBytes(a: Att): Array[Byte] = {
+      val vals: Array[Byte] = a.value match {
+        case Left(s) =>
+          val b = s.getBytes("UTF-8")
+          java.util.Arrays.copyOf(b, pad4(b.length).toInt)
+        case Right(ds) =>
+          val ts = typeSize(a.ncType)
+          val out = new Array[Byte](pad4(ds.length.toLong * ts).toInt)
+          val vb = ByteBuffer.wrap(out)
+          ds.foreach { d =>
+            a.ncType match {
+              case NcByte => vb.put(d.toByte)
+              case NcShort => vb.putShort(d.toShort)
+              case NcInt => vb.putInt(d.toInt)
+              case NcFloat => vb.putFloat(d.toFloat)
+              case NcDouble => vb.putDouble(d)
+              case t => sys.error(s"attr type $t")
+            }
+          }
+          out
+      }
+      val count = a.value match {
+        case Left(s) => s.getBytes("UTF-8").length
+        case Right(ds) => ds.length
+      }
+      val head = ByteBuffer.allocate(8).putInt(a.ncType).putInt(count).array()
+      nameBytes(a.name) ++ head ++ vals
+    }
+
+    def attList(atts: Seq[Att]): Array[Byte] =
+      if (atts.isEmpty) Array.fill[Byte](8)(0)
+      else ByteBuffer.allocate(8).putInt(12).putInt(atts.length).array() ++
+        atts.flatMap(attBytes)
+
+    def varHeader(v: Var, begin: Long): Array[Byte] = {
+      val nelems = v.dimIds.map(d => dims(d).length.toLong).product
+      val vsize = pad4(nelems * typeSize(v.ncType))
+      val dimsB = ByteBuffer.allocate(4 + 4 * v.dimIds.length)
+      dimsB.putInt(v.dimIds.length)
+      v.dimIds.foreach(dimsB.putInt)
+      val tail = ByteBuffer.allocate(12).putInt(v.ncType).putInt(vsize.toInt)
+        .putInt(begin.toInt).array()
+      nameBytes(v.name) ++ dimsB.array() ++ attList(v.atts) ++ tail
+    }
+
+    // header with zeroed begins to learn its size, then real offsets
+    def header(begins: Seq[Long]): Array[Byte] = {
+      val out = new ArrayBuffer[Byte]()
+      out ++= Array[Byte]('C', 'D', 'F', 1)
+      out ++= ByteBuffer.allocate(4).putInt(0).array() // numrecs
+      if (dims.isEmpty) out ++= Array.fill[Byte](8)(0)
+      else {
+        out ++= ByteBuffer.allocate(8).putInt(10).putInt(dims.length).array()
+        dims.foreach { d =>
+          out ++= nameBytes(d.name)
+          out ++= ByteBuffer.allocate(4).putInt(d.length).array()
+        }
+      }
+      out ++= attList(gatts)
+      if (vars.isEmpty) out ++= Array.fill[Byte](8)(0)
+      else {
+        out ++= ByteBuffer.allocate(8).putInt(11).putInt(vars.length).array()
+        vars.zip(begins).foreach { case (v, b) => out ++= varHeader(v, b) }
+      }
+      out.toArray
+    }
+
+    val headerSize = header(vars.map(_ => 0L)).length.toLong
+    val sizes = vars.map { v =>
+      pad4(v.dimIds.map(d => dims(d).length.toLong).product * typeSize(v.ncType))
+    }
+    val begins = sizes.scanLeft(headerSize)(_ + _).init
+    val total = headerSize + sizes.sum
+    val bb = ByteBuffer.allocate(total.toInt)
+    bb.put(header(begins))
+    vars.foreach { v =>
+      val start = bb.position()
+      v.data.foreach { d =>
+        v.ncType match {
+          case NcByte | NcChar => bb.put(d.toByte)
+          case NcShort => bb.putShort(d.toShort)
+          case NcInt => bb.putInt(d.toInt)
+          case NcFloat => bb.putFloat(d.toFloat)
+          case NcDouble => bb.putDouble(d)
+          case t => sys.error(s"var type $t")
+        }
+      }
+      bb.position(start + pad4(v.data.length.toLong * typeSize(v.ncType)).toInt)
+    }
+    Files.write(Paths.get(path), bb.array())
+  }
+}
