@@ -197,13 +197,26 @@ object Wind {
   }
 
   /** q17: model catalog browsing surface (M9, models.py:453-507) — driver-
-    * side registry exposed as a DataFrame; no external table → rows-only. */
+    * side registry exposed as a DataFrame. The oracle is a VALUES literal
+    * generated from the SAME registry (no query mutates it, so query-time
+    * and dump-time state agree) — upgrading q17 from the driver's weaker
+    * rows-only check to a full schema+hash gate. */
   def q17ModelCatalog(spark: SparkSession, sfDir: String): DataFrame =
     graft.models.ModelRegistry.availableModels(spark)
+
+  lazy val q17Sql: String = {
+    val vals = graft.models.ModelRegistry.all.map { m =>
+      s"('${m.shortName}', '${m.name}', '${m.pol}', '${m.units}', " +
+        s"${if (m.hasPhi) "TRUE" else "FALSE"}, " +
+        s"${m.incRange._1}e0, ${m.incRange._2}e0, ${m.wspdRange._1}e0, ${m.wspdRange._2}e0)"
+    }.mkString(", ")
+    "SELECT * FROM (VALUES " + vals +
+      ") AS t(alias, name, pol, units, has_phi, inc_min, inc_max, wspd_min, wspd_max)"
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_nesz_flat", q14NeszFlat, Some(q14Sql)),
     QueryDef("q15_invert_crosspol", q15InvertCrosspol, Some(q15Sql)),
     QueryDef("q16_invert_dualpol", q16InvertDualpol, Some(q16Sql)),
-    QueryDef("q17_model_catalog", q17ModelCatalog, None))
+    QueryDef("q17_model_catalog", q17ModelCatalog, Some(q17Sql)))
 }
