@@ -505,15 +505,28 @@ object Gradients {
 
   /** R13: multiscale fan-out — union of per-config pipelines with literal
     * config columns (pol/window/downscale become ordinary columns).
+    *
+    * The Scharr+g² prefix is shared by every window size at the same
+    * downscale, but Spark's ReuseExchange cannot canonicalize it across
+    * union branches (the tile kernels are mapPartitions closures, and
+    * closure identity differs per branch) — so with >1 window size the
+    * per-downscale gradient grid is persisted explicitly and computed once
+    * instead of |windowSizes| times. MEMORY_AND_DISK: the grid is
+    * pixel-sized, spills harmlessly if executors are tight.
     */
   def multiscale(grid: DataFrame, downscales: Seq[Int], windowSizes: Seq[Int],
-      tileSize: Int = 64): DataFrame = {
-    val configs = for (f <- downscales; ws <- windowSizes) yield (f, ws)
-    configs.map { case (f, ws) =>
+      tileSize: Int = 64): DataFrame =
+    downscales.map { f =>
       val g = if (f == 1) grid else coarsen(grid, f).drop("n_px")
-      gradientHistogram(scharrG2(g, tileSize), ws / f)
-        .withColumn("downscale_factor", lit(f))
-        .withColumn("window_size", lit(ws))
+      val g2 = scharrG2(g, tileSize)
+      val shared =
+        if (windowSizes.length > 1)
+          g2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else g2
+      windowSizes.map { ws =>
+        gradientHistogram(shared, ws / f)
+          .withColumn("downscale_factor", lit(f))
+          .withColumn("window_size", lit(ws))
+      }.reduce(_ unionAll _)
     }.reduce(_ unionAll _)
-  }
 }

@@ -73,8 +73,19 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, p))
   }
 
-  /** Sign-bit LSH bucket id from `planes` hyperplanes. */
-  def rpBucket(vec: Column, planes: Int = 8): Column = {
+  /** Sign-bit LSH bucket id from `planes` hyperplanes — the codegen'd
+    * [[graft.sql.RpBucketExpression]] (one compiled pass over the vector for
+    * ALL planes; the interpreted higher-order spelling costs 4 lambda
+    * evaluations per element per plane and grows with the auto-scaled plane
+    * count). [[rpBucketFold]] keeps the Catalyst spelling as the
+    * bit-identity witness.
+    */
+  def rpBucket(vec: Column, planes: Int = 8): Column =
+    call_function("rp_bucket", vec, lit(planes)).as("bucket")
+
+  /** Reference spelling of [[rpBucket]] via Catalyst higher-order folds —
+    * slow, used by specs to prove the native expression bit-identical. */
+  private[graft] def rpBucketFold(vec: Column, planes: Int): Column = {
     val v = transform(vec, x => x.cast("double"))
     (0 until planes).map { j =>
       val proj = aggregate(

@@ -118,6 +118,72 @@ case class DotProductExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** JIT-friendly kernel for [[RpBucketExpression]]: one virtual call per row,
+  * tight primitive loops inside. Plane components and summation order are
+  * bit-identical to the Catalyst fold it replaces
+  * (Similarity.planeComponent / rpBucket) and to the DuckDB oracle.
+  */
+object RpBucket extends Serializable {
+  def bucket(v: ArrayData, isFloat: Boolean, planes: Int): Long = {
+    val n = v.numElements()
+    var b = 0L
+    var j = 0
+    while (j < planes) {
+      val cj = 40503L * (j + 1)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val r = ((i + 1) * 2654435761L + cj) % 1000L - 500L
+        acc += x * (r.toDouble / 1000.0)
+        i += 1
+      }
+      if (acc > 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
+}
+
+/** Codegen'd sign-bit LSH bucket id over `planes` deterministic
+  * pseudo-random hyperplanes — the bucket-assignment hot path. The
+  * higher-order spelling (`aggregate(zip_with(transform(sequence...)))` per
+  * plane) interprets 4 lambdas per element PER PLANE; with auto-scaled
+  * plane counts (log2 n) that cost grows with the corpus, so the whole
+  * bucket computes here in one compiled pass.
+  */
+case class RpBucketExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rp_bucket"
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
+      if (right.foldable) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("rp_bucket planes must be a literal")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"rp_bucket expects (array<float|double>, int), got $other")
+  }
+
+  override protected def nullSafeEval(v: Any, p: Any): Any =
+    RpBucket.bucket(v.asInstanceOf[ArrayData], isFloat, p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rpBucket", RpBucket, RpBucket.getClass.getName)
+    defineCodeGen(ctx, ev, (v, p) => s"$ref.bucket($v, $isFloat, $p)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Session extensions: every registered model becomes a SQL-callable scalar
   * (`SELECT gmf_cmod5n(inc, wspd, phi) FROM scene`) backed by the codegen
   * expression — the sql/ surface of SURVEY.md §7.1. Two-argument crosspol
@@ -152,6 +218,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rp_bucket"),
+      new ExpressionInfo("graft.sql.RpBucketExpression", "rp_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, p) => RpBucketExpression(v, p)
+        case other => throw new IllegalArgumentException(
+          s"rp_bucket expects (array, planes), got ${other.length} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo("graft.sql.DotProductExpression", "dot_f32"),

@@ -75,6 +75,16 @@ class TextSpec extends SparkSpec {
     assert(hits > 0, "IVF recall collapsed to zero")
   }
 
+  test("native rp_bucket is bit-identical to the Catalyst fold spelling") {
+    for (planes <- Seq(4, 10, 17)) {
+      val mismatch = emb.select(
+        Similarity.rpBucket(col("embedding"), planes).as("native"),
+        Similarity.rpBucketFold(col("embedding"), planes).as("fold"))
+        .filter(col("native") =!= col("fold")).count()
+      assert(mismatch == 0, s"rp_bucket diverges from the fold at planes=$planes")
+    }
+  }
+
   test("autoPlanes targets bounded bucket occupancy with exact power-of-two edges") {
     // smallest p with 2^p * 16 >= n, clamped to [4, 32]
     assert(Similarity.autoPlanes(0) == 4)
