@@ -81,6 +81,43 @@ object ScaleBench {
       Gradients.localGradientsFused(grid).write.format("noop").mode("overwrite").save()
     }
 
+    // 6. rain/artifact filtering parameters — exercises the distributed
+    // zoomBilinear (spark.range targets + corner equi-join; no driver grid,
+    // no raster broadcast) on the full scene
+    timed(s"filtering_params_${nL}x$nS") {
+      Gradients.filteringParameters(grid, knownDims = Some(((nL + 1) / 2, (nS + 1) / 2)))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // synthetic 1M-vector embedding corpus, dim 16, deterministic — murmur3
+    // mixed per (id, dim) so vectors are genuinely distinct (a plain linear
+    // congruence mod 2000 has period 2000 in id: only 2000 distinct vectors
+    // in the corpus, which collapses LSH buckets into duplicate mega-groups
+    // and explodes the pair count)
+    val nVec = 1000000
+    val emb = spark.range(nVec)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          i => (pmod(hash(col("id"), i), lit(2000)) - 1000).cast("double") / 1000.0)
+          .cast("array<float>").as("embedding"))
+
+    // 7. LSH all-pairs top-1 at 1M vectors: autoPlanes gives 16 planes →
+    // 65536 buckets → ~15 vectors/bucket (bounded pair work; a fixed
+    // planes=4 would put 62.5k vectors in each of 16 buckets — 4G pairs
+    // per bucket)
+    timed(s"ann_lsh_top1_${nVec / 1000}k_auto_planes") {
+      operators.Similarity.rpTopK(emb, k = 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 8. IVF-flat: fixed 64-centroid quantizer (bounded broadcast), 10
+    // queries probing 2 lists of ~15.6k vectors each
+    timed(s"ann_ivf_top5_${nVec / 1000}k_64cents") {
+      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, numCents = 64, nprobe = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }

@@ -25,7 +25,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as ns-longs (exact)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // deliberately NOT forcing Kryo: instantiating Kryo on Java 17 needs
+      // the --add-opens flags only spark-submit's launcher injects (bare
+      // `java -cp` mains die registering java.nio.HeapByteBuffer), and the
+      // only off-Tungsten payloads here are once-per-job MB-scale LUT
+      // broadcasts where the serializer choice is immaterial
       // SQL-callable GMFs as native codegen expressions (graft.sql)
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")

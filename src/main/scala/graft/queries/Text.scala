@@ -219,7 +219,10 @@ object Text {
       |)""".stripMargin
 
   private val autoBucketExpr: String = (0 until 32).map { j =>
-    val r = s"((i * 2654435761 + ${40503L * (j + 1)}) % 1000 - 500)::DOUBLE / 1000e0"
+    // Similarity.planeComponent mirror: SQL's i (1-based) is Scala's i+1
+    val cj = (40503L * (j + 1)) % 1000003L
+    val m = s"((i * 2654435761) % 1000003) * $cj % 1000003"
+    val r = s"((($m) * ($m)) % 1000003 % 1000 - 500)::DOUBLE / 1000e0"
     val p =
       s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
          |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),

@@ -129,12 +129,13 @@ object RpBucket extends Serializable {
     var b = 0L
     var j = 0
     while (j < planes) {
-      val cj = 40503L * (j + 1)
+      val cj = (40503L * (j + 1)) % 1000003L
       var acc = 0.0
       var i = 0
       while (i < n) {
         val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        val r = ((i + 1) * 2654435761L + cj) % 1000L - 500L
+        val m = ((i + 1) * 2654435761L % 1000003L) * cj % 1000003L
+        val r = (m * m) % 1000003L % 1000L - 500L
         acc += x * (r.toDouble / 1000.0)
         i += 1
       }
