@@ -118,6 +118,25 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // 9. MinHash+LSH near-dup dedup at 1M docs (~30 words each, Zipf-ish
+    // vocab): 10% are near-copies of a base doc (2 words perturbed) so the
+    // banded LSH has real work. shingle explode → 16 minhashes → 4×4 bands
+    // → band equi-join → exact Jaccard on candidates; never all-pairs.
+    val nDocs = 1000000
+    val base = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+        concat(lit("w"), pmod(hash((col("id") % (nDocs / 10) * 10), i), lit(5000))))).as("text"))
+    val docs = base.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" x"), (col("doc_id") % 97).cast("string")))
+        .as("text"))
+    timed(s"minhash_lsh_jaccard_${nDocs / 1000}k_docs") {
+      val pairs = operators.TextOps.lshCandidatePairs(
+        operators.TextOps.minhashSignatures(docs))
+      operators.TextOps.jaccardPairs(docs, pairs)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }
