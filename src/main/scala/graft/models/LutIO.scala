@@ -82,6 +82,43 @@ object LutIO {
         "units" -> m.getString(2), "resolution" -> m.getString(3)))
   }
 
+  /** S6 — `Model.to_netcdf` analogue (models.py:232-262): materialize a
+    * registered model's LUT and write it as a NetCDF-3 classic file in the
+    * reference's nc-LUT layout — var `sigma0_model` over dims
+    * (incidence, wspd[, phi]) with coordinate vars, global attrs units/
+    * pol/model/resolution + ranges/steps. [[graft.sources.LutIngest]]'s
+    * `nc` mode reads these back (roundtrip spec-verified), so LUTs trained
+    * here are consumable by the reference's own `register_nc_luts`.
+    */
+  def writeLutNc(spark: SparkSession, modelName: String, path: String,
+      highRes: Boolean = false): Unit = {
+    import graft.sources.Nc3
+    import graft.sources.Nc3.{Att, Dim, NcChar, NcDouble, Var}
+    val m = ModelRegistry.get(modelName)
+    val lut = m.toLut(highRes)
+    val dims = Seq(Dim("incidence", lut.inc.length), Dim("wspd", lut.wspd.length)) ++
+      (if (lut.hasPhi) Seq(Dim("phi", lut.phi.length)) else Nil)
+    def dstep(a: Array[Double]): Double = if (a.length > 1) a(1) - a(0) else 0.0
+    val gatts = Seq(
+      Att("units", NcChar, Left(lut.units)),
+      Att("pol", NcChar, Left(m.pol)),
+      Att("model", NcChar, Left(m.name)),
+      Att("resolution", NcChar, Left(if (highRes) "high" else "low")),
+      Att("inc_range", NcDouble, Right(Array(lut.inc.head, lut.inc.last))),
+      Att("wspd_range", NcDouble, Right(Array(lut.wspd.head, lut.wspd.last))),
+      Att("inc_step", NcDouble, Right(Array(dstep(lut.inc)))),
+      Att("wspd_step", NcDouble, Right(Array(dstep(lut.wspd))))) ++
+      (if (lut.hasPhi) Seq(
+        Att("phi_range", NcDouble, Right(Array(lut.phi.head, lut.phi.last))),
+        Att("phi_step", NcDouble, Right(Array(dstep(lut.phi))))) else Nil)
+    val coordVars = Seq(
+      Var("incidence", Seq(0), Nil, NcDouble, lut.inc),
+      Var("wspd", Seq(1), Nil, NcDouble, lut.wspd)) ++
+      (if (lut.hasPhi) Seq(Var("phi", Seq(2), Nil, NcDouble, lut.phi)) else Nil)
+    val s0 = Var("sigma0_model", dims.indices, Nil, NcDouble, lut.values)
+    Nc3.write(path, dims, gatts, coordVars :+ s0)
+  }
+
   /** S2/S3 — register a Parquet LUT directory as a lookup-backed model
     * (nearest-incidence + exact-grid evaluation like LutModel.__call__,
     * models.py:318-347).

@@ -182,6 +182,7 @@ object Nc3 {
     */
   def write(path: String, dims: Seq[Dim], gatts: Seq[Att], vars: Seq[Var]): Unit = {
     require(dims.forall(!_.isRecord), "Nc3.write: record dimension unsupported")
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
 
     def nameBytes(s: String): Array[Byte] = {
       val b = s.getBytes("UTF-8")
