@@ -14,8 +14,9 @@ import graft.models.{Lut, LutIO}
   *
   * Usage (runMain graft.sources.LutIngest ...):
   *   cmod7 <datFile|dir> <outPath>   — KNMI Fortran binary (cmod7.py:19-75)
-  *   npy <lutDir> <outPath>          — sarwing npy directory (pickle_luts.py:20-95;
-  *                                     axes as .npy, see [[Npy]] scaladoc)
+  *   npy <lutDir> <outPath>          — sarwing npy+pkl directory
+  *                                     (pickle_luts.py:20-95; original .pkl
+  *                                     axes or pre-converted .npy axes)
   *   nc <file|dir> <outDir>          — xsarsea nc_lut_*.nc classic files
   *                                     (models.py:350-411, 436-451)
   *
@@ -38,18 +39,32 @@ object LutIngest {
   /** sarwing npy directory: `sigma.npy` stored (inc, [phi,] wspd) — the
     * reference transposes to (wspd[, phi], inc) then re-transposes to
     * (inc, wspd[, phi]) (pickle_luts.py:27,85) — so the disk layout maps to
-    * the canonical layout by swapping the phi/wspd axes. Axis files:
-    * `incidence_angle.npy`, `wind_speed.npy`, optional `wind_direction.npy`
-    * (dual-pol); pol is inferred from the presence of wind_direction, like
-    * the reference infers it from the pkl filenames (pickle_luts.py:115-121).
-    * Values are dB, resolution high.
+    * the canonical layout by swapping the phi/wspd axes.
+    *
+    * Axes load exactly like the reference (pickle_luts.py:29-40) when the
+    * original pickles are present: `incidence_angle.pkl` +
+    * `wind_speed_and_direction.pkl` (dual-pol) or `wind_speed.pkl`
+    * (crosspol) via the narrow [[Pickle]] reader; pol is inferred from
+    * which axis file exists (pickle_luts.py:115-121). Directories
+    * pre-converted to `.npy` axes (`incidence_angle.npy`,
+    * `wind_speed.npy`, optional `wind_direction.npy`) work too. Values are
+    * dB, resolution high.
     */
   def ingestNpy(spark: SparkSession, dir: String, outPath: String): Unit = {
     val sigma = Npy.read(s"$dir/sigma.npy")
-    val inc = Npy.read(s"$dir/incidence_angle.npy").data
-    val wspd = Npy.read(s"$dir/wind_speed.npy").data
-    val phiFile = new File(dir, "wind_direction.npy")
-    val phi = if (phiFile.exists) Npy.read(phiFile.getPath).data else Array.empty[Double]
+    def axis(stem: String): Option[Array[Double]] = {
+      val pkl = new File(dir, s"$stem.pkl")
+      val npy = new File(dir, s"$stem.npy")
+      if (pkl.exists) Some(Pickle.toDoubles(Pickle.load(pkl.getPath)))
+      else if (npy.exists) Some(Npy.read(npy.getPath).data)
+      else None
+    }
+    val inc = axis("incidence_angle").getOrElse(sys.error(s"$dir: no incidence_angle axis"))
+    val pairPkl = new File(dir, "wind_speed_and_direction.pkl")
+    val (phi, wspd) =
+      if (pairPkl.exists) Pickle.toDoublePair(Pickle.load(pairPkl.getPath))
+      else (axis("wind_direction").getOrElse(Array.empty[Double]),
+        axis("wind_speed").getOrElse(sys.error(s"$dir: no wind_speed axis")))
     val (nI, nW, nP) = (inc.length, wspd.length, math.max(phi.length, 1))
     val wantShape = if (phi.isEmpty) Seq(nI, nW) else Seq(nI, nP, nW)
     require(sigma.shape.toSeq == wantShape,

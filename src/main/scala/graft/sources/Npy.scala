@@ -10,10 +10,8 @@ import java.nio.file.{Files, Paths}
   *
   * Supported dtypes: little-endian float32/float64 (`<f4`/`<f8`) and
   * int32/int64 (`<i4`/`<i8`), C or Fortran order, format versions 1.x/2.x.
-  * All values are widened to Double. The reference's axis `.pkl` files are
-  * Python pickles (arbitrary object graphs — deliberately NOT parsed here);
-  * axes are ingested from `.npy` files instead, a one-line out-of-band
-  * `np.save(p, np.load(pkl, allow_pickle=True))` conversion.
+  * All values are widened to Double. The reference's axis `.pkl` files load
+  * via the narrow [[Pickle]] reader (numpy-array pickles only).
   */
 object Npy {
 
