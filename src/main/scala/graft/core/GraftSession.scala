@@ -67,6 +67,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Memoized table row count — operators that size themselves from the
+    * corpus cardinality (e.g. Similarity.autoPlanes) share one count job
+    * per (sfDir, table) per JVM instead of re-scanning per call.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    counts.getOrElseUpdate(path(sfDir, name), load(spark, sfDir, name).count())
+
   /** Register every table as a temp view named after itself; idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

@@ -10,10 +10,12 @@ import org.apache.spark.sql.expressions.Window
   *  - [[cosineTopK]]: brute-force exact top-k — broadcast the (small) query
   *    set against the full corpus; the corpus never shuffles. Right answer
   *    for "few queries × huge corpus".
-  *  - [[rpBuckets]] / [[rpTopK]]: random-hyperplane LSH — each vector gets a
-  *    sign-bit bucket from deterministic pseudo-random hyperplanes; top-k
-  *    runs only within buckets. Right shape for "all-pairs at 100 TB":
-  *    bucket join replaces the quadratic cross join.
+  *  - [[nearDupPairs]] / [[rpTopK]]: banded random-hyperplane LSH — each
+  *    vector gets one sign-bit bucket per band from deterministic
+  *    pseudo-random hyperplanes ([[autoPlanes]] bits per band for bounded
+  *    occupancy, [[autoBands]] bands for flat recall); pairs only meet
+  *    inside a shared band bucket. Right shape for "all-pairs at 100 TB":
+  *    the band equi-join replaces the quadratic cross join.
   *
   * All arithmetic is double (floats cast first), folds run left-to-right —
   * bit-reproducible against the DuckDB oracle.
@@ -86,85 +88,154 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, p))
   }
 
-  /** Sign-bit LSH bucket id from `planes` hyperplanes — the codegen'd
-    * [[graft.sql.RpBucketExpression]] (one compiled pass over the vector for
-    * ALL planes; the interpreted higher-order spelling costs 4 lambda
-    * evaluations per element per plane and grows with the auto-scaled plane
-    * count). [[rpBucketFold]] keeps the Catalyst spelling as the
-    * bit-identity witness.
+  /** Plane-index stride between bands: band B draws its hyperplanes from
+    * global indices `B*BandStride + (0 until planes)`. The stride equals
+    * maxPlanes so bands never share a plane regardless of the auto-scaled
+    * per-band plane count — and stays STATIC, so the DuckDB oracle can
+    * derive each plane's coefficients from (band, slot) without knowing the
+    * runtime plane count.
     */
-  def rpBucket(vec: Column, planes: Int = 8): Column =
-    call_function("rp_bucket", vec, lit(planes)).as("bucket")
+  val BandStride = 32
+
+  /** Band count holding recall at `targetRecall` for pairs at the
+    * `designCos` design point, given `planes` sign bits per band: a true
+    * pair agrees on one plane with probability s = 1 − θ/π, on a whole band
+    * with s^planes, and is recovered iff SOME band fully agrees —
+    * b = ⌈ln(1−R) / ln(1−s^planes)⌉. As [[autoPlanes]] grows with the
+    * corpus, per-band recall shrinks geometrically; scaling bands like this
+    * keeps end-to-end recall flat at linear (b×) cost. Capped at `maxBands`
+    * (= 16: covers corpora to ~16·2^18 ≈ 4M vectors at full recall; beyond
+    * that raise the cap — cost is linear in it).
+    *
+    * Cross-engine note: evaluated on the DRIVER and mirrored into the
+    * DuckDB oracle as a static CASE table over planes∈[4,32], so no
+    * transcendental math ever runs inside either engine's query.
+    */
+  def autoBands(planes: Int, designCos: Double = 0.95, targetRecall: Double = 0.9,
+      maxBands: Int = 16): Int = {
+    val s = 1.0 - math.acos(designCos) / math.Pi
+    val pBand = math.pow(s, planes)
+    if (pBand >= targetRecall) 1
+    else math.min(maxBands,
+      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+  }
+
+  /** Sign-bit LSH bucket id from `planes` hyperplanes starting at global
+    * plane index `offset` — the codegen'd [[graft.sql.RpBucketExpression]]
+    * (one compiled pass over the vector for ALL planes; the interpreted
+    * higher-order spelling costs 4 lambda evaluations per element per plane
+    * and grows with the auto-scaled plane count). [[rpBucketFold]] keeps
+    * the Catalyst spelling as the bit-identity witness.
+    */
+  def rpBucket(vec: Column, planes: Int = 8, offset: Int = 0): Column =
+    call_function("rp_bucket", vec, lit(planes), lit(offset)).as("bucket")
 
   /** Reference spelling of [[rpBucket]] via Catalyst higher-order folds —
     * slow, used by specs to prove the native expression bit-identical. */
-  private[graft] def rpBucketFold(vec: Column, planes: Int): Column = {
+  private[graft] def rpBucketFold(vec: Column, planes: Int, offset: Int = 0): Column = {
     val v = transform(vec, x => x.cast("double"))
     (0 until planes).map { j =>
       val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(i, j)),
+        zip_with(v, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(i, offset + j)),
           (x, r) => x * r),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _).as("bucket")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs inside an LSH
-    * bucket with cosine ≥ threshold — the O(n²)-free dedup path for
-    * embedding spaces (candidates only ever meet inside buckets).
-    * `planes = None` (the default) sizes the bucket space from the corpus
-    * count via [[autoPlanes]] — one cheap count job — so occupancy stays
-    * bounded as the corpus grows.
+  /** (id, band, bucket) rows: each vector lands in `bands` buckets, one per
+    * independent hyperplane family. The explode multiplies only (id, band,
+    * bucket) triples — vectors do NOT ride through the band shuffle.
+    */
+  private def bandBuckets(corpus: DataFrame, planes: Int, bands: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val entries = (0 until bands).map { b =>
+      struct(lit(b).as("band"), rpBucket(col(vecCol), planes, b * BandStride).as("bucket"))
+    }
+    corpus.select(col(idCol), explode(array(entries: _*)).as("e"))
+      .select(col(idCol), col("e.band"), col("e.bucket"))
+  }
+
+  /** Distinct undirected candidate pairs (a < b) colliding in ANY band —
+    * the banded-LSH recall fix: a true near-pair only needs ONE band's
+    * planes to all agree, so recall stays flat as [[autoPlanes]] grows with
+    * the corpus, where the old single-band scheme lost recall geometrically
+    * (at 1M vectors / 16 planes a cosine≈0.95 pair survived with p≈0.2).
+    * Work stays linear: per-band occupancy is bounded by [[autoPlanes]],
+    * and the id-only band join keeps shuffle volume at bands×(id,band,
+    * bucket) triples, never bands× vectors.
+    */
+  private def bandedCandidates(corpus: DataFrame, planes: Int, bands: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val bb = bandBuckets(corpus, planes, bands, idCol, vecCol)
+    val l = bb.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val r = bb.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs colliding in
+    * any LSH band with cosine ≥ threshold — the O(n²)-free dedup path for
+    * embedding spaces (candidates only ever meet inside band buckets).
+    * `planes = None` (the default) sizes each band's bucket space from the
+    * corpus count via [[autoPlanes]] (pass `n` to skip the count job when
+    * the row count is already known); `bands = None` sizes the band count
+    * via [[autoBands]] so recall holds at the 0.95-cosine design point.
+    * Candidates are deduped BEFORE vectors are re-joined, so each surviving
+    * pair is scored exactly once however many bands it collided in.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Option[Int] = None,
+      bands: Option[Int] = None, n: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val np = planes.getOrElse(autoPlanes(corpus.count()))
+    val np = planes.getOrElse(autoPlanes(n.getOrElse(corpus.count())))
+    val nb = bands.getOrElse(autoBands(np))
     val par = spark.sparkContext.defaultParallelism
     val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
-    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), np),
-      sqrt(norm2(col(vecCol))).as("nrm"))
-    val l = b.select(col(idCol).as("doc_a"), col(vecCol).as("q_vec"),
-      col("bucket"), col("nrm").as("q_nrm"))
-    val r = b.select(col(idCol).as("doc_b"), col(vecCol).as("c_vec"),
-      col("bucket"), col("nrm").as("c_nrm"))
     // codegen'd dot_f32 keeps the pair scoring on Tungsten rows (see rpTopK)
-    l.join(r, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    scorePairs(cp, bandedCandidates(cp, np, nb, idCol, vecCol), idCol, vecCol)
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Approximate all-pairs top-1 neighbor within LSH buckets. Buckets and
-    * norms are computed once per vector; the bucket equi-join partitions the
-    * pairwise work, so parallelism follows bucket count (repartitioned off
-    * the single input split first — CPU-bound work must not inherit file
-    * granularity).
+  /** Exact cosine for each candidate (doc_a, doc_b) pair: vectors and norms
+    * re-join the (deduped) candidate set by id — two hash joins whose build
+    * side is the bounded candidate list, never a vectors×bands blow-up.
+    * Accumulation is left-to-right double via the codegen'd dot_f32 —
+    * bit-identical to the DuckDB oracle's list_reduce.
+    */
+  private def scorePairs(corpus: DataFrame, cand: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val vecs = corpus.select(col(idCol), col(vecCol), sqrt(norm2(col(vecCol))).as("nrm"))
+    cand
+      .join(vecs.select(col(idCol).as("doc_a"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm")), "doc_a")
+      .join(vecs.select(col(idCol).as("doc_b"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+  }
+
+  /** Approximate all-pairs top-k neighbor via banded LSH. Candidates come
+    * from [[bandedCandidates]] (union over bands, deduped, so recall holds
+    * as planes scale — see autoBands); each undirected pair is scored ONCE
+    * (cosine is symmetric) and then mirrored into both directions before
+    * the per-query ranking.
     */
   def rpTopK(corpus: DataFrame, k: Int, planes: Option[Int] = None,
+      bands: Option[Int] = None, n: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val np = planes.getOrElse(autoPlanes(corpus.count()))
+    val np = planes.getOrElse(autoPlanes(n.getOrElse(corpus.count())))
+    val nb = bands.getOrElse(autoBands(np))
     val par = spark.sparkContext.defaultParallelism
     val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
-    val b = cp.select(col(idCol), col(vecCol), rpBucket(col(vecCol), np),
-      sqrt(norm2(col(vecCol))).as("nrm"))
-    val l = b.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      col("bucket"), col("nrm").as("q_nrm"))
-    val r = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      col("bucket"), col("nrm").as("c_nrm"))
-    // pairwise dot via the codegen'd dot_f32 expression: stays inside
-    // whole-stage codegen on Tungsten rows (a typed mapPartitions here paid
-    // an encoder round-trip — two array deserializations PER PAIR — that
-    // dominated the 1M-vector ScaleBench target). Accumulation is
-    // left-to-right double, bit-identical to the DuckDB oracle's
-    // list_reduce.
-    val scored = l.join(r, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val scored = scorePairs(cp, bandedCandidates(cp, np, nb, idCol, vecCol), idCol, vecCol)
+    val directed = scored.select(col("doc_a").as("query_id"),
+        col("doc_b").as("neighbor_id"), col("cos_sim"))
+      .unionAll(scored.select(col("doc_b").as("query_id"),
+        col("doc_a").as("neighbor_id"), col("cos_sim")))
     // rank via row_number, NOT a max-struct groupBy: Spark 4 plans the
     // rank<=k filter as WindowGroupLimit with a map-side partial pass (each
     // partition keeps only k rows per group before the exchange), which
@@ -173,7 +244,7 @@ object Similarity {
     // sort-based group limit streams.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** One-or-more Lloyd (k-means) refinement passes over the IVF coarse

@@ -207,67 +207,95 @@ object Text {
        |  FROM scored
        |) WHERE rn <= 5""".stripMargin
 
-  // auto-scaled LSH bucket CTEs: `np` mirrors Similarity.autoPlanes (pure
-  // integer math — LENGTH(bin(m-1)) is ceil(log2(m)) for m >= 2), and the
-  // bucket sum statically enumerates all 32 possible plane terms, each gated
-  // on j < np (DuckDB evaluates CASE branches lazily, so unused projections
-  // cost nothing). The Spark side builds only the np live terms — same sum.
-  private val npCte: String =
-    """np AS (
-      |  SELECT LEAST(32, GREATEST(4, CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS p
-      |  FROM (SELECT (COUNT(1) + 15) // 16 AS m FROM embeddings)
-      |)""".stripMargin
+  // Banded-LSH candidate CTEs shared by q37/q39 — mirror of
+  // Similarity.bandedCandidates. `np` mirrors autoPlanes (pure integer math
+  // — LENGTH(bin(m-1)) is ceil(log2(m)) for m >= 2); `nb` mirrors autoBands
+  // as a STATIC CASE table computed in Scala at SQL-build time (no
+  // transcendental math in-engine, so no cross-engine libm drift can flip a
+  // ceil). Projections are computed dynamically per (band, slot) from the
+  // same integer hyperplane family as Similarity.planeComponent, at global
+  // plane index band*32 + k (SQL's i is 1-based = Scala's i+1); the
+  // division by 1000 happens INSIDE the per-element product's parentheses,
+  // matching the Scala x * (r/1000) rounding order.
+  private val bandCtes: String = {
+    val nbCase = (4 to 32).map(p => s"WHEN $p THEN ${Similarity.autoBands(p)}").mkString(" ")
+    val m = "(((i * 2654435761) % 1000003) * ((40503 * (g.band * 32 + g.k + 1)) % 1000003) % 1000003)"
+    s"""np AS (
+       |  SELECT LEAST(32, GREATEST(4, CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS p
+       |  FROM (SELECT (COUNT(1) + 15) // 16 AS m FROM embeddings)
+       |),
+       |nb AS (SELECT CASE p $nbCase END AS b FROM np),
+       |grid AS (
+       |  SELECT band, k
+       |  FROM (SELECT unnest(generate_series(0, b - 1)) AS band FROM nb),
+       |       (SELECT unnest(generate_series(0, p - 1)) AS k FROM np)
+       |),
+       |proj AS (
+       |  SELECT e.vec_id, g.band, g.k,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        i -> e.embedding[i]::DOUBLE * ((($m * $m) % 1000003 % 1000 - 500)::DOUBLE / 1000e0))),
+       |      (x, y) -> x + y) AS proj
+       |  FROM embeddings e, grid g
+       |),
+       |bb AS (
+       |  SELECT vec_id, band,
+       |    CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, band
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+       |  FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |)""".stripMargin
+  }
 
-  private val autoBucketExpr: String = (0 until 32).map { j =>
-    // Similarity.planeComponent mirror: SQL's i (1-based) is Scala's i+1
-    val cj = (40503L * (j + 1)) % 1000003L
-    val m = s"((i * 2654435761) % 1000003) * $cj % 1000003"
-    val r = s"((($m) * ($m)) % 1000003 % 1000 - 500)::DOUBLE / 1000e0"
-    val p =
-      s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
-         |  list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($r))),
-         |  (x, y) -> x + y)""".stripMargin
-    s"(CASE WHEN $j < np.p AND ($p) > 0 THEN ${1L << j} ELSE 0 END)"
-  }.mkString(" + ")
+  // exact cosine over the deduped candidate pairs (vectors re-joined by id)
+  private lazy val scoredCandCte: String =
+    s"""scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    ROUND(${dotSql("a.embedding", "b.embedding")}
+       |      / (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})), 6) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.doc_a
+       |  JOIN embeddings b ON b.vec_id = c.doc_b
+       |)""".stripMargin
 
-  /** q39: LSH-bucketed approximate nearest neighbor (the 100 TB scale path:
-    * bucket equi-join instead of quadratic cross join; plane count derived
-    * from the corpus size for bounded bucket occupancy). */
+  /** q39: banded-LSH approximate nearest neighbor (the 100 TB scale path:
+    * band equi-join instead of quadratic cross join; per-band plane count
+    * from the corpus size for bounded occupancy, band count from the recall
+    * target so recall stays flat as planes grow). */
   def q39AnnLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.rpTopK(Tables.load(spark, sfDir, "embeddings"), k = 1)
+    Similarity.rpTopK(Tables.load(spark, sfDir, "embeddings"), k = 1,
+        n = Some(Tables.rowCount(spark, sfDir, "embeddings")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
 
   lazy val q39Sql: String = {
-    s"""WITH $npCte,
-       |b AS (SELECT vec_id, embedding, $autoBucketExpr AS bucket FROM embeddings, np),
-       |scored AS (
-       |  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
-       |    ROUND(${dotSql("l.embedding", "r.embedding")}
-       |      / (SQRT(${dotSql("l.embedding", "l.embedding")}) * SQRT(${dotSql("r.embedding", "r.embedding")})), 6) AS cos_sim
-       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+    s"""WITH $bandCtes,
+       |$scoredCandCte,
+       |directed AS (
+       |  SELECT doc_a AS query_id, doc_b AS neighbor_id, cos_sim FROM scored
+       |  UNION ALL
+       |  SELECT doc_b AS query_id, doc_a AS neighbor_id, cos_sim FROM scored
        |)
        |SELECT query_id, neighbor_id, cos_sim FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
-       |  FROM scored
+       |  FROM directed
        |) WHERE rn <= 1""".stripMargin
   }
 
-  /** q37: embedding-cosine near-duplicate pairs — LSH-bucketed, cosine ≥ 0.3
-    * (the corpus plants no true dups; max pairwise cosine ≈ 0.51) on the rounded score (threshold applied post-rounding on both sides so
-    * the cliff is ULP-safe).
+  /** q37: embedding-cosine near-duplicate pairs — banded-LSH candidates,
+    * cosine ≥ 0.3 (the corpus plants no true dups; max pairwise cosine
+    * ≈ 0.51) on the rounded score (threshold applied post-rounding on both
+    * sides so the cliff is ULP-safe).
     */
   def q37EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.load(spark, sfDir, "embeddings"), threshold = 0.3)
+    Similarity.nearDupPairs(Tables.load(spark, sfDir, "embeddings"), threshold = 0.3,
+      n = Some(Tables.rowCount(spark, sfDir, "embeddings")))
 
   lazy val q37Sql: String = {
-    s"""WITH $npCte,
-       |b AS (SELECT vec_id, embedding, $autoBucketExpr AS bucket FROM embeddings, np)
-       |SELECT doc_a, doc_b, cos_sim FROM (
-       |  SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
-       |    ROUND(${dotSql("l.embedding", "r.embedding")}
-       |      / (SQRT(${dotSql("l.embedding", "l.embedding")}) * SQRT(${dotSql("r.embedding", "r.embedding")})), 6) AS cos_sim
-       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |) s WHERE cos_sim >= 3e-1""".stripMargin
+    s"""WITH $bandCtes,
+       |$scoredCandCte
+       |SELECT doc_a, doc_b, cos_sim FROM scored WHERE cos_sim >= 3e-1""".stripMargin
   }
 
   /** q51: IVF-flat ANN — coarse-quantizer inverted lists, nprobe=2 probe,

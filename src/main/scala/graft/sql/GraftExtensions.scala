@@ -124,12 +124,12 @@ case class DotProductExpression(left: Expression, right: Expression)
   * (Similarity.planeComponent / rpBucket) and to the DuckDB oracle.
   */
 object RpBucket extends Serializable {
-  def bucket(v: ArrayData, isFloat: Boolean, planes: Int): Long = {
+  def bucket(v: ArrayData, isFloat: Boolean, planes: Int, offset: Int): Long = {
     val n = v.numElements()
     var b = 0L
     var j = 0
     while (j < planes) {
-      val cj = (40503L * (j + 1)) % 1000003L
+      val cj = (40503L * (offset + j + 1)) % 1000003L
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -152,37 +152,46 @@ object RpBucket extends Serializable {
   * plane) interprets 4 lambdas per element PER PLANE; with auto-scaled
   * plane counts (log2 n) that cost grows with the corpus, so the whole
   * bucket computes here in one compiled pass.
+  *
+  * `offset` shifts the global plane index: band B of a banded LSH scheme
+  * uses planes `offset..offset+planes-1` (bit k of the result is plane
+  * `offset+k`), giving every band an independent hyperplane family while
+  * both engines can index the family statically.
   */
-case class RpBucketExpression(left: Expression, right: Expression)
-  extends BinaryExpression {
+case class RpBucketExpression(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rp_bucket"
 
-  private def isFloat: Boolean = left.dataType match {
+  private def isFloat: Boolean = first.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
-      if (right.foldable) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("rp_bucket planes must be a literal")
-    case other =>
-      TypeCheckResult.TypeCheckFailure(s"rp_bucket expects (array<float|double>, int), got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("rp_bucket planes/offset must be literals")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"rp_bucket expects (array<float|double>, int, int), got $other")
+    }
 
-  override protected def nullSafeEval(v: Any, p: Any): Any =
-    RpBucket.bucket(v.asInstanceOf[ArrayData], isFloat, p.asInstanceOf[Int])
+  override protected def nullSafeEval(v: Any, p: Any, o: Any): Any =
+    RpBucket.bucket(v.asInstanceOf[ArrayData], isFloat, p.asInstanceOf[Int], o.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("rpBucket", RpBucket, RpBucket.getClass.getName)
-    defineCodeGen(ctx, ev, (v, p) => s"$ref.bucket($v, $isFloat, $p)")
+    defineCodeGen(ctx, ev, (v, p, o) => s"$ref.bucket($v, $isFloat, $p, $o)")
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** Session extensions: every registered model becomes a SQL-callable scalar
@@ -223,9 +232,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rp_bucket"),
       new ExpressionInfo("graft.sql.RpBucketExpression", "rp_bucket"),
       (args: Seq[Expression]) => args match {
-        case Seq(v, p) => RpBucketExpression(v, p)
+        case Seq(v, p) => RpBucketExpression(v, p, Literal(0))
+        case Seq(v, p, o) => RpBucketExpression(v, p, o)
         case other => throw new IllegalArgumentException(
-          s"rp_bucket expects (array, planes), got ${other.length} args")
+          s"rp_bucket expects (array, planes[, offset]), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),

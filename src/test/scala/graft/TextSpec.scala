@@ -76,13 +76,64 @@ class TextSpec extends SparkSpec {
   }
 
   test("native rp_bucket is bit-identical to the Catalyst fold spelling") {
-    for (planes <- Seq(4, 10, 17)) {
+    for ((planes, offset) <- Seq((4, 0), (10, 0), (17, 0), (5, 32), (11, 96))) {
       val mismatch = emb.select(
-        Similarity.rpBucket(col("embedding"), planes).as("native"),
-        Similarity.rpBucketFold(col("embedding"), planes).as("fold"))
+        Similarity.rpBucket(col("embedding"), planes, offset).as("native"),
+        Similarity.rpBucketFold(col("embedding"), planes, offset).as("fold"))
         .filter(col("native") =!= col("fold")).count()
-      assert(mismatch == 0, s"rp_bucket diverges from the fold at planes=$planes")
+      assert(mismatch == 0, s"rp_bucket diverges from the fold at planes=$planes offset=$offset")
     }
+  }
+
+  test("autoBands holds the 0.95-cosine recall target as planes grow") {
+    // b = ceil(ln(1-R) / ln(1-s^planes)), s = 1 - acos(0.95)/pi ≈ 0.899
+    assert(Similarity.autoBands(1) == 2)   // one plane: s ≈ 0.899, just under R=0.9
+    assert(Similarity.autoBands(5) == 3)
+    assert(Similarity.autoBands(11) == 7)
+    assert(Similarity.autoBands(16) == 12)
+    assert(Similarity.autoBands(32) == 16) // cap
+    // the banded scheme must actually meet the target at every plane count
+    // below the cap: 1 - (1 - s^p)^b >= 0.9
+    val s = 1.0 - math.acos(0.95) / math.Pi
+    for (p <- 1 to 18) {
+      val b = Similarity.autoBands(p)
+      val recall = 1.0 - math.pow(1.0 - math.pow(s, p), b)
+      assert(recall >= 0.9, f"recall $recall%.3f below target at planes=$p bands=$b")
+    }
+  }
+
+  test("banded LSH recovers >=85% of planted cosine>=0.95 near-dups at 20k vectors") {
+    // synthetic corpus: even ids are hash-mixed base vectors, odd ids are
+    // small perturbations of their preceding even id (amp such that pair
+    // cosines spread over ~[0.93, 0.99]); single-band sign-LSH at the
+    // autoPlanes(20k)=11 plane count would keep only s^11 ≈ 31% of the
+    // 0.95-cosine pairs — the band union is what lifts recall over 0.9
+    val n = 20000
+    val base = transform(sequence(lit(0), lit(15)),
+      i => (pmod(hash(col("id") - col("id") % 2, i), lit(2000)) - 1000).cast("double") / 1000.0)
+    val noise = transform(sequence(lit(0), lit(15)),
+      i => (pmod(hash(col("id"), i, lit(7)), lit(2000)) - 1000).cast("double") / 1000.0 * 0.245)
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      when(col("id") % 2 === 1, zip_with(base, noise, (x, d) => x + d))
+        .otherwise(base).cast("array<float>").as("embedding"))
+      .cache()
+    val va = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("doc_a"), col("embedding").as("va"))
+    val vb = corpus.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") - 1).as("doc_a"), col("vec_id").as("doc_b"), col("embedding").as("vb"))
+    val truth = va.join(vb, "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.dot(col("va"), col("vb")) /
+          (sqrt(Similarity.norm2(col("va"))) * sqrt(Similarity.norm2(col("vb")))), 6).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .select("doc_a", "doc_b").cache()
+    val nTruth = truth.count()
+    assert(nTruth > 1000, s"fixture must plant a real truth set, got $nTruth")
+    val found = Similarity.nearDupPairs(corpus, threshold = 0.95, n = Some(n.toLong))
+      .select("doc_a", "doc_b")
+    val recall = found.join(truth, Seq("doc_a", "doc_b")).count().toDouble / nTruth
+    assert(recall >= 0.85, f"banded LSH recall $recall%.3f below gate at n=$n")
+    corpus.unpersist(); truth.unpersist()
   }
 
   test("autoPlanes targets bounded bucket occupancy with exact power-of-two edges") {
