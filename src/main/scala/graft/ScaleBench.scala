@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
@@ -9,12 +10,16 @@ import graft.operators.{Directions, Gradients, Inversion}
 
 /** Engine-side domain targets (BASELINE.md): timings at the reference's
   * full-scene sizes, validating the 100 TB design assumptions (broadcast
-  * LUTs, tile+halo shuffles) far beyond the sf0.1 gate. Prints one line per
-  * target. Usage: runMain graft.ScaleBench [lines samples]
+  * LUTs, tile+halo shuffles) far beyond the sf0.1 gate — plus QUALITY gates
+  * for every approximate operator (planted ground truth → measured recall,
+  * not just determinism). Prints one line per target. Usage:
+  * runMain graft.ScaleBench [lines samples] [big]  — `big` adds the 150M-px
+  * inversion target (the "100×" of the reference notebook scene).
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
-    val (nL, nS) = args match {
+    val big = args.contains("big")
+    val (nL, nS) = args.filterNot(_ == "big") match {
       case Array(l, s) => (l.toInt, s.toInt)
       case _ => (1700, 2500)
     }
@@ -93,29 +98,86 @@ object ScaleBench {
     // mixed per (id, dim) so vectors are genuinely distinct (a plain linear
     // congruence mod 2000 has period 2000 in id: only 2000 distinct vectors
     // in the corpus, which collapses LSH buckets into duplicate mega-groups
-    // and explodes the pair count)
+    // and explodes the pair count). Every id with id%10==9 is a PLANTED
+    // near-dup of id-1 (amp-0.245 perturbation → pair cosines spread over
+    // ~[0.93, 0.99]) so the approximate operators have measurable ground
+    // truth, not just timings.
     val nVec = 1000000
+    val pid = col("id") - when(col("id") % 10 === 9, 1L).otherwise(0L)
+    val baseV = transform(sequence(lit(0), lit(15)),
+      i => (pmod(hash(pid, i), lit(2000)) - 1000).cast("double") / 1000.0)
+    val noiseV = transform(sequence(lit(0), lit(15)),
+      i => (pmod(hash(col("id"), i, lit(7)), lit(2000)) - 1000).cast("double") / 1000.0 * 0.245)
     val emb = spark.range(nVec)
       .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(15)),
-          i => (pmod(hash(col("id"), i), lit(2000)) - 1000).cast("double") / 1000.0)
-          .cast("array<float>").as("embedding"))
+        when(col("id") % 10 === 9, zip_with(baseV, noiseV, (x, d) => x + d))
+          .otherwise(baseV).cast("array<float>").as("embedding"))
 
-    // 7. LSH all-pairs top-1 at 1M vectors: autoPlanes gives 16 planes →
-    // 65536 buckets → ~15 vectors/bucket (bounded pair work; a fixed
-    // planes=4 would put 62.5k vectors in each of 16 buckets — 4G pairs
-    // per bucket)
-    timed(s"ann_lsh_top1_${nVec / 1000}k_auto_planes") {
-      operators.Similarity.rpTopK(emb, k = 1)
+    import operators.Similarity
+    def cosOf(a: Column, b: Column): Column =
+      round(Similarity.dot(a, b) /
+        (sqrt(Similarity.norm2(a)) * sqrt(Similarity.norm2(b))), 6)
+
+    // 7. banded LSH all-pairs top-1 at 1M vectors: autoPlanes gives 16
+    // planes per band (65536 buckets → ~15 vectors/bucket, bounded pair
+    // work) × autoBands(16)=12 bands (flat recall; a single band keeps a
+    // cosine-0.95 pair with p≈0.2)
+    timed(s"ann_lsh_top1_${nVec / 1000}k_banded") {
+      Similarity.rpTopK(emb, k = 1, n = Some(nVec.toLong))
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // 7b. RECALL GATE: the planted cosine>=0.95 pairs must be recovered by
+    // the banded near-dup pass at >=90% — the quality half of the 100 TB
+    // near-dup story (cost stays linear via autoPlanes, recall stays flat
+    // via autoBands; a single-band run of the same corpus finds ~20%)
+    timed(s"lsh_neardup_recall_${nVec / 1000}k") {
+      val va = emb.filter(col("vec_id") % 10 === 8)
+        .select(col("vec_id").as("doc_a"), col("embedding").as("v_a"))
+      val vb = emb.filter(col("vec_id") % 10 === 9)
+        .select((col("vec_id") - 1).as("doc_a"), col("vec_id").as("doc_b"),
+          col("embedding").as("v_b"))
+      val truth = va.join(vb, "doc_a")
+        .select(col("doc_a"), col("doc_b"), cosOf(col("v_a"), col("v_b")).as("cos"))
+        .filter(col("cos") >= 0.95).select("doc_a", "doc_b").cache()
+      val nTruth = truth.count()
+      val found = Similarity.nearDupPairs(emb, threshold = 0.95, n = Some(nVec.toLong))
+        .select("doc_a", "doc_b")
+      val hit = found.join(truth, Seq("doc_a", "doc_b")).count()
+      val recall = hit.toDouble / nTruth
+      println(f"[scale] lsh_neardup_recall: $hit/$nTruth = $recall%.4f (gate >= 0.9)")
+      truth.unpersist()
+      require(recall >= 0.9, f"banded LSH recall $recall%.4f below the 0.9 gate")
     }
 
     // 8. IVF-flat: fixed 64-centroid quantizer (bounded broadcast), 10
     // queries probing 2 lists of ~15.6k vectors each
     timed(s"ann_ivf_top5_${nVec / 1000}k_64cents") {
-      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
           k = 5, numCents = 64, nprobe = 2)
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // 8b. IVF RECALL SWEEP: recall@5 vs the exact top-5 as nprobe grows.
+    // Candidate lists are supersets as nprobe grows (deterministic
+    // assignment), so recall must be nondecreasing — asserted, along with
+    // the probe dial actually buying recall (nprobe=8 >= nprobe=1).
+    timed(s"ann_ivf_recall_sweep_${nVec / 1000}k") {
+      val queries = emb.filter(col("vec_id") < 10).cache()
+      val exact = Similarity.cosineTopK(emb, queries, k = 5).select("query_id", "neighbor_id").cache()
+      val nExact = exact.count()
+      val recalls = Seq(1, 2, 4, 8).map { nprobe =>
+        val got = Similarity.ivfTopK(emb, queries, k = 5, numCents = 64, nprobe = nprobe)
+          .select("query_id", "neighbor_id")
+        val r = got.join(exact, Seq("query_id", "neighbor_id")).count().toDouble / nExact
+        println(f"[scale] ivf_recall@5 nprobe=$nprobe: $r%.4f")
+        r
+      }
+      exact.unpersist(); queries.unpersist()
+      require(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"IVF recall must be nondecreasing in nprobe: $recalls")
+      require(recalls.last >= recalls.head,
+        s"IVF nprobe dial bought no recall: $recalls")
     }
 
     // 9. MinHash+LSH near-dup dedup at 1M docs (~30 words each, Zipf-ish
@@ -135,6 +197,54 @@ object ScaleBench {
         operators.TextOps.minhashSignatures(docs))
       operators.TextOps.jaccardPairs(docs, pairs)
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // 10. SimHash QUALITY at 1M docs: docs sharing id mod 100k have the
+    // same 30-word base and differ by at most one appended suffix token, so
+    // planted pairs (id, id+100k) must sit within a small Hamming ball —
+    // the fingerprint does its dedup job iff near-copies stay near in hash
+    // space.
+    timed(s"simhash_planted_hamming_${nDocs / 1000}k") {
+      val sh = operators.TextOps.simhash(docs).cache()
+      val pairs = sh.filter(col("doc_id") < nDocs / 10)
+        .select(col("doc_id").as("a"), col("simhash").as("sim_a"))
+        .join(sh.filter(col("doc_id") >= nDocs / 10 && col("doc_id") < 2 * nDocs / 10)
+          .select((col("doc_id") - nDocs / 10).as("a"), col("simhash").as("sim_b")), "a")
+        .select(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      val total = pairs.count()
+      val close = pairs.filter(col("hamming") <= 8).count()
+      val frac = close.toDouble / total
+      println(f"[scale] simhash_hamming<=8 on planted pairs: $close/$total = $frac%.4f (gate >= 0.9)")
+      sh.unpersist()
+      require(frac >= 0.9, f"SimHash planted-pair closeness $frac%.4f below the 0.9 gate")
+    }
+
+    // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference
+    // notebook scene (BASELINE.md). Exercises AQE/spill behavior: the scene
+    // never collects, the LUT broadcast is scene-size-independent, and the
+    // argmin kernel streams partitions, so wall-time should scale ~linearly
+    // from target 3 (4.25M px).
+    if (big) {
+      val (bL, bS) = (10000, 15000)
+      val bigScene = spark.range(bL.toLong * bS)
+        .select(
+          (col("id") / bS).cast("int").as("line"),
+          (col("id") % bS).cast("int").as("sample"))
+        .withColumn("incidence", lit(16.0) + lit(34.0) * col("sample") / lit(bS - 1.0))
+        .withColumn("wspd_t", lit(4.0) + (col("line") % 40) * lit(0.7))
+        .withColumn("phi_t", (col("sample") % 360) * lit(0.5))
+      timed(s"dualpol_inversion_${bL}x$bS") {
+        val luts = Inversion.buildLuts(spark, Some("gmf_cmod5n"), Some("gmf_s1_v2"), highRes = false)
+        val px = bigScene.select(
+          col("line").cast("long").as("okey"), col("sample").cast("long").as("lnum"),
+          col("incidence").as("inc"),
+          Directions.toDb(GmfColumns.cmod5n(col("incidence"), col("wspd_t"), col("phi_t"))).as("s0co_db"),
+          Directions.toDb(GmfColumns.s1V2(col("incidence"), col("wspd_t"))).as("s0cr_db"),
+          lit(0.1).as("dsig_cr"),
+          (col("wspd_t") * cos(radians(col("phi_t")))).as("anc_re"),
+          (col("wspd_t") * sin(radians(col("phi_t")))).as("anc_im"))
+        Inversion.invert(px, luts).write.format("noop").mode("overwrite").save()
+      }
     }
 
     spark.stop()

@@ -14,10 +14,9 @@ import scala.collection.mutable.ArrayBuffer
   * Supported: CDF-1 and CDF-2 magic, fixed-size and record variables, all
   * six classic types (byte/char/short/int/float/double), dimension lists,
   * global + per-variable attributes. Numeric data widens to Double; char
-  * attributes surface as Strings. NOT supported (by design): netCDF-4/HDF5
-  * containers and groups — the reference's `group="owiInversionTables_UV"`
-  * read is netCDF-4-only; those files need one out-of-band
-  * `nccopy -k classic` first.
+  * attributes surface as Strings. netCDF-4/HDF5 containers (the reference's
+  * `group="owiInversionTables_UV"` scene read) are handled by the sibling
+  * [[Hdf5]] reader — SceneIngest.readOwiAuto sniffs the magic bytes.
   */
 object Nc3 {
 
@@ -45,7 +44,7 @@ object Nc3 {
       v.dimIds.map(d => if (dims(d).isRecord) math.max(numrecs, 0) else dims(d).length)
   }
 
-  private def typeSize(t: Int): Int = t match {
+  private[sources] def typeSize(t: Int): Int = t match {
     case NcByte | NcChar => 1
     case NcShort => 2
     case NcInt | NcFloat => 4
@@ -57,121 +56,143 @@ object Nc3 {
 
   // ---------------------------------------------------------------- reader
 
-  def read(path: String): Nc3File = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val bb = ByteBuffer.wrap(bytes) // big-endian by default
-    require(bb.get() == 'C' && bb.get() == 'D' && bb.get() == 'F', s"$path: not a NetCDF file")
-    val version = bb.get()
-    require(version == 1 || version == 2,
-      s"$path: classic CDF-1/CDF-2 only (got version byte $version; netCDF-4/HDF5 needs `nccopy -k classic`)")
-    val wideOffsets = version == 2
-    val numrecs = bb.getInt()
+  /** Variable metadata only — enough to locate and decode any slice of its
+    * data on ANY reader (driver or executor) without holding the values. */
+  final case class VarMeta(name: String, dimIds: Seq[Int], atts: Seq[Att], ncType: Int,
+      vsize: Long, begin: Long) {
+    def att(n: String): Option[Att] = atts.find(_.name == n)
+  }
 
-    def readName(): String = {
-      val n = bb.getInt()
-      val s = new Array[Byte](n)
-      bb.get(s)
-      bb.position(bb.position() + (pad4(n) - n).toInt)
-      new String(s, "UTF-8")
-    }
-
-    def readTagged(expectTag: Int): Int = {
-      val tag = bb.getInt(); val n = bb.getInt()
-      require(tag == expectTag || (tag == 0 && n == 0), s"$path: bad tag $tag (want $expectTag)")
-      n
-    }
-
-    def readValues(t: Int, n: Int): Either[String, Array[Double]] = {
-      val raw = pad4(n.toLong * typeSize(t)).toInt
-      val start = bb.position()
-      val out = t match {
-        case NcChar =>
-          val s = new Array[Byte](n); bb.get(s); Left(new String(s, "UTF-8"))
-        case NcByte => Right(Array.tabulate(n)(_ => bb.get().toDouble))
-        case NcShort => Right(Array.tabulate(n)(_ => bb.getShort().toDouble))
-        case NcInt => Right(Array.tabulate(n)(_ => bb.getInt().toDouble))
-        case NcFloat => Right(Array.tabulate(n)(_ => bb.getFloat().toDouble))
-        case NcDouble => Right(Array.tabulate(n)(_ => bb.getDouble()))
-      }
-      bb.position(start + raw)
-      out
-    }
-
-    def readAtts(): Seq[Att] = {
-      val n = readTagged(12) // NC_ATTRIBUTE
-      (0 until n).map { _ =>
-        val name = readName()
-        val t = bb.getInt()
-        val count = bb.getInt()
-        Att(name, t, readValues(t, count))
-      }
-    }
-
-    val nDims = readTagged(10) // NC_DIMENSION
-    val dims = (0 until nDims).map(_ => Dim(readName(), bb.getInt()))
-    val gatts = readAtts()
-
-    val nVars = readTagged(11) // NC_VARIABLE
-    final case class RawVar(name: String, dimIds: Seq[Int], atts: Seq[Att], ncType: Int,
-        vsize: Long, begin: Long)
-    val raws = (0 until nVars).map { _ =>
-      val name = readName()
-      val nd = bb.getInt()
-      val dimIds = (0 until nd).map(_ => bb.getInt())
-      val atts = readAtts()
-      val t = bb.getInt()
-      val vsize = java.lang.Integer.toUnsignedLong(bb.getInt())
-      val begin = if (wideOffsets) bb.getLong() else java.lang.Integer.toUnsignedLong(bb.getInt())
-      RawVar(name, dimIds, atts, t, vsize, begin)
-    }
-
-    val recVars = raws.filter(_.dimIds.headOption.exists(d => dims(d).isRecord))
-    // record slab stride: sum of record-var vsizes, except a SINGLE record
-    // var is packed contiguously without per-record padding (spec note 2)
-    val recSize =
+  /** Parsed file header: dims, attributes, variable layout — no data. */
+  final case class Header(numrecs: Int, dims: Seq[Dim], gatts: Seq[Att],
+      varms: Seq[VarMeta]) {
+    def isRecordVar(v: VarMeta): Boolean = v.dimIds.headOption.exists(d => dims(d).isRecord)
+    /** Record slab stride: sum of record-var vsizes, except a SINGLE record
+      * var is packed contiguously without per-record padding (spec note 2). */
+    lazy val recSize: Long = {
+      val recVars = varms.filter(isRecordVar)
       if (recVars.length == 1) {
         val v = recVars.head
         v.dimIds.drop(1).map(d => dims(d).length.toLong).product * typeSize(v.ncType)
       } else recVars.map(_.vsize).sum
-
-    def decode(t: Int, at: Long, count: Int): Array[Double] = {
-      val out = new Array[Double](count)
-      var p = at
-      var i = 0
-      val ts = typeSize(t)
-      while (i < count) {
-        out(i) = t match {
-          case NcByte => bytes(p.toInt).toDouble
-          case NcChar => java.lang.Byte.toUnsignedInt(bytes(p.toInt)).toDouble
-          case NcShort => bb.getShort(p.toInt).toDouble
-          case NcInt => bb.getInt(p.toInt).toDouble
-          case NcFloat => bb.getFloat(p.toInt).toDouble
-          case NcDouble => bb.getDouble(p.toInt)
-        }
-        p += ts
-        i += 1
-      }
-      out
     }
+  }
 
-    val vars = raws.map { rv =>
-      val isRec = rv.dimIds.headOption.exists(d => dims(d).isRecord)
-      if (!isRec) {
-        val count = rv.dimIds.map(d => dims(d).length.toLong).product.toInt
+  /** Parse only the header — a sequential few-KB read however large the
+    * data section is. This is the driver half of the distributed scene
+    * ingest: executors use the returned layout to read their own byte
+    * ranges (see SceneIngest).
+    */
+  def readHeader(path: String): Header = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
+    try {
+      require(in.readByte() == 'C' && in.readByte() == 'D' && in.readByte() == 'F',
+        s"$path: not a NetCDF file")
+      val version = in.readByte()
+      require(version == 1 || version == 2,
+        s"$path: classic CDF-1/CDF-2 only (got version byte $version; for netCDF-4/HDF5 use Hdf5/SceneIngest.readOwiH5)")
+      val wideOffsets = version == 2
+      val numrecs = in.readInt()
+
+      def readName(): String = {
+        val n = in.readInt()
+        val s = new Array[Byte](n)
+        in.readFully(s)
+        in.skipBytes((pad4(n) - n).toInt)
+        new String(s, "UTF-8")
+      }
+
+      def readTagged(expectTag: Int): Int = {
+        val tag = in.readInt(); val n = in.readInt()
+        require(tag == expectTag || (tag == 0 && n == 0), s"$path: bad tag $tag (want $expectTag)")
+        n
+      }
+
+      def readValues(t: Int, n: Int): Either[String, Array[Double]] = {
+        val raw = pad4(n.toLong * typeSize(t)).toInt
+        val buf = new Array[Byte](raw)
+        in.readFully(buf)
+        if (t == NcChar) Left(new String(buf, 0, n, "UTF-8"))
+        else Right(decodeValues(t, buf, 0, n))
+      }
+
+      def readAtts(): Seq[Att] = {
+        val n = readTagged(12) // NC_ATTRIBUTE
+        (0 until n).map { _ =>
+          val name = readName()
+          val t = in.readInt()
+          val count = in.readInt()
+          Att(name, t, readValues(t, count))
+        }
+      }
+
+      val nDims = readTagged(10) // NC_DIMENSION
+      val dims = (0 until nDims).map(_ => Dim(readName(), in.readInt()))
+      val gatts = readAtts()
+
+      val nVars = readTagged(11) // NC_VARIABLE
+      val varms = (0 until nVars).map { _ =>
+        val name = readName()
+        val nd = in.readInt()
+        val dimIds = (0 until nd).map(_ => in.readInt())
+        val atts = readAtts()
+        val t = in.readInt()
+        val vsize = java.lang.Integer.toUnsignedLong(in.readInt())
+        val begin = if (wideOffsets) in.readLong() else java.lang.Integer.toUnsignedLong(in.readInt())
+        VarMeta(name, dimIds, atts, t, vsize, begin)
+      }
+      Header(numrecs, dims, gatts, varms)
+    } finally in.close()
+  }
+
+  /** Decode `count` big-endian values of nc type `t` starting at byte
+    * `off` — the shared executor-side decode primitive. */
+  private[sources] def decodeValues(t: Int, bytes: Array[Byte], off: Int, count: Int): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes) // big-endian by default
+    val out = new Array[Double](count)
+    val ts = typeSize(t)
+    var p = off
+    var i = 0
+    while (i < count) {
+      out(i) = t match {
+        case NcByte => bytes(p).toDouble
+        case NcChar => java.lang.Byte.toUnsignedInt(bytes(p)).toDouble
+        case NcShort => bb.getShort(p).toDouble
+        case NcInt => bb.getInt(p).toDouble
+        case NcFloat => bb.getFloat(p).toDouble
+        case NcDouble => bb.getDouble(p)
+      }
+      p += ts
+      i += 1
+    }
+    out
+  }
+
+  def read(path: String): Nc3File = {
+    val h = readHeader(path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+
+    def decode(t: Int, at: Long, count: Int): Array[Double] =
+      decodeValues(t, bytes, at.toInt, count)
+
+    val vars = h.varms.map { rv =>
+      if (!h.isRecordVar(rv)) {
+        val count = rv.dimIds.map(d => h.dims(d).length.toLong).product.toInt
         Var(rv.name, rv.dimIds, rv.atts, rv.ncType, decode(rv.ncType, rv.begin, count))
       } else {
-        val perRec = rv.dimIds.drop(1).map(d => dims(d).length.toLong).product.toInt
-        val out = new Array[Double](perRec * numrecs)
+        val perRec = rv.dimIds.drop(1).map(d => h.dims(d).length.toLong).product.toInt
+        val out = new Array[Double](perRec * h.numrecs)
         var r = 0
-        while (r < numrecs) {
-          val slab = decode(rv.ncType, rv.begin + r * recSize, perRec)
+        while (r < h.numrecs) {
+          val slab = decode(rv.ncType, rv.begin + r * h.recSize, perRec)
           System.arraycopy(slab, 0, out, r * perRec, perRec)
           r += 1
         }
         Var(rv.name, rv.dimIds, rv.atts, rv.ncType, out)
       }
     }
-    Nc3File(dims, gatts, vars)
+    Nc3File(h.dims, h.gatts, vars)
   }
 
   // ---------------------------------------------------------------- writer
