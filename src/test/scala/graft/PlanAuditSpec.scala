@@ -44,6 +44,51 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("inversion queries never join or shuffle the LUT") {
+    // the inversion kernel is a broadcast-LUT mapPartitions argmin — a
+    // 930k-row LUT equi-join would shuffle the whole scene per model
+    // (SURVEY §2.6). The only legitimate exchanges are the fixture's
+    // (okey, lnum) dedup and the CPU-parallelism round-robin repartition.
+    for (name <- Seq("q15_invert_crosspol", "q16_invert_dualpol")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name plans a join — the LUT must ride a broadcast variable")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 1, s"$name plans $hashEx hash exchanges (only the pixel dedup is allowed)")
+    }
+  }
+
+  test("top-k rank<=k windows plan WindowGroupLimit (map-side group limit)") {
+    // Spark 4 plans row_number()<=k as WindowGroupLimit: each partition
+    // keeps only k rows per group BEFORE the exchange — the property that
+    // makes window top-k beat a max-struct groupBy 5x at 1M groups. A
+    // regression to a plain Window would silently ship every candidate row.
+    for (name <- Seq("q38_ann_topk", "q39_ann_lsh", "q51_ann_ivf")) {
+      assert(planOf(name).contains("WindowGroupLimit"),
+        s"$name lost its WindowGroupLimit — rank filter no longer pushes into the window")
+    }
+  }
+
+  test("multiscale with >1 window size persists the shared Scharr grid") {
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(64 * 64).select(
+      (col("id") / 64).cast("int").as("line"), (col("id") % 64).cast("int").as("sample"),
+      sin(col("id").cast("double")).as("v"))
+    val df = graft.operators.Gradients.multiscale(grid, downscales = Seq(1), windowSizes = Seq(16, 32))
+    val plan = df.queryExecution.executedPlan.toString
+    val hits = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(hits >= 2, s"shared-Scharr persist missing: $hits InMemoryTableScan in plan")
+    // NOT clearCache(): that would also unpersist the q35/q36 shared
+    // candidate cache other tests (and the session) rely on; the 64x64
+    // grid cached here is a few KB and dies with the session
+  }
+
+  test("q35/q36 read the SAME persisted candidate-pair computation") {
+    val p35 = planOf("q35_minhash_pairs")
+    val p36 = planOf("q36_jaccard")
+    assert(p35.contains("InMemoryTableScan") && p36.contains("InMemoryTableScan"),
+      "shared MinHash candidates are not persisted — q36 would recompute signatures")
+  }
+
   test("filters and projections reach the parquet scan (q06 probe)") {
     val plan = planOf("q06_filter_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull"),
