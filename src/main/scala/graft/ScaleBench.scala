@@ -245,6 +245,41 @@ object ScaleBench {
           (col("wspd_t") * sin(radians(col("phi_t")))).as("anc_im"))
         Inversion.invert(px, luts).write.format("noop").mode("overwrite").save()
       }
+
+      // 12. (big) OWI scene ingest at 38.25M px × 10 variables: the fixture
+      // is STREAM-written row-by-row (f32, ~1.5 GB) and the ingest is
+      // verified in-pass against the generator formula. Driver work is the
+      // few-KB header parse; executors read their own byte ranges — heap
+      // stays flat however many variables the scene carries.
+      val (inL, inS) = (5100, 7500)
+      val ncPath = java.nio.file.Files.createTempDirectory("bigowi").toString + "/owi_big.nc"
+      timed(s"scene_fixture_stream_write_${inL}x$inS") {
+        import graft.sources.Nc3
+        import graft.sources.Nc3._
+        val dims = Seq(Dim("owiAzSize", inL), Dim("owiRaSize", inS))
+        val vars = (0 until 10).map(i =>
+          Var(s"owiVar$i", Seq(0, 1), Nil, NcFloat, Array.emptyDoubleArray))
+        val (hdr, _) = Nc3.headerAndOffsets(dims, Nil, vars)
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(ncPath), 1 << 20)
+        out.write(hdr)
+        val row = java.nio.ByteBuffer.allocate(inS * 4) // big-endian XDR
+        for (i <- 0 until 10; l <- 0 until inL) {
+          row.clear()
+          var s = 0
+          while (s < inS) { row.putFloat(((l * 7 + s * 3 + i) % 1000).toFloat); s += 1 }
+          out.write(row.array())
+        }
+        out.close()
+      }
+      timed(s"scene_ingest_${inL}x${inS}_x10vars") {
+        val df = graft.sources.SceneIngest.readOwi(spark, ncPath)
+        val maxErr = df.select(greatest((0 until 10).map(i =>
+            abs(col(s"owiVar$i") - pmod(col("line") * 7 + col("sample") * 3 + lit(i), lit(1000)))): _*)
+          .as("e")).agg(max(col("e"))).head().getDouble(0)
+        require(maxErr == 0.0, s"scene ingest mismatch: max abs err $maxErr")
+      }
+      new java.io.File(ncPath).delete()
     }
 
     spark.stop()

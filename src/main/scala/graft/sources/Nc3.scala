@@ -197,13 +197,16 @@ object Nc3 {
 
   // ---------------------------------------------------------------- writer
 
-  /** Write a CDF-1 classic file with fixed-size variables only (fixture /
-    * export sink; record dims not needed for LUTs or materialized scenes).
-    * Numeric data is written as the variable's declared `ncType`.
+  /** Header bytes + per-variable data begin offsets for a fixed-var CDF-1
+    * file. Callers that stream huge variables (e.g. the ScaleBench 38M-px
+    * ingest fixture) write this header then append each variable's values
+    * at its begin offset, without ever holding the data in memory —
+    * `write` below is the convenience all-in-memory form. `vars` data
+    * arrays are ignored here; sizes come from the dims.
     */
-  def write(path: String, dims: Seq[Dim], gatts: Seq[Att], vars: Seq[Var]): Unit = {
-    require(dims.forall(!_.isRecord), "Nc3.write: record dimension unsupported")
-    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+  def headerAndOffsets(dims: Seq[Dim], gatts: Seq[Att],
+      vars: Seq[Var]): (Array[Byte], Seq[Long]) = {
+    require(dims.forall(!_.isRecord), "Nc3 writer: record dimension unsupported")
 
     def nameBytes(s: String): Array[Byte] = {
       val b = s.getBytes("UTF-8")
@@ -284,9 +287,22 @@ object Nc3 {
       pad4(v.dimIds.map(d => dims(d).length.toLong).product * typeSize(v.ncType))
     }
     val begins = sizes.scanLeft(headerSize)(_ + _).init
-    val total = headerSize + sizes.sum
+    (header(begins), begins)
+  }
+
+  /** Write a CDF-1 classic file with fixed-size variables only (fixture /
+    * export sink; record dims not needed for LUTs or materialized scenes).
+    * Numeric data is written as the variable's declared `ncType`.
+    */
+  def write(path: String, dims: Seq[Dim], gatts: Seq[Att], vars: Seq[Var]): Unit = {
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val (hdr, _) = headerAndOffsets(dims, gatts, vars)
+    val sizes = vars.map { v =>
+      pad4(v.dimIds.map(d => dims(d).length.toLong).product * typeSize(v.ncType))
+    }
+    val total = hdr.length.toLong + sizes.sum
     val bb = ByteBuffer.allocate(total.toInt)
-    bb.put(header(begins))
+    bb.put(hdr)
     vars.foreach { v =>
       val start = bb.position()
       v.data.foreach { d =>
