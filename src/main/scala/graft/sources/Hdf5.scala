@@ -19,11 +19,15 @@ import scala.collection.mutable.ArrayBuffer
   *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (float),
   *    data layout v3 contiguous and chunked (v1 B-tree node type 1),
   *    filter pipeline v1/v2 with deflate (id 1) and shuffle (id 2);
+  *  - attributes (v1-v3) with numeric, fixed-length-string, and
+  *    vlen-string values (global heap lookup) — the netCDF-4 global-attr
+  *    shapes both the C library and xarray emit;
   *  - numeric data widens to Double (matching the Nc3 reader contract).
   *
   * Deliberately NOT supported (clear errors instead): version-2 object
-  * headers with dense (fractal-heap) links, vlen/compound/string datatypes,
-  * compact layout for >1-D data, szip. None appear in OWI scene files.
+  * headers with dense (fractal-heap) links, vlen/compound/string DATASET
+  * values, compact layout for >1-D data, szip. None appear in OWI scene
+  * or LUT files.
   */
 object Hdf5 {
 
@@ -37,9 +41,11 @@ object Hdf5 {
   final case class Chunked(chunkDims: Array[Int], btreeAddr: Long) extends Layout
 
   /** Dataset metadata: everything needed to read any slice on any reader
-    * (driver or executor) without holding the values. */
+    * (driver or executor) without holding the values. `attrs`: char attrs →
+    * Left(string), numeric → Right(doubles) (the Nc3.Att convention). */
   final case class DsetMeta(name: String, dims: Array[Long], dtClass: Int, dtSize: Int,
-      littleEndian: Boolean, signed: Boolean, layout: Layout, filters: Seq[Filter]) {
+      littleEndian: Boolean, signed: Boolean, layout: Layout, filters: Seq[Filter],
+      attrs: Map[String, Either[String, Array[Double]]] = Map.empty) {
     def rank: Int = dims.length
     def nElems: Long = dims.product
   }
@@ -201,6 +207,120 @@ object Hdf5 {
     walk(btreeAddr)
   }
 
+  // ------------------------------------------------- datatypes, dataspaces
+
+  /** Parsed datatype message. Classes used here: 0 fixed-point, 1 float,
+    * 3 fixed-length string, 9 variable-length (base inside; bits0 low
+    * nibble 1 = vlen string). */
+  private final case class Dtype(cls: Int, size: Int, bits0: Int, base: Option[Dtype]) {
+    def littleEndian: Boolean = (bits0 & 1) == 0
+    def signed: Boolean = cls != 0 || (bits0 & 0x08) != 0
+    def isVlenString: Boolean = cls == 9 && (bits0 & 0x0f) == 1
+  }
+
+  private def parseDatatype(bb: ByteBuffer): Dtype = {
+    val clsVer = bb.get() & 0xff
+    val cls = clsVer & 0x0f
+    val bits0 = bb.get() & 0xff
+    bb.get(); bb.get() // bit fields 1-2
+    val size = bb.getInt()
+    val base = if (cls == 9) Some(parseDatatype(bb)) else None
+    Dtype(cls, size, bits0, base)
+  }
+
+  private def parseDataspaceDims(bb: ByteBuffer): Array[Long] = {
+    val ver = bb.get() & 0xff
+    val rank = bb.get() & 0xff
+    bb.get() // flags
+    if (ver == 1) { bb.get(); bb.getInt() } // reserved
+    else bb.get() // v2: dataspace type
+    Array.fill(rank)(bb.getLong())
+  }
+
+  // --------------------------------------------------- attributes + gheap
+
+  /** Object from a global heap collection (vlen attribute payloads). */
+  private def gheapObject(r: R, addr: Long, index: Int, path: String): Array[Byte] = {
+    val head = r.bufAt(addr, 16)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(new String(sig, "US-ASCII") == "GCOL", s"$path: bad global heap at $addr")
+    head.getInt() // version + reserved
+    val size = head.getLong()
+    val body = r.bufAt(addr + 16, (size - 16).toInt)
+    while (body.remaining() >= 16) {
+      val idx = u16(body)
+      body.getShort(); body.getInt() // refcount + reserved
+      val objSize = body.getLong()
+      if (idx == index) {
+        val out = new Array[Byte](objSize.toInt)
+        body.get(out)
+        return out
+      }
+      if (idx == 0) return Array.empty // free space: end of objects
+      body.position(body.position() + ((objSize + 7) & ~7L).toInt)
+    }
+    sys.error(s"$path: global heap object $index not found at $addr")
+  }
+
+  /** Attribute messages (v1/v2/v3) of an object header → the Nc3.Att-style
+    * map. Strings: fixed-length (class 3) inline, vlen (class 9/string)
+    * via the global heap — both shapes netCDF-4 writers emit. */
+  private def parseAttrs(r: R, msgs: Seq[Msg], path: String): Map[String, Either[String, Array[Double]]] =
+    msgs.filter(_.typ == 0x000C).flatMap { m =>
+      val bb = m.body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val ver = bb.get() & 0xff
+      val flags = bb.get() & 0xff // v1: reserved (0)
+      val nameSize = u16(bb)
+      val dtSize = u16(bb)
+      val dsSize = u16(bb)
+      if (ver == 3) bb.get() // name character-set encoding
+      require(ver >= 1 && ver <= 3, s"$path: attribute message version $ver unsupported")
+      require(ver == 1 || (flags & 0x03) == 0,
+        s"$path: shared attribute datatype/dataspace unsupported")
+      def padded(n: Int): Int = if (ver == 1) (n + 7) & ~7 else n
+      val nameB = new Array[Byte](nameSize); bb.get(nameB)
+      bb.position(bb.position() + (padded(nameSize) - nameSize))
+      val name = new String(nameB, 0, math.max(0, nameSize - 1), "UTF-8") // NUL-terminated
+      val dtB = bb.slice().order(ByteOrder.LITTLE_ENDIAN); dtB.limit(dtSize)
+      bb.position(bb.position() + padded(dtSize))
+      val dsB = bb.slice().order(ByteOrder.LITTLE_ENDIAN); dsB.limit(dsSize)
+      bb.position(bb.position() + padded(dsSize))
+      val dt = parseDatatype(dtB)
+      val n = parseDataspaceDims(dsB).product.toInt.max(1)
+      val data = bb.slice().order(ByteOrder.LITTLE_ENDIAN)
+      dt.cls match {
+        case 3 => // fixed-length string
+          val raw = new Array[Byte](dt.size * n); data.get(raw)
+          Some(name -> Left(new String(raw, "UTF-8").takeWhile(_ != '\u0000')))
+        case 9 if dt.isVlenString =>
+          // vlen string (scalar): {length(4), gheap collection addr(8), index(4)}
+          data.getInt()
+          val gaddr = data.getLong()
+          val gidx = data.getInt()
+          Some(name -> Left(new String(gheapObject(r, gaddr, gidx, path), "UTF-8")))
+        case 0 | 1 =>
+          val raw = new Array[Byte](dt.size * n); data.get(raw)
+          val m2 = DsetMeta(name, Array(n.toLong), dt.cls, dt.size, dt.littleEndian,
+            dt.signed, Contiguous(0, 0), Nil)
+          Some(name -> Right(decodeValues(m2, raw, 0, n)))
+        case _ => None // reference/compound/etc. attrs: ignored
+      }
+    }.toMap
+
+  /** Attributes on a GROUP's object header — netCDF-4 global attributes
+    * live on the root (or sub-) group. */
+  def groupAttrs(path: String, group: String): Map[String, Either[String, Array[Double]]] = {
+    val r = new R(path)
+    try {
+      val parts = group.split("/").filter(_.nonEmpty)
+      val addr = parts.foldLeft(rootAddr(r, path)) { (at, part) =>
+        groupLinks(r, at, path).find(_._1 == part)
+          .getOrElse(sys.error(s"$path: no group '$part'"))._2
+      }
+      parseAttrs(r, readMessages(r, addr, path), path)
+    } finally r.close()
+  }
+
   // -------------------------------------------------------------- datasets
 
   private def parseDataset(r: R, name: String, ohAddr: Long, path: String): Option[DsetMeta] = {
@@ -210,25 +330,15 @@ object Hdf5 {
     val dtype = msgs.find(_.typ == 0x0003).getOrElse(return None)
     val layout = msgs.find(_.typ == 0x0008).getOrElse(return None)
 
-    val sb = space.body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-    val sVer = sb.get() & 0xff
-    val rank = sb.get() & 0xff
-    val sFlags = sb.get() & 0xff
-    if (sVer == 1) { sb.get(); sb.getInt() } // reserved
-    else sb.get() // v2: dataspace type
-    val dims = Array.fill(rank)(sb.getLong())
-
-    val tb = dtype.body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-    val clsVer = tb.get() & 0xff
-    val dtClass = clsVer & 0x0f
+    val dims = parseDataspaceDims(space.body.duplicate().order(ByteOrder.LITTLE_ENDIAN))
+    val dt = parseDatatype(dtype.body.duplicate().order(ByteOrder.LITTLE_ENDIAN))
+    val dtClass = dt.cls
     require(dtClass == 0 || dtClass == 1,
       s"$path: dataset $name has datatype class $dtClass (only fixed/float supported)")
-    val bits0 = tb.get() & 0xff
-    tb.get(); tb.get() // bit fields 1-2
-    val dtSize = tb.getInt()
+    val dtSize = dt.size
     require(Seq(1, 2, 4, 8).contains(dtSize), s"$path: $name: unsupported type size $dtSize")
-    val littleEndian = (bits0 & 1) == 0
-    val signed = dtClass == 1 || (bits0 & 0x08) != 0
+    val littleEndian = dt.littleEndian
+    val signed = dt.signed
 
     val lb = layout.body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val lVer = lb.get() & 0xff
@@ -264,7 +374,8 @@ object Hdf5 {
     filters.foreach(f => require(f.id == 1 || f.id == 2,
       s"$path: $name: filter id ${f.id} unsupported (deflate/shuffle only)"))
 
-    Some(DsetMeta(name, dims, dtClass, dtSize, littleEndian, signed, lay, filters))
+    Some(DsetMeta(name, dims, dtClass, dtSize, littleEndian, signed, lay, filters,
+      parseAttrs(r, msgs, path)))
   }
 
   /** Walk the chunk B-tree into a flat chunk list (driver-side; the list is

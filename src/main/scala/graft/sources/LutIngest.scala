@@ -9,16 +9,17 @@ import graft.models.{Lut, LutIO}
 
 /** S4/S5/S2 — external LUT format converters to the canonical Parquet LUT
   * form, closing the "real user's day one" gap: every upstream LUT format
-  * the reference reads becomes ingestible without out-of-band tooling
-  * (except netCDF-4 containers, see [[Nc3]]).
+  * the reference reads becomes ingestible without out-of-band tooling,
+  * including both netCDF container formats.
   *
   * Usage (runMain graft.sources.LutIngest ...):
   *   cmod7 <datFile|dir> <outPath>   — KNMI Fortran binary (cmod7.py:19-75)
   *   npy <lutDir> <outPath>          — sarwing npy+pkl directory
   *                                     (pickle_luts.py:20-95; original .pkl
   *                                     axes or pre-converted .npy axes)
-  *   nc <file|dir> <outDir>          — xsarsea nc_lut_*.nc classic files
-  *                                     (models.py:350-411, 436-451)
+  *   nc <file|dir> <outDir>          — xsarsea nc_lut_*.nc files, classic
+  *                                     CDF or netCDF-4/HDF5 (sniffed by
+  *                                     magic; models.py:350-411, 436-451)
   *
   * Each conversion is per-file and driver-light (LUTs are ≤ a few MB —
   * BASELINE.md); at fleet scale, directories of LUTs convert embarrassingly
@@ -92,8 +93,16 @@ object LutIngest {
 
   /** xsarsea nc LUT: var `sigma0_model` over dims (incidence, wspd[, phi])
     * with coordinate vars named after the dims; global attrs units/pol/
-    * model/resolution (models.py:350-411). */
+    * model/resolution (models.py:350-411). Handles BOTH container formats
+    * by magic bytes: classic CDF via [[Nc3]], netCDF-4/HDF5 via [[Hdf5]]
+    * (coordinate datasets + root-group attributes, fixed or vlen strings —
+    * what xarray's netCDF4 backend writes by default).
+    */
   def ingestNc(spark: SparkSession, ncPath: String, outPath: String): Unit = {
+    val magic = new Array[Byte](2)
+    val in = new java.io.FileInputStream(ncPath)
+    try in.read(magic) finally in.close()
+    if (magic(0) == 0x89.toByte && magic(1) == 'H') return ingestNcH5(spark, ncPath, outPath)
     val nc = Nc3.read(ncPath)
     val s0 = nc.variable("sigma0_model")
     val dimNames = s0.dimIds.map(d => nc.dims(d).name)
@@ -112,6 +121,30 @@ object LutIngest {
       Lut(inc, wspd, phi, s0.data, units = gatt("units", "dB")), outPath,
       Map("model" -> name, "pol" -> gatt("pol", "VV"),
         "resolution" -> gatt("resolution", "high")))
+  }
+
+  private def ingestNcH5(spark: SparkSession, ncPath: String, outPath: String): Unit = {
+    val dsets = Hdf5.openGroup(ncPath, "/")
+    def ds(n: String): Hdf5.DsetMeta =
+      dsets.find(_.name == n).getOrElse(
+        sys.error(s"$ncPath: no variable $n (have ${dsets.map(_.name).mkString(", ")})"))
+    val s0 = ds("sigma0_model")
+    require(s0.rank == 2 || s0.rank == 3,
+      s"$ncPath: sigma0_model must be (incidence, wspd[, phi]), got rank ${s0.rank}")
+    val inc = Hdf5.readAll(ncPath, ds("incidence"))
+    val wspd = Hdf5.readAll(ncPath, ds("wspd"))
+    val phi = if (s0.rank == 3) Hdf5.readAll(ncPath, ds("phi")) else Array.empty[Double]
+    val wantDims = Seq(inc.length.toLong, wspd.length.toLong) ++
+      (if (s0.rank == 3) Seq(phi.length.toLong) else Nil)
+    require(s0.dims.toSeq == wantDims,
+      s"$ncPath: sigma0_model dims ${s0.dims.toSeq} != coordinate lengths $wantDims")
+    val gatts = Hdf5.groupAttrs(ncPath, "/")
+    def gatt(n: String, default: => String): String =
+      gatts.get(n).flatMap(_.left.toOption).getOrElse(default)
+    LutIO.writeLutData(spark,
+      Lut(inc, wspd, phi, Hdf5.readAll(ncPath, s0), units = gatt("units", "dB")), outPath,
+      Map("model" -> gatt("model", new File(ncPath).getName.replaceFirst("[.]nc4?$", "")),
+        "pol" -> gatt("pol", "VV"), "resolution" -> gatt("resolution", "high")))
   }
 
   def main(args: Array[String]): Unit = {

@@ -104,6 +104,53 @@ def stab_msg(btree, heap):
     return msg(0x0011, struct.pack("<QQ", btree, heap))
 
 
+def dataspace_raw(dims):
+    """Raw v1 dataspace (for attribute messages); rank 0 = scalar."""
+    body = struct.pack("<BBB1x4x", 1, len(dims), 0)
+    body += b"".join(struct.pack("<Q", d) for d in dims)
+    return body
+
+
+def dtype_raw_fixed_str(n):
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, n)  # class 3, null-padded
+
+
+def dtype_raw_vlen_str():
+    # class 9, bits0 low nibble 1 = vlen string; base = 1-byte string
+    return struct.pack("<BBBBI", 0x19, 1, 0, 0, 16) + dtype_raw_fixed_str(1)
+
+
+def dtype_raw_f64():
+    return struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8) + struct.pack(
+        "<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+
+
+def attr_msg(name, dt_raw, ds_raw, data):
+    """v1 attribute message: name/datatype/dataspace sizes, each 8-padded."""
+    nameb = name.encode() + b"\x00"
+
+    def pad8(b):
+        return b + b"\x00" * ((-len(b)) % 8)
+
+    body = struct.pack("<BxHHH", 1, len(nameb), len(dt_raw), len(ds_raw))
+    body += pad8(nameb) + pad8(dt_raw) + pad8(ds_raw) + data
+    return msg(0x000C, body)
+
+
+def gheap_string(w, s):
+    """One-object global heap collection; returns the vlen {len,addr,idx} data."""
+    data = s.encode()
+    w.align()
+    coll = bytearray(b"GCOL" + struct.pack("<B3xQ", 1, 4096))
+    coll += struct.pack("<HH4xQ", 1, 1, len(data)) + data
+    coll += b"\x00" * ((-len(data)) % 8)
+    free = 4096 - len(coll)
+    coll += struct.pack("<HH4xQ", 0, 0, free)  # free-space object
+    coll += b"\x00" * (4096 - len(coll))
+    addr = w.put(bytes(coll))
+    return struct.pack("<IQI", len(data), addr, 1)
+
+
 def write_chunked(w, arr, chunk_dims, shuffle):
     """Write all chunks (+deflate, optional shuffle) then the chunk B-tree.
     Returns (btree_addr, filters)."""
@@ -162,7 +209,7 @@ def write_dataset(w, arr, kind, chunk_dims=None, shuffle=False):
     return w.put(object_header(msgs))
 
 
-def write_group(w, links):
+def write_group(w, links, attrs=()):
     """Old-style group: local heap + SNOD + B-tree + group OH. Returns OH addr."""
     links = sorted(links.items())
     # local heap: offset 0 holds the empty string; names 8-aligned
@@ -189,8 +236,50 @@ def write_group(w, links):
     node += struct.pack("<QQQ", 0, snod_addr, offsets[links[-1][0]])
     btree_addr = w.put(node)
     w.align()
-    oh_addr = w.put(object_header([stab_msg(btree_addr, heap_addr)]))
+    oh_addr = w.put(object_header([stab_msg(btree_addr, heap_addr)] + list(attrs)))
     return oh_addr, btree_addr, heap_addr
+
+
+def make_lut_fixture(out):
+    """nc4-style LUT file: sigma0_model(incidence, wspd, phi) + coordinate
+    datasets at the ROOT group, with global attributes in both string
+    shapes (fixed-length 'units'/'pol'/'resolution', VLEN 'model' via a
+    global heap — xarray's netCDF4 backend emits vlen) and one numeric."""
+    nI, nW, nP = 5, 7, 3
+    i = np.arange(nI)[:, None, None]
+    ww = np.arange(nW)[None, :, None]
+    p = np.arange(nP)[None, None, :]
+    sigma = (-25.0 + (i * nW + ww) * nP + p * 1.0).astype("<f8")
+
+    w = W()
+    w.put(b"\x00" * 96)
+    links = {
+        "sigma0_model": write_dataset(w, sigma, "f8"),  # rank-3, contiguous
+        "incidence": write_dataset(w, (15.0 + 5.0 * np.arange(nI)).astype("<f8"), "f8"),
+        "wspd": write_dataset(w, (2.0 * np.arange(nW) + 1).astype("<f8"), "f8"),
+        "phi": write_dataset(w, (45.0 * np.arange(nP)).astype("<f8"), "f8"),
+    }
+    vlen_model = gheap_string(w, "nc_lut_h5fix")
+    attrs = [
+        attr_msg("units", dtype_raw_fixed_str(2), dataspace_raw([]), b"dB"),
+        attr_msg("pol", dtype_raw_fixed_str(2), dataspace_raw([]), b"VV"),
+        attr_msg("resolution", dtype_raw_fixed_str(4), dataspace_raw([]), b"high"),
+        attr_msg("model", dtype_raw_vlen_str(), dataspace_raw([]), vlen_model),
+        attr_msg("version", dtype_raw_f64(), dataspace_raw([2]),
+                 struct.pack("<dd", 2.0, 7.5)),
+    ]
+    root_oh, root_btree, root_heap = write_group(w, links, attrs)
+
+    sb = b"\x89HDF\r\n\x1a\n"
+    sb += struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
+    sb += struct.pack("<HHI", 4, 16, 0)
+    sb += struct.pack("<QQQQ", 0, UNDEF, len(w.buf), UNDEF)
+    sb += struct.pack("<QQI4x", 0, root_oh, 1)
+    sb += struct.pack("<QQ", root_btree, root_heap)
+    w.buf[0:96] = sb
+    with open(out, "wb") as f:
+        f.write(w.buf)
+    print(f"wrote {out}: {len(w.buf)} bytes, lut {nI}x{nW}x{nP}")
 
 
 def main(out):
@@ -239,3 +328,4 @@ def main(out):
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/owi_fixture.h5")
+    make_lut_fixture(sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/lut_fixture.nc4")
