@@ -58,15 +58,21 @@ object TextOps {
         (col(idCol) === col("canonical_id")).as("is_canonical"), col("n_copies"))
   }
 
-  /** MinHash signature columns mh0..mh{k-1} per document over distinct
-    * word-3-gram shingles. One explode + one groupBy (map-side combinable).
+  /** Distinct (doc, shingle-hash) pairs over word-3-gram shingles — the
+    * shared prefix of BOTH the MinHash signature computation and the exact
+    * Jaccard join; callers running both should compute it once and persist
+    * (see queries.Text.sharedShingleHashes).
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-        explode(shingles(tokens(col(textCol)))).as("shingle"))
+  def shingleHashes(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(shingles(tokens(col(textCol)))).as("shingle"))
       .select(col(idCol), (tokenHash(col("shingle")) % HashP).as("h"))
       .distinct()
+
+  /** MinHash signature columns mh0..mh{k-1} from a [[shingleHashes]] table
+    * (one map-side-combinable groupBy). */
+  def minhashFromHashes(sh: DataFrame, numHashes: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
     val aggs = (0 until numHashes).map { j =>
       val a = 1000003L + 7919L * j
       val b = 104729L * j + 12345L
@@ -74,6 +80,13 @@ object TextOps {
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures per document over distinct word-3-gram shingles.
+    * One explode + one groupBy (map-side combinable).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashFromHashes(shingleHashes(docs, idCol, textCol), numHashes, idCol)
 
   /** LSH banding: (doc_id, band_id, band_hash) with `rows` signature values
     * hashed per band. Docs sharing any band bucket are near-dup candidates.
@@ -122,11 +135,14 @@ object TextOps {
     * candidate set.
     */
   def jaccardPairs(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-        explode(shingles(tokens(col(textCol)))).as("shingle"))
-      .select(col("jid"), (tokenHash(col("shingle")) % HashP).as("h"))
-      .distinct()
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardFromHashes(shingleHashes(docs, idCol, textCol), pairs, idCol)
+
+  /** [[jaccardPairs]] over a precomputed (ideally persisted) shingle-hash
+    * table — the shape that shares the explode+distinct with MinHash. */
+  def jaccardFromHashes(shingleHash: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleHash.select(col(idCol).as("jid"), col("h"))
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.select(col("jid").as("doc_a"), col("h")), "doc_a")

@@ -140,17 +140,24 @@ object Text {
       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
       |)""".stripMargin
 
-  // q35/q36 share ONE signatures→candidates computation per (session,
-  // sfDir): the shingle explode + 16 minhash aggs + band join is the
-  // expensive half of both queries, so it runs once and persists — the
-  // shared-Scharr pattern that won 5× in the gradients family. The cache
-  // holds the bounded candidate-pair set, not the shingle table.
+  // q35/q36 share their common computation per (session, sfDir), persisted
+  // — the shared-Scharr pattern that won 5× in the gradients family:
+  //  - the (doc, shingle-hash) table: the explode+distinct both the MinHash
+  //    signatures (q35) AND the exact-Jaccard join (q36) scan;
+  //  - the candidate-pair set: q36 scores exactly q35's output pairs.
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+    shCache.getOrElseUpdate((spark, sfDir),
+      TextOps.shingleHashes(Tables.load(spark, sfDir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedCandidatePairs(spark: SparkSession, sfDir: String): DataFrame =
     candCache.getOrElseUpdate((spark, sfDir),
       TextOps.lshCandidatePairs(
-        TextOps.minhashSignatures(Tables.load(spark, sfDir, "documents")))
+        TextOps.minhashFromHashes(sharedShingleHashes(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** q35: MinHash+LSH near-duplicate candidate pairs. */
@@ -164,13 +171,13 @@ object Text {
        |$candCte
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
-  /** q36: exact n-gram Jaccard over the (shared, persisted) LSH candidate
-    * pairs — only the candidate-bounded shingle equi-join runs here. */
-  def q36Jaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    TextOps.jaccardPairs(docs, sharedCandidatePairs(spark, sfDir))
+  /** q36: exact n-gram Jaccard over the (shared, persisted) shingle table
+    * and LSH candidate pairs — only the candidate-bounded equi-join and
+    * per-doc size aggregation run here. */
+  def q36Jaccard(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
+        sharedCandidatePairs(spark, sfDir))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   val q36Sql: String =
     s"""WITH $shingleCte,
