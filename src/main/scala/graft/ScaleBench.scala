@@ -118,10 +118,10 @@ object ScaleBench {
       round(Similarity.dot(a, b) /
         (sqrt(Similarity.norm2(a)) * sqrt(Similarity.norm2(b))), 6)
 
-    // 7. banded LSH all-pairs top-1 at 1M vectors: autoPlanes gives 16
-    // planes per band (65536 buckets → ~15 vectors/bucket, bounded pair
-    // work) × autoBands(16)=12 bands (flat recall; a single band keeps a
-    // cosine-0.95 pair with p≈0.2)
+    // 7. banded LSH all-pairs top-1 at 1M vectors: autoPlanes gives 18
+    // planes per band (262k buckets → ~4 vectors/bucket, bounded pair
+    // work) × autoBands(18)=15 bands (flat recall; a single band keeps a
+    // cosine-0.95 pair with p≈0.15)
     timed(s"ann_lsh_top1_${nVec / 1000}k_banded") {
       Similarity.rpTopK(emb, k = 1, n = Some(nVec.toLong))
         .write.format("noop").mode("overwrite").save()

@@ -78,10 +78,18 @@ object Similarity {
     * `LENGTH(bin(m-1))` mirror is bit-exact at power-of-two boundaries.
     * Scaling planes with log2(n) keeps per-bucket pair work ~targetOccupancy²
     * (total ~n·targetOccupancy — linear), where any fixed plane count would
-    * go quadratic at scale; the price is recall — each doubling of bucket
-    * count halves the chance a true near-pair shares every sign bit.
+    * go quadratic at scale; the per-band recall loss is repaid by
+    * [[autoBands]].
+    *
+    * Occupancy default: candidate volume per band is ~n·occ/2 and the band
+    * count needed for fixed recall shrinks only slowly as occ grows (b ∝
+    * occ^-0.15 at the 0.95 design point), so TOTAL candidate work scales
+    * like occ^0.85 — smaller occupancy is strictly cheaper until buckets
+    * go singleton. occ=4 (vs the earlier 16) cuts the 1M-vector all-pairs
+    * candidate volume ~3× at the same ≥0.9 recall (18 planes × 15 bands vs
+    * 16 × 12), while staying under the autoBands cap up to ~1M vectors.
     */
-  def autoPlanes(n: Long, targetOccupancy: Int = 16,
+  def autoPlanes(n: Long, targetOccupancy: Int = 4,
       minPlanes: Int = 4, maxPlanes: Int = 32): Int = {
     val m = (n + targetOccupancy - 1) / targetOccupancy
     val p = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
@@ -232,10 +240,14 @@ object Similarity {
     val par = spark.sparkContext.defaultParallelism
     val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
     val scored = scorePairs(cp, bandedCandidates(cp, np, nb, idCol, vecCol), idCol, vecCol)
-    val directed = scored.select(col("doc_a").as("query_id"),
-        col("doc_b").as("neighbor_id"), col("cos_sim"))
-      .unionAll(scored.select(col("doc_b").as("query_id"),
-        col("doc_a").as("neighbor_id"), col("cos_sim")))
+    // mirror each undirected pair into both directions via ONE Generate —
+    // a self-union here would duplicate the whole candidate+scoring
+    // subplan (union branches don't share non-exchange work)
+    val directed = scored.select(explode(array(
+        struct(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id")),
+        struct(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))).as("d"),
+        col("cos_sim"))
+      .select(col("d.query_id"), col("d.neighbor_id"), col("cos_sim"))
     // rank via row_number, NOT a max-struct groupBy: Spark 4 plans the
     // rank<=k filter as WindowGroupLimit with a map-side partial pass (each
     // partition keeps only k rows per group before the exchange), which

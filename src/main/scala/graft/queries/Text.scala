@@ -240,7 +240,7 @@ object Text {
     val m = "(((i * 2654435761) % 1000003) * ((40503 * (g.band * 32 + g.k + 1)) % 1000003) % 1000003)"
     s"""np AS (
        |  SELECT LEAST(32, GREATEST(4, CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS p
-       |  FROM (SELECT (COUNT(1) + 15) // 16 AS m FROM embeddings)
+       |  FROM (SELECT (COUNT(1) + 3) // 4 AS m FROM embeddings)
        |),
        |nb AS (SELECT CASE p $nbCase END AS b FROM np),
        |grid AS (

@@ -106,7 +106,7 @@ class TextSpec extends SparkSpec {
     // synthetic corpus: even ids are hash-mixed base vectors, odd ids are
     // small perturbations of their preceding even id (amp such that pair
     // cosines spread over ~[0.93, 0.99]); single-band sign-LSH at the
-    // autoPlanes(20k)=11 plane count would keep only s^11 ≈ 31% of the
+    // autoPlanes(20k)=13 plane count would keep only s^13 ≈ 25% of the
     // 0.95-cosine pairs — the band union is what lifts recall over 0.9
     val n = 20000
     val base = transform(sequence(lit(0), lit(15)),
@@ -137,12 +137,12 @@ class TextSpec extends SparkSpec {
   }
 
   test("autoPlanes targets bounded bucket occupancy with exact power-of-two edges") {
-    // smallest p with 2^p * 16 >= n, clamped to [4, 32]
+    // smallest p with 2^p * 4 >= n, clamped to [4, 32]
     assert(Similarity.autoPlanes(0) == 4)
-    assert(Similarity.autoPlanes(16) == 4)      // m=1 -> p=0 -> clamp
-    assert(Similarity.autoPlanes(1000) == 6)    // m=63, 2^6=64 >= 63
-    assert(Similarity.autoPlanes(1024) == 6)    // m=64 exactly: 2^6 suffices
-    assert(Similarity.autoPlanes(1025) == 7)    // m=65 -> 2^7
+    assert(Similarity.autoPlanes(16) == 4)      // m=4 -> p=2 -> clamp
+    assert(Similarity.autoPlanes(1000) == 8)    // m=250, 2^8=256 >= 250
+    assert(Similarity.autoPlanes(1024) == 8)    // m=256 exactly: 2^8 suffices
+    assert(Similarity.autoPlanes(1028) == 9)    // m=257 -> 2^9
     assert(Similarity.autoPlanes(1L << 40) == 32) // clamp at maxPlanes
     assert(Similarity.autoPlanes(100000, targetOccupancy = 16, maxPlanes = 64) == 13)
   }
