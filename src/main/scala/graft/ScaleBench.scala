@@ -192,11 +192,30 @@ object ScaleBench {
       when(col("doc_id") % 10 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" x"), (col("doc_id") % 97).cast("string")))
         .as("text"))
+    val docPairs = operators.TextOps.lshCandidatePairs(
+      operators.TextOps.minhashSignatures(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     timed(s"minhash_lsh_jaccard_${nDocs / 1000}k_docs") {
-      val pairs = operators.TextOps.lshCandidatePairs(
-        operators.TextOps.minhashSignatures(docs))
-      operators.TextOps.jaccardPairs(docs, pairs)
+      operators.TextOps.jaccardPairs(docs, docPairs)
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // 9b. MinHash RECALL GATE: docs (id, id+100k) share a 30-word base and
+    // differ by one suffix token (3 of ~31 shingles → Jaccard ≈ 0.8); with
+    // 16 minhashes in 4×4 bands a j≈0.8 pair surfaces with
+    // 1-(1-j⁴)⁴ ≈ 0.90 — measured against the exact-Jaccard≥0.7 truth set
+    // so the text near-dup path is recall-gated like the embedding path.
+    timed(s"minhash_recall_${nDocs / 1000}k") {
+      val planted = docs.filter(col("doc_id") < nDocs / 10)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + nDocs / 10).as("doc_b"))
+      val truth = operators.TextOps.jaccardPairs(docs, planted)
+        .filter(col("jaccard") >= 0.7).select("doc_a", "doc_b").cache()
+      val nTruth = truth.count()
+      val hit = docPairs.join(truth, Seq("doc_a", "doc_b")).count()
+      val recall = hit.toDouble / nTruth
+      println(f"[scale] minhash_recall: $hit/$nTruth = $recall%.4f (gate >= 0.8)")
+      truth.unpersist(); docPairs.unpersist()
+      require(recall >= 0.8, f"MinHash LSH recall $recall%.4f below the 0.8 gate")
     }
 
     // 10. SimHash QUALITY at 1M docs: docs sharing id mod 100k have the

@@ -230,6 +230,12 @@ object Similarity {
     * as planes scale — see autoBands); each undirected pair is scored ONCE
     * (cosine is symmetric) and then mirrored into both directions before
     * the per-query ranking.
+    *
+    * Coverage note: a vector that collides with nothing in ANY band emits
+    * no rows — LSH surfaces near neighbors at the autoBands design point
+    * (cosine ≈ 0.95), not an arbitrary nearest vector. For guaranteed
+    * coverage of isolated vectors use [[cosineTopK]] (exact) or
+    * [[ivfTopK]] (every vector belongs to a probed list).
     */
   def rpTopK(corpus: DataFrame, k: Int, planes: Option[Int] = None,
       bands: Option[Int] = None, n: Option[Long] = None,
