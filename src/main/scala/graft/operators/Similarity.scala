@@ -174,14 +174,14 @@ object Similarity {
     * bucket) triples, never bands× vectors.
     */
   private def bandedCandidates(corpus: DataFrame, planes: Int, bands: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, dedup: Boolean = true): DataFrame = {
     val bb = bandBuckets(corpus, planes, bands, idCol, vecCol)
     val l = bb.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
     val r = bb.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs colliding in
@@ -245,7 +245,12 @@ object Similarity {
     val nb = bands.getOrElse(autoBands(np))
     val par = spark.sparkContext.defaultParallelism
     val cp = graft.core.Plans.ensureMinPartitions(corpus, par)
-    val scored = scorePairs(cp, bandedCandidates(cp, np, nb, idCol, vecCol), idCol, vecCol)
+    // k == 1: skip the candidate dedup shuffle — a pair colliding in
+    // several bands just yields identical scored rows, and identical rows
+    // cannot change a top-1 ranking (ties order by neighbor_id). k > 1
+    // needs the dedup or one neighbor could occupy several ranks.
+    val scored = scorePairs(cp,
+      bandedCandidates(cp, np, nb, idCol, vecCol, dedup = k > 1), idCol, vecCol)
     // mirror each undirected pair into both directions via ONE Generate —
     // a self-union here would duplicate the whole candidate+scoring
     // subplan (union branches don't share non-exchange work)

@@ -159,9 +159,10 @@ object LutIngest {
       case "nc" =>
         val f = new File(in)
         if (f.isDirectory)
-          f.listFiles().filter(x => x.getName.startsWith("nc_lut_") && x.getName.endsWith(".nc"))
+          f.listFiles().filter(x => x.getName.startsWith("nc_lut_") &&
+              (x.getName.endsWith(".nc") || x.getName.endsWith(".nc4")))
             .foreach(x => ingestNc(spark, x.getPath,
-              s"$out/${x.getName.stripSuffix(".nc")}"))
+              s"$out/${x.getName.replaceFirst("[.]nc4?$", "")}"))
         else ingestNc(spark, in, out)
       case other => sys.error(s"unknown ingest kind $other")
     }
