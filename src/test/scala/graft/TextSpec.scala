@@ -85,6 +85,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("rpTopK k>1: consecutive ranks, no duplicate neighbors, scores nonincreasing") {
+    // k>1 exercises the deduped-candidate path (k=1 skips the distinct —
+    // duplicate scored rows can't change a top-1 — so duplicates WOULD
+    // surface here if the dedup gate broke)
+    val top = Similarity.rpTopK(emb, k = 3).collect()
+    assert(top.nonEmpty)
+    top.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val neighbors = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(neighbors.distinct.length == neighbors.length,
+        s"query $q ranked a neighbor twice: ${neighbors.mkString(",")}")
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rows.length), s"ranks not consecutive for $q")
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse), "rank must follow similarity desc")
+    }
+  }
+
   test("autoBands holds the 0.95-cosine recall target as planes grow") {
     // b = ceil(ln(1-R) / ln(1-s^planes)), s = 1 - acos(0.95)/pi ≈ 0.899
     assert(Similarity.autoBands(1) == 2)   // one plane: s ≈ 0.899, just under R=0.9
