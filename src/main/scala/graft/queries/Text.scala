@@ -437,7 +437,62 @@ object Text {
       |  CAST(octet_length(encode(d.text)) // 64 AS BIGINT) AS n_frames
       |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
 
+  /** q56: the dedup DECISION a training-data pipeline actually executes —
+    * every document gets keep/drop flags with reasons, composed from the
+    * shared exact-hash groups and near-dup machinery (shingle table +
+    * LSH candidates + exact Jaccard, all persisted once per session):
+    *  - `is_exact_dup`: not the minimum doc_id of its content-hash group;
+    *  - `is_near_dup`: the larger side of any candidate pair with
+    *    (rounded) Jaccard ≥ 0.8 — the keep-first-by-id rule, no iterative
+    *    connected components needed;
+    *  - `keep` = exact-canonical AND not near-dup — the filter column a
+    *    100 TB dedup pass would apply.
+    */
+  def q56DedupDecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = TextOps.exactDedup(docs).select(col("doc_id"), col("is_canonical"))
+    val drops = TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
+        sharedCandidatePairs(spark, sfDir))
+      .filter(round(col("jaccard"), 6) >= 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    exact.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (!col("is_canonical")).as("is_exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("is_near_dup"),
+        (col("is_canonical") && coalesce(!col("near_dup"), lit(true))).as("keep"))
+  }
+
+  val q56Sql: String =
+    s"""WITH $shingleCte,
+       |${sigCte(16)},
+       |${bandsCte(16, 4)},
+       |$candCte,
+       |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_common
+       |  FROM cand c
+       |  JOIN shing sa ON sa.doc_id = c.doc_a
+       |  JOIN shing sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |drops AS (
+       |  SELECT DISTINCT m.doc_b AS doc_id
+       |  FROM common m
+       |  JOIN sizes na ON na.doc_id = m.doc_a
+       |  JOIN sizes nb ON nb.doc_id = m.doc_b
+       |  WHERE ROUND(m.n_common / (na.n_sh + nb.n_sh - m.n_common), 6) >= 8e-1
+       |),
+       |h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+       |g AS (SELECT ch, MIN(doc_id) AS canon FROM h GROUP BY ch)
+       |SELECT h.doc_id,
+       |  h.doc_id != g.canon AS is_exact_dup,
+       |  d.doc_id IS NOT NULL AS is_near_dup,
+       |  (h.doc_id = g.canon AND d.doc_id IS NULL) AS keep
+       |FROM h JOIN g USING (ch) LEFT JOIN drops d USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_dedup_decision", q56DedupDecision, Some(q56Sql)),
     QueryDef("q55_multimodal", q55Multimodal, Some(q55Sql)),
     QueryDef("q37_embed_neardup", q37EmbedNearDup, Some(q37Sql)),
     QueryDef("q51_ann_ivf", q51AnnIvf, Some(q51Sql)),
