@@ -256,7 +256,8 @@ object Hdf5 {
         body.get(out)
         return out
       }
-      if (idx == 0) return Array.empty // free space: end of objects
+      if (idx == 0) // free-space object: end of the collection's objects
+        sys.error(s"$path: global heap object $index not in collection at $addr")
       body.position(body.position() + ((objSize + 7) & ~7L).toInt)
     }
     sys.error(s"$path: global heap object $index not found at $addr")

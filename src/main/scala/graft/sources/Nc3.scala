@@ -99,7 +99,14 @@ object Nc3 {
         val n = in.readInt()
         val s = new Array[Byte](n)
         in.readFully(s)
-        in.skipBytes((pad4(n) - n).toInt)
+        // skipBytes may skip fewer bytes at a buffer boundary (its
+        // documented contract) — loop until the padding is consumed
+        var toSkip = (pad4(n) - n).toInt
+        while (toSkip > 0) {
+          val k = in.skipBytes(toSkip)
+          require(k > 0, s"$path: truncated header padding")
+          toSkip -= k
+        }
         new String(s, "UTF-8")
       }
 
