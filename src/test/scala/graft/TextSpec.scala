@@ -164,6 +164,23 @@ class TextSpec extends SparkSpec {
     assert(Similarity.autoPlanes(100000, targetOccupancy = 16, maxPlanes = 64) == 13)
   }
 
+  test("IVF recall@5 is nondecreasing in nprobe and the dial buys recall") {
+    // probed lists are supersets as nprobe grows (deterministic
+    // assignment), so recall vs the exact top-5 can only improve — the
+    // spec-scale mirror of the ScaleBench 1M sweep gate
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { nprobe =>
+      Similarity.ivfTopK(emb, queries, k = 5, numCents = 45, nprobe = nprobe).collect()
+        .count(r => exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+        .toDouble / exact.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"IVF recall must be nondecreasing in nprobe: $recalls")
+    assert(recalls.last > recalls.head, s"nprobe dial bought no recall: $recalls")
+  }
+
   test("IVF with Lloyd-refined centroids still returns ranked non-self results") {
     val queries = emb.filter(col("vec_id") < 3)
     val ivf = Similarity.ivfTopK(emb, queries, k = 3, numCents = 8, nprobe = 2,
