@@ -155,7 +155,7 @@ object Similarity {
     * independent hyperplane family. The explode multiplies only (id, band,
     * bucket) triples — vectors do NOT ride through the band shuffle.
     */
-  private def bandBuckets(corpus: DataFrame, planes: Int, bands: Int,
+  private[graft] def bandBuckets(corpus: DataFrame, planes: Int, bands: Int,
       idCol: String, vecCol: String): DataFrame = {
     val entries = (0 until bands).map { b =>
       struct(lit(b).as("band"), rpBucket(col(vecCol), planes, b * BandStride).as("bucket"))
@@ -173,7 +173,7 @@ object Similarity {
     * and the id-only band join keeps shuffle volume at bands×(id,band,
     * bucket) triples, never bands× vectors.
     */
-  private def bandedCandidates(corpus: DataFrame, planes: Int, bands: Int,
+  private[graft] def bandedCandidates(corpus: DataFrame, planes: Int, bands: Int,
       idCol: String, vecCol: String, dedup: Boolean = true): DataFrame = {
     val bb = bandBuckets(corpus, planes, bands, idCol, vecCol)
     val l = bb.select(col(idCol).as("doc_a"), col("band"), col("bucket"))

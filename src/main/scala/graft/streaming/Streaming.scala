@@ -69,6 +69,66 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming embedding near-dup detection — the ingest-time twin of
+    * Similarity.nearDupPairs. Each micro-batch of (vec_id, embedding)
+    * rows is banded with the SAME deterministic hyperplane family as the
+    * batch operator, candidate pairs come from band-bucket collisions
+    * (a) within the batch and (b) against a persistent bucket STORE, are
+    * confirmed by exact cosine ≥ threshold, and append to `outDir` as
+    * (doc_a, doc_b, cos_sim) with doc_a the earlier-seen side.
+    *
+    * State lives in TABLES (`storeDir/buckets`: band, bucket, vec_id;
+    * `storeDir/vectors`: vec_id, embedding), not in executor memory — the
+    * production shape for dedup-at-ingest at 100 TB: the store outlives
+    * any one query, the band equi-join only touches colliding buckets,
+    * and retention/compaction is an operational policy on the table (vs
+    * a state store that grows inside a checkpoint forever).
+    */
+  def embeddingNearDupStream(vectors: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, threshold: Double, planes: Int, bands: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
+    import graft.operators.Similarity
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol), col(vecCol)).persist()
+        def tableOr(path: String, empty: => DataFrame): DataFrame =
+          if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
+        val storeB = tableOr(s"$storeDir/buckets",
+          spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"),
+            lit(0L).as(idCol)).limit(0))
+        val storeV = tableOr(s"$storeDir/vectors", b.limit(0))
+        val bb = Similarity.bandBuckets(b, planes, bands, idCol, vecCol)
+        // within-batch pairs (a < b) + cross-store pairs (stored id first)
+        val within = Similarity.bandedCandidates(b, planes, bands, idCol, vecCol)
+        val cross = storeB.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+          .join(bb.select(col(idCol).as("doc_b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val allVecs = storeV.unionByName(b).select(col(idCol), col(vecCol),
+          sqrt(Similarity.norm2(col(vecCol))).as("nrm"))
+        within.unionByName(cross)
+          .join(allVecs.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
+            col("nrm").as("na")), "doc_a")
+          .join(allVecs.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
+            col("nrm").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+              .as("cos_sim"))
+          .filter(col("cos_sim") >= threshold)
+          .write.mode("append").parquet(outDir)
+        // only after the pairs land: admit the batch into the store
+        bb.write.mode("append").parquet(s"$storeDir/buckets")
+        b.write.mode("append").parquet(s"$storeDir/vectors")
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Scene-at-a-time recipe runner: each new scene Parquet dir arriving under
     * `inDir` flows through `recipe` (e.g. detrend → inversion) and appends to
     * `outDir` — micro-batch per scene, the continuous-ingestion shape of

@@ -78,6 +78,36 @@ class IoStreamingSpec extends SparkSpec {
     assert(texts.contains("other"))
   }
 
+  test("streaming embedding near-dup finds within-batch and cross-batch pairs via the table store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("neardupstream").toString
+    // hash-mixed pseudo-random vectors (cosines near 0 between seeds);
+    // near() perturbs one coordinate → cosine ≈ 0.999
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(i => (((seed * 2654435761L + i * 40503L) % 2000 - 1000) / 1000.0).toFloat)
+    def near(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.05f else x }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingNearDupStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt",
+      threshold = 0.9, planes = 4, bands = 3)
+    mem.addData((0L, vec(3)), (1L, near(vec(3))), (2L, vec(7)), (3L, vec(11)), (4L, vec(13)))
+    q.processAllAvailable()
+    mem.addData((100L, near(vec(7)))) // near-dup of a vector from batch 1
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cos_sim")))
+    assert(out.exists { case (a, b, _) => a == 0L && b == 1L }, s"within-batch pair missing: ${out.toSeq}")
+    assert(out.exists { case (a, b, _) => a == 2L && b == 100L }, s"cross-batch pair missing: ${out.toSeq}")
+    assert(out.forall(_._3 >= 0.9), s"below-threshold pair leaked: ${out.toSeq}")
+    // the store admitted every vector exactly once
+    assert(spark.read.parquet(s"$dir/store/vectors").count() == 6)
+  }
+
   test("streaming hourly counts run with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
