@@ -67,14 +67,44 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
-  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** Fingerprint of a table path's file listing (name, length, mtime per
+    * file) via the Hadoop FileSystem API — a listing RPC, orders of
+    * magnitude cheaper than the count job it guards, and valid for any
+    * FS scheme (local/HDFS/S3). */
+  private def fingerprint(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return "<absent>"
+    val sb = new StringBuilder
+    val it = fs.listFiles(hp, true)
+    while (it.hasNext) {
+      val s = it.next()
+      sb.append(s.getPath.getName).append(':').append(s.getLen)
+        .append(':').append(s.getModificationTime).append(';')
+    }
+    sb.result()
+  }
 
   /** Memoized table row count — operators that size themselves from the
     * corpus cardinality (e.g. Similarity.autoPlanes) share one count job
-    * per (sfDir, table) per JVM instead of re-scanning per call.
+    * per (sfDir, table) per JVM instead of re-scanning per call. The memo
+    * is keyed on the file listing's fingerprint, so a table re-materialized
+    * at the same path in-session (bench harness regenerating data) is
+    * re-counted instead of served a stale cardinality.
     */
-  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
-    counts.getOrElseUpdate(path(sfDir, name), load(spark, sfDir, name).count())
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val p = path(sfDir, name)
+    val fp = fingerprint(spark, p)
+    counts.get(p) match {
+      case Some((f, c)) if f == fp => c
+      case _ =>
+        val c = load(spark, sfDir, name).count()
+        counts.put(p, (fp, c))
+        c
+    }
+  }
 
   /** Register every table as a temp view named after itself; idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -294,11 +294,16 @@ object Hdf5 {
           val raw = new Array[Byte](dt.size * n); data.get(raw)
           Some(name -> Left(new String(raw, "UTF-8").takeWhile(_ != '\u0000')))
         case 9 if dt.isVlenString =>
-          // vlen string (scalar): {length(4), gheap collection addr(8), index(4)}
-          data.getInt()
-          val gaddr = data.getLong()
-          val gidx = data.getInt()
-          Some(name -> Left(new String(gheapObject(r, gaddr, gidx, path), "UTF-8")))
+          // vlen string: n × {length(4), gheap collection addr(8), index(4)}
+          // records — array-valued attrs (n > 1) join elementwise with ", "
+          // (ncdump's rendering of multi-valued string attributes)
+          val parts = (0 until n).map { _ =>
+            data.getInt()
+            val gaddr = data.getLong()
+            val gidx = data.getInt()
+            new String(gheapObject(r, gaddr, gidx, path), "UTF-8")
+          }
+          Some(name -> Left(parts.mkString(", ")))
         case 0 | 1 =>
           val raw = new Array[Byte](dt.size * n); data.get(raw)
           val m2 = DsetMeta(name, Array(n.toLong), dt.cls, dt.size, dt.littleEndian,

@@ -83,50 +83,79 @@ object Streaming {
     * any one query, the band equi-join only touches colliding buckets,
     * and retention/compaction is an operational policy on the table (vs
     * a state store that grows inside a checkpoint forever).
+    *
+    * Exactly-once under retries: every write (pairs, bucket rows, vector
+    * rows) lands in a hive-style `batch_id=<id>` partition that the batch
+    * OVERWRITES, and the store reads only partitions with a strictly
+    * smaller batch_id — so a failed/restarted micro-batch re-executes
+    * against exactly its original inputs and replaces (never duplicates)
+    * its own output. Store paths resolve through the Hadoop FileSystem
+    * API, so `storeDir` may live on HDFS/S3, not just the local disk.
     */
   def embeddingNearDupStream(vectors: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, threshold: Double, planes: Int, bands: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
-    import graft.operators.Similarity
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col(idCol), col(vecCol)).persist()
-        def tableOr(path: String, empty: => DataFrame): DataFrame =
-          if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
-        val storeB = tableOr(s"$storeDir/buckets",
-          spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"),
-            lit(0L).as(idCol)).limit(0))
-        val storeV = tableOr(s"$storeDir/vectors", b.limit(0))
-        val bb = Similarity.bandBuckets(b, planes, bands, idCol, vecCol)
-        // within-batch pairs (a < b) + cross-store pairs (stored id first)
-        val within = Similarity.bandedCandidates(b, planes, bands, idCol, vecCol)
-        val cross = storeB.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
-          .join(bb.select(col(idCol).as("doc_b"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .filter(col("doc_a") =!= col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        val allVecs = storeV.unionByName(b).select(col(idCol), col(vecCol),
-          sqrt(Similarity.norm2(col(vecCol))).as("nrm"))
-        within.unionByName(cross)
-          .join(allVecs.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
-            col("nrm").as("na")), "doc_a")
-          .join(allVecs.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
-            col("nrm").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-              .as("cos_sim"))
-          .filter(col("cos_sim") >= threshold)
-          .write.mode("append").parquet(outDir)
-        // only after the pairs land: admit the batch into the store
-        bb.write.mode("append").parquet(s"$storeDir/buckets")
-        b.write.mode("append").parquet(s"$storeDir/vectors")
-        b.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNearDupBatch(batch, batchId, outDir, storeDir, threshold,
+          planes, bands, idCol, vecCol)
       }
       .start()
+
+  /** One micro-batch of [[embeddingNearDupStream]] — package-private so the
+    * idempotency contract (same batchId twice ⇒ identical store + pairs)
+    * is directly testable without forcing a streaming-engine retry.
+    */
+  private[graft] def processNearDupBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, threshold: Double, planes: Int,
+      bands: Int, idCol: String, vecCol: String): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val b = batch.select(col(idCol), col(vecCol)).persist()
+    // Committed state = partitions with batch_id < this batch. A retried
+    // batch may find its own half-written batch_id=<id> partition; the
+    // filter excludes it, so re-execution sees the pre-batch store.
+    def tableOr(path: String, empty: => DataFrame): DataFrame =
+      if (exists(path))
+        try spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      else empty
+    val storeB = tableOr(s"$storeDir/buckets",
+      spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"),
+        lit(0L).as(idCol)).limit(0))
+    val storeV = tableOr(s"$storeDir/vectors", b.limit(0))
+    val bb = Similarity.bandBuckets(b, planes, bands, idCol, vecCol)
+    // within-batch pairs (a < b) + cross-store pairs (stored id first)
+    val within = Similarity.bandedCandidates(b, planes, bands, idCol, vecCol)
+    val cross = storeB.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+      .join(bb.select(col(idCol).as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val allVecs = storeV.unionByName(b).select(col(idCol), col(vecCol),
+      sqrt(Similarity.norm2(col(vecCol))).as("nrm"))
+    within.unionByName(cross)
+      .join(allVecs.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), "doc_a")
+      .join(allVecs.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // admit the batch into the store — overwrite, so retries replace
+    bb.write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
+    b.write.mode("overwrite").parquet(s"$storeDir/vectors/batch_id=$batchId")
+    b.unpersist()
+    ()
   }
 
   /** Scene-at-a-time recipe runner: each new scene Parquet dir arriving under

@@ -108,6 +108,35 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/vectors").count() == 6)
   }
 
+  test("streaming near-dup batches are idempotent under re-execution (retry/restart)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("neardupretry").toString
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(i => (((seed * 2654435761L + i * 40503L) % 2000 - 1000) / 1000.0).toFloat)
+    def near(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.05f else x }
+    val b0 = Seq((0L, vec(3)), (1L, near(vec(3))), (2L, vec(7))).toDF("vec_id", "embedding")
+    val b1 = Seq((100L, near(vec(7)))).toDF("vec_id", "embedding")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streaming.processNearDupBatch(batch, id, s"$dir/out", s"$dir/store",
+        threshold = 0.9, planes = 4, bands = 3, idCol = "vec_id", vecCol = "embedding")
+    run(b0, 0L)
+    run(b1, 1L)
+    val pairs = spark.read.parquet(s"$dir/out")
+      .select("doc_a", "doc_b", "cos_sim").collect().toSet
+    val nVec = spark.read.parquet(s"$dir/store/vectors").count()
+    val nBuck = spark.read.parquet(s"$dir/store/buckets").count()
+    // re-execute batch 1 (a foreachBatch retry / checkpoint-restart replay):
+    // stores and pairs must come out IDENTICAL, not duplicated
+    run(b1, 1L)
+    assert(spark.read.parquet(s"$dir/out")
+      .select("doc_a", "doc_b", "cos_sim").collect().toSet == pairs)
+    assert(spark.read.parquet(s"$dir/store/vectors").count() == nVec)
+    assert(spark.read.parquet(s"$dir/store/buckets").count() == nBuck)
+    // cross-batch pair was found and survived the replay
+    assert(pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 100L), s"pairs: $pairs")
+  }
+
   test("streaming hourly counts run with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -121,6 +150,16 @@ class IoStreamingSpec extends SparkSpec {
     val n = spark.table("hourly").count()
     q.stop()
     assert(n >= 1)
+  }
+
+  test("Tables.rowCount re-counts when the table is re-materialized in-session") {
+    import spark.implicits._
+    val sfDir = Files.createTempDirectory("rowcount").toString
+    (1 to 5).toDF("x").write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    assert(graft.core.Tables.rowCount(spark, sfDir, "documents") == 5)
+    // regenerate the table at the same path — the memo must not serve 5
+    (1 to 9).toDF("x").write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    assert(graft.core.Tables.rowCount(spark, sfDir, "documents") == 9)
   }
 
   test("multimodal feature extraction is deterministic with fixed batch shape") {

@@ -139,16 +139,25 @@ def attr_msg(name, dt_raw, ds_raw, data):
 
 def gheap_string(w, s):
     """One-object global heap collection; returns the vlen {len,addr,idx} data."""
-    data = s.encode()
+    return gheap_strings(w, [s])
+
+
+def gheap_strings(w, strings):
+    """Global heap collection with one object per string; returns the
+    concatenated vlen {len,addr,idx} records (an array-valued vlen attr)."""
     w.align()
     coll = bytearray(b"GCOL" + struct.pack("<B3xQ", 1, 4096))
-    coll += struct.pack("<HH4xQ", 1, 1, len(data)) + data
-    coll += b"\x00" * ((-len(data)) % 8)
+    records = []
+    for idx, s in enumerate(strings, start=1):
+        data = s.encode()
+        coll += struct.pack("<HH4xQ", idx, 1, len(data)) + data
+        coll += b"\x00" * ((-len(data)) % 8)
+        records.append((len(data), idx))
     free = 4096 - len(coll)
     coll += struct.pack("<HH4xQ", 0, 0, free)  # free-space object
     coll += b"\x00" * (4096 - len(coll))
     addr = w.put(bytes(coll))
-    return struct.pack("<IQI", len(data), addr, 1)
+    return b"".join(struct.pack("<IQI", n, addr, idx) for n, idx in records)
 
 
 def write_chunked(w, arr, chunk_dims, shuffle):
@@ -265,6 +274,8 @@ def make_lut_fixture(out):
         attr_msg("pol", dtype_raw_fixed_str(2), dataspace_raw([]), b"VV"),
         attr_msg("resolution", dtype_raw_fixed_str(4), dataspace_raw([]), b"high"),
         attr_msg("model", dtype_raw_vlen_str(), dataspace_raw([]), vlen_model),
+        attr_msg("history", dtype_raw_vlen_str(), dataspace_raw([2]),
+                 gheap_strings(w, ["created", "amended"])),  # ARRAY-valued vlen
         attr_msg("version", dtype_raw_f64(), dataspace_raw([2]),
                  struct.pack("<dd", 2.0, 7.5)),
     ]
