@@ -39,7 +39,10 @@ object SceneIngest {
     * reads large enough to be sequential-ish. */
   private val PxPerPartition = 2000000L
 
-  def readOwi(spark: SparkSession, ncPath: String): DataFrame = {
+  /** Grid shape + per-variable read recipes for a classic netCDF-3 scene —
+    * the driver-side metadata walk shared by [[readOwi]] and the
+    * [[OwiDataSource]] DataSource V2 path. */
+  private[sources] def nc3Recipes(ncPath: String): (Int, Int, IndexedSeq[VarRecipe]) = {
     val h = Nc3.readHeader(ncPath)
     def dimName(id: Int): String = {
       val n = h.dims(id).name
@@ -53,57 +56,63 @@ object SceneIngest {
     val lineDim = h.dims(gridVars.head.dimIds(0))
     val nL = if (lineDim.isRecord) h.numrecs else lineDim.length
     val nS = h.dims(gridVars.head.dimIds(1)).length
+    val recipes = gridVars.map(v =>
+      Nc3Var(v.name, v.ncType, v.begin, h.isRecordVar(v), h.recSize): VarRecipe)
+    (nL, nS, recipes.toIndexedSeq)
+  }
 
-    val names = gridVars.map(_.name)
-    val schema = StructType(
+  /** Grid shape + read recipes for a netCDF-4/HDF5 scene group: chunk lists
+    * are walked ONCE on the driver (O(chunks) metadata, never values). */
+  private[sources] def h5Recipes(h5Path: String,
+      group: String): (Int, Int, IndexedSeq[VarRecipe]) = {
+    val metas = Hdf5.openGroup(h5Path, group)
+    val gridVars = metas.filter(m => !DropVars(m.name) && m.rank == 2)
+    require(gridVars.nonEmpty, s"$h5Path: no 2-D variables in group '$group'")
+    val nL = gridVars.head.dims(0).toInt
+    val nS = gridVars.head.dims(1).toInt
+    require(gridVars.forall(_.dims.sameElements(Array(nL.toLong, nS.toLong))),
+      s"$h5Path: inconsistent grid shapes: ${gridVars.map(v => v.name -> v.dims.toSeq)}")
+    val recipes = gridVars.map(m =>
+      H5Var(m, Hdf5.chunkIndex(h5Path, m).toArray): VarRecipe)
+    (nL, nS, recipes.toIndexedSeq)
+  }
+
+  /** Magic-byte dispatch to [[nc3Recipes]] / [[h5Recipes]] —
+    * `xr.open_dataset` parity for both container generations. */
+  private[sources] def sceneRecipes(path: String,
+      group: String = "owiInversionTables_UV"): (Int, Int, IndexedSeq[VarRecipe]) = {
+    val magic = new Array[Byte](8)
+    val in = new java.io.FileInputStream(path)
+    try in.read(magic) finally in.close()
+    if (magic(0) == 0x89.toByte && magic(1) == 'H') h5Recipes(path, group)
+    else nc3Recipes(path)
+  }
+
+  private[sources] def sceneSchema(recipes: Seq[VarRecipe]): StructType =
+    StructType(
       StructField("line", IntegerType, nullable = false) +:
       StructField("sample", IntegerType, nullable = false) +:
-      names.map(n => StructField(n, DoubleType, nullable = false)))
-    val nVars = names.length
-    // serializable per-var read recipe: (ncType, begin, record-layout?)
-    val metas = gridVars.map(v => (v.ncType, v.begin, h.isRecordVar(v))).toArray
-    val recSize = h.recSize
+      recipes.map(r => StructField(r.name, DoubleType, nullable = false)))
+
+  /** Distributed materialization: each `spark.range` partition is a
+    * contiguous pixel-id span; the executor bulk-reads each variable's
+    * covering byte ranges, then emits rows. */
+  private def materialize(spark: SparkSession, path: String, nL: Int, nS: Int,
+      recipes: IndexedSeq[VarRecipe]): DataFrame = {
+    val schema = sceneSchema(recipes)
+    val nVars = recipes.length
     val nPx = nL.toLong * nS
     val nParts = math.max(spark.sparkContext.defaultParallelism.toLong,
       (nPx + PxPerPartition - 1) / PxPerPartition).toInt
-
     spark.range(0, nPx, 1, nParts).mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        // spark.range partitions are contiguous id spans; buffer the span,
-        // bulk-read each variable's covering byte range, then emit rows
         val ids = it.map(_.toLong).toArray
         val lo = ids.head
         val hi = ids.last
-        val count = (hi - lo + 1).toInt
-        val raf = new java.io.RandomAccessFile(ncPath, "r")
-        val planes = try {
-          metas.map { case (t, begin, isRec) =>
-            val ts = Nc3.typeSize(t)
-            if (!isRec) {
-              val buf = new Array[Byte](count * ts)
-              raf.seek(begin + lo * ts)
-              raf.readFully(buf)
-              Nc3.decodeValues(t, buf, 0, count)
-            } else {
-              // record layout: line l's row slab starts at begin + l*recSize
-              val out = new Array[Double](count)
-              var l = (lo / nS).toInt
-              val lHi = (hi / nS).toInt
-              while (l <= lHi) {
-                val rowLo = math.max(lo, l.toLong * nS)
-                val rowHi = math.min(hi, l.toLong * nS + nS - 1)
-                val n = (rowHi - rowLo + 1).toInt
-                val buf = new Array[Byte](n * ts)
-                raf.seek(begin + l * recSize + (rowLo - l.toLong * nS) * ts)
-                raf.readFully(buf)
-                System.arraycopy(Nc3.decodeValues(t, buf, 0, n), 0, out, (rowLo - lo).toInt, n)
-                l += 1
-              }
-              out
-            }
-          }
-        } finally raf.close()
+        val raf = new java.io.RandomAccessFile(path, "r")
+        val planes = try recipes.map(_.readSpan(raf, lo, hi, nL, nS)).toArray
+        finally raf.close()
         ids.iterator.map { id =>
           val off = (id - lo).toInt
           val vals = new Array[Any](nVars + 2)
@@ -115,6 +124,11 @@ object SceneIngest {
         }
       }
     }(RowEncoder.encoderFor(schema))
+  }
+
+  def readOwi(spark: SparkSession, ncPath: String): DataFrame = {
+    val (nL, nS, recipes) = nc3Recipes(ncPath)
+    materialize(spark, ncPath, nL, nS, recipes)
   }
 
   /** netCDF-4/HDF5 OWI scene → the same canonical pixel table as [[readOwi]]
@@ -127,95 +141,14 @@ object SceneIngest {
     */
   def readOwiH5(spark: SparkSession, h5Path: String,
       group: String = "owiInversionTables_UV"): DataFrame = {
-    val metas = Hdf5.openGroup(h5Path, group)
-    val gridVars = metas.filter(m => !DropVars(m.name) && m.rank == 2)
-    require(gridVars.nonEmpty, s"$h5Path: no 2-D variables in group '$group'")
-    val nL = gridVars.head.dims(0).toInt
-    val nS = gridVars.head.dims(1).toInt
-    require(gridVars.forall(_.dims.sameElements(Array(nL.toLong, nS.toLong))),
-      s"$h5Path: inconsistent grid shapes: ${gridVars.map(v => v.name -> v.dims.toSeq)}")
-
-    // serializable per-var recipe: chunk lists are walked ONCE on the driver
-    val recipes: Array[(Hdf5.DsetMeta, Array[Hdf5.ChunkRef])] = gridVars.map { m =>
-      (m, Hdf5.chunkIndex(h5Path, m).toArray)
-    }.toArray
-    val names = gridVars.map(_.name)
-    val schema = StructType(
-      StructField("line", IntegerType, nullable = false) +:
-      StructField("sample", IntegerType, nullable = false) +:
-      names.map(n => StructField(n, DoubleType, nullable = false)))
-    val nVars = names.length
-    val nPx = nL.toLong * nS
-    val nParts = math.max(spark.sparkContext.defaultParallelism.toLong,
-      (nPx + PxPerPartition - 1) / PxPerPartition).toInt
-
-    spark.range(0, nPx, 1, nParts).mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val ids = it.map(_.toLong).toArray
-        val lo = ids.head
-        val hi = ids.last
-        val count = (hi - lo + 1).toInt
-        val raf = new java.io.RandomAccessFile(h5Path, "r")
-        val planes = try {
-          recipes.map { case (m, chunks) =>
-            m.layout match {
-              case Hdf5.Contiguous(addr, _) =>
-                val buf = new Array[Byte](count * m.dtSize)
-                raf.seek(addr + lo * m.dtSize)
-                raf.readFully(buf)
-                Hdf5.decodeValues(m, buf, 0, count)
-              case Hdf5.Chunked(cd, _) =>
-                val out = new Array[Double](count)
-                val lLo = lo / nS; val lHi = hi / nS
-                chunks.foreach { c =>
-                  val r0 = c.offsets(0); val c0 = c.offsets(1)
-                  if (r0 <= lHi && r0 + cd(0) > lLo) {
-                    val raw = new Array[Byte](c.nbytes)
-                    raf.seek(c.addr)
-                    raf.readFully(raw)
-                    val elems = cd(0) * cd(1)
-                    val bytes = Hdf5.defilter(raw, m.filters, m.dtSize, elems * m.dtSize)
-                    val vals = Hdf5.decodeValues(m, bytes, 0, elems)
-                    // copy each chunk row's intersection with the span
-                    var r = math.max(r0, lLo)
-                    val rEnd = math.min(r0 + cd(0) - 1, math.min(lHi, nL - 1L))
-                    while (r <= rEnd) {
-                      val rowLo = math.max(lo, r * nS + c0)
-                      val rowHi = math.min(hi, r * nS + math.min(c0 + cd(1), nS.toLong) - 1)
-                      if (rowLo <= rowHi) {
-                        val n = (rowHi - rowLo + 1).toInt
-                        val src = ((r - r0) * cd(1) + (rowLo - r * nS - c0)).toInt
-                        System.arraycopy(vals, src, out, (rowLo - lo).toInt, n)
-                      }
-                      r += 1
-                    }
-                  }
-                }
-                out
-            }
-          }
-        } finally raf.close()
-        ids.iterator.map { id =>
-          val off = (id - lo).toInt
-          val vals = new Array[Any](nVars + 2)
-          vals(0) = (id / nS).toInt
-          vals(1) = (id % nS).toInt
-          var v = 0
-          while (v < nVars) { vals(v + 2) = planes(v)(off); v += 1 }
-          Row.fromSeq(vals.toIndexedSeq)
-        }
-      }
-    }(RowEncoder.encoderFor(schema))
+    val (nL, nS, recipes) = h5Recipes(h5Path, group)
+    materialize(spark, h5Path, nL, nS, recipes)
   }
 
   /** Sniff classic CDF vs HDF5 by magic bytes — `xr.open_dataset` parity. */
   def readOwiAuto(spark: SparkSession, path: String): DataFrame = {
-    val magic = new Array[Byte](8)
-    val in = new java.io.FileInputStream(path)
-    try in.read(magic) finally in.close()
-    if (magic(0) == 0x89.toByte && magic(1) == 'H') readOwiH5(spark, path)
-    else readOwi(spark, path)
+    val (nL, nS, recipes) = sceneRecipes(path)
+    materialize(spark, path, nL, nS, recipes)
   }
 
   def main(args: Array[String]): Unit = {
