@@ -104,6 +104,22 @@ object Streaming {
       }
       .start()
 
+  /** Committed rows of an idempotent batch-partitioned store table:
+    * partitions with batch_id < this batch. A retried batch may find its
+    * own half-written batch_id=<id> partition; the filter excludes it, so
+    * re-execution sees exactly the pre-batch store. Existence resolves via
+    * the Hadoop FileSystem API (HDFS/S3 store dirs, not just local disk).
+    */
+  private def committedOr(spark: SparkSession, path: String, batchId: Long,
+      empty: => DataFrame): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val exists = hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+    if (exists)
+      try spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    else empty
+  }
+
   /** One micro-batch of [[embeddingNearDupStream]] — package-private so the
     * idempotency contract (same batchId twice ⇒ identical store + pairs)
     * is directly testable without forcing a streaming-engine retry.
@@ -113,20 +129,9 @@ object Streaming {
       bands: Int, idCol: String, vecCol: String): Unit = {
     import graft.operators.Similarity
     val spark = batch.sparkSession
-    val hconf = spark.sessionState.newHadoopConf()
-    def exists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).exists(hp)
-    }
     val b = batch.select(col(idCol), col(vecCol)).persist()
-    // Committed state = partitions with batch_id < this batch. A retried
-    // batch may find its own half-written batch_id=<id> partition; the
-    // filter excludes it, so re-execution sees the pre-batch store.
     def tableOr(path: String, empty: => DataFrame): DataFrame =
-      if (exists(path))
-        try spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
-        catch { case _: org.apache.spark.sql.AnalysisException => empty }
-      else empty
+      committedOr(spark, path, batchId, empty)
     val storeB = tableOr(s"$storeDir/buckets",
       spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"),
         lit(0L).as(idCol)).limit(0))
@@ -155,6 +160,70 @@ object Streaming {
     bb.write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
     b.write.mode("overwrite").parquet(s"$storeDir/vectors/batch_id=$batchId")
     b.unpersist()
+    ()
+  }
+
+  /** Streaming TEXT near-dup detection — the ingest-time twin of the batch
+    * MinHash+LSH+Jaccard pipeline (TextOps.minhashSignatures → lshBands →
+    * exact Jaccard). Each micro-batch of (doc_id, text) rows is shingled
+    * and banded with the SAME deterministic hash family as the batch
+    * operators; candidate pairs come from band-bucket collisions (a) within
+    * the batch and (b) against a persistent band store, are confirmed by
+    * EXACT n-gram Jaccard ≥ threshold (shingle hashes are stored alongside
+    * the bands, so cross-batch confirmation never re-reads old documents),
+    * and append to `outDir` as (doc_a, doc_b, jaccard) with doc_a the
+    * earlier-seen side.
+    *
+    * Same production shape and exactly-once contract as
+    * [[embeddingNearDupStream]]: state in tables (`storeDir/bands`,
+    * `storeDir/shingles`), every write batch_id-partitioned and
+    * overwritten on retry, store reads only strictly-earlier partitions.
+    */
+  def textNearDupStream(docs: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, threshold: Double, numHashes: Int = 16, rows: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processTextNearDupBatch(batch, batchId, outDir, storeDir, threshold,
+          numHashes, rows, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch of [[textNearDupStream]] (see [[processNearDupBatch]]
+    * for why this is a named, directly-testable step). */
+  private[graft] def processTextNearDupBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, threshold: Double, numHashes: Int,
+      rows: Int, idCol: String, textCol: String): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    // batch shingle hashes are the shared prefix of banding AND Jaccard —
+    // compute once, persist for the batch's lifetime
+    val sh = TextOps.shingleHashes(batch, idCol, textCol).persist()
+    val sigs = TextOps.minhashFromHashes(sh, numHashes, idCol)
+    val bb = TextOps.lshBands(sigs, numHashes, rows, idCol)
+    val storeBands = committedOr(spark, s"$storeDir/bands", batchId, bb.limit(0))
+    val storeSh = committedOr(spark, s"$storeDir/shingles", batchId, sh.limit(0))
+    // within-batch pairs (a < b) + cross-store pairs (stored id first)
+    val l = bb.select(col(idCol).as("doc_a"), col("band_id"), col("band_hash"))
+    val r = bb.select(col(idCol).as("doc_b"), col("band_id"), col("band_hash"))
+    val within = l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cross = storeBands.select(col(idCol).as("doc_a"), col("band_id"), col("band_hash"))
+      .join(r, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = within.unionByName(cross).distinct()
+    val allSh = storeSh.unionByName(sh)
+    TextOps.jaccardFromHashes(allSh, cand, idCol)
+      .filter(col("jaccard") >= threshold)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // admit the batch into the store — overwrite, so retries replace
+    bb.write.mode("overwrite").parquet(s"$storeDir/bands/batch_id=$batchId")
+    sh.write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$batchId")
+    sh.unpersist()
     ()
   }
 

@@ -137,6 +137,39 @@ class IoStreamingSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 100L), s"pairs: $pairs")
   }
 
+  test("streaming text near-dup finds within-batch and cross-batch pairs, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("textneardup").toString
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearBase = base + " tail"             // one appended word: jaccard 28/29
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val nearOther = other + " tail"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.textNearDupStream(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", threshold = 0.7)
+    mem.addData((1L, base), (2L, nearBase), (3L, other))
+    q.processAllAvailable()
+    mem.addData((100L, nearOther)) // near-dup of a doc from batch 1
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    assert(out.exists { case (a, b, _) => a == 1L && b == 2L }, s"within-batch pair missing: ${out.toSeq}")
+    assert(out.exists { case (a, b, _) => a == 3L && b == 100L }, s"cross-batch pair missing: ${out.toSeq}")
+    assert(out.forall(_._3 >= 0.7), s"below-threshold pair leaked: ${out.toSeq}")
+    // replay batch 1 (retry/restart): pairs and store must be unchanged
+    val nPairs = out.length
+    val nBands = spark.read.parquet(s"$dir/store/bands").count()
+    Streaming.processTextNearDupBatch(
+      Seq((100L, nearOther)).toDF("doc_id", "text"), 1L,
+      s"$dir/out", s"$dir/store", 0.7, 16, 4, "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/out").count() == nPairs)
+    assert(spark.read.parquet(s"$dir/store/bands").count() == nBands)
+  }
+
   test("streaming hourly counts run with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
