@@ -112,15 +112,16 @@ object Similarity {
     * b = ⌈ln(1−R) / ln(1−s^planes)⌉. As [[autoPlanes]] grows with the
     * corpus, per-band recall shrinks geometrically; scaling bands like this
     * keeps end-to-end recall flat at linear (b×) cost. Capped at `maxBands`
-    * (= 16: covers corpora to ~16·2^18 ≈ 4M vectors at full recall; beyond
-    * that raise the cap — cost is linear in it).
+    * (= 32: holds the 0.9-recall target through planes ≤ 24, i.e. corpora
+    * to ~occ·2^24 ≈ 67M vectors at occupancy 4; beyond that raise the cap
+    * — cost is linear in it).
     *
     * Cross-engine note: evaluated on the DRIVER and mirrored into the
     * DuckDB oracle as a static CASE table over planes∈[4,32], so no
     * transcendental math ever runs inside either engine's query.
     */
   def autoBands(planes: Int, designCos: Double = 0.95, targetRecall: Double = 0.9,
-      maxBands: Int = 16): Int = {
+      maxBands: Int = 32): Int = {
     val s = 1.0 - math.acos(designCos) / math.Pi
     val pBand = math.pow(s, planes)
     if (pBand >= targetRecall) 1

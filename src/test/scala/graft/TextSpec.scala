@@ -108,11 +108,11 @@ class TextSpec extends SparkSpec {
     assert(Similarity.autoBands(5) == 3)
     assert(Similarity.autoBands(11) == 7)
     assert(Similarity.autoBands(16) == 12)
-    assert(Similarity.autoBands(32) == 16) // cap
+    assert(Similarity.autoBands(32) == 32) // cap
     // the banded scheme must actually meet the target at every plane count
-    // below the cap: 1 - (1 - s^p)^b >= 0.9
+    // where the cap doesn't bind: 1 - (1 - s^p)^b >= 0.9
     val s = 1.0 - math.acos(0.95) / math.Pi
-    for (p <- 1 to 18) {
+    for (p <- 1 to 24) {
       val b = Similarity.autoBands(p)
       val recall = 1.0 - math.pow(1.0 - math.pow(s, p), b)
       assert(recall >= 0.9, f"recall $recall%.3f below target at planes=$p bands=$b")
