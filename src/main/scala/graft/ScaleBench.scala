@@ -298,6 +298,22 @@ object ScaleBench {
           .as("e")).agg(max(col("e"))).head().getDouble(0)
         require(maxErr == 0.0, s"scene ingest mismatch: max abs err $maxErr")
       }
+
+      // 13. (big) DataSource V2 pruned+clamped read of the same scene: a
+      // 1-variable projection over 1000 lines must decode ~2% of the file's
+      // pixels and 1 of its 10 planes — the scan, not Spark, does the
+      // skipping (pruneColumns + line pushdown), so this should run an
+      // order of magnitude faster than the full ingest above.
+      timed(s"scene_dsv2_pruned_read_1000x${inS}_x1var") {
+        val df = spark.read.format("owi").load(ncPath)
+          .filter(col("line") < 1000)
+          .select(col("line"), col("sample"), col("owiVar3"))
+        val maxErr = df.select(
+            abs(col("owiVar3") - pmod(col("line") * 7 + col("sample") * 3 + lit(3), lit(1000))).as("e"))
+          .agg(max(col("e")), count(lit(1))).head()
+        require(maxErr.getDouble(0) == 0.0 && maxErr.getLong(1) == 1000L * inS,
+          s"dsv2 pruned read mismatch: $maxErr")
+      }
       new java.io.File(ncPath).delete()
     }
 

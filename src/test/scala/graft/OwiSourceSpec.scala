@@ -57,8 +57,8 @@ class OwiSourceSpec extends SparkSpec {
       .select(col("line"), col("owiWindSpeed"))
     val scan = owiScan(df)
     assert(scan.readSchema().fieldNames.toSeq == Seq("line", "owiWindSpeed"))
-    assert(scan.recipes.map(_.name).toSeq == Seq("owiWindSpeed"),
-      s"unpruned planes would be decoded: ${scan.recipes.map(_.name).toSeq}")
+    assert(scan.scenes.head.recipes.map(_.name) == Seq("owiWindSpeed"),
+      s"unpruned planes would be decoded: ${scan.scenes.head.recipes.map(_.name)}")
     // pruned read is still correct
     val r = df.filter(col("line") === 2).agg(org.apache.spark.sql.functions
       .sum(col("owiWindSpeed"))).head().getDouble(0)
@@ -75,6 +75,36 @@ class OwiSourceSpec extends SparkSpec {
     assert(df.count() == 3L * 83)
     val bad = df.filter(col("owiMask") =!= (col("line") + col("sample")) % 5).count()
     assert(bad == 0)
+  }
+
+  test("multi-scene load unions pixel tables with a scene id column") {
+    val dir = Files.createTempDirectory("owimulti").toString
+    import Nc3._
+    // two scenes with the same variables but DIFFERENT grid shapes
+    def writeScene(path: String, nL: Int, nS: Int, scale: Double): Unit =
+      Nc3.write(path,
+        Seq(Dim("owiAzSize", nL), Dim("owiRaSize", nS)),
+        Nil,
+        Seq(Var("owiNrcs", Seq(0, 1), Nil, NcDouble,
+          Array.tabulate(nL * nS)(i => scale + i * 1e-3))))
+    writeScene(s"$dir/a.nc", 4, 6, 1.0)
+    writeScene(s"$dir/b.nc", 3, 5, 100.0)
+    val df = spark.read.format("owi").option("sceneColumn", "scene")
+      .load(s"$dir/a.nc", s"$dir/b.nc")
+    assert(df.columns.toSeq == Seq("scene", "line", "sample", "owiNrcs"))
+    assert(df.count() == 4 * 6 + 3 * 5)
+    import spark.implicits._
+    val bySceneMax = df.groupBy("scene")
+      .agg(org.apache.spark.sql.functions.max(col("owiNrcs")).as("m"),
+        org.apache.spark.sql.functions.max(col("line")).as("l"))
+      .as[(String, Double, Int)].collect()
+      .map { case (k, v, l) => (k.split('/').last, (v, l)) }.toMap
+    assert(bySceneMax("a.nc") == ((1.0 + 23 * 1e-3, 3)))
+    assert(bySceneMax("b.nc") == ((100.0 + 14 * 1e-3, 2)))
+    // line clamp applies per scene: line 3 only exists in scene a
+    val l3 = spark.read.format("owi").option("sceneColumn", "scene")
+      .load(s"$dir/a.nc", s"$dir/b.nc").filter(col("line") === 3)
+    assert(l3.count() == 6)
   }
 
   test("contradictory line bounds plan an empty scan, not a failed read") {
