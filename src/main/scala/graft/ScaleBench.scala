@@ -17,9 +17,16 @@ import graft.operators.{Directions, Gradients, Inversion}
   * inversion target (the "100×" of the reference notebook scene).
   */
 object ScaleBench {
+  /** Target sections selectable from the CLI: `runMain graft.ScaleBench
+    * [lines samples] [big] [scene|vectors|docs]` — no section arg runs
+    * everything (plus the 100×-scene targets with `big`). */
+  private val Sections = Set("scene", "vectors", "docs")
+
   def main(args: Array[String]): Unit = {
     val big = args.contains("big")
-    val (nL, nS) = args.filterNot(_ == "big") match {
+    val sections = args.filter(Sections).toSet
+    def on(section: String): Boolean = sections.isEmpty || sections(section)
+    val (nL, nS) = args.filterNot(a => a == "big" || Sections(a)) match {
       case Array(l, s) => (l.toInt, s.toInt)
       case _ => (1700, 2500)
     }
@@ -35,6 +42,7 @@ object ScaleBench {
       r
     }
 
+    if (on("scene")) {
     // 1. high-res copol LUT generation — 501×499×181 ≈ 45M cells (driver)
     timed("lut_gen_highres_copol_45M") {
       ModelRegistry.get("gmf_cmod5n").toLut(highRes = true).values.length
@@ -94,6 +102,9 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    }
+
+    if (on("vectors")) {
     // synthetic 1M-vector embedding corpus, dim 16, deterministic — murmur3
     // mixed per (id, dim) so vectors are genuinely distinct (a plain linear
     // congruence mod 2000 has period 2000 in id: only 2000 distinct vectors
@@ -180,6 +191,9 @@ object ScaleBench {
         s"IVF nprobe dial bought no recall: $recalls")
     }
 
+    }
+
+    if (on("docs")) {
     // 9. MinHash+LSH near-dup dedup at 1M docs (~30 words each, Zipf-ish
     // vocab): 10% are near-copies of a base doc (2 words perturbed) so the
     // banded LSH has real work. shingle explode → 16 minhashes → 4×4 bands
@@ -243,7 +257,9 @@ object ScaleBench {
     // never collects, the LUT broadcast is scene-size-independent, and the
     // argmin kernel streams partitions, so wall-time should scale ~linearly
     // from target 3 (4.25M px).
-    if (big) {
+    }
+
+    if (big && on("scene")) {
       val (bL, bS) = (10000, 15000)
       val bigScene = spark.range(bL.toLong * bS)
         .select(

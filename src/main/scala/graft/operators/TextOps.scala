@@ -139,19 +139,28 @@ object TextOps {
     jaccardFromHashes(shingleHashes(docs, idCol, textCol), pairs, idCol)
 
   /** [[jaccardPairs]] over a precomputed (ideally persisted) shingle-hash
-    * table — the shape that shares the explode+distinct with MinHash. */
+    * table — the shape that shares the explode+distinct with MinHash.
+    *
+    * Every relation here is corpus-sized (candidate pairs, per-doc shingle
+    * hashes, per-doc sizes), so every join carries a `shuffle_hash` hint:
+    * at 1M docs AQE's runtime stats can put the pair table under the
+    * broadcast threshold and build a multi-hundred-MB broadcast map (it
+    * OOMed the 8 GiB scale harness under heap pressure), and at 1B docs
+    * ANY broadcast here is catastrophic. Shuffled hash joins partition the
+    * build side with the data — the only shape that survives 100 TB.
+    */
   def jaccardFromHashes(shingleHash: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val sh = shingleHash.select(col(idCol).as("jid"), col("h"))
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
-    val common = pairs
+    val common = pairs.hint("shuffle_hash")
       .join(sh.select(col("jid").as("doc_a"), col("h")), "doc_a")
-      .join(sh.select(col("jid").as("doc_b"), col("h").as("h2")), "doc_b")
+      .join(sh.select(col("jid").as("doc_b"), col("h").as("h2")).hint("shuffle_hash"), "doc_b")
       .filter(col("h") === col("h2"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     common
-      .join(sizes.select(col("jid").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("jid").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(sizes.select(col("jid").as("doc_a"), col("n_sh").as("n_a")).hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("jid").as("doc_b"), col("n_sh").as("n_b")).hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))

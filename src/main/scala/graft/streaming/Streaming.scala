@@ -227,6 +227,42 @@ object Streaming {
     ()
   }
 
+  /** Compact a batch_id-partitioned near-dup store table: merge every
+    * partition with batch_id ≤ `upTo` into the single partition
+    * `batch_id=upTo`. A long-lived stream accumulates one small partition
+    * per micro-batch; compaction keeps the store's file count flat.
+    *
+    * Safe iff `upTo` < the stream's last CHECKPOINT-COMMITTED batch:
+    * Structured Streaming only ever replays the latest uncommitted batch,
+    * so batches at or below `upTo` are never re-executed, and a replay of
+    * batch b > upTo still reads the compacted rows (batch_id=upTo < b).
+    * Run it from the maintenance side, not inside foreachBatch. The swap
+    * is write-aside → delete olds → rename; a crash mid-swap leaves the
+    * compacted rows in a hidden `.compact-<id>` dir (invisible to partition
+    * discovery, so readers never see duplicates) and re-running
+    * compactStore with the same `upTo` completes the swap.
+    */
+  def compactStore(spark: SparkSession, tableDir: String, upTo: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ <= upTo)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
+    if (parts.nonEmpty) {
+      val compacted = spark.read.parquet(tableDir)
+        .filter(col("batch_id") <= upTo).drop("batch_id")
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      compacted.write.mode("overwrite").parquet(tmp.toString)
+      parts.foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$b"), true))
+    }
+    if (fs.exists(tmp))
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$upTo"))
+    ()
+  }
+
   /** Scene-at-a-time recipe runner: each new scene Parquet dir arriving under
     * `inDir` flows through `recipe` (e.g. detrend → inversion) and appends to
     * `outDir` — micro-batch per scene, the continuous-ingestion shape of

@@ -137,6 +137,40 @@ class IoStreamingSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 100L), s"pairs: $pairs")
   }
 
+  test("store compaction merges committed batch partitions without changing reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(i => (((seed * 2654435761L + i * 40503L) % 2000 - 1000) / 1000.0).toFloat)
+    // three committed batches land three partitions in each store table
+    (0 to 2).foreach { b =>
+      Streaming.processNearDupBatch(
+        Seq((b * 10L, vec(b))).toDF("vec_id", "embedding"), b.toLong,
+        s"$dir/out", s"$dir/store", 0.9, 4, 3, "vec_id", "embedding")
+    }
+    val before = spark.read.parquet(s"$dir/store/vectors")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    Streaming.compactStore(spark, s"$dir/store/vectors", upTo = 1L)
+    Streaming.compactStore(spark, s"$dir/store/buckets", upTo = 1L)
+    // rows identical, partition count reduced to {compacted, batch 2}
+    val after = spark.read.parquet(s"$dir/store/vectors")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(after == before, s"compaction changed rows: $before -> $after")
+    val partDirs = new java.io.File(s"$dir/store/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(partDirs.toSeq == Seq("batch_id=1", "batch_id=2"), partDirs.toSeq)
+    // a later batch (id 3) still reads the compacted store: near-dup of
+    // batch 0's vector must be found cross-batch after compaction
+    def near(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.05f else x }
+    Streaming.processNearDupBatch(
+      Seq((99L, near(vec(0)))).toDF("vec_id", "embedding"), 3L,
+      s"$dir/out", s"$dir/store", 0.9, 4, 3, "vec_id", "embedding")
+    val pairs = spark.read.parquet(s"$dir/out").select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 99L)), s"cross-batch pair lost after compaction: $pairs")
+  }
+
   test("streaming text near-dup finds within-batch and cross-batch pairs, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
