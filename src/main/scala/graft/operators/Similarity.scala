@@ -310,6 +310,55 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster the
+    * corpus with the IVF coarse quantizer, then mark as duplicates the
+    * later-id side of any within-cluster pair whose exact cosine meets
+    * `threshold` — the keep-first-by-id rule, no connected components.
+    *
+    * Scale anatomy (the reason SemDeDup exists): clustering first turns
+    * the O(n²) all-pairs problem into per-cluster problems of size
+    * ~(n/numCents)². The centroid table is broadcast and BOUNDED at
+    * `numCents` rows, assignment is map-side (no corpus shuffle), and the
+    * only shuffle is the self-join's hash partitioning on cent_id — at
+    * 100 TB, numCents grows with the corpus to hold cluster sizes flat.
+    * Returns every corpus row: (id, cent_id, max_prior_cos, is_semantic_dup,
+    * keep), where max_prior_cos is the best cosine against EARLIER-id
+    * cluster members (NULL for each cluster's first member).
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double, numCents: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+      .limit(numCents)
+      .select(col("cent_id"), col("cent_vec"),
+        sqrt(norm2(col("cent_vec"))).as("cent_nrm"))
+    val assigned = corpus
+      .select(col(idCol), col(vecCol).as("v"), sqrt(norm2(col(vecCol))).as("v_nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"), col("v_nrm"), col("cent_id"),
+        (dot(col("v"), col("cent_vec")) / (col("v_nrm") * col("cent_nrm"))).as("c_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("cent_id").asc)))
+      .filter(col("rn") === 1).drop("rn", "c_cos")
+    val a = assigned.select(col("cent_id"), col(idCol).as("id_a"),
+      col("v").as("va"), col("v_nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("v_nrm").as("nb"))
+    // within-cluster pairs: both sides corpus-sized → shuffled hash join,
+    // never a runtime broadcast (same rationale as jaccardFromHashes)
+    val prior = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("c"))
+      .groupBy(col("id_b")).agg(max(col("c")).as("max_prior_cos"))
+    assigned.select(col(idCol), col("cent_id"))
+      .join(prior.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cent_id"), col("max_prior_cos"),
+        coalesce(col("max_prior_cos") >= threshold, lit(false)).as("is_semantic_dup"))
+      .withColumn("keep", !col("is_semantic_dup"))
+  }
+
   /** IVF-flat approximate nearest neighbor — the third ANN tier.
     *
     * Coarse quantizer: a FIXED-size centroid set — the `numCents` corpus

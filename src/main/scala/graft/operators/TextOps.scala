@@ -184,6 +184,54 @@ object TextOps {
       round((length(col(textCol)) - (nTok - 1)).cast("double") / nTok, 6).as("mean_tok_len"))
   }
 
+  /** Gopher-style document quality FILTER (Rae et al. 2021 §A1.1, adapted to
+    * whitespace-token corpora): per-document signals plus the composed
+    * `keep` decision a curation pass would apply before training.
+    *
+    *  - `n_words`, `mean_word_len`: length/structure bounds;
+    *  - `ttr`: type-token ratio (lexical diversity);
+    *  - `n_stop_kinds`: distinct stopwords present (Gopher's "2 of the
+    *    common English words" rule);
+    *  - `top_word_frac`: most-frequent-word mass — boilerplate/repetition;
+    *  - `dup_bigram_frac`: duplicate word-bigram fraction — the n-gram
+    *    repetition rule.
+    *
+    * Scale shape: every signal is an array expression over the token split
+    * (whole-stage codegen, zero shuffle, no UDFs) — per-doc cost is
+    * O(len²) on the top-word scan, bounded by document length, so the
+    * operator is embarrassingly parallel at 100 TB. The explode+groupBy
+    * alternative would cost two corpus-wide shuffles to compute the same
+    * per-document numbers.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val distinctToks = array_distinct(toks)
+    val meanWordLen =
+      round((length(col(textCol)) - (n - 1)).cast("double") / n, 6)
+    val ttr = round(size(distinctToks).cast("double") / n, 6)
+    val nStopKinds = size(filter(
+      lit(StopWords.toArray), s => array_contains(toks, s)))
+    val topWordFrac = round(
+      array_max(transform(distinctToks,
+        w => size(filter(toks, t => t === w)))).cast("double") / n, 6)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val dupBigramFrac = when(n < lit(2), lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1), 6))
+    docs.select(col(idCol), n.as("n_words"), meanWordLen.as("mean_word_len"),
+        ttr.as("ttr"), nStopKinds.as("n_stop_kinds"),
+        topWordFrac.as("top_word_frac"), dupBigramFrac.as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("n_words").between(30, 100000) &&
+          col("mean_word_len").between(3.0, 8.0) &&
+          col("ttr") >= 0.35 &&
+          col("n_stop_kinds") >= 2 &&
+          col("top_word_frac") <= 0.12 &&
+          col("dup_bigram_frac") <= 0.05)
+  }
+
   /** Marker-token language/dialect classifier (n-gram-frequency heuristic):
     * score each class by marker hits, argmax with deterministic tie order.
     */

@@ -491,7 +491,87 @@ object Text {
        |  (h.doc_id = g.canon AND d.doc_id IS NULL) AS keep
        |FROM h JOIN g USING (ch) LEFT JOIN drops d USING (doc_id)""".stripMargin
 
+  /** q57: Gopher-style quality FILTER decision (Rae et al. 2021 §A1.1) —
+    * per-document length/diversity/repetition signals and the composed
+    * `keep` column a 100 TB curation pass would apply before training.
+    * Pure map-side codegen expressions: zero shuffle at any scale.
+    */
+  def q57QualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.qualityFilter(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("mean_word_len"), col("ttr"),
+        col("n_stop_kinds").cast("long").as("n_stop_kinds"),
+        col("top_word_frac"), col("dup_bigram_frac"), col("keep"))
+
+  val q57Sql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    ROUND((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+      |          / len(string_split(text, ' ')), 6) AS mean_word_len,
+      |    ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |          / len(string_split(text, ' ')), 6) AS ttr,
+      |    len(list_filter(['the', 'a', 'of', 'and'],
+      |        s -> list_contains(string_split(text, ' '), s))) AS n_stop_kinds,
+      |    ROUND(list_max(list_transform(list_distinct(string_split(text, ' ')),
+      |        w -> len(list_filter(string_split(text, ' '), t -> t = w))))::DOUBLE
+      |          / len(string_split(text, ' ')), 6) AS top_word_frac,
+      |    CASE WHEN len(string_split(text, ' ')) < 2 THEN 0e0
+      |         ELSE ROUND(1.0 - len(list_distinct(list_transform(
+      |                range(1, len(string_split(text, ' '))),
+      |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))::DOUBLE
+      |              / (len(string_split(text, ' ')) - 1), 6)
+      |    END AS dup_bigram_frac
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_words, mean_word_len, ttr, n_stop_kinds,
+      |  top_word_frac, dup_bigram_frac,
+      |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3e0 AND 8e0
+      |   AND ttr >= 35e-2 AND n_stop_kinds >= 2 AND top_word_frac <= 12e-2
+      |   AND dup_bigram_frac <= 5e-2) AS keep
+      |FROM sig""".stripMargin
+
+  /** q58: SemDeDup-style semantic dedup decision (Abbas et al. 2023) —
+    * IVF-cluster the embeddings (same deterministic md5-order coarse
+    * quantizer as q51), then drop the later-id side of within-cluster
+    * pairs with cosine ≥ 0.35. The cluster-then-pairwise shape is the
+    * 100 TB answer to quadratic semantic dedup.
+    */
+  def q58SemanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDedup(Tables.load(spark, sfDir, "embeddings"),
+        threshold = 0.35, numCents = 16)
+      .select(col("vec_id"), col("cent_id"), col("max_prior_cos"),
+        col("is_semantic_dup"), col("keep"))
+
+  val q58Sql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |),
+       |assign AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding AS v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dotSql("e.embedding", "c.cent_vec")}
+       |          / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.cent_vec", "c.cent_vec")})) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |prior AS (
+       |  SELECT b.vec_id, MAX(ROUND(${dotSql("a.v", "b.v")}
+       |    / (SQRT(${dotSql("a.v", "a.v")}) * SQRT(${dotSql("b.v", "b.v")})), 6)) AS max_prior_cos
+       |  FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  GROUP BY b.vec_id
+       |)
+       |SELECT s.vec_id, s.cent_id, p.max_prior_cos,
+       |  COALESCE(p.max_prior_cos >= 35e-2, false) AS is_semantic_dup,
+       |  NOT COALESCE(p.max_prior_cos >= 35e-2, false) AS keep
+       |FROM assign s LEFT JOIN prior p USING (vec_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
+    QueryDef("q57_quality_filter", q57QualityFilter, Some(q57Sql)),
     QueryDef("q56_dedup_decision", q56DedupDecision, Some(q56Sql)),
     QueryDef("q55_multimodal", q55Multimodal, Some(q55Sql)),
     QueryDef("q37_embed_neardup", q37EmbedNearDup, Some(q37Sql)),

@@ -449,7 +449,12 @@ object Hdf5 {
           inf.setInput(cur)
           val out = new Array[Byte](expected)
           var off = 0
-          while (off < expected && !inf.finished()) off += inf.inflate(out, off, expected - off)
+          var stalled = false
+          while (off < expected && !inf.finished() && !stalled) {
+            val got = inf.inflate(out, off, expected - off)
+            if (got == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+            else off += got
+          }
           inf.end()
           require(off == expected, s"deflate: got $off of $expected bytes")
           cur = out

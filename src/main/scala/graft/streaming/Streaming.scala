@@ -240,7 +240,11 @@ object Streaming {
     * is write-aside → delete olds → rename; a crash mid-swap leaves the
     * compacted rows in a hidden `.compact-<id>` dir (invisible to partition
     * discovery, so readers never see duplicates) and re-running
-    * compactStore with the same `upTo` completes the swap.
+    * compactStore with the same `upTo` completes the swap. A COMPLETE
+    * write-aside (its `_SUCCESS` marker exists) is authoritative: a re-run
+    * never recomputes over it, so a crash mid-delete — where recomputing
+    * from the surviving partitions would silently drop the already-deleted
+    * partitions' rows — resumes by finishing the delete + rename instead.
     */
   def compactStore(spark: SparkSession, tableDir: String, upTo: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(tableDir)
@@ -251,13 +255,15 @@ object Streaming {
       .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong)
       .filter(_ <= upTo)
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
-    if (parts.nonEmpty) {
+    val tmpComplete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (parts.nonEmpty && !tmpComplete) {
       val compacted = spark.read.parquet(tableDir)
         .filter(col("batch_id") <= upTo).drop("batch_id")
         .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       compacted.write.mode("overwrite").parquet(tmp.toString)
-      parts.foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$b"), true))
     }
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      parts.foreach(b => fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$b"), true))
     if (fs.exists(tmp))
       fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$upTo"))
     ()

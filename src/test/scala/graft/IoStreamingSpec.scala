@@ -171,6 +171,39 @@ class IoStreamingSpec extends SparkSpec {
     assert(pairs.contains((0L, 99L)), s"cross-batch pair lost after compaction: $pairs")
   }
 
+  test("compaction resumes after a crash mid-delete without losing rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactcrash").toString
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(i => (((seed * 2654435761L + i * 40503L) % 2000 - 1000) / 1000.0).toFloat)
+    (0 to 2).foreach { b =>
+      Streaming.processNearDupBatch(
+        Seq((b * 10L, vec(b))).toDF("vec_id", "embedding"), b.toLong,
+        s"$dir/out", s"$dir/store", 0.9, 4, 3, "vec_id", "embedding")
+    }
+    val table = s"$dir/store/vectors"
+    val before = spark.read.parquet(table)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // simulate a compaction run that crashed between the write-aside and
+    // finishing the deletes: the complete tmp dir exists, and one of the
+    // two source partitions is already gone
+    spark.read.parquet(table).filter($"batch_id" <= 1L).drop("batch_id")
+      .write.parquet(s"$table/.compact-1")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$table/batch_id=0"))
+    // resuming must NOT recompute from the surviving partition (that would
+    // drop batch 0's rows) — it finishes the delete + rename instead
+    Streaming.compactStore(spark, table, upTo = 1L)
+    val after = spark.read.parquet(table)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(after == before, s"crash-resume compaction lost rows: $before -> $after")
+    val partDirs = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(partDirs.toSeq == Seq("batch_id=1", "batch_id=2"), partDirs.toSeq)
+  }
+
   test("streaming text near-dup finds within-batch and cross-batch pairs, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -17,7 +17,10 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val bnljAllowed = Set(
     "q13_detrend", "q18_gmf_grid", "q38_ann_topk",
-    "q43_circ_smooth", "q44_peak", "q51_ann_ivf")
+    "q43_circ_smooth", "q44_peak", "q51_ann_ivf",
+    // q58: nearest-centroid assignment crossJoins a broadcast centroid
+    // table BOUNDED at numCents rows (Similarity.semanticDedup)
+    "q58_semantic_dedup")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -46,6 +46,57 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("quality filter drops each Gopher-rule violation for the right reason") {
+    import spark.implicits._
+    // 50 words, all distinct, 4 stopword kinds, no repeated bigrams
+    val goodDoc = "the a of and " + (1 to 46).map(i => s"alpha$i").mkString(" ")
+    val tooShort = "the a of and tiny"
+    val noStops = (1 to 40).map(i => s"w$i").mkString(" ")
+    val repeated = ("the a of and " + Array.fill(36)("spam").mkString(" "))
+    val fixture = Seq(
+      (1L, goodDoc), (2L, tooShort), (3L, noStops), (4L, repeated)
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), s"clean doc dropped: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Int]("n_words") < 30)
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Int]("n_stop_kinds") < 2)
+    assert(!out(4L).getAs[Boolean]("keep") &&
+      out(4L).getAs[Double]("top_word_frac") > 0.12 &&
+      out(4L).getAs[Double]("dup_bigram_frac") > 0.05,
+      s"repetition signals must fire: ${out(4L)}")
+    // signals are self-consistent on the corpus table too
+    val corpus = TextOps.qualityFilter(docs).collect()
+    assert(corpus.forall { r =>
+      val f = r.getAs[Double]("dup_bigram_frac")
+      f >= 0.0 && f <= 1.0 && r.getAs[Double]("top_word_frac") <= 1.0 + 1e-12
+    })
+  }
+
+  test("semantic dedup keeps each cluster's first member and drops true dups") {
+    import spark.implicits._
+    // two orthogonal directions; ids 11/12 are near-copies of id 10
+    def v(dir: Int, eps: Float): Seq[Float] =
+      (0 until 8).map(i => (if (i == dir) 1.0f else 0.0f) + (if (i == 7) eps else 0.0f))
+    val fixture = Seq(
+      (10L, v(0, 0.0f)), (11L, v(0, 0.01f)), (12L, v(0, 0.02f)),
+      (20L, v(3, 0.0f)), (21L, v(3, 0.015f)),
+      (30L, (0 until 8).map(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    // md5-order sample of 3 = ids {30, 21, 11}: one centroid per direction
+    // group, so each near-copy family shares a cluster
+    val out = Similarity.semanticDedup(fixture, threshold = 0.99, numCents = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 6, "every corpus row must appear in the decision")
+    for (id <- Seq(11L, 12L, 21L))
+      assert(out(id).getAs[Boolean]("is_semantic_dup") && !out(id).getAs[Boolean]("keep"),
+        s"near-copy $id must drop: ${out(id)}")
+    for (id <- Seq(10L, 20L, 30L))
+      assert(out(id).getAs[Boolean]("keep"), s"cluster-first $id must keep: ${out(id)}")
+    // keep-first-by-id: a dropped row's max_prior_cos comes from an earlier id
+    assert(out(11L).getAs[Double]("max_prior_cos") >= 0.99)
+  }
+
   test("text stats are sane") {
     val s = TextOps.textStats(docs).collect()
     assert(s.forall { r =>
