@@ -333,6 +333,9 @@ object Similarity {
       .limit(numCents)
       .select(col("cent_id"), col("cent_vec"),
         sqrt(norm2(col("cent_vec"))).as("cent_nrm"))
+    // the assignment is read by THREE plan branches (pair left, pair right,
+    // final decision) — persist so the numCents-way scoring pass runs once,
+    // the standard SemDeDup shape (materialize assignments, then pairwise)
     val assigned = corpus
       .select(col(idCol), col(vecCol).as("v"), sqrt(norm2(col(vecCol))).as("v_nrm"))
       .crossJoin(broadcast(cents))
@@ -341,6 +344,7 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("cent_id").asc)))
       .filter(col("rn") === 1).drop("rn", "c_cos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cent_id"), col(idCol).as("id_a"),
       col("v").as("va"), col("v_nrm").as("na"))
     val b = assigned.select(col("cent_id"), col(idCol).as("id_b"),

@@ -197,30 +197,43 @@ object TextOps {
     *    repetition rule.
     *
     * Scale shape: every signal is an array expression over the token split
-    * (whole-stage codegen, zero shuffle, no UDFs) — per-doc cost is
-    * O(len²) on the top-word scan, bounded by document length, so the
-    * operator is embarrassingly parallel at 100 TB. The explode+groupBy
-    * alternative would cost two corpus-wide shuffles to compute the same
-    * per-document numbers.
+    * (map-side, zero shuffle, no UDFs) — per-doc cost is O(len²) on the
+    * top-word scan, bounded by document length, so the operator is
+    * embarrassingly parallel at 100 TB. The explode+groupBy alternative
+    * would cost two corpus-wide shuffles to compute the same per-document
+    * numbers.
+    *
+    * The token arrays are materialized by their OWN projection before the
+    * signal expressions reference them: higher-order functions are
+    * interpreted (no whole-stage codegen, no common-subexpression
+    * elimination), so a lambda body that contained the `split` itself
+    * would re-split the document once per outer element — O(len) regex
+    * splits per row, a measured ~30× slowdown. CollapseProject keeps the
+    * stage split because a non-cheap expression referenced many times is
+    * never inlined.
     */
   def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val prepared = docs.select(col(idCol),
+      length(col(textCol)).as("__chars"),
+      tokens(col(textCol)).as("__toks"),
+      array_distinct(tokens(col(textCol))).as("__dtoks"))
+    val toks = col("__toks")
+    val dtoks = col("__dtoks")
     val n = size(toks)
-    val distinctToks = array_distinct(toks)
     val meanWordLen =
-      round((length(col(textCol)) - (n - 1)).cast("double") / n, 6)
-    val ttr = round(size(distinctToks).cast("double") / n, 6)
+      round((col("__chars") - (n - 1)).cast("double") / n, 6)
+    val ttr = round(size(dtoks).cast("double") / n, 6)
     val nStopKinds = size(filter(
       lit(StopWords.toArray), s => array_contains(toks, s)))
     val topWordFrac = round(
-      array_max(transform(distinctToks,
+      array_max(transform(dtoks,
         w => size(filter(toks, t => t === w)))).cast("double") / n, 6)
     val bigrams = transform(sequence(lit(1), n - 1),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
     val dupBigramFrac = when(n < lit(2), lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1), 6))
-    docs.select(col(idCol), n.as("n_words"), meanWordLen.as("mean_word_len"),
+    prepared.select(col(idCol), n.as("n_words"), meanWordLen.as("mean_word_len"),
         ttr.as("ttr"), nStopKinds.as("n_stop_kinds"),
         topWordFrac.as("top_word_frac"), dupBigramFrac.as("dup_bigram_frac"))
       .withColumn("keep",
