@@ -278,4 +278,78 @@ object TextOps {
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(sequence(1, length($textCol)), 0L, " +
       s"(acc, i) -> (acc * 31 + ascii(substr($textCol, i, 1))) % $HashP)")
+
+  /** Deterministic stratified (per-stratum-rate) sampling — the domain-mix
+    * step of a training-data pipeline ("keep 25% of web, all of code"),
+    * expressed so the SAME rows are kept on every engine and every re-run:
+    * the sampling coin is the first two hex chars of md5(key), compared
+    * lexicographically against a per-stratum threshold (rate quantized to
+    * k/256). No RNG, no `sample()` (whose output is partitioning-dependent),
+    * zero shuffle — a pure map-side filter that scales embarrassingly.
+    *
+    * `rates` maps stratum value → target fraction; strata not listed fall
+    * back to `defaultRate`. Rates ≥ 1 keep everything.
+    */
+  def sampleFlag(strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val bucket = substring(md5(key.cast("string")), 1, 2)
+    def thr(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else bucket < lit(f"${math.max(0, (rate * 256).toInt)}%02x")
+    rates.foldRight(thr(defaultRate)) { case ((s, rate), rest) =>
+      when(strata === lit(s), thr(rate)).otherwise(rest)
+    }
+  }
+
+  /** Greedy concat-and-split sequence packing — assign every document a
+    * (seq_id, seq_off) position in the virtual token stream formed by
+    * concatenating all documents in id order and splitting it into
+    * fixed-size training context windows of `seqLen` tokens. This is the
+    * GPT-style pretraining packing layout, computed WITHOUT a global
+    * single-partition window:
+    *
+    *  1. range-bucket the id space into `nBuckets` contiguous ranges;
+    *  2. per-bucket token totals (one map-side-combinable groupBy over
+    *     ≤ nBuckets groups) → collected (≤ nBuckets rows) → exclusive
+    *     prefix offsets, joined back as a broadcast;
+    *  3. within-bucket running totals via a window partitioned BY BUCKET —
+    *     each partition holds one id range, so the sort is local.
+    *
+    * This is the canonical two-phase distributed prefix scan: a naive
+    * `Window.orderBy(id)` with no partition key funnels the corpus through
+    * ONE task (Spark warns and then OOMs at scale); here the only global
+    * structure is the nBuckets-row offset table. Size `nBuckets` ≥ the
+    * cluster's parallelism at the target scale (driver cost stays trivial).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val bounds = base.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0))
+      return base.select(col(idCol), col("n_tok"), lit(0L).as("start_tok"),
+        lit(0L).as("seq_id"), lit(0L).as("seq_off"), lit(false).as("spans_boundary"))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo) / nBuckets + 1)
+    val bucketed = base.withColumn("__bucket",
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${span}L"))
+    val totals = bucketed.groupBy(col("__bucket")).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).map { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offDf = broadcast(offsets.toDF("__bucket", "__offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val start = coalesce(sum(col("n_tok")).over(w), lit(0L)) + col("__offset")
+    bucketed.join(offDf, "__bucket")
+      .withColumn("start_tok", start)
+      .withColumn("seq_id", expr(s"start_tok DIV $seqLen"))
+      .withColumn("seq_off", col("start_tok") % seqLen)
+      .withColumn("spans_boundary",
+        expr(s"(start_tok + n_tok - 1) DIV $seqLen") =!= col("seq_id"))
+      .select(col(idCol), col("n_tok"), col("start_tok"), col("seq_id"),
+        col("seq_off"), col("spans_boundary"))
+  }
 }

@@ -53,21 +53,27 @@ object Text {
     TextOps.langId(Tables.load(spark, sfDir, "documents"))
       .select(col("doc_id"), col("pred_lang"), col("best_score").cast("long").as("best_score"))
 
-  val q32Sql: String = {
+  // lang-ID SQL fragments shared by q32 and q60
+  private val langScoreCte: String = {
     val score = TextOps.LangMarkers.map { case (name, markers) =>
       val set = markers.map(m => s"'$m'").mkString(", ")
       s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS score_$name"
     }.mkString(",\n  ")
+    s"langscore AS (SELECT doc_id,\n  $score\nFROM documents)"
+  }
+  private val langPredSql: String = {
     val names = TextOps.LangMarkers.map(_._1)
-    val pred = names.zipWithIndex.init.foldRight(s"'${names.last}'") { case ((name, i), rest) =>
+    names.zipWithIndex.init.foldRight(s"'${names.last}'") { case ((name, i), rest) =>
       val cond = names.drop(i + 1).map(o => s"score_$name >= score_$o").mkString(" AND ")
       s"CASE WHEN $cond THEN '$name' ELSE $rest END"
     }
-    val great = names.map(n => s"score_$n").mkString(", ")
-    s"""WITH s AS (SELECT doc_id,
-       |  $score
-       |FROM documents)
-       |SELECT doc_id, $pred AS pred_lang, GREATEST($great) AS best_score FROM s""".stripMargin
+  }
+
+  val q32Sql: String = {
+    val great = TextOps.LangMarkers.map(n => s"score_${n._1}").mkString(", ")
+    s"""WITH $langScoreCte
+       |SELECT doc_id, $langPredSql AS pred_lang, GREATEST($great) AS best_score
+       |FROM langscore""".stripMargin
   }
 
   /** q33: rolling-hash document fingerprint (exact integer arithmetic). */
@@ -569,7 +575,132 @@ object Text {
        |  NOT COALESCE(p.max_prior_cos >= 35e-2, false) AS keep
        |FROM assign s LEFT JOIN prior p USING (vec_id)""".stripMargin
 
+  /** q59: near-dup CLUSTERS — the step after pair detection that a fuzzy
+    * dedup pass actually needs: connected components over the jaccard≥0.8
+    * pair graph (large-star/small-star, operators.ConnectedComponents),
+    * every document labeled with its cluster's minimum doc_id, cluster
+    * sizes, and the `is_canonical` keep flag. Oracle: DuckDB recursive CTE
+    * computing min reachable id over the same edge set.
+    */
+  def q59NearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val pairs = TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
+        sharedCandidatePairs(spark, sfDir))
+      .filter(round(col("jaccard"), 6) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  val q59Sql: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |${sigCte(16)},
+       |${bandsCte(16, 4)},
+       |$candCte,
+       |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_common
+       |  FROM cand c
+       |  JOIN shing sa ON sa.doc_id = c.doc_a
+       |  JOIN shing sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |pairs AS (
+       |  SELECT m.doc_a, m.doc_b
+       |  FROM common m
+       |  JOIN sizes na ON na.doc_id = m.doc_a
+       |  JOIN sizes nb ON nb.doc_id = m.doc_b
+       |  WHERE ROUND(m.n_common / (na.n_sh + nb.n_sh - m.n_common), 6) >= 8e-1
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(v, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+       |),
+       |comp AS (SELECT v AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY v),
+       |cs AS (SELECT cluster_id, COUNT(1) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, cs.cluster_size,
+       |       c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN cs USING (cluster_id)""".stripMargin
+
+  /** Per-language sampling rates for q60 — a domain-mix recipe: downsample
+    * the dominant class hard, keep rarer classes at higher rates, keep one
+    * entirely (the rate-≥1 path). Quantized to k/256 by the operator. */
+  val SampleRates: Seq[(String, Double)] = Seq(
+    "scanish" -> 0.25, "queryish" -> 0.5, "windowish" -> 0.75, "rowish" -> 1.0)
+
+  /** q60: deterministic stratified sampling (domain mixing) — every doc is
+    * kept/dropped by comparing an md5-prefix coin of its id against its
+    * language stratum's rate. Same rows survive on every engine and every
+    * re-run; zero shuffle beyond the langId projection.
+    */
+  def q60StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = TextOps.langId(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("pred_lang"))
+    langs.select(col("doc_id"), col("pred_lang"),
+      substring(md5(col("doc_id").cast("string")), 1, 2).as("sample_key"),
+      TextOps.sampleFlag(col("pred_lang"), col("doc_id"),
+        SampleRates.toMap, defaultRate = 0.5).as("keep"))
+  }
+
+  val q60Sql: String = {
+    val thr = SampleRates.map { case (s, r) =>
+      if (r >= 1.0) s"WHEN pred_lang = '$s' THEN TRUE"
+      else f"WHEN pred_lang = '$s' THEN sample_key < '${(r * 256).toInt}%02x'"
+    }.mkString("\n  ")
+    s"""WITH $langScoreCte,
+       |k AS (SELECT doc_id, $langPredSql AS pred_lang,
+       |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+       |      FROM langscore)
+       |SELECT doc_id, pred_lang, sample_key,
+       |  CASE $thr
+       |  ELSE sample_key < '80' END AS keep
+       |FROM k""".stripMargin
+  }
+
+  /** q61: sequence PACKING — the layout step that turns a curated corpus
+    * into fixed-size training windows: concatenate all documents in id
+    * order, split every `seqLen`=2048 tokens, report each document's
+    * (seq_id, seq_off) and whether it straddles a window boundary.
+    * Implemented as a two-phase distributed prefix scan (range buckets →
+    * broadcast offsets → per-bucket local windows); the oracle is the
+    * single-sequence SQL definition.
+    */
+  def q61PackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.packSequences(Tables.load(spark, sfDir, "documents"), seqLen = 2048)
+
+  val q61Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tok, start_tok,
+      |  start_tok // 2048 AS seq_id,
+      |  start_tok % 2048 AS seq_off,
+      |  ((start_tok + n_tok - 1) // 2048) != (start_tok // 2048) AS spans_boundary
+      |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_neardup_clusters", q59NearDupClusters, Some(q59Sql)),
+    QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),
+    QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),
     QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
     QueryDef("q57_quality_filter", q57QualityFilter, Some(q57Sql)),
     QueryDef("q56_dedup_decision", q56DedupDecision, Some(q56Sql)),

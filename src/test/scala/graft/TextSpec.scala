@@ -269,4 +269,44 @@ class TextSpec extends SparkSpec {
     assert(got == Seq("Hello", ",", " world", " 42", " it", "'", "s", " x", "9", "y", "!"),
       got.mkString("|"))
   }
+
+  test("stratified sampling is deterministic, rate-calibrated, and honors rate>=1") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val flag = TextOps.sampleFlag(col("s"), col("id"),
+      Map("a" -> 0.25, "b" -> 1.0), defaultRate = 0.5)
+    val got = rows.select(col("s"), flag.as("keep"))
+      .groupBy("s").agg(sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("b")._1 == got("b")._2, "rate 1.0 keeps everything")
+    val rateA = got("a")._1.toDouble / got("a")._2
+    assert(math.abs(rateA - 64.0 / 256) < 0.05, s"realized a-rate $rateA vs 0.25")
+    // determinism: same flags on re-evaluation
+    val twice = rows.select(flag.as("k1"), flag.as("k2"))
+      .filter(col("k1") =!= col("k2")).count()
+    assert(twice == 0)
+  }
+
+  test("packSequences start offsets are the exclusive prefix sum, any bucketing") {
+    val packedDefault = TextOps.packSequences(docs, seqLen = 128)
+    val rows = packedDefault.orderBy("doc_id").collect()
+    var acc = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == acc,
+        s"doc ${r.getAs[Long]("doc_id")}: start ${r.getAs[Long]("start_tok")} != $acc")
+      assert(r.getAs[Long]("seq_id") == acc / 128)
+      assert(r.getAs[Long]("seq_off") == acc % 128)
+      val last = acc + r.getAs[Long]("n_tok") - 1
+      assert(r.getAs[Boolean]("spans_boundary") == (last / 128 != acc / 128))
+      acc += r.getAs[Long]("n_tok")
+    }
+    // bucket count must not change the layout (two-phase scan correctness)
+    val packed1 = TextOps.packSequences(docs, seqLen = 128, nBuckets = 1)
+      .orderBy("doc_id").collect()
+    val packed7 = TextOps.packSequences(docs, seqLen = 128, nBuckets = 7)
+      .orderBy("doc_id").collect()
+    assert(packed1.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    assert(packed7.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }
