@@ -252,6 +252,23 @@ object ScaleBench {
       require(frac >= 0.9, f"SimHash planted-pair closeness $frac%.4f below the 0.9 gate")
     }
 
+    // 10b. Connected components at ~900k nodes: 10-node clusters (the
+    // shape dedup produces — already near-stars) PLUS a 1024-node path
+    // appended, the worst case for round count: label propagation would
+    // need 1024 rounds; large-star/small-star contracts the path in ~10.
+    // Ground truth is closed-form, so labels are asserted exactly at scale.
+    timed("connected_components_900k_nodes") {
+      val clusters = spark.range(900000).filter(col("id") % 10 =!= 0)
+        .select(col("id").as("src"), (col("id") - col("id") % 10).as("dst"))
+      val path = spark.range(1023)
+        .select((col("id") + 900000L).as("src"), (col("id") + 900001L).as("dst"))
+      val cc = operators.ConnectedComponents.run(clusters.unionByName(path))
+      val bad = cc.filter(col("component") =!=
+        when(col("node") < 900000L, col("node") - col("node") % 10)
+          .otherwise(lit(900000L))).count()
+      require(bad == 0, s"$bad wrong component labels at scale")
+    }
+
     // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference
     // notebook scene (BASELINE.md). Exercises AQE/spill behavior: the scene
     // never collects, the LUT broadcast is scene-size-independent, and the

@@ -81,12 +81,14 @@ object ConnectedComponents {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
-    var fp = fingerprint(e)
+      .localCheckpoint(false)
+    var fp = fingerprint(e) // materializes the lazy checkpoint
     var it = 0
-    var converged = e.isEmpty
+    var converged = fp._1 == 0L
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // lazy checkpoint: the fingerprint aggregate is the materializing job,
+      // so each round costs ONE action instead of checkpoint + fingerprint
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * kernels over fixed-size batches (the Scala analogue of `mapInPandas` —
   * same batch shape, schema contract, and partitioning story).
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — behind [[decodeStub]]: a deterministic fake that derives pixels
-  * from the payload bytes. Everything around it (schema, batching,
-  * partition-local execution, output contract) is real and tested, so
-  * swapping in a real decoder is a one-function change.
+  * Codec-format decode (JPEG/PNG/FLAC…) is STUBBED — this container has no
+  * codec libraries — behind [[decodeStub]]: a deterministic fake that
+  * derives pixels from the payload bytes. The RAW grayscale path
+  * ([[decodeGrayPool]]: decode + average-pool resize) is REAL — it needs no
+  * library — and everything around both (schema, batching, partition-local
+  * execution, output contract) is real and tested, so swapping in a codec
+  * decoder is a one-function change.
   *
   * Scale notes: payloads never shuffle (all ops are map-side); feature
   * vectors are orders of magnitude smaller than payloads, so downstream
@@ -74,5 +76,46 @@ object Multimodal {
         (m.media_id, f, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
       }
     }.toDF("media_id", "frame_idx", "frame_payload")
+  }
+
+  /** REAL decode + resize for the raw-8-bit-grayscale frame format (the
+    * uncompressed interchange shape: a W-wide row-major byte matrix, what a
+    * PGM P5 body or a single video plane is). Unlike [[decodeStub]] this
+    * needs no codec library: each payload is interpreted as `width`-wide
+    * rows (trailing partial row dropped), average-pooled over `pool`×`pool`
+    * blocks (partial blocks dropped — the resize convention that keeps
+    * every output a true mean), one output row per block:
+    * (media_id, block_row, block_col, mean_val). The mean of pool² bytes is
+    * a dyadic rational (s / pool² with pool a power of two), exactly
+    * representable in double — so it cross-checks engines with NO rounding.
+    *
+    * Runs as a per-partition kernel: payloads never shuffle, the pooled
+    * features are ~pool² smaller than the input, and downstream grouping
+    * happens on the small side — the shape that survives 100 TB of frames.
+    */
+  def decodeGrayPool(media: Dataset[MediaRow], width: Int, pool: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val h = bytes.length / width
+      val fullH = h - h % pool
+      val blocksPerRow = width / pool // width must be a multiple of pool
+      for {
+        br <- 0 until fullH / pool
+        bc <- 0 until blocksPerRow
+      } yield {
+        var s = 0L
+        var r = br * pool
+        while (r < (br + 1) * pool) {
+          var c = bc * pool
+          while (c < (bc + 1) * pool) {
+            s += bytes(r * width + c) & 0xff
+            c += 1
+          }
+          r += 1
+        }
+        (m.media_id, br, bc, s.toDouble / (pool * pool))
+      }
+    }.toDF("media_id", "block_row", "block_col", "mean_val")
   }
 }

@@ -166,6 +166,17 @@ object Text {
         TextOps.minhashFromHashes(sharedShingleHashes(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // the exact-Jaccard scores over the shared candidates — q36 reports them,
+  // q56 and q59 threshold them at 0.8; pair-count-sized, so persisting is
+  // cheap and saves the shuffle-heavy confirm join twice per session
+  private val jacCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    jacCache.getOrElseUpdate((spark, sfDir),
+      TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
+          sharedCandidatePairs(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** q35: MinHash+LSH near-duplicate candidate pairs. */
   def q35MinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     sharedCandidatePairs(spark, sfDir)
@@ -181,8 +192,7 @@ object Text {
     * and LSH candidate pairs — only the candidate-bounded equi-join and
     * per-doc size aggregation run here. */
   def q36Jaccard(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
-        sharedCandidatePairs(spark, sfDir))
+    sharedJaccard(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
   val q36Sql: String =
@@ -457,8 +467,7 @@ object Text {
   def q56DedupDecision(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val exact = TextOps.exactDedup(docs).select(col("doc_id"), col("is_canonical"))
-    val drops = TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
-        sharedCandidatePairs(spark, sfDir))
+    val drops = sharedJaccard(spark, sfDir)
       .filter(round(col("jaccard"), 6) >= 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
@@ -585,8 +594,7 @@ object Text {
   def q59NearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.ConnectedComponents
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
-    val pairs = TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
-        sharedCandidatePairs(spark, sfDir))
+    val pairs = sharedJaccard(spark, sfDir)
       .filter(round(col("jaccard"), 6) >= 0.8)
       .select(col("doc_a"), col("doc_b"))
     val cc = ConnectedComponents.run(pairs, "doc_a", "doc_b")
@@ -697,7 +705,45 @@ object Text {
       |  ((start_tok + n_tok - 1) // 2048) != (start_tok // 2048) AS spans_boundary
       |FROM s""".stripMargin
 
+  /** q62: REAL multimodal decode — documents' bytes re-enter as raw 8-bit
+    * grayscale frames (16 px wide), are decoded and average-pool resized
+    * 4×4 by the partition kernel (operators.Multimodal.decodeGrayPool; no
+    * codec library involved, so nothing is stubbed), one row per pooled
+    * block. The oracle recomputes every block mean relationally from the
+    * same bytes.
+    */
+  def q62DecodePool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeGrayPool(media, width = 16, pool = 4)
+      .select(col("media_id").as("doc_id"), col("block_row"), col("block_col"),
+        col("mean_val"))
+  }
+
+  // documents are ASCII (asserted at fixture build), so byte (r,c) of the
+  // 16-wide frame is ascii(char at r*16+c+1); full 4-row bands only
+  val q62Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, text,
+      |    ((length(text) // 16) - (length(text) // 16) % 4) AS full_h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id,
+      |    CAST((i - 1) // 16 AS INTEGER) AS r, CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, full_h * 16)) AS i FROM dims) t
+      |)
+      |SELECT doc_id, CAST(r // 4 AS INTEGER) AS block_row,
+      |  CAST(c // 4 AS INTEGER) AS block_col, AVG(v) AS mean_val
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_decode_pool", q62DecodePool, Some(q62Sql)),
     QueryDef("q59_neardup_clusters", q59NearDupClusters, Some(q59Sql)),
     QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),

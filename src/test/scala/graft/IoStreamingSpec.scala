@@ -281,4 +281,22 @@ class IoStreamingSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, frameBytes = 10, stride = 2).collect()
     assert(frames.length == 5) // frames 0,2,4,6,8
   }
+
+  test("raw-gray decode + average pool: exact block means, truncation rules") {
+    import spark.implicits._
+    // 4-wide image, 9 rows of bytes + 3 trailing bytes (partial row dropped);
+    // 9 rows → 2 full 4-row bands, 1 leftover row dropped
+    val px = Array.tabulate(4 * 9)(i => (i % 251).toByte) ++ Array[Byte](9, 9, 9)
+    val media = Seq(MediaRow(7, "gray", px, 4, 0)).toDS()
+    val got = Multimodal.decodeGrayPool(media, width = 4, pool = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set((0, 0), (1, 0)), s"blocks: ${got.keySet}")
+    def mean(rows: Range) = rows.flatMap(r => (0 until 4).map(c => px(r * 4 + c) & 0xff))
+      .sum.toDouble / 16
+    assert(got((0, 0)) == mean(0 until 4))
+    assert(got((1, 0)) == mean(4 until 8))
+    // payload shorter than one band → no rows
+    val tiny = Seq(MediaRow(8, "gray", Array[Byte](1, 2, 3), 4, 0)).toDS()
+    assert(Multimodal.decodeGrayPool(tiny, width = 4, pool = 4).isEmpty)
+  }
 }
