@@ -237,6 +237,39 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/bands").count() == nBands)
   }
 
+  test("curation decisions (quality + stratified sample) stream stateless per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // the SAME batch operators, unchanged, over a stream: map-side exprs
+    // need no watermark and no state store
+    val flags = TextOps.qualityFilter(docs)
+      .withColumn("keep_sample",
+        TextOps.sampleFlag(lit("x"), col("doc_id"), Map.empty, defaultRate = 0.5))
+    val q = flags.writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    val good = ("good words " * 20) + TextOps.StopWords.mkString(" ")
+    mem.addData((1L, good), (2L, "short"))
+    q.processAllAvailable()
+    mem.addData((3L, good))
+    q.processAllAvailable()
+    val rows = spark.table("curation")
+      .select("doc_id", "keep", "keep_sample").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    q.stop()
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(!rows(2L)._1, "a 1-word doc must fail the quality filter")
+    // streamed decisions must equal the batch operator's on the same rows
+    val batch = TextOps.qualityFilter(
+        Seq((1L, good), (2L, "short"), (3L, good)).toDF("doc_id", "text"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows.view.mapValues(_._1).toMap == batch)
+  }
+
   test("streaming hourly counts run with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

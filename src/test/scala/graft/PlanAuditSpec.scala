@@ -92,6 +92,27 @@ class PlanAuditSpec extends SparkSpec {
       "shared MinHash candidates are not persisted — q36 would recompute signatures")
   }
 
+  test("map-side decision queries plan ZERO exchanges (q57/q60/q62)") {
+    // quality filter, stratified sampling, and raw-gray decode+pool are
+    // pure per-row work: any Exchange appearing here means a scale
+    // regression (a shuffle of the full corpus for a map-side decision)
+    for (name <- Seq("q57_quality_filter", "q60_stratified_sample", "q62_decode_pool")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange"),
+        s"$name plans an Exchange — map-side decision queries must not shuffle")
+    }
+  }
+
+  test("q61 packing never plans a single-partition global window") {
+    // the two-phase prefix scan exists precisely to avoid
+    // Exchange SinglePartition + global Sort; a regression funnels the
+    // corpus through one task
+    val plan = planOf("q61_pack_sequences")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "q61 collapsed to a single-partition global window")
+    assert(plan.contains("Window"), "q61 lost its per-bucket running-total window")
+  }
+
   test("filters and projections reach the parquet scan (q06 probe)") {
     val plan = planOf("q06_filter_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull"),
