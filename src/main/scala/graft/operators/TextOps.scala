@@ -62,12 +62,24 @@ object TextOps {
     * shared prefix of BOTH the MinHash signature computation and the exact
     * Jaccard join; callers running both should compute it once and persist
     * (see queries.Text.sharedShingleHashes).
+    *
+    * ZERO shuffle: distinctness is per document (doc_id is in every row),
+    * so `array_distinct` over the in-row hash array replaces the
+    * corpus-wide `.distinct()` exchange the naive spelling pays — dedup
+    * happens map-side before the explode, exactly matching the oracle's
+    * `SELECT DISTINCT doc_id, h` because it dedups the HASHES, not the
+    * shingle strings. The token array is materialized by its own projection
+    * first (interpreted HOFs re-evaluate non-cheap lambda references per
+    * element — the measured ~30× re-split trap documented on
+    * [[qualityFilter]]).
     */
   def shingleHashes(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(shingles(tokens(col(textCol)))).as("shingle"))
-      .select(col(idCol), (tokenHash(col("shingle")) % HashP).as("h"))
-      .distinct()
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingles(col("__toks")).as("__sh"))
+      .select(col(idCol),
+        explode(array_distinct(transform(col("__sh"),
+          s => tokenHash(s) % HashP))).as("h"))
 
   /** MinHash signature columns mh0..mh{k-1} from a [[shingleHashes]] table
     * (one map-side-combinable groupBy). */
@@ -114,12 +126,15 @@ object TextOps {
       .distinct()
   }
 
-  /** 32-bit SimHash over distinct token hashes. */
+  /** 32-bit SimHash over distinct token hashes. Like [[shingleHashes]],
+    * per-doc distinctness runs map-side (`array_distinct` on the in-row
+    * hash array) — no corpus-wide distinct exchange. */
   def simhash(docs: DataFrame, bits: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), (tokenHash(col("tok")) % HashP).as("h"))
-      .distinct()
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(transform(col("__toks"),
+          t => tokenHash(t) % HashP))).as("h"))
     val bitSums = (0 until bits).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$k")
     }
