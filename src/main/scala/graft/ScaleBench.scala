@@ -35,11 +35,22 @@ object ScaleBench {
       appName = "graft-scale")
     import spark.implicits._
 
+    // SPARK_GRAFT_SCALE_ONLY=substr[,substr...] runs only matching targets
+    // (dev iteration aid). Skipped targets return null — fine for the
+    // current targets (results unused), but a skipped target that a later
+    // one depends on (e.g. docPairs) will fail that later target.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def timed[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      if (onlyFilter.exists(fs => !fs.exists(name.contains))) {
+        println(f"[scale] $name%-42s skipped")
+        null.asInstanceOf[A]
+      } else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
     }
 
     if (on("scene")) {
@@ -191,6 +202,36 @@ object ScaleBench {
         s"IVF nprobe dial bought no recall: $recalls")
     }
 
+    // 8c. PQ-ADC at 1M vectors — the fourth ANN tier: 8 subspaces × 16
+    // codewords over the 16-dim embeddings (16⁸ ≈ 4B cells: at m=4 the
+    // 65k-cell grid left thousands of vectors ADC-TIED per cell and
+    // id-tiebreak sank recall to 0.22), 1 Lloyd training pass, ADC top-100
+    // shortlist reranked exactly → top-5. The ADC scan reads 8 small ints
+    // per vector instead of 16 floats — the compressed-scan memory story.
+    // Recall gated against the exact L2 top-5 (PQ's metric; these vectors
+    // are not unit-norm, so cosine order differs).
+    timed(s"ann_pq_adc_top5_${nVec / 1000}k") {
+      val queries = emb.filter(col("vec_id") < 10).cache()
+      val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scoredEx = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Similarity.norm2(col("embedding")) + Similarity.norm2(col("qv"))
+            - lit(2.0) * Similarity.dot(col("embedding"), col("qv"))).as("d2"))
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+      val exact = scoredEx.withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select("query_id", "neighbor_id").cache()
+      val nExact = exact.count()
+      val got = Similarity.pqTopK(emb, queries, k = 5, m = 8, codebookSize = 16,
+          lloydIters = 1, rerank = 100)
+        .select("query_id", "neighbor_id")
+      val r = got.join(exact, Seq("query_id", "neighbor_id")).count().toDouble / nExact
+      println(f"[scale] pq_adc_recall@5 (1 Lloyd pass, rerank 100): $r%.4f (gate >= 0.6)")
+      exact.unpersist(); queries.unpersist()
+      require(r >= 0.6, f"PQ ADC recall $r%.4f below the 0.6 gate")
+    }
+
     }
 
     if (on("docs")) {
@@ -267,6 +308,23 @@ object ScaleBench {
         when(col("node") < 900000L, col("node") - col("node") % 10)
           .otherwise(lit(900000L))).count()
       require(bad == 0, s"$bad wrong component labels at scale")
+    }
+
+    // 10c. Sequence packing at 10M docs via the two-phase prefix scan
+    // (256 range buckets): the layout's closed-form invariants — the last
+    // token position equals the corpus token total, and every 2048-token
+    // window up to that total is inhabited — are asserted exactly.
+    timed("pack_sequences_10M_docs") {
+      val docs10 = spark.range(10000000).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), (pmod(col("id"), lit(50)) + 1).cast("int")),
+          _ => lit("w"))).as("text"))
+      val packed = operators.TextOps.packSequences(docs10, seqLen = 2048, nBuckets = 256)
+      val agg = packed.agg(max(col("start_tok") + col("n_tok")).as("end"),
+        sum(col("n_tok")).as("total"), countDistinct(col("seq_id")).as("nseq")).head()
+      require(agg.getLong(0) == agg.getLong(1),
+        s"packing end ${agg.getLong(0)} != token total ${agg.getLong(1)}")
+      require(agg.getLong(2) == (agg.getLong(1) + 2047) / 2048,
+        s"window count ${agg.getLong(2)} != ceil(total/2048)")
     }
 
     // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference

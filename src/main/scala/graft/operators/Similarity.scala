@@ -426,4 +426,162 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Left-to-right squared-L2 fold between one SUBSPACE of a full vector
+    * and a subDim-length codeword: Σ_{i=1..subDim} (a[sub·subDim+i] − w[i])²,
+    * elements cast to double BEFORE the subtraction — bit-identical to the
+    * oracle's double fold (the oracle indexes the full sampled vector at
+    * the same offset; the elements are the same). */
+  private def l2sqSub(a: Column, w: Column, sub: Column, subDim: Int): Column =
+    aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
+      val idx = (sub * subDim + i).cast("int")
+      val d = element_at(a, idx).cast("double") - element_at(w, i).cast("double")
+      acc + d * d
+    })
+
+  /** Per-subspace Lloyd training of a PQ codebook (`(sub, code, w)` rows,
+    * `w` the subDim-dim codeword): assignment is corpus × broadcast
+    * codebook with a map-side-combinable `min(struct(d2, code))` argmin,
+    * the update a per-(sub, code, dim) average — the same in-engine k-means
+    * shape as [[lloydRefine]], run independently in every subspace at once.
+    * Empty cells keep their previous codeword. NOT bit-reproducible across
+    * engines (float averaging in shuffle order) — the quality path, not
+    * the oracle path, exactly like [[ivfTopK]]'s `lloydIters`.
+    */
+  private def pqLloyd(corpus: DataFrame, cb0: DataFrame, iters: Int,
+      subDim: Int, idCol: String, vecCol: String): DataFrame =
+    (1 to iters).foldLeft(cb0) { (cb, _) =>
+      val assigned = corpus.select(col(idCol).as("__id"), col(vecCol).as("v"))
+        .crossJoin(broadcast(cb))
+        .select(col("__id"), col("v"), col("sub"),
+          struct(l2sqSub(col("v"), col("w"), col("sub"), subDim).as("d2"),
+            col("code").as("code")).as("sc"))
+        .groupBy(col("__id"), col("sub"))
+        .agg(min(col("sc"))("code").as("code"), first(col("v")).as("v"))
+      val updated = assigned
+        .select(col("sub"), col("code"),
+          posexplode(transform(sequence(lit(1), lit(subDim)), i =>
+            element_at(col("v"), (col("sub") * subDim + i).cast("int"))
+              .cast("double"))).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("code"), col("i"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          e => e.getField("mn")).as("w"))
+      cb.select(col("sub"), col("code"), col("w").as("prev"))
+        .join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("w"), col("prev")).as("w"))
+    }
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC) —
+    * the fourth ANN tier (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). The vector space splits into `m`
+    * subspaces; each subspace gets a `codebookSize`-entry codebook (seeded
+    * from the same deterministic md5-order corpus sample as [[ivfTopK]]'s
+    * coarse quantizer, restricted to the subspace; `lloydIters` per-subspace
+    * k-means passes refine it); every corpus vector is encoded as `m` small
+    * codes; a query scores a vector by summing its per-subspace distances
+    * to the vector's codewords — m table lookups per pair instead of a
+    * dim-length dot product. `rerank > 0` adds the production IVFADC+R
+    * step: the ADC top-`rerank` shortlist is re-scored with EXACT distances
+    * (shortlist broadcast, corpus never shuffles) before the final top-k.
+    *
+    * Scale anatomy (why PQ is the 100 TB memory answer):
+    *  - codes are m small ints per vector vs 4·dim bytes of floats — the
+    *    scan set shrinks ~16× at (dim 64, m 16);
+    *  - encoding is map-side: corpus × broadcast codebook (m·codebookSize
+    *    rows), per-(vector,subspace) argmin via a map-side-combinable
+    *    `min(struct(d2, code))` — ONE light shuffle of m entries/vector,
+    *    never the raw vectors;
+    *  - scoring is map-side: codes × broadcast per-query LUT (an audited
+    *    bounded BNLJ, the [[cosineTopK]] shape), the ADC sum is an O(m)
+    *    fold, and the top-k window prunes map-side (WindowGroupLimit)
+    *    before its single exchange.
+    *
+    * Output (rerank = 0): (query_id, neighbor_id, d2_adc, rank) — rank
+    * ascending by ADC distance, ties to the smaller neighbor id, self
+    * excluded; with `lloydIters = 0` every fold is left-to-right double —
+    * bit-reproducible vs the DuckDB oracle. With rerank > 0 the distance
+    * column is `d2_exact` and ranking is by exact squared L2.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+      codebookSize: Int = 16, lloydIters: Int = 0, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+
+    // codebook seed: the first `codebookSize` corpus vectors in md5(id)
+    // order, code = rank in that order, one (sub, code, w) row per subspace
+    val sampleW = Window.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val sampled = corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(codebookSize)
+      .select((row_number().over(sampleW) - 1).as("code"), col(vecCol).as("cv"))
+    val seed = sampled.crossJoin((0 until m).toDF("sub"))
+      .select(col("sub"), col("code"),
+        transform(sequence(lit(1), lit(subDim)), i =>
+          element_at(col("cv"), (col("sub") * subDim + i).cast("int"))
+            .cast("double")).as("w"))
+    val cw =
+      if (lloydIters <= 0) seed
+      else pqLloyd(corpus, seed, lloydIters, subDim, idCol, vecCol)
+
+    // encode: per (vector, subspace) argmin over the codebook — the
+    // min(struct) aggregate IS the tie rule (smallest d2, then smallest
+    // code) and is partial-aggregable (m pivoted min aggregates), so the
+    // only shuffle carries m entries per vector
+    val perSub = (0 until m).map(s =>
+      min(when(col("sub") === s, col("sc"))).as(s"c$s"))
+    val encoded = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cw))
+      .select(col("neighbor_id"), col("sub"),
+        struct(l2sqSub(col("v"), col("w"), col("sub"), subDim).as("d2"),
+          col("code").as("code")).as("sc"))
+      .groupBy(col("neighbor_id")).agg(perSub.head, perSub.tail: _*)
+      .select(col("neighbor_id"),
+        array((0 until m).map(s => col(s"c$s")("code")): _*).as("codes"))
+
+    // per-query ADC lookup table: d2(query subspace, codeword) for every
+    // (sub, code), flattened in (sub, code) order — queries are few, the
+    // LUT is m·codebookSize doubles per query
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cw))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sqSub(col("qv"), col("w"), col("sub"), subDim).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d2")))),
+        s => s("d2")).as("lut"))
+
+    val scored = encoded
+      .join(broadcast(lut), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("lut"),
+            (s * codebookSize + element_at(col("codes"), s + 1) + 1).cast("int"))),
+          6).as("d2_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_adc").asc, col("neighbor_id").asc)
+    val adcRanked = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0) adcRanked.filter(col("rank") <= k)
+    else {
+      // IVFADC+R: exact distances on the broadcast shortlist only; the
+      // corpus side stays map-side (its vectors are re-read by the join,
+      // never shuffled)
+      val shortlist = adcRanked.filter(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qv"))), "query_id")
+      val exact = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(norm2(col("qv")) + norm2(col("cv"))
+            - lit(2.0) * dot(col("qv"), col("cv")), 6).as("d2_exact"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2_exact").asc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    }
+  }
 }

@@ -742,7 +742,66 @@ object Text {
       |  CAST(c // 4 AS INTEGER) AS block_col, AVG(v) AS mean_val
       |FROM px GROUP BY 1, 2, 3""".stripMargin
 
+  /** q63: product-quantization ANN (ADC) — the fourth ANN tier: 16
+    * subspaces × 16 codewords over the 64-dim embeddings, codebook seeded
+    * from the same deterministic md5-order sample as q51's coarse
+    * quantizer (untrained + unreranked here: the bit-reproducible oracle
+    * path; Lloyd training and exact rerank are the spec-gated quality
+    * path, like q51's lloydIters). ADC top-5 for the first 10 queries.
+    */
+  def q63PqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, m = 16,
+        codebookSize = 16)
+      .select(col("query_id"), col("neighbor_id"), col("d2_adc"), col("rank"))
+  }
+
+  // per-subspace squared-L2 left fold at offset sub*4 (dim 64, m=16):
+  // element diffs in double, matching Similarity.l2sqSub bit-for-bit
+  private def d2SubSql(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(generate_series(1, 4), i ->
+       |    ($a[c.sub*4 + i]::DOUBLE - $b[c.sub*4 + i]::DOUBLE)
+       |    * ($a[c.sub*4 + i]::DOUBLE - $b[c.sub*4 + i]::DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  val q63Sql: String =
+    s"""WITH cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+       |         embedding AS cw
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |),
+       |cw AS (SELECT s.sub, cb.code, cb.cw
+       |       FROM cb CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sub) s),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, c.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub
+       |        ORDER BY ${d2SubSql("e.embedding", "c.cw")} ASC, c.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cw c
+       |  ) WHERE rn = 1
+       |),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.code,
+       |    ${d2SubSql("q.embedding", "c.cw")} AS d2
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 10
+       |),
+       |summed AS (
+       |  SELECT l.query_id, en.vec_id AS neighbor_id,
+       |    ROUND(list_reduce(list_concat([CAST(0 AS DOUBLE)], list(l.d2 ORDER BY l.sub)),
+       |      (x, y) -> x + y), 6) AS d2_adc
+       |  FROM enc en JOIN lut l ON l.sub = en.sub AND l.code = en.code
+       |  WHERE en.vec_id != l.query_id
+       |  GROUP BY l.query_id, en.vec_id
+       |)
+       |SELECT query_id, neighbor_id, d2_adc, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d2_adc ASC, neighbor_id ASC) AS rn
+       |  FROM summed
+       |) WHERE rn <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q63_pq_ann", q63PqAnn, Some(q63Sql)),
     QueryDef("q62_decode_pool", q62DecodePool, Some(q62Sql)),
     QueryDef("q59_neardup_clusters", q59NearDupClusters, Some(q59Sql)),
     QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),

@@ -20,7 +20,11 @@ class PlanAuditSpec extends SparkSpec {
     "q43_circ_smooth", "q44_peak", "q51_ann_ivf",
     // q58: nearest-centroid assignment crossJoins a broadcast centroid
     // table BOUNDED at numCents rows (Similarity.semanticDedup)
-    "q58_semantic_dedup")
+    "q58_semantic_dedup",
+    // q63: PQ encode crossJoins a broadcast codebook BOUNDED at
+    // m·codebookSize rows; ADC scoring joins a broadcast per-query LUT
+    // BOUNDED at the query count (Similarity.pqTopK)
+    "q63_pq_ann")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
