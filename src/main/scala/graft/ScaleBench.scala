@@ -303,7 +303,11 @@ object ScaleBench {
         .select(col("id").as("src"), (col("id") - col("id") % 10).as("dst"))
       val path = spark.range(1023)
         .select((col("id") + 900000L).as("src"), (col("id") + 900001L).as("dst"))
-      val cc = operators.ConnectedComponents.run(clusters.unionByName(path))
+      // threshold 0: force the DISTRIBUTED star algorithm (the point of
+      // this gate); the default adaptive path would solve 901k edges on
+      // the driver
+      val cc = operators.ConnectedComponents.run(clusters.unionByName(path),
+        smallGraphThreshold = 0L)
       val bad = cc.filter(col("component") =!=
         when(col("node") < 900000L, col("node") - col("node") % 10)
           .otherwise(lit(900000L))).count()

@@ -72,9 +72,20 @@ object ConnectedComponents {
     * appears in any edge, `component` = the minimum node id reachable.
     * Nodes absent from `edges` are absent here — join the full node list
     * with a coalesce for singleton components (see queries.Text.q59).
+    *
+    * Adaptive small-graph path: the initial fingerprint job already knows
+    * the deduped edge count; at or below `smallGraphThreshold` edges
+    * (default 1M ≈ 16 MB — the same order as a broadcast side) the graph
+    * is collected and solved with driver-side union-find in one pass
+    * instead of paying several shuffle rounds of fixed overhead. This is
+    * the AQE philosophy applied to an iterative operator: runtime size
+    * decides the physical strategy. Near-dup graphs after thresholding are
+    * typically ≪1% of the corpus, but pass `smallGraphThreshold = 0` to
+    * force the distributed star algorithm at any size.
     */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, smallGraphThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
     var e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -83,6 +94,24 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
     var fp = fingerprint(e) // materializes the lazy checkpoint
+    if (fp._1 > 0L && fp._1 <= smallGraphThreshold) {
+      import spark.implicits._
+      val local = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = local.iterator.flatMap(t => Iterator(t._1, t._2)).toSet
+      return nodes.iterator.map(v => (v, find(v))).toSeq.toDF("node", "component")
+    }
     var it = 0
     var converged = fp._1 == 0L
     while (!converged && it < maxIter) {

@@ -19,12 +19,18 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
     val truth = unionFind(n, edges)
-    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    assert(got.keySet == touched, "labels exactly the nodes that appear in edges")
-    touched.foreach { v =>
-      assert(got(v) == truth(v), s"node $v: got ${got(v)}, want ${truth(v)}")
+    // threshold default → driver union-find path; 0 → distributed stars.
+    // Both must produce identical min-id labels.
+    for (thr <- Seq(1000000L, 0L)) {
+      val got = ConnectedComponents.run(edges.toDF("src", "dst"),
+          smallGraphThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == touched,
+        s"thr=$thr: labels exactly the nodes that appear in edges")
+      touched.foreach { v =>
+        assert(got(v) == truth(v), s"thr=$thr node $v: got ${got(v)}, want ${truth(v)}")
+      }
     }
   }
 
