@@ -427,50 +427,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Left-to-right squared-L2 fold between one SUBSPACE of a full vector
-    * and a subDim-length codeword: Σ_{i=1..subDim} (a[sub·subDim+i] − w[i])²,
-    * elements cast to double BEFORE the subtraction — bit-identical to the
-    * oracle's double fold (the oracle indexes the full sampled vector at
-    * the same offset; the elements are the same). */
+  /** Squared L2 between one SUBSPACE of a full vector and a subDim-length
+    * codeword: Σ_{i=1..subDim} (a[sub·subDim+i] − w[i])², elements widened
+    * to double BEFORE the subtraction — bit-identical to the oracle's
+    * double fold (the oracle indexes the full sampled vector at the same
+    * offset; the elements are the same). Backed by the codegen'd
+    * [[graft.sql.L2SubExpression]] — the PQ encode path evaluates
+    * m·codebookSize of these per vector, where the interpreted fold
+    * spelling ([[l2sqSubFold]], kept as the spec's bit-equality mirror)
+    * pays 4 lambda interpretations per element. */
   private def l2sqSub(a: Column, w: Column, sub: Column, subDim: Int): Column =
+    call_function("l2sub_f32", a, w, sub.cast("int"))
+
+  /** Reference fold spelling of [[l2sqSub]] — SqlExtensionsSpec asserts
+    * bit-equality with the native expression. */
+  private[graft] def l2sqSubFold(a: Column, w: Column, sub: Column, subDim: Int): Column =
     aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
       val idx = (sub * subDim + i).cast("int")
       val d = element_at(a, idx).cast("double") - element_at(w, i).cast("double")
       acc + d * d
     })
 
-  /** Per-subspace Lloyd training of a PQ codebook (`(sub, code, w)` rows,
-    * `w` the subDim-dim codeword): assignment is corpus × broadcast
-    * codebook with a map-side-combinable `min(struct(d2, code))` argmin,
-    * the update a per-(sub, code, dim) average — the same in-engine k-means
-    * shape as [[lloydRefine]], run independently in every subspace at once.
-    * Empty cells keep their previous codeword. NOT bit-reproducible across
-    * engines (float averaging in shuffle order) — the quality path, not
-    * the oracle path, exactly like [[ivfTopK]]'s `lloydIters`.
+  /** Per-subspace Lloyd training of a FLAT PQ codebook
+    * (`cb[(s·k + c)·subDim + i]`): assignment is the zero-shuffle codegen'd
+    * `pq_encode` over the current codebook literal; the update is a
+    * per-(sub, code, dim) average — partial-aggregable, key count bounded
+    * at m·k·subDim, so one light shuffle per pass at any corpus size. The
+    * updated means (a broadcast-scale result by construction) overlay the
+    * previous codebook on the driver; empty cells keep their codeword.
+    * NOT bit-reproducible across engines (averaging in shuffle order) —
+    * the quality path, not the oracle path, like [[ivfTopK]]'s
+    * `lloydIters`.
     */
-  private def pqLloyd(corpus: DataFrame, cb0: DataFrame, iters: Int,
-      subDim: Int, idCol: String, vecCol: String): DataFrame =
+  private def pqLloyd(corpus: DataFrame, cb0: Array[Double], iters: Int, m: Int,
+      codebookSize: Int, subDim: Int, vecCol: String): Array[Double] =
     (1 to iters).foldLeft(cb0) { (cb, _) =>
-      val assigned = corpus.select(col(idCol).as("__id"), col(vecCol).as("v"))
-        .crossJoin(broadcast(cb))
-        .select(col("__id"), col("v"), col("sub"),
-          struct(l2sqSub(col("v"), col("w"), col("sub"), subDim).as("d2"),
-            col("code").as("code")).as("sc"))
-        .groupBy(col("__id"), col("sub"))
-        .agg(min(col("sc"))("code").as("code"), first(col("v")).as("v"))
-      val updated = assigned
+      val assigned = corpus.select(col(vecCol).as("v"),
+          posexplode(call_function("pq_encode", col(vecCol),
+            typedLit(cb.toSeq), lit(m))).as(Seq("sub", "code")))
+      val updates = assigned
         .select(col("sub"), col("code"),
           posexplode(transform(sequence(lit(1), lit(subDim)), i =>
             element_at(col("v"), (col("sub") * subDim + i).cast("int"))
               .cast("double"))).as(Seq("i", "x")))
         .groupBy(col("sub"), col("code"), col("i"))
         .agg(avg(col("x")).as("mn"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("mn")))),
-          e => e.getField("mn")).as("w"))
-      cb.select(col("sub"), col("code"), col("w").as("prev"))
-        .join(updated, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("w"), col("prev")).as("w"))
+        .collect()
+      val next = cb.clone()
+      updates.foreach { r =>
+        next((r.getInt(0) * codebookSize + r.getInt(1)) * subDim + r.getInt(2)) =
+          r.getDouble(3)
+      }
+      next
     }
 
   /** Product-quantization ANN with asymmetric distance computation (ADC) —
@@ -489,10 +497,9 @@ object Similarity {
     * Scale anatomy (why PQ is the 100 TB memory answer):
     *  - codes are m small ints per vector vs 4·dim bytes of floats — the
     *    scan set shrinks ~16× at (dim 64, m 16);
-    *  - encoding is map-side: corpus × broadcast codebook (m·codebookSize
-    *    rows), per-(vector,subspace) argmin via a map-side-combinable
-    *    `min(struct(d2, code))` — ONE light shuffle of m entries/vector,
-    *    never the raw vectors;
+    *  - encoding is ZERO-shuffle: one codegen'd `pq_encode` call per row
+    *    over the codebook literal (bounded at m·codebookSize·subDim
+    *    doubles) — no codebook join, no m·k-row explosion per vector;
     *  - scoring is map-side: codes × broadcast per-query LUT (an audited
     *    bounded BNLJ, the [[cosineTopK]] shape), the ADC sum is an O(m)
     *    fold, and the top-k window prunes map-side (WindowGroupLimit)
@@ -514,34 +521,34 @@ object Similarity {
     val subDim = dim / m
 
     // codebook seed: the first `codebookSize` corpus vectors in md5(id)
-    // order, code = rank in that order, one (sub, code, w) row per subspace
-    val sampleW = Window.orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val sampled = corpus.select(col(idCol), col(vecCol))
+    // order (a few-KB collect, bounded by construction — the PQ analogue
+    // of collecting IVF's centroid sample), flattened driver-side to the
+    // (s·k + c)·subDim layout pq_encode expects
+    val sampleRows = corpus.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(codebookSize)
-      .select((row_number().over(sampleW) - 1).as("code"), col(vecCol).as("cv"))
-    val seed = sampled.crossJoin((0 until m).toDF("sub"))
-      .select(col("sub"), col("code"),
-        transform(sequence(lit(1), lit(subDim)), i =>
-          element_at(col("cv"), (col("sub") * subDim + i).cast("int"))
-            .cast("double")).as("w"))
-    val cw =
-      if (lloydIters <= 0) seed
-      else pqLloyd(corpus, seed, lloydIters, subDim, idCol, vecCol)
+      .collect()
+    val sampleVecs = sampleRows.map(_.getSeq[Any](1).map(
+      _.asInstanceOf[Number].doubleValue()).toArray)
+    val seedFlat = Array.tabulate(m * codebookSize * subDim) { flat =>
+      val i = flat % subDim
+      val c = flat / subDim % codebookSize
+      val s = flat / subDim / codebookSize
+      sampleVecs(c)(s * subDim + i)
+    }
+    val cbFlat =
+      if (lloydIters <= 0) seedFlat
+      else pqLloyd(corpus, seedFlat, lloydIters, m, codebookSize, subDim, vecCol)
 
-    // encode: per (vector, subspace) argmin over the codebook — the
-    // min(struct) aggregate IS the tie rule (smallest d2, then smallest
-    // code) and is partial-aggregable (m pivoted min aggregates), so the
-    // only shuffle carries m entries per vector
-    val perSub = (0 until m).map(s =>
-      min(when(col("sub") === s, col("sc"))).as(s"c$s"))
-    val encoded = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(cw))
-      .select(col("neighbor_id"), col("sub"),
-        struct(l2sqSub(col("v"), col("w"), col("sub"), subDim).as("d2"),
-          col("code").as("code")).as("sc"))
-      .groupBy(col("neighbor_id")).agg(perSub.head, perSub.tail: _*)
-      .select(col("neighbor_id"),
-        array((0 until m).map(s => col(s"c$s")("code")): _*).as("codes"))
+    // encode: one codegen'd pq_encode per row — zero shuffle, no join
+    val encoded = corpus.select(col(idCol).as("neighbor_id"),
+      call_function("pq_encode", col(vecCol), typedLit(cbFlat.toSeq), lit(m))
+        .as("codes"))
+
+    // (sub, code, w) rows of the final codebook, for the per-query LUT join
+    val cw = (for (s <- 0 until m; c <- 0 until codebookSize) yield
+        (s, c, cbFlat.slice((s * codebookSize + c) * subDim,
+          (s * codebookSize + c + 1) * subDim).toSeq))
+      .toDF("sub", "code", "w")
 
     // per-query ADC lookup table: d2(query subspace, codeword) for every
     // (sub, code), flattened in (sub, code) order — queries are few, the

@@ -194,6 +194,186 @@ case class RpBucketExpression(first: Expression, second: Expression, third: Expr
     copy(first = f, second = s, third = t)
 }
 
+/** JIT-friendly kernel for [[L2SubExpression]]: squared L2 between one
+  * SUBSPACE of a full vector and a subspace codeword, left-to-right,
+  * elements widened to double before the subtraction — bit-identical to
+  * the Catalyst fold spelling (Similarity.l2sqSubFold) and the DuckDB
+  * oracle. The subspace length is the codeword's length.
+  */
+object L2Sub extends Serializable {
+  def d2(a: ArrayData, aFloat: Boolean, w: ArrayData, wFloat: Boolean, sub: Int): Double = {
+    val n = w.numElements()
+    val off = sub * n
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val av = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+      val wv = if (wFloat) w.getFloat(i).toDouble else w.getDouble(i)
+      val d = av - wv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd per-subspace squared L2 — the PQ encode/LUT hot path: at
+  * corpus scale every vector evaluates m·codebookSize of these, and the
+  * higher-order fold spelling pays 4 interpreted lambdas per element.
+  * Out-of-range subspaces (sub·|w|+|w| > |a|) yield NULL.
+  */
+case class L2SubExpression(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2sub_f32"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _),
+          org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"l2sub_f32 expects (array<float|double>, array<float|double>, int), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, w: Any, s: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]; val wv = w.asInstanceOf[ArrayData]
+    val sub = s.asInstanceOf[Int]
+    if (sub < 0 || (sub + 1) * wv.numElements() > av.numElements()) null
+    else L2Sub.d2(av, isFloat(first), wv, isFloat(second), sub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2sub", L2Sub, L2Sub.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, w, s) => {
+      s"""
+         |if ($s < 0 || ($s + 1) * $w.numElements() > $a.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.d2($a, ${isFloat(first)}, $w, ${isFloat(second)}, $s);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** JIT-friendly kernel for [[PqEncodeExpression]]: the full m-subspace
+  * argmin encode of one vector against a FLAT codebook laid out as
+  * `cb[(s·k + c)·subDim + i]` — all primitive loops, one call per row.
+  * Distances are left-to-right double folds; ties keep the smaller code
+  * (strict `<`), matching the relational `min(struct(d2, code))` spelling
+  * and the DuckDB oracle's `ORDER BY d2, code`.
+  */
+object PqEncode extends Serializable {
+  def encode(v: ArrayData, vFloat: Boolean, cb: ArrayData, m: Int): ArrayData = {
+    val dim = v.numElements()
+    val subDim = dim / m
+    val k = cb.numElements() / (m * subDim)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val av = if (vFloat) v.getFloat(s * subDim + i).toDouble
+            else v.getDouble(s * subDim + i)
+          val d = av - cb.getDouble(off + i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd PQ encode: vector → its m subspace codes in ONE expression
+  * evaluation — no codebook join, no m·k-row explosion per vector. The
+  * codebook rides in as an array<double> literal (bounded at
+  * m·codebookSize·subDim doubles — broadcast-scale by construction).
+  * Shape-mismatched inputs (dim not divisible by m, codebook length not a
+  * multiple of m·subDim) yield NULL.
+  */
+case class PqEncodeExpression(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  private def vFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _),
+          org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects (array<float|double>, array<double>, int), got $other")
+    }
+
+  private def shapeOk(v: ArrayData, cb: ArrayData, m: Int): Boolean =
+    m > 0 && v.numElements() % m == 0 && v.numElements() / m > 0 &&
+      cb.numElements() % (m * (v.numElements() / m)) == 0 &&
+      cb.numElements() > 0
+
+  override protected def nullSafeEval(v: Any, cb: Any, m: Any): Any = {
+    val av = v.asInstanceOf[ArrayData]; val acb = cb.asInstanceOf[ArrayData]
+    val mi = m.asInstanceOf[Int]
+    if (!shapeOk(av, acb, mi)) null
+    else PqEncode.encode(av, vFloat, acb, mi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", PqEncode, PqEncode.getClass.getName)
+    val self = ctx.addReferenceObj("pqExpr", this, classOf[PqEncodeExpression].getName)
+    nullSafeCodeGen(ctx, ev, (v, cb, m) => {
+      s"""
+         |if (!$self.shapeOkPublic($v, $cb, $m)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.encode($v, $vFloat, $cb, $m);
+         |}
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point for the shape guard (doGenCode references it). */
+  def shapeOkPublic(v: ArrayData, cb: ArrayData, m: Int): Boolean = shapeOk(v, cb, m)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Session extensions: every registered model becomes a SQL-callable scalar
   * (`SELECT gmf_cmod5n(inc, wspd, phi) FROM scene`) backed by the codegen
   * expression — the sql/ surface of SURVEY.md §7.1. Two-argument crosspol
@@ -236,6 +416,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(v, p, o) => RpBucketExpression(v, p, o)
         case other => throw new IllegalArgumentException(
           s"rp_bucket expects (array, planes[, offset]), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo("graft.sql.PqEncodeExpression", "pq_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, cb, m) => PqEncodeExpression(v, cb, m)
+        case other => throw new IllegalArgumentException(
+          s"pq_encode expects (vector, flat_codebook, m), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("l2sub_f32"),
+      new ExpressionInfo("graft.sql.L2SubExpression", "l2sub_f32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, w, s) => L2SubExpression(a, w, s)
+        case other => throw new IllegalArgumentException(
+          s"l2sub_f32 expects (vector, codeword, sub), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),

@@ -136,6 +136,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native l2sub_f32 is bit-identical to the Catalyst fold spelling") {
+    import spark.implicits._
+    // codeword = subspace 2 of vector 7 (float->double widened), compared
+    // against every vector over all 4 subspaces of the 64-dim embeddings
+    val w = emb.filter(col("vec_id") === 7)
+      .select(transform(sequence(lit(33), lit(48)),
+        i => element_at(col("embedding"), i.cast("int")).cast("double")).as("w"))
+      .head().getSeq[Double](0)
+    for (sub <- 0 until 4) {
+      val mismatch = emb.select(col("embedding"), typedLit(w).as("w"))
+        .select(
+          call_function("l2sub_f32", col("embedding"), col("w"), lit(sub)).as("native"),
+          Similarity.l2sqSubFold(col("embedding"), col("w"), lit(sub), 16).as("fold"))
+        .filter(col("native") =!= col("fold")).count()
+      assert(mismatch == 0, s"l2sub_f32 diverges from the fold at sub=$sub")
+    }
+    // out-of-range subspace yields NULL, not garbage
+    val oob = emb.limit(1).select(
+      call_function("l2sub_f32", col("embedding"),
+        transform(sequence(lit(1), lit(64)), _ => lit(0.0)), lit(1)).as("x"))
+      .head()
+    assert(oob.isNullAt(0), "subspace past the vector end must be NULL")
+  }
+
   test("rpTopK k>1: consecutive ranks, no duplicate neighbors, scores nonincreasing") {
     // k>1 exercises the deduped-candidate path (k=1 skips the distinct —
     // duplicate scored rows can't change a top-1 — so duplicates WOULD
