@@ -163,17 +163,29 @@ object Relational {
       |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin
 
   /** q53: ROLLUP multi-level aggregation — per (flag, status), per flag, and
-    * grand total in one pass (Spark expands grouping sets before the hash
-    * agg, so it stays one shuffle with map-side partials at any scale).
+    * grand total. TWO-LEVEL: decimal partials aggregate at the finest grain
+    * first (corpus → #distinct-group rows), then the rollup's Expand
+    * triplication and its grouping sets re-sum those EXACT decimals —
+    * bit-identical (decimal addition is associative), but the 3× row
+    * expansion and two of the three decimal aggregations now run over a
+    * handful of rows instead of the corpus. The naive single-pass rollup
+    * expands every corpus row 3× before the hash agg.
     */
   def q53Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val lineitem = Tables.load(spark, sfDir, "lineitem")
-    lineitem
+    val base = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).as("sq"),
+        sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount"))).as("sp"),
+        count(lit(1)).as("n"))
+    base
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        exactSum(col("l_quantity")).as("sum_qty"),
-        exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
-        count(lit(1)).as("n_rows"),
+        sum(col("sq")).cast("double").as("sum_qty"),
+        sum(col("sp")).cast("double").as("sum_disc_price"),
+        sum(col("n")).as("n_rows"),
         grouping_id().as("gid"))
   }
 
