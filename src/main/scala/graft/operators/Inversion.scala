@@ -63,21 +63,36 @@ object Inversion {
     * `to_lut(resolution='high')` path, models.py:82-174 with do_interp=False);
     * `interpolated = true` uses the reference's DEFAULT path instead —
     * low-res eval + multilinear regrid to high-res (gmfs.py:364-366).
+    *
+    * Memoized per (SparkContext, models, resolution): LUT grids are pure
+    * functions of the registered model, so re-running an inversion query
+    * in-session reuses the existing broadcast instead of re-evaluating a
+    * ~1M-cell GMF grid on the driver and re-shipping it — the
+    * shared-Scharr/shared-shingle pattern applied to the LUT build.
     */
   def buildLuts(spark: SparkSession, coModel: Option[String], crModel: Option[String],
-      highRes: Boolean = true, interpolated: Boolean = false): Broadcast[InvLuts] = {
-    def build(n: String): Lut = {
-      val m = ModelRegistry.get(n)
-      toDbValues(if (interpolated) m.toLutInterpolated() else m.toLut(highRes))
-    }
-    val co = coModel.map(build).getOrElse(emptyLut)
-    val cr = crModel.map(build).getOrElse(emptyLut)
-    // phi symmetric in [0,180] → two-solution ambiguity (windspeed.py:152-156)
-    val phi180 = co.phi.nonEmpty && (180.0 - (co.phi.last - co.phi.head)) < 2.0
-    val coCos = co.phi.map(p => math.cos(math.toRadians(p)))
-    val coSin = co.phi.map(p => math.sin(math.toRadians(p)))
-    spark.sparkContext.broadcast(InvLuts(co, phi180, coCos, coSin, cr))
-  }
+      highRes: Boolean = true, interpolated: Boolean = false): Broadcast[InvLuts] =
+    // keyed on the resolved MODEL INSTANCES, not names: re-registering a
+    // model under the same name (user GMFs, M2) must not serve stale LUTs
+    lutCache.getOrElseUpdate(
+      (spark.sparkContext, coModel.map(ModelRegistry.get), crModel.map(ModelRegistry.get),
+        highRes, interpolated), {
+        def build(n: String): Lut = {
+          val m = ModelRegistry.get(n)
+          toDbValues(if (interpolated) m.toLutInterpolated() else m.toLut(highRes))
+        }
+        val co = coModel.map(build).getOrElse(emptyLut)
+        val cr = crModel.map(build).getOrElse(emptyLut)
+        // phi symmetric in [0,180] → two-solution ambiguity (windspeed.py:152-156)
+        val phi180 = co.phi.nonEmpty && (180.0 - (co.phi.last - co.phi.head)) < 2.0
+        val coCos = co.phi.map(p => math.cos(math.toRadians(p)))
+        val coSin = co.phi.map(p => math.sin(math.toRadians(p)))
+        spark.sparkContext.broadcast(InvLuts(co, phi180, coCos, coSin, cr))
+      })
+
+  private val lutCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, Option[AnyRef], Option[AnyRef], Boolean, Boolean),
+      Broadcast[InvLuts]]
 
   /** The per-pixel kernel — mirrors __invert_from_model_1d (windspeed.py:183-282). */
   def invertOne(luts: InvLuts, dsigCo: Double, px: PxIn): PxOut = {
