@@ -289,8 +289,16 @@ object TextOps {
 
   /** Polynomial rolling-hash fingerprint over characters — exact integer
     * arithmetic, portable across engines. `textCol` is a column name.
+    * Backed by the codegen'd [[graft.sql.PolyHashExpression]]: the fold
+    * spelling ([[fingerprintFold]], kept as the spec's bit-equality
+    * mirror) interprets a lambda per character per row.
     */
   def fingerprint(textCol: String): Column =
+    call_function("poly_hash", col(textCol), lit(HashP))
+
+  /** Reference fold spelling of [[fingerprint]] — TextSpec asserts
+    * bit-equality with the native expression. */
+  private[graft] def fingerprintFold(textCol: String): Column =
     expr(s"aggregate(sequence(1, length($textCol)), 0L, " +
       s"(acc, i) -> (acc * 31 + ascii(substr($textCol, i, 1))) % $HashP)")
 

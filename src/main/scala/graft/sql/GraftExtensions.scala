@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expres
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.Gmf
 
@@ -270,6 +271,62 @@ case class L2SubExpression(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** Kernel for [[PolyHashExpression]]: the polynomial rolling hash
+  * `h = (h·31 + codepoint) mod P` over a string's characters, left to
+  * right — bit-identical to the Catalyst `aggregate(sequence(...))` fold
+  * spelling (TextOps.fingerprintFold) and the DuckDB oracle's
+  * `list_reduce` over `unicode(substr(...))`.
+  *
+  * Iterates CODE POINTS (not UTF-16 chars): the oracle's `substr`/
+  * `unicode` are codepoint-based, so surrogate pairs must hash as one
+  * value on both engines.
+  */
+object PolyHash extends Serializable {
+  def hash(s: UTF8String, p: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % p
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Codegen'd polynomial rolling-hash document fingerprint — the q33 hot
+  * path: the higher-order fold spelling interprets a lambda per character
+  * per row. `p` (the modulus) must be a literal.
+  */
+case class PolyHashExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType) =>
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("poly_hash modulus must be a literal")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"poly_hash expects (string, bigint), got $other")
+    }
+
+  override protected def nullSafeEval(s: Any, p: Any): Any =
+    PolyHash.hash(s.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyHash", PolyHash, PolyHash.getClass.getName)
+    defineCodeGen(ctx, ev, (s, p) => s"$ref.hash($s, $p)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** JIT-friendly kernel for [[PqEncodeExpression]]: the full m-subspace
   * argmin encode of one vector against a FLAT codebook laid out as
   * `cb[(s·k + c)·subDim + i]` — all primitive loops, one call per row.
@@ -416,6 +473,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(v, p, o) => RpBucketExpression(v, p, o)
         case other => throw new IllegalArgumentException(
           s"rp_bucket expects (array, planes[, offset]), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo("graft.sql.PolyHashExpression", "poly_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, p) => PolyHashExpression(s, Cast(p, org.apache.spark.sql.types.LongType))
+        case other => throw new IllegalArgumentException(
+          s"poly_hash expects (string, modulus), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_encode"),

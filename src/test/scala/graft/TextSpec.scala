@@ -136,6 +136,14 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native poly_hash is bit-identical to the Catalyst fold spelling") {
+    val mismatch = docs.select(
+        TextOps.fingerprint("text").as("native"),
+        TextOps.fingerprintFold("text").as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(mismatch == 0, "poly_hash diverges from the ascii fold")
+  }
+
   test("native l2sub_f32 is bit-identical to the Catalyst fold spelling") {
     import spark.implicits._
     // codeword = subspace 2 of vector 7 (float->double widened), compared
