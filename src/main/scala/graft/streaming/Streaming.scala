@@ -227,6 +227,60 @@ object Streaming {
     ()
   }
 
+  /** Streaming sequence PACKING — the ingest-time twin of
+    * TextOps.packSequences: documents arriving on a stream are assigned
+    * (start_tok, seq_id, seq_off) positions that CONTINUE the virtual
+    * token stream across micro-batches, so training windows fill
+    * continuously as data lands. Within a batch, docs pack in id order via
+    * the batch operator's two-phase prefix scan; across batches, the
+    * running token total lives in a batch_id-partitioned store table with
+    * the same exactly-once contract as the near-dup stores (writes
+    * overwrite their own batch_id partition, reads see only strictly
+    * earlier batches) — a retried batch re-packs at its original offset.
+    */
+  def packStream(docs: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, seqLen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPackBatch(batch, batchId, outDir, storeDir, seqLen, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch of [[packStream]] — package-private for direct
+    * idempotency testing (same batchId twice ⇒ identical output + store). */
+  private[graft] def processPackBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, seqLen: Int,
+      idCol: String, textCol: String): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val priorTotals = committedOr(spark, s"$storeDir/totals", batchId,
+      Seq.empty[Long].toDF("n_tok_total"))
+    val offRow = priorTotals.agg(sum(col("n_tok_total"))).head()
+    val offset = if (offRow.isNullAt(0)) 0L else offRow.getLong(0)
+    val local = TextOps.packSequences(
+      batch.select(col(idCol), col(textCol)), seqLen)
+    val packed = local
+      .withColumn("start_tok", col("start_tok") + lit(offset))
+      .withColumn("seq_id", expr(s"start_tok DIV $seqLen"))
+      .withColumn("seq_off", col("start_tok") % seqLen)
+      .withColumn("spans_boundary",
+        expr(s"(start_tok + n_tok - 1) DIV $seqLen") =!= col("seq_id"))
+      .persist()
+    packed.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    val batchTokens = packed.agg(sum(col("n_tok"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    Seq(batchTokens).toDF("n_tok_total")
+      .write.mode("overwrite").parquet(s"$storeDir/totals/batch_id=$batchId")
+    packed.unpersist()
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

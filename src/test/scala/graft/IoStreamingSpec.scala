@@ -270,6 +270,35 @@ class IoStreamingSpec extends SparkSpec {
     assert(rows.view.mapValues(_._1).toMap == batch)
   }
 
+  test("streaming packing continues the token stream across batches, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.streaming.Streaming
+    val dir = Files.createTempDirectory("packstream").toString
+    val (out, store) = (s"$dir/out", s"$dir/store")
+    def docsOf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // batch 0: 3 + 2 tokens; batch 1 must start at 5
+    Streaming.processPackBatch(docsOf(1L -> "a b c", 2L -> "d e"), 0L,
+      out, store, seqLen = 4, idCol = "doc_id", textCol = "text")
+    Streaming.processPackBatch(docsOf(3L -> "f g h i j"), 1L,
+      out, store, seqLen = 4, idCol = "doc_id", textCol = "text")
+    def readAll() = spark.read.parquet(out)
+      .select("doc_id", "start_tok", "seq_id", "seq_off", "spans_boundary")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val got = readAll()
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((3L, 0L, 3L, true)), s"doc 2 spans the 4-token boundary: ${got(2L)}")
+    assert(got(3L) == ((5L, 1L, 1L, true)), s"batch 1 must continue at 5: ${got(3L)}")
+    // retry batch 1 with the same inputs: output and store must not change
+    Streaming.processPackBatch(docsOf(3L -> "f g h i j"), 1L,
+      out, store, seqLen = 4, idCol = "doc_id", textCol = "text")
+    assert(readAll() == got, "a re-executed batch must replace, not duplicate")
+    val total = spark.read.parquet(s"$store/totals")
+      .agg(sum(col("n_tok_total"))).head().getLong(0)
+    assert(total == 10L, s"store total $total != 10 tokens")
+  }
+
   test("streaming hourly counts run with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
