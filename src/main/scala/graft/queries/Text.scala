@@ -800,7 +800,37 @@ object Text {
        |  FROM summed
        |) WHERE rn <= 5""".stripMargin
 
+  /** q64: the END-TO-END curation decision — the one column a 100 TB
+    * training-data pass actually filters on, composed from the session's
+    * shared machinery: exact+near dedup (q56), Gopher quality (q57), and
+    * the stratified domain mix (q60), with per-document reason flags.
+    * Dedup needs corpus-wide joins anyway; quality and sampling stay
+    * map-side; the final composition is a co-partitioned join on doc_id.
+    */
+  def q64CurationDecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = q56DedupDecision(spark, sfDir)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"))
+    val quality = q57QualityFilter(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val sample = q60StratifiedSample(spark, sfDir)
+      .select(col("doc_id"), col("sample_key"), col("keep").as("sample_keep"))
+    dedup.join(quality, "doc_id").join(sample, "doc_id")
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("quality_keep"), col("sample_keep"),
+        (!col("is_exact_dup") && !col("is_near_dup") &&
+          col("quality_keep") && col("sample_keep")).as("keep"))
+  }
+
+  val q64Sql: String =
+    s"""SELECT e.doc_id, e.is_exact_dup, e.is_near_dup,
+       |  q.keep AS quality_keep, s.keep AS sample_keep,
+       |  (NOT e.is_exact_dup AND NOT e.is_near_dup AND q.keep AND s.keep) AS keep
+       |FROM ($q56Sql) e
+       |JOIN ($q57Sql) q USING (doc_id)
+       |JOIN ($q60Sql) s USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_curation_decision", q64CurationDecision, Some(q64Sql)),
     QueryDef("q63_pq_ann", q63PqAnn, Some(q63Sql)),
     QueryDef("q62_decode_pool", q62DecodePool, Some(q62Sql)),
     QueryDef("q59_neardup_clusters", q59NearDupClusters, Some(q59Sql)),
