@@ -375,4 +375,116 @@ object TextOps {
       .select(col(idCol), col("n_tok"), col("start_tok"), col("seq_id"),
         col("seq_off"), col("spans_boundary"))
   }
+
+  /** Eval-set decontamination (the GPT-3 appendix-C / Llama pretraining
+    * step, scaled to word 3-grams for this corpus): flag every TRAINING
+    * document whose shingle overlap with a held-out EVALUATION split
+    * exceeds `minFrac`, so benchmark text never leaks into training data.
+    *
+    * Scale shape: in a real pass the eval side (benchmark suites) is tiny
+    * relative to the 100 TB corpus, so its distinct shingle-hash set is
+    * BROADCAST; the corpus side pays one explode + one broadcast hash join
+    * + one map-side-combinable groupBy. No corpus-side `.distinct()` and
+    * no corpus×corpus shuffle — per-doc shingle dedup runs map-side via
+    * `array_distinct` (same trick as [[shingleHashes]]), and `explode_outer`
+    * keeps shingle-less docs in the output as trivially clean.
+    */
+  def decontaminate(docs: DataFrame, isEval: Column, minFrac: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol), isEval.as("__eval"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__eval"),
+        array_distinct(transform(shingles(col("__toks")),
+          s => tokenHash(s) % HashP)).as("__hs"))
+    val evalH = base.filter(col("__eval"))
+      .select(explode(col("__hs")).as("h")).distinct()
+      .withColumn("__hit", lit(1))
+    base.filter(!col("__eval"))
+      .select(col(idCol), explode_outer(col("__hs")).as("h"))
+      .join(broadcast(evalH), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("h")).as("n_shingles"), count(col("__hit")).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= lit(minFrac))
+  }
+
+  /** 60-bit md5-prefix hash mapped to a uniform double in [0, 1) — the
+    * deterministic, engine-portable sampling coin shared by
+    * [[mixtureEpochs]] (DuckDB reproduces it bit-for-bit from the same
+    * md5 hex prefix). */
+  def hashUnit(key: Column): Column =
+    tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
+
+  /** Domain-mixture epoch weighting — the UPsampling counterpart of
+    * [[sampleFlag]]: reshape the corpus to target mixture `weights`
+    * (stratum → fraction of the final token budget) by giving each
+    * document a deterministic repeat count ("fractional epochs", the
+    * Pile / Llama data-mixture recipe). A stratum at rate 1.4 repeats
+    * every doc once and a deterministic 40% of docs twice; a stratum at
+    * rate 0.46 keeps 46% of docs once.
+    *
+    * One tiny groupBy (≤ #strata groups, map-side combinable), a
+    * broadcast of the per-stratum rate table, then pure map-side
+    * arithmetic — the corpus is never shuffled.
+    */
+  def mixtureEpochs(docs: DataFrame, strata: Column,
+      weights: Map[String, Double], defaultWeight: Double = 0.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).as("__total"))
+    val weightCol = weights.foldRight(lit(defaultWeight)) {
+      case ((s, w), rest) => when(col("__s") === lit(s), lit(w)).otherwise(rest)
+    }
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("__s"),
+        (weightCol * col("__total") / col("__n")).as("__rate"))
+    val u = hashUnit(col(idCol))
+    docs.select(col(idCol), strata.as("__s"))
+      .join(broadcast(rates), "__s")
+      .select(col(idCol), col("__s").as("stratum"),
+        round(col("__rate"), 6).as("rate"),
+        (floor(col("__rate")) +
+          when(u < col("__rate") - floor(col("__rate")), 1L).otherwise(0L))
+          .cast("long").as("n_copies"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every document by the mean
+    * log-likelihood ratio of its hashed unigram features under the TARGET
+    * distribution (docs where `isTarget`) vs the RAW corpus distribution,
+    * with add-`alpha` smoothing over `buckets` hash features. Documents
+    * with positive scores look like the target domain; a curation pass
+    * resamples by these weights.
+    *
+    * Scale shape: both n-gram frequency tables are bounded at `buckets`
+    * rows regardless of corpus size (one conditional-aggregate groupBy,
+    * map-side combinable), so the per-token feature-weight join is a
+    * BROADCAST; per-doc scoring is one groupBy whose partial aggregation
+    * collapses each doc map-side. Two corpus scans (one to build the
+    * feature table, one to score) and exactly three shuffles total, none
+    * proportional to corpus size beyond the doc-count rows themselves.
+    */
+  def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 8192,
+      alpha: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), isTarget.as("__t"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__t"), (tokenHash(col("__tok")) % buckets).as("b"))
+    val feat = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), count(when(col("__t"), lit(1))).as("ct"))
+    val tots = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val w = feat.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((col("ct") + alpha) / (col("nt") + alpha * buckets)) -
+          log((col("cr") + alpha) / (col("nr") + alpha * buckets))).as("w"))
+    tok.join(broadcast(w), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("__s"))
+      .select(col(idCol), col("n_toks"),
+        round(col("__s") / col("n_toks"), 6).as("dsir_score"))
+      .withColumn("is_target_like", col("dsir_score") > lit(0.0))
+  }
 }

@@ -829,7 +829,106 @@ object Text {
        |JOIN ($q57Sql) q USING (doc_id)
        |JOIN ($q60Sql) s USING (doc_id)""".stripMargin
 
+  /** q65: eval-set DECONTAMINATION — hold out every 11th document as the
+    * "benchmark" split, flag training docs whose word-3-gram overlap with
+    * the eval shingle set reaches 10%. The eval shingle set is broadcast
+    * (benchmarks are tiny next to a 100 TB corpus); the train side pays
+    * one explode + broadcast join + map-side-combinable groupBy.
+    */
+  def q65Decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.decontaminate(Tables.load(spark, sfDir, "documents"),
+        isEval = col("doc_id") % 11 === 0, minFrac = 0.1)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_frac"), col("contaminated"))
+
+  val q65Sql: String =
+    s"""WITH $shingleCte,
+       |ev AS (SELECT DISTINCT h FROM shing WHERE doc_id % 11 = 0),
+       |tr AS (SELECT doc_id FROM documents WHERE doc_id % 11 != 0),
+       |ns AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing
+       |       WHERE doc_id % 11 != 0 GROUP BY doc_id),
+       |ov AS (SELECT s.doc_id, COUNT(1) AS n_ov FROM shing s JOIN ev USING (h)
+       |       WHERE s.doc_id % 11 != 0 GROUP BY s.doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(ns.n_sh, 0) AS n_shingles,
+       |  COALESCE(ov.n_ov, 0) AS n_overlap,
+       |  CASE WHEN COALESCE(ns.n_sh, 0) > 0
+       |       THEN ROUND(COALESCE(ov.n_ov, 0)::DOUBLE / ns.n_sh, 6)
+       |       ELSE 0e0 END AS overlap_frac,
+       |  CASE WHEN COALESCE(ns.n_sh, 0) > 0
+       |       THEN ROUND(COALESCE(ov.n_ov, 0)::DOUBLE / ns.n_sh, 6) >= 1e-1
+       |       ELSE FALSE END AS contaminated
+       |FROM tr t LEFT JOIN ns USING (doc_id) LEFT JOIN ov USING (doc_id)""".stripMargin
+
+  /** Target mixture for q66: equal token budget per language — upsamples
+    * the rare languages (rate > 1 ⇒ repeat epochs) and downsamples 'en'. */
+  private val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.2, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2)
+
+  /** q66: domain-mixture EPOCH WEIGHTING — the upsampling counterpart of
+    * q60: per-language repeat counts (fractional epochs, Pile/Llama style)
+    * that reshape the corpus to a uniform language mixture. One ≤5-group
+    * aggregate + a broadcast rate table; the corpus is never shuffled.
+    */
+  def q66MixtureEpochs(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.mixtureEpochs(Tables.load(spark, sfDir, "documents"),
+      strata = col("lang"), weights = MixWeights.toMap)
+
+  val q66Sql: String = {
+    val wcase = MixWeights.map { case (s, w) => s"WHEN lang = '$s' THEN ${w}e0" }
+      .mkString(" ")
+    s"""WITH cnt AS (SELECT lang, COUNT(1) AS n FROM documents GROUP BY lang),
+       |tot AS (SELECT SUM(n) AS total FROM cnt),
+       |rates AS (
+       |  SELECT lang, (CASE $wcase ELSE 0e0 END) * total / n AS rate
+       |  FROM cnt CROSS JOIN tot
+       |)
+       |SELECT d.doc_id, d.lang AS stratum, ROUND(r.rate, 6) AS rate,
+       |  CAST(FLOOR(r.rate) +
+       |    CASE WHEN ${hashSql.format("CAST(d.doc_id AS VARCHAR)")}::DOUBLE
+       |              / 1152921504606846976e0 < r.rate - FLOOR(r.rate)
+       |         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM documents d JOIN rates r USING (lang)""".stripMargin
+  }
+
+  /** q67: DSIR importance scoring (Xie et al. 2023) — mean log-likelihood
+    * ratio of each document's hashed unigrams under the target
+    * distribution (lang='en') vs the raw corpus, add-0.5 smoothing over
+    * 8192 hash features. Both frequency tables are bounded at 8192 rows ⇒
+    * broadcast; per-doc scoring collapses map-side.
+    */
+  def q67DsirScore(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.dsirScores(Tables.load(spark, sfDir, "documents"),
+      isTarget = col("lang") === "en", buckets = 8192, alpha = 0.5)
+
+  val q67Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t, ${hashSql.format("tk")} % 8192 AS b
+       |  FROM (SELECT doc_id, lang = 'en' AS t,
+       |          unnest(string_split(text, ' ')) AS tk FROM documents)
+       |),
+       |feat AS (
+       |  SELECT b, COUNT(1) AS cr, COUNT(1) FILTER (WHERE t) AS ct
+       |  FROM tok GROUP BY b
+       |),
+       |tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM feat),
+       |w AS (
+       |  SELECT b, ln((ct + 5e-1) / (nt + 5e-1 * 8192)) -
+       |            ln((cr + 5e-1) / (nr + 5e-1 * 8192)) AS w
+       |  FROM feat CROSS JOIN tots
+       |),
+       |sc AS (
+       |  SELECT t2.doc_id, COUNT(1) AS n_toks,
+       |    ROUND(SUM(w.w) / COUNT(1), 6) AS dsir_score
+       |  FROM tok t2 JOIN w USING (b) GROUP BY t2.doc_id
+       |)
+       |SELECT doc_id, n_toks, dsir_score, dsir_score > 0e0 AS is_target_like
+       |FROM sc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_decontaminate", q65Decontaminate, Some(q65Sql)),
+    QueryDef("q66_mixture_epochs", q66MixtureEpochs, Some(q66Sql)),
+    QueryDef("q67_dsir_score", q67DsirScore, Some(q67Sql)),
     QueryDef("q64_curation_decision", q64CurationDecision, Some(q64Sql)),
     QueryDef("q63_pq_ann", q63PqAnn, Some(q63Sql)),
     QueryDef("q62_decode_pool", q62DecodePool, Some(q62Sql)),

@@ -24,7 +24,13 @@ class PlanAuditSpec extends SparkSpec {
     // q63: PQ encode crossJoins a broadcast codebook BOUNDED at
     // m·codebookSize rows; ADC scoring joins a broadcast per-query LUT
     // BOUNDED at the query count (Similarity.pqTopK)
-    "q63_pq_ann")
+    "q63_pq_ann",
+    // q66: the per-stratum rate table crossJoins a broadcast grand-total
+    // BOUNDED at 1 row (TextOps.mixtureEpochs)
+    "q66_mixture_epochs",
+    // q67: the 8192-row feature table crossJoins a broadcast totals row
+    // BOUNDED at 1 row (TextOps.dsirScores)
+    "q67_dsir_score")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

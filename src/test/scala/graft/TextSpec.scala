@@ -370,4 +370,66 @@ class TextSpec extends SparkSpec {
     assert(packed1.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
     assert(packed7.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
+
+  test("decontaminate flags eval-overlapping train docs by shingle fraction") {
+    import spark.implicits._
+    val d = Seq(
+      0L  -> "a b c d e f",  // the eval doc
+      11L -> "a b c d e f",  // verbatim copy: overlap 1.0
+      12L -> "x y z w q r",  // disjoint: overlap 0.0
+      13L -> "a b c q r s",  // shares 1 of 4 shingles: 0.25
+      14L -> "a b"           // too short for a 3-gram: trivially clean
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(d, isEval = col("doc_id") === 0, minFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Double]("overlap_frac"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == Set(11L, 12L, 13L, 14L), "every train doc present, eval absent")
+    assert(got(11L) == ((4L, 1.0, true)))
+    assert(got(12L) == ((4L, 0.0, false)))
+    assert(got(13L) == ((4L, 0.25, false)))
+    assert(got(14L) == ((0L, 0.0, false)))
+  }
+
+  test("mixtureEpochs hits the target mixture with deterministic fractional epochs") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 4 == 0) "rare" else "common"))
+      .toDF("doc_id", "s")  // 1000 rare / 3000 common
+    val got = TextOps.mixtureEpochs(rows, col("s"),
+      Map("rare" -> 0.5, "common" -> 0.5))
+    val per = got.groupBy("stratum")
+      .agg(sum(col("n_copies")).as("tok"), count(lit(1)).as("n"),
+        min(col("rate")).as("rate")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // rare: rate 0.5*4000/1000 = 2.0 exactly — every doc gets exactly 2 copies
+    assert(per("rare")._3 == 2.0)
+    assert(per("rare")._1 == 2000L, "integral rate 2.0 means exactly 2 copies each")
+    assert(got.filter(col("stratum") === "rare" && col("n_copies") =!= 2).count() == 0)
+    // common: rate 2/3 — realized copy rate within 5% of target
+    val realized = per("common")._1.toDouble / per("common")._2
+    assert(math.abs(realized - 2.0 / 3) < 0.05, s"realized common rate $realized")
+    // deterministic: the same doc gets the same n_copies on re-evaluation
+    val again = TextOps.mixtureEpochs(rows, col("s"),
+      Map("rare" -> 0.5, "common" -> 0.5))
+    assert(got.select("doc_id", "n_copies").except(
+      again.select("doc_id", "n_copies")).count() == 0)
+  }
+
+  test("dsirScores separates target-domain from off-domain documents") {
+    import spark.implicits._
+    val d = (0L until 100L).map { i =>
+      val t = i < 50
+      (i, t, if (t) "alpha beta gamma delta" else "omega psi chi phi")
+    }.toDF("doc_id", "is_t", "text")
+    val got = TextOps.dsirScores(d, isTarget = col("is_t"), buckets = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("dsir_score"), r.getAs[Boolean]("is_target_like")))).toMap
+    assert(got.size == 100)
+    (0L until 50L).foreach(i => assert(got(i)._1 > 0 && got(i)._2,
+      s"target doc $i should score positive: ${got(i)._1}"))
+    (50L until 100L).foreach(i => assert(got(i)._1 < 0 && !got(i)._2,
+      s"off-domain doc $i should score negative: ${got(i)._1}"))
+    // identical docs score identically (pure function of content + corpus)
+    assert(got(0L)._1 == got(1L)._1)
+  }
 }
