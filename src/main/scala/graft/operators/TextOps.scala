@@ -75,11 +75,8 @@ object TextOps {
     */
   def shingleHashes(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), shingles(col("__toks")).as("__sh"))
-      .select(col(idCol),
-        explode(array_distinct(transform(col("__sh"),
-          s => tokenHash(s) % HashP))).as("h"))
+    shingleHashArray(docs, idCol, textCol)
+      .select(col(idCol), explode(col("__hs")).as("h"))
 
   /** MinHash signature columns mh0..mh{k-1} from a [[shingleHashes]] table
     * (one map-side-combinable groupBy). */
@@ -131,10 +128,8 @@ object TextOps {
     * hash array) — no corpus-wide distinct exchange. */
   def simhash(docs: DataFrame, bits: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        explode(array_distinct(transform(col("__toks"),
-          t => tokenHash(t) % HashP))).as("h"))
+    val toks = docs.select(col(idCol),
+      explode(call_function("shingle_hashes", col(textCol), lit(1), lit(HashP))).as("h"))
     val bitSums = (0 until bits).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$k")
     }
@@ -390,26 +385,78 @@ object TextOps {
     * keeps shingle-less docs in the output as trivially clean.
     */
   def decontaminate(docs: DataFrame, isEval: Column, minFrac: Double = 0.1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = docs
-      .select(col(idCol), isEval.as("__eval"), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__eval"),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    decontaminateAgainst(docs.filter(!isEval),
+      evalShingleSet(docs.filter(isEval), textCol), minFrac, idCol, textCol)
+
+  /** Per-doc array of distinct word-3-gram shingle hashes — map-side only,
+    * one codegen'd `shingle_hashes` call per row (the HOF spelling below
+    * is CodegenFallback and pays interpreted lambdas per shingle). */
+  private[graft] def shingleHashArray(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      call_function("shingle_hashes", col(textCol), lit(3), lit(HashP)).as("__hs"))
+
+  /** Reference fold spelling of [[shingleHashArray]] — TextSpec asserts
+    * bit-equality (values AND order) with the native expression. */
+  private[graft] def shingleHashArrayFold(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
         array_distinct(transform(shingles(col("__toks")),
           s => tokenHash(s) % HashP)).as("__hs"))
-    val evalH = base.filter(col("__eval"))
+
+  /** The distinct shingle-hash set of an evaluation corpus, in the shape
+    * [[decontaminateAgainst]] broadcasts. Compute (and persist) ONCE, then
+    * score any number of training batches/streams against it. */
+  def evalShingleSet(evalDocs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    shingleHashArray(evalDocs, idCol, textCol)
       .select(explode(col("__hs")).as("h")).distinct()
       .withColumn("__hit", lit(1))
-    base.filter(!col("__eval"))
-      .select(col(idCol), explode_outer(col("__hs")).as("h"))
-      .join(broadcast(evalH), Seq("h"), "left")
+
+  /** Score training docs against a prebuilt [[evalShingleSet]] — one scan
+    * of `train` (explode_outer keeps shingle-less docs without a second
+    * pass). */
+  def decontaminateAgainst(train: DataFrame, evalHashes: DataFrame,
+      minFrac: Double = 0.1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    contaminationTail(minFrac,
+      shingleHashArray(train, idCol, textCol)
+        .select(col(idCol), explode_outer(col("__hs")).as("h"))
+        .join(broadcast(evalHashes), Seq("h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(col("h")).as("n_shingles"), count(col("__hit")).as("n_overlap")))
+
+  /** [[decontaminateAgainst]] over an ALREADY-COMPUTED exploded
+    * (id, shingle-hash) table — the path a session takes when the shingle
+    * hashes are shared with MinHash/Jaccard dedup (computing them is the
+    * dominant cost; see queries.Text.sharedShingleHashes). Because the
+    * exploded table drops shingle-less documents, `trainIds` supplies the
+    * full id universe; the recovery join is id-only rows on both sides, so
+    * its shuffle stays negligible next to the shingle scan it saves.
+    */
+  def decontaminateFromHashes(trainIds: DataFrame, trainHashes: DataFrame,
+      evalHashes: DataFrame, minFrac: Double = 0.1,
+      idCol: String = "doc_id"): DataFrame = {
+    val agg = trainHashes
+      .join(broadcast(evalHashes), Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(col("h")).as("n_shingles"), count(col("__hit")).as("n_overlap"))
+    contaminationTail(minFrac,
+      trainIds.join(agg, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap")))
+  }
+
+  private def contaminationTail(minFrac: Double, counts: DataFrame): DataFrame =
+    counts
       .withColumn("overlap_frac",
         when(col("n_shingles") > 0,
           round(col("n_overlap").cast("double") / col("n_shingles"), 6))
           .otherwise(lit(0.0)))
       .withColumn("contaminated", col("overlap_frac") >= lit(minFrac))
-  }
 
   /** 60-bit md5-prefix hash mapped to a uniform double in [0, 1) — the
     * deterministic, engine-portable sampling coin shared by

@@ -835,11 +835,20 @@ object Text {
     * (benchmarks are tiny next to a 100 TB corpus); the train side pays
     * one explode + broadcast join + map-side-combinable groupBy.
     */
-  def q65Decontaminate(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.decontaminate(Tables.load(spark, sfDir, "documents"),
-        isEval = col("doc_id") % 11 === 0, minFrac = 0.1)
+  def q65Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    // reuse the session-shared shingle hashes (the dominant cost, also paid
+    // by q35/q36/q56) instead of re-hashing the corpus
+    val sh = sharedShingleHashes(spark, sfDir)
+    TextOps.decontaminateFromHashes(
+        trainIds = Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") % 11 =!= 0).select(col("doc_id")),
+        trainHashes = sh.filter(col("doc_id") % 11 =!= 0),
+        evalHashes = sh.filter(col("doc_id") % 11 === 0)
+          .select(col("h")).distinct().withColumn("__hit", lit(1)),
+        minFrac = 0.1)
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         col("overlap_frac"), col("contaminated"))
+  }
 
   val q65Sql: String =
     s"""WITH $shingleCte,

@@ -327,6 +327,105 @@ case class PolyHashExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Kernel for [[ShingleHashExpression]]: distinct 60-bit md5-prefix
+  * hashes (mod p) of a document's word n-gram shingles, first-occurrence
+  * order — bit-identical to the Catalyst spelling
+  * `array_distinct(transform(shingles(split(text,' '), n), s ->
+  * conv(substr(md5(s),1,15),16,10) % p))` (TextOps.shingleHashArrayFold)
+  * and the oracle's DuckDB `('0x'||substr(md5(sh),1,15))::BIGINT % p`.
+  *
+  * The md5 runs over the shingle's UTF-8 bytes streamed token-by-token
+  * with single-space separators — no shingle string is ever built. The
+  * first 15 hex chars of a digest are the top 60 bits of its first 8
+  * bytes, so the hex round-trip is a shift, not a format/parse.
+  */
+object ShingleHash extends Serializable {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Space = Array[Byte](' ')
+
+  def hashes(text: UTF8String, n: Int, p: Long): ArrayData = {
+    // Spark's split(text, " ") keeps interior AND trailing empty tokens
+    // (limit -1), so a Java split must too — empty tokens change shingles.
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val bytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = digest.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= toks.length - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(Space)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      seen.add((top >>> 4) % p) // 16 hex chars >>> one nibble = first 15
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd shingle hasher — the shared prefix of MinHash/LSH dedup,
+  * exact Jaccard, and decontamination (q35/q36/q56/q59/q64/q65). The
+  * Catalyst spelling is a transform-inside-transform higher-order chain
+  * (CodegenFallback: it breaks the stage's whole-stage codegen AND pays
+  * interpreted lambda evals per shingle); this is one compiled call per
+  * row. `n` and `p` must be literals.
+  */
+case class ShingleHashExpression(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("shingle_hashes n and p must be literals")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes expects (string, int, bigint), got $other")
+    }
+
+  override protected def nullSafeEval(t: Any, n: Any, p: Any): Any =
+    ShingleHash.hashes(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHash", ShingleHash, ShingleHash.getClass.getName)
+    defineCodeGen(ctx, ev, (t, n, p) => s"$ref.hashes($t, $n, $p)")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** JIT-friendly kernel for [[PqEncodeExpression]]: the full m-subspace
   * argmin encode of one vector against a FLAT codebook laid out as
   * `cb[(s·k + c)·subDim + i]` — all primitive loops, one call per row.
@@ -481,6 +580,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s, p) => PolyHashExpression(s, Cast(p, org.apache.spark.sql.types.LongType))
         case other => throw new IllegalArgumentException(
           s"poly_hash expects (string, modulus), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo("graft.sql.ShingleHashExpression", "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, n, p) => ShingleHashExpression(t, n,
+          Cast(p, org.apache.spark.sql.types.LongType))
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes expects (text, n, modulus), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_encode"),

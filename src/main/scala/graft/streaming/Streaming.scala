@@ -281,6 +281,30 @@ object Streaming {
     ()
   }
 
+  /** Streaming DECONTAMINATION — the ingest-time twin of
+    * TextOps.decontaminate: training documents arriving on a stream are
+    * scored against a FIXED evaluation shingle set (benchmarks don't
+    * change mid-ingest), flagging leakage the moment data lands instead
+    * of in a later batch sweep. The eval set is computed once by the
+    * caller ([[graft.operators.TextOps.evalShingleSet]]) and re-broadcast
+    * per micro-batch; scoring is stateless per document, so batches are
+    * idempotent by construction (each overwrites its own batch_id
+    * partition).
+    */
+  def decontaminateStream(docs: DataFrame, evalHashes: DataFrame,
+      outDir: String, checkpoint: String, minFrac: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextOps
+          .decontaminateAgainst(batch, evalHashes, minFrac, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

@@ -237,6 +237,30 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/bands").count() == nBands)
   }
 
+  test("streaming decontamination flags eval leakage as training docs land") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("decontam").toString
+    val evalText = (1 to 20).map(i => s"e$i").mkString(" ")
+    val evalSet = graft.operators.TextOps.evalShingleSet(
+      Seq((0L, evalText)).toDF("doc_id", "text")).persist()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), evalSet,
+      s"$dir/out", s"$dir/ckpt", minFrac = 0.5)
+    mem.addData((1L, evalText), (2L, "a b c d e f g h"))
+    q.processAllAvailable()
+    mem.addData((3L, evalText + " extra"))   // later batch still flagged
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true), s"got $out")
+    evalSet.unpersist()
+  }
+
   test("curation decisions (quality + stratified sample) stream stateless per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -144,6 +144,32 @@ class TextSpec extends SparkSpec {
     assert(mismatch == 0, "poly_hash diverges from the ascii fold")
   }
 
+  test("native shingle_hashes is bit-identical to the Catalyst HOF spelling") {
+    import spark.implicits._
+    // the full corpus plus the edge shapes: empty, sub-n, exact-n, interior
+    // double space (empty token), trailing space, unicode, repeats (distinct
+    // order must match array_distinct's first-occurrence order)
+    val edges = Seq("", "a", "a b", "a b c", "a  b c d", "a b c ",
+      "é ü 中 文 字", "x y z x y z x y z w").zipWithIndex
+      .map { case (t, i) => (10000L + i, t) }.toDF("doc_id", "text")
+    for (d <- Seq(docs, edges); n <- Seq(1, 3)) {
+      val native = d.select(col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(n), lit(TextOps.HashP)).as("hs"))
+      val fold = d.select(col("doc_id"), col("text"))
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), array_distinct(transform(
+          when(size(col("__toks")) >= n,
+            transform(sequence(lit(0), size(col("__toks")) - n),
+              i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
+            .otherwise(array().cast("array<string>")),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % TextOps.HashP))
+          .as("hs"))
+      val mismatch = native.as("a").join(fold.as("b"), "doc_id")
+        .filter(col("a.hs") =!= col("b.hs")).count()
+      assert(mismatch == 0, s"shingle_hashes(n=$n) diverges from the HOF fold")
+    }
+  }
+
   test("native l2sub_f32 is bit-identical to the Catalyst fold spelling") {
     import spark.implicits._
     // codeword = subspace 2 of vector 7 (float->double widened), compared
@@ -389,6 +415,20 @@ class TextSpec extends SparkSpec {
     assert(got(12L) == ((4L, 0.0, false)))
     assert(got(13L) == ((4L, 0.25, false)))
     assert(got(14L) == ((0L, 0.0, false)))
+  }
+
+  test("decontaminateFromHashes (shared-hash path) matches decontaminate exactly") {
+    val isEval = col("doc_id") % 11 === 0
+    val direct = TextOps.decontaminate(docs, isEval, minFrac = 0.1)
+    val sh = TextOps.shingleHashes(docs)
+    val shared = TextOps.decontaminateFromHashes(
+      trainIds = docs.filter(!isEval).select("doc_id"),
+      trainHashes = sh.filter(col("doc_id") % 11 =!= 0),
+      evalHashes = sh.filter(col("doc_id") % 11 === 0)
+        .select("h").distinct().withColumn("__hit", lit(1)),
+      minFrac = 0.1)
+    assert(direct.count() == shared.count())
+    assert(direct.except(shared).isEmpty && shared.except(direct).isEmpty)
   }
 
   test("mixtureEpochs hits the target mixture with deterministic fractional epochs") {
