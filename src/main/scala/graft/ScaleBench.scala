@@ -331,6 +331,63 @@ object ScaleBench {
         s"window count ${agg.getLong(2)} != ceil(total/2048)")
     }
 
+    // 10d. Decontamination at 1M docs: eval = the first 10k docs. Base
+    // texts repeat with period 100k, so ground truth is closed-form — a
+    // train doc shares its base with an eval doc iff id%100k < 10k (the
+    // ~28 shared base shingles put overlap ≈ 0.9), and cross-group trigram
+    // collisions are ~5000⁻³ — so the flag set is asserted EXACTLY: all
+    // 90k planted leaks, zero false positives. The 10k-doc eval set
+    // (~290k distinct shingle hashes, ~2 MB) broadcasts — the 100 TB shape
+    // where benchmarks are tiny next to the corpus.
+    timed(s"decontaminate_${nDocs / 1000}k_docs") {
+      val flagged = operators.TextOps.decontaminate(docs,
+          isEval = col("doc_id") < 10000, minFrac = 0.1)
+        .filter(col("contaminated")).select("doc_id").cache()
+      val nFlagged = flagged.count()
+      val falsePos = flagged.filter(col("doc_id") % 100000 >= 10000).count()
+      flagged.unpersist()
+      require(nFlagged == 90000L && falsePos == 0L,
+        s"decontamination flagged $nFlagged (want 90000) with $falsePos false positives")
+    }
+
+    // 10e. DSIR importance scoring at 1M docs: 10% target docs draw 80% of
+    // tokens from a "t" vocab, the rest 20% (and vice versa for raw docs),
+    // so the hashed-unigram likelihood ratio must classify ~perfectly at
+    // scale. Both frequency tables stay bounded at 8192 rows — the
+    // broadcast never grows with the corpus.
+    timed(s"dsir_scores_${nDocs / 1000}k_docs") {
+      val dsirDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+        (col("id") % 10 === 0).as("is_t"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          concat(
+            when(pmod(hash(col("id"), i, lit(7)), lit(10)) <
+              when(col("id") % 10 === 0, 8).otherwise(2), lit("t")).otherwise(lit("r")),
+            pmod(hash(col("id"), i), lit(2000))))).as("text"))
+      val scored = operators.TextOps.dsirScores(dsirDocs, isTarget = col("is_t"))
+      val acc = scored.join(dsirDocs.select("doc_id", "is_t"), "doc_id")
+        .select(avg(when(col("is_target_like") === col("is_t"), 1.0).otherwise(0.0)).as("acc"))
+        .head().getDouble(0)
+      println(f"[scale] dsir classification accuracy at ${nDocs / 1000}k: $acc%.4f (gate >= 0.99)")
+      require(acc >= 0.99, f"DSIR accuracy $acc%.4f below the 0.99 gate")
+    }
+
+    // 10f. Mixture epoch weighting at 1M docs: a 90/10 corpus reshaped to
+    // 50/50 — realized per-stratum token budgets must land within 0.5% of
+    // target (the md5 coin calibrates), and the rare stratum's integral
+    // rate must replicate exactly.
+    timed(s"mixture_epochs_${nDocs / 1000}k_docs") {
+      val strata = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, "rare").otherwise("common").as("s"))
+      val per = operators.TextOps.mixtureEpochs(strata, col("s"),
+          Map("rare" -> 0.5, "common" -> 0.5))
+        .groupBy("stratum").agg(sum(col("n_copies")).as("tok")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(per("rare") == nDocs / 2,
+        s"integral rate 5.0 must replicate exactly: ${per("rare")}")
+      val devn = math.abs(per("common").toDouble / (nDocs / 2) - 1.0)
+      require(devn < 0.005, s"common-stratum budget off target by $devn")
+    }
+
     // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference
     // notebook scene (BASELINE.md). Exercises AQE/spill behavior: the scene
     // never collects, the LUT broadcast is scene-size-independent, and the
