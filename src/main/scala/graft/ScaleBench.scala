@@ -388,6 +388,42 @@ object ScaleBench {
       require(devn < 0.005, s"common-stratum budget off target by $devn")
     }
 
+    // 10g. Duplicated-span detection at 1M docs: 10% of docs are exact
+    // copies in 10-copy groups (every span duplicated), the rest draw
+    // 10-token spans from a 5M vocab (collision odds ~0) — so the
+    // dup_heavy set is asserted EXACTLY.
+    timed(s"dup_spans_${nDocs / 1000}k_docs") {
+      val spanDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          concat(lit("s"), pmod(hash(
+            // copy groups key on [0, 10k); unique docs on [nDocs, 2·nDocs)
+            // — disjoint, so only the copies share spans
+            when(col("id") % 10 === 0, col("id") / 10 % 10000)
+              .otherwise(col("id") + nDocs),
+            i, lit(13)), lit(5000000))))).as("text"))
+      val heavy = operators.TextOps.dupSpans(spanDocs, n = 10, minFrac = 0.5)
+        .filter(col("dup_heavy")).select("doc_id").cache()
+      val nHeavy = heavy.count()
+      val falsePos = heavy.filter(col("doc_id") % 10 =!= 0).count()
+      heavy.unpersist()
+      require(nHeavy == nDocs / 10 && falsePos == 0L,
+        s"dup-span flagged $nHeavy (want ${nDocs / 10}) with $falsePos false positives")
+    }
+
+    // 10h. Epoch shuffle at 10M docs: the two-phase global rank must yield
+    // an exact permutation (0..n-1, all distinct) without ever funneling
+    // the corpus through one task.
+    timed("epoch_shuffle_10M_docs") {
+      val n = 10000000L
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val agg = operators.TextOps.epochShuffle(ids, epoch = 3)
+        .agg(count(lit(1)).as("c"), countDistinct(col("shuffle_pos")).as("d"),
+          min(col("shuffle_pos")).as("lo"), max(col("shuffle_pos")).as("hi")).head()
+      require(agg.getLong(0) == n && agg.getLong(1) == n &&
+        agg.getLong(2) == 0L && agg.getLong(3) == n - 1,
+        s"epoch shuffle is not a permutation: $agg")
+    }
+
     // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference
     // notebook scene (BASELINE.md). Exercises AQE/spill behavior: the scene
     // never collects, the LUT broadcast is scene-size-independent, and the

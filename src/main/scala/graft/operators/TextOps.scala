@@ -498,6 +498,68 @@ object TextOps {
           .cast("long").as("n_copies"))
   }
 
+  /** Duplicated-SPAN detection — the practical form of exact substring
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): flag every span of `n` consecutive tokens that also
+    * occurs in ANOTHER document, and the fraction of each document made of
+    * such spans (RefinedWeb drops dup-heavy docs). Distinct span hashes
+    * per doc come from one codegen'd `shingle_hashes` call; a span is
+    * cross-doc duplicated iff its hash groups >1 row (per-doc distinctness
+    * makes count ≡ distinct-doc count). Costs: the span-table groupBy and
+    * the 1:1 flag join back — both hash-partitioned on the span hash, the
+    * honest corpus-sized cost of exact span dedup (hot spans skew-split by
+    * AQE; no row fan-out, the flag side is one row per hash).
+    */
+  def dupSpans(docs: DataFrame, n: Int = 10, minFrac: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = docs.select(col(idCol),
+      explode_outer(call_function("shingle_hashes", col(textCol), lit(n), lit(HashP)))
+        .as("h"))
+    val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("h"), lit(1).as("__dup"))
+    sp.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("h")).as("n_spans"), count(col("__dup")).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        when(col("n_spans") > 0,
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_heavy", col("dup_span_frac") >= lit(minFrac))
+  }
+
+  /** Deterministic EPOCH SHUFFLE — the training-order step: a fresh,
+    * reproducible global permutation of the corpus per epoch, computed as
+    * the rank of md5(epoch:id). Same epoch ⇒ same order on every engine
+    * and every re-run; successive epochs ⇒ independent orders.
+    *
+    * Global rank is the packSequences two-phase scan, not a
+    * single-partition `Window.orderBy`: the first md5 hex byte
+    * range-buckets rows into 256 uniform groups, per-bucket counts
+    * (one ≤256-group map-side-combinable aggregate) become broadcast
+    * offsets, and ranks are local windows per bucket. Bucket order equals
+    * key order because the bucket IS the key's first byte.
+    */
+  def epochShuffle(docs: DataFrame, epoch: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol),
+        md5(concat_ws(":", lit(epoch), col(idCol))).as("__k"))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val counts = keyed.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return keyed.select(col(idCol), lit(0L).as("shuffle_pos")).limit(0)
+    val offsets = counts.scanLeft((-1, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).map { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offDf = broadcast(offsets.toDF("__b", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+    keyed.join(offDf, "__b")
+      .select(col(idCol),
+        (row_number().over(w).cast("long") - 1L + col("__off")).as("shuffle_pos"))
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): score every document by the mean
     * log-likelihood ratio of its hashed unigram features under the TARGET

@@ -934,7 +934,59 @@ object Text {
        |SELECT doc_id, n_toks, dsir_score, dsir_score > 0e0 AS is_target_like
        |FROM sc""".stripMargin
 
+  /** q68: deterministic EPOCH SHUFFLE — a reproducible global training
+    * order per epoch (rank of md5(epoch:id)), computed as a two-phase
+    * distributed rank: 256 md5-prefix range buckets → broadcast offsets →
+    * per-bucket local windows. Never a single-partition global window.
+    */
+  def q68EpochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.epochShuffle(Tables.load(spark, sfDir, "documents"), epoch = 1)
+
+  val q68Sql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    - 1 AS shuffle_pos
+      |FROM documents""".stripMargin
+
+  /** q69: duplicated-SPAN detection (Lee et al. 2021) — 10-token spans
+    * occurring in more than one document, and the per-doc fraction of such
+    * spans; `dup_heavy` is the RefinedWeb-style drop signal. One span-hash
+    * groupBy + a 1:1 flag join, both hash-partitioned on the span hash.
+    */
+  def q69DupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.dupSpans(Tables.load(spark, sfDir, "documents"), n = 10, minFrac = 0.5)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("dup_span_frac"), col("dup_heavy"))
+
+  val q69Sql: String =
+    s"""WITH sp AS (
+       |  SELECT DISTINCT doc_id, ${hashSql.format("sh")} % $P AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, greatest(len(toks) - 9, 0)),
+       |        i -> array_to_string(toks[i:i+9], ' '))) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t0
+       |  ) t1
+       |),
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(1) > 1),
+       |per AS (
+       |  SELECT s.doc_id, COUNT(1) AS n_spans, COUNT(d.h) AS n_dup
+       |  FROM sp s LEFT JOIN dup d USING (h) GROUP BY s.doc_id
+       |)
+       |SELECT d0.doc_id,
+       |  COALESCE(p.n_spans, 0) AS n_spans,
+       |  COALESCE(p.n_dup, 0) AS n_dup_spans,
+       |  CASE WHEN COALESCE(p.n_spans, 0) > 0
+       |       THEN ROUND(COALESCE(p.n_dup, 0)::DOUBLE / p.n_spans, 6)
+       |       ELSE 0e0 END AS dup_span_frac,
+       |  CASE WHEN COALESCE(p.n_spans, 0) > 0
+       |       THEN ROUND(COALESCE(p.n_dup, 0)::DOUBLE / p.n_spans, 6) >= 5e-1
+       |       ELSE FALSE END AS dup_heavy
+       |FROM documents d0 LEFT JOIN per p USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_epoch_shuffle", q68EpochShuffle, Some(q68Sql)),
+    QueryDef("q69_dup_spans", q69DupSpans, Some(q69Sql)),
     QueryDef("q65_decontaminate", q65Decontaminate, Some(q65Sql)),
     QueryDef("q66_mixture_epochs", q66MixtureEpochs, Some(q66Sql)),
     QueryDef("q67_dsir_score", q67DsirScore, Some(q67Sql)),

@@ -455,6 +455,40 @@ class TextSpec extends SparkSpec {
       again.select("doc_id", "n_copies")).count() == 0)
   }
 
+  test("epochShuffle is a deterministic permutation that changes across epochs") {
+    val n = docs.count()
+    val e1 = TextOps.epochShuffle(docs, epoch = 1)
+    val pos = e1.select("shuffle_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.sameElements(0L until n), "positions must be exactly 0..n-1")
+    // deterministic across re-evaluation
+    val again = TextOps.epochShuffle(docs, epoch = 1)
+    assert(e1.except(again).isEmpty && again.except(e1).isEmpty)
+    // a different epoch is a different permutation (but still a permutation)
+    val e2 = TextOps.epochShuffle(docs, epoch = 2)
+    val moved = e1.as("a").join(e2.as("b"), "doc_id")
+      .filter(col("a.shuffle_pos") =!= col("b.shuffle_pos")).count()
+    assert(moved > n / 2, s"epoch 2 should reorder most docs, moved only $moved")
+  }
+
+  test("dupSpans finds cross-doc repeated runs and ignores unique text") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"c$i").mkString(" ")     // 12 shared tokens
+    val d = Seq(
+      1L -> (run + " u1 u2 u3"),   // 15 toks: 6 spans, 3 dup (within run)
+      2L -> ("v1 v2 v3 " + run),   // 15 toks: 6 spans, 3 dup
+      3L -> ((100 to 114).map(i => s"w$i").mkString(" ")), // unique: 6 spans, 0 dup
+      4L -> "short text"            // < 10 toks: 0 spans
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSpans(d, n = 10, minFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Boolean]("dup_heavy")))).toMap
+    assert(got(1L) == ((6L, 3L, true)) && got(2L) == ((6L, 3L, true)),
+      s"docs sharing a 12-token run must flag its 3 common 10-spans: $got")
+    assert(got(3L) == ((6L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, false)))
+  }
+
   test("dsirScores separates target-domain from off-domain documents") {
     import spark.implicits._
     val d = (0L until 100L).map { i =>
