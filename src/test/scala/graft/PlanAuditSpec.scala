@@ -123,6 +123,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), "q61 lost its per-bucket running-total window")
   }
 
+  test("q68 epoch shuffle never plans a single-partition global window") {
+    // same contract as q61: the global rank is two-phase (bucket windows +
+    // broadcast offsets), never Exchange SinglePartition + global Sort
+    val plan = planOf("q68_epoch_shuffle")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "q68 collapsed to a single-partition global window")
+    assert(plan.contains("Window"), "q68 lost its per-bucket rank window")
+  }
+
   test("filters and projections reach the parquet scan (q06 probe)") {
     val plan = planOf("q06_filter_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull"),
