@@ -578,22 +578,41 @@ object TextOps {
     */
   def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 8192,
       alpha: Double = 0.5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tok = docs
-      .select(col(idCol), isTarget.as("__t"), explode(tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), col("__t"), (tokenHash(col("__tok")) % buckets).as("b"))
+      textCol: String = "text"): DataFrame =
+    dsirScoreAgainst(docs,
+      dsirWeights(docs, isTarget, buckets, alpha, textCol), buckets,
+      idCol, textCol)
+
+  /** The per-feature log-likelihood-ratio table (bucket → weight) of a
+    * reference corpus — `buckets` rows regardless of corpus size. Compute
+    * (and persist) once, then score any number of batches/streams with
+    * [[dsirScoreAgainst]]. */
+  def dsirWeights(corpus: DataFrame, isTarget: Column, buckets: Int = 8192,
+      alpha: Double = 0.5, textCol: String = "text"): DataFrame = {
+    val tok = corpus
+      .select(isTarget.as("__t"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__t"), (tokenHash(col("__tok")) % buckets).as("b"))
     val feat = tok.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"), count(when(col("__t"), lit(1))).as("ct"))
     val tots = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    val w = feat.crossJoin(broadcast(tots))
+    feat.crossJoin(broadcast(tots))
       .select(col("b"),
         (log((col("ct") + alpha) / (col("nt") + alpha * buckets)) -
           log((col("cr") + alpha) / (col("nr") + alpha * buckets))).as("w"))
-    tok.join(broadcast(w), "b")
+  }
+
+  /** Score documents against a prebuilt [[dsirWeights]] table: one token
+    * explode, one broadcast join, one per-doc groupBy whose partial
+    * aggregation collapses map-side. */
+  def dsirScoreAgainst(docs: DataFrame, weights: DataFrame, buckets: Int = 8192,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), (tokenHash(col("__tok")) % buckets).as("b"))
+      .join(broadcast(weights), "b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("__s"))
       .select(col(idCol), col("n_toks"),
         round(col("__s") / col("n_toks"), 6).as("dsir_score"))
       .withColumn("is_target_like", col("dsir_score") > lit(0.0))
-  }
 }

@@ -802,10 +802,14 @@ object Text {
 
   /** q64: the END-TO-END curation decision — the one column a 100 TB
     * training-data pass actually filters on, composed from the session's
-    * shared machinery: exact+near dedup (q56), Gopher quality (q57), and
-    * the stratified domain mix (q60), with per-document reason flags.
-    * Dedup needs corpus-wide joins anyway; quality and sampling stay
-    * map-side; the final composition is a co-partitioned join on doc_id.
+    * shared machinery: exact+near dedup (q56), Gopher quality (q57), the
+    * stratified domain mix (q60), eval-split exclusion + decontamination
+    * (q65), and cross-doc duplicated spans (q69) — with per-document
+    * reason flags. Dedup/span/decontamination need corpus-wide joins
+    * anyway; quality and sampling stay map-side; the final composition is
+    * a co-partitioned join on doc_id. Eval docs are excluded from
+    * training by definition (they ARE the benchmark), so `contaminated`
+    * is false for them and `is_eval` carries the reason.
     */
   def q64CurationDecision(spark: SparkSession, sfDir: String): DataFrame = {
     val dedup = q56DedupDecision(spark, sfDir)
@@ -814,20 +818,39 @@ object Text {
       .select(col("doc_id"), col("keep").as("quality_keep"))
     val sample = q60StratifiedSample(spark, sfDir)
       .select(col("doc_id"), col("sample_key"), col("keep").as("sample_keep"))
+    val contam = q65Decontaminate(spark, sfDir)
+      .select(col("doc_id"), col("contaminated"))
+    val spans = q69DupSpans(spark, sfDir)
+      .select(col("doc_id"), col("dup_heavy"))
     dedup.join(quality, "doc_id").join(sample, "doc_id")
+      .join(contam, Seq("doc_id"), "left").join(spans, "doc_id")
       .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
         col("quality_keep"), col("sample_keep"),
+        (col("doc_id") % 11 === 0).as("is_eval"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("dup_heavy"),
         (!col("is_exact_dup") && !col("is_near_dup") &&
-          col("quality_keep") && col("sample_keep")).as("keep"))
+          col("quality_keep") && col("sample_keep") &&
+          !(col("doc_id") % 11 === 0) &&
+          !coalesce(col("contaminated"), lit(false)) &&
+          !col("dup_heavy")).as("keep"))
   }
 
-  val q64Sql: String =
+  // lazy: interpolates q65Sql/q69Sql, which are initialized later in this object
+  lazy val q64Sql: String =
     s"""SELECT e.doc_id, e.is_exact_dup, e.is_near_dup,
        |  q.keep AS quality_keep, s.keep AS sample_keep,
-       |  (NOT e.is_exact_dup AND NOT e.is_near_dup AND q.keep AND s.keep) AS keep
+       |  e.doc_id % 11 = 0 AS is_eval,
+       |  COALESCE(c.contaminated, FALSE) AS contaminated,
+       |  z.dup_heavy,
+       |  (NOT e.is_exact_dup AND NOT e.is_near_dup AND q.keep AND s.keep
+       |   AND NOT e.doc_id % 11 = 0 AND NOT COALESCE(c.contaminated, FALSE)
+       |   AND NOT z.dup_heavy) AS keep
        |FROM ($q56Sql) e
        |JOIN ($q57Sql) q USING (doc_id)
-       |JOIN ($q60Sql) s USING (doc_id)""".stripMargin
+       |JOIN ($q60Sql) s USING (doc_id)
+       |LEFT JOIN ($q65Sql) c USING (doc_id)
+       |JOIN ($q69Sql) z USING (doc_id)""".stripMargin
 
   /** q65: eval-set DECONTAMINATION — hold out every 11th document as the
     * "benchmark" split, flag training docs whose word-3-gram overlap with

@@ -305,6 +305,26 @@ object Streaming {
       }
       .start()
 
+  /** Streaming DSIR scoring — the ingest-time twin of TextOps.dsirScores:
+    * documents arriving on a stream are scored against a FIXED
+    * log-likelihood-ratio weight table built once from a reference corpus
+    * (TextOps.dsirWeights, ≤ buckets rows, re-broadcast per micro-batch).
+    * Stateless per document ⇒ idempotent per batch_id partition.
+    */
+  def dsirScoreStream(docs: DataFrame, weights: DataFrame,
+      outDir: String, checkpoint: String, buckets: Int = 8192,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextOps
+          .dsirScoreAgainst(batch, weights, buckets, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

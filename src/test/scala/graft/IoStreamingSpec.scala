@@ -261,6 +261,32 @@ class IoStreamingSpec extends SparkSpec {
     evalSet.unpersist()
   }
 
+  test("streaming DSIR scoring classifies arriving docs against fixed corpus weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("dsirstream").toString
+    val corpus = (0L until 100L).map { i =>
+      (i, i < 50, if (i < 50) "alpha beta gamma delta" else "omega psi chi phi")
+    }.toDF("doc_id", "is_t", "text")
+    val weights = graft.operators.TextOps
+      .dsirWeights(corpus, isTarget = col("is_t"), buckets = 1024).persist()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.dsirScoreStream(
+      mem.toDF().toDF("doc_id", "text"), weights,
+      s"$dir/out", s"$dir/ckpt", buckets = 1024)
+    mem.addData((200L, "alpha beta alpha gamma"), (201L, "omega psi omega chi"))
+    q.processAllAvailable()
+    mem.addData((202L, "delta gamma beta"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_target_like")).toMap
+    assert(out == Map(200L -> true, 201L -> false, 202L -> true), s"got $out")
+    weights.unpersist()
+  }
+
   test("curation decisions (quality + stratified sample) stream stateless per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
