@@ -410,6 +410,21 @@ object ScaleBench {
         s"dup-span flagged $nHeavy (want ${nDocs / 10}) with $falsePos false positives")
     }
 
+    // 10g2. Weighted sampling at 10M rows: half weight 10, half weight 1.
+    // For k ≪ n the A-ES tail odds are 1-t^w ≈ w·(1-t), so the heavy:light
+    // inclusion ratio must approach 10:1 — heavy share ≈ 10/11 ≈ 0.909,
+    // gated at ±0.03. Plans as TakeOrderedAndProject: no global sort, the
+    // driver sees k rows.
+    timed("weighted_sample_10M_rows") {
+      val rows = spark.range(10000000).select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, 10.0).otherwise(1.0).as("w"))
+      val s = operators.TextOps.weightedSample(rows, col("w"), k = 10000)
+      val heavyShare = s.filter(col("weight") === 10.0).count() / 10000.0
+      println(f"[scale] weighted_sample heavy share: $heavyShare%.4f (want 0.909 ± 0.03)")
+      require(math.abs(heavyShare - 10.0 / 11) < 0.03,
+        f"A-ES inclusion odds off: heavy share $heavyShare%.4f vs 0.909")
+    }
+
     // 10h. Epoch shuffle at 10M docs: the two-phase global rank must yield
     // an exact permutation (0..n-1, all distinct) without ever funneling
     // the corpus through one task.

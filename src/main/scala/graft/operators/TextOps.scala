@@ -527,6 +527,55 @@ object TextOps {
       .withColumn("dup_heavy", col("dup_span_frac") >= lit(minFrac))
   }
 
+  /** LENGTH-BUCKETED batching — the padding-efficiency step: assign every
+    * document a global rank in (token count, id) order and split the
+    * ranking into `nBuckets` near-equal buckets, so batches draw
+    * similar-length docs and pad minimally. The global rank is the same
+    * two-phase scan as [[epochShuffle]], keyed on the token count itself:
+    * per-length totals (one map-side-combinable groupBy; group count is
+    * bounded by the max document length, not the corpus) become broadcast
+    * offsets, ranks are per-length local windows, and the bucket is pure
+    * integer arithmetic `rank·nBuckets div n` — never a single-partition
+    * NTILE.
+    */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val counts = base.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return base.select(col(idCol), col("n_tok"), lit(0L).as("rank"),
+        lit(0L).as("bucket")).limit(0)
+    val n = counts.map(_._2).sum
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (t, c)) => (t, acc + c) }
+      .sliding(2).map { case Array((_, acc), (t, _)) => (t, acc) }.toSeq
+    val offDf = broadcast(offsets.toDF("n_tok", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_tok")).orderBy(col(idCol))
+    base.join(offDf, "n_tok")
+      .withColumn("rank", row_number().over(w).cast("long") - 1L + col("__off"))
+      .select(col(idCol), col("n_tok"), col("rank"),
+        expr(s"(rank * $nBuckets) DIV ${n}L").as("bucket"))
+  }
+
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis A-ES priority sampling): each row draws the reproducible
+    * md5 coin u = [[hashUnit]](id) and keeps the k largest priorities
+    * u^(1/w) — inclusion probability proportional to weight, identical on
+    * every engine and re-run. The plan is a TakeOrderedAndProject (per-
+    * partition top-k, then a k-row merge on one reducer) — no global sort,
+    * no shuffle of the corpus; the driver never sees more than k rows.
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), weight.cast("double").as("weight"),
+        pow(hashUnit(col(idCol)), lit(1.0) / weight.cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+
   /** Deterministic EPOCH SHUFFLE — the training-order step: a fresh,
     * reproducible global permutation of the corpus per epoch, computed as
     * the rank of md5(epoch:id). Same epoch ⇒ same order on every engine

@@ -1007,7 +1007,52 @@ object Text {
        |       ELSE FALSE END AS dup_heavy
        |FROM documents d0 LEFT JOIN per p USING (doc_id)""".stripMargin
 
+  /** q70: deterministic weighted sampling (A-ES priorities) — keep the 100
+    * docs with the largest md5-coin priorities u^(1/n_chars): inclusion
+    * odds proportional to length, reproducible everywhere. Plans as
+    * TakeOrderedAndProject — per-partition top-k, k-row merge, no global
+    * sort. Priorities are rounded for the cross-engine compare; the rank
+    * itself uses the raw double (a boundary tie needs two priorities
+    * within one ulp — vanishing at any scale).
+    */
+  def q70WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.weightedSample(Tables.load(spark, sfDir, "documents"),
+        weight = col("n_chars"), k = 100)
+      .select(col("doc_id"), col("weight"), round(col("priority"), 6).as("priority"))
+
+  val q70Sql: String =
+    """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      |  ROUND(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+      |            / 1152921504606846976e0, 1.0 / n_chars), 6) AS priority
+      |FROM documents
+      |ORDER BY pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+      |             / 1152921504606846976e0, 1.0 / n_chars) DESC, doc_id
+      |LIMIT 100""".stripMargin
+
+  /** q71: length-bucketed batch assignment — 8 near-equal buckets of the
+    * global (token count, id) ranking, via the two-phase scan (per-length
+    * windows + broadcast offsets; never a single-partition NTILE).
+    */
+  def q71LengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.lengthBuckets(Tables.load(spark, sfDir, "documents"), nBuckets = 8)
+
+  val q71Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT doc_id, n_tok,
+      |    ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1 AS rank
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tok, rank,
+      |  (rank * 8) // (SELECT COUNT(1) FROM t) AS bucket
+      |FROM r""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_length_buckets", q71LengthBuckets, Some(q71Sql)),
+    QueryDef("q70_weighted_sample", q70WeightedSample, Some(q70Sql)),
     QueryDef("q68_epoch_shuffle", q68EpochShuffle, Some(q68Sql)),
     QueryDef("q69_dup_spans", q69DupSpans, Some(q69Sql)),
     QueryDef("q65_decontaminate", q65Decontaminate, Some(q65Sql)),

@@ -455,6 +455,42 @@ class TextSpec extends SparkSpec {
       again.select("doc_id", "n_copies")).count() == 0)
   }
 
+  test("lengthBuckets: contiguous near-equal buckets in global length order") {
+    val nb = 8
+    val got = TextOps.lengthBuckets(docs, nBuckets = nb)
+    val n = got.count()
+    // ranks are a permutation of 0..n-1
+    val ranks = got.select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.sameElements(0L until n))
+    // bucket sizes differ by at most 1
+    val sizes = got.groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.length == nb && (sizes.max - sizes.min) <= 1, sizes.toSeq.toString)
+    // buckets are contiguous in length order: max length of bucket b never
+    // exceeds min length of bucket b+1
+    val stats = got.groupBy("bucket")
+      .agg(min(col("n_tok")).as("lo"), max(col("n_tok")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    stats.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo, _)) => assert(hi <= lo, stats.toSeq.toString)
+      case _ =>
+    }
+  }
+
+  test("weightedSample favors heavy rows, is deterministic, and plans top-k") {
+    import spark.implicits._
+    val rows = (0L until 10000L).map(i => (i, if (i % 2 == 0) 10.0 else 1.0))
+      .toDF("doc_id", "w")
+    val s = TextOps.weightedSample(rows, col("w"), k = 1000)
+    assert(s.count() == 1000)
+    val heavy = s.filter(col("weight") === 10.0).count()
+    assert(heavy > 700, s"weight-10 rows should dominate the sample: $heavy/1000")
+    val again = TextOps.weightedSample(rows, col("w"), k = 1000)
+    assert(s.except(again).isEmpty && again.except(s).isEmpty)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan per-partition top-k, not a global sort:\n$plan")
+  }
+
   test("epochShuffle is a deterministic permutation that changes across epochs") {
     val n = docs.count()
     val e1 = TextOps.epochShuffle(docs, epoch = 1)
