@@ -118,4 +118,46 @@ object Multimodal {
       }
     }.toDF("media_id", "block_row", "block_col", "mean_val")
   }
+
+  /** REAL decode + framing for raw 16-bit little-endian PCM (the
+    * uncompressed interchange audio shape: a WAV `data` chunk body) — the
+    * audio sibling of [[decodeGrayPool]], no codec library needed. The
+    * payload is split into non-overlapping frames of `frameLen` samples
+    * (trailing partial frame dropped); each frame reports its RMS, its
+    * peak |amplitude| (an exact integer — the cross-engine anchor), and
+    * the silence flag an ASR-data trimming pass filters on. The sum of
+    * squares stays in a long (≤ frameLen·2³⁰) and converts to double
+    * exactly below 2⁵³; sqrt is IEEE correctly-rounded on both engines,
+    * and the flag compares the ROUNDED rms so the cut is identical
+    * everywhere.
+    *
+    * Per-partition kernel: payloads never shuffle; output is
+    * payload/(2·frameLen) rows.
+    */
+  def pcmWindowRms(media: Dataset[MediaRow], frameLen: Int,
+      silenceRms: Double): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val nSamples = bytes.length / 2
+      for (f <- 0 until nSamples / frameLen) yield {
+        var ss = 0L
+        var peak = 0
+        var i = f * frameLen
+        while (i < (f + 1) * frameLen) {
+          val v = (bytes(2 * i) & 0xff) | (bytes(2 * i + 1).toInt << 8)
+          ss += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        (m.media_id, f, math.sqrt(ss.toDouble / frameLen), peak)
+      }
+    }.toDF("media_id", "frame", "__rms", "peak")
+      // round with Spark's ROUND (not the kernel) so the decimal semantics
+      // match every other cross-checked double in the repo
+      .withColumn("rms", round(col("__rms"), 6))
+      .withColumn("is_silence", col("rms") < silenceRms)
+      .select(col("media_id"), col("frame"), col("rms"), col("peak"),
+        col("is_silence"))
+  }
 }

@@ -1050,7 +1050,42 @@ object Text {
       |  (rank * 8) // (SELECT COUNT(1) FROM t) AS bucket
       |FROM r""".stripMargin
 
+  /** q72: REAL raw-PCM audio framing — the audio sibling of q62: document
+    * bytes as 16-bit LE PCM, 64-sample frames, per-frame RMS + exact
+    * integer peak + the silence flag an ASR trimming pass filters on.
+    * Pure map-side kernel; payloads never shuffle.
+    */
+  def q72PcmSilence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("pcm").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.pcmWindowRms(media, frameLen = 64, silenceRms = 25000.0)
+      .select(col("media_id").as("doc_id"), col("frame"), col("rms"),
+        col("peak"), col("is_silence"))
+  }
+
+  // documents are ASCII (high byte < 128), so LE sample i is
+  // ascii(char 2i-1) + 256*ascii(char 2i), always positive
+  val q72Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) // 2 AS n FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS frame,
+      |    ascii(substr(text, 2 * i - 1, 1)) + 256 * ascii(substr(text, 2 * i, 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, (n // 64) * 64)) AS i FROM t)
+      |)
+      |SELECT doc_id, frame,
+      |  ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 64), 6) AS rms,
+      |  CAST(MAX(abs(v)) AS INTEGER) AS peak,
+      |  ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 64), 6) < 25e3 AS is_silence
+      |FROM s GROUP BY doc_id, frame""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
     QueryDef("q71_length_buckets", q71LengthBuckets, Some(q71Sql)),
     QueryDef("q70_weighted_sample", q70WeightedSample, Some(q70Sql)),
     QueryDef("q68_epoch_shuffle", q68EpochShuffle, Some(q68Sql)),

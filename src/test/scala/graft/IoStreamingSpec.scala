@@ -411,4 +411,28 @@ class IoStreamingSpec extends SparkSpec {
     val tiny = Seq(MediaRow(8, "gray", Array[Byte](1, 2, 3), 4, 0)).toDS()
     assert(Multimodal.decodeGrayPool(tiny, width = 4, pool = 4).isEmpty)
   }
+
+  test("raw-PCM framing: exact RMS/peak incl. negative samples, truncation") {
+    import spark.implicits._
+    // 5 LE 16-bit samples: 100, -200, 300, -32768, 5 — framed at 4, so the
+    // trailing sample drops; peak must see |−32768|
+    def le(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val pcm = Seq(100, -200, 300, -32768, 5).flatMap(le).toArray
+    val media = Seq(MediaRow(3, "pcm", pcm, 0, 0)).toDS()
+    val rows = Multimodal.pcmWindowRms(media, frameLen = 4, silenceRms = 10.0)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val expectRms = math.sqrt((100.0 * 100 + 200 * 200 + 300 * 300 +
+      32768.0 * 32768) / 4)
+    assert(r.getAs[Int]("frame") == 0)
+    assert(math.abs(r.getAs[Double]("rms") - expectRms) < 1e-6)
+    assert(r.getAs[Int]("peak") == 32768)
+    assert(!r.getAs[Boolean]("is_silence"))
+    // an all-zero frame is silent with rms 0 and peak 0
+    val quiet = Seq(MediaRow(4, "pcm", Array.fill[Byte](8)(0), 0, 0)).toDS()
+    val q = Multimodal.pcmWindowRms(quiet, frameLen = 4, silenceRms = 10.0).collect().head
+    assert(q.getAs[Double]("rms") == 0.0 && q.getAs[Int]("peak") == 0 &&
+      q.getAs[Boolean]("is_silence"))
+  }
 }
