@@ -119,6 +119,34 @@ object Multimodal {
     }.toDF("media_id", "block_row", "block_col", "mean_val")
   }
 
+  /** Perceptual dHash over the REAL grayscale decode — image near-dup
+    * fingerprinting without any codec: each bit records whether a pooled
+    * block outshines its right neighbor (the classic difference-hash),
+    * over the first `maxBlockRows` block rows. Re-encodes, crops past the
+    * hashed region, and brightness-preserving noise keep the same hash;
+    * downstream exact/hamming grouping dedups what byte-hashing can't.
+    * Built RELATIONALLY on [[decodeGrayPool]]: a (row, col)→(row, col+1)
+    * self-join of the tiny pooled table plus one map-side-combinable
+    * groupBy — block means are dyadic rationals, so the comparison is
+    * engine-exact.
+    */
+  def dHash(media: Dataset[MediaRow], width: Int, pool: Int,
+      maxBlockRows: Int = 8): DataFrame = {
+    val bpr = width / pool - 1 // comparisons (= bits) per block row
+    val pooled = decodeGrayPool(media, width, pool)
+      .filter(col("block_row") < maxBlockRows)
+    val a = pooled.select(col("media_id"), col("block_row"), col("block_col"),
+      col("mean_val").as("__ma"))
+    val b = pooled.select(col("media_id"), col("block_row"),
+      (col("block_col") - 1).as("block_col"), col("mean_val").as("__mb"))
+    a.join(b, Seq("media_id", "block_row", "block_col"))
+      .withColumn("__bit", expr(
+        s"CASE WHEN __ma > __mb THEN shiftleft(CAST(1 AS BIGINT), " +
+          s"block_row * $bpr + block_col) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("__bit")).as("dhash"))
+  }
+
   /** REAL decode + framing for raw 16-bit little-endian PCM (the
     * uncompressed interchange audio shape: a WAV `data` chunk body) — the
     * audio sibling of [[decodeGrayPool]], no codec library needed. The

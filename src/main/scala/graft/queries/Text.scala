@@ -1084,7 +1084,59 @@ object Text {
       |  ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 64), 6) < 25e3 AS is_silence
       |FROM s GROUP BY doc_id, frame""".stripMargin
 
+  /** q73: perceptual dHash dedup over the REAL grayscale decode — each
+    * doc's 16-wide byte frame pools to 4×4 blocks, adjacent-block gradient
+    * signs over the first 8 block rows form a 24-bit difference hash, and
+    * exact hash groups mark perceptual duplicates (tail edits beyond the
+    * hashed region keep the same hash, so this groups near-dups that
+    * byte-exact dedup misses).
+    */
+  def q73ImageDhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    val h = Multimodal.dHash(media, width = 16, pool = 4)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val g = h.groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("__canon"), count(lit(1)).as("n_copies"))
+    h.join(g, "dhash")
+      .select(col("doc_id"), col("dhash"),
+        (col("doc_id") === col("__canon")).as("is_canonical"), col("n_copies"))
+  }
+
+  val q73Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, text,
+      |    ((length(text) // 16) - (length(text) // 16) % 4) AS full_h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id,
+      |    CAST((i - 1) // 16 AS INTEGER) AS r, CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, full_h * 16)) AS i FROM dims) t
+      |),
+      |blk AS (
+      |  SELECT doc_id, r // 4 AS br, c // 4 AS bc, AVG(v) AS m
+      |  FROM px WHERE r // 4 < 8 GROUP BY 1, 2, 3
+      |),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN a.m > b.m THEN 1::BIGINT << (a.br * 3 + a.bc)
+      |         ELSE 0::BIGINT END AS bit
+      |  FROM blk a JOIN blk b
+      |    ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1
+      |),
+      |h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
+      |g AS (SELECT dhash, MIN(doc_id) AS canon, COUNT(1) AS n_copies FROM h GROUP BY dhash)
+      |SELECT h.doc_id, h.dhash, h.doc_id = g.canon AS is_canonical, g.n_copies
+      |FROM h JOIN g USING (dhash)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
     QueryDef("q71_length_buckets", q71LengthBuckets, Some(q71Sql)),
     QueryDef("q70_weighted_sample", q70WeightedSample, Some(q70Sql)),

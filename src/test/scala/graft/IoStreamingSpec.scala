@@ -412,6 +412,32 @@ class IoStreamingSpec extends SparkSpec {
     assert(Multimodal.decodeGrayPool(tiny, width = 4, pool = 4).isEmpty)
   }
 
+  test("dHash: tail edits keep the hash, in-region edits change it, bits exact") {
+    import spark.implicits._
+    // width 8, pool 4 → 1 comparison per block row: bit r = blk(r,0) > blk(r,1)
+    // rows 0-3: left blocks bright (200), right dark (10) → bit0 = 1
+    // rows 4-7: left dark, right bright → bit1 = 0
+    val band = (Array.fill(4)(200.toByte) ++ Array.fill(4)(10.toByte))
+    val band2 = (Array.fill(4)(10.toByte) ++ Array.fill(4)(200.toByte))
+    val base = Array.fill(4)(band).flatten ++ Array.fill(4)(band2).flatten
+    val tailEdit = base ++ Array.fill[Byte](64)(99)   // beyond 8 block rows
+    val inEdit = base.clone(); inEdit(0) = 0          // inside block (0,0)
+    val media = Seq(
+      MediaRow(1, "gray", base, 8, 0),
+      MediaRow(2, "gray", tailEdit, 8, 0),
+      MediaRow(3, "gray", inEdit, 8, 0)).toDS()
+    val got = Multimodal.dHash(media, width = 8, pool = 4)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    assert(got(1L) == 1L, s"expected bit 0 only: ${got(1L)}")
+    assert(got(2L) == got(1L), "a tail edit beyond the hashed region must not change the hash")
+    assert(got(3L) == got(1L), "one dimmed pixel must not flip a 200-vs-10 block comparison")
+    // flip an entire block: block (0,0) dark → bit 0 clears
+    val flipped = base.clone(); (0 until 4).foreach(r => (0 until 4).foreach(c => flipped(r * 8 + c) = 5))
+    val f = Multimodal.dHash(Seq(MediaRow(4, "gray", flipped, 8, 0)).toDS(), 8, 4)
+      .collect().head.getAs[Long]("dhash")
+    assert(f == 0L, s"flipping block (0,0) must clear bit 0: $f")
+  }
+
   test("raw-PCM framing: exact RMS/peak incl. negative samples, truncation") {
     import spark.implicits._
     // 5 LE 16-bit samples: 100, -200, 300, -32768, 5 — framed at 4, so the
