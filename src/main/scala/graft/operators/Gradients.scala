@@ -253,8 +253,12 @@ object Gradients {
 
     // weight r = m/(m+median), bin by angle(sqrt(g2)) (gradients.py:853-877)
     val angle = atan2(col("g2i"), col("g2r")) / 2.0
+    // quantize before discretizing: an exactly-axis-aligned gradient makes
+    // g2i a summation-order-sensitive +-1e-17, and atan2's sign
+    // discontinuity would flip the FLOOR a full bin between engines;
+    // rounding the quotient to 9 decimals collapses that noise class
     val bin = least(
-      floor((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles)).cast("int"),
+      floor(round((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles), 9)).cast("int"),
       lit(NAngles - 1))
     withMed
       .select(col("win_line"), col("win_sample"),
@@ -297,8 +301,12 @@ object Gradients {
       count(lit(1)).over(w).as("n_valid"))
 
     val angle = atan2(col("g2i"), col("g2r")) / 2.0
+    // quantize before discretizing: an exactly-axis-aligned gradient makes
+    // g2i a summation-order-sensitive +-1e-17, and atan2's sign
+    // discontinuity would flip the FLOOR a full bin between engines;
+    // rounding the quotient to 9 decimals collapses that noise class
     val bin = least(
-      floor((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles)).cast("int"),
+      floor(round((angle + lit(math.Pi / 2)) / lit(math.Pi / NAngles), 9)).cast("int"),
       lit(NAngles - 1))
     withMed
       .select(col("cl"), col("cs"), bin.as("bin"),

@@ -42,4 +42,14 @@ object QueryDef {
 
   def r4(c: Column): Column = round(c, 4)
   def r6(c: Column): Column = round(c, 6)
+
+  /** Tie-broken 6-decimal round for values whose DECIMAL EXPANSION
+    * TERMINATES on the half boundary (window means of 6-decimal grid
+    * values land exactly on x.xxxxx5, where Spark's shortest-string
+    * HALF_UP and DuckDB's binary rounding disagree). The 5e-10 nudge moves
+    * the ambiguity zone off every representable data point; the SQL twin
+    * is `ROUND(x + 5e-10, 6)`. Direction-consistent for negatives too —
+    * both engines see the same nudged double.
+    */
+  def r6t(c: Column): Column = round(c + lit(5e-10), 6)
 }

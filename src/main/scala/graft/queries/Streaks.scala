@@ -54,13 +54,13 @@ object Streaks {
   def q40Scharr(spark: SparkSession, sfDir: String): DataFrame =
     Gradients.scharrG2(grid(spark, sfDir))
       .select(col("line"), col("sample"),
-        (round(col("g2r"), 6) + lit(0.0)).as("g2r"), // +0 folds -0.0 → 0.0
-        (round(col("g2i"), 6) + lit(0.0)).as("g2i"))
+        (QueryDef.r6t(col("g2r")) + lit(0.0)).as("g2r"), // +0 folds -0.0 → 0.0
+        (QueryDef.r6t(col("g2i")) + lit(0.0)).as("g2i"))
 
   val q40Sql: String =
     s"""WITH $gridCte,
        |$scharrCte
-       |SELECT line, sample, ROUND(gx*gx - gy*gy, 6) + 0e0 AS g2r, ROUND(2e0*gx*gy, 6) + 0e0 AS g2i
+       |SELECT line, sample, ROUND(gx*gx - gy*gy + 5e-10, 6) + 0e0 AS g2r, ROUND(2e0*gx*gy + 5e-10, 6) + 0e0 AS g2i
        |FROM g2""".stripMargin
 
   /** q41: 2× block-mean downsample (R3 coarsen / R12 INTER_AREA). */
@@ -98,7 +98,7 @@ object Streaks {
        |),
        |hist AS (
        |  SELECT b.win_line, b.win_sample,
-       |         LEAST(CAST(FLOOR((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72)) AS INTEGER), 71) AS bin,
+       |         LEAST(CAST(FLOOR(ROUND((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72), 9)) AS INTEGER), 71) AS bin,
        |         SUM(b.m / (b.m + d.med_m)) AS weight,
        |         COUNT(1) AS n_px,
        |         MIN(d.n_valid) AS n_valid
@@ -204,7 +204,7 @@ object Streaks {
        |),
        |hist$sfx AS (
        |  SELECT b.win_line, b.win_sample,
-       |         LEAST(CAST(FLOOR((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72)) AS INTEGER), 71) AS bin,
+       |         LEAST(CAST(FLOOR(ROUND((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72), 9)) AS INTEGER), 71) AS bin,
        |         SUM(b.m / (b.m + d.med_m)) AS weight
        |  FROM mags$sfx b JOIN med$sfx d USING (win_line, win_sample)
        |  WHERE b.m > 0
@@ -234,7 +234,7 @@ object Streaks {
   def q46Smooth(spark: SparkSession, sfDir: String): DataFrame =
     Gradients.smoothB2(grid(spark, sfDir))
       .select(col("line"), col("sample"),
-        round(col("v_smooth"), 8).as("v_smooth"), round(col("w_used"), 2).as("w_used"))
+        QueryDef.r6t(col("v_smooth")).as("v_smooth"), round(col("w_used"), 2).as("w_used"))
 
   val q46Sql: String =
     s"""WITH $gridCte
@@ -242,7 +242,7 @@ object Streaks {
        |  ROUND(SUM((CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
        |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END) * n.v)
        |      / SUM((CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
-       |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)), 8) AS v_smooth,
+       |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)) + 5e-10, 6) AS v_smooth,
        |  ROUND(SUM((CASE WHEN n.line = c.line THEN 2e0 ELSE 1e0 END)
        |          * (CASE WHEN n.sample = c.sample THEN 2e0 ELSE 1e0 END)), 2) AS w_used
        |FROM grid c JOIN grid n
@@ -256,16 +256,16 @@ object Streaks {
   def q47LocalStats(spark: SparkSession, sfDir: String): DataFrame =
     Gradients.localStats(grid(spark, sfDir), radius = 2)
       .select(col("line"), col("sample"),
-        round(col("local_mean"), 8).as("local_mean"),
-        round(col("local_std"), 8).as("local_std"),
+        QueryDef.r6t(col("local_mean")).as("local_mean"),
+        QueryDef.r6t(col("local_std")).as("local_std"),
         round(col("local_std") / col("local_mean"), 6).as("p1"))
 
   val q47Sql: String =
     s"""WITH $gridCte
        |SELECT c.line, c.sample,
-       |  ROUND(SUM(n.v) / COUNT(1), 8) AS local_mean,
+       |  ROUND(SUM(n.v) / COUNT(1) + 5e-10, 6) AS local_mean,
        |  ROUND(SQRT(GREATEST(SUM(n.v * n.v) / COUNT(1)
-       |    - (SUM(n.v) / COUNT(1)) * (SUM(n.v) / COUNT(1)), 0e0)), 8) AS local_std,
+       |    - (SUM(n.v) / COUNT(1)) * (SUM(n.v) / COUNT(1)), 0e0)) + 5e-10, 6) AS local_std,
        |  ROUND(SQRT(GREATEST(SUM(n.v * n.v) / COUNT(1)
        |    - (SUM(n.v) / COUNT(1)) * (SUM(n.v) / COUNT(1)), 0e0))
        |    / (SUM(n.v) / COUNT(1)), 6) AS p1
@@ -280,9 +280,9 @@ object Streaks {
   def q48LocalGradients(spark: SparkSession, sfDir: String): DataFrame =
     Gradients.localGradientsFused(grid(spark, sfDir))
       .select(col("line"), col("sample"),
-        (round(col("g2r"), 8) + lit(0.0)).as("g2r"),
-        (round(col("g2i"), 8) + lit(0.0)).as("g2i"),
-        round(col("g3"), 8).as("g3"),
+        (QueryDef.r6t(col("g2r")) + lit(0.0)).as("g2r"),
+        (QueryDef.r6t(col("g2i")) + lit(0.0)).as("g2i"),
+        QueryDef.r6t(col("g3")).as("g3"),
         round(col("c"), 6).as("c"))
 
   // one renormalized-B2 pass over 3 channels of `src`
@@ -317,9 +317,9 @@ object Streaks {
        |),
        |s3 AS (${smooth3Sql("co")})
        |SELECT line, sample,
-       |  ROUND(a, 8) + 0e0 AS g2r,
-       |  ROUND(b, 8) + 0e0 AS g2i,
-       |  ROUND(m, 8) AS g3,
+       |  ROUND(a + 5e-10, 6) + 0e0 AS g2r,
+       |  ROUND(b + 5e-10, 6) + 0e0 AS g2i,
+       |  ROUND(m + 5e-10, 6) AS g3,
        |  ROUND(CASE WHEN SQRT(a*a + b*b) / (m + 1e-5) <= 1e0
        |             THEN SQRT(a*a + b*b) / (m + 1e-5) ELSE 0e0 END, 6) AS c
        |FROM s3""".stripMargin
@@ -372,7 +372,7 @@ object Streaks {
        |  FROM assigned WHERE m > 0 GROUP BY cl, cs
        |)
        |SELECT b.cl, b.cs,
-       |  LEAST(CAST(FLOOR((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72)) AS INTEGER), 71) AS bin,
+       |  LEAST(CAST(FLOOR(ROUND((ATAN2(b.g2i, b.g2r) / 2e0 + PI()/2) / (PI()/72), 9)) AS INTEGER), 71) AS bin,
        |  ROUND(SUM(b.m / (b.m + d.med_m)), 6) AS weight,
        |  COUNT(1) AS n_px,
        |  MIN(d.n_valid) AS n_valid
