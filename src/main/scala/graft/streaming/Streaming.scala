@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -324,6 +324,46 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Streaming WEIGHTED sampling — the ingest-time twin of
+    * TextOps.weightedSample, i.e. a distributed weighted reservoir: the
+    * running A-ES top-k (largest md5-coin priorities u^(1/w)) is carried
+    * in a batch_id-partitioned store; each micro-batch merges its own
+    * per-partition top-k with the prior state and keeps k rows. Because
+    * priorities are deterministic per id, the result after batch N equals
+    * the batch operator applied to everything ingested through N, and
+    * re-executed batches rebuild the same k rows (same store contract as
+    * the near-dup stores: read strictly earlier, overwrite your own
+    * partition). State is k rows — independent of stream length.
+    */
+  def weightedSampleStream(docs: DataFrame, weight: Column, k: Int,
+      outDir: String, storeDir: String, checkpoint: String,
+      idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processWeightedSampleBatch(batch, batchId, weight, k, outDir,
+          storeDir, idCol)
+      }
+      .start()
+
+  /** One micro-batch of [[weightedSampleStream]] — package-private for
+    * direct idempotency testing. */
+  private[graft] def processWeightedSampleBatch(batch: DataFrame, batchId: Long,
+      weight: Column, k: Int, outDir: String, storeDir: String,
+      idCol: String): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    val cand = TextOps.weightedSample(batch, weight, k, idCol)
+    val prior = committedOr(spark, s"$storeDir/topk", batchId, cand.limit(0))
+    val top = prior.unionByName(cand)
+      .orderBy(col("priority").desc, col(idCol)).limit(k).persist()
+    top.write.mode("overwrite").parquet(s"$storeDir/topk/batch_id=$batchId")
+    top.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    top.unpersist()
+    ()
+  }
 
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition

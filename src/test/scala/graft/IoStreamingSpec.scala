@@ -261,6 +261,34 @@ class IoStreamingSpec extends SparkSpec {
     evalSet.unpersist()
   }
 
+  test("streaming weighted sample: running top-k equals the batch operator, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("wsample").toString
+    val all = (0L until 2000L).map(i => (i, if (i % 3 == 0) 8.0 else 1.0))
+    val (b1, b2) = all.splitAt(1200)
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.weightedSampleStream(
+      mem.toDF().toDF("doc_id", "w"), col("w"), k = 50,
+      s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val latest = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = graft.operators.TextOps
+      .weightedSample(all.toDF("doc_id", "w"), col("w"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(latest == exact, "running reservoir must equal the batch top-k over everything ingested")
+    // replaying batch 1 rebuilds the identical partition
+    Streaming.processWeightedSampleBatch(b2.toDF("doc_id", "w"), 1L,
+      col("w"), 50, s"$dir/out", s"$dir/store", "doc_id")
+    val replay = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == exact)
+  }
+
   test("streaming DSIR scoring classifies arriving docs against fixed corpus weights") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
