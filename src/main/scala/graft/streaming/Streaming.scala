@@ -365,6 +365,61 @@ object Streaming {
     ()
   }
 
+  /** Streaming BLOOM "seen-ever" dedup flagging — the long-horizon
+    * complement of [[dedupStream]]: `dropDuplicatesWithinWatermark` keeps
+    * exact state only inside the watermark, so a re-crawl landing months
+    * later sails through. A Bloom filter over every content hash ever
+    * ingested costs ~1.2 bytes/key at 1% FP (a 100 TB corpus of 1e11 docs
+    * ≈ 120 GB — shard by hash prefix at that point; one filter covers any
+    * single-stream shard) and never forgets. Each batch ORs its own
+    * filter into the running one (Spark's public BloomFilter sketch is
+    * mergeable) under the usual store contract: read strictly earlier
+    * batches, overwrite your own partition — so replays are exactly-once.
+    * Output rows carry `probably_seen`: false is CERTAIN-new (safe to
+    * admit), true routes the row to the (rare) exact re-check.
+    */
+  def bloomDedupStream(docs: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, expectedKeys: Long = 10000000L, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBloomBatch(batch, batchId, outDir, storeDir, expectedKeys,
+          fpp, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch of [[bloomDedupStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processBloomBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, expectedKeys: Long, fpp: Double,
+      idCol: String, textCol: String): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val hashed = batch.select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
+    // merge every strictly-earlier batch's filter (mergeInPlace = bitwise OR)
+    val prior = committedOr(spark, s"$storeDir/bloom", batchId,
+      Seq.empty[Array[Byte]].toDF("bits"))
+      .collect().map(_.getAs[Array[Byte]]("bits"))
+      .foldLeft(BloomFilter.create(expectedKeys, fpp)) { (acc, b) =>
+        acc.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      }
+    val bc = spark.sparkContext.broadcast(prior)
+    val seen = udf((h: String) => bc.value.mightContainString(h))
+    hashed.withColumn("probably_seen", seen(col("content_hash")))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // this batch's own filter, built distributed, stored for later batches
+    val mine = hashed.stat.bloomFilter("content_hash", expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    mine.writeTo(bos)
+    Seq(bos.toByteArray).toDF("bits")
+      .write.mode("overwrite").parquet(s"$storeDir/bloom/batch_id=$batchId")
+    bc.destroy()
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

@@ -261,6 +261,38 @@ class IoStreamingSpec extends SparkSpec {
     evalSet.unpersist()
   }
 
+  test("bloom seen-ever flagging: cross-batch repeats flagged, new content certain-new") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("bloom").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.bloomDedupStream(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", expectedKeys = 1000L)
+    mem.addData((1L, "alpha doc"), (2L, "beta doc"))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha doc"), (4L, "gamma doc"))  // 3 repeats batch-1 content
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("probably_seen")).toMap
+    assert(!out(1L) && !out(2L), "first batch sees an empty prior filter")
+    assert(out(3L), "cross-batch repeated content must be flagged")
+    assert(!out(4L), "fresh content is certain-new at this filter load")
+    // replaying batch 0 sees the same empty prior: identical flags + filter
+    val priorBits = spark.read.parquet(s"$dir/store/bloom").count()
+    Streaming.processBloomBatch(
+      Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text"), 0L,
+      s"$dir/out", s"$dir/store", 1000L, 0.01, "doc_id", "text")
+    val replay = spark.read.parquet(s"$dir/out/batch_id=0")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("probably_seen")).toMap
+    assert(replay == Map(1L -> false, 2L -> false))
+    assert(spark.read.parquet(s"$dir/store/bloom").count() == priorBits)
+  }
+
   test("streaming weighted sample: running top-k equals the batch operator, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
