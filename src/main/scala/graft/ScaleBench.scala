@@ -425,6 +425,38 @@ object ScaleBench {
         f"A-ES inclusion odds off: heavy share $heavyShare%.4f vs 0.909")
     }
 
+    // 10i. Perceptual dHash at 1M 512-byte frames (~512 MB decoded, 16×32
+    // px → 4×8 blocks → 24 hash bits): 10% of payloads repeat in 10-copy
+    // groups keyed on id%10k — every same-key pair MUST share a hash
+    // (asserted exactly); the 900k unique frames must spread widely over
+    // the 24-bit space (measured ~800k distinct — below the ~880k ideal
+    // birthday bound because adjacent comparison bits share a block and
+    // are negatively correlated, i.e. <24 bits of entropy by design).
+    timed(s"image_dhash_${nDocs / 1000}k_frames") {
+      import graft.operators.Multimodal
+      import spark.implicits._
+      val key = when(col("id") % 10 === 0, col("id") / 10 % 10000)
+        .otherwise(col("id") + nDocs)
+      val media = spark.range(nDocs).select(col("id").as("media_id"),
+          lit("gray").as("kind"),
+          encode(concat_ws("", transform(sequence(lit(0), lit(15)),
+            i => md5(concat(key.cast("string"), lit(":"), i)))), "UTF-8")
+            .as("payload"),
+          lit(16).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRow]
+      val h = Multimodal.dHash(media, width = 16, pool = 4).cache()
+      val copyHashes = h.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") / 10 % 10000).as("k"), col("dhash"))
+        .groupBy("k").agg(countDistinct(col("dhash")).as("nh"))
+        .filter(col("nh") > 1).count()
+      val uniqSpread = h.filter(col("media_id") % 10 =!= 0)
+        .select(countDistinct(col("dhash"))).head().getLong(0)
+      h.unpersist()
+      require(copyHashes == 0L, s"$copyHashes copy groups split across hashes")
+      println(f"[scale] dhash unique-frame spread: $uniqSpread (want ~880k of 900k)")
+      require(uniqSpread > 750000L, s"dhash spread collapsed: $uniqSpread")
+    }
+
     // 10h. Epoch shuffle at 10M docs: the two-phase global rank must yield
     // an exact permutation (0..n-1, all distinct) without ever funneling
     // the corpus through one task.
