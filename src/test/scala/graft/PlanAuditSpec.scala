@@ -132,6 +132,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), "q68 lost its per-bucket rank window")
   }
 
+  test("q64's composition reads shingle hashes from the session cache, not recomputed") {
+    // the composed curation decision touches the shingle machinery through
+    // q56 (minhash+jaccard) AND q65 (decontamination): both must hit the
+    // persisted sharedShingleHashes — a plan that re-derives shingles from
+    // the documents scan would pay the dominant cost twice at 100 TB
+    // (the cached plans are printed as InMemoryTableScan innerChildren, so
+    // a raw substring count of shingle_hashes would see the CACHED calls
+    // too — count the cache scans themselves instead)
+    val plan = planOf("q64_curation_decision")
+    val nCacheScans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(nCacheScans >= 3,
+      s"q64 should read the shared shingle/jaccard caches through q56 AND " +
+        s"q65 (several scans), found $nCacheScans")
+  }
+
   test("filters and projections reach the parquet scan (q06 probe)") {
     val plan = planOf("q06_filter_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull"),
