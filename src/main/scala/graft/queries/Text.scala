@@ -1135,7 +1135,41 @@ object Text {
       |SELECT h.doc_id, h.dhash, h.doc_id = g.canon AS is_canonical, g.n_copies
       |FROM h JOIN g USING (dhash)""".stripMargin
 
+  /** q74: the curation FUNNEL — per-reason drop counts over the composed
+    * q64 decision, attributing each document to its FIRST drop reason in
+    * precedence order (the report every production curation pass emits).
+    * One conditional aggregation over the decision table.
+    */
+  def q74CurationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val reason = when(col("doc_id") % 11 === 0, "eval_holdout")
+      .when(col("is_exact_dup"), "exact_dup")
+      .when(col("is_near_dup"), "near_dup")
+      .when(col("contaminated"), "contaminated")
+      .when(col("dup_heavy"), "dup_spans")
+      .when(!col("quality_keep"), "low_quality")
+      .when(!col("sample_keep"), "downsampled")
+      .otherwise("kept")
+    q64CurationDecision(spark, sfDir)
+      .groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  lazy val q74Sql: String =
+    s"""SELECT CASE
+       |    WHEN doc_id % 11 = 0 THEN 'eval_holdout'
+       |    WHEN is_exact_dup THEN 'exact_dup'
+       |    WHEN is_near_dup THEN 'near_dup'
+       |    WHEN contaminated THEN 'contaminated'
+       |    WHEN dup_heavy THEN 'dup_spans'
+       |    WHEN NOT quality_keep THEN 'low_quality'
+       |    WHEN NOT sample_keep THEN 'downsampled'
+       |    ELSE 'kept' END AS reason,
+       |  COUNT(1) AS n_docs
+       |FROM ($q64Sql)
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
     QueryDef("q71_length_buckets", q71LengthBuckets, Some(q71Sql)),
