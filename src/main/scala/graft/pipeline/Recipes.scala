@@ -67,4 +67,36 @@ object Recipes {
       .agg(avg(col("weight")).as("weight")) // mean over configs (R17)
     Gradients.peak(Gradients.circSmooth(smoothed))
   }
+
+  /** The training-data END PRODUCT: apply a curation decision, shuffle the
+    * survivors deterministically for the epoch, pack them into fixed-size
+    * context windows, and range-shard the window stream for parallel
+    * readers. Composes the audited pieces — epochShuffle's two-phase
+    * global rank, packSequences' two-phase prefix scan — so nothing here
+    * funnels the corpus through one task, and reruns are bit-identical
+    * (every ordering coin is an md5 of ids).
+    *
+    * Output rows: (shard, seq_id, seq_off, doc_id, n_tok, spans_boundary,
+    * text), where shard = seq_id·nShards div nSeqs keeps each shard a
+    * CONTIGUOUS window range (sequential reads per trainer).
+    */
+  def curateAndShard(docs: DataFrame, keep: DataFrame, seqLen: Int,
+      nShards: Int, epoch: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val kept = docs.join(keep.filter(col("keep")).select(col(idCol)), idCol)
+    val order = TextOps.epochShuffle(kept, epoch, idCol)
+    val seq = kept.join(order, idCol)
+      .select(col("shuffle_pos"), col(idCol), col(textCol))
+    val packed = TextOps.packSequences(seq, seqLen, idCol = "shuffle_pos",
+        textCol = textCol)
+      .join(seq, "shuffle_pos")
+    val totRow = packed
+      .agg(((max(col("start_tok") + col("n_tok")) + (seqLen - 1)) / seqLen)
+        .cast("long")).head()
+    val nSeqs = if (totRow.isNullAt(0)) 1L else math.max(1L, totRow.getLong(0))
+    packed.select(
+      expr(s"(seq_id * $nShards) DIV ${nSeqs}L").as("shard"),
+      col("seq_id"), col("seq_off"), col(idCol), col("n_tok"),
+      col("spans_boundary"), col(textCol))
+  }
 }

@@ -52,4 +52,30 @@ class RecipesSpec extends SparkSpec {
     assert(peaks.nonEmpty)
     assert(peaks.forall(r => r.getAs[Int]("peak_bin") >= 0 && r.getAs[Int]("peak_bin") < 72))
   }
+
+  test("curateAndShard: kept docs exactly once, contiguous shards, deterministic") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val keep = docs.select(col("doc_id"), (col("doc_id") % 3 =!= 0).as("keep"))
+    val out = Recipes.curateAndShard(docs, keep, seqLen = 256, nShards = 4,
+      epoch = 1).cache()
+    val keptIds = keep.filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val outIds = out.select("doc_id").collect().map(_.getLong(0))
+    assert(outIds.length == keptIds.size && outIds.toSet == keptIds,
+      "every kept doc exactly once, no dropped doc")
+    // shards partition the window stream into contiguous ranges
+    val ranges = out.groupBy("shard")
+      .agg(min(col("seq_id")).as("lo"), max(col("seq_id")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.map(_._1).toSeq == (0L until 4L).toSeq, ranges.toSeq.toString)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo, _)) => assert(hi <= lo, ranges.toSeq.toString)
+      case _ =>
+    }
+    // deterministic end to end
+    val again = Recipes.curateAndShard(docs, keep, seqLen = 256, nShards = 4,
+      epoch = 1)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
 }
