@@ -206,23 +206,60 @@ object TextOps {
     *  - `dup_bigram_frac`: duplicate word-bigram fraction — the n-gram
     *    repetition rule.
     *
-    * Scale shape: every signal is an array expression over the token split
-    * (map-side, zero shuffle, no UDFs) — per-doc cost is O(len²) on the
-    * top-word scan, bounded by document length, so the operator is
-    * embarrassingly parallel at 100 TB. The explode+groupBy alternative
-    * would cost two corpus-wide shuffles to compute the same per-document
-    * numbers.
+    * Scale shape: one codegen'd [[graft.sql.GopherSignalsExpression]] call
+    * per document computes all five counts in a single O(len) compiled
+    * pass (map-side, zero shuffle, no UDFs) — embarrassingly parallel at
+    * 100 TB with a linear per-doc constant. The interpreted higher-order
+    * spelling ([[qualityFilterFold]], kept as the spec's bit-equality
+    * mirror) pays an O(len²) top-word scan through lambda interpretation;
+    * at r7 that made this the bench's slowest query (7.9 s, ~3× the next).
+    * Ratio/rounding arithmetic stays in Catalyst `round` columns, so the
+    * DuckDB-oracle-matched HALF_UP semantics are untouched.
     *
-    * The token arrays are materialized by their OWN projection before the
-    * signal expressions reference them: higher-order functions are
-    * interpreted (no whole-stage codegen, no common-subexpression
-    * elimination), so a lambda body that contained the `split` itself
-    * would re-split the document once per outer element — O(len) regex
-    * splits per row, a measured ~30× slowdown. CollapseProject keeps the
-    * stage split because a non-cheap expression referenced many times is
-    * never inlined.
+    * The signal struct is materialized by its OWN projection before the
+    * ratio columns reference its fields: CollapseProject never inlines a
+    * non-cheap expression referenced many times, so the kernel runs once
+    * per row (same stage-split reasoning as the fold spelling's `__toks`).
     */
   def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val prepared = docs.select(col(idCol),
+      length(col(textCol)).as("__chars"),
+      call_function("gopher_signals", col(textCol)).as("__sig"))
+    val sig = col("__sig")
+    val n = sig.getField("n_words")
+    val meanWordLen =
+      round((col("__chars") - (n - 1)).cast("double") / n, 6)
+    val ttr = round(sig.getField("n_distinct").cast("double") / n, 6)
+    // coalesce only to pin nullable=false, matching the fold spelling's
+    // size(filter(lit(...))) schema — the field is never null in practice
+    val nStopKinds = coalesce(sig.getField("n_stop_kinds"), lit(0))
+    val topWordFrac =
+      round(sig.getField("top_word_count").cast("double") / n, 6)
+    val dupBigramFrac = when(n < lit(2), lit(0.0)).otherwise(
+      round(lit(1.0) - sig.getField("n_distinct_bigrams").cast("double") / (n - 1), 6))
+    prepared.select(col(idCol), n.as("n_words"), meanWordLen.as("mean_word_len"),
+        ttr.as("ttr"), nStopKinds.as("n_stop_kinds"),
+        topWordFrac.as("top_word_frac"), dupBigramFrac.as("dup_bigram_frac"))
+      .withColumn("keep", keepRule)
+  }
+
+  /** The composed Gopher keep decision over the signal columns. */
+  private def keepRule: Column =
+    col("n_words").between(30, 100000) &&
+      col("mean_word_len").between(3.0, 8.0) &&
+      col("ttr") >= 0.35 &&
+      col("n_stop_kinds") >= 2 &&
+      col("top_word_frac") <= 0.12 &&
+      col("dup_bigram_frac") <= 0.05
+
+  /** Reference higher-order spelling of [[qualityFilter]] — TextSpec
+    * asserts bit-equality with the native-expression path. Interpreted
+    * HOFs with an O(len²) top-word scan; the token arrays are materialized
+    * by their own projection first (interpreted lambdas re-evaluate
+    * non-cheap references per element — the measured ~30× re-split trap).
+    */
+  private[graft] def qualityFilterFold(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val prepared = docs.select(col(idCol),
       length(col(textCol)).as("__chars"),
@@ -246,13 +283,7 @@ object TextOps {
     prepared.select(col(idCol), n.as("n_words"), meanWordLen.as("mean_word_len"),
         ttr.as("ttr"), nStopKinds.as("n_stop_kinds"),
         topWordFrac.as("top_word_frac"), dupBigramFrac.as("dup_bigram_frac"))
-      .withColumn("keep",
-        col("n_words").between(30, 100000) &&
-          col("mean_word_len").between(3.0, 8.0) &&
-          col("ttr") >= 0.35 &&
-          col("n_stop_kinds") >= 2 &&
-          col("top_word_frac") <= 0.12 &&
-          col("dup_bigram_frac") <= 0.05)
+      .withColumn("keep", keepRule)
   }
 
   /** Marker-token language/dialect classifier (n-gram-frequency heuristic):

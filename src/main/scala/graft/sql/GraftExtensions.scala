@@ -2,11 +2,12 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, Literal, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, GenericInternalRow, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.Gmf
@@ -530,6 +531,102 @@ case class PqEncodeExpression(first: Expression, second: Expression, third: Expr
     copy(first = f, second = s, third = t)
 }
 
+/** Kernel for [[GopherSignalsExpression]]: ALL Gopher quality counts in one
+  * O(n) pass over the token array — bit-identical to the higher-order
+  * Catalyst spelling (TextOps.qualityFilterFold) and the DuckDB oracle:
+  *
+  *  - tokens: `split(text, " ")` keeps interior/trailing empties (limit -1);
+  *  - distinct tokens by string equality (= UTF8String binary equality on
+  *    valid UTF-8);
+  *  - bigram distinctness via dictionary-id pairs: tokens cannot contain
+  *    the separator, so `tokA + " " + tokB` is injective in (tokA, tokB)
+  *    and id-pair equality == concatenated-string equality.
+  *
+  * The interpreted spelling's `top_word_frac` is O(distinct × tokens) per
+  * document — quadratic in document length; this dictionary count is the
+  * sort-free O(n) rewrite, and the whole struct computes in one compiled
+  * call per row.
+  */
+object GopherSignals extends Serializable {
+  def signals(text: UTF8String, stops: Array[String]): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val idOf = new java.util.HashMap[String, Integer](n * 2)
+    val counts = new Array[Int](n)
+    val tokIds = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      var id = idOf.get(t)
+      if (id == null) { id = Integer.valueOf(idOf.size); idOf.put(t, id) }
+      val iid = id.intValue()
+      counts(iid) += 1
+      tokIds(i) = iid
+      i += 1
+    }
+    val nDistinct = idOf.size
+    var maxCount = 0
+    i = 0
+    while (i < nDistinct) { if (counts(i) > maxCount) maxCount = counts(i); i += 1 }
+    var nStop = 0
+    var s = 0
+    while (s < stops.length) { if (idOf.containsKey(stops(s))) nStop += 1; s += 1 }
+    var nDistinctBigrams = 0
+    if (n >= 2) {
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      i = 0
+      while (i < n - 1) {
+        seen.add(java.lang.Long.valueOf(
+          (tokIds(i).toLong << 32) | (tokIds(i + 1).toLong & 0xffffffffL)))
+        i += 1
+      }
+      nDistinctBigrams = seen.size
+    }
+    new GenericInternalRow(Array[Any](n, nDistinct, nStop, maxCount, nDistinctBigrams))
+  }
+}
+
+/** Codegen'd Gopher quality-signal counts (Rae et al. 2021 §A1.1) — the
+  * q57 hot path. The higher-order spelling pays interpreted lambdas and an
+  * O(len²) top-word scan per document; this returns all five counts as one
+  * struct in one compiled pass. Ratios/rounding stay in codegen'd Catalyst
+  * arithmetic outside the expression, so the oracle-matched `round`
+  * semantics are untouched. `stopWords` is part of the expression (not a
+  * child): the set is a query-time constant, like GmfExpression's kernel.
+  */
+case class GopherSignalsExpression(child: Expression, stopWords: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stop_kinds", IntegerType, nullable = false),
+    StructField("top_word_count", IntegerType, nullable = false),
+    StructField("n_distinct_bigrams", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gopher_signals"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gopher_signals expects a string document, got $other")
+  }
+
+  @transient private lazy val stopsArr: Array[String] = stopWords.toArray
+
+  override protected def nullSafeEval(t: Any): Any =
+    GopherSignals.signals(t.asInstanceOf[UTF8String], stopsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherSignals", GopherSignals, GopherSignals.getClass.getName)
+    val stops = ctx.addReferenceObj("gopherStops", stopsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, t => s"$ref.signals($t, $stops)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extensions: every registered model becomes a SQL-callable scalar
   * (`SELECT gmf_cmod5n(inc, wspd, phi) FROM scene`) backed by the codegen
   * expression — the sql/ surface of SURVEY.md §7.1. Two-argument crosspol
@@ -605,6 +702,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, w, s) => L2SubExpression(a, w, s)
         case other => throw new IllegalArgumentException(
           s"l2sub_f32 expects (vector, codeword, sub), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_signals"),
+      new ExpressionInfo("graft.sql.GopherSignalsExpression", "gopher_signals"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => GopherSignalsExpression(t, graft.operators.TextOps.StopWords)
+        case other => throw new IllegalArgumentException(
+          s"gopher_signals expects (text), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),

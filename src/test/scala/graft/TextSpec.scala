@@ -136,6 +136,28 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("native gopher_signals is bit-identical to the Catalyst HOF spelling") {
+    import spark.implicits._
+    // the corpus plus edge shapes: empty text (split -> [""]), one token,
+    // interior double space (empty token is a countable word), trailing
+    // space, all-same tokens (top_word_frac 1.0, dup bigrams), unicode,
+    // stopword-only docs
+    val edges = Seq("", "a", "a  b", "a b ", "spam spam spam spam",
+      "the a of and the a of and", "é ü 中 文 é ü", "x y x y x y z")
+      .zipWithIndex.map { case (t, i) => (20000L + i, t) }.toDF("doc_id", "text")
+    for (d <- Seq(docs, edges)) {
+      val native = TextOps.qualityFilter(d)
+      val fold = TextOps.qualityFilterFold(d)
+      assert(native.schema == fold.schema, "schemas must match exactly")
+      val mismatch = native.as("a").join(fold.as("b"), "doc_id")
+        .filter(Seq("n_words", "mean_word_len", "ttr", "n_stop_kinds",
+          "top_word_frac", "dup_bigram_frac", "keep")
+          .map(c => col(s"a.$c") =!= col(s"b.$c")).reduce(_ || _))
+        .count()
+      assert(mismatch == 0, "gopher_signals diverges from the HOF fold")
+    }
+  }
+
   test("native poly_hash is bit-identical to the Catalyst fold spelling") {
     val mismatch = docs.select(
         TextOps.fingerprint("text").as("native"),
