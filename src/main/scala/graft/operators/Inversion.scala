@@ -71,7 +71,12 @@ object Inversion {
     * shared-Scharr/shared-shingle pattern applied to the LUT build.
     */
   def buildLuts(spark: SparkSession, coModel: Option[String], crModel: Option[String],
-      highRes: Boolean = true, interpolated: Boolean = false): Broadcast[InvLuts] =
+      highRes: Boolean = true, interpolated: Boolean = false): Broadcast[InvLuts] = {
+    // evict entries of stopped contexts so long-lived multi-session
+    // processes don't pin dead broadcasts; a concurrent first call may
+    // build the LUT twice (TrieMap.getOrElseUpdate races) — benign, the
+    // loser's broadcast is just an extra few MB until GC
+    lutCache.filterInPlace((k, _) => !k._1.isStopped)
     // keyed on the resolved MODEL INSTANCES, not names: re-registering a
     // model under the same name (user GMFs, M2) must not serve stale LUTs
     lutCache.getOrElseUpdate(
@@ -89,6 +94,7 @@ object Inversion {
         val coSin = co.phi.map(p => math.sin(math.toRadians(p)))
         spark.sparkContext.broadcast(InvLuts(co, phi180, coCos, coSin, cr))
       })
+  }
 
   private val lutCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, Option[AnyRef], Option[AnyRef], Boolean, Boolean),

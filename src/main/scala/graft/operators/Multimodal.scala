@@ -133,6 +133,12 @@ object Multimodal {
   def dHash(media: Dataset[MediaRow], width: Int, pool: Int,
       maxBlockRows: Int = 8): DataFrame = {
     val bpr = width / pool - 1 // comparisons (= bits) per block row
+    // shiftleft wraps mod 64: an index past 63 would silently collide with
+    // a low bit and sum() (not OR) would carry into neighbors — reject
+    // shapes whose highest bit index doesn't fit one long
+    require(maxBlockRows.toLong * bpr <= 64,
+      s"dHash needs maxBlockRows*(width/pool-1) <= 64 bits, " +
+        s"got $maxBlockRows*$bpr = ${maxBlockRows.toLong * bpr}")
     val pooled = decodeGrayPool(media, width, pool)
       .filter(col("block_row") < maxBlockRows)
     val a = pooled.select(col("media_id"), col("block_row"), col("block_col"),

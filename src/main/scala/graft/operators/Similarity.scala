@@ -529,6 +529,8 @@ object Similarity {
       .collect()
     val sampleVecs = sampleRows.map(_.getSeq[Any](1).map(
       _.asInstanceOf[Number].doubleValue()).toArray)
+    require(sampleVecs.length >= codebookSize,
+      s"corpus has ${sampleVecs.length} vectors, need >= $codebookSize for the codebook seed")
     val seedFlat = Array.tabulate(m * codebookSize * subDim) { flat =>
       val i = flat % subDim
       val c = flat / subDim % codebookSize

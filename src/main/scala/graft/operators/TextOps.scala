@@ -669,16 +669,25 @@ object TextOps {
     * [[dsirScoreAgainst]]. */
   def dsirWeights(corpus: DataFrame, isTarget: Column, buckets: Int = 8192,
       alpha: Double = 0.5, textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
     val tok = corpus
       .select(isTarget.as("__t"), explode(tokens(col(textCol))).as("__tok"))
       .select(col("__t"), (tokenHash(col("__tok")) % buckets).as("b"))
     val feat = tok.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"), count(when(col("__t"), lit(1))).as("ct"))
     val tots = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    feat.crossJoin(broadcast(tots))
+    // DENSE over all bucket ids (the table is bounded at `buckets` rows by
+    // construction): buckets unseen in the reference corpus carry the
+    // smoothed count-0 weight instead of vanishing, so scoring a NEW batch
+    // (the streaming twin's whole point) never drops tokens — an inner
+    // join against a sparse table silently excluded new-domain tokens
+    // from both n_toks and the score.
+    spark.range(buckets).select(col("id").as("b"))
+      .join(feat, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
       .select(col("b"),
-        (log((col("ct") + alpha) / (col("nt") + alpha * buckets)) -
-          log((col("cr") + alpha) / (col("nr") + alpha * buckets))).as("w"))
+        (log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + alpha * buckets)) -
+          log((coalesce(col("cr"), lit(0L)) + alpha) / (col("nr") + alpha * buckets))).as("w"))
   }
 
   /** Score documents against a prebuilt [[dsirWeights]] table: one token

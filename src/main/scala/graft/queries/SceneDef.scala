@@ -33,9 +33,13 @@ object SceneDef {
   private val sceneCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def scene(spark: SparkSession, sfDir: String): DataFrame =
+  def scene(spark: SparkSession, sfDir: String): DataFrame = {
+    // evict stopped sessions so multi-session processes don't pin dead
+    // persisted frames (ADVICE r7: session-keyed memos need eviction)
+    sceneCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     sceneCache.getOrElseUpdate((spark, sfDir),
       build(spark, sfDir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")

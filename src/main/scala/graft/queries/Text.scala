@@ -153,29 +153,36 @@ object Text {
   //  - the candidate-pair set: q36 scores exactly q35's output pairs.
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+  private def sharedShingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    // evict stopped sessions (ADVICE r7: session-keyed memos need eviction)
+    shCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     shCache.getOrElseUpdate((spark, sfDir),
       TextOps.shingleHashes(Tables.load(spark, sfDir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedCandidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+  private def sharedCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    candCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     candCache.getOrElseUpdate((spark, sfDir),
       TextOps.lshCandidatePairs(
         TextOps.minhashFromHashes(sharedShingleHashes(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   // the exact-Jaccard scores over the shared candidates — q36 reports them,
   // q56 and q59 threshold them at 0.8; pair-count-sized, so persisting is
   // cheap and saves the shuffle-heavy confirm join twice per session
   private val jacCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedJaccard(spark: SparkSession, sfDir: String): DataFrame =
+  private def sharedJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    jacCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     jacCache.getOrElseUpdate((spark, sfDir),
       TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
           sharedCandidatePairs(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** q35: MinHash+LSH near-duplicate candidate pairs. */
   def q35MinhashPairs(spark: SparkSession, sfDir: String): DataFrame =

@@ -357,7 +357,11 @@ object Streaming {
     val spark = batch.sparkSession
     val cand = TextOps.weightedSample(batch, weight, k, idCol)
     val prior = committedOr(spark, s"$storeDir/topk", batchId, cand.limit(0))
-    val top = prior.unionByName(cand)
+    // a doc re-ingested in a later batch exists in BOTH the prior store and
+    // this batch's candidates with the same deterministic priority —
+    // without the dedup the k-row reservoir could hold the same doc twice
+    // and under-represent distinct docs
+    val top = prior.unionByName(cand).dropDuplicates(idCol)
       .orderBy(col("priority").desc, col(idCol)).limit(k).persist()
     top.write.mode("overwrite").parquet(s"$storeDir/topk/batch_id=$batchId")
     top.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")

@@ -321,6 +321,27 @@ class IoStreamingSpec extends SparkSpec {
     assert(replay == exact)
   }
 
+  test("streaming weighted sample: re-ingested docs appear once, never twice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("wsampledup").toString
+    // batch 0 and batch 1 OVERLAP: doc_ids 0..99 arrive twice with the
+    // same weight (same deterministic priority). Prior store + candidates
+    // both hold them — the reservoir must keep each doc at most once.
+    val b0 = (0L until 100L).map(i => (i, 8.0))
+    val b1 = (0L until 150L).map(i => (i, 8.0))
+    Streaming.processWeightedSampleBatch(b0.toDF("doc_id", "w"), 0L,
+      col("w"), 40, s"$dir/out", s"$dir/store", "doc_id")
+    Streaming.processWeightedSampleBatch(b1.toDF("doc_id", "w"), 1L,
+      col("w"), 40, s"$dir/out", s"$dir/store", "doc_id")
+    val ids = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == 40)
+    assert(ids.distinct.length == ids.length,
+      s"reservoir held a doc twice: ${ids.groupBy(identity).filter(_._2.length > 1).keys}")
+  }
+
   test("streaming DSIR scoring classifies arriving docs against fixed corpus weights") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -496,6 +517,19 @@ class IoStreamingSpec extends SparkSpec {
     val f = Multimodal.dHash(Seq(MediaRow(4, "gray", flipped, 8, 0)).toDS(), 8, 4)
       .collect().head.getAs[Long]("dhash")
     assert(f == 0L, s"flipping block (0,0) must clear bit 0: $f")
+  }
+
+  test("dHash rejects shapes whose bit index would wrap past 64 bits") {
+    import spark.implicits._
+    val media = Seq(MediaRow(1, "gray", Array.fill[Byte](64 * 64)(1), 64, 0)).toDS()
+    // width 64 pool 4 → 15 bits/row; 8 rows = 120 bits: shiftleft would
+    // wrap mod 64 and sum() would carry into neighboring bits
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dHash(media, width = 64, pool = 4, maxBlockRows = 8)
+    }
+    assert(e.getMessage.contains("64 bits"), e.getMessage)
+    // the safe shape at the same width still works
+    assert(Multimodal.dHash(media, width = 64, pool = 4, maxBlockRows = 4).count() == 1)
   }
 
   test("raw-PCM framing: exact RMS/peak incl. negative samples, truncation") {

@@ -547,6 +547,33 @@ class TextSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, false)))
   }
 
+  test("dsirScoreAgainst keeps docs whose tokens miss the reference corpus") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i => (i, i < 10, "alpha beta gamma"))
+      .toDF("doc_id", "is_t", "text")
+    val weights = TextOps.dsirWeights(corpus, isTarget = col("is_t"), buckets = 1024)
+    // every token of this doc hashes to buckets the corpus never touched —
+    // a sparse weights table would silently drop the doc entirely
+    val novel = Seq((99L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextOps.dsirScoreAgainst(novel, weights, buckets = 1024).collect()
+    assert(got.length == 1, "new-domain doc must not vanish from the output")
+    assert(got.head.getAs[Long]("n_toks") == 3L, "every token counted")
+    // unseen buckets carry the smoothed count-0 weight: with equal target
+    // and raw totals here the ratio is ~log((nt+a*B)/(nr... ) — just check
+    // the score is finite
+    assert(!got.head.getAs[Double]("dsir_score").isNaN)
+    // the table is dense: exactly `buckets` rows regardless of corpus
+    assert(weights.count() == 1024L)
+  }
+
+  test("pqTopK rejects a corpus smaller than the codebook with a clear error") {
+    val tiny = emb.filter(col("vec_id") < 5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, emb.filter(col("vec_id") < 2), k = 2, codebookSize = 16)
+    }
+    assert(e.getMessage.contains("codebook seed"), e.getMessage)
+  }
+
   test("dsirScores separates target-domain from off-domain documents") {
     import spark.implicits._
     val d = (0L until 100L).map { i =>
