@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * kernels over fixed-size batches (the Scala analogue of `mapInPandas` —
   * same batch shape, schema contract, and partitioning story).
   *
-  * Codec-format decode (JPEG/PNG/FLAC…) is STUBBED — this container has no
-  * codec libraries — behind [[decodeStub]]: a deterministic fake that
-  * derives pixels from the payload bytes. The RAW grayscale path
-  * ([[decodeGrayPool]]: decode + average-pool resize) is REAL — it needs no
-  * library — and everything around both (schema, batching, partition-local
-  * execution, output contract) is real and tested, so swapping in a codec
-  * decoder is a one-function change.
+  * Decode coverage: the RAW grayscale path ([[decodeGrayPool]]) and the
+  * PNG path ([[decodePngGrayPool]], backed by the from-scratch spec reader
+  * [[graft.sources.Png]] — inflate + chunk walk + the five filters) are
+  * REAL. JPEG/FLAC remain STUBBED behind [[decodeStub]] (a deterministic
+  * fake deriving pixels from payload bytes): those codecs aren't
+  * in-container-feasible from scratch. Everything around both (schema,
+  * batching, partition-local execution, output contract) is real and
+  * tested, so swapping in another codec decoder is a one-function change.
   *
   * Scale notes: payloads never shuffle (all ops are map-side); feature
   * vectors are orders of magnitude smaller than payloads, so downstream
@@ -97,26 +98,76 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
-      val h = bytes.length / width
-      val fullH = h - h % pool
-      val blocksPerRow = width / pool // width must be a multiple of pool
-      for {
-        br <- 0 until fullH / pool
-        bc <- 0 until blocksPerRow
-      } yield {
-        var s = 0L
-        var r = br * pool
-        while (r < (br + 1) * pool) {
-          var c = bc * pool
-          while (c < (bc + 1) * pool) {
-            s += bytes(r * width + c) & 0xff
-            c += 1
-          }
-          r += 1
+      poolBlocks(m.media_id, bytes, width, pool)
+    }.toDF("media_id", "block_row", "block_col", "mean_val")
+  }
+
+  /** Average-pool a row-major gray byte matrix over `pool`×`pool` blocks
+    * (partial blocks dropped): the shared tail of every image decode path.
+    * Block means are dyadic rationals — exactly representable, so they
+    * cross-check engines with no rounding.
+    */
+  private def poolBlocks(mediaId: Long, bytes: Array[Byte], width: Int,
+      pool: Int): Seq[(Long, Int, Int, Double)] = {
+    val h = bytes.length / width
+    val fullH = h - h % pool
+    val blocksPerRow = width / pool // width must be a multiple of pool
+    for {
+      br <- 0 until fullH / pool
+      bc <- 0 until blocksPerRow
+    } yield {
+      var s = 0L
+      var r = br * pool
+      while (r < (br + 1) * pool) {
+        var c = bc * pool
+        while (c < (bc + 1) * pool) {
+          s += bytes(r * width + c) & 0xff
+          c += 1
         }
-        (m.media_id, br, bc, s.toDouble / (pool * pool))
+        r += 1
+      }
+      (mediaId, br, bc, s.toDouble / (pool * pool))
+    }
+  }
+
+  /** REAL codec decode + resize for PNG payloads — the compressed sibling
+    * of [[decodeGrayPool]], backed by the from-scratch spec reader
+    * [[graft.sources.Png]] (chunk walk, zlib inflate, all five scanline
+    * filters, every 8-bit color type): decode → integer-luma gray →
+    * `pool`×`pool` average-pool, one row per block. The PNG half of the
+    * codec stub ([[decodeStub]]) is hereby retired; JPEG/FLAC remain
+    * stubbed (their decoders are not in-container-feasible from scratch).
+    *
+    * Same scale shape as [[decodeGrayPool]]: per-partition kernel, payloads
+    * never shuffle, output is ~pool²·compression smaller than the input.
+    * Width comes from the PNG header — the metadata column is not trusted.
+    */
+  def decodePngGrayPool(media: Dataset[MediaRow], pool: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.payload == null || m.payload.isEmpty) Seq.empty
+      else {
+        val img = graft.sources.Png.decode(m.payload)
+        poolBlocks(m.media_id, graft.sources.Png.toGray(img), img.width, pool)
       }
     }.toDF("media_id", "block_row", "block_col", "mean_val")
+  }
+
+  /** Encode raw-gray payloads as real PNGs (deflate + cycling scanline
+    * filters): `width`-wide rows, trailing partial row dropped — the
+    * transform that turns an interchange-format corpus into a compressed
+    * one, and the encode half of the q75 round-trip oracle. Map-side
+    * kernel; payloads never shuffle.
+    */
+  def pngEncode(media: Dataset[MediaRow], width: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val h = bytes.length / width
+      if (h == 0) m.copy(kind = "png", payload = Array.empty[Byte])
+      else m.copy(kind = "png",
+        payload = graft.sources.Png.encodeGray(width, h, bytes), height = h)
+    }
   }
 
   /** Perceptual dHash over the REAL grayscale decode — image near-dup

@@ -1175,7 +1175,34 @@ object Text {
        |FROM ($q64Sql)
        |GROUP BY 1""".stripMargin
 
+  /** q75: REAL compressed-codec round trip — documents' bytes become 8-bit
+    * grayscale frames (16 px wide, like q62), are PNG-ENCODED (zlib
+    * deflate, scanline filters cycling all five spec types) and decoded
+    * back by the from-scratch spec reader (sources.Png: chunk walk,
+    * inflate, unfilter), then average-pool resized. The oracle recomputes
+    * every block mean relationally from the TEXT — the query is green only
+    * if encode → decode is the identity on every document, so the whole
+    * codec path (both directions) is driver-gated, not just spec-gated.
+    * Two chained map-side kernels: payloads never shuffle at any scale.
+    */
+  def q75PngRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodePngGrayPool(Multimodal.pngEncode(media, width = 16), pool = 4)
+      .select(col("media_id").as("doc_id"), col("block_row"), col("block_col"),
+        col("mean_val"))
+  }
+
+  // identical oracle to q62: the PNG encode→decode must be byte-identity,
+  // so the expected block means are q62's — recomputed from the text
+  val q75Sql: String = q62Sql
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
