@@ -232,6 +232,45 @@ object ScaleBench {
       require(r >= 0.6, f"PQ ADC recall $r%.4f below the 0.6 gate")
     }
 
+    // 8d. TRUE IVFADC at 1M vectors — the composed production tier (Jégou
+    // 2011 §IV): inverted lists × residual PQ codes, exact-reranked. The
+    // recall/nprobe curve vs the exact L2 top-5 must be nondecreasing
+    // (probed lists are supersets) and the full-dial point must clear the
+    // ADC gate — the memory story (8 ints/vector scanned) now ALSO skips
+    // (numCents−nprobe)/numCents of the corpus per query.
+    timed(s"ann_ivfadc_recall_sweep_${nVec / 1000}k") {
+      val queries = emb.filter(col("vec_id") < 10).cache()
+      val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scoredEx = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Similarity.norm2(col("embedding")) + Similarity.norm2(col("qv"))
+            - lit(2.0) * Similarity.dot(col("embedding"), col("qv"))).as("d2"))
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+      val exact = scoredEx.withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select("query_id", "neighbor_id").cache()
+      val nExact = exact.count()
+      val recalls = Seq(1, 2, 4).map { nprobe =>
+        val got = Similarity.ivfadcTopK(emb, queries, k = 5, numCents = 16,
+            nprobe = nprobe, m = 8, codebookSize = 16, lloydIters = 1, rerank = 100)
+          .select("query_id", "neighbor_id")
+        val r = got.join(exact, Seq("query_id", "neighbor_id")).count().toDouble / nExact
+        println(f"[scale] ivfadc_recall@5 nprobe=$nprobe (1 Lloyd, rerank 100): $r%.4f")
+        r
+      }
+      exact.unpersist(); queries.unpersist()
+      // candidate lists are supersets as nprobe grows, but ADC ordering ≠
+      // exact ordering: a new list's better-ADC candidates can displace a
+      // true neighbor from the rerank shortlist, so the measured curve is
+      // monotone only up to that displacement — allow 2 pair flips (0.04
+      // of 50 pairs) and hard-gate the full-dial point
+      require(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 0.04 },
+        s"IVFADC recall must be (near-)nondecreasing in nprobe: $recalls")
+      require(recalls.last >= 0.6,
+        f"IVFADC recall ${recalls.last}%.4f below the 0.6 gate at nprobe=4")
+    }
+
     }
 
     if (on("docs")) {

@@ -807,6 +807,98 @@ object Text {
        |  FROM summed
        |) WHERE rn <= 5""".stripMargin
 
+  /** q76: TRUE IVFADC — the composed production ANN (Jégou TPAMI 2011
+    * §IV): q51's inverted lists × q63's PQ codes. Corpus vectors
+    * PQ-encode their RESIDUAL against their nearest of 8 coarse
+    * centroids; each of the first 10 queries probes its 2 nearest lists,
+    * builds one per-list ADC LUT from its residual in that list's frame,
+    * and ADC-scores only those lists' codes. Untrained/unreranked here —
+    * the bit-reproducible oracle path; Lloyd + exact rerank are the
+    * spec/ScaleBench-gated quality path (same split as q51/q63).
+    */
+  def q76IvfadcAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.ivfadcTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numCents = 8, nprobe = 2, m = 16, codebookSize = 16)
+      .select(col("query_id"), col("neighbor_id"), col("d2_adc"), col("rank"))
+  }
+
+  // full-vector left-fold squared L2 (coarse assignment distance)
+  private def d2FullSql(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(generate_series(1, 64), i ->
+       |    ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  // per-subspace squared L2 over DOUBLE residual lists at offset sub*4
+  private def d2SubResSql(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(generate_series(1, 4), i ->
+       |    ($a[c.sub*4 + i] - $b[c.sub*4 + i]) * ($a[c.sub*4 + i] - $b[c.sub*4 + i]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  val q76Sql: String =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent,
+       |         embedding AS cv
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+       |),
+       |assign AS (
+       |  SELECT vec_id, cent, rv FROM (
+       |    SELECT e.vec_id, c.cent,
+       |      list_transform(generate_series(1, 64), i ->
+       |        e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) AS rv,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2FullSql("e.embedding", "c.cv")} ASC, c.cent ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'cb'), vec_id) - 1 AS code,
+       |         rv AS cw
+       |  FROM assign ORDER BY md5(CAST(vec_id AS VARCHAR) || 'cb'), vec_id LIMIT 16
+       |),
+       |cw AS (SELECT s.sub, cb.code, cb.cw
+       |       FROM cb CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sub) s),
+       |enc AS (
+       |  SELECT vec_id, cent, sub, code FROM (
+       |    SELECT a.vec_id, a.cent, c.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, c.sub
+       |        ORDER BY ${d2SubResSql("a.rv", "c.cw")} ASC, c.code ASC) AS rn
+       |    FROM assign a CROSS JOIN cw c
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT query_id, cent, qrv FROM (
+       |    SELECT q.vec_id AS query_id, c.cent,
+       |      list_transform(generate_series(1, 64), i ->
+       |        q.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) AS qrv,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.embedding", "c.cv")} ASC,
+       |          c.cent ASC) AS rn
+       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10
+       |  ) WHERE rn <= 2
+       |),
+       |lut AS (
+       |  SELECT p.query_id, p.cent, c.sub, c.code,
+       |    ${d2SubResSql("p.qrv", "c.cw")} AS d2
+       |  FROM probes p CROSS JOIN cw c
+       |),
+       |summed AS (
+       |  SELECT l.query_id, en.vec_id AS neighbor_id,
+       |    ROUND(list_reduce(list_concat([CAST(0 AS DOUBLE)], list(l.d2 ORDER BY l.sub)),
+       |      (x, y) -> x + y), 6) AS d2_adc
+       |  FROM enc en
+       |  JOIN lut l ON l.cent = en.cent AND l.sub = en.sub AND l.code = en.code
+       |  WHERE en.vec_id != l.query_id
+       |  GROUP BY l.query_id, en.vec_id
+       |)
+       |SELECT query_id, neighbor_id, d2_adc, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d2_adc ASC, neighbor_id ASC) AS rn
+       |  FROM summed
+       |) WHERE rn <= 5""".stripMargin
+
   /** q64: the END-TO-END curation decision — the one column a 100 TB
     * training-data pass actually filters on, composed from the session's
     * shared machinery: exact+near dedup (q56), Gopher quality (q57), the
@@ -1202,6 +1294,7 @@ object Text {
   val q75Sql: String = q62Sql
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),

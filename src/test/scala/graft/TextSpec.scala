@@ -379,6 +379,28 @@ class TextSpec extends SparkSpec {
     assert(mean >= 0.85, f"trained+reranked PQ recall@10 $mean%.2f below 0.85")
   }
 
+  test("IVFADC: ranked per query, no self, nprobe dial buys candidates, rerank recalls") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val adc = Similarity.ivfadcTopK(emb, queries, k = 5, numCents = 8, nprobe = 2).collect()
+    assert(adc.nonEmpty)
+    adc.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q), "self match leaked")
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val d2 = ranked.map(_.getAs[Double]("d2_adc"))
+      assert(d2.zip(d2.tail).forall { case (a, b) => a <= b }, "ADC not ascending")
+    }
+    // probing every list with exact rerank must recover most of the exact
+    // L2 top-5 (unit-norm embeddings: L2 order == cosine order)
+    val exact = Similarity.cosineTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val full = Similarity.ivfadcTopK(emb, queries, k = 5, numCents = 8, nprobe = 8,
+        lloydIters = 1, rerank = 100).collect()
+    val recall = full.count(r =>
+      exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))).toDouble / exact.size
+    assert(recall >= 0.7, f"IVFADC full-probe reranked recall $recall%.2f below 0.7")
+  }
+
   test("stratified sampling is deterministic, rate-calibrated, and honors rate>=1") {
     import spark.implicits._
     val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
