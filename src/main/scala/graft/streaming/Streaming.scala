@@ -369,6 +369,132 @@ object Streaming {
     ()
   }
 
+  /** Streaming CURATION DECISION — the ingest-time twin of the composed
+    * batch decision (queries.Text.q64CurationDecision): every arriving
+    * document gets the full reason-flag row
+    * (is_exact_dup, is_near_dup, quality_keep, sample_keep, is_eval,
+    * contaminated, dup_heavy, keep) the moment it lands, composed from
+    *  - exact dedup vs a running content-hash store (canonical = smallest
+    *    id seen through this batch);
+    *  - near-dup vs the [[textNearDupStream]] machinery (bands + shingle
+    *    stores; the later/batch side of a Jaccard-confirmed pair drops);
+    *  - Gopher quality + stratified sampling + eval-holdout — stateless
+    *    map-side signals, the same expressions as the batch queries;
+    *  - decontamination vs the FIXED eval shingle set (benchmarks don't
+    *    change mid-ingest);
+    *  - duplicated spans vs a running 10-gram span-hash store.
+    *
+    * Semantics vs the batch pass: dedup/span state is SEEN-SO-FAR — with
+    * batches arriving in id order the asymmetric flags (exact, near-dup)
+    * equal the batch keep-first-by-id decision exactly; the symmetric
+    * dup-span flag marks a doc when its partner has already landed (same
+    * batch or earlier), so an early doc whose partner arrives later is
+    * flagged by the later compose-time batch pass, not retroactively here
+    * — the standard ingest-vs-compose split. Every store follows the
+    * batch_id-partition contract (read strictly earlier, overwrite own),
+    * so retried batches are exactly-once.
+    */
+  def curationDecisionStream(docs: DataFrame, evalHashes: DataFrame,
+      outDir: String, storeDir: String, checkpoint: String,
+      jaccardThreshold: Double = 0.8, contamMinFrac: Double = 0.1,
+      sampleRates: Map[String, Double] = Map.empty, defaultRate: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCurationBatch(batch, batchId, evalHashes, outDir, storeDir,
+          jaccardThreshold, contamMinFrac, sampleRates, defaultRate, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch of [[curationDecisionStream]] — package-private for
+    * direct idempotency testing. */
+  private[graft] def processCurationBatch(batch: DataFrame, batchId: Long,
+      evalHashes: DataFrame, outDir: String, storeDir: String,
+      jaccardThreshold: Double, contamMinFrac: Double,
+      sampleRates: Map[String, Double], defaultRate: Double,
+      idCol: String, textCol: String): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    val b = batch.persist()
+
+    // exact dedup vs the running hash store: canonical is the smallest id
+    // over everything seen through this batch
+    val bh = b.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val storeH = committedOr(spark, s"$storeDir/hashes", batchId, bh.limit(0))
+    val canon = storeH.unionByName(bh)
+      .groupBy(col("content_hash")).agg(min(col(idCol)).as("__canon"))
+    val exact = bh.join(canon, "content_hash")
+      .select(col(idCol), (col(idCol) =!= col("__canon")).as("is_exact_dup"))
+
+    // near-dup via the existing banded machinery: its per-batch pair output
+    // (earlier/smaller side first) lands under the store, the later side drops
+    processTextNearDupBatch(b, batchId, s"$storeDir/neardup_pairs",
+      s"$storeDir/neardup", jaccardThreshold, 16, 4, idCol, textCol)
+    val nearDrop = spark.read.parquet(s"$storeDir/neardup_pairs/batch_id=$batchId")
+      .select(col("doc_b").as(idCol)).distinct()
+      .withColumn("__near", lit(true))
+
+    // stateless signals — the same expressions as q57/q60
+    val quality = TextOps.qualityFilter(b, idCol, textCol)
+      .select(col(idCol), col("keep").as("quality_keep"))
+    val sample = TextOps.langId(b, idCol, textCol)
+      .select(col(idCol),
+        TextOps.sampleFlag(col("pred_lang"), col(idCol), sampleRates, defaultRate)
+          .as("sample_keep"))
+
+    // contamination vs the fixed eval shingle set, train docs only (eval
+    // docs ARE the benchmark; q64 leaves them false)
+    val contam = TextOps.decontaminateAgainst(
+        b.filter(col(idCol) % 11 =!= 0), evalHashes, contamMinFrac, idCol, textCol)
+      .select(col(idCol), col("contaminated"))
+
+    // duplicated spans vs the running 10-gram span store: a span is dup if
+    // anything seen through this batch carries it too
+    val spB = b.select(col(idCol),
+      explode_outer(call_function("shingle_hashes", col(textCol), lit(10),
+        lit(TextOps.HashP))).as("h"))
+    val storeSp = committedOr(spark, s"$storeDir/spans", batchId,
+      spB.select(col("h")).limit(0))
+    val dupH = storeSp.select(col("h")).unionByName(spB.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("h"), lit(1).as("__dup"))
+    val spans = spB.join(dupH, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("h")).as("__n_spans"), count(col("__dup")).as("__n_dup"))
+      .select(col(idCol),
+        (col("__n_spans") > 0 &&
+          round(col("__n_dup").cast("double") / col("__n_spans"), 6) >= 0.5)
+          .as("dup_heavy"))
+
+    // compose exactly as the batch decision does
+    val decision = exact
+      .join(nearDrop, Seq(idCol), "left")
+      .join(quality, Seq(idCol))
+      .join(sample, Seq(idCol))
+      .join(contam, Seq(idCol), "left")
+      .join(spans, Seq(idCol))
+      .select(col(idCol), col("is_exact_dup"),
+        coalesce(col("__near"), lit(false)).as("is_near_dup"),
+        col("quality_keep"), col("sample_keep"),
+        (col(idCol) % 11 === 0).as("is_eval"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("dup_heavy"))
+      .withColumn("keep",
+        !col("is_exact_dup") && !col("is_near_dup") &&
+          col("quality_keep") && col("sample_keep") &&
+          !col("is_eval") && !col("contaminated") && !col("dup_heavy"))
+    decision.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+    // admit the batch into the stores — overwrite, so retries replace
+    bh.write.mode("overwrite").parquet(s"$storeDir/hashes/batch_id=$batchId")
+    spB.select(col("h")).write.mode("overwrite")
+      .parquet(s"$storeDir/spans/batch_id=$batchId")
+    b.unpersist()
+    ()
+  }
+
   /** Streaming BLOOM "seen-ever" dedup flagging — the long-horizon
     * complement of [[dedupStream]]: `dropDuplicatesWithinWatermark` keeps
     * exact state only inside the watermark, so a re-crawl landing months

@@ -368,6 +368,62 @@ class IoStreamingSpec extends SparkSpec {
     weights.unpersist()
   }
 
+  test("streaming curation compose equals the batch q64 decision, replay-idempotently") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val dir = Files.createTempDirectory("curstream").toString
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // the FIXED eval shingle set (benchmarks don't change mid-ingest) —
+    // the q65 eval split: every 11th doc
+    val evalHashes = TextOps.evalShingleSet(docs.filter(col("doc_id") % 11 === 0))
+      .persist()
+    evalHashes.count()
+    // two id-ordered micro-batches: dedup/near-dup/span state must carry
+    // across the split (the corpus plants dup pairs on both sides)
+    val cut = docs.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .head().getDouble(0).toLong
+    val batches = Seq(docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streaming.processCurationBatch(b, i.toLong, evalHashes, s"$dir/out",
+        s"$dir/store", 0.8, 0.1, graft.queries.Text.SampleRates.toMap, 0.5,
+        "doc_id", "text")
+    }
+    val cols = Seq("doc_id", "is_exact_dup", "is_near_dup", "quality_keep",
+      "sample_keep", "is_eval", "contaminated", "dup_heavy", "keep")
+    val streamed = spark.read.parquet(s"$dir/out").drop("batch_id")
+      .select(cols.map(col): _*)
+    val batchRef = graft.queries.Text.q64CurationDecision(spark, sfDir)
+      .select(cols.map(col): _*)
+    // the ingest-vs-compose caveat: a SYMMETRIC dup-span pair split across
+    // the batch boundary flags only the later side at ingest time — exclude
+    // exactly those early-side rows (dup_heavy differs, everything else
+    // must still match); asymmetric flags must match everywhere
+    val joined = streamed.as("s").join(batchRef.as("b"), "doc_id").cache()
+    assert(joined.count() == docs.count(), "every doc gets a streamed decision")
+    val asymMismatch = joined.filter(
+      Seq("is_exact_dup", "is_near_dup", "quality_keep", "sample_keep",
+        "is_eval", "contaminated")
+        .map(c => col(s"s.$c") =!= col(s"b.$c")).reduce(_ || _)).count()
+    assert(asymMismatch == 0, "asymmetric flags must equal the batch decision")
+    // dup_heavy may differ ONLY as batch-true/stream-false (early side of a
+    // boundary-split span pair) — never the other way
+    val spanFalsePos = joined.filter(col("s.dup_heavy") && !col("b.dup_heavy")).count()
+    assert(spanFalsePos == 0, "stream flagged a span dup the batch pass didn't")
+    val keepMismatch = joined.filter(col("s.keep") =!= col("b.keep") &&
+      col("s.dup_heavy") === col("b.dup_heavy")).count()
+    assert(keepMismatch == 0, "keep must follow the composed flags")
+    // replaying batch 1 (same id) rebuilds the identical decision partition
+    val before = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    Streaming.processCurationBatch(batches(1), 1L, evalHashes, s"$dir/out",
+      s"$dir/store", 0.8, 0.1, graft.queries.Text.SampleRates.toMap, 0.5,
+      "doc_id", "text")
+    val after = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(after == before, "replayed batch must rebuild the identical decision")
+    joined.unpersist(); evalHashes.unpersist()
+  }
+
   test("curation decisions (quality + stratified sample) stream stateless per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
