@@ -172,6 +172,53 @@ object ScaleBench {
       require(recall >= 0.9, f"banded LSH recall $recall%.4f below the 0.9 gate")
     }
 
+    // 7c (big). 10M-VECTOR LSH CEILING — one order beyond the 1M gate:
+    // autoPlanes(10M)=22 planes × autoBands(22)=23 bands (the raised
+    // 64-band cap doesn't even bind until planes 25 / ~67M vectors).
+    // Gates BOTH halves of the scale story: candidate-level recall of the
+    // planted cosine≥0.95 pairs ≥ 0.9 (candidate recall == end recall:
+    // scoring is exact, truth pairs all clear the threshold), and MEASURED
+    // linear candidate volume — per-vector candidates bounded by
+    // occupancy × bands, the invariant that keeps banded LSH O(n) at any
+    // corpus size. Candidate-level (not score-joined) so the gate measures
+    // the LSH itself without a 10⁸-pair dot-product pass.
+    if (big) timed("lsh_neardup_recall_10000k_banded") {
+      val n10 = 10000000L
+      val pid10 = col("id") - when(col("id") % 10 === 9, 1L).otherwise(0L)
+      val base10 = transform(sequence(lit(0), lit(15)),
+        i => (pmod(hash(pid10, i), lit(2000)) - 1000).cast("double") / 1000.0)
+      val noise10 = transform(sequence(lit(0), lit(15)),
+        i => (pmod(hash(col("id"), i, lit(7)), lit(2000)) - 1000).cast("double") / 1000.0 * 0.245)
+      val emb10 = spark.range(n10)
+        .select(col("id").as("vec_id"),
+          when(col("id") % 10 === 9, zip_with(base10, noise10, (x, d) => x + d))
+            .otherwise(base10).cast("array<float>").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val va = emb10.filter(col("vec_id") % 10 === 8)
+        .select(col("vec_id").as("doc_a"), col("embedding").as("v_a"))
+      val vb = emb10.filter(col("vec_id") % 10 === 9)
+        .select((col("vec_id") - 1).as("doc_a"), col("vec_id").as("doc_b"),
+          col("embedding").as("v_b"))
+      val truth = va.join(vb, "doc_a")
+        .select(col("doc_a"), col("doc_b"), cosOf(col("v_a"), col("v_b")).as("cos"))
+        .filter(col("cos") >= 0.95).select("doc_a", "doc_b").cache()
+      val nTruth = truth.count()
+      val np = Similarity.autoPlanes(n10)
+      val nb = Similarity.autoBands(np)
+      val cand = Similarity.bandedCandidates(emb10, np, nb, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.count()
+      val perVec = nCand.toDouble / n10
+      val hit = truth.join(cand, Seq("doc_a", "doc_b")).count()
+      val recall = hit.toDouble / nTruth
+      println(f"[scale] lsh_10M: planes=$np bands=$nb cand=$nCand " +
+        f"(${perVec}%.2f/vec, linear bound ${4.0 * nb}%.0f) recall $hit/$nTruth = $recall%.4f")
+      cand.unpersist(); truth.unpersist(); emb10.unpersist()
+      require(perVec <= 4.0 * nb,
+        f"candidate volume superlinear: $perVec%.2f per vector > occ*bands = ${4.0 * nb}%.0f")
+      require(recall >= 0.9, f"banded LSH recall $recall%.4f below the 0.9 gate at 10M")
+    }
+
     // 8. IVF-flat: fixed 64-centroid quantizer (bounded broadcast), 10
     // queries probing 2 lists of ~15.6k vectors each
     timed(s"ann_ivf_top5_${nVec / 1000}k_64cents") {

@@ -112,16 +112,22 @@ object Similarity {
     * b = ⌈ln(1−R) / ln(1−s^planes)⌉. As [[autoPlanes]] grows with the
     * corpus, per-band recall shrinks geometrically; scaling bands like this
     * keeps end-to-end recall flat at linear (b×) cost. Capped at `maxBands`
-    * (= 32: holds the 0.9-recall target through planes ≤ 24, i.e. corpora
-    * to ~occ·2^24 ≈ 67M vectors at occupancy 4; beyond that raise the cap
-    * — cost is linear in it).
+    * (= 64: holds the 0.9-recall target through planes ≤ 31, i.e. corpora
+    * to ~occ·2^31 ≈ 8.6B vectors at occupancy 4 — the 10⁹-vector story;
+    * beyond that raise the cap again, cost is linear in it. The old 32
+    * cap bound past planes 24 / ~67M vectors; a 10M-vector corpus runs at
+    * planes 22 × 23 bands, under either cap — ScaleBench `big` gates
+    * recall ≥ 0.9 and linear candidate volume there).
     *
     * Cross-engine note: evaluated on the DRIVER and mirrored into the
     * DuckDB oracle as a static CASE table over planes∈[4,32], so no
-    * transcendental math ever runs inside either engine's query.
+    * transcendental math ever runs inside either engine's query. Band
+    * families never collide regardless of the band count: band B draws
+    * planes `B·BandStride + (0 until planes)` and the stride equals
+    * maxPlanes, not maxBands.
     */
   def autoBands(planes: Int, designCos: Double = 0.95, targetRecall: Double = 0.9,
-      maxBands: Int = 32): Int = {
+      maxBands: Int = 64): Int = {
     val s = 1.0 - math.acos(designCos) / math.Pi
     val pBand = math.pow(s, planes)
     if (pBand >= targetRecall) 1

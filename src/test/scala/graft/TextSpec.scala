@@ -239,12 +239,15 @@ class TextSpec extends SparkSpec {
     assert(Similarity.autoBands(5) == 3)
     assert(Similarity.autoBands(11) == 7)
     assert(Similarity.autoBands(16) == 12)
-    assert(Similarity.autoBands(32) == 32) // cap
+    assert(Similarity.autoBands(22) == 23) // the 10M-vector point (no cap)
+    assert(Similarity.autoBands(32) == 64) // cap binds past planes 31
     // the banded scheme must actually meet the target at every plane count
-    // where the cap doesn't bind: 1 - (1 - s^p)^b >= 0.9
+    // where the cap doesn't bind: 1 - (1 - s^p)^b >= 0.9. planes <= 31
+    // covers corpora to ~occ·2^31 ≈ 8.6B vectors at occupancy 4
     val s = 1.0 - math.acos(0.95) / math.Pi
-    for (p <- 1 to 24) {
+    for (p <- 1 to 31) {
       val b = Similarity.autoBands(p)
+      assert(b <= 64, s"cap exceeded at planes=$p")
       val recall = 1.0 - math.pow(1.0 - math.pow(s, p), b)
       assert(recall >= 0.9, f"recall $recall%.3f below target at planes=$p bands=$b")
     }
