@@ -67,6 +67,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
+  /** `events` with `ts` normalized to epoch-nanosecond longs, whatever the
+    * parquet physical type. Older testdata generations wrote TIMESTAMP(NANOS)
+    * (read as ns-longs under nanosAsLong); current ones write timestamp[us],
+    * which surfaces as TIMESTAMP_NTZ. Downstream event queries do exact
+    * integer bucket math on ns, so both shapes funnel through here. The NTZ
+    * cast is wall-clock-preserving under the UTC session timeZone set by every
+    * graft session builder, matching DuckDB's epoch_ns on the naive timestamp.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
+
   private val counts = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   /** Fingerprint of a table path's file listing (name, length, mtime per

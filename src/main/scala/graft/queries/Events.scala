@@ -22,7 +22,7 @@ object Events {
     * division, bit-identical to DuckDB's date_trunc+epoch.
     */
   def q20HourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadEvents(spark, sfDir)
     ev.groupBy(
         expr("(ts DIV 3600000000000) * 3600").as("hour_epoch"),
         col("event_type"))
@@ -45,7 +45,7 @@ object Events {
     * window + aggregation; at scale this shuffles once on user_id.
     */
   def q21Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadEvents(spark, sfDir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     ev.select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
@@ -76,7 +76,7 @@ object Events {
     * window, one shuffle; the oracle is the quadratic join+rank form).
     */
   def q22AsOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = Tables.loadEvents(spark, sfDir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
         col("event_type"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -123,7 +123,7 @@ object Events {
       (lit(base) + (col("o_orderkey") % 29) * lit(24 * hour) +
         (col("o_custkey") % 24) * lit(hour)).as("start_ns"))
       .withColumn("end_ns", col("start_ns") + lit(hour + hour / 2))
-    val events = Tables.load(spark, sfDir, "events")
+    val events = Tables.loadEvents(spark, sfDir)
       .select(col("ts").as("ts_ns"), col("event_type"), col("value"))
     graft.operators.RangeJoin
       .pointInInterval(events, intervals, "ts_ns", "start_ns", "end_ns", bucketWidth = hour)
