@@ -25,6 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     // m·codebookSize rows; ADC scoring joins a broadcast per-query LUT
     // BOUNDED at the query count (Similarity.pqTopK)
     "q63_pq_ann",
+    // q76: IVFADC scores each probed query-residual against the broadcast
+    // PQ codebook — a crossJoin BOUNDED at m·codebookSize rows, same
+    // audited shape as q63 (Similarity.ivfadcTopK)
+    "q76_ivfadc_ann",
     // q66: the per-stratum rate table crossJoins a broadcast grand-total
     // BOUNDED at 1 row (TextOps.mixtureEpochs)
     "q66_mixture_epochs",
