@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * kernels over fixed-size batches (the Scala analogue of `mapInPandas` —
   * same batch shape, schema contract, and partitioning story).
   *
-  * Decode coverage: the RAW grayscale path ([[decodeGrayPool]]) and the
-  * PNG path ([[decodePngGrayPool]], backed by the from-scratch spec reader
-  * [[graft.sources.Png]] — inflate + chunk walk + the five filters) are
-  * REAL. JPEG/FLAC remain STUBBED behind [[decodeStub]] (a deterministic
-  * fake deriving pixels from payload bytes): those codecs aren't
-  * in-container-feasible from scratch. Everything around both (schema,
-  * batching, partition-local execution, output contract) is real and
-  * tested, so swapping in another codec decoder is a one-function change.
+  * Decode coverage: the RAW grayscale path ([[decodeGrayPool]]), the PNG
+  * path ([[decodePngGrayPool]], backed by the from-scratch spec reader
+  * [[graft.sources.Png]] — inflate + chunk walk + the five filters) and the
+  * JPEG path ([[decodeJpegDcMeans]], backed by the from-scratch baseline
+  * codec [[graft.sources.Jpeg]] — Huffman entropy coding, DC prediction,
+  * dequantize + float64 IDCT) are REAL. [[decodeStub]] remains only as the
+  * stand-in for codecs not yet implemented (FLAC audio): the schema,
+  * batching, partition-local execution and output contract around it are
+  * real and tested, so swapping in another decoder is a one-function
+  * change — exactly how the PNG and JPEG paths replaced it.
   *
   * Scale notes: payloads never shuffle (all ops are map-side); feature
   * vectors are orders of magnitude smaller than payloads, so downstream
@@ -63,6 +65,47 @@ object Multimodal {
           decodeStub(bytes, dim))
       }
     }
+  }
+
+  /** Encode raw-gray payloads as real baseline JPEGs ([[graft.sources.Jpeg]]):
+    * `width`-wide rows, height truncated to a multiple of 8 (the block-
+    * aligned analogue of [[pngEncode]]'s partial-row drop). Map-side kernel;
+    * payloads never shuffle.
+    */
+  def jpegEncode(media: Dataset[MediaRow], width: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val h = (bytes.length / width) / 8 * 8
+      if (h == 0) m.copy(kind = "jpeg", payload = Array.empty[Byte])
+      else m.copy(kind = "jpeg",
+        payload = graft.sources.Jpeg.encodeGray(width, h, bytes), height = h)
+    }
+  }
+
+  /** REAL lossy-codec decode for JPEG payloads: entropy-decode + dequantize
+    * each 8×8 block and report its EXACT reconstruction mean — the DC
+    * coefficient is the block mean (every AC basis function is zero-mean),
+    * so the emitted value is a dyadic rational untouched by IDCT float
+    * noise, cross-engine-exact like [[decodeGrayPool]]'s pooled means. One
+    * row per block: (media_id, block_row, block_col, dc_mean).
+    *
+    * Same scale shape as the other decode paths: per-partition kernel,
+    * payloads never shuffle, output is ~64·compression× smaller than input.
+    * Dimensions come from the SOF0 header — metadata columns not trusted.
+    */
+  def decodeJpegDcMeans(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.payload == null || m.payload.isEmpty) Seq.empty
+      else {
+        val img = graft.sources.Jpeg.decode(m.payload)
+        for {
+          br <- 0 until img.blocksH
+          bc <- 0 until img.blocksW
+        } yield (m.media_id, br, bc, img.dcMean(br, bc))
+      }
+    }.toDF("media_id", "block_row", "block_col", "dc_mean")
   }
 
   /** Frame sampling for video-kind payloads: emit every `stride`-th chunk as

@@ -1293,7 +1293,55 @@ object Text {
   // so the expected block means are q62's — recomputed from the text
   val q75Sql: String = q62Sql
 
+  /** q77: REAL lossy-codec round trip — documents' bytes become 16-px-wide
+    * grayscale frames (height truncated to whole 8×8 blocks), are
+    * JPEG-ENCODED (float64 FDCT, Annex-K quantization, Huffman entropy
+    * coding with DC prediction and byte stuffing) and decoded back by the
+    * from-scratch baseline codec (sources.Jpeg), reporting each block's
+    * exact reconstruction mean. JPEG is lossy, so the oracle cannot demand
+    * pixel identity — instead it recomputes the DC quantization arithmetic
+    * relationally: block mean = 128 + q₀·floor((S−8192)/(8·q₀) + 0.5)/8
+    * with q₀ = 16, a dyadic rational on both engines. Any defect in the
+    * Huffman tables, bit packing, stuffing, DC prediction, or AC run
+    * decoding desynchronizes every later block's DC, so the whole entropy
+    * layer is driver-gated end-to-end, not just spec-gated.
+    * Two chained map-side kernels: payloads never shuffle at any scale.
+    */
+  def q77JpegDc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeJpegDcMeans(Multimodal.jpegEncode(media, width = 16))
+      .select(col("media_id").as("doc_id"), col("block_row"), col("block_col"),
+        col("dc_mean"))
+  }
+
+  // the DC path of the codec re-derived relationally from the text: per
+  // 8×8 block, S = Σ ascii; the reconstruction mean is exactly
+  // 128 + 2·floor((S−8192)/128 + 0.5) at the Annex-K q₀ = 16 (dyadic —
+  // engine-exact with no rounding)
+  val q77Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, text,
+      |    ((length(text) // 16) - (length(text) // 16) % 8) AS full_h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id,
+      |    CAST((i - 1) // 16 AS INTEGER) AS r, CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, full_h * 16)) AS i FROM dims) t
+      |)
+      |SELECT doc_id, CAST(r // 8 AS INTEGER) AS block_row,
+      |  CAST(c // 8 AS INTEGER) AS block_col,
+      |  128.0 + 2.0 * FLOOR((SUM(v) - 8192) / 128.0 + 0.5) AS dc_mean
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q77_jpeg_dc", q77JpegDc, Some(q77Sql)),
     QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
