@@ -8,16 +8,16 @@ import org.apache.spark.sql.functions._
   * kernels over fixed-size batches (the Scala analogue of `mapInPandas` —
   * same batch shape, schema contract, and partitioning story).
   *
-  * Decode coverage: the RAW grayscale path ([[decodeGrayPool]]), the PNG
-  * path ([[decodePngGrayPool]], backed by the from-scratch spec reader
-  * [[graft.sources.Png]] — inflate + chunk walk + the five filters) and the
-  * JPEG path ([[decodeJpegDcMeans]], backed by the from-scratch baseline
-  * codec [[graft.sources.Jpeg]] — Huffman entropy coding, DC prediction,
-  * dequantize + float64 IDCT) are REAL. [[decodeStub]] remains only as the
-  * stand-in for codecs not yet implemented (FLAC audio): the schema,
-  * batching, partition-local execution and output contract around it are
-  * real and tested, so swapping in another decoder is a one-function
-  * change — exactly how the PNG and JPEG paths replaced it.
+  * Decode coverage — every codec path is REAL, no libraries: RAW grayscale
+  * ([[decodeGrayPool]]), PNG ([[decodePngGrayPool]] /
+  * [[graft.sources.Png]] — inflate + chunk walk + the five filters), JPEG
+  * ([[decodeJpegDcMeans]] / [[graft.sources.Jpeg]] — Huffman entropy
+  * coding, DC prediction, dequantize + float64 IDCT), and FLAC
+  * ([[decodeFlacFrames]] / [[graft.sources.Flac]] — Rice residuals, fixed
+  * predictors, CRC-8/16). The round-2..7 codec stub is fully retired;
+  * [[decodeStub]] survives only as [[extractFeatures]]' deterministic
+  * byte-sampled placeholder EMBEDDING (a feature choice, not a codec —
+  * real embeddings come from a model, which no engine ships).
   *
   * Scale notes: payloads never shuffle (all ops are map-side); feature
   * vectors are orders of magnitude smaller than payloads, so downstream
@@ -30,9 +30,12 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, byte_entropy: Double, embedding: Array[Float])
 
-  /** STUB decode: a real implementation would decode `payload` with an image
-    * codec. The deterministic fake "samples" `n` values from the bytes so
-    * the full pipeline stays testable end-to-end.
+  /** Deterministic byte-sampled placeholder embedding for
+    * [[extractFeatures]]: real pixel/audio decoding lives in the codec
+    * paths ([[decodeGrayPool]]/[[decodePngGrayPool]]/[[decodeJpegDcMeans]]/
+    * [[decodeFlacFrames]]); a real EMBEDDING would come from a model
+    * forward pass, so this FNV-mixed sample keeps the feature-extraction
+    * plumbing (schema, batch shape, partitioning) testable end-to-end.
     */
   def decodeStub(payload: Array[Byte], n: Int): Array[Float] = {
     val out = new Array[Float](n)
@@ -106,6 +109,44 @@ object Multimodal {
         } yield (m.media_id, br, bc, img.dcMean(br, bc))
       }
     }.toDF("media_id", "block_row", "block_col", "dc_mean")
+  }
+
+  /** Encode PCM payloads (little-endian int16, the [[pcmWindowRms]] shape)
+    * as real FLAC streams ([[graft.sources.Flac]]): trailing odd byte
+    * dropped. Map-side kernel; payloads never shuffle.
+    */
+  def flacEncode(media: Dataset[MediaRow], blockSize: Int = 256): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val n = bytes.length / 2
+      val samples = Array.tabulate(n)(i =>
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt)
+      m.copy(kind = "flac",
+        payload = graft.sources.Flac.encode(samples, blockSize))
+    }
+  }
+
+  /** REAL lossless-codec decode for FLAC payloads: rice-decode + predictor
+    * reconstruction per frame, reporting per-frame integer stats (sum, max,
+    * count) — integers survive both engines exactly, so the identity
+    * round trip PCM → FLAC → PCM is oracle-checkable with no tolerance.
+    * One row per codec frame: (media_id, frame, n_samples, sum_v, max_v).
+    *
+    * Same scale shape as the image decodes: per-partition kernel, payloads
+    * never shuffle, output is ~blockSize× smaller than the input.
+    */
+  def decodeFlacFrames(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.payload == null || m.payload.isEmpty) Seq.empty
+      else {
+        val audio = graft.sources.Flac.decode(m.payload)
+        audio.frames.iterator.zipWithIndex.map { case (f, i) =>
+          (m.media_id, i, f.length, f.foldLeft(0L)(_ + _), if (f.isEmpty) 0 else f.max)
+        }.toSeq
+      }
+    }.toDF("media_id", "frame", "n_samples", "sum_v", "max_v")
   }
 
   /** Frame sampling for video-kind payloads: emit every `stride`-th chunk as

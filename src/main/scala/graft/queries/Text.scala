@@ -1340,7 +1340,46 @@ object Text {
       |  128.0 + 2.0 * FLOOR((SUM(v) - 8192) / 128.0 + 0.5) AS dc_mean
       |FROM px GROUP BY 1, 2, 3""".stripMargin
 
+  /** q78: REAL lossless-codec round trip — documents' bytes become 16-bit
+    * little-endian PCM (the q72 framing), are FLAC-ENCODED (fixed
+    * predictors as finite differences, Rice-coded residuals, CRC-8/16,
+    * UTF-8 frame numbering) and decoded back by the from-scratch subset
+    * codec (sources.Flac), reporting per-codec-frame integer stats. FLAC
+    * is lossless, so the oracle demands full identity: the per-frame sums
+    * and maxima recomputed relationally from the text must hash-match —
+    * any defect in rice coding, predictor reconstruction, bit packing, or
+    * CRC checking breaks it. Two chained map-side kernels: payloads never
+    * shuffle at any scale.
+    */
+  def q78FlacRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("pcm").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeFlacFrames(Multimodal.flacEncode(media, blockSize = 256))
+      .select(col("media_id").as("doc_id"), col("frame"), col("n_samples"),
+        col("sum_v"), col("max_v"))
+  }
+
+  // identity round trip: frames of 256 LE-int16 samples recomputed from
+  // the text (ASCII → every sample positive), last frame partial
+  val q78Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) // 2 AS n FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, CAST((i - 1) // 256 AS INTEGER) AS frame,
+      |    ascii(substr(text, 2 * i - 1, 1)) + 256 * ascii(substr(text, 2 * i, 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM t)
+      |)
+      |SELECT doc_id, frame, CAST(COUNT(1) AS INTEGER) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MAX(v) AS INTEGER) AS max_v
+      |FROM s GROUP BY doc_id, frame""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q78_flac_roundtrip", q78FlacRoundtrip, Some(q78Sql)),
     QueryDef("q77_jpeg_dc", q77JpegDc, Some(q77Sql)),
     QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
