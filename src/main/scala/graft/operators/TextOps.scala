@@ -558,6 +558,56 @@ object TextOps {
       .withColumn("dup_heavy", col("dup_span_frac") >= lit(minFrac))
   }
 
+  /** Cross-corpus duplicate-span REMOVAL — the rewrite counterpart of
+    * [[dupSpans]] (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better", word-shingle approximation of the
+    * suffix-array exact-substring pass): every token covered by an n-token
+    * shingle whose hash occurs more than once in the corpus is excised, the
+    * survivors are rejoined on single spaces (split∘join is the identity on
+    * the raw text, so untouched docs pass through byte-identical).
+    *
+    * Scale shape: the corpus-level work is ONE shingle-hash groupBy (the
+    * same cost the flagging pass pays); the rewrite itself never shuffles
+    * tokens — duplicated span STARTS come back as one bounded sorted array
+    * per doc (doc-level equi-join), and the clean text is rebuilt map-side
+    * by slicing the token array between covered intervals. Because every
+    * interval has fixed length n and the starts are sorted, the kept gaps
+    * are exactly the pairwise (sᵢ+n, sᵢ₊₁) windows — an O(n_tok + |starts|)
+    * reconstruction with no quadratic HOF anywhere.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = docs.select(col(idCol),
+      posexplode(call_function("shingle_hashes", col(textCol), lit(n), lit(HashP)))
+        .as(Seq("spos", "h")))
+    val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("h"))
+    val starts = sp.join(dup, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("spos"))).as("__starts"))
+    val keptExpr =
+      s"""CASE WHEN size(__starts) = 0 THEN __toks ELSE
+         |  flatten(concat(
+         |    array(slice(__toks, 1, element_at(__starts, 1))),
+         |    CASE WHEN size(__starts) >= 2 THEN
+         |      transform(sequence(0, size(__starts) - 2),
+         |        i -> slice(__toks, element_at(__starts, i + 1) + $n + 1,
+         |          greatest(0, element_at(__starts, i + 2) - element_at(__starts, i + 1) - $n)))
+         |    ELSE array() END,
+         |    array(slice(__toks, element_at(__starts, -1) + $n + 1,
+         |      greatest(0, size(__toks) - element_at(__starts, -1) - $n)))))
+         |END""".stripMargin
+    docs.join(starts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__kept", expr(keptExpr))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tok"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** LENGTH-BUCKETED batching — the padding-efficiency step: assign every
     * document a global rank in (token count, id) order and split the
     * ranking into `nBuckets` near-equal buckets, so batches draw

@@ -1378,7 +1378,57 @@ object Text {
       |  CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MAX(v) AS INTEGER) AS max_v
       |FROM s GROUP BY doc_id, frame""".stripMargin
 
+  /** q79: duplicate-span REMOVAL — the rewrite counterpart of q69's
+    * flagging (Lee 2022's "dedup the spans, keep the doc" pass): tokens
+    * covered by any corpus-duplicated 10-token shingle are excised and the
+    * survivors rejoined, byte-identically for untouched docs. The Spark
+    * side rebuilds each text map-side from its bounded sorted dup-start
+    * array (fixed-length intervals → pairwise gap slices, no token
+    * shuffle); the oracle rebuilds it the expensive relational way
+    * (token-level anti join + ordered string_agg) — matching proves the
+    * interval algebra exact, including overlapping and abutting spans.
+    */
+  def q79RemoveDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.removeDupSpans(Tables.load(spark, sfDir, "documents"), n = 10)
+      .select(col("doc_id"), col("n_tok"), col("n_removed"), col("clean_text"))
+
+  val q79Sql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tk AS (
+       |  SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t0) z
+       |),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS spos,
+       |    ${hashSql.format("array_to_string(toks[i:i+9], ' ')")} % $P AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, greatest(len(toks) - 9, 0))) AS i FROM t0) z
+       |),
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(1) > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, spos + j AS tpos
+       |  FROM (SELECT s.doc_id, s.spos, unnest(generate_series(0, 9)) AS j
+       |        FROM sp s JOIN dup USING (h)) c
+       |),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.tpos, tk.tok
+       |  FROM tk LEFT JOIN (SELECT doc_id, tpos, 1 AS cv FROM cov) v
+       |    USING (doc_id, tpos)
+       |  WHERE v.cv IS NULL
+       |),
+       |agg AS (
+       |  SELECT doc_id, COUNT(1) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |  CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q79_remove_dup_spans", q79RemoveDupSpans, Some(q79Sql)),
     QueryDef("q78_flac_roundtrip", q78FlacRoundtrip, Some(q78Sql)),
     QueryDef("q77_jpeg_dc", q77JpegDc, Some(q77Sql)),
     QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),

@@ -572,6 +572,46 @@ class TextSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, false)))
   }
 
+  test("removeDupSpans excises covered tokens and is identity elsewhere") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"c$i").mkString(" ") // shared 12-token run
+    val uniq = (100 to 114).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      1L -> (run + " u1 u2 u3"),  // dup starts 0,1,2 → tokens 0..11 covered
+      2L -> ("v1 v2 v3 " + run),  // dup starts 3,4,5 → tokens 3..14 covered
+      3L -> uniq,                 // untouched: must come back byte-identical
+      4L -> "short text",         // < 10 toks: no spans, identity
+      5L -> run                   // fully covered → empty rewrite
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDupSpans(d, n = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    // doc 1: 15 toks, overlapping spans [0,10),[1,11),[2,12) merge to 0..11
+    assert(got(1L) == ((15L, 12L, "u1 u2 u3")), s"got ${got(1L)}")
+    // doc 2: covered 3..14 — the head gap survives
+    assert(got(2L) == ((15L, 12L, "v1 v2 v3")), s"got ${got(2L)}")
+    assert(got(3L) == ((15L, 0L, uniq)))
+    assert(got(4L) == ((2L, 0L, "short text")))
+    assert(got(5L) == ((12L, 12L, "")), s"got ${got(5L)}")
+  }
+
+  test("removeDupSpans keeps interior gaps between separated dup spans") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    // doc 10/11 share run `a`, 12/13 share run `b`; doc 14 carries both
+    // with a 5-token unique island between → only the island survives
+    val d = Seq(
+      10L -> a, 11L -> a, 12L -> b, 13L -> b,
+      14L -> (a + " m1 m2 m3 m4 m5 " + b)
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDupSpans(d, n = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got(14L) == "m1 m2 m3 m4 m5", s"got ${got(14L)}")
+    assert(got(10L) == "" && got(12L) == "")
+  }
+
   test("dsirScoreAgainst keeps docs whose tokens miss the reference corpus") {
     import spark.implicits._
     val corpus = (0L until 20L).map(i => (i, i < 10, "alpha beta gamma"))
