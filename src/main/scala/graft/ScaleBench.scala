@@ -496,6 +496,32 @@ object ScaleBench {
         s"dup-span flagged $nHeavy (want ${nDocs / 10}) with $falsePos false positives")
     }
 
+    // 10g1b. Duplicate-span REMOVAL at 1M docs over the same planted
+    // corpus: copies lose every token (30 tokens, all inside duplicated
+    // 10-shingles), uniques lose none — asserted exactly, plus the
+    // untouched docs' rewrites must be byte-identical (split∘join
+    // identity), so the map-side interval reconstruction is scale-gated,
+    // not just spec-gated.
+    timed(s"remove_dup_spans_${nDocs / 1000}k_docs") {
+      val spanDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          concat(lit("s"), pmod(hash(
+            when(col("id") % 10 === 0, col("id") / 10 % 10000)
+              .otherwise(col("id") + nDocs),
+            i, lit(13)), lit(5000000))))).as("text"))
+      val rw = operators.TextOps.removeDupSpans(spanDocs, n = 10)
+        .join(spanDocs, "doc_id")
+      val agg = rw.agg(
+        sum(when(col("doc_id") % 10 === 0 && col("n_removed") === 30 &&
+          col("clean_text") === "", 1L).otherwise(0L)).as("copies_emptied"),
+        sum(when(col("doc_id") % 10 =!= 0 && col("n_removed") === 0 &&
+          col("clean_text") === col("text"), 1L).otherwise(0L)).as("uniques_intact")
+      ).head()
+      require(agg.getLong(0) == nDocs / 10 && agg.getLong(1) == nDocs - nDocs / 10,
+        s"span removal: ${agg.getLong(0)} copies emptied (want ${nDocs / 10}), " +
+          s"${agg.getLong(1)} uniques intact (want ${nDocs - nDocs / 10})")
+    }
+
     // 10g2. Weighted sampling at 10M rows: half weight 10, half weight 1.
     // For k ≪ n the A-ES tail odds are 1-t^w ≈ w·(1-t), so the heavy:light
     // inclusion ratio must approach 10:1 — heavy share ≈ 10/11 ≈ 0.909,

@@ -574,11 +574,22 @@ object TextOps {
     * interval has fixed length n and the starts are sorted, the kept gaps
     * are exactly the pairwise (sᵢ+n, sᵢ₊₁) windows — an O(n_tok + |starts|)
     * reconstruction with no quadratic HOF anywhere.
+    *
+    * Hash width matters here in a way it does not for [[dupSpans]]: the
+    * flagging pass needs ≥ minFrac of a doc's spans to collide before
+    * anything changes, but removal acts on EVERY colliding shingle, so the
+    * ~1e9 [[HashP]] modulus would birthday-collide at ~20M corpus shingles
+    * (measured: ⅓ of 1M unique docs falsely edited — caught by the
+    * ScaleBench gate). Removal therefore uses the full 60-bit md5 prefix
+    * (`Long.MaxValue` leaves it unmodded): ~2e-4 expected collision PAIRS
+    * at 20M shingles, ~4e3 at the 100 TB scale of 1e11 shingles (a 4e-8
+    * false-removal rate). Past that, add a string-equality confirm join on
+    * the colliding groups — the same confirm pattern as [[jaccardFromHashes]].
     */
   def removeDupSpans(docs: DataFrame, n: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sp = docs.select(col(idCol),
-      posexplode(call_function("shingle_hashes", col(textCol), lit(n), lit(HashP)))
+      posexplode(call_function("shingle_hashes", col(textCol), lit(n), lit(Long.MaxValue)))
         .as(Seq("spos", "h")))
     val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("h"))

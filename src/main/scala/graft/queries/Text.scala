@@ -1400,7 +1400,7 @@ object Text {
        |),
        |sp AS (
        |  SELECT doc_id, i - 1 AS spos,
-       |    ${hashSql.format("array_to_string(toks[i:i+9], ' ')")} % $P AS h
+       |    ${hashSql.format("array_to_string(toks[i:i+9], ' ')")} AS h
        |  FROM (SELECT doc_id, toks,
        |          unnest(generate_series(1, greatest(len(toks) - 9, 0))) AS i FROM t0) z
        |),
