@@ -205,15 +205,29 @@ object ScaleBench {
       val nTruth = truth.count()
       val np = Similarity.autoPlanes(n10)
       val nb = Similarity.autoBands(np)
-      val cand = Similarity.bandedCandidates(emb10, np, nb, "vec_id", "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nCand = cand.count()
+      // candidate stream WITHOUT the distinct: at 10M vectors the dedup
+      // shuffle + persist of ~10⁹ pairs transiently eats the whole disk
+      // (observed: ENOSPC at 80 GB free). The gate doesn't need the
+      // materialized set — count the RAW pair stream (a strictly harsher
+      // linearity measure: it bounds the work the dedup itself would do)
+      // and take recall through a broadcast semi-join against the ~1M-row
+      // truth set, so nothing pair-sized ever shuffles or persists.
+      val cand = Similarity.bandedCandidates(emb10, np, nb, "vec_id", "embedding",
+        dedup = false)
+      // one pass: total raw volume + distinct truth pairs recovered (the
+      // countDistinct shuffles only the ~truth-sized hit subset)
+      val row = cand
+        .join(broadcast(truth.withColumn("__t", lit(1))), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(when(col("__t") === 1,
+            struct(col("doc_a"), col("doc_b")))).as("hit")).head()
+      val nCand = row.getLong(0)
       val perVec = nCand.toDouble / n10
-      val hit = truth.join(cand, Seq("doc_a", "doc_b")).count()
+      val hit = row.getLong(1)
       val recall = hit.toDouble / nTruth
-      println(f"[scale] lsh_10M: planes=$np bands=$nb cand=$nCand " +
+      println(f"[scale] lsh_10M: planes=$np bands=$nb rawCand=$nCand " +
         f"(${perVec}%.2f/vec, linear bound ${4.0 * nb}%.0f) recall $hit/$nTruth = $recall%.4f")
-      cand.unpersist(); truth.unpersist(); emb10.unpersist()
+      truth.unpersist(); emb10.unpersist()
       require(perVec <= 4.0 * nb,
         f"candidate volume superlinear: $perVec%.2f per vector > occ*bands = ${4.0 * nb}%.0f")
       require(recall >= 0.9, f"banded LSH recall $recall%.4f below the 0.9 gate at 10M")

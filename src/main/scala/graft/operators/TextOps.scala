@@ -588,11 +588,27 @@ object TextOps {
     */
   def removeDupSpans(docs: DataFrame, n: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sp = docs.select(col(idCol),
-      posexplode(call_function("shingle_hashes", col(textCol), lit(n), lit(Long.MaxValue)))
-        .as(Seq("spos", "h")))
+    val sp = positionalShingleHashes(docs, n, idCol, textCol)
     val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("h"))
+    exciseSpans(docs, sp, dup, n, idCol, textCol)
+  }
+
+  /** (id, spos, h) rows: the position-keyed sibling of [[shingleHashes]],
+    * hashed with the FULL 60-bit md5 prefix (see [[removeDupSpans]] for why
+    * the [[HashP]] modulus is too narrow for span-level edits). */
+  private[graft] def positionalShingleHashes(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(call_function("shingle_hashes", col(textCol), lit(n), lit(Long.MaxValue)))
+        .as(Seq("spos", "h")))
+
+  /** Shared rewrite tail of [[removeDupSpans]] and its streaming twin:
+    * given the docs, their positional shingle hashes and the duplicated
+    * hash set, excise covered tokens map-side (fixed-length interval gaps
+    * over the bounded sorted start array — see [[removeDupSpans]]). */
+  private[graft] def exciseSpans(docs: DataFrame, sp: DataFrame, dup: DataFrame,
+      n: Int, idCol: String, textCol: String): DataFrame = {
     val starts = sp.join(dup, Seq("h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("spos"))).as("__starts"))

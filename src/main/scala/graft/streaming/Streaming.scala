@@ -305,6 +305,51 @@ object Streaming {
       }
       .start()
 
+  /** Streaming duplicate-span REMOVAL — the ingest-time twin of
+    * [[graft.operators.TextOps.removeDupSpans]]: each micro-batch's docs
+    * are rewritten against the duplicated-shingle set visible SO FAR
+    * (earlier batches' spans plus within-batch repeats). Like
+    * [[bloomDedupStream]], this is flag-forward ingest semantics — a span
+    * that only becomes duplicated when a LATER batch lands cannot re-edit
+    * already-emitted docs; the batch operator over the full corpus is the
+    * retrospective pass.
+    *
+    * State is per-batch (h, n_occ) shingle counts in `storeDir/spans` —
+    * batch_id-partitioned, overwritten on retry, read strictly-earlier-
+    * partitions-only, so replays are exactly-once like every other store
+    * twin. The store carries counts, not positions: corpus-shingle-sized,
+    * but mergeable and pruned of everything the rewrite doesn't need.
+    */
+  def removeDupSpansStream(docs: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, n: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processRemoveSpansBatch(batch, batchId, outDir, storeDir, n, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch of [[removeDupSpansStream]] — package-private so the
+    * idempotency and cross-batch contracts are directly testable. */
+  private[graft] def processRemoveSpansBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, n: Int, idCol: String, textCol: String): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    val sp = TextOps.positionalShingleHashes(batch, n, idCol, textCol).persist()
+    val batchCnt = sp.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    val storeCnt = committedOr(spark, s"$storeDir/spans", batchId, batchCnt.limit(0))
+    val dup = storeCnt.unionByName(batchCnt).groupBy(col("h"))
+      .agg(sum(col("n_occ")).as("__tot")).filter(col("__tot") > 1).select(col("h"))
+    TextOps.exciseSpans(batch, sp, dup, n, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // admit the batch's counts into the store — overwrite, so retries replace
+    batchCnt.write.mode("overwrite").parquet(s"$storeDir/spans/batch_id=$batchId")
+    sp.unpersist()
+    ()
+  }
+
   /** Streaming DSIR scoring — the ingest-time twin of TextOps.dsirScores:
     * documents arriving on a stream are scored against a FIXED
     * log-likelihood-ratio weight table built once from a reference corpus

@@ -293,6 +293,46 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/bloom").count() == priorBits)
   }
 
+  test("streaming span removal rewrites against spans seen so far, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("spanrm").toString
+    val run = (1 to 12).map(i => s"c$i").mkString(" ") // 12-token shared run
+    val uniq = (100 to 114).map(i => s"w$i").mkString(" ")
+    // batch 0: the run lands once (plus a unique doc) — nothing duplicated
+    // yet, both docs must pass through byte-identical
+    Streaming.processRemoveSpansBatch(
+      Seq((1L, run), (2L, uniq)).toDF("doc_id", "text"), 0L,
+      s"$dir/out", s"$dir/store", 10, "doc_id", "text")
+    val b0 = spark.read.parquet(s"$dir/out/batch_id=0")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(b0 == Map(1L -> run, 2L -> uniq), s"got $b0")
+    // batch 1: the run arrives again → ITS copy is excised (doc 1, already
+    // emitted, stays — flag-forward semantics); fresh text is untouched
+    Streaming.processRemoveSpansBatch(
+      Seq((3L, run + " t1 t2 t3")).toDF("doc_id", "text"), 1L,
+      s"$dir/out", s"$dir/store", 10, "doc_id", "text")
+    val b1 = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(b1 == Map(3L -> ((12L, "t1 t2 t3"))), s"got $b1")
+    // replaying batch 1 (same id) reads only the pre-batch store: the
+    // half-admitted batch-1 counts must not double-count its own spans
+    Streaming.processRemoveSpansBatch(
+      Seq((3L, run + " t1 t2 t3")).toDF("doc_id", "text"), 1L,
+      s"$dir/out", s"$dir/store", 10, "doc_id", "text")
+    val b1r = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).toMap
+    assert(b1r == Map(3L -> "t1 t2 t3"), s"replay changed the rewrite: $b1r")
+    // a WITHIN-batch duplicate also triggers removal with an empty store
+    Streaming.processRemoveSpansBatch(
+      Seq((4L, uniq), (5L, uniq)).toDF("doc_id", "text"), 2L,
+      s"$dir/out", s"$dir/store", 10, "doc_id", "text")
+    val b2 = spark.read.parquet(s"$dir/out/batch_id=2")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(b2 == Map(4L -> "", 5L -> ""), s"got $b2")
+  }
+
   test("streaming weighted sample: running top-k equals the batch operator, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
