@@ -1427,7 +1427,121 @@ object Text {
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ---- distributed BPE tokenizer training (operators.Bpe) ----
+
+  /** Merges trained once per (session, sfDir) — q80 reports them, q81
+    * encodes with them; the memo keeps the 8-round training from running
+    * twice (same contract as the shingle caches, evicted with the session).
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
+  private val BpeK = 8
+  private def trainedMerges(spark: SparkSession, sfDir: String): Seq[graft.operators.Bpe.Merge] = {
+    bpeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    bpeCache.getOrElseUpdate((spark, sfDir),
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.wordTable(Tables.load(spark, sfDir, "documents")), BpeK))
+  }
+
+  /** q80: the TRAINED merge table itself — k rounds of
+    * pair-count-argmax-fuse over the word-frequency table (Sennrich 2016).
+    * The oracle re-derives the identical training: a generated k-level CTE
+    * chain where each level counts pairs, takes the (count DESC, pair ASC)
+    * argmax, and applies the fold — so the training procedure, tie-breaks
+    * included, is driver-gated, not just the output shape.
+    */
+  def q80BpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, sfDir)
+      .map(m => (m.rank, m.a, m.b, m.a + m.b))
+      .toDF("rank", "a", "b", "merged")
+  }
+
+  /** q81: every document segmented with the q80 merges — per-doc BPE token
+    * count and the first 8 tokens. Encoding is a map-side kernel over a
+    * broadcast merge list; the oracle replays the k fold levels over each
+    * document's word sequence.
+    */
+  def q81BpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.encode(Tables.load(spark, sfDir, "documents"),
+      trainedMerges(spark, sfDir))
+      .select(col("doc_id"), col("n_bpe"), col("preview"))
+
+  // the generated training chain shared by both BPE oracles: w0..wK over
+  // the word-frequency table, m0..m{K-1} the per-round argmax pairs. The
+  // fold mirrors Bpe.applyMerge: left-to-right, non-overlapping, acc as a
+  // space-joined string (symbols never contain spaces — words are
+  // space-split)
+  private def bpeFoldSql(m: String): String =
+    s"""string_split(list_reduce(syms, (acc, x) -> CASE
+       |      WHEN string_split(acc, ' ')[-1] = $m.a AND x = $m.b
+       |      THEN substr(acc, 1, length(acc) - length(string_split(acc, ' ')[-1])) || $m.a || $m.b
+       |      ELSE acc || ' ' || x END), ' ')""".stripMargin
+  private lazy val bpeTrainChainSql: String = {
+    val base =
+      """w0 AS (
+        |  SELECT w, freq,
+        |    list_append(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), '</w>') AS syms
+        |  FROM (
+        |    SELECT w, COUNT(1) AS freq
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |    WHERE length(w) > 0 GROUP BY w
+        |  ) wt
+        |)""".stripMargin
+    val levels = (0 until BpeK).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt
+         |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM w$r) z
+         |  GROUP BY 1, 2
+         |),
+         |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w${r + 1} AS (
+         |  SELECT w, freq, ${bpeFoldSql(s"m$r")} AS syms
+         |  FROM w$r CROSS JOIN m$r
+         |)""".stripMargin
+    }
+    (base +: levels).mkString(",\n")
+  }
+
+  lazy val q80Sql: String = {
+    val rows = (0 until BpeK).map { r =>
+      s"SELECT $r AS rank, a, b, a || b AS merged FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"WITH $bpeTrainChainSql\n  $rows"
+  }
+
+  lazy val q81Sql: String = {
+    val docBase =
+      """d0 AS (
+        |  SELECT doc_id, wpos,
+        |    list_append(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), '</w>') AS syms
+        |  FROM (
+        |    SELECT doc_id, i AS wpos, ws[i] AS w
+        |    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t0) t1
+        |  ) t2 WHERE length(w) > 0
+        |)""".stripMargin
+    val docLevels = (0 until BpeK).map { r =>
+      s"""d${r + 1} AS (
+         |  SELECT doc_id, wpos, ${bpeFoldSql(s"m$r")} AS syms
+         |  FROM d$r CROSS JOIN m$r
+         |)""".stripMargin
+    }
+    s"""WITH $bpeTrainChainSql,
+       |$docBase,
+       |${docLevels.mkString(",\n")},
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_bpe,
+       |    array_to_string(string_split(string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos), ' ')[1:8], ' ') AS preview
+       |  FROM d$BpeK GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(a.n_bpe, 0) AS n_bpe, COALESCE(a.preview, '') AS preview
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_bpe_encode", q81BpeEncode, Some(q81Sql)),
+    QueryDef("q80_bpe_merges", q80BpeMerges, Some(q80Sql)),
     QueryDef("q79_remove_dup_spans", q79RemoveDupSpans, Some(q79Sql)),
     QueryDef("q78_flac_roundtrip", q78FlacRoundtrip, Some(q78Sql)),
     QueryDef("q77_jpeg_dc", q77JpegDc, Some(q77Sql)),
