@@ -536,6 +536,27 @@ object ScaleBench {
           s"${agg.getLong(1)} uniques intact (want ${nDocs - nDocs / 10})")
     }
 
+    // 10g1c. BPE training at 1M docs: the whole scale claim is that
+    // training reduces to the word-frequency table, so the gate asserts
+    // the REDUCTION exactly — merges learned from 1M documents must equal
+    // merges learned from the equivalent 1003-row weighted vocabulary
+    // (uniform corpus scaling cannot move any argmax).
+    timed(s"bpe_train_${nDocs / 1000}k_docs") {
+      import graft.operators.Bpe
+      val docs1m = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit("the quick fox u"), (col("id") % 1000).cast("string")).as("text"))
+      val merges = Bpe.train(Bpe.wordTable(docs1m), 6)
+      val vocabRows = Seq(("the", nDocs.toLong), ("quick", nDocs.toLong),
+        ("fox", nDocs.toLong)) ++ (0 until 1000).map(i => (s"u$i", (nDocs / 1000).toLong))
+      val refVocab = vocabRows.toDF("w", "freq")
+        .withColumn("syms", concat(
+          expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+          array(lit(Bpe.Marker))))
+      val ref = Bpe.train(refVocab, 6)
+      require(merges == ref,
+        s"vocab-table reduction drifted at ${nDocs} docs: $merges vs $ref")
+    }
+
     // 10g2. Weighted sampling at 10M rows: half weight 10, half weight 1.
     // For k ≪ n the A-ES tail odds are 1-t^w ≈ w·(1-t), so the heavy:light
     // inclusion ratio must approach 10:1 — heavy share ≈ 10/11 ≈ 0.909,
