@@ -101,4 +101,20 @@ class RelationalSpec extends SparkSpec {
       assert(n >= 0, s"${q.name} failed")
     }
   }
+
+  test("loadEvents normalizes ts to epoch-ns longs whatever the parquet type") {
+    import org.apache.spark.sql.types.LongType
+    // the driver regenerates testdata between rounds; events.ts has shipped
+    // both as TIMESTAMP(NANOS)-read-as-long and as timestamp[us] (NTZ) —
+    // every events consumer does integer bucket math on ns, so the loader
+    // must yield LongType for either physical shape (a silent TIMESTAMP
+    // here broke q20-q23 for two whole rounds)
+    val ev = graft.core.Tables.loadEvents(spark, sfDir)
+    assert(ev.schema("ts").dataType == LongType, s"got ${ev.schema("ts").dataType}")
+    // and the values must be epoch NANOSECONDS (2020..2040 range check)
+    val t = ev.selectExpr("min(ts)", "max(ts)").head()
+    assert(t.getLong(0) > 1500000000L * 1000000000L &&
+      t.getLong(1) < 2300000000L * 1000000000L,
+      s"ts range ${t.getLong(0)}..${t.getLong(1)} is not epoch-ns")
+  }
 }
