@@ -1539,7 +1539,31 @@ object Text {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** q82: WARC crawl round trip — the corpus leaves as a real splittable
+    * web-crawl container (one `.warc.gz` per partition, one gzip member
+    * per record, WARC/1.0 framing — sources.Warc, spec'd against an
+    * independent Python-written fixture) and comes back through the
+    * MEMBER-PARALLEL reader: exact gzip-member offsets discovered per
+    * file, (path, offset, length) rows fanned across tasks, each seeking
+    * and inflating only its own range. The oracle is the documents table
+    * itself: any framing, compression, offset, or parsing defect loses or
+    * corrupts a record and breaks the hash.
+    */
+  def q82WarcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.WarcIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    WarcIO.writeCrawl(Tables.load(spark, sfDir, "documents"), dir)
+    WarcIO.readCrawlFanout(spark, dir)
+      .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+  }
+
+  val q82Sql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_warc_roundtrip", q82WarcRoundtrip, Some(q82Sql)),
     QueryDef("q81_bpe_encode", q81BpeEncode, Some(q81Sql)),
     QueryDef("q80_bpe_merges", q80BpeMerges, Some(q80Sql)),
     QueryDef("q79_remove_dup_spans", q79RemoveDupSpans, Some(q79Sql)),
