@@ -77,9 +77,9 @@ object WarcIO {
         offs.zip(offs.drop(1) :+ bytes.length.toLong)
           .map { case (o, e) => (r.getString(0), o, e - o) }
       }.toDF("path", "offset", "length")
-    val fanned =
-      if (partitions > 0) members.repartition(partitions)
-      else members.repartition() // spread member rows round-robin
+    val fanned = members.repartition(
+      if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism) // spread member rows round-robin
     fanned.as[(String, Long, Long)].mapPartitions { it =>
       it.flatMap { case (path, off, len) =>
         val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
