@@ -305,6 +305,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming WARC crawl ingest — the front door of the streaming
+    * curation pipeline: watch a directory for landing `.warc.gz` crawl
+    * segments (the [[graft.sources.WarcIO]] layout, i.e. Common Crawl's),
+    * parse each new file's records and emit (record_id, target_uri, text)
+    * rows. Parsing is stateless per file, so the file-source's exactly-once
+    * tracking is the only state; compose with [[curationDecisionStream]] /
+    * [[removeDupSpansStream]] downstream for land-to-decision latency of
+    * one micro-batch.
+    */
+  def crawlStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(col("content"))
+      .flatMap(r => graft.sources.Warc.readAll(r.getAs[Array[Byte]](0))
+        .map(w => (w.recordId, w.targetUri, w.bodyText)))
+      .toDF("record_id", "target_uri", "text")
+  }
+
   /** Streaming duplicate-span REMOVAL — the ingest-time twin of
     * [[graft.operators.TextOps.removeDupSpans]]: each micro-batch's docs
     * are rewritten against the duplicated-shingle set visible SO FAR

@@ -293,6 +293,33 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/bloom").count() == priorBits)
   }
 
+  test("streaming crawl ingest emits records as .warc.gz segments land") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("crawlstream").toString
+    val outDir = s"$dir/out"
+    def segment(path: String, ids: Range): Unit = {
+      val recs = ids.map(i => graft.sources.Warc.Record(
+        s"<urn:uuid:doc-$i>", "response", s"http://x/$i", s"body $i".getBytes("UTF-8")))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        graft.sources.Warc.write(recs))
+    }
+    segment(s"$dir/seg-0.warc.gz", 0 until 3)
+    val q = Streaming.crawlStream(spark, dir).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() == 3)
+    // a second segment lands mid-stream: only its records are new
+    segment(s"$dir/seg-1.warc.gz", 3 until 8)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+      .select(col("record_id"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 8)
+    assert(got("<urn:uuid:doc-6>") == "body 6")
+  }
+
   test("streaming span removal rewrites against spans seen so far, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
