@@ -558,6 +558,38 @@ object TextOps {
       .withColumn("dup_heavy", col("dup_span_frac") >= lit(minFrac))
   }
 
+  /** PII patterns for the scrub pass — RE2-safe (no lookarounds or
+    * backrefs), so the SAME strings run in Java regex (Spark) and RE2
+    * (the DuckDB oracle) with identical semantics, like [[BpePattern]].
+    * Coverage is the standard curation set (emails, NANP-ish phone
+    * shapes, dotted-quad IPs) — deliberately simple, deterministic
+    * shapes: a production scrub would extend the table, not the
+    * machinery.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", "(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII SCRUB — mask every match of [[PiiPatterns]] (applied in table
+    * order, so a pattern never matches inside an earlier placeholder) and
+    * count per-category hits. Pure map-side `regexp_replace`/
+    * `regexp_count` chains: zero shuffles, codegen'd, linear in text.
+    */
+  def piiScrub(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (name, pat, _)) =>
+        df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("scrubbed_text", scrubbed)
+      .select(col(idCol) +: PiiPatterns.map(p => col(s"n_${p._1}")) :+
+        col("scrubbed_text"): _*)
+  }
+
   /** Cross-corpus duplicate-span REMOVAL — the rewrite counterpart of
     * [[dupSpans]] (Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better", word-shingle approximation of the

@@ -1562,7 +1562,34 @@ object Text {
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
       |FROM documents""".stripMargin
 
+  /** q83: PII scrub — mask emails / phone shapes / dotted-quad IPs and
+    * count per-category hits, the standard pre-release curation pass.
+    * Patterns are RE2-safe so the identical strings drive Java regex and
+    * DuckDB's RE2; the oracle replays the same ordered replace chain.
+    */
+  def q83PiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.piiScrub(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
+        col("scrubbed_text"))
+
+  val q83Sql: String = {
+    // DuckDB single-quoted literals pass backslashes through untouched —
+    // insert the Scala pattern strings verbatim
+    val subs = TextOps.PiiPatterns.foldLeft("text") {
+      case (expr, (_, pat, repl)) =>
+        s"regexp_replace($expr, '$pat', '$repl', 'g')"
+    }
+    val counts = TextOps.PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $counts,
+       |  $subs AS scrubbed_text
+       |FROM documents""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q83_pii_scrub", q83PiiScrub, Some(q83Sql)),
     QueryDef("q82_warc_roundtrip", q82WarcRoundtrip, Some(q82Sql)),
     QueryDef("q81_bpe_encode", q81BpeEncode, Some(q81Sql)),
     QueryDef("q80_bpe_merges", q80BpeMerges, Some(q80Sql)),

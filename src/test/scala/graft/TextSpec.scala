@@ -612,6 +612,23 @@ class TextSpec extends SparkSpec {
     assert(got(10L) == "" && got(12L) == "")
   }
 
+  test("piiScrub masks emails, phones and IPs, counts per category") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com or call 555-123-4567"),
+      (2L, "server at 10.0.42.7 and +1 (650) 555-0199 office"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.io c@d.net one ip 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"),
+        r.getAs[Long]("n_ipv4"), r.getAs[String]("scrubbed_text")))).toMap
+    assert(got(1L) == ((1L, 1L, 0L, "mail me at <EMAIL> or call <PHONE>")), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 1L, 1L, "server at <IP> and <PHONE> office")), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(got(4L) == ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")), s"got ${got(4L)}")
+  }
+
   test("dsirScoreAgainst keeps docs whose tokens miss the reference corpus") {
     import spark.implicits._
     val corpus = (0L until 20L).map(i => (i, i < 10, "alpha beta gamma"))
