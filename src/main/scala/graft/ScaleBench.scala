@@ -572,6 +572,31 @@ object ScaleBench {
         s"vocab-table reduction drifted at ${nDocs} docs: $merges vs $ref")
     }
 
+    // 10g1d. WARC crawl round trip at 1M records: write the corpus as the
+    // splittable one-member-per-record layout, read it back through the
+    // member-parallel fanout plan, and assert nothing was lost or
+    // corrupted (exact id-sum + total body bytes). Gates the ingest path
+    // (offset discovery + seek/inflate) at crawl-segment scale.
+    timed("warc_roundtrip_1000k_records") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_warc_scale").toString
+      val docs1m = spark.range(1000000).select(col("id").as("doc_id"),
+        concat(lit("crawl body "), col("id").cast("string"), lit(" "),
+          lpad(col("id").cast("string"), 40, "x")).as("text"))
+      sources.WarcIO.writeCrawl(docs1m, dir)
+      val back = sources.WarcIO.readCrawlFanout(spark, dir)
+        .select(regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long").as("doc_id"),
+          length(col("text")).as("len"))
+      val row = back.agg(count(lit(1)), sum(col("doc_id")), sum(col("len"))).head()
+      val expLen = docs1m.agg(sum(length(col("text")))).head().getLong(0)
+      require(row.getLong(0) == 1000000L && row.getLong(1) == 499999500000L &&
+        row.getLong(2) == expLen,
+        s"warc roundtrip lost data: n=${row.getLong(0)} idsum=${row.getLong(1)} " +
+          s"bytes=${row.getLong(2)} want $expLen")
+      // best-effort local cleanup (temp dir is per-run)
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir)))
+      ()
+    }
+
     // 10g2. Weighted sampling at 10M rows: half weight 10, half weight 1.
     // For k ≪ n the A-ES tail odds are 1-t^w ≈ w·(1-t), so the heavy:light
     // inclusion ratio must approach 10:1 — heavy share ≈ 10/11 ≈ 0.909,
