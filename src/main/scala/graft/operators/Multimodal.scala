@@ -149,6 +149,29 @@ object Multimodal {
     }.toDF("media_id", "frame", "n_samples", "sum_v", "max_v")
   }
 
+  /** Encode raw interleaved-RGB payloads (3 bytes per pixel, `width` px
+    * wide, height truncated to whole 16-px MCUs) as real 4:2:0 color
+    * JPEGs, then decode and report each luma block's exact DC mean — the
+    * color sibling of [[jpegEncode]]+[[decodeJpegDcMeans]] in one map-side
+    * kernel (payloads never shuffle).
+    */
+  def jpegColorDcMeans(media: Dataset[MediaRow], width: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val h = (bytes.length / (3 * width)) / 16 * 16
+      if (h == 0) Seq.empty
+      else {
+        val img = graft.sources.Jpeg.decode(
+          graft.sources.Jpeg.encodeRgb420(width, h, bytes))
+        for {
+          br <- 0 until img.blocksH
+          bc <- 0 until img.blocksW
+        } yield (m.media_id, br, bc, img.dcMean(br, bc))
+      }
+    }.toDF("media_id", "block_row", "block_col", "dc_mean")
+  }
+
   /** Frame sampling for video-kind payloads: emit every `stride`-th chunk as
     * its own row (payload chunking stands in for frame extraction).
     */

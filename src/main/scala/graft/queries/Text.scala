@@ -1588,7 +1588,51 @@ object Text {
        |FROM documents""".stripMargin
   }
 
+  /** q84: COLOR JPEG round trip — documents' bytes become 16-px-wide
+    * interleaved-RGB frames (3 bytes per pixel, height truncated to whole
+    * 16-px MCUs), are encoded as real 4:2:0 YCbCr JPEGs (BT.601 transform,
+    * chroma downsample, two quant + four Huffman tables, interleaved
+    * Y00 Y01 Y10 Y11 Cb Cr MCUs with three DC predictor chains) and
+    * decoded back. The oracle recomputes every luma block's DC invariant
+    * from the text: Y per pixel is the same float64 expression in both
+    * engines (identical IEEE op order → bit-equal), so block mean =
+    * 128 + 2·floor((ΣY − 8192)/128 + 0.5) exactly. Any defect in the MCU
+    * interleave, predictor separation, or chroma table plumbing
+    * desynchronizes the luma DCs and breaks the hash.
+    */
+  def q84JpegColor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // one 16×16-px RGB frame per doc (768 bytes): documents are shorter
+    // than a full MCU of interleaved RGB, so the text tiles cyclically —
+    // deterministic and exactly mirrored by the oracle's modular substr
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("rgb").as("kind"),
+        encode(substring(repeat(col("text"),
+          (lit(768) / length(col("text"))).cast("int") + 1), 1, 768), "UTF-8").as("payload"),
+        lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.jpegColorDcMeans(media, width = 16)
+      .select(col("media_id").as("doc_id"), col("block_row"), col("block_col"),
+        col("dc_mean"))
+  }
+
+  val q84Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    CAST((i - 1) // 16 AS INTEGER) AS r, CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ROUND(0.299 * ascii(substr(text, CAST((3 * i - 3) % length(text) + 1 AS BIGINT), 1))
+      |        + 0.587 * ascii(substr(text, CAST((3 * i - 2) % length(text) + 1 AS BIGINT), 1))
+      |        + 0.114 * ascii(substr(text, CAST((3 * i - 1) % length(text) + 1 AS BIGINT), 1))) AS y
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, 256)) AS i FROM documents) t
+      |)
+      |SELECT doc_id, CAST(r // 8 AS INTEGER) AS block_row,
+      |  CAST(c // 8 AS INTEGER) AS block_col,
+      |  128.0 + 2.0 * FLOOR((SUM(y) - 8192) / 128.0 + 0.5) AS dc_mean
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_jpeg_color", q84JpegColor, Some(q84Sql)),
     QueryDef("q83_pii_scrub", q83PiiScrub, Some(q83Sql)),
     QueryDef("q82_warc_roundtrip", q82WarcRoundtrip, Some(q82Sql)),
     QueryDef("q81_bpe_encode", q81BpeEncode, Some(q81Sql)),

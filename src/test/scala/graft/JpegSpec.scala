@@ -91,6 +91,51 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 color: Y-plane DC means survive the interleaved round trip exactly") {
+    val w = 32; val h = 32
+    val r = rng(42)
+    val rgb = Array.tabulate(3 * w * h)(_ => (r() & 0xff).toByte)
+    val enc = Jpeg.encodeRgb420(w, h, rgb)
+    val img = Jpeg.decode(enc)
+    assert(img.isColor && img.chromaW == 16 && img.chromaH == 16)
+    assert(img.width == w && img.height == h)
+    // recompute the encoder's Y plane and check every 8x8 block's DC
+    // invariant (mean = 128 + 2*DCq at the Annex-K q0=16), through the
+    // full 6-blocks-per-MCU interleave and 3 DC predictor chains
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      var s = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val i = (by * 8 + y) * w + bx * 8 + x
+        val (rr, gg, bb) = (rgb(3 * i) & 0xff, rgb(3 * i + 1) & 0xff, rgb(3 * i + 2) & 0xff)
+        s += math.max(0, math.min(255,
+          math.round(0.299 * rr + 0.587 * gg + 0.114 * bb).toInt))
+      }
+      val dcq = math.floor((s - 8192) / 128.0 + 0.5)
+      assert(img.dcMean(by, bx) == 128.0 + 2.0 * dcq, s"Y block ($by,$bx)")
+    }
+  }
+
+  test("4:2:0 color: smooth chroma reconstructs within the quant error bound") {
+    val w = 16; val h = 16
+    // constant color: chroma blocks are flat → error only from DC rounding
+    val rgb = Array.tabulate(3 * w * h) { i =>
+      (i % 3 match { case 0 => 200; case 1 => 80; case _ => 40 }).toByte
+    }
+    val img = Jpeg.decode(Jpeg.encodeRgb420(w, h, rgb))
+    // expected chroma of (200,80,40): Cb = 128 - .168736*200 - .331264*80 + .5*40
+    val cbE = math.round(128.0 - 0.168736 * 200 - 0.331264 * 80 + 0.5 * 40).toInt
+    val crE = math.round(128.0 + 0.5 * 200 - 0.418688 * 80 - 0.081312 * 40).toInt
+    val cbGot = img.cb.map(_ & 0xff)
+    val crGot = img.cr.map(_ & 0xff)
+    assert(cbGot.forall(v => math.abs(v - cbE) <= 9), // q0=17 → DC step ~2.1, flat ACs
+      s"cb ${cbGot.min}..${cbGot.max} vs $cbE")
+    assert(crGot.forall(v => math.abs(v - crE) <= 9),
+      s"cr ${crGot.min}..${crGot.max} vs $crE")
+    // luma of a constant image is constant: Y = .299*200+.587*80+.114*40
+    val yE = math.round(0.299 * 200 + 0.587 * 80 + 0.114 * 40).toInt
+    assert(img.pixels.map(_ & 0xff).forall(v => math.abs(v - yE) <= 3))
+  }
+
   test("decoder parses tables from the stream and rejects malformed input") {
     val gray = mkGray(8, 8)((y, x) => 16 * y + x)
     val enc = Jpeg.encodeGray(8, 8, gray)

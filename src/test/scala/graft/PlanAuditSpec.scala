@@ -106,13 +106,14 @@ class PlanAuditSpec extends SparkSpec {
       "shared MinHash candidates are not persisted — q36 would recompute signatures")
   }
 
-  test("map-side decision queries plan ZERO exchanges (q57/q60/q62/q75/q77/q78/q83)") {
+  test("map-side decision queries plan ZERO exchanges (q57/q60/q62/q75/q77/q78/q83/q84)") {
     // quality filter, stratified sampling, raw-gray decode+pool, and the
     // PNG encode→decode round trip are pure per-row work: any Exchange
     // appearing here means a scale regression (a shuffle of the full
     // corpus — or worse, of image payloads — for a map-side decision)
     for (name <- Seq("q57_quality_filter", "q60_stratified_sample", "q62_decode_pool",
-        "q75_png_roundtrip", "q77_jpeg_dc", "q78_flac_roundtrip", "q83_pii_scrub")) {
+        "q75_png_roundtrip", "q77_jpeg_dc", "q78_flac_roundtrip", "q83_pii_scrub",
+        "q84_jpeg_color")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name plans an Exchange — map-side decision queries must not shuffle")
