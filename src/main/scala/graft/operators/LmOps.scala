@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical text-curation operators that carry a trained model as
+  * bounded broadcast state: HTML boilerplate extraction (the crawl → text
+  * step between the WARC source and the curation funnel), an in-engine
+  * hashed bigram language model for CCNet-style perplexity filtering
+  * (Wenzek et al. 2020), a hashed-unigram Naive Bayes classifier
+  * (the fastText-classifier role in CCNet/RefinedWeb quality filtering),
+  * and BM25 retrieval (Robertson & Zaragoza 2009) over the corpus.
+  *
+  * Scale shapes (the 100 TB story):
+  *   - HTML extraction is pure per-row column math — zero shuffles, runs
+  *     at scan parallelism, payloads never move.
+  *   - The bigram LM's count tables are bounded at `buckets`² and
+  *     `buckets` rows by construction regardless of corpus size, so
+  *     scoring is two BROADCAST joins + one map-side-combinable groupBy.
+  *     Train once, score any number of batches/streams.
+  *   - The NB feature table is bounded at `classes × buckets` rows
+  *     (dense, so unseen features keep their smoothed weight — the same
+  *     contract as [[TextOps.dsirWeights]]); scoring is one broadcast
+  *     join + one groupBy.
+  *   - BM25's per-term statistics are bounded at the QUERY vocabulary
+  *     (tiny), never the corpus vocabulary: tokens are filtered to query
+  *     terms BEFORE any aggregation, so the only corpus-sized shuffle is
+  *     the per-(doc, term) tf groupBy over matching tokens, and the
+  *     final top-k runs as a WindowGroupLimit, never a global sort.
+  *
+  * All arithmetic is engine-portable (md5-prefix token hashing shared
+  * with the DuckDB oracles, RE2-compatible regexes, 6-decimal rounding
+  * at the float boundary).
+  */
+object LmOps {
+
+  // ---------------------------------------------------------------- HTML
+
+  /** Block-level tags that delimit candidate text blocks (RE2-safe). */
+  val BlockTagPattern: String =
+    "</?(?:p|div|h[1-6]|li|ul|ol|br|tr|td|th|table|section|article|header|footer|nav|blockquote|title)[^>]*>"
+
+  private def unescapeEntities(c: Column): Column = {
+    // Longest-entity-first, '&amp;' LAST so '&amp;lt;' → '&lt;' stays
+    // literal (standard single-pass unescape order). Mirrored verbatim in
+    // the DuckDB oracle.
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Boilerplate-removing HTML → text extraction (jusText-style link
+    * density + minimum-length block heuristic, Pomikálek 2011):
+    * drop script/style subtrees, split on block-level tags, strip inline
+    * tags + unescape entities + normalize whitespace per block, then keep
+    * blocks with ≥ `minWords` words and link density below
+    * 1/`linkRatio` (links·linkRatio ≤ words — integer math, no float).
+    *
+    * Returns struct(text, n_blocks, n_kept): the retained blocks joined
+    * with '\n', the non-empty block count, and the kept block count.
+    * Pure column math — no shuffle, no UDF.
+    */
+  def htmlText(html: Column, minWords: Int = 5, linkRatio: Int = 4): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = split(noScript, BlockTagPattern)
+    val per = transform(blocks, b => {
+      val stripped = trim(regexp_replace(
+        unescapeEntities(regexp_replace(b, "<[^>]*>", " ")), "\\s+", " "))
+      struct(stripped.as("t"), regexp_count(b, lit("<a[ >]")).as("links"))
+    })
+    val nonEmpty = filter(per, x => x.getField("t") =!= "")
+    val kept = filter(nonEmpty, x =>
+      size(split(x.getField("t"), " ")) >= minWords &&
+        x.getField("links") * linkRatio <= size(split(x.getField("t"), " ")))
+    struct(
+      array_join(transform(kept, _.getField("t")), "\n").as("text"),
+      size(nonEmpty).as("n_blocks"),
+      size(kept).as("n_kept"))
+  }
+
+  /** [[htmlText]] over a DataFrame: `htmlCol` → (extracted text,
+    * n_blocks, n_kept) alongside `idCol`. */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html",
+      idCol: String = "doc_id", minWords: Int = 5, linkRatio: Int = 4): DataFrame = {
+    val ex = htmlText(col(htmlCol), minWords, linkRatio)
+    docs.select(col(idCol), ex.getField("text").as("text"),
+      ex.getField("n_blocks").cast("long").as("n_blocks"),
+      ex.getField("n_kept").cast("long").as("n_kept"))
+  }
+
+  // ------------------------------------------------------- bigram LM
+
+  /** Hashed-bucket id of a token (md5-prefix hash mod `buckets`),
+    * identical to the oracle's `('0x'||substr(md5(tok),1,15))::BIGINT % B`. */
+  private def bucket(tok: Column, buckets: Int): Column =
+    TextOps.tokenHash(tok) % buckets
+
+  /** Per-document (b1, b2) hashed bigram pairs, one row per adjacent
+    * token pair. */
+  private def bigramPairs(docs: DataFrame, buckets: Int, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), transform(toks, t => bucket(t, buckets)).as("__bs"))
+      // pair each bucket with its successor; the last position has a null
+      // successor (get() tolerates the out-of-range index under ANSI mode)
+      // and is filtered — no sequence() edge case for single-token docs
+      // (sequence(1, 0) is DESCENDING).
+      .select(col(idCol), explode(expr(
+        "filter(transform(__bs, (x, i) -> struct(x AS b1, get(__bs, i + 1) AS b2)), p -> p.b2 IS NOT NULL)"))
+        .as("__p"))
+      .select(col(idCol), col("__p.b1").as("b1"), col("__p.b2").as("b2"))
+  }
+
+  /** Train the bigram LM: conditional counts c(b1,b2) — bounded at
+    * `buckets`² rows by construction — plus context totals c1(b1),
+    * bounded at `buckets` rows. One corpus scan, two
+    * map-side-combinable groupBys. */
+  def lmCounts(corpus: DataFrame, buckets: Int = 1024,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val pairs = bigramPairs(corpus.select(lit(0L).as("__id"), col(textCol)),
+      buckets, "__id", textCol)
+    val c2 = pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c"))
+    val c1 = pairs.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+    (c2, c1)
+  }
+
+  /** Score documents against a trained ([[lmCounts]]) model: per-token
+    * negative log-likelihood under add-alpha smoothing
+    * p(b2|b1) = (c + α)/(c1 + α·B), mean'd per document →
+    * `nll` (mean −ln p) and `ppl` (e^nll). Unseen bigrams/contexts keep
+    * the smoothed count-0 probability, so NEW batches (the streaming
+    * twin's point) never drop tokens. `is_fluent` thresholds nll — the
+    * CCNet head/tail split dial.
+    *
+    * Both model sides are broadcast (bounded by construction at B² and B
+    * rows); the per-doc mean collapses map-side.
+    */
+  def lmScoreAgainst(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+      buckets: Int = 1024, alpha: Double = 0.5, nllThreshold: Double = 4.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = bigramPairs(docs, buckets, idCol, textCol)
+    pairs
+      .join(broadcast(c1), Seq("b1"), "left")
+      .join(broadcast(c2), Seq("b1", "b2"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("c"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + alpha * buckets))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("nll"),
+        round(exp(col("__s") / col("n_bigrams")), 6).as("ppl"))
+      .withColumn("is_fluent", round(col("nll"), 6) < lit(nllThreshold))
+  }
+
+  /** Train-and-score on one corpus (the batch query shape). */
+  def lmPerplexity(docs: DataFrame, buckets: Int = 1024, alpha: Double = 0.5,
+      nllThreshold: Double = 4.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (c2, c1) = lmCounts(docs, buckets, textCol)
+    lmScoreAgainst(docs, c2, c1, buckets, alpha, nllThreshold, idCol, textCol)
+  }
+
+  // ------------------------------------------------------ Naive Bayes
+
+  /** Train a multinomial Naive Bayes classifier over hashed unigrams:
+    * returns (weights, priors) where weights is DENSE over
+    * classes × range(buckets) (bounded by construction; unseen features
+    * keep the smoothed count-0 log-likelihood — same dense contract as
+    * [[TextOps.dsirWeights]]) and priors is one row per class.
+    * One corpus scan; every aggregate is map-side combinable.
+    */
+  def nbTrain(corpus: DataFrame, labelCol: String, buckets: Int = 4096,
+      alpha: Double = 0.5, textCol: String = "text"): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val tok = corpus
+      .select(col(labelCol).as("cls"), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .select(col("cls"), bucket(col("__tok"), buckets).as("b"))
+    val cnt = tok.groupBy(col("cls"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy(col("cls")).agg(count(lit(1)).as("tc"))
+    val classes = tot.select(col("cls"))
+    val dense = spark.range(buckets).select(col("id").as("b"))
+      .crossJoin(broadcast(classes))
+    val weights = dense
+      .join(broadcast(cnt), Seq("cls", "b"), "left")
+      .join(broadcast(tot), Seq("cls"))
+      .select(col("cls"), col("b"),
+        log((coalesce(col("c"), lit(0L)) + alpha) / (col("tc") + alpha * buckets)).as("w"))
+    val nDocs = corpus.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("nd"))
+    val priors = nDocs
+      .crossJoin(broadcast(nDocs.agg(sum(col("nd")).as("n"))))
+      .select(col("cls"), log(col("nd") / col("n")).as("prior"))
+    (weights, priors)
+  }
+
+  /** Score documents against a trained ([[nbTrain]]) model: per-class
+    * score = prior + Σ_tokens log p(feature|class); prediction = argmax
+    * over the ROUNDED score, ties broken by class name (deterministic in
+    * both engines). Weights join is a broadcast (bounded at
+    * classes × buckets rows); the per-(doc, class) sum collapses
+    * map-side; the argmax window partitions on the doc id →
+    * WindowGroupLimit keeps it map-side top-1, never a global sort.
+    */
+  def nbScoreAgainst(docs: DataFrame, weights: DataFrame, priors: DataFrame,
+      buckets: Int = 4096, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), bucket(col("__tok"), buckets).as("b"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("w")).as("__like"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col(idCol), col("cls"),
+        round(col("prior") + col("__like"), 6).as("score"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("cls").asc)))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("cls").as("pred"), col("score"))
+  }
+
+  /** Train-and-score on one corpus; emits prediction vs. actual. */
+  def nbClassify(docs: DataFrame, labelCol: String, buckets: Int = 4096,
+      alpha: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (w, p) = nbTrain(docs, labelCol, buckets, alpha, textCol)
+    nbScoreAgainst(docs, w, p, buckets, idCol, textCol)
+      .join(docs.select(col(idCol), col(labelCol).as("actual")), Seq(idCol))
+      .withColumn("correct", col("pred") === col("actual"))
+  }
+
+  // ------------------------------------------------------------- BM25
+
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009; k1/b defaults from
+    * the standard Okapi parameterization). `queries` is (qid, term) —
+    * the query vocabulary, tiny by construction, broadcast everywhere.
+    *
+    * score(d, q) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Corpus tokens are filtered to query terms BEFORE any aggregation
+    * (broadcast semi-filter), so df/tf tables are bounded at
+    * |query vocab| and matching docs only; the final top-k per query is
+    * a rank window over (qid) → WindowGroupLimit, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries.select(col("term")).distinct()
+    val toks = docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).as("dl"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val matched = toks.join(broadcast(terms), Seq("term"))
+    val tf = matched.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(TextOps.tokens(col(textCol)))).as("avgdl"))
+    val perTerm = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), Seq("term"))
+      .select(col("qid"), col(idCol),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("__s"))
+    val scored = perTerm.groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("score"))
+  }
+}

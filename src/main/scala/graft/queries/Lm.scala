@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.LmOps
+
+/** Model-backed curation surface: HTML boilerplate extraction, bigram-LM
+  * perplexity filtering (CCNet), Naive-Bayes classification, BM25
+  * retrieval. Oracles mirror the exact arithmetic (shared md5-prefix
+  * token hash, identical float expression shapes, 6-decimal rounding).
+  */
+object Lm {
+
+  private val hashSql = "('0x' || substr(md5(%s), 1, 15))::BIGINT" // 60-bit md5-prefix hash
+
+  // ---------------------------------------------------------------- q85
+
+  /** The synthetic page wrapper: real boilerplate shapes (head/script,
+    * high-link-density nav, short footer) around the document body, plus
+    * HTML entities in a keepable block so unescaping is exercised. */
+  private val PagePrefix: String =
+    "<html><head><title>doc</title><script type=\"text/javascript\">var x = 1 < 2;</script></head><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav>" +
+      "<h1>Doc notes &#39;Q&amp;A&#39; edition one two</h1><p>"
+  private val PageSuffix: String =
+    "</p><footer><a href=\"/t\">terms</a> copyright</footer></body></html>"
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** q85: HTML → text extraction with jusText-style boilerplate removal
+    * (link density + min block length) over pages synthesized from the
+    * documents table: nav/footer/script/title dropped, body paragraph and
+    * the entity-bearing heading kept. Pure per-row column math — zero
+    * shuffles at any scale.
+    */
+  def q85HtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat(lit(PagePrefix), col("text"), lit(PageSuffix)).as("html"))
+    LmOps.htmlExtract(docs)
+  }
+
+  val q85Sql: String = {
+    val unesc = "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(b, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')"
+    s"""WITH page AS (
+       |  SELECT doc_id, ${sqlLit(PagePrefix)} || text || ${sqlLit(PageSuffix)} AS html
+       |  FROM documents
+       |),
+       |nos AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |                   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+       |  FROM page
+       |),
+       |blk AS (
+       |  SELECT doc_id, list_transform(
+       |    regexp_split_to_array(h, '${LmOps.BlockTagPattern}'),
+       |    b -> struct_pack(
+       |      t := trim(regexp_replace($unesc, '\\s+', ' ', 'g')),
+       |      links := len(regexp_extract_all(b, '<a[ >]')))) AS per
+       |  FROM nos
+       |),
+       |ne AS (SELECT doc_id, list_filter(per, x -> x.t <> '') AS nonempty FROM blk),
+       |kp AS (SELECT doc_id, nonempty,
+       |  list_filter(nonempty, x -> len(string_split(x.t, ' ')) >= 5
+       |    AND x.links * 4 <= len(string_split(x.t, ' '))) AS kept
+       |  FROM ne)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(kept, x -> x.t), chr(10)) AS text,
+       |  len(nonempty) AS n_blocks, len(kept) AS n_kept
+       |FROM kp""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** q86: CCNet-style fluency filter — hashed bigram LM (1024 buckets,
+    * add-0.5 smoothing) trained on the corpus, each document scored by
+    * mean per-bigram negative log-likelihood; `is_fluent` thresholds the
+    * nll. Model tables bounded at B²/B rows ⇒ broadcast; per-doc mean
+    * collapses map-side.
+    */
+  def q86LmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.lmPerplexity(Tables.load(spark, sfDir, "documents"),
+      buckets = 1024, alpha = 0.5, nllThreshold = 4.0)
+
+  val q86Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), t -> ${hashSql.format("t")} % 1024) AS bs
+       |  FROM documents
+       |),
+       |pairs AS (
+       |  SELECT doc_id, p.b1 AS b1, p.b2 AS b2
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(bs) - 1),
+       |      i -> struct_pack(b1 := bs[i], b2 := bs[i+1]))) AS p
+       |    FROM tk WHERE len(bs) >= 2
+       |  )
+       |),
+       |c2 AS (SELECT b1, b2, COUNT(1) AS c FROM pairs GROUP BY b1, b2),
+       |c1 AS (SELECT b1, COUNT(1) AS c1 FROM pairs GROUP BY b1),
+       |sc AS (
+       |  SELECT doc_id, COUNT(1) AS n_bigrams,
+       |    SUM(-ln((c + 5e-1) / (c1 + 5e-1 * 1024))) AS s
+       |  FROM pairs JOIN c2 USING (b1, b2) JOIN c1 USING (b1)
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 6) AS nll,
+       |  ROUND(exp(s / n_bigrams), 6) AS ppl,
+       |  ROUND(s / n_bigrams, 6) < 4e0 AS is_fluent
+       |FROM sc""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+
+  /** q87: hashed-unigram Naive Bayes language classifier (4096 buckets,
+    * add-0.5 smoothing), trained on the corpus's own lang labels and
+    * scored back over it — prediction vs. actual. Dense bounded feature
+    * table (classes × 4096) ⇒ broadcast; argmax is a per-doc top-1
+    * window (WindowGroupLimit), tie-broken by class name on the rounded
+    * score.
+    */
+  def q87NbClassify(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.nbClassify(Tables.load(spark, sfDir, "documents"),
+      labelCol = "lang", buckets = 4096, alpha = 0.5)
+
+  val q87Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    ${hashSql.format("tk")} % 4096 AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents)
+       |),
+       |cnt AS (SELECT lang AS cls, b, COUNT(1) AS c FROM tok GROUP BY lang, b),
+       |tot AS (SELECT lang AS cls, COUNT(1) AS tc FROM tok GROUP BY lang),
+       |dense AS (
+       |  SELECT cls, gs.b
+       |  FROM (SELECT DISTINCT lang AS cls FROM documents)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS b) gs
+       |),
+       |w AS (
+       |  SELECT dense.cls, dense.b,
+       |    ln((COALESCE(c, 0) + 5e-1) / (tc + 5e-1 * 4096)) AS w
+       |  FROM dense
+       |  LEFT JOIN cnt ON cnt.cls = dense.cls AND cnt.b = dense.b
+       |  JOIN tot ON tot.cls = dense.cls
+       |),
+       |pri AS (
+       |  SELECT lang AS cls, ln(COUNT(1) / SUM(COUNT(1)) OVER ()) AS prior
+       |  FROM documents GROUP BY lang
+       |),
+       |sc AS (
+       |  SELECT tok.doc_id, w.cls, ROUND(pri.prior + SUM(w.w), 6) AS score
+       |  FROM tok JOIN w USING (b) JOIN pri ON pri.cls = w.cls
+       |  GROUP BY tok.doc_id, w.cls, pri.prior
+       |),
+       |r AS (
+       |  SELECT doc_id, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |  FROM sc
+       |)
+       |SELECT r.doc_id, r.cls AS pred, r.score, d.lang AS actual,
+       |  r.cls = d.lang AS correct
+       |FROM r JOIN documents d ON d.doc_id = r.doc_id
+       |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+
+  /** The fixed retrieval workload: three queries over the corpus vocab. */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "wq1" -> "spark", "wq1" -> "join",
+    "wq2" -> "window", "wq2" -> "sort", "wq2" -> "batch",
+    "wq3" -> "hash")
+
+  /** q88: BM25 top-5 retrieval (k1=1.2, b=0.75) for a fixed query set.
+    * Tokens are broadcast-filtered to the query vocabulary before any
+    * aggregation; df/idf tables are query-vocab-sized; top-k per query is
+    * a WindowGroupLimit. Rank is over the ROUNDED score with doc_id
+    * tie-break — deterministic in both engines.
+    */
+  def q88Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Bm25Queries.toDF("qid", "term")
+    LmOps.bm25TopK(Tables.load(spark, sfDir, "documents"), queries, k = 5)
+  }
+
+  val q88Sql: String = {
+    val vals = Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $vals),
+       |tk AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |),
+       |m AS (SELECT tk.* FROM tk JOIN (SELECT DISTINCT term FROM q) qt USING (term)),
+       |tf AS (SELECT doc_id, dl, term, COUNT(1) AS tf FROM m GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+       |st AS (SELECT COUNT(1) AS n, AVG(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |pt AS (
+       |  SELECT q.qid, tf.doc_id,
+       |    ln((n - df + 5e-1) / (df + 5e-1) + 1e0) * (tf * (12e-1 + 1e0)) /
+       |      (tf + 12e-1 * ((1e0 - 75e-2) + 75e-2 * dl / avgdl)) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN st JOIN q USING (term)
+       |),
+       |sc AS (SELECT qid, doc_id, ROUND(SUM(s), 6) AS score FROM pt GROUP BY qid, doc_id),
+       |r AS (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc
+       |)
+       |SELECT qid, rank, doc_id, score FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),
+    QueryDef("q86_lm_perplexity", q86LmPerplexity, Some(q86Sql)),
+    QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),
+    QueryDef("q88_bm25", q88Bm25, Some(q88Sql)))
+}

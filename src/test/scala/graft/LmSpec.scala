@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LmOps
+
+class LmSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- HTML
+
+  test("htmlExtract drops script/nav/footer boilerplate, keeps body text, unescapes entities") {
+    import spark.implicits._
+    val html =
+      "<html><head><title>t</title><script>var x = 1 < 2;</script></head><body>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/b\">about</a></nav>" +
+        "<h1>Q&amp;A notes &#39;one&#39; two three</h1>" +
+        "<p>alpha beta gamma delta epsilon zeta</p>" +
+        "<div>short one</div>" +
+        "<footer><a href=\"/t\">terms</a> copyright</footer></body></html>"
+    val out = LmOps.htmlExtract(Seq((1L, html)).toDF("doc_id", "html")).collect()(0)
+    assert(out.getAs[String]("text") ==
+      "Q&A notes 'one' two three\nalpha beta gamma delta epsilon zeta")
+    // title, nav, h1, p, div, footer all non-empty; h1 + p kept
+    assert(out.getAs[Long]("n_blocks") == 6L)
+    assert(out.getAs[Long]("n_kept") == 2L)
+  }
+
+  test("htmlExtract link-density rule drops a long link farm but keeps long prose with one link") {
+    import spark.implicits._
+    val farm = "<p>" + (1 to 10).map(i => s"<a href=i>link$i word$i</a>").mkString(" ") + "</p>"
+    val prose = "<p>one two three four five six seven <a href=x>eight</a></p>"
+    val out = LmOps.htmlExtract(Seq((1L, farm + prose)).toDF("doc_id", "html"))
+      .collect()(0)
+    // farm: 20 words, 10 links -> 10*4 > 20 dropped; prose: 8 words, 1 link kept
+    assert(out.getAs[String]("text") == "one two three four five six seven eight")
+    assert(out.getAs[Long]("n_blocks") == 2L && out.getAs[Long]("n_kept") == 1L)
+  }
+
+  // -------------------------------------------------------- bigram LM
+
+  test("bigram LM scores predictable sequences as more fluent than one-off bigrams") {
+    import spark.implicits._
+    // 20 copies of the same 10-token loop: its bigrams dominate the counts.
+    // One doc of 10 tokens never repeated elsewhere: every bigram count 1.
+    val loopDoc = Array.fill(10)("a b c d e f g h i j").mkString(" ")
+    val rare = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = ((1L to 20L).map(i => (i, loopDoc)) :+ (99L, rare)).toDF("doc_id", "text")
+    val out = LmOps.lmPerplexity(docs, buckets = 1024, nllThreshold = 4.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val fluentNll = out(1L).getAs[Double]("nll")
+    val rareNll = out(99L).getAs[Double]("nll")
+    assert(fluentNll < rareNll,
+      s"repeated-structure doc must score lower nll ($fluentNll vs $rareNll)")
+    assert(out(1L).getAs[Boolean]("is_fluent") && !out(99L).getAs[Boolean]("is_fluent"))
+    assert(out(1L).getAs[Long]("n_bigrams") == 99L) // 100 tokens
+    assert(out(99L).getAs[Long]("n_bigrams") == 9L)
+  }
+
+  test("lmScoreAgainst handles unseen bigrams via smoothing (streaming-batch contract)") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    val (c2, c1) = LmOps.lmCounts(train, buckets = 4096)
+    val out = LmOps.lmScoreAgainst(
+      Seq((7L, "q r s t")).toDF("doc_id", "text"), c2, c1, buckets = 4096)
+      .collect()(0)
+    // all-unseen contexts: p = alpha/(0 + alpha*B) = 1/B per bigram -> nll = ln(B)
+    assert(math.abs(out.getAs[Double]("nll") - math.log(4096.0)) < 1e-4)
+  }
+
+  // ------------------------------------------------------ Naive Bayes
+
+  test("NB classifier separates disjoint-vocabulary classes and ties break by class name") {
+    import spark.implicits._
+    val aDocs = (1L to 10L).map(i => (i, "apple ant acorn apple ant", "A"))
+    val bDocs = (11L to 20L).map(i => (i, "bear bolt bream bear bolt", "B"))
+    val docs = (aDocs ++ bDocs).toDF("doc_id", "text", "lab")
+    val out = LmOps.nbClassify(docs, labelCol = "lab").collect()
+    assert(out.length == 20 && out.forall(_.getAs[Boolean]("correct")))
+  }
+
+  test("nbScoreAgainst scores a new batch with the trained model") {
+    import spark.implicits._
+    val train = ((1L to 10L).map(i => (i, "apple ant acorn", "A")) ++
+      (11L to 20L).map(i => (i, "bear bolt bream", "B"))).toDF("doc_id", "text", "lab")
+    val (w, p) = LmOps.nbTrain(train, "lab")
+    val preds = LmOps.nbScoreAgainst(
+      Seq((100L, "apple acorn apple"), (101L, "bolt bear bolt")).toDF("doc_id", "text"), w, p)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    assert(preds(100L) == "A" && preds(101L) == "B")
+  }
+
+  // ------------------------------------------------------------- BM25
+
+  test("BM25 ranks higher-tf docs first and rewards rare terms over common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat cat dog bird fish mouse wolf"),
+      (2L, "cat dog bird fish mouse wolf deer elk"),
+      (3L, "dog bird fish mouse wolf deer elk fox"),
+      (4L, "rare dog bird fish mouse wolf deer elk")).toDF("doc_id", "text")
+    val queries = Seq(("q1", "cat"), ("q2", "rare"), ("q3", "dog")).toDF("qid", "term")
+    val out = LmOps.bm25TopK(docs, queries, k = 3).collect()
+    val q1 = out.filter(_.getAs[String]("qid") == "q1").sortBy(_.getAs[Int]("rank"))
+    assert(q1.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L), "tf ordering")
+    val q2 = out.filter(_.getAs[String]("qid") == "q2")
+    assert(q2.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L), "only the matching doc")
+    // 'rare' (df=1) must out-score 'dog' (df=4) at equal tf and dl
+    val rareScore = q2(0).getAs[Double]("score")
+    val dogTop = out.filter(r => r.getAs[String]("qid") == "q3" && r.getAs[Int]("rank") == 1)(0)
+    assert(rareScore > dogTop.getAs[Double]("score"), "idf must reward rarity")
+  }
+
+  test("bm25/lm/nb plans stay broadcast-only (no SortMergeJoin)") {
+    val sf = sfDir
+    for (q <- Seq("q86_lm_perplexity", "q88_bm25")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$q plans a SortMergeJoin:\n$plan")
+    }
+  }
+}

@@ -34,7 +34,14 @@ class PlanAuditSpec extends SparkSpec {
     "q66_mixture_epochs",
     // q67: the 8192-row feature table crossJoins a broadcast totals row
     // BOUNDED at 1 row (TextOps.dsirScores)
-    "q67_dsir_score")
+    "q67_dsir_score",
+    // q87: the dense NB feature grid crossJoins a broadcast class list
+    // BOUNDED at the label cardinality; priors crossJoin a 1-row total
+    // (LmOps.nbTrain)
+    "q87_nb_classify",
+    // q88: per-term scoring crossJoins a broadcast (N, avgdl) corpus
+    // stats row BOUNDED at 1 row (LmOps.bm25TopK)
+    "q88_bm25")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -106,14 +113,14 @@ class PlanAuditSpec extends SparkSpec {
       "shared MinHash candidates are not persisted — q36 would recompute signatures")
   }
 
-  test("map-side decision queries plan ZERO exchanges (q57/q60/q62/q75/q77/q78/q83/q84)") {
+  test("map-side decision queries plan ZERO exchanges (q57/q60/q62/q75/q77/q78/q83/q84/q85)") {
     // quality filter, stratified sampling, raw-gray decode+pool, and the
     // PNG encode→decode round trip are pure per-row work: any Exchange
     // appearing here means a scale regression (a shuffle of the full
     // corpus — or worse, of image payloads — for a map-side decision)
     for (name <- Seq("q57_quality_filter", "q60_stratified_sample", "q62_decode_pool",
         "q75_png_roundtrip", "q77_jpeg_dc", "q78_flac_roundtrip", "q83_pii_scrub",
-        "q84_jpeg_color")) {
+        "q84_jpeg_color", "q85_html_extract")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name plans an Exchange — map-side decision queries must not shuffle")
