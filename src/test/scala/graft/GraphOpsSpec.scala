@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int = 5): Map[Long, Long] =
+    GraphOps.pageRank(
+      nodes.toDF("node"), edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pagerank: symmetric 2-cycle splits mass equally") {
+    val r = ranksOf(Seq(0L, 1L), Seq((0L, 1L), (1L, 0L)))
+    assert(r(0L) == r(1L))
+    // mass conserved up to integer-truncation dust
+    assert(math.abs(r.values.sum - GraphOps.Scale) < 1000)
+  }
+
+  test("pagerank: star center outranks leaves, leaves tie") {
+    // 4 leaves all point at the hub; hub points back at one leaf
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+    val r = ranksOf(Seq(0L, 1L, 2L, 3L, 4L), edges)
+    assert(r(0L) > r(1L), s"hub must outrank: $r")
+    assert(r(2L) == r(3L) && r(3L) == r(4L), s"plain leaves must tie: $r")
+    assert(r(1L) > r(2L), s"the hub-endorsed leaf outranks plain leaves: $r")
+  }
+
+  test("pagerank: dangling node's mass is redistributed, not lost") {
+    // 0 -> 1, 1 has no out-links (dangling)
+    val r = ranksOf(Seq(0L, 1L), Seq((0L, 1L)))
+    assert(r(1L) > r(0L), s"sink receives 0's mass: $r")
+    assert(math.abs(r.values.sum - GraphOps.Scale) < 1000,
+      s"dangling mass must be recycled: $r")
+  }
+
+  test("pagerank: iterations are exact integer arithmetic (repeat-stable)") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val edges = docs.crossJoin(spark.range(3).select($"id".as("k")))
+      .select($"doc_id".as("src"),
+        (($"doc_id" * 31 + $"n_chars" * 7 + $"k" * 13) % n).as("dst"))
+      .filter($"dst" =!= $"src").distinct()
+    val nodes = docs.select($"doc_id".as("node"))
+    val a = GraphOps.pageRank(nodes, edges, 5).as[(Long, Long)].collect().toMap
+    val b = GraphOps.pageRank(nodes, edges, 5).as[(Long, Long)].collect().toMap
+    assert(a == b, "fixed-point ranks must be bit-identical across runs")
+    assert(a.values.sum <= GraphOps.Scale &&
+      a.values.sum > GraphOps.Scale - 100L * n,
+      s"mass drift beyond truncation bound: ${a.values.sum}")
+  }
+
+  test("pagerank: more in-links means more rank on the real corpus graph") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val edges = docs.crossJoin(spark.range(3).select($"id".as("k")))
+      .select($"doc_id".as("src"),
+        (($"doc_id" * 31 + $"n_chars" * 7 + $"k" * 13) % n).as("dst"))
+      .filter($"dst" =!= $"src").distinct()
+    val nodes = docs.select($"doc_id".as("node"))
+    val pr = GraphOps.pageRank(nodes, edges, 5)
+    val indeg = edges.groupBy($"dst".as("node")).agg(count(lit(1)).as("ind"))
+    val joined = pr.join(indeg, Seq("node"), "left")
+      .select($"node", $"pr_micro", coalesce($"ind", lit(0L)).as("ind"))
+      .as[(Long, Long, Long)].collect()
+    val zeroIn = joined.filter(_._3 == 0L).map(_._2)
+    val manyIn = joined.filter(_._3 >= 5L).map(_._2)
+    if (zeroIn.nonEmpty && manyIn.nonEmpty)
+      assert(manyIn.min > zeroIn.max,
+        "heavily-linked docs must outrank unlinked ones")
+  }
+}
