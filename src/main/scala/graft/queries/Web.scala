@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.GraphOps
+import graft.operators.{GraphOps, UrlOps}
 
 /** Web-curation surface: the link-graph / URL / interchange operators a
   * crawl-derived corpus needs around the content pipeline.
@@ -82,6 +82,170 @@ object Web {
        |FROM r5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q90
+
+  /** q90: JSONL round trip — the corpus leaves as gzipped JSON-lines (the
+    * training-data interchange format: one file per partition, the
+    * many-files layout that carries parallelism since .jsonl.gz members
+    * are not splittable) through Spark's native json sink and returns
+    * through the schema'd json source. The oracle is the documents table
+    * itself: any escaping, encoding, or schema defect breaks the hash.
+    */
+  def q90JsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Tables.load(spark, sfDir, "documents")
+      .write.mode("overwrite").option("compression", "gzip").json(dir)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val q90Sql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+  // ---------------------------------------------------------------- q91
+
+  /** The synthesized per-document URL: mixed-case scheme/host, data-driven
+    * labels, default and non-default ports, tracking + unsorted query
+    * params, and a fragment — every canonicalization rule exercised, and
+    * two-level public suffixes (com.cn, co.uk) reached via the lang TLD
+    * map. Spark and SQL build the identical string. */
+  private def urlOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val id = col("doc_id")
+    val tld = when(col("lang") === "zh", "com.cn").when(col("lang") === "fr", "co.uk")
+      .when(col("lang") === "de", "de").when(col("lang") === "es", "org")
+      .otherwise("com")
+    val hostPart = concat(when(id % 2 === 0, "WWW.").otherwise("m."),
+      lit("Example"), (id % 13).cast("string"), lit("."), tld)
+    val portPart = when(id % 3 === 0, ":80").when(id % 3 === 1, ":8080").otherwise("")
+    d.select(id.as("doc_id"), concat(
+      when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"), hostPart, portPart,
+      lit("/Docs/"), col("source"), lit("/"), id.cast("string"),
+      lit("?z=9&utm_source=feed&id="), id.cast("string"),
+      lit("&a=1#sec"), (id % 5).cast("string")).as("url"))
+  }
+
+  private val urlSqlCte: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'm.' END) ||
+      |    'Example' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+      |    (CASE WHEN lang = 'zh' THEN 'com.cn' WHEN lang = 'fr' THEN 'co.uk'
+      |          WHEN lang = 'de' THEN 'de' WHEN lang = 'es' THEN 'org'
+      |          ELSE 'com' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN ':80' WHEN doc_id % 3 = 1 THEN ':8080'
+      |          ELSE '' END) ||
+      |    '/Docs/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+      |    '?z=9&utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+      |    '&a=1#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+      |  FROM documents
+      |)""".stripMargin
+
+  /** q91: URL parse + canonicalize (operators.UrlOps) — scheme/host
+    * lowering, default-port and fragment and tracker stripping, param
+    * sorting, registered-domain extraction with two-level public
+    * suffixes. Pure per-row column math, zero shuffles at any scale.
+    */
+  def q91UrlCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = urlOf(spark, sfDir)
+    u.select(col("doc_id"), col("url"),
+      UrlOps.scheme(col("url")).as("scheme"),
+      UrlOps.host(col("url")).as("host"),
+      UrlOps.registeredDomain(UrlOps.host(col("url"))).as("registered_domain"),
+      UrlOps.path(col("url")).as("path"),
+      UrlOps.nParams(col("url")).cast("long").as("n_params"),
+      UrlOps.canonicalize(col("url")).as("canonical_url"))
+  }
+
+  val q91Sql: String = {
+    val suffixes = UrlOps.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""WITH $urlSqlCte,
+       |parts AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+       |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      '^([^:]*)', 1)) AS host,
+       |    regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      ':([0-9]+)$$', 1) AS port,
+       |    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+       |         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+       |    END AS path,
+       |    list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '^(${UrlOps.TrackingParams})=')))
+       |      AS kept
+       |  FROM u
+       |),
+       |dom AS (
+       |  SELECT *, string_split(host, '.') AS labels FROM parts
+       |)
+       |SELECT doc_id, url, scheme, host,
+       |  CASE WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1]) IN ($suffixes)
+       |       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |       WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       |       ELSE host END AS registered_domain,
+       |  path, CAST(len(kept) AS BIGINT) AS n_params,
+       |  scheme || '://' || host ||
+       |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |             OR (scheme = 'https' AND port = '443') THEN ''
+       |        ELSE ':' || port END) ||
+       |  path ||
+       |  (CASE WHEN len(kept) = 0 THEN '' ELSE '?' || array_to_string(kept, '&') END)
+       |    AS canonical_url
+       |FROM dom""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q92
+
+  /** Accented markers appended per document — composed forms, and one
+    * DECOMPOSED spelling ("e"+U+0301) that NFC must fold onto its composed
+    * twin: the property that makes pre-hash normalization matter for
+    * dedup. All bases are ASCII and all marks are Mn, the subset where
+    * java.text.Normalizer and DuckDB's utf8proc agree byte-for-byte. */
+  val AccentMarkers: Seq[String] = Seq(
+    "Café", "naïve", "Zürich", "façade",
+    "piñata", "Ångström", "déjà-vu",
+    "étude")
+
+  /** q92: Unicode normalization (codegen'd `nfc_normalize` +
+    * `strip_accents` expressions, sql.UnicodeNormExpression) — NFC
+    * composition, accent stripping, casefold: the canonical text key for
+    * encoding-robust dedup. `composed` flags docs whose marker lost code
+    * points under NFC (the decomposed spelling). Zero shuffles.
+    */
+  def q92Normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers = array(AccentMarkers.map(lit): _*)
+    val aug = concat(col("text"), lit(" "),
+      element_at(markers, (col("doc_id") % AccentMarkers.size).cast("int") + 1))
+    val nfc = call_function("nfc_normalize", aug)
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      lower(call_function("strip_accents", nfc)).as("norm_text"),
+      length(aug).cast("long").as("n_cp_raw"),
+      length(nfc).cast("long").as("n_cp_nfc"),
+      (length(nfc) < length(aug)).as("composed"))
+  }
+
+  val q92Sql: String = {
+    val list = AccentMarkers.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' ' || ([$list])[CAST(doc_id % ${AccentMarkers.size} AS INT) + 1] AS a
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  lower(strip_accents(nfc_normalize(a))) AS norm_text,
+       |  CAST(length(a) AS BIGINT) AS n_cp_raw,
+       |  CAST(length(nfc_normalize(a)) AS BIGINT) AS n_cp_nfc,
+       |  length(nfc_normalize(a)) < length(a) AS composed
+       |FROM aug""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q89_pagerank", q89PageRank, Some(q89Sql)))
+    QueryDef("q89_pagerank", q89PageRank, Some(q89Sql)),
+    QueryDef("q90_jsonl_roundtrip", q90JsonlRoundtrip, Some(q90Sql)),
+    QueryDef("q91_url_canon", q91UrlCanon, Some(q91Sql)),
+    QueryDef("q92_normalize", q92Normalize, Some(q92Sql)))
 }

@@ -627,6 +627,59 @@ case class GopherSignalsExpression(child: Expression, stopWords: Seq[String])
     copy(child = newChild)
 }
 
+/** Kernels for [[UnicodeNormExpression]]: NFC composition and accent
+  * stripping (NFD + drop all Mn combining marks) via `java.text.Normalizer`
+  * — the same utf8proc definitions DuckDB's `nfc_normalize`/`strip_accents`
+  * implement, so the oracle calls its builtins and the engines agree
+  * byte-for-byte. Pre-hash text normalization is what makes dedup robust
+  * to encoding variants: NFC('e'+U+0301) = NFC('é'), so the composed and
+  * decomposed spellings of a document hash identically.
+  */
+object UnicodeNorm extends Serializable {
+  private val Mn = java.util.regex.Pattern.compile("\\p{Mn}+")
+  def nfc(s: UTF8String): UTF8String = UTF8String.fromString(
+    java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  def stripAccents(s: UTF8String): UTF8String = {
+    val decomposed =
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    UTF8String.fromString(Mn.matcher(decomposed).replaceAll(""))
+  }
+}
+
+/** Codegen'd Unicode normalization, `mode` ∈ nfc | strip_accents —
+  * registered under DuckDB's function names so the SQL twins read
+  * identically in both engines. */
+case class UnicodeNormExpression(child: Expression, mode: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = mode match {
+    case "nfc" => "nfc_normalize"
+    case _ => "strip_accents"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got $other")
+  }
+
+  override protected def nullSafeEval(s: Any): Any = mode match {
+    case "nfc" => UnicodeNorm.nfc(s.asInstanceOf[UTF8String])
+    case _ => UnicodeNorm.stripAccents(s.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unicodeNorm", UnicodeNorm, UnicodeNorm.getClass.getName)
+    val call = if (mode == "nfc") "nfc" else "stripAccents"
+    defineCodeGen(ctx, ev, s => s"$ref.$call($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extensions: every registered model becomes a SQL-callable scalar
   * (`SELECT gmf_cmod5n(inc, wspd, phi) FROM scene`) backed by the codegen
   * expression — the sql/ surface of SURVEY.md §7.1. Two-argument crosspol
@@ -711,6 +764,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"gopher_signals expects (text), got ${other.length} args")
       }))
+    Seq("nfc_normalize" -> "nfc", "strip_accents" -> "strip_accents").foreach {
+      case (name, mode) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.sql.UnicodeNormExpression", name),
+          (args: Seq[Expression]) => args match {
+            case Seq(s) => UnicodeNormExpression(s, mode)
+            case other => throw new IllegalArgumentException(
+              s"$name expects (string), got ${other.length} args")
+          }))
+    }
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo("graft.sql.DotProductExpression", "dot_f32"),

@@ -25,6 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     // m·codebookSize rows; ADC scoring joins a broadcast per-query LUT
     // BOUNDED at the query count (Similarity.pqTopK)
     "q63_pq_ann",
+    // q89: link-graph fanout crossJoins a LITERAL 3-row k-range, and each
+    // PageRank iteration crossJoins the 1-ROW broadcast dangling-mass
+    // aggregate (GraphOps.pageRank) — both bounded by construction
+    "q89_pagerank",
     // q76: IVFADC scores each probed query-residual against the broadcast
     // PQ codebook — a crossJoin BOUNDED at m·codebookSize rows, same
     // audited shape as q63 (Similarity.ivfadcTopK)
@@ -113,14 +117,14 @@ class PlanAuditSpec extends SparkSpec {
       "shared MinHash candidates are not persisted — q36 would recompute signatures")
   }
 
-  test("map-side decision queries plan ZERO exchanges (q57/q60/q62/q75/q77/q78/q83/q84/q85)") {
+  test("map-side decision queries plan ZERO exchanges (q57/q60/q62/q75/q77/q78/q83/q84/q85/q91/q92)") {
     // quality filter, stratified sampling, raw-gray decode+pool, and the
     // PNG encode→decode round trip are pure per-row work: any Exchange
     // appearing here means a scale regression (a shuffle of the full
     // corpus — or worse, of image payloads — for a map-side decision)
     for (name <- Seq("q57_quality_filter", "q60_stratified_sample", "q62_decode_pool",
         "q75_png_roundtrip", "q77_jpeg_dc", "q78_flac_roundtrip", "q83_pii_scrub",
-        "q84_jpeg_color", "q85_html_extract")) {
+        "q84_jpeg_color", "q85_html_extract", "q91_url_canon", "q92_normalize")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name plans an Exchange — map-side decision queries must not shuffle")
