@@ -352,4 +352,80 @@ object Multimodal {
       .select(col("media_id"), col("frame"), col("rms"), col("peak"),
         col("is_silence"))
   }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (decimation-in-time,
+    * recurrence twiddles). Standard public algorithm; n must be a power
+    * of two. */
+  private[graft] def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 0
+    while (i < n - 1) {
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      var m = n >> 1
+      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
+      j += m
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        val half = len >> 1
+        while (k < half) {
+          val ur = re(base + k); val ui = im(base + k)
+          val br = re(base + k + half); val bi = im(base + k + half)
+          val vr = br * cr - bi * ci
+          val vi = br * ci + bi * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + half) = ur - vr; im(base + k + half) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Magnitude spectrum per audio frame — the spectral-feature step of an
+    * audio curation pass (bandwidth checks, tone/DTMF detection, spectral
+    * fingerprints). The payload is read as 8-bit unsigned samples, split
+    * into non-overlapping power-of-two frames, and each frame's radix-2
+    * FFT yields bins 0..frameLen/2 (real-input symmetry) with magnitude
+    * √(re²+im²).
+    *
+    * Per-partition kernel (payloads never shuffle; O(n log n) per frame
+    * vs the oracle's O(n²) direct DFT). Cross-engine contract: 8-bit
+    * samples keep |X| ≤ frameLen·255, so FFT-vs-DFT summation-order and
+    * libm-trig deltas stay below 1e-10 — invisible at the 4-decimal
+    * rounding the caller applies.
+    */
+  def fftSpectrum(media: Dataset[MediaRow], frameLen: Int): DataFrame = {
+    require(frameLen > 1 && (frameLen & (frameLen - 1)) == 0,
+      s"frameLen must be a power of two, got $frameLen")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val frames = bytes.length / frameLen
+      for {
+        f <- 0 until frames
+        re = Array.tabulate(frameLen)(i => (bytes(f * frameLen + i) & 0xff).toDouble)
+        im = new Array[Double](frameLen)
+        _ = fftInPlace(re, im)
+        k <- 0 to frameLen / 2
+      } yield (m.media_id, f, k, math.sqrt(re(k) * re(k) + im(k) * im(k)))
+    }.toDF("media_id", "frame", "bin", "mag")
+  }
 }

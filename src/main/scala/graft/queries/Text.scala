@@ -614,6 +614,48 @@ object Text {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** q93: cluster-representative SELECTION — the step after q59's
+    * labeling that a fuzzy dedup pass actually ships: within each
+    * near-dup cluster keep the highest-QUALITY member (type-token ratio,
+    * the q57 spelling, doc_id tie-break), not blindly the lowest id.
+    * The per-cluster argmax is a partitioned row_number window —
+    * parallel in the cluster count, never a global sort.
+    */
+  def q93ClusterPick(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sig = docs.select(col("doc_id"),
+      call_function("gopher_signals", col("text")).as("__sig"))
+      .select(col("doc_id"),
+        round(col("__sig.n_distinct").cast("double") / col("__sig.n_words"), 6)
+          .as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    q59NearDupClusters(spark, sfDir)
+      .join(sig, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), (col("rn") === 1).as("is_kept"))
+  }
+
+  // lazy: embeds q59Sql, which is initialized later in source order
+  lazy val q93Sql: String =
+    s"""WITH cl AS (\n$q59Sql\n),
+       |q AS (
+       |  SELECT doc_id,
+       |    ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |          / len(string_split(text, ' ')), 6) AS quality
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.quality,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |                       ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_id, cluster_size, quality, rn = 1 AS is_kept
+       |FROM r""".stripMargin
+
   val q59Sql: String =
     s"""WITH RECURSIVE $shingleCte,
        |${sigCte(16)},
@@ -1183,6 +1225,47 @@ object Text {
       |  ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 64), 6) < 25e3 AS is_silence
       |FROM s GROUP BY doc_id, frame""".stripMargin
 
+  /** q94: FFT magnitude spectrum per audio frame — the spectral-feature
+    * step after q72's framing (bandwidth checks, tone detection, spectral
+    * fingerprints): document bytes as 8-bit PCM, 64-sample frames, radix-2
+    * FFT per frame (operators.Multimodal.fftSpectrum, O(n log n) partition
+    * kernel), bins 0..32 by real-input symmetry. The oracle is the O(n²)
+    * DIRECT DFT — an independent spelling of the transform; 8-bit samples
+    * keep FFT-vs-DFT float deltas ~1e-10, invisible at 4 decimals.
+    */
+  def q94FftSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("pcm8").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.fftSpectrum(media, frameLen = 64)
+      .select(col("media_id").as("doc_id"), col("frame"), col("bin"),
+        round(col("mag"), 4).as("mag"))
+  }
+
+  val q94Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS frame,
+      |    CAST((i - 1) % 64 AS INTEGER) AS tpos,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, (n // 64) * 64)) AS i FROM t)
+      |),
+      |x AS (
+      |  SELECT doc_id, frame, k,
+      |    SUM(v * cos(-2 * pi() * k * tpos / 64)) AS re,
+      |    SUM(v * sin(-2 * pi() * k * tpos / 64)) AS im
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 32)) AS k) ks
+      |  GROUP BY doc_id, frame, k
+      |)
+      |SELECT doc_id, frame, CAST(k AS INTEGER) AS bin,
+      |  ROUND(sqrt(re * re + im * im), 4) AS mag
+      |FROM x""".stripMargin
+
   /** q73: perceptual dHash dedup over the REAL grayscale decode — each
     * doc's 16-wide byte frame pools to 4×4 blocks, adjacent-block gradient
     * signs over the first 8 block rows form a 24-bit difference hash, and
@@ -1645,6 +1728,7 @@ object Text {
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
+    QueryDef("q94_fft_spectrum", q94FftSpectrum, Some(q94Sql)),
     QueryDef("q71_length_buckets", q71LengthBuckets, Some(q71Sql)),
     QueryDef("q70_weighted_sample", q70WeightedSample, Some(q70Sql)),
     QueryDef("q68_epoch_shuffle", q68EpochShuffle, Some(q68Sql)),
@@ -1656,6 +1740,7 @@ object Text {
     QueryDef("q63_pq_ann", q63PqAnn, Some(q63Sql)),
     QueryDef("q62_decode_pool", q62DecodePool, Some(q62Sql)),
     QueryDef("q59_neardup_clusters", q59NearDupClusters, Some(q59Sql)),
+    QueryDef("q93_cluster_pick", q93ClusterPick, Some(q93Sql)),
     QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),
     QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
