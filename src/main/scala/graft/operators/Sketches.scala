@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators — the cardinality / frequency / order-statistic
+  * primitives a 100 TB telemetry-and-curation pipeline runs continuously
+  * (per-domain distinct counts, token heavy hitters, corpus length
+  * percentiles) where exact global state is either too big or needs one
+  * extra pass.
+  *
+  * Engine-portability discipline (shared with TextOps): every hash is the
+  * 60-bit md5-hex prefix, every float reduction that feeds a hash-compared
+  * output is either exact-integer-scaled or provably order-independent, so
+  * the DuckDB oracle can mirror the arithmetic bit-for-bit. In particular
+  * the HyperLogLog harmonic sum is accumulated as exact BIGINTs scaled by
+  * 2^52 (each term 2^(52-reg) is an integer; the total is < 2^61), because a
+  * double-precision sum over terms spanning 60 binary orders of magnitude
+  * would be summation-order-dependent and flip hashes between engines.
+  *
+  * Scale story:
+  *  - HLL registers are a groupBy(key, bucket).max — map-side-combinable,
+  *    m=512 rows per key, mergeable across shards/days by another max.
+  *  - CMS cells are a groupBy(row, col).sum over PRE-AGGREGATED token
+  *    counts — d·w = 4096 cells total regardless of corpus size, mergeable
+  *    by addition.
+  *  - Exact quantiles never globally sort: a 1-row extrema pass, a bounded
+  *    histogram pass (≤ nBuckets rows collected, same class as the two-phase
+  *    prefix-scan offset tables), then a sort restricted to the few buckets
+  *    that contain the requested ranks.
+  *
+  * References: Flajolet et al. 2007 (HyperLogLog, incl. the linear-counting
+  * small-range correction), Cormode & Muthukrishnan 2005 (Count-Min).
+  * The rank statistic rho uses trailing zeros of the post-bucket hash bits
+  * (the PCSA/"Probabilistic Counting" convention, Flajolet–Martin 1985) —
+  * identically distributed to leading zeros on an i.i.d. uniform hash and
+  * exactly expressible in portable SQL as log2(w & -w).
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------ HLL
+
+  /** Register count m = 2^p. p=9 → 512 registers → ~1.04/sqrt(512) ≈ 4.6%
+    * standard error: the classic telemetry operating point. */
+  val HllP = 9
+  val HllM = 1 << HllP
+
+  /** Max rho: the 60-bit hash leaves 51 post-bucket bits; w == 0 (all 51
+    * zero) reports one more than the max observable trailing-zero count. */
+  val HllMaxRho = 52
+
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** (bucket, rho) for one hashed value: bucket = low p bits, rho = trailing
+    * zeros of the remaining 51 bits + 1 (log2 of w & -w is exact: the
+    * argument is a power of two, so no libm rounding can differ between
+    * engines; `round` guards the integer conversion anyway).
+    */
+  def hllBucketRho(value: Column): (Column, Column) = {
+    val h = md5Hash60(value)
+    // integer div/mod — h spans 60 bits, so a double-typed `/` would round
+    val w = shiftright(h, HllP)
+    val bucket = pmod(h, lit(HllM)).cast("int")
+    val rho = when(w === 0, lit(HllMaxRho))
+      .otherwise(round(log2(w.bitwiseAND(-w))).cast("int") + 1)
+    (bucket, rho)
+  }
+
+  /** HLL register table for `value` grouped by the named key columns: one
+    * row per (keys, bucket) holding max(rho). Mergeable: registers of a
+    * union of shards = max over the shards' registers (see SketchesSpec).
+    */
+  def hllRegisters(df: DataFrame, value: Column, keys: Seq[String]): DataFrame = {
+    val (bucket, rho) = hllBucketRho(value)
+    df.select((keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Distinct-count estimate per key group from a register table with
+    * columns (groupCols..., bucket, reg). Harmonic sum is exact-integer:
+    * sum(2^(52-reg)) + zeros·2^52 as BIGINT (< 2^61), divided back in one
+    * double op so both engines round identically. Applies the
+    * linear-counting small-range correction below 2.5·m.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = HllM.toDouble
+    // alpha_512 spelled as the same literal expression in the SQL oracle
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    // 2^(52-reg) as an exact BIGINT (reg ∈ [1,52] ⇒ exponent ∈ [0,51], every
+    // value exactly representable; functions.shiftleft only takes a literal
+    // shift, so spell it as pow)
+    val scaled = pow(lit(2.0), lit(HllMaxRho) - col("reg")).cast("long")
+    val agg = registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("filled"), sum(scaled).as("s_scaled"))
+      .withColumn("zeros", lit(HllM.toLong) - col("filled"))
+      .withColumn("s_total",
+        col("s_scaled") + col("zeros") * lit(1L << HllMaxRho))
+    val z = col("s_total").cast("double") / lit(math.pow(2.0, HllMaxRho))
+    val raw = alpha * lit(m) * lit(m) / z
+    val est = when(raw <= lit(2.5 * m) && col("zeros") > 0,
+      lit(m) * log(lit(m) / col("zeros").cast("double")))
+      .otherwise(raw)
+    agg.select((groupCols.map(col) :+
+      round(est + lit(5e-10), 4).as("est_distinct")): _*)
+  }
+
+  // ------------------------------------------------------------------ CMS
+
+  /** Count-Min geometry: d=4 hash rows × w=1024 columns — 4096 counters
+    * whatever the corpus size. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** Column index of `value` under hash row i (seeded by prefixing "i:"). */
+  def cmsCol(i: Int, value: Column): Column =
+    pmod(md5Hash60(concat(lit(s"$i:"), value)), lit(CmsW)).cast("int")
+
+  /** CMS cell table (row, col, cnt) from a PRE-AGGREGATED (value, weight)
+    * frequency table — d rows per distinct value, summed per cell.
+    * Mergeable by addition across shards/days.
+    */
+  def cmsCells(freq: DataFrame, value: Column, weight: Column): DataFrame = {
+    val rows = (0 until CmsD).map { i =>
+      struct(lit(i).as("r"), cmsCol(i, value).as("c"))
+    }
+    freq.select(explode(array(rows: _*)).as("rc"), weight.as("w"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("w")).as("cnt"))
+  }
+
+  /** Point-estimate the counts of `probes` (a small DataFrame with column
+    * `probeCol`) against a cell table: min over the d per-row counters.
+    * The probe side is broadcast; each probe reads d cells.
+    */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, probeCol: String): DataFrame = {
+    val rows = (0 until CmsD).map { i =>
+      struct(lit(i).as("r"), cmsCol(i, col(probeCol)).as("c"))
+    }
+    val probeCells = probes.select(col(probeCol), explode(array(rows: _*)).as("rc"))
+      .select(col(probeCol), col("rc.r").as("r"), col("rc.c").as("c"))
+    cells.join(broadcast(probeCells), Seq("r", "c"))
+      .groupBy(col(probeCol))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  // ------------------------------------------------ exact quantiles
+
+  /** Exact order statistics without a global sort. Quantile q maps to the
+    * 0-indexed rank floor(q·(n-1)) ("lower" interpolation); the value at a
+    * rank is found by (1) a 1-row extrema/count pass, (2) a fixed-width
+    * histogram pass whose ≤ nBuckets counts are collected and prefix-summed
+    * driver-side (bounded, same class as the prefix-scan offset tables),
+    * then (3) sorting ONLY the buckets that contain requested ranks — at
+    * uniform fill that is qs.length · n/nBuckets rows, and the per-bucket
+    * window keeps even a skewed bucket parallel across buckets.
+    * Duplicate values make any tie order rank-correct: ordering is by value
+    * alone, so the value at a global rank is unique.
+    *
+    * Returns (q, value) with q as a double column.
+    */
+  def exactQuantiles(
+      df: DataFrame, valueCol: String, qs: Seq[Double],
+      nBuckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(valueCol)
+    val head = df.agg(min(v).as("mn"), max(v).as("mx"), count(lit(1)).as("n")).head()
+    val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    require(n > 0, "exactQuantiles on empty input")
+    val width = math.max((mx - mn) / nBuckets, java.lang.Double.MIN_NORMAL)
+    val bucketOf = least(floor((v - lit(mn)) / lit(width)), lit(nBuckets - 1))
+      .cast("int").as("bucket")
+    val hist = df.select(bucketOf).groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cumulative count strictly below each bucket
+    val below = {
+      var acc = 0L
+      (0 until nBuckets).map { b => val r = b -> acc; acc += hist.getOrElse(b, 0L); r }
+    }.toMap
+    // rank (0-indexed) per requested quantile → (bucket, local 1-indexed row)
+    val targets = qs.map { q =>
+      val k = math.floor(q * (n - 1)).toLong
+      val b = (0 until nBuckets).find { b =>
+        below(b) <= k && k < below(b) + hist.getOrElse(b, 0L)
+      }.get
+      (q, b, k - below(b) + 1)
+    }
+    val wantedBuckets = targets.map(_._2).distinct
+    val win = Window.partitionBy(col("bucket")).orderBy(v)
+    val ranked = df.select(v, bucketOf)
+      .filter(col("bucket").isin(wantedBuckets.map(Integer.valueOf): _*))
+      .withColumn("rn", row_number().over(win).cast("long"))
+    val wanted = targets.map { case (q, b, rn) => (q, b, rn) }
+    import spark.implicits._
+    val wantDf = broadcast(wanted.toDF("q", "bucket", "rn"))
+    ranked.join(wantDf, Seq("bucket", "rn"))
+      .select(col("q"), v.as("value"))
+  }
+}

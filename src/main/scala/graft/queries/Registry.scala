@@ -4,7 +4,7 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Geo.defs ++ Wind.defs ++ Models.defs ++ Events.defs ++
-      Text.defs ++ Streaks.defs ++ Lm.defs ++ Web.defs
+      Text.defs ++ Streaks.defs ++ Lm.defs ++ Web.defs ++ Sketch.defs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -165,6 +165,25 @@ class PlanAuditSpec extends SparkSpec {
         s"q65 (several scans), found $nCacheScans")
   }
 
+  test("sketch queries keep the scalable shape: partial aggs, broadcast probes") {
+    // q95 HLL: both groupBys must plan map-side partial aggregation (the
+    // register build is a combinable max; the estimate a combinable sum)
+    val hll = planOf("q95_hll_distinct")
+    assert(hll.contains("partial_max") || hll.contains("HashAggregate(keys=[source"),
+      "q95 register build lost its partial aggregation")
+    assert(!hll.contains("SortMergeJoin"), "q95 est/exact join must broadcast")
+    // q96 CMS: the probe join reads d cells per probe via a broadcast, and
+    // the cell build aggregates the PRE-AGGREGATED vocabulary, never raw tokens
+    val cms = planOf("q96_heavy_hitters")
+    assert(cms.contains("BroadcastHashJoin"), "q96 probe join must broadcast")
+    assert(!cms.contains("SortMergeJoin"), "q96 plans a SortMergeJoin")
+    // q97 quantiles: the rank window is per-bucket, never a single global
+    // partition over the data
+    val qn = planOf("q97_quantiles")
+    assert(!qn.contains("Window [row_number() windowspecdefinition(l_extendedprice"),
+      "q97 plans an unpartitioned global window")
+  }
+
   test("filters and projections reach the parquet scan (q06 probe)") {
     val plan = planOf("q06_filter_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull"),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Sketches: HLL accuracy + mergeability, CMS bounds + mergeability,
+  * exact-quantile equivalence with a brute-force sort. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(from: Int, until: Int) =
+    (from until until).map(i => s"item_$i").toDF("v").withColumn("g", lit("all"))
+
+  test("HLL estimate within the 512-register error envelope") {
+    for (trueN <- Seq(100, 1000, 20000)) {
+      val regs = Sketches.hllRegisters(ids(0, trueN), col("v"), Seq("g"))
+      val est = Sketches.hllEstimate(regs, Seq("g")).head().getDouble(1)
+      // 1.04/sqrt(512) ≈ 4.6% standard error; allow 4 sigma
+      assert(math.abs(est - trueN) < 4 * 0.046 * trueN + 3,
+        s"trueN=$trueN est=$est")
+    }
+  }
+
+  test("HLL registers merge: max-union of shards == registers of the union") {
+    // overlapping shards, so the union is NOT the concatenation
+    val a = ids(0, 6000)
+    val b = ids(4000, 10000)
+    val ra = Sketches.hllRegisters(a, col("v"), Seq("g"))
+    val rb = Sketches.hllRegisters(b, col("v"), Seq("g"))
+    val merged = ra.union(rb).groupBy("g", "bucket").agg(max("reg").as("reg"))
+    val whole = Sketches.hllRegisters(a.union(b), col("v"), Seq("g"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    val eM = Sketches.hllEstimate(merged, Seq("g")).head().getDouble(1)
+    val eW = Sketches.hllEstimate(whole, Seq("g")).head().getDouble(1)
+    assert(eM == eW)
+  }
+
+  test("CMS never underestimates and is exact off-collision; cells merge by addition") {
+    val freq = (0 until 500).map(i => (s"tok_$i", (i % 7 + 1).toLong)).toDF("tok", "cnt")
+    val cells = Sketches.cmsCells(freq, col("tok"), col("cnt"))
+    val probes = freq.filter(col("cnt") >= 6).select("tok")
+    val est = Sketches.cmsEstimate(cells, probes, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = freq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (t, e) => assert(e >= exact(t), s"$t under-estimated") }
+    // merge: cells of two halves summed == cells of the whole
+    val (h1, h2) = (freq.filter(col("cnt") <= 3), freq.filter(col("cnt") > 3))
+    val merged = Sketches.cmsCells(h1, col("tok"), col("cnt"))
+      .union(Sketches.cmsCells(h2, col("tok"), col("cnt")))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+    assert(merged.except(cells).isEmpty && cells.except(merged).isEmpty)
+  }
+
+  test("exactQuantiles equals brute-force order statistics, incl. skewed data") {
+    val rnd = new scala.util.Random(7)
+    // heavy-tailed + duplicates: many rows collapse into few histogram buckets
+    val vals = Seq.fill(5000)(math.floor(math.pow(rnd.nextDouble(), 4) * 100) / 4.0)
+    val df = vals.toDF("x")
+    val qs = Seq(0.1, 0.5, 0.9, 0.999)
+    val got = Sketches.exactQuantiles(df, "x", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val k = math.floor(q * (vals.size - 1)).toInt
+      assert(got(q) == sorted(k), s"q=$q got=${got(q)} want=${sorted(k)}")
+    }
+  }
+}
