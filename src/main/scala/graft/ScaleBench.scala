@@ -20,7 +20,7 @@ object ScaleBench {
   /** Target sections selectable from the CLI: `runMain graft.ScaleBench
     * [lines samples] [big] [scene|vectors|docs]` — no section arg runs
     * everything (plus the 100×-scene targets with `big`). */
-  private val Sections = Set("scene", "vectors", "docs")
+  private val Sections = Set("scene", "vectors", "docs", "sketches")
 
   def main(args: Array[String]): Unit = {
     val big = args.contains("big")
@@ -663,6 +663,66 @@ object ScaleBench {
     // never collects, the LUT broadcast is scene-size-independent, and the
     // argmin kernel streams partitions, so wall-time should scale ~linearly
     // from target 3 (4.25M px).
+    }
+
+    if (on("sketches")) {
+      import graft.operators.Sketches
+
+      // S1. HLL distinct at 10M true distincts: the register table is 512
+      // rows however big the input; gate the estimate inside ~3σ of the
+      // 1.04/sqrt(512) ≈ 4.6% standard error.
+      timed("hll_distinct_10M") {
+        val n = 10000000L
+        val df = spark.range(n).select(concat(lit("v"), col("id")).as("v"))
+          .withColumn("g", lit("all"))
+        val est = Sketches.hllEstimate(
+          Sketches.hllRegisters(df, col("v"), Seq("g")), Seq("g"))
+          .head().getDouble(1)
+        val relErr = math.abs(est - n) / n
+        println(f"[scale] hll est=$est%.0f true=$n relErr=$relErr%.4f")
+        require(relErr < 0.15, s"HLL estimate off by $relErr at 10M")
+      }
+
+      // S2. CMS heavy hitters over a 10M-token Zipf-ish stream (100k-word
+      // vocabulary): cells stay 4×1024 whatever the corpus; gate the CMS
+      // guarantees — never under, over by ≤ 1% of the stream mass.
+      timed("cms_heavy_hitters_10M_tokens") {
+        val total = 10000000L
+        val vocab = 100000L
+        // word w gets ~ total/(2·rank) occurrences for the head, flat tail:
+        // deterministic frequency table, no token explosion needed
+        val freq = spark.range(vocab).select(
+          concat(lit("w"), col("id")).as("tok"),
+          greatest((lit(total / 50L) / (col("id") + 1)).cast("long"), lit(25L)).as("cnt"))
+        val mass = freq.agg(sum("cnt")).head().getLong(0)
+        val cells = Sketches.cmsCells(freq, col("tok"), col("cnt"))
+        val probes = freq.orderBy(col("cnt").desc, col("tok")).limit(20)
+        val est = Sketches.cmsEstimate(cells, probes.select("tok"), "tok")
+        val joined = probes.join(est, "tok")
+          .select(col("tok"), col("cnt"), col("cms_est")).collect()
+        joined.foreach { r =>
+          val (c, e) = (r.getLong(1), r.getLong(2))
+          require(e >= c, s"CMS under-estimated ${r.getString(0)}: $e < $c")
+          require(e - c <= mass / 100, s"CMS over by ${e - c} (> 1% of $mass)")
+        }
+      }
+
+      // S3. Exact quantiles at 10M rows with a closed-form truth: values
+      // are a fixed permutation of 0..n-1 (multiplier coprime to n=10^7 and
+      // small enough that id·mult never overflows a long), so the value at
+      // sorted rank k IS k — gate exact equality, no sort.
+      timed("exact_quantiles_10M") {
+        val n = 10000000L
+        val df = spark.range(n)
+          .select(((col("id") * 2654435761L) % n).cast("double").as("x"))
+        val qs = Seq(0.01, 0.5, 0.99, 0.9999)
+        val got = Sketches.exactQuantiles(df, "x", qs)
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        qs.foreach { q =>
+          val want = math.floor(q * (n - 1)).toDouble
+          require(got(q) == want, s"quantile $q: got ${got(q)} want $want")
+        }
+      }
     }
 
     if (big && on("scene")) {

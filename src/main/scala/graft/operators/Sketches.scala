@@ -198,4 +198,51 @@ object Sketches {
     ranked.join(wantDf, Seq("bucket", "rn"))
       .select(col("q"), v.as("value"))
   }
+
+  /** Per-key exact quantiles, FULLY distributed — no driver collect at all,
+    * so key cardinality is unbounded (per-domain latency percentiles over
+    * millions of domains). Same two-phase shape as [[exactQuantiles]] but
+    * every driver step becomes a plan step:
+    *  - per-key extrema/count (groupBy agg),
+    *  - per-key fixed-width histogram (groupBy (key,bucket)),
+    *  - per-key cumulative-below via a window over the HISTOGRAM (≤
+    *    nBuckets rows per key — never over the data),
+    *  - rank→bucket resolution as a join against the histogram,
+    *  - and a per-(key,bucket) row_number over ONLY the rank-bearing
+    *    buckets (semi-join filter), never a global or per-key full sort.
+    * Quantile semantics match [[exactQuantiles]]: value at 0-indexed rank
+    * floor(q·(n_key−1)).
+    */
+  def groupedQuantiles(
+      df: DataFrame, keyCol: String, valueCol: String, qs: Seq[Double],
+      nBuckets: Int = 256): DataFrame = {
+    val k = col(keyCol)
+    val v = col(valueCol)
+    val ext = df.groupBy(keyCol).agg(
+      min(v).as("mn"), max(v).as("mx"), count(lit(1)).as("n"))
+      .withColumn("w",
+        greatest((col("mx") - col("mn")) / lit(nBuckets.toDouble),
+          lit(java.lang.Double.MIN_NORMAL)))
+    val rows = df.join(ext, keyCol)
+      .withColumn("bucket",
+        least(floor((v - col("mn")) / col("w")), lit(nBuckets - 1)).cast("int"))
+      .select(k, v, col("bucket"))
+    val hist = rows.groupBy(k, col("bucket")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(k).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hb = hist.withColumn("below", sum(col("c")).over(wcum) - col("c"))
+    val ranks = ext.select(k, col("n"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("k0", floor(col("q") * (col("n") - 1).cast("double")).cast("long"))
+    val targets = ranks.join(hb, keyCol)
+      .filter(col("below") <= col("k0") && col("k0") < col("below") + col("c"))
+      .select(k, col("q"), col("bucket"), (col("k0") - col("below") + 1).as("rn"))
+    val winB = Window.partitionBy(k, col("bucket")).orderBy(v)
+    val ranked = rows
+      .join(targets.select(k, col("bucket")).distinct(), Seq(keyCol, "bucket"),
+        "left_semi")
+      .withColumn("rn", row_number().over(winB).cast("long"))
+    ranked.join(targets, Seq(keyCol, "bucket", "rn"))
+      .select(k, col("q"), v.as("value"))
+  }
 }

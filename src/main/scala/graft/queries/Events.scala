@@ -145,9 +145,37 @@ object Events {
       |FROM iv JOIN ev ON ev.ts_ns >= iv.start_ns AND ev.ts_ns < iv.start_ns + 5400000000000
       |GROUP BY o_orderkey""".stripMargin
 
+  /** q99: cohort retention — users grouped by first-seen day, counted
+    * distinct at each later-day offset: the standard product-analytics
+    * rollup over an append-only event log. Two aggregations and one join,
+    * all shuffling on user/cohort keys (map-side combinable); day math is
+    * exact integer division on epoch-ns, bit-identical to the oracle's
+    * epoch_ns // 86400e9. (Declared ABOVE `val defs`: QueryDef vals
+    * capture these members at object-init time, in declaration order.)
+    */
+  def q99CohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q99Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+      |),
+      |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+      |       COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
     QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),
-    QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)))
+    QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
+    QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)))
 }

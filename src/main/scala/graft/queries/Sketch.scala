@@ -150,8 +150,35 @@ object Sketch {
        |  ON r.rn = CAST(floor(q * ((SELECT c FROM n) - 1)) AS BIGINT) + 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+
+  /** q98: per-key exact quantiles with NO driver step at all
+    * (Sketches.groupedQuantiles — the histogram, the cumulative ranks, and
+    * the bucket resolution are all plan operators), so the key cardinality
+    * is unbounded. Probed at order-priority price percentiles; the oracle
+    * is the brute-force per-key row_number.
+    */
+  val GroupedQs: Seq[Double] = Seq(0.5, 0.95)
+
+  def q98GroupedQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.groupedQuantiles(
+      Tables.load(spark, sfDir, "orders"), "o_orderpriority", "o_totalprice",
+      GroupedQs)
+
+  val q98Sql: String = {
+    val vals = GroupedQs.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (SELECT o_orderpriority AS k, o_totalprice AS v FROM orders),
+       |n AS (SELECT k, COUNT(1) AS c FROM v GROUP BY k),
+       |r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn FROM v),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES $vals) t(q))
+       |SELECT r.k AS o_orderpriority, q, r.v AS value
+       |FROM qs CROSS JOIN n
+       |JOIN r ON r.k = n.k AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q95_hll_distinct", q95HllDistinct, Some(q95Sql)),
     QueryDef("q96_heavy_hitters", q96HeavyHitters, Some(q96Sql)),
-    QueryDef("q97_quantiles", q97Quantiles, Some(q97Sql)))
+    QueryDef("q97_quantiles", q97Quantiles, Some(q97Sql)),
+    QueryDef("q98_grouped_quantiles", q98GroupedQuantiles, Some(q98Sql)))
 }

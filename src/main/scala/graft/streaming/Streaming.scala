@@ -616,6 +616,44 @@ object Streaming {
     ()
   }
 
+  /** Streaming distinct-count telemetry — the ingest-time twin of the
+    * batch HLL operator (q95, operators.Sketches): each micro-batch writes
+    * ITS OWN 512-register table (batch_id-partitioned, overwrite-on-retry),
+    * and the running per-key estimate snapshot is computed from the
+    * max-merge of all committed registers plus this batch — the register
+    * mergeability that SketchesSpec proves for shards is exactly what makes
+    * the streaming state a table of bounded size (keys × 512 rows per
+    * batch, compactable like every other store via [[compactStore]]).
+    * Output at `outDir/batch_id=N`: (key, est_distinct) running snapshot.
+    */
+  def hllDistinctStream(docs: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, keyCol: String = "source",
+      valueCol: String = "tok"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHllBatch(batch, batchId, outDir, storeDir, keyCol, valueCol)
+      }
+      .start()
+
+  /** One micro-batch of [[hllDistinctStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processHllBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, keyCol: String, valueCol: String): Unit = {
+    import graft.operators.Sketches
+    val spark = batch.sparkSession
+    val mine = Sketches.hllRegisters(
+      batch.select(col(keyCol), col(valueCol)), col(valueCol), Seq(keyCol))
+    val prior = committedOr(spark, s"$storeDir/registers", batchId, mine.limit(0))
+    val merged = prior.unionByName(mine)
+      .groupBy(col(keyCol), col("bucket")).agg(max(col("reg")).as("reg"))
+    Sketches.hllEstimate(merged, Seq(keyCol))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/registers/batch_id=$batchId")
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

@@ -293,6 +293,39 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/bloom").count() == priorBits)
   }
 
+  test("streaming HLL distinct: running estimate equals batch HLL of all data, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max}
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("hllstream").toString
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.hllDistinctStream(
+      mem.toDF().toDF("source", "tok"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    val b0 = (0 until 400).map(i => ("web", s"w$i")) ++ Seq(("books", "alpha"))
+    val b1 = (200 until 600).map(i => ("web", s"w$i")) ++ Seq(("books", "beta"))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the batch-1 snapshot must equal the BATCH operator run on b0 ∪ b1
+    val streamed = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val whole = (b0 ++ b1).toDF("source", "tok")
+    val batchEst = Sketches.hllEstimate(
+      Sketches.hllRegisters(whole, col("tok"), Seq("source")), Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batchEst, s"streamed=$streamed batch=$batchEst")
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processHllBatch(b1.toDF("source", "tok"), 1L,
+      s"$dir/out", s"$dir/store", "source", "tok")
+    val replay = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(replay == streamed)
+  }
+
   test("streaming crawl ingest emits records as .warc.gz segments land") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("crawlstream").toString

@@ -51,6 +51,25 @@ class SketchesSpec extends SparkSpec {
     assert(merged.except(cells).isEmpty && cells.except(merged).isEmpty)
   }
 
+  test("groupedQuantiles equals per-key brute force; single-valued keys survive") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      val k = s"key_${i % 5}"
+      // key_4 is single-valued: zero-width histogram must still resolve
+      val x = if (i % 5 == 4) 42.0 else math.floor(rnd.nextGaussian() * 50) / 8.0
+      (k, x)
+    }
+    val df = rows.toDF("k", "x")
+    val qs = Seq(0.1, 0.5, 0.99)
+    val got = graft.operators.Sketches.groupedQuantiles(df, "k", "x", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((k, sorted) <- byKey; q <- qs) {
+      val want = sorted(math.floor(q * (sorted.size - 1)).toInt)
+      assert(got((k, q)) == want, s"key=$k q=$q got=${got((k, q))} want=$want")
+    }
+  }
+
   test("exactQuantiles equals brute-force order statistics, incl. skewed data") {
     val rnd = new scala.util.Random(7)
     // heavy-tailed + duplicates: many rows collapse into few histogram buckets
