@@ -172,10 +172,33 @@ object Events {
       |FROM ev JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** q101: latest-wins compaction (operators.Delta.latestWins) — the
+    * "current state per entity" view of an append-only log: per user, the
+    * single most recent event (ties on ts broken by event_id, so the
+    * survivor is total-order deterministic). One shuffle on the key; the
+    * oracle brute-forces the same rank.
+    */
+  def q101LatestWins(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    graft.operators.Delta.latestWins(ev, "user_id", "ts", "event_id")
+  }
+
+  val q101Sql: String =
+    """SELECT user_id, ts, event_id, event_type
+      |FROM (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |WHERE rn = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
     QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),
     QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
-    QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)))
+    QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),
+    QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{GraphOps, UrlOps}
+import graft.operators.{Delta, GraphOps, UrlOps}
 
 /** Web-curation surface: the link-graph / URL / interchange operators a
   * crawl-derived corpus needs around the content pipeline.
@@ -243,9 +243,54 @@ object Web {
        |FROM aug""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q100
+
+  /** The synthesized "next crawl" snapshot: a deterministic rewrite of the
+    * documents table with removals (÷17), in-place edits (÷13), and fresh
+    * ids (÷23 re-emitted shifted by 1e6) — every diff status reachable.
+    */
+  private def nextSnapshot(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val kept = docs.filter(id % 17 =!= 0)
+      .select(id, when(id % 13 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")).as("text"))
+    val added = docs.filter(id % 23 === 0)
+      .select((id + 1000000L).as("doc_id"), concat(lit("new "), col("text")).as("text"))
+    kept.unionByName(added)
+  }
+
+  /** q100: snapshot CDC diff (operators.Delta.snapshotDiff) — the daily
+    * crawl-refresh bookkeeping: one co-partitioned full-outer join over
+    * (id, content-hash) pairs, payloads never shuffle. Statuses
+    * added/removed/changed/unchanged per doc id.
+    */
+  def q100SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    Delta.snapshotDiff(docs, nextSnapshot(docs), "doc_id", "text")
+  }
+
+  val q100Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+      |  FROM documents WHERE doc_id % 23 = 0
+      |),
+      |ha AS (SELECT doc_id, md5(text) AS hash_a FROM documents),
+      |hb AS (SELECT doc_id, md5(text) AS hash_b FROM b)
+      |SELECT COALESCE(ha.doc_id, hb.doc_id) AS doc_id,
+      |  CASE WHEN ha.doc_id IS NULL THEN 'added'
+      |       WHEN hb.doc_id IS NULL THEN 'removed'
+      |       WHEN hash_a = hash_b THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM ha FULL JOIN hb ON ha.doc_id = hb.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q89_pagerank", q89PageRank, Some(q89Sql)),
     QueryDef("q90_jsonl_roundtrip", q90JsonlRoundtrip, Some(q90Sql)),
     QueryDef("q91_url_canon", q91UrlCanon, Some(q91Sql)),
-    QueryDef("q92_normalize", q92Normalize, Some(q92Sql)))
+    QueryDef("q92_normalize", q92Normalize, Some(q92Sql)),
+    QueryDef("q100_snapshot_diff", q100SnapshotDiff, Some(q100Sql)))
 }
