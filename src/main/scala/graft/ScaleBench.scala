@@ -20,7 +20,7 @@ object ScaleBench {
   /** Target sections selectable from the CLI: `runMain graft.ScaleBench
     * [lines samples] [big] [scene|vectors|docs]` — no section arg runs
     * everything (plus the 100×-scene targets with `big`). */
-  private val Sections = Set("scene", "vectors", "docs", "sketches")
+  private val Sections = Set("scene", "vectors", "docs", "sketches", "events")
 
   def main(args: Array[String]): Unit = {
     val big = args.contains("big")
@@ -722,6 +722,69 @@ object ScaleBench {
           val want = math.floor(q * (n - 1)).toDouble
           require(got(q) == want, s"quantile $q: got ${got(q)} want $want")
         }
+      }
+    }
+
+    if (on("events")) {
+      import graft.operators.{Delta, Funnel}
+
+      // E1. Ordered funnel at 10M events / 100k users with a closed-form
+      // truth: user u emits 100 events at ts = u·1000 + k, type cycling
+      // view/click/purchase by k % 3 — every user completes with
+      // t = (u·1000, u·1000+1, u·1000+2). Gate exact aggregate equality
+      // (sums + completion count), never a 100k-row collect.
+      timed("funnel_10M_events") {
+        val users = 100000L
+        val ev = spark.range(users * 100).select(
+          (col("id") / 100).cast("long").as("user_id"),
+          ((col("id") / 100).cast("long") * 1000 + col("id") % 100).as("ts"),
+          element_at(array(lit("view"), lit("click"), lit("purchase")),
+            (col("id") % 100 % 3).cast("int") + 1).as("event_type"))
+        val f = Funnel.steps(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        val a = f.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("done"),
+          sum(col("t_view")).as("sv"), sum(col("t_click")).as("sc"),
+          sum(col("t_purchase")).as("sp")).head()
+        val sumU = users * (users - 1) / 2 * 1000L
+        require(a.getLong(0) == users && a.getLong(1) == users, s"funnel: $a")
+        require(a.getLong(2) == sumU && a.getLong(3) == sumU + users &&
+          a.getLong(4) == sumU + 2 * users, s"funnel sums: $a")
+      }
+
+      // E2. Latest-wins compaction at 10M events: the survivor per user is
+      // closed-form (ts = u·1000 + 99) — gate count and exact ts-sum.
+      timed("latest_wins_10M_events") {
+        val users = 100000L
+        val ev = spark.range(users * 100).select(
+          (col("id") / 100).cast("long").as("user_id"),
+          ((col("id") / 100).cast("long") * 1000 + col("id") % 100).as("ts"),
+          col("id").as("event_id"))
+        val a = Delta.latestWins(ev, "user_id", "ts", "event_id")
+          .agg(count(lit(1)).as("n"), sum(col("ts")).as("s")).head()
+        require(a.getLong(0) == users, s"latestWins rows: $a")
+        require(a.getLong(1) == users * (users - 1) / 2 * 1000L + 99L * users,
+          s"latestWins ts sum: $a")
+      }
+
+      // E3. Cohort retention at 3M user-day events: 300k users in 30
+      // cohorts (cohort day = u % 30), each active 10 consecutive days —
+      // the rollup must be exactly 30 cohorts × 10 offsets × 10k users.
+      timed("cohort_retention_3M_events") {
+        val users = 300000L
+        val ev = spark.range(users * 10).select(
+          (col("id") / 10).cast("long").as("user_id"),
+          ((col("id") / 10).cast("long") % 30 + col("id") % 10).as("day"))
+        val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val ret = ev.join(cohorts, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val a = ret.agg(count(lit(1)).as("cells"),
+          min(col("n_users")).as("lo"), max(col("n_users")).as("hi")).head()
+        require(a.getLong(0) == 300L && a.getLong(1) == 10000L &&
+          a.getLong(2) == 10000L, s"cohort cells: $a")
       }
     }
 

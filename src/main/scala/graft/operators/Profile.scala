@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-quality profiling — the pre-flight validation a pipeline runs over
+  * every new data drop before letting it into training (null rates, value
+  * ranges, cardinalities; the Deequ/expectations pattern).
+  *
+  * Scale shape: ONE aggregation pass computes every metric for every
+  * profiled column (all metrics are map-side-combinable; the distinct
+  * counts expand the input per-column but still partial-aggregate), then a
+  * constant-width stack pivots the single result row into the long
+  * (column, metrics...) report. No per-column scans, no driver math beyond
+  * the 1-row pivot.
+  */
+object Profile {
+
+  /** Long-format numeric profile: one row per column in `cols` with
+    * n_null / n_distinct / min_v / max_v / mean_v (mean decimal-exact-
+    * summed then rounded to 6, engine-portable). Columns must be numeric
+    * with ≤2 meaningful decimals (the TPC-H money/quantity shape).
+    */
+  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__ndist"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"${c}__sum"),
+        count(col(c)).as(s"${c}__cnt"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nnull").as("n_null"),
+        col(s"${c}__ndist").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        round(col(s"${c}__sum") / col(s"${c}__cnt").cast("double") + lit(5e-10), 6)
+          .as("mean_v"))
+    }
+    one.select(explode(array(stacked: _*)).as("m")).select(col("m.*"))
+  }
+}

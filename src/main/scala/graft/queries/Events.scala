@@ -194,11 +194,39 @@ object Events {
       |)
       |WHERE rn = 1""".stripMargin
 
+  /** q102: ordered funnel view → click → purchase (operators.Funnel) —
+    * per-user earliest completion time of each step strictly after the
+    * previous one; null = the funnel broke there. All shuffles keyed on
+    * user_id.
+    */
+  def q102Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Funnel.steps(
+      Tables.loadEvents(spark, sfDir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  val q102Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |u AS (SELECT DISTINCT user_id FROM ev),
+      |s1 AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, MIN(ev.ts) AS t_click
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ev.ts > s1.t_view GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+      |       FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ev.ts > s2.t_click GROUP BY 1)
+      |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase
+      |FROM u
+      |LEFT JOIN s1 USING (user_id)
+      |LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
     QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),
     QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
     QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),
-    QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)))
+    QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)),
+    QueryDef("q102_funnel", q102Funnel, Some(q102Sql)))
 }

@@ -220,6 +220,30 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q103: one-pass numeric data-quality profile (operators.Profile) over
+    * the lineitem measures — the pre-flight drop validation: null counts,
+    * cardinalities, ranges, decimal-exact means; every metric computed in
+    * a single combinable aggregation pass and pivoted from the 1-row
+    * result.
+    */
+  val ProfileCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def q103DataProfile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.numeric(
+      Tables.load(spark, sfDir, "lineitem"), ProfileCols)
+
+  val q103Sql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(MIN($c) AS DOUBLE) AS min_v,
+       |  CAST(MAX($c) AS DOUBLE) AS max_v,
+       |  ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+       |        / CAST(COUNT($c) AS DOUBLE) + 5e-10, 6) AS mean_v
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
@@ -228,5 +252,6 @@ object Relational {
     QueryDef("q03_top_customers", q03TopCustomers, Some(q03Sql)),
     QueryDef("q04_running_total", q04RunningTotal, Some(q04Sql)),
     QueryDef("q06_filter_revenue", q06Revenue, Some(q06Sql)),
-    QueryDef("q07_part_coverage", q07PartOrderCoverage, Some(q07Sql)))
+    QueryDef("q07_part_coverage", q07PartOrderCoverage, Some(q07Sql)),
+    QueryDef("q103_data_profile", q103DataProfile, Some(q103Sql)))
 }

@@ -654,6 +654,83 @@ object Streaming {
     ()
   }
 
+  /** Streaming ordered-funnel progress — the ingest-time twin of the batch
+    * Funnel.steps operator. Per-entity step-completion times live in a
+    * batch_id-partitioned store; each micro-batch advances them with the
+    * chained-min rule
+    *   t₁' = coalesce(t₁, min view-ts in batch)
+    *   tᵢ' = coalesce(tᵢ, min stepᵢ-ts in batch with ts > tᵢ₋₁')
+    * which equals the batch operator whenever batches arrive ts-ordered
+    * (the watermark append model: a batch's events all follow the previous
+    * batch's). Out-of-order events WITHIN a batch are fine — the min
+    * handles them; an event older than an already-set earlier step is the
+    * usual streaming-funnel late-data caveat. Output at
+    * `outDir/batch_id=N`: the full (entity, t_step...) snapshot.
+    */
+  def funnelStream(events: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, stepTypes: Seq[String],
+      entityCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processFunnelBatch(batch, batchId, outDir, storeDir, stepTypes,
+          entityCol, tsCol, typeCol)
+      }
+      .start()
+
+  /** One micro-batch of [[funnelStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processFunnelBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, stepTypes: Seq[String],
+      entityCol: String, tsCol: String, typeCol: String): Unit = {
+    val spark = batch.sparkSession
+    val tcols = stepTypes.map(st => s"t_$st")
+    val emptyState = {
+      var d = batch.select(col(entityCol)).limit(0)
+      tcols.foreach(tc => d = d.withColumn(tc, lit(null).cast("long")))
+      d
+    }
+    // committedOr unions EVERY earlier snapshot; step times are write-once
+    // (coalesce never overwrites a set value), so per-entity min over the
+    // union ≡ the latest snapshot — no "read only the last partition" state.
+    val state = committedOr(spark, s"$storeDir/state", batchId, emptyState)
+      .groupBy(col(entityCol))
+      .agg(min(col(tcols.head)).as(tcols.head),
+        tcols.tail.map(tc => min(col(tc)).as(tc)): _*)
+    val b = batch.persist()
+    // all entities ever seen: stored ∪ this batch
+    var acc = state.select(col(entityCol))
+      .unionByName(b.select(col(entityCol))).distinct()
+      .join(state, Seq(entityCol), "left")
+    var prev: Option[String] = None
+    stepTypes.foreach { st =>
+      val tc = s"t_$st"
+      val cand = b.filter(col(typeCol) === st)
+        .select(col(entityCol), col(tsCol).cast("long").as("_ts"))
+      val eligible = prev match {
+        case None => cand
+        case Some(p) =>
+          cand.join(acc.filter(col(p).isNotNull).select(col(entityCol), col(p)),
+              entityCol)
+            .filter(col("_ts") > col(p))
+            .select(col(entityCol), col("_ts"))
+      }
+      val mins = eligible.groupBy(entityCol).agg(min(col("_ts")).as(s"${tc}_new"))
+      acc = acc.join(mins, Seq(entityCol), "left")
+        .withColumn(tc, coalesce(col(tc), col(s"${tc}_new")))
+        .drop(s"${tc}_new")
+      prev = Some(tc)
+    }
+    val snapshot = acc.select((col(entityCol) +: tcols.map(col)): _*).persist()
+    snapshot.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/state/batch_id=$batchId")
+    snapshot.unpersist()
+    b.unpersist()
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

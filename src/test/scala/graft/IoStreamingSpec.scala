@@ -326,6 +326,44 @@ class IoStreamingSpec extends SparkSpec {
     assert(replay == streamed)
   }
 
+  test("streaming funnel equals the batch operator under ts-ordered batches, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Funnel
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("funnelstream").toString
+    val steps = Seq("view", "click", "purchase")
+    // (user, ts, type): u1 completes; u2 clicks before viewing (chain broken
+    // until a later click); u3 never clicks; u4 appears only in batch 2
+    val all = Seq(
+      (1L, 10L, "view"), (2L, 11L, "click"), (3L, 12L, "view"), (1L, 13L, "click"),
+      (2L, 20L, "view"), (1L, 21L, "purchase"), (2L, 22L, "click"), (4L, 23L, "view"),
+      (3L, 24L, "purchase"), (2L, 25L, "purchase"), (4L, 26L, "click"))
+    val (b0, b1) = all.partition(_._2 < 20L)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streaming.funnelStream(
+      mem.toDF().toDF("user_id", "ts", "event_type"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", steps)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap(path: String) = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 3).map(i => Option(r.get(i + 1)).map(_.asInstanceOf[Long]))).toMap
+    val streamed = snap(s"$dir/out/batch_id=1")
+    val batchRes = Funnel.steps(all.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 3).map(i => Option(r.get(i + 1)).map(_.asInstanceOf[Long]))).toMap
+    assert(streamed == batchRes, s"streamed=$streamed batch=$batchRes")
+    // replaying batch 1 reads only batch-0 state: identical snapshot
+    Streaming.processFunnelBatch(b1.toDF("user_id", "ts", "event_type"), 1L,
+      s"$dir/out", s"$dir/store", steps, "user_id", "ts", "event_type")
+    assert(snap(s"$dir/out/batch_id=1") == streamed)
+  }
+
   test("streaming crawl ingest emits records as .warc.gz segments land") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("crawlstream").toString

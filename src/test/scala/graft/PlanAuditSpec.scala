@@ -184,6 +184,30 @@ class PlanAuditSpec extends SparkSpec {
       "q97 plans an unpartitioned global window")
   }
 
+  test("row-group stats prune a sorted parquet scan to ~one group (min/max pushdown)") {
+    // The 100 TB layout story: data laid out sorted by the filter key means
+    // a selective predicate reads one row group, not the file. Write 1M
+    // sorted rows into many small row groups, point-filter, and assert the
+    // SCAN's own output-row metric (pre-Filter) stays under 10% of the data
+    // — i.e. parquet-mr actually skipped the non-matching groups.
+    val dir = java.nio.file.Files.createTempDirectory("rgprune").toString
+    spark.range(1000000L)
+      .select(org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") * 2).as("v"))
+      .coalesce(1).sortWithinPartitions("id")
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("id") === 999999L)
+    // execute THIS queryExecution (count() would plan a separate one whose
+    // metrics we can't read back)
+    assert(df.collect().length == 1)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    val emitted = scans.map(_.metrics("numOutputRows").value).sum
+    assert(emitted > 0 && emitted < 100000L,
+      s"scan emitted $emitted rows — row-group stats did not prune")
+  }
+
   test("filters and projections reach the parquet scan (q06 probe)") {
     val plan = planOf("q06_filter_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull"),
