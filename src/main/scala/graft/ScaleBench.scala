@@ -308,6 +308,23 @@ object ScaleBench {
       require(r >= 0.6, f"PQ ADC recall $r%.4f below the 0.6 gate")
     }
 
+    // 8c2. SQ8 scalar-quantized ANN at 1M vectors: the 4×-compressed tier
+    // between raw floats and PQ. 8-bit per-dim codes lose ~w/2 per
+    // component — on this corpus the cosine top-5 should be nearly
+    // indistinguishable from exact; gate recall@5 ≥ 0.9.
+    timed(s"ann_sq8_top5_${nVec / 1000}k") {
+      val queries = emb.filter(col("vec_id") < 10).cache()
+      val exact = Similarity.cosineTopK(emb, queries, k = 5)
+        .select("query_id", "neighbor_id").cache()
+      val nExact = exact.count()
+      val got = Similarity.sq8TopK(emb, queries, k = 5)
+        .select("query_id", "neighbor_id")
+      val r = got.join(exact, Seq("query_id", "neighbor_id")).count().toDouble / nExact
+      println(f"[scale] sq8_recall@5: $r%.4f (gate >= 0.9)")
+      exact.unpersist(); queries.unpersist()
+      require(r >= 0.9, f"SQ8 recall $r%.4f below the 0.9 gate")
+    }
+
     // 8d. TRUE IVFADC at 1M vectors — the composed production tier (Jégou
     // 2011 §IV): inverted lists × residual PQ codes, exact-reranked. The
     // recall/nprobe curve vs the exact L2 top-5 must be nondecreasing

@@ -248,6 +248,54 @@ object Text {
        |  FROM scored
        |) WHERE rn <= 5""".stripMargin
 
+  /** q104: SQ8 scalar-quantized ANN (Similarity.sq8TopK) — the 4×-
+    * compressed tier between raw floats and PQ codes (per-dim 8-bit codes
+    * trained on corpus ranges). Scoring runs on DEQUANTIZED vectors through
+    * the same codegen'd dot_f32 as q38; the oracle replays the scales, the
+    * encode clamp, the FLOAT dequantization, and the fold-ordered dot.
+    */
+  def q104Sq8Ann(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val q104Sql: String =
+    s"""WITH mm AS (
+       |  SELECT pos, MIN(v::DOUBLE) AS mn, MAX(v::DOUBLE) AS mx
+       |  FROM (SELECT unnest(embedding) AS v,
+       |               unnest(generate_series(1, len(embedding))) AS pos
+       |        FROM embeddings)
+       |  GROUP BY pos
+       |),
+       |sc AS (SELECT pos, mn,
+       |         CASE WHEN mx > mn THEN (mx - mn) / 255e0 ELSE 1e0 END AS w
+       |       FROM mm),
+       |scl AS (SELECT list(mn ORDER BY pos) AS mnl, list(w ORDER BY pos) AS wl FROM sc),
+       |dq AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    list_transform(generate_series(1, len(embedding)), i ->
+       |      CAST(scl.mnl[i]
+       |        + CAST(LEAST(255, GREATEST(0,
+       |            CAST(round((embedding[i]::DOUBLE - scl.mnl[i]) / scl.wl[i])
+       |                 AS BIGINT))) AS DOUBLE) * scl.wl[i]
+       |        AS FLOAT)) AS cv
+       |  FROM embeddings CROSS JOIN scl
+       |),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, d.neighbor_id,
+       |    ROUND(${dotSql("q.qv", "d.cv")}
+       |      / (SQRT(${dotSql("q.qv", "q.qv")}) * SQRT(${dotSql("d.cv", "d.cv")})), 6)
+       |      AS est_cos
+       |  FROM dq d CROSS JOIN q
+       |  WHERE d.neighbor_id != q.query_id
+       |)
+       |SELECT query_id, neighbor_id, est_cos, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY est_cos DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= 5""".stripMargin
+
   // Banded-LSH candidate CTEs shared by q37/q39 — mirror of
   // Similarity.bandedCandidates. `np` mirrors autoPlanes (pure integer math
   // — LENGTH(bin(m-1)) is ceil(log2(m)) for m >= 2); `nb` mirrors autoBands
@@ -1758,5 +1806,6 @@ object Text {
     QueryDef("q35_minhash_pairs", q35MinhashPairs, Some(q35Sql)),
     QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
-    QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)))
+    QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
+    QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)))
 }

@@ -18,6 +18,10 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q13_detrend", "q18_gmf_grid", "q38_ann_topk",
     "q43_circ_smooth", "q44_peak", "q51_ann_ivf",
+    // q104: SQ8 scoring broadcasts the 10-row query set against the
+    // dequantized corpus — same audited few-queries BNLJ shape as q38
+    // (Similarity.sq8TopK)
+    "q104_sq8_ann",
     // q58: nearest-centroid assignment crossJoins a broadcast centroid
     // table BOUNDED at numCents rows (Similarity.semanticDedup)
     "q58_semantic_dedup",
