@@ -221,6 +221,33 @@ object Events {
       |LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** q105: hopping (sliding) 1-hour window with a 15-minute hop via
+    * Spark's NATIVE window() function — each event lands in exactly
+    * windowDuration/slide = 4 windows (Spark explodes the assignment
+    * map-side; one shuffle on (window, type), map-side-combinable). The
+    * oracle replays the assignment as an explicit ×4 explode in integer
+    * epoch math: start_k = (ts div 15min − k)·15min, k = 0..3 — every k
+    * qualifies because slide × 4 = duration exactly.
+    */
+  def q105HoppingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .withColumn("tss", timestamp_micros(expr("ts DIV 1000")))
+    ev.groupBy(window(col("tss"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  val q105Sql: String =
+    """WITH ev AS (SELECT epoch_ns(ts) AS tn, event_type, value FROM events),
+      |w AS (
+      |  SELECT (tn // 900000000000 - k) * 900 AS win_start, event_type, value
+      |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+      |)
+      |SELECT win_start, event_type, COUNT(1) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
@@ -228,5 +255,6 @@ object Events {
     QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
     QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),
     QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)),
-    QueryDef("q102_funnel", q102Funnel, Some(q102Sql)))
+    QueryDef("q102_funnel", q102Funnel, Some(q102Sql)),
+    QueryDef("q105_hopping_window", q105HoppingWindow, Some(q105Sql)))
 }

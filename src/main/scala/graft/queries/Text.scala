@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Similarity, TextOps}
+import graft.operators.{Index, Similarity, TextOps}
 
 /** LLM-training-data pipeline surface over `documents` and `embeddings`. */
 object Text {
@@ -295,6 +295,47 @@ object Text {
        |                               ORDER BY est_cos DESC, neighbor_id) AS rn
        |  FROM scored
        |) WHERE rn <= 5""".stripMargin
+
+  /** q106: positional-index phrase search (operators.Index) — postings
+    * built by posexplode, the corpus's top bigram picked deterministically
+    * (count desc, then lexicographic), then exact-phrase occurrence counts
+    * per document via selective term filters chained on (doc, aligned
+    * start-pos) equi-joins. The 1-row top-bigram head() is a bounded
+    * driver scalar (same class as the LUT collects).
+    */
+  def q106PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val post = Index.positionalPostings(docs).persist()
+    val a = post.as("a")
+    val b = post.as("b")
+    val top = a.join(b,
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).head()
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    Index.phraseSearch(post, Seq(w1, w2))
+      .select(col("doc_id"), lit(w1).as("w1"), lit(w2).as("w2"),
+        col("n_occurrences"))
+  }
+
+  val q106Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |),
+      |big AS (SELECT a.term AS w1, b.term AS w2, COUNT(1) AS c
+      |        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |        GROUP BY 1, 2),
+      |top1 AS (SELECT w1, w2 FROM big ORDER BY c DESC, w1, w2 LIMIT 1),
+      |occ AS (SELECT a.doc_id, COUNT(1) AS n_occurrences
+      |        FROM toks a
+      |        JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |        JOIN top1 t ON a.term = t.w1 AND b.term = t.w2
+      |        GROUP BY 1)
+      |SELECT occ.doc_id, t.w1, t.w2, occ.n_occurrences
+      |FROM occ CROSS JOIN top1 t""".stripMargin
 
   // Banded-LSH candidate CTEs shared by q37/q39 — mirror of
   // Similarity.bandedCandidates. `np` mirrors autoPlanes (pure integer math
@@ -1807,5 +1848,6 @@ object Text {
     QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
-    QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)))
+    QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),
+    QueryDef("q106_phrase_search", q106PhraseSearch, Some(q106Sql)))
 }
