@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed WebDataset shard ingest/egest over [[Tar]] — a multimodal
+  * corpus as a fleet of `.tar` shards whose members group into samples by
+  * basename key (`000123.jpg` + `000123.txt` + `000123.json` = one
+  * sample).
+  *
+  * Scale shape: writes are per-partition kernels through the Hadoop
+  * FileSystem API (no driver funnel); one shard per partition with a
+  * sample's members adjacent (the WebDataset contract, kept by an
+  * in-partition sort on key). Reads come in two plans: [[readShards]]
+  * parses whole shards per task — the production WebDataset model, where
+  * parallelism IS the shard count — and [[readShardsFanout]] goes one
+  * step further than any tar library: because ustar headers put every
+  * member's exact `(offset, size)` 512 bytes ahead of its data, an index
+  * task walks ONLY the headers (seek-read, 512 B per member, no data
+  * touched), and the bounded `(path, name, offset, size)` rows shuffle to
+  * tasks that each read just their own byte ranges. Member-level
+  * parallelism for skewed shards (one 4 GB video next to 10k captions)
+  * without reading anything twice.
+  */
+object TarIO {
+
+  /** Write `(key, ext, bytes)` member rows as `part-NNNNN.tar` shards, one
+    * per partition, members of one sample adjacent and `{key}.{ext}`-named. */
+  def writeShards(members: DataFrame, dir: String, keyCol: String = "key",
+      extCol: String = "ext", bytesCol: String = "bytes"): Unit = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    members.select(col(keyCol).cast("string"), col(extCol), col(bytesCol))
+      .as[(String, String, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
+        if (it.hasNext) {
+          // keep one sample's members adjacent — the WebDataset contract
+          val entries = it.toSeq.sortBy { case (k, e, _) => (k, e) }
+            .map { case (k, e, b) =>
+              Tar.Entry(if (e.isEmpty) k else s"$k.$e",
+                Option(b).getOrElse(Array.emptyByteArray))
+            }
+          val pid = TaskContext.get().partitionId()
+          val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.tar")
+          val fs = path.getFileSystem(conf.value)
+          val out = fs.create(path, true)
+          try out.write(Tar.write(entries)) finally out.close()
+        }
+      }
+  }
+
+  private def memberRow(shard: String, name: String, body: Array[Byte]) = {
+    val (key, ext) = Tar.keyExt(name)
+    (shard, key, ext, body)
+  }
+
+  /** Whole-shard-per-task read: `(shard, key, ext, bytes)` member rows.
+    * Parallelism = shard count — the standard WebDataset plan. */
+  def readShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.tar")
+      .select(col("path"), col("content"))
+      .flatMap(r => Tar.readAll(r.getAs[Array[Byte]](1))
+        .map(e => memberRow(r.getString(0), e.name, e.body)))
+      .toDF("shard", "key", "ext", "bytes")
+  }
+
+  /** Member-parallel read: a header-only index pass per shard (512 bytes
+    * seek-read per member), then bounded `(path, name, offset, size)` rows
+    * spread across the cluster; each task opens, seeks, and reads only its
+    * own member ranges.
+    */
+  def readShardsFanout(spark: SparkSession, dir: String,
+      partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val shards = fs0.globStatus(new org.apache.hadoop.fs.Path(dir, "*.tar"))
+      .map(_.getPath.toString).toSeq.sorted
+    val index = spark.createDataset(shards).repartition(math.max(1, shards.size))
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+        val fs = p.getFileSystem(conf.value)
+        val fileLen = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        try {
+          val hdr = new Array[Byte](512)
+          val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+          var pos = 0L
+          var done = false
+          while (!done && pos + 512 <= fileLen) {
+            in.seek(pos)
+            in.readFully(hdr)
+            Tar.parseHeaderBlock(hdr) match {
+              case None => done = true
+              case Some((name, size)) =>
+                ms += ((path, name, pos + 512, size))
+                pos += 512 + ((size + 511) / 512) * 512
+            }
+          }
+          ms.toSeq
+        } finally in.close()
+      }.toDF("path", "name", "offset", "size")
+    val fanned = index.repartition(
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
+    fanned.as[(String, String, Long, Long)].mapPartitions { it =>
+      it.map { case (path, name, off, size) =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        try {
+          in.seek(off)
+          val buf = new Array[Byte](size.toInt)
+          in.readFully(buf)
+          memberRow(path, name, buf)
+        } finally in.close()
+      }
+    }.toDF("shard", "key", "ext", "bytes")
+  }
+
+  /** Member rows → one row per SAMPLE: `(key, exts sorted, map ext→bytes)`.
+    * One shuffle on the sample key. */
+  def samples(members: DataFrame): DataFrame =
+    members.groupBy("key")
+      .agg(sort_array(collect_list(col("ext"))).as("exts"),
+        map_from_entries(sort_array(collect_list(struct(col("ext"), col("bytes")))))
+          .as("members"))
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Tar, TarIO}
+
+/** WebDataset tar-shard gates: the independently-written Python-tarfile
+  * fixture, header-only member indexing, writer↔reader roundtrip (both
+  * directions — Python reads OUR bytes too), and the Spark shard IO:
+  * whole-shard vs member-fanout plans identical, sample grouping.
+  */
+class TarSpec extends SparkSpec {
+
+  private lazy val fixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/wds_fixture.tar")
+    assert(in != null, "wds_fixture.tar missing — run tools/make_tar_fixture.py")
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  test("independent Python fixture: members, sizes, bodies, block-boundary padding") {
+    val idx = Tar.memberIndex(fixture)
+    assert(idx.map(m => (m.name, m.size)) == Seq(
+      ("000001.bin", 768L), ("000001.txt", 14L), ("000001.json", 23L),
+      ("000002.bin", 513L), ("000002.txt", 0L), ("000002.json", 23L),
+      ("README", 22L)))
+    val es = Tar.readAll(fixture)
+    assert(es(0).body.sameElements((0 until 256).map(_.toByte).toArray ++
+      (0 until 256).map(_.toByte) ++ (0 until 256).map(_.toByte)))
+    assert(es(1).bodyText == "a tiny caption")
+    assert(es(3).body.length == 513 && es(3).body.forall(_ == 0))
+    assert(es(4).body.isEmpty)
+    // data offsets are header-block aligned: each = previous data end padded to 512
+    assert(idx(3).dataOffset == idx(2).dataOffset + 512 + 512,
+      "23-byte member pads to one block before the next header")
+  }
+
+  test("key/ext split follows the WebDataset first-dot rule") {
+    assert(Tar.keyExt("000001.bin") == (("000001", "bin")))
+    assert(Tar.keyExt("dir/000001.seg.json") == (("000001", "seg.json")))
+    assert(Tar.keyExt("README") == (("README", "")))
+  }
+
+  test("writer output reads back identically and Python tarfile agrees") {
+    val entries = Seq(
+      Tar.Entry("1.txt", "hello".getBytes("UTF-8")),
+      Tar.Entry("1.bin", (0 until 600).map(_.toByte).toArray),
+      Tar.Entry("2.txt", Array.emptyByteArray))
+    val bytes = Tar.write(entries)
+    val back = Tar.readAll(bytes)
+    assert(back.map(_.name) == entries.map(_.name))
+    assert(back.zip(entries).forall { case (a, b) => a.body.sameElements(b.body) })
+    // cross-check with the foreign implementation when available
+    val tmp = java.nio.file.Files.createTempFile("graft_tar", ".tar")
+    java.nio.file.Files.write(tmp, bytes)
+    val py =
+      s"""import tarfile,sys
+         |tf = tarfile.open('$tmp')
+         |ms = [(m.name, m.size) for m in tf]
+         |assert ms == [('1.txt', 5), ('1.bin', 600), ('2.txt', 0)], ms
+         |assert tf.extractfile('1.txt').read() == b'hello'
+         |""".stripMargin
+    import scala.sys.process._
+    val rc = Seq("python3", "-c", py).!
+    if (rc != 0) fail("python tarfile rejected graft's ustar output")
+  }
+
+  test("corrupt header fails loudly") {
+    val bad = fixture.clone()
+    bad(60) = 'x'.toByte // inside name field → checksum mismatch
+    intercept[IllegalArgumentException](Tar.memberIndex(bad))
+  }
+
+  test("TarIO: fanout plan ≡ whole-shard plan; samples regroup split members") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toString, if (i % 2 == 0) "txt" else "bin",
+      s"payload-$i".getBytes("UTF-8")))
+    val df = docs.toDF("key", "ext", "bytes").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_spec").toString
+    TarIO.writeShards(df, dir)
+    val whole = TarIO.readShards(spark, dir)
+      .select($"key", $"ext", decode($"bytes", "UTF-8").as("s"))
+      .as[(String, String, String)].collect().sorted
+    val fan = TarIO.readShardsFanout(spark, dir, partitions = 7)
+      .select($"key", $"ext", decode($"bytes", "UTF-8").as("s"))
+      .as[(String, String, String)].collect().sorted
+    assert(whole.length == 50 && whole.sameElements(fan))
+    assert(whole.forall { case (k, _, s) => s == s"payload-$k" })
+    // sample grouping: one row per key, members map holds the bytes
+    val two = Seq(("7", "txt", "a".getBytes), ("7", "json", "b".getBytes))
+      .toDF("key", "ext", "bytes")
+    val s = TarIO.samples(two).collect()
+    assert(s.length == 1)
+    assert(s(0).getAs[scala.collection.Seq[String]]("exts").toSeq == Seq("json", "txt"))
+  }
+}
