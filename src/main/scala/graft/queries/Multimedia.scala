@@ -51,6 +51,49 @@ object Multimedia {
       |  text, lang, source
       |FROM documents""".stripMargin
 
+  /** q108: video frame sampling — each document becomes a real 4-frame
+    * MJPEG AVI (16×16 gray frames, frame k = the text bytes cyclically
+    * shifted by k, JPEG-encoded by the from-scratch T.81 codec;
+    * `Video.mjpegAssemble` wraps them in RIFF/avih/strh/movi/idx1
+    * framing), then the sampler takes every 2nd frame via the `idx1`
+    * index ONLY — unsampled frames are never decoded — and reports each
+    * sampled frame's per-8×8-block exact DC reconstruction means. The
+    * oracle re-derives the q77 dyadic DC math per (frame, block) from the
+    * text: container framing, index offsets, frame ordering after the
+    * assemble shuffle, stride arithmetic, and the JPEG DC path all have to
+    * be right for 16 block means per document to hash-match.
+    */
+  def q108VideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Video
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val frames = docs.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      (0 until 4).map { k =>
+        val px = Array.tabulate(256)(i => b((i + k) % b.length))
+        (id, k, graft.sources.Jpeg.encodeGray(16, 16, px))
+      }
+    }.toDF("video_id", "frame_no", "jpeg")
+    Video.sampleDcMeans(Video.mjpegAssemble(frames, 16, 16), stride = 2)
+      .select(col("video_id").as("doc_id"), col("frame_no"),
+        col("block_row"), col("block_col"), col("dc_mean"))
+  }
+
+  val q108Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+      |    CAST((i - 1) // 16 AS INTEGER) AS r, CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ascii(substr(text, CAST((i - 1 + f) % length(text) + 1 AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, 256)) AS i FROM documents) t,
+      |       (SELECT unnest([0, 2]) AS f) fr
+      |)
+      |SELECT doc_id, frame_no, CAST(r // 8 AS INTEGER) AS block_row,
+      |  CAST(c // 8 AS INTEGER) AS block_col,
+      |  128.0 + 2.0 * FLOOR((SUM(v) - 8192) / 128.0 + 0.5) AS dc_mean
+      |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q107_tar_roundtrip", q107TarRoundtrip, Some(q107Sql)))
+    QueryDef("q107_tar_roundtrip", q107TarRoundtrip, Some(q107Sql)),
+    QueryDef("q108_video_frames", q108VideoFrames, Some(q108Sql)))
 }
