@@ -93,7 +93,62 @@ object Multimedia {
       |  128.0 + 2.0 * FLOOR((SUM(v) - 8192) / 128.0 + 0.5) AS dc_mean
       |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** q109: audio rate normalization — documents' bytes as 16-bit LE PCM
+    * (the q72 framing) are wrapped in REAL RIFF/WAVE containers
+    * (sources.Wav), then linearly resampled 4000 Hz → 5333 Hz (ratio 4/3:
+    * interpolation weights are exact quarters, so every output sample is
+    * engine-exact) and audited per clip. The oracle replays the
+    * interpolation relationally — sample indexing, fmt/data framing,
+    * sign handling, edge clamping, and half-up rounding all have to agree
+    * for the integer sums to hash-match.
+    */
+  def q109AudioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Audio, Multimodal}
+    val media = Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id").as("media_id"), lit("pcm").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Audio.resampleStats(Audio.wavEncode(media, sampleRate = 4000), num = 4, den = 3)
+      .select(col("media_id").as("doc_id"), col("rate_in"), col("rate_out"),
+        col("n_in"), col("n_out"), col("sum_out"), col("max_out"))
+  }
+
+  // ASCII docs: LE sample k (0-based) = ascii(char 2k+1) + 256·ascii(char 2k+2)
+  val q109Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) // 2 AS n FROM documents
+      |  WHERE length(text) >= 2
+      |),
+      |s AS (
+      |  SELECT doc_id, i - 1 AS k,
+      |    ascii(substr(text, 2 * i - 1, 1)) + 256 * ascii(substr(text, 2 * i, 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM t)
+      |),
+      |r AS (
+      |  SELECT doc_id, (3 * j) // 4 AS i0, (3 * j) % 4 AS fr
+      |  FROM (SELECT doc_id, unnest(generate_series(0, ((n - 1) * 4) // 3)) AS j FROM t)
+      |),
+      |o AS (
+      |  SELECT r.doc_id,
+      |    CAST(FLOOR(a.v + (COALESCE(b.v, a.v) - a.v) * fr / 4.0 + 0.5) AS BIGINT) AS vout
+      |  FROM r
+      |  JOIN s a ON a.doc_id = r.doc_id AND a.k = r.i0
+      |  LEFT JOIN s b ON b.doc_id = r.doc_id AND b.k = r.i0 + 1
+      |)
+      |SELECT t.doc_id, CAST(4000 AS INTEGER) AS rate_in,
+      |  CAST(16000 // 3 AS INTEGER) AS rate_out,
+      |  CAST(t.n AS BIGINT) AS n_in, CAST(((t.n - 1) * 4) // 3 + 1 AS BIGINT) AS n_out,
+      |  o2.sum_out, o2.max_out
+      |FROM t JOIN (
+      |  SELECT doc_id, CAST(SUM(vout) AS BIGINT) AS sum_out,
+      |    CAST(MAX(vout) AS INTEGER) AS max_out
+      |  FROM o GROUP BY doc_id
+      |) o2 USING (doc_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q107_tar_roundtrip", q107TarRoundtrip, Some(q107Sql)),
-    QueryDef("q108_video_frames", q108VideoFrames, Some(q108Sql)))
+    QueryDef("q108_video_frames", q108VideoFrames, Some(q108Sql)),
+    QueryDef("q109_audio_resample", q109AudioResample, Some(q109Sql)))
 }
