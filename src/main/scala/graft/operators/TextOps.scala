@@ -813,4 +813,44 @@ object TextOps {
       .select(col(idCol), col("n_toks"),
         round(col("__s") / col("n_toks"), 6).as("dsir_score"))
       .withColumn("is_target_like", col("dsir_score") > lit(0.0))
+
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2, the other canonical
+    * curation recipe beside Gopher's [[qualityFilter]]): line-level rules
+    * — keep only lines that end in terminal punctuation (`.` `!` `?` `"`),
+    * carry at least `minLineWords` words, and contain none of
+    * `lineBlockWords` (C4 drops "javascript" lines) — then page-level
+    * rules: at least `minSentences` sentences survive, no `blockPhrases`
+    * occurrence (C4 drops "lorem ipsum" pages), no curly brace (C4's
+    * code-page heuristic). Emits flags + the cleaned text rather than
+    * filtering, so downstream funnels can count reasons.
+    *
+    * Scale shape: pure column expressions, map-side, zero shuffles — a
+    * 100 TB pass is embarrassingly parallel and pipeline-fused with the
+    * scan.
+    */
+  def c4Clean(docs: DataFrame,
+      blockPhrases: Seq[String] = Seq("lorem ipsum"),
+      lineBlockWords: Seq[String] = Seq("javascript"),
+      minLineWords: Int = 5, minSentences: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terminal = Seq(".", "!", "?", "\"")
+    val keptLines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l =>
+      (length(l) > 0) &&
+        substring(l, -1, 1).isInCollection(terminal) &&
+        (size(split(l, " ")) >= minLineWords) &&
+        !lineBlockWords.map(w => array_contains(split(l, " "), w))
+          .foldLeft(lit(false))(_ || _))
+    val cleaned = array_join(keptLines, "\n")
+    val nSentences = (length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))).cast("int")
+    val pageBlocked = blockPhrases.map(p => instr(col(textCol), p) > 0)
+      .foldLeft(contains(col(textCol), lit("{")))(_ || _)
+    docs.select(col(idCol), col(textCol))
+      .withColumn("cleaned_text", cleaned)
+      .withColumn("n_lines_kept", size(keptLines))
+      .withColumn("n_sentences", nSentences)
+      .withColumn("page_blocked", pageBlocked)
+      .withColumn("keep", nSentences >= minSentences && !pageBlocked)
+      .drop(textCol)
+  }
 }

@@ -1803,7 +1803,63 @@ object Text {
       |  128.0 + 2.0 * FLOOR((SUM(y) - 8192) / 128.0 + 0.5) AS dc_mean
       |FROM px GROUP BY 1, 2, 3""".stripMargin
 
+  /** q110: C4 page cleaning (Raffel et al. 2020 §2.2) — the other
+    * canonical curation recipe beside Gopher's q57: terminal-punctuation
+    * line filtering, ≥5-word lines, line-level block words, page-level
+    * block phrases / brace / ≥3-sentence rules. The corpus has no line
+    * structure, so the input synthesizes it deterministically (every
+    * `table` token ends a sentence+line — the q84 tiling trick), with
+    * data-native vocab as the blocklists: lines containing `spark` drop,
+    * pages containing `stream vector` block. The oracle replays line
+    * splitting, trimming, the four line rules, ordered rejoin, and the
+    * page decision relationally.
+    */
+  def q110C4Clean(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "table", "table.\n").as("text"))
+    TextOps.c4Clean(docs,
+      blockPhrases = Seq("stream vector"), lineBlockWords = Seq("spark"))
+      .select(col("doc_id"), col("n_lines_kept"), col("n_sentences"),
+        col("page_blocked"), col("keep"), col("cleaned_text"))
+  }
+
+  val q110Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, replace(text, 'table', 'table.' || chr(10)) AS t FROM documents
+      |),
+      |lx AS (
+      |  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM base)
+      |),
+      |lines AS (SELECT doc_id, i, trim(ls[i]) AS line FROM lx),
+      |kept AS (
+      |  SELECT doc_id, i, line FROM lines
+      |  WHERE length(line) > 0
+      |    AND substr(line, length(line), 1) IN ('.', '!', '?', '"')
+      |    AND len(string_split(line, ' ')) >= 5
+      |    AND NOT list_contains(string_split(line, ' '), 'spark')
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_lines_kept,
+      |    string_agg(line, chr(10) ORDER BY i) AS cleaned_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT b.doc_id,
+      |  COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
+      |  CAST(length(COALESCE(a.cleaned_text, ''))
+      |    - length(regexp_replace(COALESCE(a.cleaned_text, ''), '[.!?]', '', 'g'))
+      |    AS INTEGER) AS n_sentences,
+      |  (position('stream vector' IN b.t) > 0 OR position('{' IN b.t) > 0) AS page_blocked,
+      |  (CAST(length(COALESCE(a.cleaned_text, ''))
+      |    - length(regexp_replace(COALESCE(a.cleaned_text, ''), '[.!?]', '', 'g'))
+      |    AS INTEGER) >= 3
+      |   AND NOT (position('stream vector' IN b.t) > 0 OR position('{' IN b.t) > 0)) AS keep,
+      |  COALESCE(a.cleaned_text, '') AS cleaned_text
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
     QueryDef("q84_jpeg_color", q84JpegColor, Some(q84Sql)),
     QueryDef("q83_pii_scrub", q83PiiScrub, Some(q83Sql)),
     QueryDef("q82_warc_roundtrip", q82WarcRoundtrip, Some(q82Sql)),

@@ -673,4 +673,43 @@ class TextSpec extends SparkSpec {
     // identical docs score identically (pure function of content + corpus)
     assert(got(0L)._1 == got(1L)._1)
   }
+
+  test("c4Clean applies the published line and page rules") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: clean 3-sentence page — kept, short/unterminated/js lines dropped
+      (1L, "This is a perfectly fine sentence today.\n" +
+        "too short.\n" +
+        "this line has no terminal punctuation at all\n" +
+        "Enable javascript to view this content please!\n" +
+        "Another good long sentence stands here.\n" +
+        "And one more closing sentence arrives now."),
+      // 2: blocked page — lorem ipsum
+      (2L, "A good first long sentence sits here.\n" +
+        "lorem ipsum dolor sit amet consectetur adipiscing.\n" +
+        "A good second long sentence sits here.\n" +
+        "A good third long sentence sits here."),
+      // 3: blocked page — curly brace (code heuristic)
+      (3L, "One fine long sentence is right here.\nfunction f() { return 1; }\n" +
+        "Two fine long sentences are right here.\nThree fine long sentences are right here."),
+      // 4: too few sentences survive
+      (4L, "Only one good long sentence exists here.\nshort one.\nshort two."),
+      // 5: multi-sentence single line counts every terminal mark
+      (5L, "First point. Second point! Third point? All on one long line.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4Clean(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Int]("n_lines_kept") == 3)
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(got(1L).getAs[String]("cleaned_text") ==
+      "This is a perfectly fine sentence today.\n" +
+        "Another good long sentence stands here.\n" +
+        "And one more closing sentence arrives now.")
+    assert(got(2L).getAs[Boolean]("page_blocked") && !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Boolean]("page_blocked") && !got(3L).getAs[Boolean]("keep"))
+    assert(!got(4L).getAs[Boolean]("page_blocked") && !got(4L).getAs[Boolean]("keep"),
+      "pages with <3 surviving sentences drop without being 'blocked'")
+    assert(got(5L).getAs[Int]("n_sentences") == 4 && got(5L).getAs[Boolean]("keep"),
+      "sentence count is per terminal mark, not per line")
+  }
 }
