@@ -164,6 +164,81 @@ object LmOps {
     lmScoreAgainst(docs, c2, c1, buckets, alpha, nllThreshold, idCol, textCol)
   }
 
+  // -------------------------------------------------- Kneser-Ney bigram LM
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.23) over hashed buckets — the smoothing the
+    * production perplexity filters (KenLM in CCNet) actually use, where
+    * [[lmPerplexity]]'s add-α is the classroom baseline. Absolute
+    * discount D on seen bigrams, mass redistributed by CONTINUATION
+    * counts (how many distinct contexts a word follows — "Francisco" is
+    * frequent but predictable, so it gets less backoff mass than its raw
+    * frequency suggests):
+    *
+    *   P(w2|w1)  = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·Pc(w2)) / c(w1)
+    *   Pc(w2)    = (max(N1+(·,w2) − D, 0))/T + (D·V/T)·(1/B)   (uniform base)
+    *
+    * with T = total bigram types, V = distinct right types, B = buckets;
+    * both levels sum to exactly 1. Unseen contexts fall through to
+    * Pc(w2), whose uniform floor keeps every probability positive, so
+    * new batches (the streaming shape) always score.
+    *
+    * Returns `(c2, c1n, rt, tv)`: bigram counts, per-context totals +
+    * continuation fan-outs, per-word left-context counts, and the (T, V)
+    * scalars — every side bounded by construction at B²/B/B/1 rows, so
+    * scoring broadcasts all of them exactly like [[lmScoreAgainst]].
+    */
+  def knCounts(corpus: DataFrame, buckets: Int = 1024,
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pairs = bigramPairs(corpus.select(lit(0L).as("__id"), col(textCol)),
+      buckets, "__id", textCol)
+    val c2 = pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c"))
+    val c1n = c2.groupBy(col("b1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1pl"))
+    val rt = c2.groupBy(col("b2")).agg(count(lit(1)).as("n1pr"))
+    val tv = c2.agg(count(lit(1)).as("t_types"), countDistinct(col("b2")).as("v_types"))
+    (c2, c1n, rt, tv)
+  }
+
+  /** Score documents against a trained [[knCounts]] model: per-bigram
+    * −ln P summed and mean'd per document, same output shape as
+    * [[lmScoreAgainst]] (`nll`, `ppl`, `is_fluent`). All four model
+    * sides broadcast; the per-doc mean collapses map-side. */
+  def knScoreAgainst(docs: DataFrame, c2: DataFrame, c1n: DataFrame,
+      rt: DataFrame, tv: DataFrame, buckets: Int = 1024, discount: Double = 0.75,
+      nllThreshold: Double = 4.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val d = lit(discount)
+    val pairs = bigramPairs(docs, buckets, idCol, textCol)
+    val puni = (greatest(coalesce(col("n1pr"), lit(0L)) - d, lit(0.0)) / col("t_types")) +
+      (d * col("v_types") / col("t_types")) * (lit(1.0) / buckets)
+    val p = when(col("c1").isNotNull,
+      (greatest(coalesce(col("c"), lit(0L)) - d, lit(0.0)) +
+        d * col("n1pl") * puni) / col("c1"))
+      .otherwise(puni)
+    pairs
+      .join(broadcast(c1n), Seq("b1"), "left")
+      .join(broadcast(c2), Seq("b1", "b2"), "left")
+      .join(broadcast(rt), Seq("b2"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col(idCol), (-log(p)).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("nll"),
+        round(exp(col("__s") / col("n_bigrams")), 6).as("ppl"))
+      .withColumn("is_fluent", round(col("nll"), 6) < lit(nllThreshold))
+  }
+
+  /** Train-and-score Kneser-Ney on one corpus (the batch query shape). */
+  def knPerplexity(docs: DataFrame, buckets: Int = 1024, discount: Double = 0.75,
+      nllThreshold: Double = 4.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (c2, c1n, rt, tv) = knCounts(docs, buckets, textCol)
+    knScoreAgainst(docs, c2, c1n, rt, tv, buckets, discount, nllThreshold,
+      idCol, textCol)
+  }
+
   // ------------------------------------------------------ Naive Bayes
 
   /** Train a multinomial Naive Bayes classifier over hashed unigrams:

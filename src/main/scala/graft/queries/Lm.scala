@@ -216,5 +216,54 @@ object Lm {
     QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),
     QueryDef("q86_lm_perplexity", q86LmPerplexity, Some(q86Sql)),
     QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),
-    QueryDef("q88_bm25", q88Bm25, Some(q88Sql)))
+    QueryDef("q88_bm25", q88Bm25, Some(q88Sql)),
+    QueryDef("q111_kn_perplexity", q111KnPerplexity, Some(q111Sql)))
+
+  // ---------------------------------------------------------------- q111
+
+  /** q111: interpolated Kneser-Ney bigram perplexity — the KenLM-grade
+    * smoothing production CCNet filters use (q86's add-α is the
+    * baseline): absolute discount, continuation-count backoff, uniform
+    * floor. The oracle replays the entire model build (bigram types,
+    * context fan-outs, continuation counts, the T/V scalars) and the
+    * exact float expression shape; 6-decimal rounding on the mean as
+    * in q86.
+    */
+  def q111KnPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.knPerplexity(Tables.load(spark, sfDir, "documents"),
+      buckets = 1024, discount = 0.75, nllThreshold = 4.0)
+
+  val q111Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), t -> ${hashSql.format("t")} % 1024) AS bs
+       |  FROM documents
+       |),
+       |pairs AS (
+       |  SELECT doc_id, p.b1 AS b1, p.b2 AS b2
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(bs) - 1),
+       |      i -> struct_pack(b1 := bs[i], b2 := bs[i+1]))) AS p
+       |    FROM tk WHERE len(bs) >= 2
+       |  )
+       |),
+       |c2 AS (SELECT b1, b2, COUNT(1) AS c FROM pairs GROUP BY b1, b2),
+       |c1n AS (SELECT b1, SUM(c) AS c1, COUNT(1) AS n1pl FROM c2 GROUP BY b1),
+       |rt AS (SELECT b2, COUNT(1) AS n1pr FROM c2 GROUP BY b2),
+       |tv AS (SELECT COUNT(1) AS t_types, COUNT(DISTINCT b2) AS v_types FROM c2),
+       |sc AS (
+       |  SELECT doc_id, COUNT(1) AS n_bigrams,
+       |    SUM(-ln(
+       |      (greatest(c - 75e-2, 0e0) + 75e-2 * n1pl * (
+       |        (greatest(n1pr - 75e-2, 0e0) / t_types)
+       |          + (75e-2 * v_types / t_types) * (1e0 / 1024)
+       |      )) / c1
+       |    )) AS s
+       |  FROM pairs JOIN c2 USING (b1, b2) JOIN c1n USING (b1) JOIN rt USING (b2), tv
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 6) AS nll,
+       |  ROUND(exp(s / n_bigrams), 6) AS ppl,
+       |  ROUND(s / n_bigrams, 6) < 4e0 AS is_fluent
+       |FROM sc""".stripMargin
 }

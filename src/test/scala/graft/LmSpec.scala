@@ -111,9 +111,48 @@ class LmSpec extends SparkSpec {
 
   test("bm25/lm/nb plans stay broadcast-only (no SortMergeJoin)") {
     val sf = sfDir
-    for (q <- Seq("q86_lm_perplexity", "q88_bm25")) {
+    for (q <- Seq("q86_lm_perplexity", "q88_bm25", "q111_kn_perplexity")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"), s"$q plans a SortMergeJoin:\n$plan")
     }
+  }
+
+  test("Kneser-Ney: seen-context distribution sums to 1; continuation beats raw frequency") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'of course' 20× makes 'course' FREQUENT but PREDICTABLE (one left
+    // context); 'cat' appears 4× total but after 4 DIFFERENT words
+    val corpus = ((0 until 20).map(i => (i.toLong, "of course")) ++
+      Seq((20L, "a cat"), (21L, "b cat"), (22L, "c cat"), (23L, "d cat")))
+      .toDF("doc_id", "text")
+    val (c2, c1n, rt, tv) = LmOps.knCounts(corpus, buckets = 1024)
+    val Seq((tT, vT)) = tv.as[(Long, Long)].collect().toSeq
+    assert(tT == 5 && vT == 2, "5 bigram types over 2 right words")
+    // continuation counts: 'cat' follows 4 distinct contexts, 'course' 1 —
+    // KN's point: backoff mass goes to versatile words, not frequent ones
+    val n1pr = rt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n1pr.values.toSeq.sorted == Seq(1L, 4L))
+    // full probability over the bucket space for context 'of' sums to 1
+    val ofB = (math.BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest("of".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .take(15), 16) % 1024).toLong
+    val all = (0 until 1024).map(_.toLong).toDF("b2")
+    val d = 0.75
+    val probs = all
+      .join(c2.filter(col("b1") === ofB), Seq("b2"), "left")
+      .join(rt, Seq("b2"), "left")
+      .crossJoin(broadcast(tv))
+      .crossJoin(broadcast(c1n.filter(col("b1") === ofB).select(col("c1"), col("n1pl"))))
+      .select(((greatest(coalesce(col("c"), lit(0L)) - d, lit(0.0)) +
+        lit(d) * col("n1pl") * ((greatest(coalesce(col("n1pr"), lit(0L)) - d, lit(0.0)) /
+          col("t_types")) + (lit(d) * col("v_types") / col("t_types")) * (lit(1.0) / 1024))) /
+        col("c1")).as("p"))
+      .agg(sum(col("p"))).as[Double].head()
+    assert(math.abs(probs - 1.0) < 1e-9, s"P(·|of) must sum to 1, got $probs")
+    // scoring yields finite positive perplexity on a NEW doc with unseen context
+    val newDoc = Seq((99L, "zzz cat")).toDF("doc_id", "text")
+    val scored = LmOps.knScoreAgainst(newDoc, c2, c1n, rt, tv).collect()
+    assert(scored.length == 1 && scored(0).getAs[Double]("ppl") > 0 &&
+      !scored(0).getAs[Double]("ppl").isInfinite)
   }
 }
