@@ -82,6 +82,51 @@ object Web {
        |FROM r5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+
+  /** q112: per-document triangle counts over the q89 link graph — the
+    * community-density / spam-farm signal of link-based curation
+    * (triangle-rich neighborhoods ≈ genuine communities; spam farms are
+    * star-shaped and triangle-poor). Engine side runs the degree-ordered
+    * wedge algorithm (Suri & Vassilvitskii 2011, GraphOps.triangleCounts);
+    * the ORACLE counts triangles the completely different brute way — a
+    * 3-way self-join on id-ordered undirected edges — so the two
+    * independent algorithms must agree on every node's count.
+    */
+  def q112Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    GraphOps.triangleCounts(docs.select(col("doc_id").as("node")),
+        linkGraph(docs, n))
+      .select(col("node").as("doc_id"), col("n_triangles"))
+  }
+
+  val q112Sql: String =
+    s"""WITH nn AS (SELECT COUNT(1) AS n FROM documents),
+       |e AS (
+       |  SELECT DISTINCT doc_id AS src,
+       |    (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) AS dst
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${LinkFanout - 1})) AS k) ks
+       |  WHERE (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) <> doc_id
+       |),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+       |),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+       |),
+       |cnt AS (
+       |  SELECT node, COUNT(1) AS c
+       |  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+       |  GROUP BY node
+       |)
+       |SELECT d.doc_id, COALESCE(cnt.c, 0) AS n_triangles
+       |FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q90
 
   /** q90: JSONL round trip — the corpus leaves as gzipped JSON-lines (the
@@ -289,6 +334,7 @@ object Web {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q89_pagerank", q89PageRank, Some(q89Sql)),
+    QueryDef("q112_triangles", q112Triangles, Some(q112Sql)),
     QueryDef("q90_jsonl_roundtrip", q90JsonlRoundtrip, Some(q90Sql)),
     QueryDef("q91_url_canon", q91UrlCanon, Some(q91Sql)),
     QueryDef("q92_normalize", q92Normalize, Some(q92Sql)),

@@ -71,4 +71,20 @@ class GraphOpsSpec extends SparkSpec {
       assert(manyIn.min > zeroIn.max,
         "heavily-linked docs must outrank unlinked ones")
   }
+
+  test("triangleCounts: K4 + star + disconnected match closed form") {
+    import spark.implicits._
+    // K4 on 0-3 (4 triangles, each node in 3 of them); star hub 10 with
+    // leaves 11-14 (0 triangles — the spam-farm shape); isolated 20;
+    // duplicate and reversed edges must not inflate counts
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
+    val star = (11L to 14L).flatMap(l => Seq((10L, l), (l, 10L)))
+    val edges = (k4 ++ star ++ Seq((0L, 1L), (1L, 0L))).toDF("src", "dst")
+    val nodes = ((0L to 3L) ++ (10L to 14L) :+ 20L).toDF("node")
+    val got = GraphOps.triangleCounts(nodes, edges).as[(Long, Long)]
+      .collect().toMap
+    (0L to 3L).foreach(n => assert(got(n) == 3L, s"K4 node $n"))
+    ((10L to 14L) :+ 20L).foreach(n => assert(got(n) == 0L, s"triangle-free node $n"))
+    assert(got.size == 10)
+  }
 }
