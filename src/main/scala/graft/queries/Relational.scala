@@ -198,6 +198,52 @@ object Relational {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** q113: pivot — reshape order totals to one column per status (the
+    * report/feature-matrix shape; Spark's `RelationalGroupedDataset.pivot`
+    * with EXPLICIT values, the form that skips the extra distinct-values
+    * job and keeps the plan a single hash aggregate). The oracle is the
+    * portable spelling: one CASE-filtered aggregate per pivoted value.
+    */
+  def q113Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+      .withColumnRenamed("F", "total_f")
+      .withColumnRenamed("O", "total_o")
+      .withColumnRenamed("P", "total_p")
+  }
+
+  val q113Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** q114: full CUBE over (returnflag, linestatus) — all four grouping
+    * sets in one pass (q53 covers the ROLLUP prefix subset). Same
+    * decimal-exact partial-sum discipline; `gid` disambiguates the null
+    * produced BY the cube from a null grouping value.
+    */
+  def q114Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+  }
+
+  val q114Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(1) AS n_rows,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
   /** q54: skew-resistant salted join (SkewJoin.salted) — result must equal
     * the PLAIN equi-join, which is exactly what the oracle runs; the salt
     * fan-out is invisible in the output by construction.
@@ -247,6 +293,8 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
+    QueryDef("q113_pivot", q113Pivot, Some(q113Sql)),
+    QueryDef("q114_cube", q114Cube, Some(q114Sql)),
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_join_revenue", q02JoinRevenue, Some(q02Sql)),
     QueryDef("q03_top_customers", q03TopCustomers, Some(q03Sql)),

@@ -102,6 +102,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pivot with explicit values plans ONE aggregate pass and no extra job") {
+    val df = graft.queries.Relational.q113Pivot(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // explicit pivot values ⇒ no distinct-values collect job and a single
+    // hash-aggregate chain (partial + final), never a join or expand
+    assert(!plan.contains("Expand") && !plan.contains("Join"),
+      s"pivot should be pure aggregation:\n$plan")
+    assert(df.columns.toSeq == Seq("o_orderpriority", "total_f", "total_o", "total_p"))
+    // cube grouping ids partition the output: 4 grouping sets present
+    val gids = graft.queries.Relational.q114Cube(spark, sfDir)
+      .select("gid").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(gids == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("loadEvents normalizes ts to epoch-ns longs whatever the parquet type") {
     import org.apache.spark.sql.types.LongType
     // the driver regenerates testdata between rounds; events.ts has shipped
