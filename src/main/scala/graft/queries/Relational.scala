@@ -244,6 +244,29 @@ object Relational {
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** q115: Morton/Z-order interleave — the sort key under lakehouse
+    * `OPTIMIZE ZORDER BY` (operators.ZOrder; the clustered-write path and
+    * its measured file-skipping effect are gated in ZOrderSpec). The
+    * oracle recomputes the 8-bit two-column interleave as a closed-form
+    * arithmetic sum, so every bit position is checked on every row.
+    */
+  def q115ZOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      graft.operators.ZOrder.zValue(
+        Seq(col("l_partkey") % 256, col("l_suppkey") % 256), bits = 8).as("z"))
+  }
+
+  val q115Sql: String = {
+    val terms = (0 until 8).flatMap { b =>
+      Seq(s"((l_partkey % 256 // ${1 << b}) % 2) * ${1L << (2 * b)}",
+        s"((l_suppkey % 256 // ${1 << b}) % 2) * ${1L << (2 * b + 1)}")
+    }
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(${terms.mkString("\n    + ")} AS BIGINT) AS z
+       |FROM lineitem""".stripMargin
+  }
+
   /** q54: skew-resistant salted join (SkewJoin.salted) — result must equal
     * the PLAIN equi-join, which is exactly what the oracle runs; the salt
     * fan-out is invisible in the output by construction.
@@ -295,6 +318,7 @@ object Relational {
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
     QueryDef("q113_pivot", q113Pivot, Some(q113Sql)),
     QueryDef("q114_cube", q114Cube, Some(q114Sql)),
+    QueryDef("q115_zorder", q115ZOrder, Some(q115Sql)),
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_join_revenue", q02JoinRevenue, Some(q02Sql)),
     QueryDef("q03_top_customers", q03TopCustomers, Some(q03Sql)),
