@@ -47,4 +47,34 @@ object Delta {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** SCD Type-2 history build from a change log: per key, collapse
+    * consecutive duplicate values (idempotent re-deliveries and no-op
+    * updates vanish), then stamp each surviving version with
+    * `[valid_from, valid_to)` and `is_current` — the slowly-changing-
+    * dimension contract every warehouse merge implements, here as three
+    * window passes over ONE shuffle on the key (lag to collapse, lead to
+    * close intervals, row_number to version). Ties on `versionCol` break
+    * by `tieCol` so the history is total-order deterministic.
+    *
+    * Output: key, version (1-based), value, valid_from, valid_to
+    * (null = open), is_current.
+    */
+  def scd2(changes: DataFrame, keyCol: String, versionCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol), col(tieCol))
+    val collapsed = changes
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(valueCol))
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol), col(tieCol))
+    collapsed
+      .withColumn("version", row_number().over(w2))
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col(valueCol).as("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
 }

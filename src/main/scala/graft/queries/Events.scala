@@ -194,6 +194,39 @@ object Events {
       |)
       |WHERE rn = 1""".stripMargin
 
+  /** q116: SCD Type-2 history — each user's event_type change log becomes
+    * versioned `[valid_from, valid_to)` dimension rows (operators.Delta
+    * .scd2): consecutive duplicates collapse, the last version stays open
+    * (`is_current`), ties on ts break by event_id. One shuffle on the
+    * key; the oracle replays the same lag/lead/row_number windows.
+    */
+  def q116Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    graft.operators.Delta.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("version"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  val q116Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events
+      |),
+      |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      |v AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER w AS INTEGER) AS version,
+      |    event_type AS value, ts AS valid_from,
+      |    lead(ts) OVER w AS valid_to
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, version, value, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM v""".stripMargin
+
   /** q102: ordered funnel view → click → purchase (operators.Funnel) —
     * per-user earliest completion time of each step strictly after the
     * previous one; null = the funnel broke there. All shuffles keyed on
@@ -255,6 +288,7 @@ object Events {
     QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
     QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),
     QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)),
+    QueryDef("q116_scd2", q116Scd2, Some(q116Sql)),
     QueryDef("q102_funnel", q102Funnel, Some(q102Sql)),
     QueryDef("q105_hopping_window", q105HoppingWindow, Some(q105Sql)))
 }
