@@ -379,6 +379,118 @@ object Similarity {
       .withColumn("keep", !col("is_semantic_dup"))
   }
 
+  /** k-means|| initialization (Bahmani et al., VLDB 2012) — the SCALABLE
+    * seeding for [[lloydRefine]]/[[ivfTopK]]'s quantizer: where k-means++
+    * needs k strictly sequential passes, k-means|| oversamples ~`l`
+    * points per round for O(log n)≈`rounds` rounds, each point kept with
+    * probability `l·d²(x,C)/φ(C)` — so far-from-center regions are seeded
+    * preferentially — then reduces the ≤ `1 + rounds·l` candidates to k
+    * by weighted k-means++ on the driver (bounded like the LUT collects).
+    *
+    * Per round: ONE map-side d² pass against the broadcast candidate set
+    * and one scalar aggregate (φ); the sampling coin is the seedless md5
+    * hash ([[TextOps.hashUnit]] keyed by id×round), so the init is fully
+    * deterministic and cluster-order-independent. Total cost: `rounds`
+    * corpus scans, zero corpus shuffles.
+    */
+  def kmeansParallelInit(corpus: DataFrame, k: Int, rounds: Int = 5,
+      oversample: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val l = if (oversample > 0) oversample else 2 * k
+    val vecs = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .as[(Long, Seq[Double])]
+    def d2To(cents: Array[Array[Double]], v: Seq[Double]): Double = {
+      val a = v.toArray
+      var best = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+        if (s < best) best = s
+        j += 1
+      }
+      best
+    }
+    // deterministic first center: minimum md5(id)
+    val first = vecs.toDF("__id", "__v")
+      .orderBy(md5(col("__id").cast("string")), col("__id")).limit(1)
+      .collect()(0)
+    var cand: Seq[(Long, Seq[Double])] =
+      Seq((first.getLong(0), first.getSeq[Double](1)))
+    for (r <- 1 to rounds) {
+      // broadcast-kernel d² pass (the Inversion mapPartitions discipline —
+      // a per-round column fold over ~rounds·l centroids would blow codegen)
+      val bc = spark.sparkContext.broadcast(cand.map(_._2.toArray).toArray)
+      val scored = vecs.mapPartitions(it =>
+          it.map { case (id, v) => (id, v, d2To(bc.value, v)) })
+        .toDF("__id", "__v", "__d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val phi = scored.agg(sum(col("__d2"))).head().getDouble(0)
+      if (phi > 0) {
+        val picked = scored
+          .where(TextOps.hashUnit(concat_ws("#", col("__id"), lit(r))) <
+            lit(l.toDouble) * col("__d2") / lit(phi))
+          .select(col("__id"), col("__v")).collect()
+          .map(row => (row.getLong(0), row.getSeq[Double](1)))
+        cand = (cand ++ picked).distinctBy(_._1)
+      }
+      scored.unpersist(false)
+    }
+    // weight candidates by their attracted corpus mass, then weighted
+    // k-means++ down to k on the driver (candidates are bounded)
+    val bcW = spark.sparkContext.broadcast(
+      cand.map { case (id, v) => (id, v.toArray) }.toArray)
+    val weights = vecs.mapPartitions { it =>
+        it.map { case (_, v) =>
+          val a = v.toArray
+          var bestId = Long.MaxValue; var best = Double.MaxValue
+          bcW.value.foreach { case (id, c) =>
+            var s = 0.0; var i = 0
+            while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+            if (s < best || (s == best && id < bestId)) { best = s; bestId = id }
+          }
+          bestId
+        }
+      }.toDF("__c")
+      .groupBy("__c").agg(count(lit(1)).as("__w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pts = cand.map { case (id, v) => (id, v.toArray, weights.getOrElse(id, 0L).toDouble) }
+    // weighted k-means++ (deterministic: md5-unit coin per step)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    chosen += (pts.maxBy(p => (p._3, p._1)) match { case (id, v, _) => (id, v) })
+    while (chosen.size < math.min(k, pts.size)) {
+      val costs = pts.filterNot(p => chosen.exists(_._1 == p._1)).map { case (id, v, w) =>
+        (id, v, w * chosen.map(c => dist2(v, c._2)).min)
+      }
+      val total = costs.map(_._3).sum
+      val next =
+        if (total <= 0) costs.maxBy(p => (p._3, p._1))
+        else {
+          // deterministic "spin": md5-unit of the running step index
+          val u = (BigInt(java.security.MessageDigest.getInstance("MD5")
+            .digest(s"kmpp#${chosen.size}".getBytes("UTF-8")).take(8)
+            .map("%02x".format(_)).mkString.take(15), 16).toDouble / math.pow(2, 60))
+          val target = u * total
+          var acc = 0.0
+          costs.sortBy(_._1).find { p => acc += p._3; acc >= target }
+            .getOrElse(costs.maxBy(p => (p._3, p._1)))
+        }
+      chosen += ((next._1, next._2))
+    }
+    chosen.toSeq.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v.toSeq) }
+      .toDF("cent_id", "cent_vec")
+  }
+
   /** IVF-flat approximate nearest neighbor — the third ANN tier.
     *
     * Coarse quantizer: a FIXED-size centroid set — the `numCents` corpus

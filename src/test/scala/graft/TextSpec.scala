@@ -674,6 +674,42 @@ class TextSpec extends SparkSpec {
     assert(got(0L)._1 == got(1L)._1)
   }
 
+  test("kmeans|| init covers skew-hidden clusters that uniform sampling misses") {
+    import spark.implicits._
+    // 8 well-separated 4-dim clusters with heavy size skew: cluster 0 has
+    // 930 points, clusters 1-7 have 10 each — a uniform 8-sample lands in
+    // cluster 0 with p≈.56 per draw; k-means||'s d²-weighted rounds must
+    // seed every cluster
+    val centers = (0 until 8).map(c => Array.tabulate(4)(d => (c * 100 + d * 3).toFloat))
+    val pts = (0 until 1000).map { i =>
+      val c = if (i < 930) 0 else 1 + (i - 930) / 10
+      val v = centers(c).zipWithIndex.map { case (x, d) =>
+        x + ((i * 31 + d * 7) % 11 - 5) * 0.1f // ±0.5 jitter, deterministic
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val init = Similarity.kmeansParallelInit(pts, k = 8, rounds = 5)
+    val got = init.collect().map(_.getSeq[Double](1).toArray)
+    assert(got.length == 8)
+    val covered = centers.count(c => got.exists(g =>
+      math.sqrt(c.zip(g).map { case (a, b) => (a - b) * (a - b) }.sum) < 10))
+    assert(covered == 8, s"k-means|| covered only $covered/8 planted clusters")
+    // the uniform md5-order 8-sample (ivfTopK's oracle-portable init) must
+    // cover strictly fewer — the scenario this initializer exists for
+    val uniform = pts.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(8).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val uniformCovered = centers.count(c => uniform.exists(g =>
+      math.sqrt(c.zip(g).map { case (a, b) => (a - b) * (a - b) }.sum) < 10))
+    assert(uniformCovered < 8, s"uniform sample covered $uniformCovered/8 — " +
+      "test data no longer exercises the skew failure")
+    // and a Lloyd pass from the kmeans|| seed converges to tight centroids
+    val refined = Similarity.lloydRefine(pts, init, iters = 2)
+    val rc = refined.collect().map(_.getSeq[Double](1).toArray)
+    val tight = centers.count(c => rc.exists(g =>
+      math.sqrt(c.zip(g).map { case (a, b) => (a - b) * (a - b) }.sum) < 2))
+    assert(tight == 8, s"refined centroids tight on $tight/8 clusters")
+  }
+
   test("c4Clean applies the published line and page rules") {
     import spark.implicits._
     val docs = Seq(
