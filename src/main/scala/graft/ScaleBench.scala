@@ -20,7 +20,8 @@ object ScaleBench {
   /** Target sections selectable from the CLI: `runMain graft.ScaleBench
     * [lines samples] [big] [scene|vectors|docs]` — no section arg runs
     * everything (plus the 100×-scene targets with `big`). */
-  private val Sections = Set("scene", "vectors", "docs", "sketches", "events")
+  private val Sections =
+    Set("scene", "vectors", "docs", "sketches", "events", "media", "graph", "layout")
 
   def main(args: Array[String]): Unit = {
     val big = args.contains("big")
@@ -675,6 +676,57 @@ object ScaleBench {
         s"epoch shuffle is not a permutation: $agg")
     }
 
+    // 10h. C4 cleaning at 1M docs with closed-form truth: ids ≡ 0 mod 7
+    // get a 3-good-sentence page (kept), ids ≡ 1 mod 7 a lorem-ipsum page
+    // (blocked), everyone else a 1-sentence page (dropped, not blocked).
+    timed("c4_clean_1M_docs") {
+      val n = 1000000L
+      val good = "One decent long sentence sits here.\nAnother decent long " +
+        "sentence sits here.\nA third decent long sentence sits here."
+      val blocked = good + "\nlorem ipsum dolor sit amet consectetur."
+      val thin = "Only one decent long sentence here."
+      val docs1m = spark.range(n).select(col("id").as("doc_id"),
+        when(col("id") % 7 === 0, good)
+          .when(col("id") % 7 === 1, blocked)
+          .otherwise(thin).as("text"))
+      val flags = operators.TextOps.c4Clean(docs1m)
+      val a = flags.agg(
+        count(when(col("keep"), 1)),
+        count(when(col("page_blocked"), 1)),
+        count(lit(1))).head()
+      val nGood = (0L until n).count(_ % 7 == 0) // 142858
+      val nBlocked = (0L until n).count(_ % 7 == 1)
+      require(a.getLong(0) == nGood && a.getLong(1) == nBlocked &&
+        a.getLong(2) == n,
+        s"c4 closed form failed: $a want keep=$nGood blocked=$nBlocked")
+    }
+
+    // 10i. Kneser-Ney perplexity at 1M docs: 90% template docs repeat one
+    // fluent bigram chain; 10% draw pseudo-random token pairs. The KN
+    // model trained on the mix must separate the populations (mean nll of
+    // template docs strictly below random docs), and identical docs must
+    // score identically.
+    timed("kn_perplexity_1M_docs") {
+      val n = 1000000L
+      val docs1m = spark.range(n).select(col("id").as("doc_id"),
+        when(col("id") % 10 =!= 9,
+          lit("alpha beta gamma delta epsilon zeta eta theta"))
+          .otherwise(concat_ws(" ",
+            (0 until 8).map(j => concat(lit("w"),
+              pmod(hash(col("id"), lit(j)), lit(5000)).cast("string"))): _*))
+          .as("text"))
+      val scored = operators.LmOps.knPerplexity(docs1m, buckets = 1024)
+      val sep = scored
+        .join(docs1m, "doc_id")
+        .select((col("doc_id") % 10 === 9).as("is_rand"), col("nll"))
+        .groupBy("is_rand").agg(avg(col("nll")).as("m"), countDistinct(col("nll")).as("dn"))
+        .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      require(sep(false)._1 < sep(true)._1 - 1.0,
+        s"KN failed to separate fluent from random: $sep")
+      require(sep(false)._2 == 1L,
+        s"identical template docs must share one nll, got ${sep(false)._2}")
+    }
+
     // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference
     // notebook scene (BASELINE.md). Exercises AQE/spill behavior: the scene
     // never collects, the LUT broadcast is scene-size-independent, and the
@@ -802,6 +854,152 @@ object ScaleBench {
           min(col("n_users")).as("lo"), max(col("n_users")).as("hi")).head()
         require(a.getLong(0) == 300L && a.getLong(1) == 10000L &&
           a.getLong(2) == 10000L, s"cohort cells: $a")
+      }
+
+      // E4. SCD2 history at 10M change events / 100k users with closed-form
+      // truth: user u emits 100 events at ts = k, value switching every 10
+      // events with duplicate deliveries inside each run → exactly 10
+      // versions per user, valid_from = 10·j, one open version each.
+      timed("scd2_10M_events") {
+        val users = 100000L
+        val ev = spark.range(users * 100).select(
+          (col("id") / 100).cast("long").as("user_id"),
+          (col("id") % 100).as("ts"),
+          col("id").as("event_id"),
+          concat(lit("v"), ((col("id") % 100) / 10).cast("int")).as("value"))
+        val hist = Delta.scd2(ev, "user_id", "ts", "event_id", "value")
+        val a = hist.agg(count(lit(1)),
+          count(when(col("is_current"), 1)),
+          sum(col("valid_from")),
+          sum(coalesce(col("valid_to"), lit(0L)))).head()
+        // per user: versions at 0,10,…,90 (sum 450); valid_to 10,…,90,null (sum 450)
+        require(a.getLong(0) == users * 10 && a.getLong(1) == users &&
+          a.getLong(2) == users * 450 && a.getLong(3) == users * 450,
+          s"scd2 closed form failed: $a")
+      }
+    }
+
+    if (on("media")) {
+      // M1. WebDataset tar shards at 1M members (500k samples × 2): write
+      // per-partition shards, header-only index, member-parallel read —
+      // exact id/byte conservation required.
+      timed("tar_roundtrip_1000k_members") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_tar_scale").toString
+        val n = 500000L
+        val docs = spark.range(n).select(col("id").cast("string").as("key"),
+          lit("txt").as("ext"),
+          encode(concat(lit("sample body "), col("id").cast("string")), "UTF-8").as("bytes"))
+        val meta = spark.range(n).select(col("id").cast("string").as("key"),
+          lit("json").as("ext"),
+          encode(concat(lit("{\"id\":"), col("id").cast("string"), lit("}")), "UTF-8").as("bytes"))
+        sources.TarIO.writeShards(docs.unionAll(meta).repartition(32), dir)
+        val back = sources.TarIO.samples(sources.TarIO.readShardsFanout(spark, dir))
+        val row = back.agg(count(lit(1)), sum(col("key").cast("long")),
+          sum(size(col("exts")))).head()
+        require(row.getLong(0) == n && row.getLong(1) == n * (n - 1) / 2 &&
+          row.getLong(2) == 2 * n,
+          s"tar roundtrip lost members: $row")
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir)))
+        ()
+      }
+
+      // M2. Video frame sampling at 50k clips × 6 frames: assemble real
+      // MJPEG AVIs, sample stride 3 via idx1 (2 of 6 frames decoded), and
+      // require the exact sampled frame set + valid DC decodes.
+      timed("video_frame_sample_50k_clips") {
+        val clips = 50000L
+        val frames = spark.range(clips * 6).select(
+          (col("id") / 6).cast("long").as("video_id"),
+          (col("id") % 6).cast("int").as("frame_no"))
+          .as[(Long, Int)]
+          .map { case (vid, k) =>
+            (vid, k, graft.sources.Jpeg.encodeGray(16, 16,
+              Array.tabulate(256)(i => ((i + k * 10 + vid).toInt % 200).toByte)))
+          }.toDF("video_id", "frame_no", "jpeg")
+        val vids = operators.Video.mjpegAssemble(frames, 16, 16)
+        val dc = operators.Video.sampleDcMeans(vids, stride = 3)
+        val a = dc.agg(count(lit(1)), countDistinct(col("video_id")),
+          sum(col("frame_no"))).head()
+        // 2 sampled frames × 4 blocks per clip; frame_no sum = clips·(0+3)·4
+        require(a.getLong(0) == clips * 8 && a.getLong(1) == clips &&
+          a.getLong(2) == clips * 12,
+          s"video sampling wrong shape: $a")
+      }
+
+      // M3. WAV 4/3 resample at 500k clips with a closed-form check: a
+      // constant-signal clip resamples to the same constant, so the global
+      // sum is exactly (value × n_out) summed over clips.
+      timed("wav_resample_500k_clips") {
+        val clips = 500000L
+        // 40 constant samples of value (id % 200 + 1) as LE int16 bytes
+        val media = spark.range(clips).as[Long].map { id =>
+          val v = (id % 200 + 1).toInt
+          val b = new Array[Byte](80)
+          var i = 0
+          while (i < 40) { b(2 * i) = (v & 0xff).toByte; b(2 * i + 1) = 0; i += 1 }
+          operators.Multimodal.MediaRow(id, "pcm", b, 0, 0)
+        }
+        val stats = operators.Audio.resampleStats(
+          operators.Audio.wavEncode(media, 4000), num = 4, den = 3)
+        val a = stats.agg(count(lit(1)), sum(col("n_out")),
+          sum(col("sum_out") - col("n_out") * (col("media_id") % 200 + 1))).head()
+        // n=40 samples → n_out = 39*4/3+1 = 53; constant clips: every output
+        // sample equals the input value exactly
+        require(a.getLong(0) == clips && a.getLong(1) == clips * 53 &&
+          a.getLong(2) == 0L,
+          s"wav resample closed form failed: $a")
+      }
+    }
+
+    if (on("graph")) {
+      // G1. Triangles at 1M nodes with closed-form truth: nodes group in
+      // triples (3k, 3k+1, 3k+2) each forming one triangle (333k
+      // triangles, every node in exactly 1), plus a 50k-leaf star hub
+      // (the skew shape the degree orientation exists for — 0 triangles).
+      timed("triangles_1M_nodes_closed_form") {
+        val triples = 333333L
+        val triEdges = spark.range(triples).select(col("id")).selectExpr(
+          "stack(3, id*3, id*3+1, id*3+1, id*3+2, id*3, id*3+2) AS (src, dst)")
+        val hub = 2000000L
+        val starEdges = spark.range(50000).select(lit(hub).as("src"),
+          (col("id") + 3000000L).as("dst"))
+        val nodes = spark.range(triples * 3).select(col("id").as("node"))
+          .unionAll(spark.range(50000).select((col("id") + 3000000L).as("node")))
+          .unionAll(spark.range(1).select(lit(hub).as("node")))
+        val got = operators.GraphOps.triangleCounts(nodes,
+          triEdges.unionAll(starEdges))
+        val a = got.agg(sum(col("n_triangles")),
+          count(when(col("n_triangles") === 1, 1)),
+          count(when(col("n_triangles") === 0, 1))).head()
+        require(a.getLong(0) == triples * 3 && a.getLong(1) == triples * 3 &&
+          a.getLong(2) == 50001L,
+          s"triangle closed form failed: $a")
+      }
+    }
+
+    if (on("layout")) {
+      // L1. Z-order at 4M rows / 64 files: a 1/16-wide box on the SECOND
+      // dimension must intersect at most a quarter of the z-ordered files
+      // (a linear-by-x layout intersects all of them).
+      timed("zorder_skipping_4M_rows") {
+        val base = java.nio.file.Files.createTempDirectory("graft_z_scale").toString
+        val side = 2048
+        val grid = spark.range(side.toLong * side).select(
+          (col("id") % side).cast("int").as("x"),
+          (col("id") / side).cast("int").as("y"))
+        operators.ZOrder.clusterWrite(grid, s"$base/z", Seq("x", "y"),
+          bits = 11, files = 64)
+        val files = new java.io.File(s"$base/z").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+        val (yLo, yHi) = (256, 383)
+        val hit = files.count { f =>
+          val r = spark.read.parquet(f).agg(min(col("y")), max(col("y"))).head()
+          r.getInt(0) <= yHi && r.getInt(1) >= yLo
+        }
+        require(files.size >= 48 && hit <= files.size / 4,
+          s"z-order skipping too weak: $hit/${files.size} files intersect")
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base)))
+        ()
       }
     }
 

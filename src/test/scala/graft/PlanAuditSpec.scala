@@ -49,7 +49,13 @@ class PlanAuditSpec extends SparkSpec {
     "q87_nb_classify",
     // q88: per-term scoring crossJoins a broadcast (N, avgdl) corpus
     // stats row BOUNDED at 1 row (LmOps.bm25TopK)
-    "q88_bm25")
+    "q88_bm25",
+    // q111: KN scoring crossJoins the broadcast (T, V) model-scalar row
+    // BOUNDED at 1 row (LmOps.knScoreAgainst)
+    "q111_kn_perplexity",
+    // q112: the link-graph fanout crossJoins the LITERAL 3-row k-range —
+    // the same bounded generator q89 uses (Web.linkGraph)
+    "q112_triangles")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
