@@ -78,19 +78,31 @@ object WarcIO {
           .map { case (o, e) => (r.getString(0), o, e - o) }
       }.toDF("path", "offset", "length")
     val fanned = members.repartition(
-      if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism) // spread member rows round-robin
+        if (partitions > 0) partitions
+        else spark.sparkContext.defaultParallelism) // spread member rows round-robin
+      // members of one file that land together inflate through ONE reused
+      // stream in offset order (opens ≈ files/task, not members/task — the
+      // same stream-reuse pattern as TarIO.readShardsFanout)
+      .sortWithinPartitions(col("path"), col("offset"))
     fanned.as[(String, Long, Long)].mapPartitions { it =>
-      it.flatMap { case (path, off, len) =>
-        val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
-        val fs = p.getFileSystem(conf.value)
-        val in = fs.open(p)
-        try {
-          in.seek(off)
-          val buf = new Array[Byte](len.toInt)
-          in.readFully(buf)
-          Warc.readMember(buf, 0, len).map(w => (w.recordId, w.targetUri, w.bodyText))
-        } finally in.close()
+      var curPath: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      def closeIn(): Unit = if (in != null) { in.close(); in = null; curPath = null }
+      val recs = it.flatMap { case (path, off, len) =>
+        if (path != curPath) {
+          closeIn()
+          val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+          in = p.getFileSystem(conf.value).open(p)
+          curPath = path
+        }
+        in.seek(off)
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(buf)
+        Warc.readMember(buf, 0, len).map(w => (w.recordId, w.targetUri, w.bodyText))
+      }
+      new Iterator[(String, String, String)] {
+        def hasNext: Boolean = { val h = recs.hasNext; if (!h) closeIn(); h }
+        def next(): (String, String, String) = recs.next()
       }
     }.toDF("record_id", "target_uri", "text")
   }
