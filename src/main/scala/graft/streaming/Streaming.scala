@@ -731,6 +731,46 @@ object Streaming {
     ()
   }
 
+  /** Streaming SCD2 twin: dimension-change events arrive in micro-batches
+    * (possibly late and out of order — the reason the store keeps RAW
+    * distinct change rows, not collapsed versions: a late row landing
+    * between two equal values legitimately splits one version into three,
+    * which a collapsed store could no longer reconstruct) and every batch
+    * emits the full current history via [[graft.operators.Delta.scd2]].
+    * Replay-idempotent: the batch's rows land in an overwrite-on-retry
+    * `batch_id` partition; `committedOr` reads strictly earlier ones.
+    */
+  def scd2Stream(changes: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, keyCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id", valueCol: String = "event_type"): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processScd2Batch(batch, batchId, outDir, storeDir,
+          keyCol, tsCol, tieCol, valueCol)
+      }
+      .start()
+
+  /** One micro-batch of [[scd2Stream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processScd2Batch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    val newRows = batch
+      .select(col(keyCol), col(tsCol).cast("long").as(tsCol),
+        col(tieCol), col(valueCol))
+      .distinct().persist()
+    newRows.write.mode("overwrite").parquet(s"$storeDir/changes/batch_id=$batchId")
+    val all = committedOr(spark, s"$storeDir/changes", batchId, newRows.limit(0))
+      .unionByName(newRows).distinct()
+    graft.operators.Delta.scd2(all, keyCol, tsCol, tieCol, valueCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    newRows.unpersist()
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

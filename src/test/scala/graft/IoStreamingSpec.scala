@@ -364,6 +364,45 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap(s"$dir/out/batch_id=1") == streamed)
   }
 
+  test("streaming SCD2 equals the batch history, splits versions on late data, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("scd2stream").toString
+    // key 1 timeline: a@10, a@30 (collapse) … then b@20 arrives LATE in
+    // batch 1 — the true history becomes a@10, b@20, a@30: three versions,
+    // which a collapsed store could not reconstruct
+    val b0 = Seq((1L, 10L, 1L, "a"), (1L, 30L, 2L, "a"), (2L, 10L, 3L, "x"))
+    val b1 = Seq((1L, 20L, 4L, "b"), (2L, 40L, 5L, "y"), (2L, 40L, 5L, "y")) // dup delivery
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Streaming.scd2Stream(
+      mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = snap(s"$dir/out/batch_id=1")
+    val batchRes = graft.operators.Delta.scd2(
+      (b0 ++ b1).distinct.toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batchRes)
+    assert(streamed.filter(_._1 == 1L).map(t => (t._3, t._4, t._5)) ==
+      Seq(("a", 10L, Some(20L)), ("b", 20L, Some(30L)), ("a", 30L, None)),
+      "late b@20 must split the collapsed a-run into three versions")
+    // replaying batch 1 reads only batch-0 state: identical history
+    Streaming.processScd2Batch(b1.toDF("user_id", "ts", "event_id", "event_type"),
+      1L, s"$dir/out", s"$dir/store", "user_id", "ts", "event_id", "event_type")
+    assert(snap(s"$dir/out/batch_id=1") == streamed)
+  }
+
   test("streaming crawl ingest emits records as .warc.gz segments land") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("crawlstream").toString
