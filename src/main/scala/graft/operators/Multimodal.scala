@@ -277,6 +277,33 @@ object Multimodal {
     }
   }
 
+  /** [[decodePngGrayPool]]'s GIF twin: parse + LZW-decode real GIFs
+    * (palette luma collapse included) and emit exact pooled block means.
+    * Map-side kernel; payloads never shuffle. */
+  def decodeGifGrayPool(media: Dataset[MediaRow], pool: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.payload == null || m.payload.isEmpty) Seq.empty
+      else {
+        val img = graft.sources.Gif.decode(m.payload)
+        poolBlocks(m.media_id, img.gray, img.width, pool)
+      }
+    }.toDF("media_id", "block_row", "block_col", "mean_val")
+  }
+
+  /** [[pngEncode]]'s GIF twin: raw-gray payloads → real GIF89a (identity
+    * gray palette, full variable-code-size LZW). Map-side kernel. */
+  def gifEncode(media: Dataset[MediaRow], width: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val h = bytes.length / width
+      if (h == 0) m.copy(kind = "gif", payload = Array.empty[Byte])
+      else m.copy(kind = "gif",
+        payload = graft.sources.Gif.encodeGray(width, h, bytes), height = h)
+    }
+  }
+
   /** Perceptual dHash over the REAL grayscale decode — image near-dup
     * fingerprinting without any codec: each bit records whether a pooled
     * block outshines its right neighbor (the classic difference-hash),

@@ -1465,6 +1465,27 @@ object Text {
   // so the expected block means are q62's — recomputed from the text
   val q75Sql: String = q62Sql
 
+  /** q117: GIF round trip — same lossless-identity contract as q75 but
+    * through the GIF-LZW codec (sources.Gif): documents' bytes become
+    * 16-px-wide gray frames, are GIF-encoded (variable-code-size LZW,
+    * identity palette) and decoded back, reporting exact pooled block
+    * means. Any LZW packing, code-growth, sub-block, or palette defect
+    * breaks the q62 hash.
+    */
+  def q117GifRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeGifGrayPool(Multimodal.gifEncode(media, width = 16), pool = 4)
+      .select(col("media_id").as("doc_id"), col("block_row"), col("block_col"),
+        col("mean_val"))
+  }
+
+  val q117Sql: String = q62Sql
+
   /** q77: REAL lossy-codec round trip — documents' bytes become 16-px-wide
     * grayscale frames (height truncated to whole 8×8 blocks), are
     * JPEG-ENCODED (float64 FDCT, Annex-K quantization, Huffman entropy
@@ -1870,6 +1891,7 @@ object Text {
     QueryDef("q77_jpeg_dc", q77JpegDc, Some(q77Sql)),
     QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
+    QueryDef("q117_gif_roundtrip", q117GifRoundtrip, Some(q117Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
