@@ -217,7 +217,8 @@ object Lm {
     QueryDef("q86_lm_perplexity", q86LmPerplexity, Some(q86Sql)),
     QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),
     QueryDef("q88_bm25", q88Bm25, Some(q88Sql)),
-    QueryDef("q111_kn_perplexity", q111KnPerplexity, Some(q111Sql)))
+    QueryDef("q111_kn_perplexity", q111KnPerplexity, Some(q111Sql)),
+    QueryDef("q118_ccnet_buckets", q118CcnetBuckets, Some(q118Sql)))
 
   // ---------------------------------------------------------------- q111
 
@@ -233,8 +234,10 @@ object Lm {
     LmOps.knPerplexity(Tables.load(spark, sfDir, "documents"),
       buckets = 1024, discount = 0.75, nllThreshold = 4.0)
 
-  val q111Sql: String =
-    s"""WITH tk AS (
+  /** The KN model-build + per-doc score CTE chain, shared by q111 and the
+    * q118 CCNet bucketing oracle. Ends with `sc(doc_id, n_bigrams, s)`. */
+  private val knChainSql: String =
+    s"""tk AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text, ' '), t -> ${hashSql.format("t")} % 1024) AS bs
        |  FROM documents
@@ -261,9 +264,65 @@ object Lm {
        |    )) AS s
        |  FROM pairs JOIN c2 USING (b1, b2) JOIN c1n USING (b1) JOIN rt USING (b2), tv
        |  GROUP BY doc_id
-       |)
+       |)""".stripMargin
+
+  val q111Sql: String =
+    s"""WITH $knChainSql
        |SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 6) AS nll,
        |  ROUND(exp(s / n_bigrams), 6) AS ppl,
        |  ROUND(s / n_bigrams, 6) < 4e0 AS is_fluent
        |FROM sc""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+
+  /** q118: the CCNet head/middle/tail split (Wenzek et al. 2020 §4.3) —
+    * per-language perplexity terciles over the KN scores: "head" is the
+    * cleanest third of each language, the slice CCNet keeps for LM
+    * training. Composes q111's model with the sort-free grouped exact
+    * quantiles (Sketches.groupedQuantiles — no per-language global sort,
+    * the scale point), then labels map-side against the two broadcast
+    * boundary rows per language. Boundary values are 6-decimal-rounded
+    * nlls — exact doubles — so the <= comparisons are engine-exact.
+    */
+  def q118CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = LmOps.knPerplexity(docs, buckets = 1024)
+      .select(col("doc_id"), col("nll"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val bnd = Sketches.groupedQuantiles(scored, "lang", "nll", Seq(1.0 / 3, 2.0 / 3))
+    val b33 = bnd.filter(col("q") === lit(1.0 / 3))
+      .select(col("lang"), col("value").as("q33"))
+    val b66 = bnd.filter(col("q") === lit(2.0 / 3))
+      .select(col("lang"), col("value").as("q66"))
+    scored
+      .join(broadcast(b33), "lang")
+      .join(broadcast(b66), "lang")
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("q33"), "head")
+          .when(col("nll") <= col("q66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val q118Sql: String =
+    s"""WITH $knChainSql,
+       |wl AS (
+       |  SELECT d.doc_id, d.lang, ROUND(s / n_bigrams, 6) AS nll
+       |  FROM documents d JOIN sc USING (doc_id)
+       |),
+       |n AS (SELECT lang, COUNT(1) AS c FROM wl GROUP BY lang),
+       |r AS (SELECT lang, nll, row_number() OVER (PARTITION BY lang ORDER BY nll) AS rn FROM wl),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (1.0 / 3), (2.0 / 3)) t(q)),
+       |bnd AS (
+       |  SELECT r.lang, q, r.nll AS value
+       |  FROM qs CROSS JOIN n
+       |  JOIN r ON r.lang = n.lang AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1
+       |),
+       |b33 AS (SELECT lang, value AS q33 FROM bnd WHERE q = 1.0 / 3),
+       |b66 AS (SELECT lang, value AS q66 FROM bnd WHERE q = 2.0 / 3)
+       |SELECT wl.doc_id, wl.lang, wl.nll,
+       |  CASE WHEN nll <= q33 THEN 'head'
+       |       WHEN nll <= q66 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM wl JOIN b33 USING (lang) JOIN b66 USING (lang)""".stripMargin
 }

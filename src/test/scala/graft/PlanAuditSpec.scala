@@ -55,7 +55,10 @@ class PlanAuditSpec extends SparkSpec {
     "q111_kn_perplexity",
     // q112: the link-graph fanout crossJoins the LITERAL 3-row k-range —
     // the same bounded generator q89 uses (Web.linkGraph)
-    "q112_triangles")
+    "q112_triangles",
+    // q118: composes q111's KN scoring, inheriting its 1-row (T, V)
+    // crossJoin (LmOps.knScoreAgainst)
+    "q118_ccnet_buckets")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
