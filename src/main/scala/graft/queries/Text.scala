@@ -1486,6 +1486,40 @@ object Text {
 
   val q117Sql: String = q62Sql
 
+  /** q119: unigram-LM tokenizer SEED vocabulary (Kudo 2018 §3 —
+    * operators.Unigram): every ≤6-char substring of every distinct word,
+    * weighted by corpus word frequency; top-200 multi-char pieces by
+    * (weight, piece) plus all single chars. This is the distributed-heavy
+    * half of SentencePiece training (the table everything EM does runs
+    * on) and it is exactly relational — the EM refinement itself is
+    * spec-gated (float Viterbi scores don't cross engines).
+    */
+  def q119UnigramSeed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Unigram.seedVocab(
+      Tables.load(spark, sfDir, "documents"), vocabSize = 200)
+      .select(col("piece"), col("weight"))
+
+  val q119Sql: String =
+    """WITH wf AS (
+      |  SELECT word, COUNT(1) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word
+      |),
+      |s1 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf),
+      |s2 AS (SELECT word, freq, i,
+      |         unnest(generate_series(i, least(length(word), i + 5))) AS j FROM s1),
+      |subs AS (
+      |  SELECT substr(word, i, j - i + 1) AS piece, SUM(freq) AS weight
+      |  FROM s2 GROUP BY piece
+      |)
+      |SELECT piece, CAST(weight AS BIGINT) AS weight FROM subs WHERE length(piece) = 1
+      |UNION ALL
+      |SELECT piece, CAST(weight AS BIGINT) AS weight FROM (
+      |  SELECT piece, weight,
+      |    row_number() OVER (ORDER BY weight DESC, piece ASC) AS rk
+      |  FROM subs WHERE length(piece) > 1
+      |) WHERE rk <= 200""".stripMargin
+
   /** q77: REAL lossy-codec round trip — documents' bytes become 16-px-wide
     * grayscale frames (height truncated to whole 8×8 blocks), are
     * JPEG-ENCODED (float64 FDCT, Annex-K quantization, Huffman entropy
@@ -1892,6 +1926,7 @@ object Text {
     QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
     QueryDef("q117_gif_roundtrip", q117GifRoundtrip, Some(q117Sql)),
+    QueryDef("q119_unigram_seed", q119UnigramSeed, Some(q119Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
