@@ -304,6 +304,45 @@ object Multimodal {
     }
   }
 
+  /** Bilinear resize of raw-gray payloads to `outW`×`outH` (align-corners
+    * mapping, exact rational source positions, half-up rounding) — the
+    * model-input normalization step ([[decodeGrayPool]]'s average-pool is
+    * the thumbnail/fingerprint path; bilinear is what preprocessing
+    * pipelines feed to vision models). Map-side kernel, one output row
+    * per pixel: `(media_id, r, c, v)`. With dyadic scale ratios the
+    * interpolation weights are exact doubles — the correctness gate
+    * exploits this, arbitrary ratios are just as valid.
+    */
+  def resizeBilinear(media: Dataset[MediaRow], width: Int, outW: Int,
+      outH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(outW > 1 && outH > 1, "resize: need output dims > 1")
+    media.flatMap { m =>
+      val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+      val h = bytes.length / width
+      if (h < 2 || width < 2) Seq.empty
+      else {
+        def axis(i: Int, n: Int, outN: Int): (Int, Int, Double) = {
+          val num = i.toLong * (n - 1)
+          val den = outN - 1
+          val i0 = (num / den).toInt
+          (i0, math.min(i0 + 1, n - 1), (num % den).toDouble / den)
+        }
+        for {
+          r <- 0 until outH
+          c <- 0 until outW
+        } yield {
+          val (y0, y1, fy) = axis(r, h, outH)
+          val (x0, x1, fx) = axis(c, width, outW)
+          def px(y: Int, x: Int): Int = bytes(y * width + x) & 0xff
+          val v = (1 - fy) * ((1 - fx) * px(y0, x0) + fx * px(y0, x1)) +
+            fy * ((1 - fx) * px(y1, x0) + fx * px(y1, x1))
+          (m.media_id, r, c, math.floor(v + 0.5).toInt)
+        }
+      }
+    }.toDF("media_id", "r", "c", "v")
+  }
+
   /** Perceptual dHash over the REAL grayscale decode — image near-dup
     * fingerprinting without any codec: each bit records whether a pooled
     * block outshines its right neighbor (the classic difference-hash),

@@ -814,6 +814,33 @@ object TextOps {
         round(col("__s") / col("n_toks"), 6).as("dsir_score"))
       .withColumn("is_target_like", col("dsir_score") > lit(0.0))
 
+  /** Overlapping token-window chunking — the RAG/embedding-index unit
+    * splitter: chunk k covers tokens `[k·step, k·step + size)` with
+    * `step = size − overlap`, and the chunk count is
+    * `max(1, ⌈(n − overlap)/step⌉)` so a short tail merges into the last
+    * full window instead of emitting a contained fragment. Pure column
+    * math (sequence + slice), map-side, zero shuffles; output is one row
+    * per chunk keyed (id, chunk_id) for downstream embedding/indexing.
+    */
+  def chunk(docs: DataFrame, size: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > overlap && overlap >= 0, s"chunk: need size > overlap >= 0")
+    val step = size - overlap
+    val toks = col("__toks")
+    val n = size_(toks)
+    val m = greatest(lit(1), ceil((n - lit(overlap)).cast("double") / step).cast("int"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), toks,
+        explode(sequence(lit(0), m - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(toks, col("chunk_id") * step + 1, lit(size)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size_(col("__c")).as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the other canonical
     * curation recipe beside Gopher's [[qualityFilter]]): line-level rules
     * — keep only lines that end in terminal punctuation (`.` `!` `?` `"`),

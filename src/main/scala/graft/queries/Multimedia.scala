@@ -147,8 +147,57 @@ object Multimedia {
       |  FROM o GROUP BY doc_id
       |) o2 USING (doc_id)""".stripMargin
 
+  /** q121: bilinear image resize 16×16 → 11×11 — the vision-model input
+    * normalization pass (Multimodal.resizeBilinear): align-corners
+    * mapping puts every source position at an exact half-integer
+    * (step 15/10), so the interpolation is engine-exact. Images are the
+    * q84-style cyclic text tiles; the oracle replays the axis arithmetic,
+    * edge clamping, 4-neighbor blend, and half-up rounding per output
+    * pixel.
+    */
+  def q121ImageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(substring(repeat(col("text"),
+          (lit(256) / length(col("text"))).cast("int") + 1), 1, 256), "UTF-8").as("payload"),
+        lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    Multimodal.resizeBilinear(media, width = 16, outW = 11, outH = 11)
+      .select(col("media_id").as("doc_id"), col("r"), col("c"), col("v"))
+  }
+
+  val q121Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx,
+      |    ascii(substr(text, CAST((i - 1) % length(text) + 1 AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, 256)) AS i FROM documents) t
+      |),
+      |o AS (
+      |  SELECT doc_id, r, c,
+      |    CAST((r * 15) // 10 AS INTEGER) AS y0,
+      |    LEAST(CAST((r * 15) // 10 AS INTEGER) + 1, 15) AS y1,
+      |    ((r * 15) % 10) / 10.0 AS fy,
+      |    CAST((c * 15) // 10 AS INTEGER) AS x0,
+      |    LEAST(CAST((c * 15) // 10 AS INTEGER) + 1, 15) AS x1,
+      |    ((c * 15) % 10) / 10.0 AS fx
+      |  FROM (SELECT doc_id, unnest(generate_series(0, 10)) AS r FROM documents) a,
+      |       (SELECT unnest(generate_series(0, 10)) AS c) b
+      |)
+      |SELECT o.doc_id, CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+      |  CAST(FLOOR(
+      |    (1 - fy) * ((1 - fx) * p00.v + fx * p01.v) +
+      |    fy * ((1 - fx) * p10.v + fx * p11.v) + 0.5) AS INTEGER) AS v
+      |FROM o
+      |JOIN px p00 ON p00.doc_id = o.doc_id AND p00.idx = y0 * 16 + x0
+      |JOIN px p01 ON p01.doc_id = o.doc_id AND p01.idx = y0 * 16 + x1
+      |JOIN px p10 ON p10.doc_id = o.doc_id AND p10.idx = y1 * 16 + x0
+      |JOIN px p11 ON p11.doc_id = o.doc_id AND p11.idx = y1 * 16 + x1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q107_tar_roundtrip", q107TarRoundtrip, Some(q107Sql)),
     QueryDef("q108_video_frames", q108VideoFrames, Some(q108Sql)),
-    QueryDef("q109_audio_resample", q109AudioResample, Some(q109Sql)))
+    QueryDef("q109_audio_resample", q109AudioResample, Some(q109Sql)),
+    QueryDef("q121_image_resize", q121ImageResize, Some(q121Sql)))
 }

@@ -1486,6 +1486,37 @@ object Text {
 
   val q117Sql: String = q62Sql
 
+  /** q120: overlapping token-window chunking (size 32, overlap 8) — the
+    * RAG / embedding-index unit splitter (TextOps.chunk): chunk k covers
+    * tokens [k·24, k·24+32), short tails merge into the last window. The
+    * oracle replays the chunk-count formula, slicing, and rejoin.
+    */
+  def q120ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.chunk(Tables.load(spark, sfDir, "documents"), size = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"))
+
+  val q120Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |),
+      |k AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(generate_series(0,
+      |      GREATEST(1, CAST(ceil((n - 8) / 24.0) AS INT)) - 1)) AS chunk_id
+      |  FROM t
+      |),
+      |c AS (
+      |  SELECT doc_id, chunk_id,
+      |    toks[chunk_id * 24 + 1 : LEAST(chunk_id * 24 + 32, n)] AS ck
+      |  FROM k
+      |)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      |  CAST(len(ck) AS INTEGER) AS n_tokens,
+      |  array_to_string(ck, ' ') AS chunk_text
+      |FROM c""".stripMargin
+
   /** q119: unigram-LM tokenizer SEED vocabulary (Kudo 2018 §3 —
     * operators.Unigram): every ≤6-char substring of every distinct word,
     * weighted by corpus word frequency; top-200 multi-char pieces by
@@ -1927,6 +1958,7 @@ object Text {
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
     QueryDef("q117_gif_roundtrip", q117GifRoundtrip, Some(q117Sql)),
     QueryDef("q119_unigram_seed", q119UnigramSeed, Some(q119Sql)),
+    QueryDef("q120_chunk_overlap", q120ChunkOverlap, Some(q120Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),

@@ -674,6 +674,48 @@ class TextSpec extends SparkSpec {
     assert(got(0L)._1 == got(1L)._1)
   }
 
+  test("chunk: window coverage, overlap, and short-tail merging") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 < size → 1 chunk
+      (2L, (1 to 40).map(i => s"t$i").mkString(" ")), // 2 chunks, tail merged
+      (3L, (1 to 60).map(i => s"t$i").mkString(" "))  // 3 chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunk(d, size = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    assert(got((1L, 0))._1 == 10)
+    assert(got.keys.count(_._1 == 2L) == 2)
+    assert(got((2L, 1))._1 == 16 && got((2L, 1))._2.startsWith("t25 "),
+      "second chunk starts at token 25 (stride 24)")
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val c0 = got((3L, 0))._2.split(" ").toSeq
+    val c1 = got((3L, 1))._2.split(" ").toSeq
+    assert(c0.takeRight(8) == c1.take(8))
+    assert(got.keys.count(_._1 == 3L) == 3)
+    // full coverage: union of chunks = original tokens, in order
+    val rebuilt = (0 until 3).map(k => got((3L, k))._2.split(" ").toSeq)
+      .reduce((a, b) => a ++ b.drop(8))
+    assert(rebuilt == (1 to 60).map(i => s"t$i"))
+  }
+
+  test("resizeBilinear: identity at same size, exact midpoints at 3-to-5 upscale") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val px = Array.tabulate[Byte](9)(i => (i * 10).toByte) // 3×3 ramp 0..80
+    val m = Seq(Multimodal.MediaRow(1L, "gray", px, 3, 3)).toDS()
+    val same = Multimodal.resizeBilinear(m, width = 3, outW = 3, outH = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    (0 until 3).foreach(r => (0 until 3).foreach(c =>
+      assert(same((r, c)) == r * 30 + c * 10, s"identity at ($r,$c)")))
+    // 3→5: positions 0, .5, 1, 1.5, 2 — midpoints average neighbors exactly
+    val up = Multimodal.resizeBilinear(m, width = 3, outW = 5, outH = 5)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(up((0, 0)) == 0 && up((0, 1)) == 5 && up((0, 2)) == 10)
+    assert(up((1, 1)) == 20, "center of a bilinear patch averages 4 corners")
+    assert(up((4, 4)) == 80)
+  }
+
   test("kmeans|| init covers skew-hidden clusters that uniform sampling misses") {
     import spark.implicits._
     // 8 well-separated 4-dim clusters with heavy size skew: cluster 0 has
