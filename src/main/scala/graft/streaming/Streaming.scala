@@ -326,6 +326,27 @@ object Streaming {
       .toDF("record_id", "target_uri", "text")
   }
 
+  /** Streaming WebDataset ingest — [[crawlStream]]'s multimodal twin:
+    * `.tar` shards land in a directory and their members flow as
+    * `(shard, key, ext, bytes)` rows, sample-groupable downstream with
+    * [[graft.sources.TarIO.samples]]. Parallelism is the shard count per
+    * micro-batch (the production WebDataset model). */
+  def wdsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.tar")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        graft.sources.Tar.readAll(r.getAs[Array[Byte]](1)).map { e =>
+          val (key, ext) = graft.sources.Tar.keyExt(e.name)
+          (r.getString(0), key, ext, e.body)
+        }
+      }
+      .toDF("shard", "key", "ext", "bytes")
+  }
+
   /** Streaming duplicate-span REMOVAL — the ingest-time twin of
     * [[graft.operators.TextOps.removeDupSpans]]: each micro-batch's docs
     * are rewritten against the duplicated-shingle set visible SO FAR

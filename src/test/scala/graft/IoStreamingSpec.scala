@@ -403,6 +403,34 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap(s"$dir/out/batch_id=1") == streamed)
   }
 
+  test("streaming WebDataset ingest emits members as tar shards land") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("wdsstream").toString
+    val outDir = s"$dir/out"
+    def shard(path: String, ids: Range): Unit = {
+      val entries = ids.flatMap(i => Seq(
+        graft.sources.Tar.Entry(s"$i.txt", s"caption $i".getBytes("UTF-8")),
+        graft.sources.Tar.Entry(s"$i.bin", Array.tabulate[Byte](10)(b => (i + b).toByte))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        graft.sources.Tar.write(entries))
+    }
+    shard(s"$dir/part-0.tar", 0 until 3)
+    val q = Streaming.wdsStream(spark, dir).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() == 6)
+    shard(s"$dir/part-1.tar", 3 until 8)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+      .select(col("key"), col("ext"), col("bytes")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]](2)).toMap
+    assert(got.size == 16)
+    assert(new String(got(("6", "txt")), "UTF-8") == "caption 6")
+    assert(got(("7", "bin")).sameElements(Array.tabulate[Byte](10)(b => (7 + b).toByte)))
+  }
+
   test("streaming crawl ingest emits records as .warc.gz segments land") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("crawlstream").toString
