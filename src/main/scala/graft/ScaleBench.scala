@@ -727,6 +727,43 @@ object ScaleBench {
         s"identical template docs must share one nll, got ${sep(false)._2}")
     }
 
+    // 10j. Unigram-LM tokenizer training at 1M docs: the word-frequency
+    // reduction bounds EM at ~60k distinct words however large the corpus;
+    // gate that multi-char pieces EARN the vocabulary (top piece longer
+    // than 1 char) and that encoding compresses a sample at least 2×.
+    timed("unigram_train_1M_docs") {
+      val n = 1000000L
+      val docs1m = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(j => concat(lit("tok"),
+          pmod(hash(col("id"), lit(j)), lit(50000)).cast("string"))): _*).as("text"))
+      val model = operators.Unigram.train(docs1m, vocabSize = 1000, iters = 2)
+      val top = model.orderBy(col("count").desc, col("piece")).limit(1).head()
+      require(top.getString(0).length > 1,
+        s"top piece should be multi-char, got '${top.getString(0)}'")
+      val sample = docs1m.filter(col("doc_id") % 100 === 0)
+      val enc = operators.Unigram.encode(sample, model)
+      val a = enc.agg(sum(col("n_pieces")), sum(col("n_words"))).head()
+      val nChars = sample.agg(sum(length(regexp_replace(col("text"), " ", ""))))
+        .head().getLong(0)
+      require(a.getLong(0) * 2 <= nChars && a.getLong(0) >= a.getLong(1),
+        s"unigram compression gate failed: pieces=${a.getLong(0)} chars=$nChars")
+    }
+
+    // 10k. Overlapping chunking at 10M docs with closed-form truth: every
+    // doc has 56 tokens → exactly 2 chunks (32/8), chunk 1 spans tokens
+    // 25..56 (32 tokens).
+    timed("chunk_overlap_10M_docs") {
+      val n = 10000000L
+      val docs10m = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 56).map(j => lit(s"t$j")): _*).as("text"))
+      val a = operators.TextOps.chunk(docs10m, size = 32, overlap = 8)
+        .agg(count(lit(1)), sum(col("n_tokens")),
+          count(when(col("chunk_id") === 1 && col("n_tokens") === 32, 1))).head()
+      require(a.getLong(0) == 2 * n && a.getLong(1) == 64 * n &&
+        a.getLong(2) == n,
+        s"chunk closed form failed: $a")
+    }
+
     // 11. (big) dual-pol inversion at 150M px — the "100×" of the reference
     // notebook scene (BASELINE.md). Exercises AQE/spill behavior: the scene
     // never collects, the LUT broadcast is scene-size-independent, and the
