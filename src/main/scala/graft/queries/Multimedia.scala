@@ -199,5 +199,33 @@ object Multimedia {
     QueryDef("q107_tar_roundtrip", q107TarRoundtrip, Some(q107Sql)),
     QueryDef("q108_video_frames", q108VideoFrames, Some(q108Sql)),
     QueryDef("q109_audio_resample", q109AudioResample, Some(q109Sql)),
-    QueryDef("q121_image_resize", q121ImageResize, Some(q121Sql)))
+    QueryDef("q121_image_resize", q121ImageResize, Some(q121Sql)),
+    QueryDef("q122_wds_census", q122WdsCensus, Some(q122Sql)))
+
+  /** q122: shard census through the `wds` DataSource V2 — the corpus goes
+    * out as tar shards (q107's layout) and comes back through
+    * `spark.read.format("wds")` with BOTH pushdowns live: `ext = 'txt'`
+    * filters members at the index and the bytes-free projection keeps the
+    * scan header-only (512 B per member read, zero payload bytes — the
+    * petabyte-census shape). Sizes must reconcile with the documents
+    * table exactly.
+    */
+  def q122WdsCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.TarIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_census").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val members = docs.select(col("doc_id").cast("string").as("key"),
+        lit("txt").as("ext"), encode(col("text"), "UTF-8").as("bytes"))
+      .unionAll(docs.select(col("doc_id").cast("string").as("key"),
+        lit("json").as("ext"),
+        encode(concat(lit("{\"lang\":\""), col("lang"), lit("\"}")), "UTF-8").as("bytes")))
+    TarIO.writeShards(members, dir)
+    spark.read.format("wds").load(dir)
+      .filter(col("ext") === "txt")
+      .select(col("key").cast("long").as("doc_id"), col("size").as("n_bytes"))
+  }
+
+  // documents are ASCII → UTF-8 byte length = char length
+  val q122Sql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents""".stripMargin
 }

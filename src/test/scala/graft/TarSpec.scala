@@ -73,6 +73,46 @@ class TarSpec extends SparkSpec {
     intercept[IllegalArgumentException](Tar.memberIndex(bad))
   }
 
+  test("wds DataSource V2: schema, ext/key pushdown, payload pruning") {
+    import spark.implicits._
+    val docs = (1 to 30).flatMap(i => Seq(
+      (i.toString, "txt", s"caption-$i".getBytes("UTF-8")),
+      (i.toString, "img", Array.fill[Byte](1000)(i.toByte))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_dsv2").toString
+    TarIO.writeShards(docs.toDF("key", "ext", "bytes").repartition(3), dir)
+    val t = spark.read.format("wds").load(dir)
+    assert(t.columns.toSeq == Seq("shard", "key", "ext", "size", "bytes"))
+    assert(t.count() == 60)
+    // ext pushdown: the scan description carries the member filter and
+    // only txt rows surface
+    val txt = t.filter($"ext" === "txt")
+      .select($"key", decode($"bytes", "UTF-8").as("s"))
+    val scanDesc = txt.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ext=[txt]"),
+      s"ext filter did not reach the wds scan:\n$scanDesc")
+    val rows = txt.as[(String, String)].collect().toMap
+    assert(rows.size == 30 && rows("7") == "caption-7")
+    // key pushdown composes with ext
+    val one = t.filter($"key" === "12" && $"ext" === "img")
+    assert(one.queryExecution.executedPlan.toString.contains("key=[12]"))
+    assert(one.count() == 1)
+    // payload pruning: a bytes-free projection plans a bytes=false scan
+    // (headers only — the census shape)
+    val census = t.groupBy($"ext").agg(sum($"size").as("total"))
+    val censusDesc = census.queryExecution.executedPlan.toString
+    assert(censusDesc.contains("bytes=false"),
+      s"bytes column not pruned from the wds scan:\n$censusDesc")
+    val byExt = census.as[(String, Long)].collect().toMap
+    assert(byExt("img") == 30000L && byExt("txt") > 0)
+    // equivalence with the library reader
+    val lib = TarIO.readShards(spark, dir)
+      .select($"key", $"ext", md5($"bytes")).as[(String, String, String)]
+      .collect().sorted.toSeq
+    val dsv2 = t.select($"key", $"ext", md5($"bytes")).as[(String, String, String)]
+      .collect().sorted.toSeq
+    assert(lib == dsv2)
+  }
+
   test("TarIO: fanout plan ≡ whole-shard plan; samples regroup split members") {
     import spark.implicits._
     val docs = (1 to 50).map(i => (i.toString, if (i % 2 == 0) "txt" else "bin",
