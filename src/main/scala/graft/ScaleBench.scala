@@ -993,6 +993,31 @@ object ScaleBench {
       // triples (3k, 3k+1, 3k+2) each forming one triangle (333k
       // triangles, every node in exactly 1), plus a 50k-leaf star hub
       // (the skew shape the degree orientation exists for — 0 triangles).
+      // G0. PageRank above the adaptive small-graph cutover: 2M edges run
+      // the DISTRIBUTED recurrence (the ≤1M path is bit-equality-gated in
+      // GraphOpsSpec). Gates: integer mass never exceeds Scale (division
+      // truncation only loses), ≥90% of it survives 4 iterations, and
+      // hub nodes outrank dangling ones.
+      timed("pagerank_2M_edges_distributed") {
+        val nn = 1000000L
+        val nodes = spark.range(nn).select(col("id").as("node"))
+        val edges = spark.range(nn).select(col("id").as("src"),
+            ((col("id") * 31 + 7) % nn).as("dst"))
+          .unionAll(spark.range(nn).select(col("id").as("src"),
+            (col("id") % 1000).as("dst"))) // 1000 hub targets
+          .filter(col("src") =!= col("dst"))
+        val pr = operators.GraphOps.pageRank(nodes, edges, iters = 4)
+        val a = pr.agg(sum(col("pr_micro")),
+          avg(when(col("node") < 1000, col("pr_micro"))),
+          avg(when(col("node") >= 1000, col("pr_micro")))).head()
+        require(a.getLong(0) <= operators.GraphOps.Scale &&
+          a.getLong(0) >= operators.GraphOps.Scale * 9 / 10,
+          s"pagerank mass off: ${a.getLong(0)}")
+        require(a.getDouble(1) > 10 * a.getDouble(2),
+          s"hub nodes must far outrank the rest on average: " +
+            s"hubAvg=${a.getDouble(1)} restAvg=${a.getDouble(2)}")
+      }
+
       timed("triangles_1M_nodes_closed_form") {
         val triples = 333333L
         val triEdges = spark.range(triples).select(col("id")).selectExpr(

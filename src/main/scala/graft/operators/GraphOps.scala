@@ -51,9 +51,19 @@ object GraphOps {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8, smallGraphThreshold: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
     val spark = nodes.sparkSession
+
+    // AQE-style size-decides-strategy (the ConnectedComponents.run
+    // pattern): a graph at or below broadcast scale pays 2·iters shuffles
+    // + iters materialization actions for nothing — solve it driver-side
+    // with the SAME integer recurrence (exact long arithmetic, so both
+    // paths are bit-identical — GraphOpsSpec asserts it) and skip the
+    // per-iteration job overhead entirely.
+    if (smallGraphThreshold > 0 && edges.limit((smallGraphThreshold + 1).toInt)
+        .count() <= smallGraphThreshold)
+      return pageRankLocal(nodes, edges, iters, dampNum, dampDen)
 
     // One shuffle, once: per-source out-degree riding on every edge.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -94,6 +104,41 @@ object GraphOps {
       i += 1
     }
     ranks
+  }
+
+  /** Driver-side twin of the distributed recurrence for bounded graphs:
+    * identical integer update rule, so results are bit-equal. Collects
+    * ≤ `smallGraphThreshold` (src, dst) longs (~16 MB at the 1M default)
+    * — the same bounded-collect contract as ConnectedComponents' small
+    * path and the LUT broadcasts. */
+  private def pageRankLocal(nodes: DataFrame, edges: DataFrame, iters: Int,
+      dampNum: Int, dampDen: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect()
+    val idx = nodeIds.zipWithIndex.toMap
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val n = nodeIds.length.toLong
+    val od = new Array[Long](nodeIds.length)
+    // edges from/to ids outside the universe behave as in the distributed
+    // joins: they count nothing and contribute nothing
+    es.foreach { case (s, _) => idx.get(s).foreach(od(_) += 1) }
+    val base = (dampDen - dampNum) * Scale / (dampDen * n)
+    var r = Array.fill(nodeIds.length)(Scale / n)
+    for (_ <- 1 to iters) {
+      val inc = new Array[Long](nodeIds.length)
+      es.foreach { case (s, d) =>
+        for (si <- idx.get(s); di <- idx.get(d))
+          inc(di) += r(si) / od(si) // = SQL `pr_micro div od`, summed
+      }
+      var dm = 0L
+      var i = 0
+      while (i < r.length) { if (od(i) == 0) dm += r(i); i += 1 }
+      r = Array.tabulate(r.length)(v =>
+        base + (dampNum * (inc(v) + dm / n)) / dampDen)
+    }
+    nodeIds.zip(r).toSeq.toDF("node", "pr_micro")
   }
 
   /** Per-node triangle counts by degree-ordered wedge counting (Suri &

@@ -72,6 +72,23 @@ class GraphOpsSpec extends SparkSpec {
         "heavily-linked docs must outrank unlinked ones")
   }
 
+  test("small-graph pageRank path is bit-identical to the distributed recurrence") {
+    import spark.implicits._
+    // messy graph: dangling nodes, parallel edges, a hub, an edge to a
+    // node outside the universe (must be ignored by both paths)
+    val nodes = (0L until 40L).toDF("node")
+    val edges = ((0L until 40L).flatMap(s => Seq((s, (s * 7 + 1) % 40), (s, (s * 3 + 2) % 40)))
+      ++ Seq((1L, 5L), (1L, 5L), (7L, 999L)) // parallel links + out-of-universe dst
+      ).filter { case (s, _) => s % 5 != 0 } // every 5th node dangling
+      .toDF("src", "dst")
+    val local = GraphOps.pageRank(nodes, edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val dist = GraphOps.pageRank(nodes, edges, iters = 4, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver-side and distributed PageRank must be bit-equal")
+    assert(local.size == 40 && local.values.sum > 0)
+  }
+
   test("triangleCounts: K4 + star + disconnected match closed form") {
     import spark.implicits._
     // K4 on 0-3 (4 triangles, each node in 3 of them); star hub 10 with
