@@ -933,8 +933,12 @@ object Similarity {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scales = sq8Scales(corpus, vecCol)
+    // quantize→dequantize in ONE codegen pass (sql.Sq8RoundtripExpression);
+    // sq8Decode∘sq8Encode below stays as the bit-equality spec mirror
+    val mnA = array(scales.map(s => lit(s._1)): _*)
+    val wA = array(scales.map(s => lit(s._2)): _*)
     val dq = corpus.select(col(idCol).as("neighbor_id"),
-      sq8Decode(sq8Encode(col(vecCol), scales), scales).as("c_vec"))
+      call_function("sq8_roundtrip", col(vecCol), mnA, wA).as("c_vec"))
       .withColumn("c_nrm", sqrt(norm2(col("c_vec"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       sqrt(norm2(col(vecCol))).as("q_nrm"))

@@ -473,6 +473,92 @@ object PqEncode extends Serializable {
   * Shape-mismatched inputs (dim not divisible by m, codebook length not a
   * multiple of m·subDim) yield NULL.
   */
+/** JIT-friendly kernel for [[Sq8RoundtripExpression]]. Rounding uses
+  * BigDecimal HALF_UP — the exact semantic of Spark's `round(double)` —
+  * so the compiled pass is bit-identical to the fold spelling it
+  * replaces (Similarity.sq8Decode∘sq8Encode; TextSpec asserts equality).
+  */
+object Sq8Roundtrip extends Serializable {
+  def roundtrip(v: ArrayData, vFloat: Boolean, mn: ArrayData, w: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val m = mn.getDouble(i)
+      val s = w.getDouble(i)
+      val r = java.math.BigDecimal.valueOf((x - m) / s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val code = math.min(255L, math.max(0L, r))
+      out(i) = (m + code * s).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd SQ8 quantize→dequantize in ONE compiled pass per vector —
+  * the storage-tier transform [[graft.operators.Similarity.sq8TopK]]
+  * scores through. The higher-order spelling runs two interpreted
+  * `transform` lambdas (6 element_at calls per dimension); this kernel
+  * is one virtual call per row with tight primitive loops, keeping the
+  * whole scoring stage inside whole-stage codegen.
+  */
+case class Sq8RoundtripExpression(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_roundtrip"
+
+  private def vFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _),
+          ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sq8_roundtrip expects (array<float|double>, array<double>, array<double>), got $other")
+    }
+
+  private def shapeOk(v: ArrayData, mn: ArrayData, w: ArrayData): Boolean =
+    v.numElements() == mn.numElements() && v.numElements() == w.numElements()
+
+  override protected def nullSafeEval(v: Any, mn: Any, w: Any): Any = {
+    val av = v.asInstanceOf[ArrayData]
+    val amn = mn.asInstanceOf[ArrayData]
+    val aw = w.asInstanceOf[ArrayData]
+    if (!shapeOk(av, amn, aw)) null
+    else Sq8Roundtrip.roundtrip(av, vFloat, amn, aw)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8Kernel", Sq8Roundtrip, Sq8Roundtrip.getClass.getName)
+    val self = ctx.addReferenceObj("sq8Expr", this, classOf[Sq8RoundtripExpression].getName)
+    nullSafeCodeGen(ctx, ev, (v, mn, w) => {
+      s"""
+         |if (!$self.shapeOkPublic($v, $mn, $w)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.roundtrip($v, $vFloat, $mn, $w);
+         |}
+       """.stripMargin
+    })
+  }
+
+  def shapeOkPublic(v: ArrayData, mn: ArrayData, w: ArrayData): Boolean = shapeOk(v, mn, w)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 case class PqEncodeExpression(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression {
 
@@ -747,6 +833,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(v, cb, m) => PqEncodeExpression(v, cb, m)
         case other => throw new IllegalArgumentException(
           s"pq_encode expects (vector, flat_codebook, m), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_roundtrip"),
+      new ExpressionInfo("graft.sql.Sq8RoundtripExpression", "sq8_roundtrip"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, mn, w) => Sq8RoundtripExpression(v, mn, w)
+        case other => throw new IllegalArgumentException(
+          s"sq8_roundtrip(vec, mins, widths), got ${other.size} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("l2sub_f32"),

@@ -674,6 +674,22 @@ class TextSpec extends SparkSpec {
     assert(got(0L)._1 == got(1L)._1)
   }
 
+  test("sq8_roundtrip expression is bit-equal to the fold spelling") {
+    val scales = Similarity.sq8Scales(emb, "embedding")
+    val mnA = array(scales.map(s => lit(s._1)): _*)
+    val wA = array(scales.map(s => lit(s._2)): _*)
+    val both = emb.select(col("vec_id"),
+      Similarity.sq8Decode(Similarity.sq8Encode(col("embedding"), scales), scales)
+        .as("fold"),
+      call_function("sq8_roundtrip", col("embedding"), mnA, wA).as("expr"))
+    val bad = both.filter(not(col("fold") <=> col("expr"))).count()
+    assert(bad == 0, s"$bad vectors differ between fold and codegen sq8")
+    // mismatched shapes yield NULL, not garbage
+    val n = both.select(call_function("sq8_roundtrip", col("fold"),
+      array(lit(1.0)), array(lit(1.0))).isNull.as("n")).filter(!col("n")).count()
+    assert(n == 0)
+  }
+
   test("chunk: window coverage, overlap, and short-tail merging") {
     import spark.implicits._
     val d = Seq(
