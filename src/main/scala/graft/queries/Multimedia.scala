@@ -200,7 +200,81 @@ object Multimedia {
     QueryDef("q108_video_frames", q108VideoFrames, Some(q108Sql)),
     QueryDef("q109_audio_resample", q109AudioResample, Some(q109Sql)),
     QueryDef("q121_image_resize", q121ImageResize, Some(q121Sql)),
-    QueryDef("q122_wds_census", q122WdsCensus, Some(q122Sql)))
+    QueryDef("q122_wds_census", q122WdsCensus, Some(q122Sql)),
+    QueryDef("q123_video_neardup", q123VideoNearDup, Some(q123Sql)))
+
+  /** q123: video near-duplicate detection — the clip-dedup pass a
+    * multimodal corpus needs: every odd doc's 4-frame clip is rebuilt
+    * from its even predecessor's text (the planted duplicate), all clips
+    * go through the REAL pipeline (JPEG encode → MJPEG assemble →
+    * idx1-driven frame walk → per-frame perceptual dHash over the decoded
+    * DC surface), and clips sharing a (frame_no, dhash) cell pair up —
+    * the planted (2k, 2k+1) pairs must surface with all 4 frames shared.
+    * 64×16 frames give 14 dHash bits, so coincidental collisions are rare
+    * and, being deterministic, reproduced exactly by the oracle's
+    * relational replay of the dyadic DC math and the bit packing.
+    */
+  def q123VideoNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Video
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") - col("doc_id") % 2).as("src_id"), col("doc_id"))
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("src_id"), col("text"))
+    val frames = docs.join(texts, "src_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        (0 until 4).map { k =>
+          val px = Array.tabulate(1024)(i => b((i + k) % b.length))
+          (id, k, graft.sources.Jpeg.encodeGray(64, 16, px))
+        }
+      }.toDF("video_id", "frame_no", "jpeg")
+    val dh = Video.frameDHash(Video.mjpegAssemble(frames, 64, 16), stride = 1)
+    val a = dh.select(col("video_id").as("doc_id_a"), col("frame_no"), col("dhash"))
+    val b = dh.select(col("video_id").as("doc_id_b"), col("frame_no"), col("dhash"))
+    a.join(b, Seq("frame_no", "dhash"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 4)
+  }
+
+  // relational replay: per (doc, frame, block) the q77 dyadic DC mean over
+  // the SOURCE doc's text (odd docs read their even predecessor), dHash
+  // bit r set when block (r, c) < block (r, c+1), packed little-endian in
+  // scan order (bc-major per row, 7 comparisons per row × 2 rows)
+  val q123Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, CAST(f AS INTEGER) AS frame_no,
+      |    CAST((i - 1) // 64 AS INTEGER) AS r, CAST((i - 1) % 64 AS INTEGER) AS c,
+      |    ascii(substr(s.text, CAST((i - 1 + f) % length(s.text) + 1 AS BIGINT), 1)) AS v
+      |  FROM documents d
+      |  JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 2
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 1024)) AS i) ii
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) ff
+      |),
+      |dc AS (
+      |  SELECT doc_id, frame_no, CAST(r // 8 AS INTEGER) AS br,
+      |    CAST(c // 8 AS INTEGER) AS bc,
+      |    128.0 + 2.0 * FLOOR((SUM(v) - 8192) / 128.0 + 0.5) AS m
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |),
+      |bits AS (
+      |  SELECT a.doc_id, a.frame_no,
+      |    CAST(SUM(CASE WHEN a.m < b.m
+      |      THEN CAST(1 AS BIGINT) << (a.br * 7 + a.bc) ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM dc a JOIN dc b
+      |    ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no
+      |   AND b.br = a.br AND b.bc = a.bc + 1
+      |  GROUP BY 1, 2
+      |)
+      |SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+      |  COUNT(1) AS n_shared
+      |FROM bits x JOIN bits y
+      |  ON y.frame_no = x.frame_no AND y.dhash = x.dhash AND x.doc_id < y.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(1) >= 4""".stripMargin
 
   /** q122: shard census through the `wds` DataSource V2 — the corpus goes
     * out as tar shards (q107's layout) and comes back through

@@ -29,10 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     // m·codebookSize rows; ADC scoring joins a broadcast per-query LUT
     // BOUNDED at the query count (Similarity.pqTopK)
     "q63_pq_ann",
-    // q89: link-graph fanout crossJoins a LITERAL 3-row k-range, and each
-    // PageRank iteration crossJoins the 1-ROW broadcast dangling-mass
-    // aggregate (GraphOps.pageRank) — both bounded by construction
-    "q89_pagerank",
+    // (q89 left this list when the adaptive small-graph PageRank path made
+    // its sf0.001 plan a LocalTableScan; the distributed recurrence's
+    // bounded crossJoins are exercised by the 2M-edge ScaleBench gate)
     // q76: IVFADC scores each probed query-residual against the broadcast
     // PQ codebook — a crossJoin BOUNDED at m·codebookSize rows, same
     // audited shape as q63 (Similarity.ivfadcTopK)
