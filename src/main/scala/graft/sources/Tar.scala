@@ -49,17 +49,37 @@ object Tar {
     b
   }
 
-  private def putStr(dst: Array[Byte], off: Int, s: String): Unit = {
+  private def putStr(dst: Array[Byte], off: Int, s: String, max: Int): Unit = {
     val b = s.getBytes(StandardCharsets.UTF_8)
-    require(b.length < 100, s"tar member name too long: $s")
+    require(b.length <= max, s"tar field overflows $max bytes: $s")
     System.arraycopy(b, 0, dst, off, b.length)
+  }
+
+  /** ustar long-name split: names over 100 bytes break at a `/` into
+    * (prefix[155], name[100]) per POSIX.1-1988 §10.1 — readers join them
+    * with a slash. */
+  private def splitName(name: String): (String, String) = {
+    val b = name.getBytes(StandardCharsets.UTF_8)
+    if (b.length <= 100) ("", name)
+    else {
+      // split point: rightmost '/' whose tail fits name[100] and whose
+      // head fits prefix[155]
+      val cut = name.lastIndexOf('/', name.length - 1)
+      var c = cut
+      while (c > 0 && name.length - c - 1 > 100) c = name.lastIndexOf('/', c - 1)
+      require(c > 0 && name.length - c - 1 <= 100 && c <= 155,
+        s"tar member name not splittable under ustar prefix/name limits: $name")
+      (name.substring(0, c), name.substring(c + 1))
+    }
   }
 
   /** 512-byte ustar header for a regular file. mtime pinned to 0 so writes
     * are deterministic (same reason Warc pins WARC-Date). */
   def headerBytes(name: String, size: Long): Array[Byte] = {
     val h = new Array[Byte](Block)
-    putStr(h, 0, name)                                   // name[100]
+    val (prefix, base) = splitName(name)
+    putStr(h, 0, base, 100)                              // name[100]
+    if (prefix.nonEmpty) putStr(h, 345, prefix, 155)     // prefix[155]
     System.arraycopy(octal(420, 8), 0, h, 100, 8)        // mode 0644
     System.arraycopy(octal(0, 8), 0, h, 108, 8)          // uid
     System.arraycopy(octal(0, 8), 0, h, 116, 8)          // gid
@@ -67,7 +87,7 @@ object Tar {
     System.arraycopy(octal(0, 12), 0, h, 136, 12)        // mtime
     java.util.Arrays.fill(h, 148, 156, ' '.toByte)       // chksum = spaces while summing
     h(156) = '0'                                         // typeflag: regular file
-    putStr(h, 257, "ustar")                              // magic "ustar\0"
+    putStr(h, 257, "ustar", 6)                           // magic "ustar\0"
     h(263) = '0'; h(264) = '0'                           // version "00"
     var sum = 0L
     var i = 0
@@ -106,7 +126,12 @@ object Tar {
   private def parseName(b: Array[Byte], off: Int): String = {
     var n = 0
     while (n < 100 && b(off + n) != 0) n += 1
-    new String(b, off, n, StandardCharsets.UTF_8)
+    val base = new String(b, off, n, StandardCharsets.UTF_8)
+    // ustar prefix[155] at header offset 345 joins with '/'
+    var p = 0
+    while (p < 155 && b(off + 345 + p) != 0) p += 1
+    if (p == 0) base
+    else new String(b, off + 345, p, StandardCharsets.UTF_8) + "/" + base
   }
 
   /** Parse one header block starting at `off`; None at the end-of-archive

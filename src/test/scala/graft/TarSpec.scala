@@ -67,6 +67,31 @@ class TarSpec extends SparkSpec {
     if (rc != 0) fail("python tarfile rejected graft's ustar output")
   }
 
+  test("ustar prefix carries >100-byte member paths, both directions") {
+    val long = ("d" * 60) + "/" + ("e" * 60) + "/" + "sample-000123.flac"
+    assert(long.length > 100)
+    val bytes = Tar.write(Seq(Tar.Entry(long, "audio".getBytes("UTF-8"))))
+    val back = Tar.readAll(bytes)
+    assert(back.map(_.name) == Seq(long))
+    assert(back(0).bodyText == "audio")
+    assert(Tar.keyExt(long) == (("sample-000123", "flac")))
+    // the foreign implementation agrees on the joined path
+    val tmp = java.nio.file.Files.createTempFile("graft_tar_long", ".tar")
+    java.nio.file.Files.write(tmp, bytes)
+    val py =
+      s"""import tarfile
+         |tf = tarfile.open('$tmp')
+         |names = [m.name for m in tf]
+         |assert names == ['$long'], names
+         |""".stripMargin
+    import scala.sys.process._
+    if (Seq("python3", "-c", "import tarfile").! == 0)
+      assert(Seq("python3", "-c", py).! == 0, "python tarfile rejected the prefix split")
+    // a name with no '/' break point must fail loudly, not truncate
+    intercept[IllegalArgumentException](
+      Tar.write(Seq(Tar.Entry("x" * 150, Array.emptyByteArray))))
+  }
+
   test("corrupt header fails loudly") {
     val bad = fixture.clone()
     bad(60) = 'x'.toByte // inside name field → checksum mismatch
