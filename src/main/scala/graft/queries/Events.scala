@@ -227,6 +227,52 @@ object Events {
       |  valid_to IS NULL AS is_current
       |FROM v""".stripMargin
 
+  /** q124: hourly gap-fill + forward-fill — the regular-grid resampling
+    * every time-series consumer wants from an irregular event log: per
+    * user, every hour boundary inside the user's span carries the latest
+    * event value at or before it. Composes the engine's own as-of join
+    * (grid = exploded hour sequence, right side deduped latest-wins per
+    * (user, ts)); the oracle uses DuckDB's native ASOF JOIN — an
+    * independent implementation of the semantics.
+    */
+  def q124GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val H = 3600L * 1000000000L
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val e1 = ev.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val grid = e1.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence((col("lo") + (H - 1)).divide(H).cast("long"),
+          (col("hi") / H).cast("long"))).as("h"))
+      .select(col("user_id"), (col("h") * H).as("ts"))
+    graft.operators.AsOfJoin.asOf(grid,
+        e1.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id", Seq("value"))
+      .select(col("user_id"), col("ts"), col("asof_value").as("value"))
+  }
+
+  val q124Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events
+      |),
+      |e1 AS (SELECT user_id, ts, value FROM e WHERE rn = 1),
+      |mm AS (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi FROM e1 GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series((lo + 3599999999999) // 3600000000000,
+      |                           hi // 3600000000000)) * 3600000000000 AS ts
+      |  FROM mm
+      |)
+      |SELECT g.user_id, g.ts, e1.value
+      |FROM grid g ASOF JOIN e1 ON g.user_id = e1.user_id AND g.ts >= e1.ts""".stripMargin
+
   /** q102: ordered funnel view → click → purchase (operators.Funnel) —
     * per-user earliest completion time of each step strictly after the
     * previous one; null = the funnel broke there. All shuffles keyed on
@@ -289,6 +335,7 @@ object Events {
     QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),
     QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)),
     QueryDef("q116_scd2", q116Scd2, Some(q116Sql)),
+    QueryDef("q124_gap_fill", q124GapFill, Some(q124Sql)),
     QueryDef("q102_funnel", q102Funnel, Some(q102Sql)),
     QueryDef("q105_hopping_window", q105HoppingWindow, Some(q105Sql)))
 }
