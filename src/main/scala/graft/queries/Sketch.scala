@@ -81,6 +81,113 @@ object Sketch {
        |  ex.exact_distinct
        |FROM est JOIN ex USING (source)""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+
+  /** q125: HLL SET ALGEBRA — the cross-domain overlap telemetry sketches
+    * exist for: per-source register tables merge by bucket-max into every
+    * source PAIR's union estimate (the mergeability that makes HLL the
+    * shard/day primitive), and inclusion-exclusion turns union into an
+    * intersection estimate, reported next to the exact overlap. All
+    * register and estimate arithmetic mirrors q95 bit-for-bit; the pair
+    * merge is two broadcast equi-joins + a bucket-max groupBy (never an
+    * OR-join).
+    */
+  def q125HllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(spark, sfDir)
+    val regs = Sketches.hllRegisters(t, col("tok"), Seq("source")).persist()
+    val srcs = t.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val perSrc = Sketches.hllEstimate(regs, Seq("source"))
+    val uregs = pairs.join(regs, col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("bucket"), col("reg"))
+      .unionAll(pairs.join(regs, col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("bucket"), col("reg")))
+      .groupBy(col("sa"), col("sb"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val eu = Sketches.hllEstimate(uregs, Seq("sa", "sb"))
+      .withColumnRenamed("est_distinct", "est_union")
+    val td = t.distinct()
+    val ex = td.select(col("source").as("xa"), col("tok"))
+      .join(td.select(col("source").as("xb"), col("tok")), "tok")
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb")).agg(count(lit(1)).as("exact_intersection"))
+    pairs
+      .join(perSrc.select(col("source").as("sa"), col("est_distinct").as("est_a")), "sa")
+      .join(perSrc.select(col("source").as("sb"), col("est_distinct").as("est_b")), "sb")
+      .join(eu, Seq("sa", "sb"))
+      .join(ex.withColumnRenamed("xa", "sa").withColumnRenamed("xb", "sb"),
+        Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_intersection"),
+        coalesce(col("exact_intersection"), lit(0L)).as("exact_intersection"))
+  }
+
+  /** The q95 estimate pipeline over a register table, as reusable SQL. */
+  private def estFragSql(key: String, regTable: String, outName: String): String =
+    s"""SELECT $key,
+       |  round(CASE WHEN raw <= 1280e0 AND zeros > 0
+       |        THEN 512e0 * ln(512e0 / CAST(zeros AS DOUBLE))
+       |        ELSE raw END + 5e-10, 4) AS $outName
+       |FROM (
+       |  SELECT $key, zeros,
+       |    (0.7213e0 / (1e0 + 1.079e0 / 512e0)) * 512e0 * 512e0 /
+       |      (CAST(s_total AS DOUBLE) / 4503599627370496e0) AS raw
+       |  FROM (
+       |    SELECT $key, (512 - filled) AS zeros,
+       |      s_scaled + (512 - filled) * (1::BIGINT << 52) AS s_total
+       |    FROM (
+       |      SELECT $key, COUNT(1) AS filled,
+       |        SUM(1::BIGINT << (52 - reg)) AS s_scaled
+       |      FROM $regTable GROUP BY $key
+       |    )
+       |  )
+       |)""".stripMargin
+
+  val q125Sql: String =
+    s"""WITH $tokCte,
+       |h AS (
+       |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk
+       |),
+       |br AS (
+       |  SELECT source, CAST(h % 512 AS INT) AS bucket,
+       |    CASE WHEN h // 512 = 0 THEN 52
+       |         ELSE CAST(round(log2((h // 512) & (-(h // 512)))) AS INT) + 1
+       |    END AS rho
+       |  FROM h
+       |),
+       |reg AS (SELECT source, bucket, MAX(rho) AS reg FROM br GROUP BY source, bucket),
+       |srcs AS (SELECT DISTINCT source FROM tk),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |),
+       |ureg AS (
+       |  SELECT p.sa, p.sb, r.bucket, MAX(r.reg) AS reg
+       |  FROM pairs p JOIN reg r ON r.source = p.sa OR r.source = p.sb
+       |  GROUP BY 1, 2, 3
+       |),
+       |ea AS (${estFragSql("source", "reg", "est")}),
+       |eu AS (${estFragSql("sa, sb", "ureg", "est_union")}),
+       |td AS (SELECT DISTINCT source, tok FROM tk),
+       |ex AS (
+       |  SELECT t1.source AS sa, t2.source AS sb, COUNT(1) AS exact_intersection
+       |  FROM td t1 JOIN td t2 ON t1.tok = t2.tok AND t1.source < t2.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.sa AS source_a, p.sb AS source_b,
+       |  a1.est AS est_a, a2.est AS est_b, eu.est_union,
+       |  round(a1.est + a2.est - eu.est_union, 4) AS est_intersection,
+       |  COALESCE(ex.exact_intersection, 0) AS exact_intersection
+       |FROM pairs p
+       |JOIN ea a1 ON a1.source = p.sa
+       |JOIN ea a2 ON a2.source = p.sb
+       |JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
+       |LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb""".stripMargin
+
   // ---------------------------------------------------------------- q96
 
   /** q96: token heavy hitters via a Count-Min sketch (4×1024 counters)
@@ -180,5 +287,6 @@ object Sketch {
     QueryDef("q95_hll_distinct", q95HllDistinct, Some(q95Sql)),
     QueryDef("q96_heavy_hitters", q96HeavyHitters, Some(q96Sql)),
     QueryDef("q97_quantiles", q97Quantiles, Some(q97Sql)),
-    QueryDef("q98_grouped_quantiles", q98GroupedQuantiles, Some(q98Sql)))
+    QueryDef("q98_grouped_quantiles", q98GroupedQuantiles, Some(q98Sql)),
+    QueryDef("q125_hll_setops", q125HllSetOps, Some(q125Sql)))
 }

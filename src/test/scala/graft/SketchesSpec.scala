@@ -84,4 +84,23 @@ class SketchesSpec extends SparkSpec {
       assert(got(q) == sorted(k), s"q=$q got=${got(q)} want=${sorted(k)}")
     }
   }
+
+  test("HLL inclusion-exclusion tracks planted set overlaps") {
+    import spark.implicits._
+    // A = 0..19999, B = 10000..29999 → |A|=|B|=20000, |A∩B|=10000
+    val rows = ((0 until 20000).map(i => ("A", s"v$i")) ++
+      (10000 until 30000).map(i => ("B", s"v$i"))).toDF("source", "tok")
+    val regs = Sketches.hllRegisters(rows, col("tok"), Seq("source"))
+    val per = Sketches.hllEstimate(regs, Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val union = Sketches.hllEstimate(
+      regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+        .withColumn("g", lit(1)), Seq("g"))
+      .collect()(0).getDouble(1)
+    val inter = per("A") + per("B") - union
+    assert(math.abs(per("A") - 20000) / 20000 < 0.10, s"estA=${per("A")}")
+    assert(math.abs(union - 30000) / 30000 < 0.10, s"estU=$union")
+    assert(math.abs(inter - 10000) / 10000 < 0.20,
+      s"inclusion-exclusion intersection off: $inter want ~10000")
+  }
 }
