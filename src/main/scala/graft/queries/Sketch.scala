@@ -114,10 +114,12 @@ object Sketch {
       .filter(col("xa") < col("xb"))
       .groupBy(col("xa"), col("xb")).agg(count(lit(1)).as("exact_intersection"))
     pairs
-      .join(perSrc.select(col("source").as("sa"), col("est_distinct").as("est_a")), "sa")
-      .join(perSrc.select(col("source").as("sb"), col("est_distinct").as("est_b")), "sb")
-      .join(eu, Seq("sa", "sb"))
-      .join(ex.withColumnRenamed("xa", "sa").withColumnRenamed("xb", "sb"),
+      .join(broadcast(perSrc.select(col("source").as("sa"),
+        col("est_distinct").as("est_a"))), "sa")
+      .join(broadcast(perSrc.select(col("source").as("sb"),
+        col("est_distinct").as("est_b"))), "sb")
+      .join(broadcast(eu), Seq("sa", "sb"))
+      .join(broadcast(ex.withColumnRenamed("xa", "sa").withColumnRenamed("xb", "sb")),
         Seq("sa", "sb"), "left")
       .select(col("sa").as("source_a"), col("sb").as("source_b"),
         col("est_a"), col("est_b"), col("est_union"),

@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     "q112_triangles",
     // q118: composes q111's KN scoring, inheriting its 1-row (T, V)
     // crossJoin (LmOps.knScoreAgainst)
-    "q118_ccnet_buckets")
+    "q118_ccnet_buckets",
+    // q125: the source-pair generator crossJoins the distinct-source list
+    // with itself — BOUNDED at |sources|² rows (~dozens)
+    "q125_hll_setops")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
