@@ -841,6 +841,26 @@ object TextOps {
 
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** Deterministic token-dropout augmentation (the word-dropout /
+    * SSL-noising regularizer): token at position i of doc d survives iff
+    * the seedless md5 coin of (id, epoch, i) clears `rate` — so each
+    * epoch yields a DIFFERENT corruption of the same doc, reproducibly on
+    * any cluster layout, and the oracle can replay every coin. Pure
+    * column math, map-side, zero shuffles.
+    */
+  def tokenDropout(docs: DataFrame, rate: Double, epoch: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val kept = filter(
+      zip_with(toks, sequence(lit(1), size_(toks)), (t, i) => struct(t.as("t"),
+        hashUnit(concat_ws("#", col(idCol), lit(epoch), i)).as("u"))),
+      p => p.getField("u") >= rate)
+    docs.select(col(idCol),
+      size_(toks).as("n_tokens"),
+      size_(kept).as("n_kept"),
+      concat_ws(" ", transform(kept, p => p.getField("t"))).as("augmented_text"))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the other canonical
     * curation recipe beside Gopher's [[qualityFilter]]): line-level rules
     * — keep only lines that end in terminal punctuation (`.` `!` `?` `"`),

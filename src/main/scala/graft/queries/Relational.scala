@@ -267,6 +267,52 @@ object Relational {
        |FROM lineitem""".stripMargin
   }
 
+  /** q127: Tukey IQR outlier fences per group — the data-quality flag
+    * pass after q103's profile: per order priority, rows outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] flag as outliers. Quartiles come from
+    * the sort-free grouped exact quantiles (no per-group global sort);
+    * fences broadcast and the flag is map-side. Quartile values are data
+    * values (2-decimal doubles), so fence arithmetic and comparisons are
+    * engine-exact.
+    */
+  def q127IqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = Tables.load(spark, sfDir, "orders")
+    val qs = Sketches.groupedQuantiles(orders, "o_orderpriority", "o_totalprice",
+      Seq(0.25, 0.75))
+    val q1 = qs.filter(col("q") === 0.25)
+      .select(col("o_orderpriority"), col("value").as("q1"))
+    val q3 = qs.filter(col("q") === 0.75)
+      .select(col("o_orderpriority"), col("value").as("q3"))
+    orders
+      .join(broadcast(q1), "o_orderpriority")
+      .join(broadcast(q3), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        (col("o_totalprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+          col("o_totalprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+          .as("is_outlier"))
+  }
+
+  val q127Sql: String =
+    """WITH n AS (
+      |  SELECT o_orderpriority AS k, COUNT(1) AS c FROM orders GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT o_orderpriority AS k, o_totalprice AS v,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn
+      |  FROM orders
+      |),
+      |b AS (
+      |  SELECT n.k,
+      |    MAX(CASE WHEN rn = CAST(floor(0.25 * (c - 1)) AS BIGINT) + 1 THEN v END) AS q1,
+      |    MAX(CASE WHEN rn = CAST(floor(0.75 * (c - 1)) AS BIGINT) + 1 THEN v END) AS q3
+      |  FROM n JOIN r ON r.k = n.k GROUP BY n.k
+      |)
+      |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+      |  (o.o_totalprice < b.q1 - 1.5 * (b.q3 - b.q1)
+      |   OR o.o_totalprice > b.q3 + 1.5 * (b.q3 - b.q1)) AS is_outlier
+      |FROM orders o JOIN b ON b.k = o.o_orderpriority""".stripMargin
+
   /** q54: skew-resistant salted join (SkewJoin.salted) — result must equal
     * the PLAIN equi-join, which is exactly what the oracle runs; the salt
     * fan-out is invisible in the output by construction.
@@ -319,6 +365,7 @@ object Relational {
     QueryDef("q113_pivot", q113Pivot, Some(q113Sql)),
     QueryDef("q114_cube", q114Cube, Some(q114Sql)),
     QueryDef("q115_zorder", q115ZOrder, Some(q115Sql)),
+    QueryDef("q127_iqr_outliers", q127IqrOutliers, Some(q127Sql)),
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_join_revenue", q02JoinRevenue, Some(q02Sql)),
     QueryDef("q03_top_customers", q03TopCustomers, Some(q03Sql)),

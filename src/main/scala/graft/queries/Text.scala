@@ -1517,6 +1517,33 @@ object Text {
       |  array_to_string(ck, ' ') AS chunk_text
       |FROM c""".stripMargin
 
+  /** q126: token-dropout augmentation (rate 0.1, epoch 2) — the word-
+    * dropout noising regularizer, deterministic per (doc, epoch, position)
+    * via seedless md5 coins so every epoch is a different, reproducible
+    * corruption (TextOps.tokenDropout; map-side, zero shuffles). The
+    * oracle replays every coin and the ordered rejoin.
+    */
+  def q126TokenDropout(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.tokenDropout(Tables.load(spark, sfDir, "documents"),
+      rate = 0.1, epoch = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("augmented_text"))
+
+  val q126Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |x AS (
+      |  SELECT doc_id, len(toks) AS n, i, toks[i] AS tok,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || '#2#' || i::VARCHAR), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+      |)
+      |SELECT doc_id, CAST(MAX(n) AS INTEGER) AS n_tokens,
+      |  CAST(COUNT(CASE WHEN u >= 0.1 THEN 1 END) AS INTEGER) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN u >= 0.1 THEN tok END, ' ' ORDER BY i), '')
+      |    AS augmented_text
+      |FROM x GROUP BY doc_id""".stripMargin
+
   /** q119: unigram-LM tokenizer SEED vocabulary (Kudo 2018 §3 —
     * operators.Unigram): every ≤6-char substring of every distinct word,
     * weighted by corpus word frequency; top-200 multi-char pieces by
@@ -1959,6 +1986,7 @@ object Text {
     QueryDef("q117_gif_roundtrip", q117GifRoundtrip, Some(q117Sql)),
     QueryDef("q119_unigram_seed", q119UnigramSeed, Some(q119Sql)),
     QueryDef("q120_chunk_overlap", q120ChunkOverlap, Some(q120Sql)),
+    QueryDef("q126_token_dropout", q126TokenDropout, Some(q126Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),

@@ -116,6 +116,30 @@ class RelationalSpec extends SparkSpec {
     assert(gids == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("IQR fences flag planted outliers and only them") {
+    import spark.implicits._
+    // body: 100 values 10.00..10.99 per group; outliers planted far out
+    val rows = (for (g <- Seq("A", "B"); i <- 0 until 100)
+      yield (s"$g$i", g, 10.0 + i / 100.0)) ++
+      Seq(("oA", "A", 99.0), ("oB", "B", -50.0))
+    val df = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val qs = graft.operators.Sketches.groupedQuantiles(
+      df, "o_orderpriority", "o_totalprice", Seq(0.25, 0.75))
+    val q1 = qs.filter(col("q") === 0.25)
+      .select(col("o_orderpriority"), col("value").as("q1"))
+    val q3 = qs.filter(col("q") === 0.75)
+      .select(col("o_orderpriority"), col("value").as("q3"))
+    val flagged = df.join(broadcast(q1), "o_orderpriority")
+      .join(broadcast(q3), "o_orderpriority")
+      .select(col("o_orderkey"),
+        (col("o_totalprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+          col("o_totalprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+          .as("is_outlier"))
+      .filter(col("is_outlier")).select("o_orderkey")
+      .as[String].collect().sorted.toSeq
+    assert(flagged == Seq("oA", "oB"), s"got $flagged")
+  }
+
   test("loadEvents normalizes ts to epoch-ns longs whatever the parquet type") {
     import org.apache.spark.sql.types.LongType
     // the driver regenerates testdata between rounds; events.ts has shipped
