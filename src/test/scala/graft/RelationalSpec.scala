@@ -118,6 +118,7 @@ class RelationalSpec extends SparkSpec {
 
   test("IQR fences flag planted outliers and only them") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     // body: 100 values 10.00..10.99 per group; outliers planted far out
     val rows = (for (g <- Seq("A", "B"); i <- 0 until 100)
       yield (s"$g$i", g, 10.0 + i / 100.0)) ++
