@@ -897,6 +897,39 @@ object ScaleBench {
       // truth: user u emits 100 events at ts = k, value switching every 10
       // events with duplicate deliveries inside each run → exactly 10
       // versions per user, valid_from = 10·j, one open version each.
+      // E5. Hourly gap-fill at 10M events / 500k users with closed-form
+      // truth: each user emits 20 events at 2-hour spacing starting on an
+      // hour boundary with value k → 39 hourly grid rows per user whose
+      // forward-filled values sum to exactly 361.
+      timed("gap_fill_10M_events") {
+        val users = 500000L
+        val H = 3600L * 1000000000L
+        val base = 500000L * H
+        val ev = spark.range(users * 20).select(
+          (col("id") / 20).cast("long").as("user_id"),
+          (lit(base) + (col("id") % 20) * lit(2 * H)).as("ts"),
+          col("id").as("event_id"),
+          (col("id") % 20).cast("double").as("value"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+        val e1 = ev.withColumn("__rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val grid = e1.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .select(col("user_id"),
+            explode(sequence(expr(s"(lo + ${H - 1}L) div ${H}L"),
+              expr(s"hi div ${H}L"))).as("h"))
+          .select(col("user_id"), (col("h") * H).as("ts"))
+        val filled = operators.AsOfJoin.asOf(grid,
+          e1.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          "user_id", "ts", "event_id", Seq("value"))
+        val a = filled.agg(count(lit(1)), sum(col("asof_value"))).head()
+        require(a.getLong(0) == users * 39 &&
+          a.getDouble(1) == users * 361.0,
+          s"gap-fill closed form failed: $a")
+      }
+
       timed("scd2_10M_events") {
         val users = 100000L
         val ev = spark.range(users * 100).select(

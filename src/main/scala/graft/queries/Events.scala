@@ -246,8 +246,8 @@ object Events {
     val grid = e1.groupBy(col("user_id"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       .select(col("user_id"),
-        explode(sequence((col("lo") + (H - 1)).divide(H).cast("long"),
-          (col("hi") / H).cast("long"))).as("h"))
+        explode(sequence(expr(s"(lo + ${H - 1}L) div ${H}L"),
+          expr(s"hi div ${H}L"))).as("h"))
       .select(col("user_id"), (col("h") * H).as("ts"))
     graft.operators.AsOfJoin.asOf(grid,
         e1.select(col("user_id"), col("ts"), col("event_id"), col("value")),
