@@ -969,6 +969,19 @@ object ScaleBench {
         require(row.getLong(0) == n && row.getLong(1) == n * (n - 1) / 2 &&
           row.getLong(2) == 2 * n,
           s"tar roundtrip lost members: $row")
+        // M1b. the same shards through the wds DataSource V2 with BOTH
+        // pushdowns live: ext filter at the member index + bytes-free
+        // projection → header-only census; sizes reconcile exactly
+        timed("wds_dsv2_census_1000k_members") {
+          val census = spark.read.format("wds").load(dir)
+            .filter(col("ext") === "txt")
+            .agg(count(lit(1)), sum(col("size")),
+              sum(col("key").cast("long"))).head()
+          val expBytes = docs.agg(sum(length(decode(col("bytes"), "UTF-8")))).head().getLong(0)
+          require(census.getLong(0) == n && census.getLong(1) == expBytes &&
+            census.getLong(2) == n * (n - 1) / 2,
+            s"wds census mismatch: $census want n=$n bytes=$expBytes")
+        }
         scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir)))
         ()
       }
