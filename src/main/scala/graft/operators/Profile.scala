@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.DecimalType
 object Profile {
 
   /** Long-format numeric profile: one row per column in `cols` with
-    * n_null / n_distinct / min_v / max_v / mean_v (mean decimal-exact-
-    * summed then rounded to 6, engine-portable). Columns must be numeric
-    * with ≤2 meaningful decimals (the TPC-H money/quantity shape).
+    * n_null / n_distinct / min_v / max_v / mean_v. The mean is computed
+    * entirely in integer space — decimal-exact cents sum, then
+    * micro-units via half-up long division ((cents*20000+cnt) div
+    * (2*cnt)) — so it is bit-identical across engines with no
+    * round(double) tie hazards. Columns must be numeric with ≤2
+    * meaningful decimals (the TPC-H money/quantity shape).
     */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
@@ -30,7 +33,8 @@ object Profile {
         countDistinct(col(c)).as(s"${c}__ndist"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"${c}__sum"),
+        (sum(col(c).cast(DecimalType(18, 2))) * lit(100)).cast("long")
+          .as(s"${c}__cents"),
         count(col(c)).as(s"${c}__cnt"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -40,8 +44,8 @@ object Profile {
         col(s"${c}__ndist").as("n_distinct"),
         col(s"${c}__min").as("min_v"),
         col(s"${c}__max").as("max_v"),
-        round(col(s"${c}__sum") / col(s"${c}__cnt").cast("double") + lit(5e-10), 6)
-          .as("mean_v"))
+        (expr(s"(${c}__cents * 20000L + ${c}__cnt) div (2L * ${c}__cnt)")
+          .cast("double") / lit(1e6)).as("mean_v"))
     }
     one.select(explode(array(stacked: _*)).as("m")).select(col("m.*"))
   }

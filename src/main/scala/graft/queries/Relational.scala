@@ -350,12 +350,12 @@ object Relational {
 
   val q103Sql: String = ProfileCols.map { c =>
     s"""SELECT '$c' AS col_name,
-       |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+       |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        |  COUNT(DISTINCT $c) AS n_distinct,
        |  CAST(MIN($c) AS DOUBLE) AS min_v,
        |  CAST(MAX($c) AS DOUBLE) AS max_v,
-       |  ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
-       |        / CAST(COUNT($c) AS DOUBLE) + 5e-10, 6) AS mean_v
+       |  CAST((CAST(SUM(CAST($c AS DECIMAL(18,2))) * 100 AS BIGINT) * 20000
+       |        + COUNT($c)) // (2 * COUNT($c)) AS DOUBLE) / 1e6 AS mean_v
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 

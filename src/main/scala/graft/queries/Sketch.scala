@@ -227,7 +227,7 @@ object Sketch {
        |  FROM probes p CROSS JOIN rs
        |),
        |est AS (
-       |  SELECT pc.tok, MIN(cells.cellcnt) AS cms_est
+       |  SELECT pc.tok, CAST(MIN(cells.cellcnt) AS BIGINT) AS cms_est
        |  FROM pc JOIN cells USING (r, c) GROUP BY pc.tok
        |)
        |SELECT probes.tok, probes.cnt AS exact_count, est.cms_est

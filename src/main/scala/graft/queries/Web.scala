@@ -78,7 +78,8 @@ object Web {
        |od AS (SELECT src, COUNT(1) AS od FROM e GROUP BY src),
        |r0 AS (SELECT doc_id AS node, $S // (SELECT n FROM nn) AS pr FROM documents),
        |${(1 to 5).map(iter).mkString(",\n")}
-       |SELECT node AS doc_id, pr AS pr_micro, CAST(pr AS DOUBLE) / 1e12 AS pr
+       |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_micro,
+       |  CAST(pr AS DOUBLE) / 1e12 AS pr
        |FROM r5""".stripMargin
   }
 

@@ -40,6 +40,22 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only: continue
+        # Rot-check: the driver hashes serialized arrow values, where DuckDB
+        # HUGEINT becomes decimal128 and never matches Spark's int64 even
+        # when every value is equal (Python == hides this: Decimal(5)==5).
+        # Any uncast SUM / `//` chain silently reintroduces the class, so
+        # fail loudly on the oracle's DESCRIBEd output types up front.
+        try:
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            wide = [(c, t) for c, t, *_ in desc
+                    if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+            if wide:
+                print(f"FAIL {name}: oracle emits non-arrow-portable types {wide}"
+                      " — CAST the aggregate to BIGINT in the oracle SQL")
+                n_fail += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE error {e}"); n_fail += 1; continue
         res_dir = os.path.join(out, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
