@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *    is a two-pass aggregation: in-window median first (it breaks one-pass
   *    partial aggregation — SURVEY.md §7.4 risk 3), then the 72-bin weight
   *    sum, both partial-agg-friendly groupBys keyed by window id;
-  *  - circular smoothing (R15, gradients.py:882-923) is a wraparound
-  *    band-join over bin offsets, applied at dilations 1,2,4 sequentially;
+  *  - circular smoothing (R15, gradients.py:882-923) pivots each window's
+  *    bins into a dense 72-array once, then runs the dilated 1,2,4 kernel
+  *    cascade as map-side array `transform`s — no per-dilation shuffle;
   *  - peak extraction (R16, gradients.py:419-428) is a deterministic
   *    row_number argmax over (weight desc, bin).
   *
@@ -317,19 +318,57 @@ object Gradients {
   }
 
   /** R15: circular smoothing — [1,2,1]/4 kernel at dilations 1,2,4 applied
-    * sequentially on the wrapped 72-bin axis. Wraparound join, no arrays.
+    * sequentially on the wrapped 72-bin axis (gradients.py:882-923).
+    *
+    * Scale shape: ONE groupBy pivots each window's sparse bins into a dense
+    * 72-slot array (72 codegen'd conditional sums — map-side combinable),
+    * then the whole dilation cascade runs as per-row `transform` array
+    * arithmetic with zero additional exchanges, and `posexplode` restores
+    * the long format. The previous formulation shuffled the histogram once
+    * per dilation (3 extra exchanges); SURVEY §2.8 R15 prescribes the
+    * no-shuffle array transform. Downstream [[peak]]'s window keys match
+    * the groupBy partitioning, so the whole smooth→peak tail is
+    * exchange-free after the pivot.
+    *
+    * Support tracking: bins reachable from an occupied bin through the
+    * dilation offsets get a row (even if numerically tiny); unreachable
+    * bins don't — exactly the row-existence semantics of the join
+    * formulation (and of the SQL oracle), which never manufactures rows
+    * for fully-empty neighborhoods.
     */
   def circSmooth(hist: DataFrame, dilations: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
-    dilations.foldLeft(hist.select(col("win_line"), col("win_sample"), col("bin"), col("weight"))) {
-      (h, d) =>
-        val spark = h.sparkSession
-        import spark.implicits._
-        val offsets = Seq((-d, 0.25), (0, 0.5), (d, 0.25)).toDF("off", "k")
-        h.crossJoin(broadcast(offsets))
-          .groupBy(col("win_line"), col("win_sample"),
-            pmod(col("bin") + col("off"), lit(NAngles)).as("bin"))
-          .agg(sum(col("weight") * col("k")).as("weight"))
+    val n = NAngles
+    def at(a: Column, i: Column): Column = element_at(a, i + 1)
+    def sh(a: Column, d: Int, i: Column): Column = at(a, pmod(i + lit(d), lit(n)))
+    val sums = (0 until n).map(b =>
+      sum(when(col("bin") === b, col("weight"))).as(s"w$b"))
+    val dense = hist
+      .groupBy(col("win_line"), col("win_sample"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("win_line"), col("win_sample"),
+        array((0 until n).map(b => coalesce(col(s"w$b"), lit(0.0))): _*).as("w"),
+        array((0 until n).map(b => col(s"w$b").isNotNull): _*).as("sup"))
+    val idx = sequence(lit(0), lit(n - 1))
+    // one SELECT per dilation: the alias boundary makes each pass's array
+    // an attribute the next pass references, so every intermediate is
+    // evaluated once per row. Folding the lambdas into one expression would
+    // inline the prior pass 3x per tap (27x per layer) — a silent
+    // exponential blowup in the higher-order-function tree.
+    val cascaded = dilations.foldLeft(dense) { (df, d) =>
+      df.select(col("win_line"), col("win_sample"),
+        transform(idx, i =>
+          sh(col("w"), -d, i) * lit(0.25) + at(col("w"), i) * lit(0.5) +
+            sh(col("w"), d, i) * lit(0.25)).as("w"),
+        transform(idx, i =>
+          sh(col("sup"), -d, i) || at(col("sup"), i) || sh(col("sup"), d, i))
+          .as("sup"))
     }
+    cascaded
+      .select(col("win_line"), col("win_sample"),
+        posexplode(zip_with(col("w"), col("sup"), (w, s) => struct(w.as("w"), s.as("s")))))
+      .where(col("col.s"))
+      .select(col("win_line"), col("win_sample"),
+        col("pos").as("bin"), col("col.w").as("weight"))
   }
 
   /** Dilated renormalized B2 smoothing: taps at offsets {-d, 0, d}² with

@@ -11,13 +11,13 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Deliberate, audited tiny-broadcast BNLJs (bounded build sides that do
     * NOT grow with the data): q13 scalar scene mean, q18 literal grid
-    * generator, q38/q51 fixed query/centroid sets, q43/q44 11-row
-    * smoothing-offset table. Everything else must plan hash/broadcast-hash
-    * equi-joins only.
+    * generator, q38/q51 fixed query/centroid sets. Everything else must
+    * plan hash/broadcast-hash equi-joins only.
+    * (q43/q44 left this list when circSmooth became a map-side array
+    * cascade — the 11-row offset crossJoin no longer exists.)
     */
   private val bnljAllowed = Set(
-    "q13_detrend", "q18_gmf_grid", "q38_ann_topk",
-    "q43_circ_smooth", "q44_peak", "q51_ann_ivf",
+    "q13_detrend", "q18_gmf_grid", "q38_ann_topk", "q51_ann_ivf",
     // q104: SQ8 scoring broadcasts the 10-row query set against the
     // dequantized corpus — same audited few-queries BNLJ shape as q38
     // (Similarity.sq8TopK)
@@ -85,6 +85,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(planOf(name).contains("BroadcastNestedLoopJoin"),
         s"$name no longer plans a BNLJ — drop it from bnljAllowed")
     }
+  }
+
+  test("circ-smooth tail is exchange-free after the histogram pivot (q43/q44)") {
+    // circSmooth pivots bins to a dense 72-array in ONE groupBy whose keys
+    // match the histogram window's partitioning, then the dilation cascade
+    // and peak's window run map-side: q43 and q44 must plan the SAME
+    // exchanges (peak adds none), and neither may shuffle per dilation
+    // (the old join formulation planned 3 extra exchanges)
+    def exchanges(name: String): Int = "Exchange".r.findAllIn(planOf(name)).length
+    val e43 = exchanges("q43_circ_smooth")
+    val e44 = exchanges("q44_peak")
+    assert(e44 == e43, s"peak added exchanges: q43=$e43 q44=$e44")
+    assert(e43 <= 3, s"q43 plans $e43 exchanges — the dilation cascade is shuffling again")
   }
 
   test("inversion queries never join or shuffle the LUT") {
