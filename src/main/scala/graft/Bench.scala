@@ -53,12 +53,24 @@ object Bench {
       }
       (name, runs.map(_._1).min, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // seconds at ms resolution: full-precision doubles made the line long
+    // enough that the driver's tail capture truncated the first third of
+    // the per-query dict in round 10 — keep it compact AND persist a copy
+    // to a file the driver can snapshot even if stdout is clipped
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] snapshot write failed: $e") }
     spark.stop()
+    // last line of stdout, after spark shutdown, so nothing prints below it
+    println(line)
   }
 }
