@@ -27,6 +27,16 @@ object ScaleBench {
     val big = args.contains("big")
     val sections = args.filter(Sections).toSet
     def on(section: String): Boolean = sections.isEmpty || sections(section)
+    // the all-sections combined run holds the 1M-vector LSH pass and the
+    // scene caches in one heap: the 8g sbt default OOMs intermittently
+    // (README). Fail fast with the fix instead of dying 10 minutes in.
+    if (sections.isEmpty) {
+      val maxGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      require(maxGb >= 20.0,
+        f"combined ScaleBench needs a >=24g heap (have $maxGb%.1fg) — " +
+          "rerun with SPARK_DRIVER_MEM=24g, or select a single section " +
+          s"(${Sections.mkString("|")})")
+    }
     val (nL, nS) = args.filterNot(a => a == "big" || Sections(a)) match {
       case Array(l, s) => (l.toInt, s.toInt)
       case _ => (1700, 2500)

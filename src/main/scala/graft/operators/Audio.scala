@@ -50,6 +50,32 @@ object Audio {
     }
   }
 
+  /** Interleaved multi-channel resampling: de-interleave, run [[resample]]
+    * per channel, re-interleave — interpolating across the raw interleaved
+    * stream would mix L into R and desync the channels. A trailing partial
+    * frame (stream length not a channel multiple) is dropped.
+    */
+  private[graft] def resampleInterleaved(samples: Array[Int], channels: Int,
+      num: Int, den: Int): Array[Int] = {
+    require(channels >= 1, s"channels=$channels")
+    if (channels == 1) resample(samples, num, den)
+    else {
+      val frames = samples.length / channels
+      val perCh = Array.tabulate(channels) { c =>
+        resample(Array.tabulate(frames)(i => samples(i * channels + c)), num, den)
+      }
+      val m = if (frames == 0) 0 else perCh(0).length
+      val out = new Array[Int](m * channels)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < channels) { out(j * channels + c) = perCh(c)(j); c += 1 }
+        j += 1
+      }
+      out
+    }
+  }
+
   /** WAV payloads → resampled WAV payloads at rate·num/den. */
   def wavResample(media: Dataset[MediaRow], num: Int, den: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -58,7 +84,7 @@ object Audio {
       else {
         val pcm = Wav.read(m.payload)
         m.copy(payload = Wav.write(Wav.Pcm(pcm.sampleRate * num / den, pcm.channels,
-          resample(pcm.samples, num, den))))
+          resampleInterleaved(pcm.samples, pcm.channels, num, den))))
       }
     }
   }
@@ -72,7 +98,7 @@ object Audio {
       if (m.payload == null || m.payload.isEmpty) None
       else {
         val pcm = Wav.read(m.payload)
-        val out = resample(pcm.samples, num, den)
+        val out = resampleInterleaved(pcm.samples, pcm.channels, num, den)
         Some((m.media_id, pcm.sampleRate, pcm.sampleRate * num / den,
           pcm.samples.length.toLong, out.length.toLong,
           out.foldLeft(0L)(_ + _), if (out.isEmpty) 0 else out.max))

@@ -81,10 +81,17 @@ object Video {
         case ((off, len), no) if no % stride == 0 =>
           val img = Jpeg.decode(java.util.Arrays.copyOfRange(
             v.payload, off.toInt, (off + len).toInt))
+          // same bound as Multimodal.dHash: wrapping h |= on bit%64 would
+          // saturate toward all-ones past 64 comparisons and destroy the
+          // hash's discriminating power silently
+          require(img.blocksH * (img.blocksW - 1) <= 64,
+            s"frameDHash needs blocksH*(blocksW-1) <= 64 bits, " +
+              s"got ${img.blocksH}x${img.blocksW} blocks — sample larger strides " +
+              "or crop frames to at most 64 gradient comparisons")
           var h = 0L
           var bit = 0
           for (br <- 0 until img.blocksH; bc <- 0 until img.blocksW - 1) {
-            if (img.dcMean(br, bc) < img.dcMean(br, bc + 1)) h |= (1L << (bit % 64))
+            if (img.dcMean(br, bc) < img.dcMean(br, bc + 1)) h |= (1L << bit)
             bit += 1
           }
           (v.video_id, no, h)

@@ -62,14 +62,22 @@ object Tar {
     val b = name.getBytes(StandardCharsets.UTF_8)
     if (b.length <= 100) ("", name)
     else {
-      // split point: rightmost '/' whose tail fits name[100] and whose
-      // head fits prefix[155]
-      val cut = name.lastIndexOf('/', name.length - 1)
-      var c = cut
-      while (c > 0 && name.length - c - 1 > 100) c = name.lastIndexOf('/', c - 1)
-      require(c > 0 && name.length - c - 1 <= 100 && c <= 155,
+      // candidate slashes right-to-left; accept the FIRST whose tail fits
+      // name[100] AND whose head fits prefix[155] — both measured in UTF-8
+      // BYTES (char indices undercount multi-byte names; and stopping at
+      // the rightmost slash would wrongly reject names whose valid split
+      // sits at an earlier slash). Splitting at a '/' byte never lands
+      // mid-codepoint: UTF-8 continuation bytes are all >= 0x80.
+      var c = b.length - 1
+      var found = -1
+      while (c > 0 && found < 0) {
+        if (b(c) == '/'.toByte && b.length - c - 1 <= 100 && c <= 155) found = c
+        c -= 1
+      }
+      require(found > 0,
         s"tar member name not splittable under ustar prefix/name limits: $name")
-      (name.substring(0, c), name.substring(c + 1))
+      (new String(b, 0, found, StandardCharsets.UTF_8),
+        new String(b, found + 1, b.length - found - 1, StandardCharsets.UTF_8))
     }
   }
 

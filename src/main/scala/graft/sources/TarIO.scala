@@ -26,14 +26,28 @@ import org.apache.spark.sql.functions._
 object TarIO {
 
   /** Write `(key, ext, bytes)` member rows as `part-NNNNN.tar` shards, one
-    * per partition, members of one sample adjacent and `{key}.{ext}`-named. */
+    * per partition, members of one sample adjacent and `{key}.{ext}`-named.
+    *
+    * The WebDataset adjacency contract is GLOBAL: a sample's members must
+    * land in the same shard, so the write hash-partitions on the key
+    * (keeping the caller's partition count as the shard count) before the
+    * in-shard sort. Without it, callers that union member frames (txt +
+    * json built separately — the common shape) would split every sample
+    * across two shards; in-repo readers hide that behind [[samples]]'s
+    * shuffle, but an external sequential WebDataset consumer would see
+    * broken samples. One payload shuffle on the write path is the price of
+    * the format's contract.
+    */
   def writeShards(members: DataFrame, dir: String, keyCol: String = "key",
       extCol: String = "ext", bytesCol: String = "bytes"): Unit = {
     val spark = members.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    members.select(col(keyCol).cast("string"), col(extCol), col(bytesCol))
+    val selected = members.select(
+      col(keyCol).cast("string").as(keyCol), col(extCol), col(bytesCol))
+    val nShards = math.max(1, selected.rdd.getNumPartitions)
+    selected.repartition(nShards, col(keyCol))
       .as[(String, String, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
         if (it.hasNext) {
@@ -116,6 +130,10 @@ object TarIO {
       var curPath: String = null
       var in: org.apache.hadoop.fs.FSDataInputStream = null
       def closeIn(): Unit = if (in != null) { in.close(); in = null; curPath = null }
+      // the hasNext==false close only fires when the iterator fully drains;
+      // a downstream limit/take or a task failure would otherwise leak the
+      // stream for the task's lifetime
+      TaskContext.get().addTaskCompletionListener[Unit](_ => closeIn())
       val rows = it.map { case (path, name, off, size) =>
         if (path != curPath) {
           closeIn()

@@ -88,6 +88,9 @@ object WarcIO {
       var curPath: String = null
       var in: org.apache.hadoop.fs.FSDataInputStream = null
       def closeIn(): Unit = if (in != null) { in.close(); in = null; curPath = null }
+      // close on early termination (limit/take) and task failure too — the
+      // hasNext==false close only covers a fully-drained iterator
+      TaskContext.get().addTaskCompletionListener[Unit](_ => closeIn())
       val recs = it.flatMap { case (path, off, len) =>
         if (path != curPath) {
           closeIn()

@@ -92,6 +92,48 @@ class TarSpec extends SparkSpec {
       Tar.write(Seq(Tar.Entry("x" * 150, Array.emptyByteArray))))
   }
 
+  test("ustar long-name split finds a valid slash and measures in UTF-8 bytes") {
+    // valid split exists only at the EARLIER slash: the rightmost gives a
+    // 161-byte prefix (>155); the writer must keep walking left
+    val deep = "a" * 150 + "/" + "b" * 10 + "/" + "c" * 85
+    val back = Tar.readAll(Tar.write(Seq(Tar.Entry(deep, "x".getBytes("UTF-8")))))
+    assert(back.map(_.name) == Seq(deep))
+    // multi-byte name: 60 2-byte chars = 120 bytes prefix, 90-byte tail
+    val wide = "é" * 60 + "/" + "x" * 90
+    val back2 = Tar.readAll(Tar.write(Seq(Tar.Entry(wide, "y".getBytes("UTF-8")))))
+    assert(back2.map(_.name) == Seq(wide))
+    // tail that fits in CHARS but not BYTES must be rejected up front, not
+    // die later in the field writer
+    val fatTail = "p/" + "é" * 60 // tail 120 bytes > name[100]
+    intercept[IllegalArgumentException](Tar.write(Seq(Tar.Entry(fatTail, Array[Byte](1)))))
+  }
+
+  test("writeShards keeps a sample's members in ONE shard despite key-split input") {
+    import spark.implicits._
+    // txt and json member frames built separately then unioned — each key's
+    // two members start in DIFFERENT partitions (the q107/q122 shape)
+    val txt = (1 to 40).map(i => (i.toString, "txt", s"t$i".getBytes("UTF-8")))
+    val json = (1 to 40).map(i => (i.toString, "json", s"j$i".getBytes("UTF-8")))
+    val members = txt.toDF("key", "ext", "bytes").repartition(3)
+      .unionAll(json.toDF("key", "ext", "bytes").repartition(3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_adj").toString
+    TarIO.writeShards(members, dir)
+    // every key's members must sit in one shard, ADJACENT (WebDataset contract)
+    val byShard = TarIO.readShards(spark, dir)
+      .select($"shard", $"key").as[(String, String)].collect()
+    val shardsPerKey = byShard.groupBy(_._2).map { case (_, v) => v.map(_._1).distinct.size }
+    assert(shardsPerKey.forall(_ == 1), "a sample's members were split across shards")
+    val fs = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+    fs.foreach { f =>
+      val names = Tar.memberIndex(java.nio.file.Files.readAllBytes(f.toPath)).map(_.name)
+      val keys = names.map(n => Tar.keyExt(n)._1)
+      // adjacency: each key appears in one contiguous run
+      assert(keys.distinct.length == keys.foldLeft((0, ""))((acc, k) =>
+        if (k != acc._2) (acc._1 + 1, k) else acc)._1,
+        s"members not adjacent in ${f.getName}: $keys")
+    }
+  }
+
   test("corrupt header fails loudly") {
     val bad = fixture.clone()
     bad(60) = 'x'.toByte // inside name field → checksum mismatch

@@ -71,6 +71,29 @@ class WavSpec extends AnyFunSuite {
     assert(Audio.resample(Array(-8, 8), 4, 1).toSeq == Seq(-8, -4, 0, 4, 8))
   }
 
+  test("stereo resample keeps channels independent") {
+    // interleaved L/R: L constant, R a ramp. Interpolating across the raw
+    // interleaved stream would drag L toward R values; per-channel
+    // resampling must keep L exactly flat and R a clean ramp.
+    val frames = 16
+    val inter = Array.tabulate(frames * 2) { k =>
+      if (k % 2 == 0) 1000 else (k / 2) * 8
+    }
+    val up = Audio.resampleInterleaved(inter, 2, 2, 1)
+    assert(up.length % 2 == 0)
+    val (l, r) = (up.indices.collect { case i if i % 2 == 0 => up(i) },
+      up.indices.collect { case i if i % 2 == 1 => up(i) })
+    assert(l.forall(_ == 1000), s"L channel polluted: ${l.take(8)}")
+    assert(r.toSeq == Audio.resample(Array.tabulate(frames)(_ * 8), 2, 1).toSeq)
+    // per-channel output frame count matches the mono resampler's
+    assert(up.length == 2 * Audio.resample(Array.tabulate(frames)(_ * 8), 2, 1).length)
+    // mono path unchanged
+    assert(Audio.resampleInterleaved(Array(0, 10), 1, 2, 1).toSeq == Seq(0, 5, 10))
+    // trailing partial frame dropped, not misaligned
+    val odd = Audio.resampleInterleaved(Array(1, 2, 3, 4, 5), 2, 1, 1)
+    assert(odd.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("wav roundtrip through resample keeps rate bookkeeping") {
     val in = Wav.Pcm(4000, 1, Array.tabulate(100)(i => (i * 131) % 2000 - 1000))
     val out = Wav.read(Wav.write(in))
