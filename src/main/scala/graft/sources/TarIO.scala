@@ -66,6 +66,35 @@ object TarIO {
       }
   }
 
+  /** Header-only member walk of one shard: seek-read 512 bytes per member,
+    * never touch data blocks. `(path, name, dataOffset, size)` rows — the
+    * index pass [[readShardsFanout]] fans out, and the per-shard kernel of
+    * the streaming census twin. */
+  private[graft] def indexShard(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val hdr = new Array[Byte](512)
+      val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+      var pos = 0L
+      var done = false
+      while (!done && pos + 512 <= fileLen) {
+        in.seek(pos)
+        in.readFully(hdr)
+        Tar.parseHeaderBlock(hdr) match {
+          case None => done = true
+          case Some((name, size)) =>
+            ms += ((path, name, pos + 512, size))
+            pos += 512 + ((size + 511) / 512) * 512
+        }
+      }
+      ms.toSeq
+    } finally in.close()
+  }
+
   private def memberRow(shard: String, name: String, body: Array[Byte]) = {
     val (key, ext) = Tar.keyExt(name)
     (shard, key, ext, body)
@@ -97,29 +126,8 @@ object TarIO {
     val shards = fs0.globStatus(new org.apache.hadoop.fs.Path(dir, "*.tar"))
       .map(_.getPath.toString).toSeq.sorted
     val index = spark.createDataset(shards).repartition(math.max(1, shards.size))
-      .flatMap { path =>
-        val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
-        val fs = p.getFileSystem(conf.value)
-        val fileLen = fs.getFileStatus(p).getLen
-        val in = fs.open(p)
-        try {
-          val hdr = new Array[Byte](512)
-          val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
-          var pos = 0L
-          var done = false
-          while (!done && pos + 512 <= fileLen) {
-            in.seek(pos)
-            in.readFully(hdr)
-            Tar.parseHeaderBlock(hdr) match {
-              case None => done = true
-              case Some((name, size)) =>
-                ms += ((path, name, pos + 512, size))
-                pos += 512 + ((size + 511) / 512) * 512
-            }
-          }
-          ms.toSeq
-        } finally in.close()
-      }.toDF("path", "name", "offset", "size")
+      .flatMap(path => indexShard(path, conf.value))
+      .toDF("path", "name", "offset", "size")
     val fanned = index.repartition(
         if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
       // members of one shard that land together read through ONE reused

@@ -347,6 +347,33 @@ object Streaming {
       .toDF("shard", "key", "ext", "bytes")
   }
 
+  /** Streaming header-only WebDataset census — the monitoring twin of the
+    * batch `wds` scan with bytes pruning (q122): as `.tar` shards land,
+    * emit one `(shard, key, ext, size)` row per member by walking ONLY the
+    * 512-byte ustar headers ([[graft.sources.TarIO.indexShard]] seek-reads;
+    * data blocks are never touched). The stream requires only the `path`
+    * column from the file source, so payloads stay out of the micro-batch
+    * too — ingest telemetry at header cost regardless of member sizes.
+    */
+  def wdsCensusStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.tar")
+      .load(dir)
+      .select(col("path")).as[String]
+      .flatMap { path =>
+        graft.sources.TarIO.indexShard(path, conf.value).map {
+          case (shard, name, _, size) =>
+            val (key, ext) = graft.sources.Tar.keyExt(name)
+            (shard, key, ext, size)
+        }
+      }
+      .toDF("shard", "key", "ext", "size")
+  }
+
   /** Streaming duplicate-span REMOVAL — the ingest-time twin of
     * [[graft.operators.TextOps.removeDupSpans]]: each micro-batch's docs
     * are rewritten against the duplicated-shingle set visible SO FAR

@@ -431,6 +431,40 @@ class IoStreamingSpec extends SparkSpec {
     assert(got(("7", "bin")).sameElements(Array.tabulate[Byte](10)(b => (7 + b).toByte)))
   }
 
+  test("streaming header-only census equals the batch wds census on the same shards") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("wdscensus").toString
+    val outDir = s"$dir/out"
+    def shard(path: String, ids: Range): Unit = {
+      val entries = ids.flatMap(i => Seq(
+        graft.sources.Tar.Entry(s"$i.txt", s"caption text $i".getBytes("UTF-8")),
+        graft.sources.Tar.Entry(s"$i.img", Array.fill[Byte](700 + i)(i.toByte))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        graft.sources.Tar.write(entries))
+    }
+    shard(s"$dir/part-0.tar", 0 until 4)
+    val q = Streaming.wdsCensusStream(spark, dir).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() == 8)
+    // more shards land: the census extends incrementally
+    shard(s"$dir/part-1.tar", 4 until 10)
+    q.processAllAvailable()
+    q.stop()
+    def censusOf(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+      df.select(col("key"), col("ext"), col("size").cast("long")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = censusOf(spark.read.parquet(outDir))
+    // the batch twin: the wds DataSource V2's bytes-pruned census (q122's plan)
+    val batchDf = spark.read.format("wds").load(dir).select(col("key"), col("ext"), col("size"))
+    assert(batchDf.queryExecution.executedPlan.toString.contains("bytes=false"),
+      "batch census comparator lost its bytes pruning")
+    assert(streamed == censusOf(batchDf))
+    assert(streamed.size == 20)
+    assert(streamed(("7", "img", 707L)), "sizes must come from the member headers")
+  }
+
   test("streaming crawl ingest emits records as .warc.gz segments land") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("crawlstream").toString
