@@ -259,6 +259,54 @@ object ScaleBench {
       require(recall >= 0.9, f"banded LSH recall $recall%.4f below the 0.9 gate at 10M")
     }
 
+    // 7d (big). IVFADC AT 10M — the compressed tier held where the banded
+    // tier already did: same 64-dim corpus construct as 7c. Ground truth
+    // is the PLANTED near-dups (the 7c philosophy), NOT the exact top-5:
+    // at 64-dim this corpus is uniform-random away from the plants, so a
+    // query's exact 2nd..5th neighbors sit at noise-level distances
+    // (relative contrast → 1 in high dims) and NO compressed index can
+    // rank them — a first attempt gating exact-top-5 recall measured
+    // 0.02–0.06 at every nprobe, i.e. the gate measured distance
+    // concentration, not the index. The scale question that matters for
+    // dedup/retrieval is whether a GENUINELY close pair (planted cos
+    // ≈0.93–0.99, unambiguously nearest) is retrieved once its list is
+    // probed: recall = fraction of 20 planted queries whose partner
+    // appears in the IVFADC top-5, nondecreasing in nprobe.
+    if (big) timed("ann_ivfadc_planted_recall_10000k") {
+      val n10 = 10000000L
+      val pid10 = col("id") - when(col("id") % 10 === 9, 1L).otherwise(0L)
+      val base10 = transform(sequence(lit(0), lit(63)),
+        i => (pmod(hash(pid10, i), lit(2000)) - 1000).cast("double") / 1000.0)
+      val noise10 = transform(sequence(lit(0), lit(63)),
+        i => (pmod(hash(col("id"), i, lit(7)), lit(2000)) - 1000).cast("double") / 1000.0 * 0.245)
+      val emb10 = spark.range(n10)
+        .select(col("id").as("vec_id"),
+          when(col("id") % 10 === 9, zip_with(base10, noise10, (x, d) => x + d))
+            .otherwise(base10).cast("array<float>").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 20 planted-pair queries (vec_id%10==8 → partner vec_id+1)
+      val queries10 = emb10.filter(col("vec_id") % 10 === 8 && col("vec_id") < 200).cache()
+      val nQ = queries10.count()
+      val recalls = Seq(1, 2, 4).map { nprobe =>
+        // rerank 1000: with 4-bit-per-8-dim residual codes the ADC margin
+        // is coarse — a 100-deep shortlist loses the true partner to
+        // quantization noise as more probed lists contribute candidates
+        // (measured: recall 0.75→0.60 going nprobe 2→4 at rerank=100).
+        // Exact-scoring 1000 candidates/query is still ~10⁻⁴ of the corpus.
+        val got = Similarity.ivfadcTopK(emb10, queries10, k = 5, numCents = 64,
+            nprobe = nprobe, m = 8, codebookSize = 16, lloydIters = 1, rerank = 1000)
+        val hit = got.filter(col("neighbor_id") === col("query_id") + 1).count()
+        val r = hit.toDouble / nQ
+        println(f"[scale] ivfadc_planted_recall@5 nprobe=$nprobe at 10M (64 cents): $r%.4f")
+        r
+      }
+      queries10.unpersist(); emb10.unpersist()
+      require(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 0.05 },
+        s"IVFADC planted recall must be (near-)nondecreasing in nprobe at 10M: $recalls")
+      require(recalls.last >= 0.6,
+        f"IVFADC planted recall ${recalls.last}%.4f below the 0.6 gate at nprobe=4, 10M")
+    }
+
     // 8. IVF-flat: fixed 64-centroid quantizer (bounded broadcast), 10
     // queries probing 2 lists of ~15.6k vectors each
     timed(s"ann_ivf_top5_${nVec / 1000}k_64cents") {
