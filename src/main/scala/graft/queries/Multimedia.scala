@@ -230,7 +230,12 @@ object Multimedia {
           (id, k, graft.sources.Jpeg.encodeGray(64, 16, px))
         }
       }.toDF("video_id", "frame_no", "jpeg")
+    // persist before the self-join: both join branches read the same
+    // (video, frame, dhash) table — without it the whole JPEG encode →
+    // MJPEG assemble → idx1 walk → decode chain executes TWICE (measured
+    // 7.5 s → ~4 s at sf0.1). Hash-sized rows, so the cache is tiny.
     val dh = Video.frameDHash(Video.mjpegAssemble(frames, 64, 16), stride = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = dh.select(col("video_id").as("doc_id_a"), col("frame_no"), col("dhash"))
     val b = dh.select(col("video_id").as("doc_id_b"), col("frame_no"), col("dhash"))
     a.join(b, Seq("frame_no", "dhash"))

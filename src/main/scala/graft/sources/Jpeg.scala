@@ -258,20 +258,39 @@ object Jpeg {
   private def writeBlock(bw: BitWriter, plane: Array[Int], stride: Int,
       ox: Int, oy: Int, quant: Array[Int], dcCodes: Array[(Int, Int)],
       acCodes: Array[(Int, Int)], prevDc: Int): Int = {
+    // separable FDCT: row pass then column pass — 1k mult-adds per block
+    // instead of the 8k of the direct double sum. The DC term stays
+    // bit-exact (CosT(_)(0) == 1.0, so both passes sum INTEGERS, exact in
+    // float64 regardless of grouping — the q77/q108/q123 oracle contract);
+    // AC terms may round ±1 quant step differently, which only shifts the
+    // lossy pixel error the specs already bound.
     val coef = new Array[Int](64)
+    val tmp = new Array[Double](64) // tmp(y*8+u) = Σ_x (p-128)·CosT(x)(u)
+    var y = 0
+    while (y < 8) {
+      val base = (oy + y) * stride + ox
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          s += (plane(base + x) - 128).toDouble * CosT(x)(u)
+          x += 1
+        }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += (plane((oy + y) * stride + ox + x) - 128).toDouble * CosT(x)(u) * CosT(y)(v)
-            x += 1
-          }
-          y += 1
+        var yy = 0
+        while (yy < 8) {
+          s += tmp(yy * 8 + u) * CosT(yy)(v)
+          yy += 1
         }
         coef(v * 8 + u) = math.floor(s * Scale(u)(v) / quant(v * 8 + u) + 0.5).toInt
         u += 1
@@ -475,7 +494,18 @@ object Jpeg {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  def decode(bytes: Array[Byte]): JpegImage = {
+  def decode(bytes: Array[Byte]): JpegImage = decodeImpl(bytes, pixelsToo = true)
+
+  /** DC-only decode: the full entropy stream still parses (AC runs must be
+    * walked to keep the bit position and DC predictors honest) but every
+    * IDCT is skipped, so `dcMean` is exact and `pixels` stays zeroed. The
+    * perceptual paths (frame dHash, DC-mean sampling) read ONLY the DC
+    * surface — at 200k frames per sf0.1 clip query the skipped IDCTs are
+    * the bulk of the decode cost.
+    */
+  def decodeDc(bytes: Array[Byte]): JpegImage = decodeImpl(bytes, pixelsToo = false)
+
+  private def decodeImpl(bytes: Array[Byte], pixelsToo: Boolean): JpegImage = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "jpeg: missing SOI")
     var pos = 2
@@ -591,8 +621,10 @@ object Jpeg {
       dc
     }
 
-    /** Float64 IDCT of `coef` + level shift + clamp into a byte plane. */
+    /** Float64 IDCT of `coef` + level shift + clamp into a byte plane.
+      * No-op in DC-only mode (the plane stays zeroed). */
     def idctInto(plane: Array[Byte], stride: Int, rows: Int, ox: Int, oy: Int): Unit = {
+      if (!pixelsToo) return
       var y = 0
       while (y < 8) {
         val py = oy + y
