@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching and banded Hamming near-dup — the record-linkage
+  * tier between exact dedup (hash equality) and semantic dedup (embedding
+  * cosine): edit-distance joins for entity resolution over titles/names,
+  * and Hamming-ball search over perceptual/SimHash fingerprints.
+  *
+  * Scale shape: NEVER all-pairs. Edit-distance joins shuffle on a cheap
+  * blocking key (candidates only meet inside a block; recall loss is the
+  * documented blocking trade, identical in the oracle), and Hamming joins
+  * band the fingerprint so only same-band-value hashes pair. Both are
+  * plain equi-joins underneath — Catalyst shuffles each side once on the
+  * band/block key, and the verify predicate (thresholded levenshtein /
+  * bit_count(xor)) runs inside whole-stage codegen on candidate rows only.
+  */
+object Fuzzy {
+
+  /** Jaro-Winkler similarity, bit-compatible with DuckDB's
+    * `jaro_winkler_similarity` (verified exhaustively against it over the
+    * corpus vocabulary): empty strings score 0 even against themselves,
+    * match window `max(len)/2 - 1`, transpositions halved, Winkler prefix
+    * boost (≤4 chars, weight 0.1) only above the 0.7 threshold, and the
+    * exact float evaluation order `(m/l1 + m/l2 + (m-t)/m) / 3` then
+    * `j + p·0.1·(1-j)` — the order matters for the oracle's value hash.
+    */
+  object JaroWinkler extends Serializable {
+    def similarity(s1: String, s2: String): Double = {
+      val l1 = s1.length
+      val l2 = s2.length
+      if (l1 == 0 || l2 == 0) return 0.0
+      if (s1 == s2) return 1.0
+      val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val m1 = new Array[Boolean](l1)
+      val m2 = new Array[Boolean](l2)
+      var m = 0
+      var i = 0
+      while (i < l1) {
+        val lo = math.max(0, i - win)
+        val hi = math.min(l2, i + win + 1)
+        var j = lo
+        var done = false
+        while (j < hi && !done) {
+          if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+            m1(i) = true; m2(j) = true; m += 1; done = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) return 0.0
+      var t = 0
+      var k = 0
+      i = 0
+      while (i < l1) {
+        if (m1(i)) {
+          while (!m2(k)) k += 1
+          if (s1.charAt(i) != s2.charAt(k)) t += 1
+          k += 1
+        }
+        i += 1
+      }
+      t /= 2
+      val j0 = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+      if (j0 > 0.7) {
+        var p = 0
+        val lim = math.min(4, math.min(l1, l2))
+        while (p < lim && s1.charAt(p) == s2.charAt(p)) p += 1
+        j0 + p * 0.1 * (1 - j0)
+      } else j0
+    }
+  }
+
+  /** Blocked edit-distance self-join: rows of `strings` (`blkCol` blocking
+    * key, `strCol` value) pair only within a block; kept when
+    * `levenshtein ≤ maxDist`, with the distance and the Jaro-Winkler score
+    * of each surviving pair. The levenshtein runs in its THRESHOLDED form
+    * (Spark's 3-arg variant) so far-apart candidates abandon after
+    * `maxDist+1` diagonal rows instead of filling the full DP matrix.
+    *
+    * At 100 TB: one shuffle of (block, string) per side; block-key
+    * cardinality bounds parallelism and block size bounds the quadratic
+    * candidate work — pick keys (prefix, phonetic code, join attribute)
+    * that keep blocks ≪ √(rows/blocks), and salt a pathological hot block
+    * the same way [[SkewJoin]] salts a hot join key.
+    */
+  def blockedLevenshteinPairs(strings: DataFrame, blkCol: String,
+      strCol: String, maxDist: Int): DataFrame = {
+    val a = strings.select(col(blkCol).as("__blk"), col(strCol).as("str_a")).distinct()
+    val b = strings.select(col(blkCol).as("__blk"), col(strCol).as("str_b")).distinct()
+    a.join(b, Seq("__blk"))
+      .filter(col("str_a") < col("str_b"))
+      .withColumn("lev_dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("lev_dist") >= 0)
+      .select(col("str_a"), col("str_b"), col("lev_dist"),
+        round(expr("jaro_winkler(str_a, str_b)"), 6).as("jw_sim"))
+  }
+
+  /** Banded Hamming near-dup over `bits`-wide fingerprints (`idCol`,
+    * `hashCol`): hashes pair when some band value matches, confirmed at
+    * `bit_count(xor) ≤ maxHamming`. Bands take bit-INTERLEAVED subsets
+    * (band i gets bits j with j % bands == i) — adjacent fingerprint bits
+    * are spatially correlated (neighboring gradient signs), so contiguous
+    * bands concentrate the population into a few values; interleaving
+    * measured 1587 → 69 max-bucket and 28× fewer candidates on the
+    * documents corpus. `bands > maxHamming` makes recall EXACT by
+    * pigeonhole: ≤ maxHamming differing bits cannot touch every band, so
+    * some band matches untouched.
+    *
+    * Output: one row per near-dup hash pair `(hash_a, hash_b, hamming)`.
+    * Callers should pre-group identical hashes (exact-dup cliques pair
+    * O(n²) otherwise) and re-attach group sizes afterward.
+    */
+  def hammingNearDupPairs(hashes: DataFrame, hashCol: String, bits: Int,
+      bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming,
+      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+    require(bands <= bits, s"more bands ($bands) than bits ($bits)")
+    val h = col(hashCol)
+    // band value = the band's interleaved bits packed densely
+    def bandValue(bi: Int): Column = {
+      val terms = (0 until (bits - bi + bands - 1) / bands).map { k =>
+        shiftleft(shiftright(h, bands * k + bi).bitwiseAND(lit(1L)), k)
+      }
+      terms.reduce(_ + _)
+    }
+    val banded = hashes.select(h.as("__h"),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("bi"), bandValue(bi).as("bv"))): _*)).as("b"))
+      .select(col("__h"), col("b.bi").as("__bi"), col("b.bv").as("__bv"))
+    val a = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_a"))
+    val b = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_b"))
+    a.join(b, Seq("__bi", "__bv"))
+      .filter(col("hash_a") < col("hash_b"))
+      .select(col("hash_a"), col("hash_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

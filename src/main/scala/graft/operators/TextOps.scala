@@ -176,6 +176,30 @@ object TextOps {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Broder shingle CONTAINMENT for candidate pairs — the asymmetric
+    * near-dup signal Jaccard misses: a short document quoted wholesale
+    * inside a long one has low Jaccard (the union is huge) but
+    * containment ≈ 1 relative to the short side. Same join shape and
+    * inputs as [[jaccardFromHashes]]; emits both directions plus the raw
+    * integer counts (the cross-engine anchors).
+    */
+  def containmentFromHashes(shingleHash: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleHash.select(col(idCol).as("jid"), col("h"))
+    val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
+    val common = pairs.hint("shuffle_hash")
+      .join(sh.select(col("jid").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("jid").as("doc_b"), col("h").as("h2")).hint("shuffle_hash"), "doc_b")
+      .filter(col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("jid").as("doc_a"), col("n_sh").as("n_a")).hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("jid").as("doc_b"), col("n_sh").as("n_b")).hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") / col("n_a"), 6).as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b"), 6).as("cont_b"))
+  }
+
   val StopWords: Seq[String] = Seq("the", "a", "of", "and")
 
   /** Text statistics + quality signals, all codegen'd expressions. */

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Fuzzy => F, Multimodal, WordPiece}
+
+/** Fuzzy-matching and subword-tokenizer queries: blocked edit-distance
+  * joins (record linkage), banded Hamming near-dup over perceptual
+  * hashes, and the WordPiece greedy encode.
+  */
+object Fuzzy {
+
+  /** q128: blocked fuzzy self-join over word-bigram phrases — the entity-
+    * resolution shape: block on the first word (the stable attribute),
+    * verify candidates with thresholded levenshtein (≤ 2) and score
+    * survivors with the codegen'd Jaro-Winkler. Both engines replay the
+    * same blocking, so the (documented) recall loss of blocking is part
+    * of the operator's semantics, not a divergence.
+    */
+  def q128FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val phrases = docs
+      .select(split(col("text"), " ").as("bs"))
+      .select(explode(expr(
+        "transform(sequence(1, size(bs) - 1), i -> struct(bs[i-1] AS w1, bs[i] AS w2))"))
+        .as("p"))
+      .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+      .select(col("p.w1").as("w1"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("phrase"))
+      .distinct()
+    F.blockedLevenshteinPairs(phrases, "w1", "phrase", maxDist = 2)
+      .select(col("str_a").as("phrase_a"), col("str_b").as("phrase_b"),
+        col("lev_dist"), col("jw_sim"))
+  }
+
+  val q128Sql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS bs FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT bs[i] AS w1, bs[i] || ' ' || bs[i+1] AS phrase
+      |  FROM (SELECT bs, unnest(generate_series(1, len(bs) - 1)) AS i FROM toks)
+      |  WHERE bs[i] <> '' AND bs[i+1] <> ''
+      |)
+      |SELECT a.phrase AS phrase_a, b.phrase AS phrase_b,
+      |  levenshtein(a.phrase, b.phrase) AS lev_dist,
+      |  ROUND(jaro_winkler_similarity(a.phrase, b.phrase), 6) AS jw_sim
+      |FROM bg a JOIN bg b ON a.w1 = b.w1 AND a.phrase < b.phrase
+      |WHERE levenshtein(a.phrase, b.phrase) <= 2""".stripMargin
+
+  /** q130: image near-duplicate pairs by banded Hamming search over the
+    * 56-bit perceptual dHash (16-wide gray decode, 2×2 pooling — finer
+    * than q73's exact-hash grouping, which misses near-dups that flip a
+    * few gradient signs). Identical hashes collapse FIRST (exact-dup
+    * cliques would pair quadratically), then distinct hashes pair via
+    * bit-interleaved bands — 4 bands, Hamming ≤ 3, so recall is exact by
+    * pigeonhole — and each side carries its collapsed group size.
+    */
+  def q130ImageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    val hg = Multimodal.dHash(media, width = 16, pool = 2)
+      .groupBy(col("dhash")).agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    F.hammingNearDupPairs(hg.select(col("dhash")), "dhash",
+        bits = 56, bands = 4, maxHamming = 3)
+      .join(broadcast(hg.select(col("dhash").as("hash_a"), col("n_docs").as("n_a"))), "hash_a")
+      .join(broadcast(hg.select(col("dhash").as("hash_b"), col("n_docs").as("n_b"))), "hash_b")
+      .select(col("hash_a"), col("hash_b"), col("hamming"), col("n_a"), col("n_b"))
+  }
+
+  val q130Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, text,
+      |    ((length(text) // 16) - (length(text) // 16) % 2) AS full_h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS r,
+      |    CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, full_h * 16)) AS i FROM dims) t
+      |),
+      |blk AS (
+      |  SELECT doc_id, r // 2 AS br, c // 2 AS bc, AVG(v) AS m
+      |  FROM px WHERE r // 2 < 8 GROUP BY 1, 2, 3
+      |),
+      |bits AS (
+      |  SELECT a.doc_id, CASE WHEN a.m > b.m
+      |    THEN 1::BIGINT << (a.br * 7 + a.bc) ELSE 0::BIGINT END AS bit
+      |  FROM blk a JOIN blk b
+      |    ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1
+      |),
+      |h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
+      |hg AS (SELECT dhash, COUNT(*) AS n_docs FROM h GROUP BY dhash),
+      |bands AS (
+      |  SELECT dhash, bi,
+      |    (SELECT SUM(((dhash >> (4 * k + bi)) & 1) << k)
+      |     FROM (SELECT unnest(generate_series(0, 13)) AS k)) AS bv
+      |  FROM hg, (SELECT unnest(generate_series(0, 3)) AS bi) b
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.dhash AS hash_a, b.dhash AS hash_b
+      |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.dhash < b.dhash
+      |)
+      |SELECT c.hash_a, c.hash_b,
+      |  CAST(bit_count(xor(c.hash_a, c.hash_b)) AS INTEGER) AS hamming,
+      |  ga.n_docs AS n_a, gb.n_docs AS n_b
+      |FROM cand c
+      |JOIN hg ga ON ga.dhash = c.hash_a
+      |JOIN hg gb ON gb.dhash = c.hash_b
+      |WHERE bit_count(xor(c.hash_a, c.hash_b)) <= 3""".stripMargin
+
+  /** q131: WordPiece greedy encode over the corpus vocabulary — derived
+    * vocab (all chars + top-20 word prefixes 2..4 as initial pieces +
+    * top-20 word suffixes 2..3 as `##` continuations), longest-match-
+    * first walk per distinct word. The oracle precomputes each
+    * position's best piece with a window rank and replays the walk as a
+    * recursive CTE — any greedy-order or piece-set divergence breaks the
+    * encoded strings.
+    */
+  def q131WordPiece(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = WordPiece.wordFreq(Tables.load(spark, sfDir, "documents"))
+    val vocab = WordPiece.deriveVocab(words, topWords = 20, maxPrefix = 4, maxSuffix = 3)
+    WordPiece.encodeWords(spark, words, vocab)
+  }
+
+  val q131Sql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |words AS (SELECT w, COUNT(*) AS freq FROM toks WHERE w <> '' GROUP BY w),
+      |top20 AS (SELECT w FROM words ORDER BY freq DESC, w LIMIT 20),
+      |chars AS (
+      |  SELECT DISTINCT substr(w, i, 1) AS p
+      |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM words)
+      |),
+      |prefixes AS (
+      |  SELECT DISTINCT substr(w, 1, l) AS p
+      |  FROM top20, (SELECT unnest([2, 3, 4]) AS l) ls WHERE length(w) >= l
+      |),
+      |sufs AS (
+      |  SELECT DISTINCT substr(w, length(w) - l + 1, l) AS p
+      |  FROM top20, (SELECT unnest([2, 3]) AS l) ls WHERE length(w) > l
+      |),
+      |vinit AS (SELECT p FROM chars UNION SELECT p FROM prefixes),
+      |vcont AS (SELECT p FROM chars UNION SELECT p FROM sufs),
+      |pos AS (SELECT w, unnest(generate_series(1, length(w))) AS p FROM words),
+      |besti AS (
+      |  SELECT w, p, piece FROM (
+      |    SELECT pos.w, pos.p, v.p AS piece,
+      |      row_number() OVER (PARTITION BY pos.w, pos.p
+      |        ORDER BY length(v.p) DESC, v.p) AS rn
+      |    FROM pos JOIN vinit v ON substr(pos.w, pos.p, length(v.p)) = v.p
+      |  ) WHERE rn = 1
+      |),
+      |bestc AS (
+      |  SELECT w, p, piece FROM (
+      |    SELECT pos.w, pos.p, v.p AS piece,
+      |      row_number() OVER (PARTITION BY pos.w, pos.p
+      |        ORDER BY length(v.p) DESC, v.p) AS rn
+      |    FROM pos JOIN vcont v ON substr(pos.w, pos.p, length(v.p)) = v.p
+      |  ) WHERE rn = 1
+      |),
+      |walk(w, p, acc, n) AS (
+      |  SELECT w, 1 + length(piece), piece, 1 FROM besti WHERE p = 1
+      |  UNION ALL
+      |  SELECT walk.w, walk.p + length(b.piece),
+      |    walk.acc || ' ##' || b.piece, walk.n + 1
+      |  FROM walk JOIN bestc b ON b.w = walk.w AND b.p = walk.p
+      |)
+      |SELECT words.w AS word, words.freq, walk.n AS n_pieces, walk.acc AS encoded
+      |FROM walk JOIN words ON words.w = walk.w
+      |WHERE walk.p = length(words.w) + 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),
+    QueryDef("q130_image_neardup", q130ImageNearDup, Some(q130Sql)),
+    QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)))
+}

@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] = {
     val ds = Relational.defs ++ Geo.defs ++ Wind.defs ++ Models.defs ++ Events.defs ++
-      Text.defs ++ Streaks.defs ++ Lm.defs ++ Web.defs ++ Sketch.defs ++ Multimedia.defs
+      Text.defs ++ Streaks.defs ++ Lm.defs ++ Web.defs ++ Sketch.defs ++ Multimedia.defs ++
+      Fuzzy.defs
     // A module's `val defs` built from a Sql val declared BELOW it captures
     // null (Scala object-init order) — fail HERE, naming the query, instead
     // of an NPE later in Verify's JSON writer.

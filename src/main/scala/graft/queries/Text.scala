@@ -221,6 +221,36 @@ object Text {
        |JOIN sizes na ON na.doc_id = m.doc_a
        |JOIN sizes nb ON nb.doc_id = m.doc_b""".stripMargin
 
+  /** q129: Broder containment over the shared candidate pairs — the
+    * asymmetric companion to q36's Jaccard (a short doc quoted inside a
+    * long one scores containment ≈ 1 on the short side while Jaccard
+    * stays low). Reuses the session's persisted shingle table and LSH
+    * candidates; only the candidate-bounded joins run here.
+    */
+  def q129Containment(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.containmentFromHashes(sharedShingleHashes(spark, sfDir),
+      sharedCandidatePairs(spark, sfDir))
+
+  val q129Sql: String =
+    s"""WITH $shingleCte,
+       |${sigCte(16)},
+       |${bandsCte(16, 4)},
+       |$candCte,
+       |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_common
+       |  FROM cand c
+       |  JOIN shing sa ON sa.doc_id = c.doc_a
+       |  JOIN shing sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT m.doc_a, m.doc_b, m.n_common, na.n_sh AS n_a, nb.n_sh AS n_b,
+       |       ROUND(CAST(m.n_common AS DOUBLE) / na.n_sh, 6) AS cont_a,
+       |       ROUND(CAST(m.n_common AS DOUBLE) / nb.n_sh, 6) AS cont_b
+       |FROM common m
+       |JOIN sizes na ON na.doc_id = m.doc_a
+       |JOIN sizes nb ON nb.doc_id = m.doc_b""".stripMargin
+
   // DuckDB left-fold dot product over double-cast list elements
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -2019,6 +2049,7 @@ object Text {
     QueryDef("q34_simhash", q34Simhash, Some(q34Sql)),
     QueryDef("q35_minhash_pairs", q35MinhashPairs, Some(q35Sql)),
     QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
+    QueryDef("q129_containment", q129Containment, Some(q129Sql)),
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

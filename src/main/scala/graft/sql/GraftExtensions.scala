@@ -328,6 +328,40 @@ case class PolyHashExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd Jaro-Winkler similarity — bit-compatible with DuckDB's
+  * `jaro_winkler_similarity` (kernel: [[graft.operators.Fuzzy.JaroWinkler]],
+  * exhaustively cross-checked; evaluation ORDER is part of the contract).
+  * A native expression keeps the fuzzy-join verify predicate inside
+  * whole-stage codegen next to the thresholded levenshtein.
+  */
+case class JaroWinklerExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"jaro_winkler expects (string, string), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.operators.Fuzzy.JaroWinkler.similarity(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaroWinkler", graft.operators.Fuzzy.JaroWinkler,
+      graft.operators.Fuzzy.JaroWinkler.getClass.getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.similarity($a.toString(), $b.toString())")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Kernel for [[ShingleHashExpression]]: distinct 60-bit md5-prefix
   * hashes (mod p) of a document's word n-gram shingles, first-occurrence
   * order — bit-identical to the Catalyst spelling
@@ -869,6 +903,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"$name expects (string), got ${other.length} args")
           }))
     }
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo("graft.sql.JaroWinklerExpression", "jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinklerExpression(a, b)
+        case other => throw new IllegalArgumentException(
+          s"jaro_winkler expects (string, string), got ${other.length} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo("graft.sql.DotProductExpression", "dot_f32"),

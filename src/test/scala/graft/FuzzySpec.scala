@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Fuzzy
+
+/** Fuzzy-matching gates: the Jaro-Winkler kernel against the published
+  * golden pairs and its algebraic properties, the blocked levenshtein
+  * join's candidate semantics, and the banded Hamming join's pigeonhole
+  * recall guarantee.
+  */
+class FuzzySpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double = Fuzzy.JaroWinkler.similarity(a, b)
+
+  test("Jaro-Winkler matches the published golden pairs") {
+    // Winkler (1990) examples, 4-decimal values
+    assert(math.abs(jw("martha", "marhta") - 0.9611) < 5e-5)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133) < 5e-5)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8963) < 5e-5)
+  }
+
+  test("Jaro-Winkler edge semantics mirror DuckDB: empty scores 0, equal scores 1") {
+    assert(jw("", "") == 0.0)      // DuckDB's convention, not the textbook 1
+    assert(jw("", "abc") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "a") == 1.0)
+  }
+
+  test("Jaro-Winkler properties: symmetry, range, prefix boost only above 0.7") {
+    val words = Seq("sort", "short", "sport", "stream", "steam", "a", "ab",
+      "query", "queue", "window", "widow", "xyz", "abc")
+    for (a <- words; b <- words) {
+      val s = jw(a, b)
+      assert(s == jw(b, a), s"symmetry broke on ($a,$b)")
+      assert(s >= 0.0 && s <= 1.0, s"range broke on ($a,$b): $s")
+    }
+    // disjoint alphabets → jaro 0 → no boost applies
+    assert(jw("abcd", "wxyz") == 0.0)
+  }
+
+  test("jaro_winkler SQL expression equals the kernel and runs codegen'd") {
+    val df = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS s1, jaro_winkler('abc', 'abc') AS s2")
+    val r = df.collect().head
+    assert(r.getDouble(0) == jw("martha", "marhta"))
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("blocked levenshtein join pairs within blocks only, at the threshold") {
+    import spark.implicits._
+    val rows = Seq(
+      ("b1", "sort table"), ("b1", "sort cable"), ("b1", "sort stream"),
+      ("b2", "sort table"),  // same string, different block: must not pair
+      ("b2", "join fast"), ("b2", "join hash")).toDF("blk", "s")
+    val got = Fuzzy.blockedLevenshteinPairs(rows, "blk", "s", maxDist = 2)
+      .select("str_a", "str_b", "lev_dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("sort cable", "sort table", 1), ("join fast", "join hash", 2)))
+    // "sort stream" sits > 2 edits from both b1 partners; cross-block
+    // identical strings produce no pair (a < b fails on equality anyway)
+  }
+
+  test("banded Hamming join: exact recall at <= maxHamming, none beyond") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val bits = 56
+    val mask = (1L << bits) - 1
+    val base = Seq.fill(40)(rnd.nextLong() & mask).distinct
+    // plant: for each base hash, a partner at hamming d (1..3 kept, 4+ dropped)
+    def flip(h: Long, n: Int): Long = {
+      var v = h
+      val picked = scala.collection.mutable.Set.empty[Int]
+      while (picked.size < n) picked += rnd.nextInt(bits)
+      picked.foreach(b => v ^= (1L << b))
+      v
+    }
+    val near = base.zipWithIndex.map { case (h, i) => flip(h, 1 + i % 3) }
+    val far = base.map(h => flip(h, 9))
+    val all = (base ++ near ++ far).distinct.toDF("h")
+    val pairs = Fuzzy.hammingNearDupPairs(all, "h", bits = bits, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.zip(near).foreach { case (a, b) =>
+      if (a != b) {
+        val k = (math.min(a, b), math.max(a, b))
+        assert(pairs.contains(k), s"planted near pair $k missed — recall guarantee broken")
+      }
+    }
+    pairs.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3, s"pair ($a,$b) beyond maxHamming")
+    }
+  }
+}
