@@ -484,6 +484,93 @@ object ScaleBench {
       require(frac >= 0.9, f"SimHash planted-pair closeness $frac%.4f below the 0.9 gate")
     }
 
+    // 10a-1. Banded Hamming near-dup at 1M 64-bit fingerprints: uniform
+    // base hashes (xxhash64 avalanche) plus 100k planted partners with
+    // 1–3 deterministic bit flips. bands=4 > maxHamming=3 ⇒ pigeonhole
+    // makes recall EXACT — the gate asserts every planted pair surfaces,
+    // not a fraction. Uniform hashes are the candidate-volume worst case
+    // for skew-free banding (≈ N²·bands/2^16 candidate rows; a 10M corpus
+    // would move to a wider fingerprint, e.g. 2×64-bit with 32-bit bands).
+    timed("hamming_neardup_1M_hashes") {
+      val nH = 1000000L
+      val baseH = spark.range(nH).select(col("id"), xxhash64(col("id")).as("h"))
+      val flips = expr(
+        "shiftleft(1L, CAST(id % 64 AS INT)) | " +
+          "shiftleft(1L, CAST((id * 7 + 13) % 64 AS INT)) | " +
+          "shiftleft(1L, CAST((id * 31 + 5) % 64 AS INT))")
+      val plantedH = baseH.filter(col("id") < nH / 10)
+        .select(col("id"), col("h"), col("h").bitwiseXOR(flips).as("h2"))
+      val all = baseH.select(col("h"))
+        .unionByName(plantedH.select(col("h2").as("h"))).distinct()
+      val got = operators.Fuzzy.hammingNearDupPairs(all, "h",
+          bits = 64, bands = 4, maxHamming = 3)
+        .select(col("hash_a"), col("hash_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val want = plantedH
+        .select(least(col("h"), col("h2")).as("hash_a"),
+          greatest(col("h"), col("h2")).as("hash_b")).distinct()
+      val nWant = want.count()
+      val hit = got.join(want, Seq("hash_a", "hash_b")).count()
+      got.unpersist()
+      println(s"[scale] hamming_neardup planted pairs found: $hit/$nWant (gate ==)")
+      require(hit == nWant,
+        s"banded Hamming join missed ${nWant - hit} planted pairs — pigeonhole broken")
+    }
+
+    // 10a-2. Blocked levenshtein join at 1M three-token phrases: 10k
+    // blocks (the leading token) of ~100 phrases each — 50M thresholded
+    // candidate comparisons, the early-abandon DP's bread and butter —
+    // with 100k planted single-edit partners inside their base's block.
+    // Gate: every planted pair surfaces at lev ≤ 2.
+    timed("fuzzy_blocked_join_1M_phrases") {
+      val nP = 1000000L
+      val baseP = spark.range(nP).select(col("id"),
+        concat(lit("w"), (col("id") % 10000).cast("string")).as("w1"),
+        concat(lit("m"), ((col("id") * 7919) % 10000).cast("string"),
+          lit(" x"), col("id").cast("string")).as("rest"))
+      val phrases = baseP
+        .select(col("w1"), concat(col("w1"), lit(" "), col("rest")).as("phrase"))
+      // partner: last token's marker x→y, a 1-edit change in the same block
+      val plantedP = baseP.filter(col("id") < nP / 10)
+        .select(col("w1"),
+          concat(col("w1"), lit(" "), col("rest")).as("phrase_a"),
+          concat(col("w1"), lit(" "),
+            regexp_replace(col("rest"), lit(" x"), lit(" y"))).as("phrase_b"))
+      val allP = phrases
+        .unionByName(plantedP.select(col("w1"), col("phrase_b").as("phrase")))
+      val gotP = operators.Fuzzy.blockedLevenshteinPairs(allP, "w1", "phrase", maxDist = 2)
+        .select(col("str_a"), col("str_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wantP = plantedP.select(
+        least(col("phrase_a"), col("phrase_b")).as("str_a"),
+        greatest(col("phrase_a"), col("phrase_b")).as("str_b")).distinct()
+      val nWantP = wantP.count()
+      val hitP = gotP.join(wantP, Seq("str_a", "str_b")).count()
+      gotP.unpersist()
+      println(s"[scale] fuzzy_blocked planted pairs found: $hitP/$nWantP (gate ==)")
+      require(hitP == nWantP,
+        s"blocked levenshtein join missed ${nWantP - hitP} planted single-edit pairs")
+    }
+
+    // 10a-3. WordPiece greedy encode over 1M DISTINCT words (the encode
+    // runs per distinct word, so this is 1000× the natural corpus-vocab
+    // load): derived vocab broadcast, per-row max-munch kernel. Gate:
+    // every word's pieces reassemble it (closed-form, checked
+    // distributed — zero rows may fail).
+    timed("wordpiece_encode_1M_words") {
+      val nW = 1000000L
+      val words = spark.range(nW).select(
+        concat(lit("tok"), col("id").cast("string"),
+          lit("end"), (col("id") % 97).cast("string")).as("word"),
+        (col("id") % 1000 + 1).as("freq"))
+      val vocab = operators.WordPiece.deriveVocab(words, topWords = 20,
+        maxPrefix = 4, maxSuffix = 3)
+      val enc = operators.WordPiece.encodeWords(spark, words, vocab)
+      val bad = enc.filter(
+        replace(col("encoded"), lit(" ##"), lit("")) =!= col("word")).count()
+      require(bad == 0, s"$bad of $nW words failed piece reassembly")
+    }
+
     // 10b. Connected components at ~900k nodes: 10-node clusters (the
     // shape dedup produces — already near-stars) PLUS a 1024-node path
     // appended, the worst case for round count: label propagation would
