@@ -175,8 +175,53 @@ object Fuzzy {
       |FROM walk JOIN words ON words.w = walk.w
       |WHERE walk.p = length(words.w) + 1""".stripMargin
 
+  /** q132: TF-IDF-style term salience, integer-exact — top-3 terms per
+    * document ranked by `tf·N/df` in micro-units via BIGINT division (the
+    * monotone idf ranking without `ln`'s cross-engine libm hazard). One
+    * token explode feeds both the tf and df aggregations; the per-doc
+    * top-3 window is a WindowGroupLimit (map-side top-k, no global sort);
+    * the df side joins on term (AQE broadcasts it when the vocabulary is
+    * small, shuffles when it isn't).
+    */
+  def q132TfidfSalience(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("salience_micro", expr("tf * n * 1000000L div df"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("salience_micro").desc, col("term").asc)).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("salience_micro"), col("rank"))
+  }
+
+  val q132Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    (tf.tf * n.n * 1000000) // df.df AS salience_micro
+      |  FROM tf JOIN df USING (term), n
+      |)
+      |SELECT doc_id, term, tf, df, salience_micro, CAST(rn AS INTEGER) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY salience_micro DESC, term) AS rn
+      |  FROM sc
+      |) WHERE rn <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),
     QueryDef("q130_image_neardup", q130ImageNearDup, Some(q130Sql)),
-    QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)))
+    QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)),
+    QueryDef("q132_tfidf_salience", q132TfidfSalience, Some(q132Sql)))
 }

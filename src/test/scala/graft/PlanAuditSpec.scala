@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     // q67: the 8192-row feature table crossJoins a broadcast totals row
     // BOUNDED at 1 row (TextOps.dsirScores)
     "q67_dsir_score",
+    // q132: the salience divisor crossJoins a broadcast corpus-count row
+    // BOUNDED at 1 row (Fuzzy.q132TfidfSalience — the nbTrain/priors shape)
+    "q132_tfidf_salience",
     // q87: the dense NB feature grid crossJoins a broadcast class list
     // BOUNDED at the label cardinality; priors crossJoin a 1-row total
     // (LmOps.nbTrain)
