@@ -113,23 +113,35 @@ object Fuzzy {
     * Callers should pre-group identical hashes (exact-dup cliques pair
     * O(n²) otherwise) and re-attach group sizes afterward.
     */
-  def hammingNearDupPairs(hashes: DataFrame, hashCol: String, bits: Int,
-      bands: Int, maxHamming: Int): DataFrame = {
-    require(bands > maxHamming,
-      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+  /** Explode each row into `bands` rows carrying (`__bi`, `__bv`): the
+    * band index and the band's bit-INTERLEAVED value (band i gets bits j
+    * with j % bands == i, packed densely). All input columns pass
+    * through — the shared banding of [[hammingNearDupPairs]] and the
+    * streaming fingerprint store (band values admitted to the store must
+    * be computed identically across batches). */
+  def bandedHashes(hashes: DataFrame, hashCol: String, bits: Int,
+      bands: Int): DataFrame = {
     require(bands <= bits, s"more bands ($bands) than bits ($bits)")
     val h = col(hashCol)
-    // band value = the band's interleaved bits packed densely
     def bandValue(bi: Int): Column = {
       val terms = (0 until (bits - bi + bands - 1) / bands).map { k =>
         shiftleft(shiftright(h, bands * k + bi).bitwiseAND(lit(1L)), k)
       }
       terms.reduce(_ + _)
     }
-    val banded = hashes.select(h.as("__h"),
+    hashes.withColumn("__b",
         explode(array((0 until bands).map(bi =>
-          struct(lit(bi).as("bi"), bandValue(bi).as("bv"))): _*)).as("b"))
-      .select(col("__h"), col("b.bi").as("__bi"), col("b.bv").as("__bv"))
+          struct(lit(bi).as("bi"), bandValue(bi).as("bv"))): _*)))
+      .withColumn("__bi", col("__b.bi"))
+      .withColumn("__bv", col("__b.bv"))
+      .drop("__b")
+  }
+
+  def hammingNearDupPairs(hashes: DataFrame, hashCol: String, bits: Int,
+      bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming,
+      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+    val banded = bandedHashes(hashes.select(col(hashCol).as("__h")), "__h", bits, bands)
     val a = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_a"))
     val b = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_b"))
     a.join(b, Seq("__bi", "__bv"))

@@ -163,6 +163,68 @@ object Streaming {
     ()
   }
 
+  /** Streaming FINGERPRINT near-dup — the ingest-time twin of the batch
+    * banded Hamming join ([[graft.operators.Fuzzy.hammingNearDupPairs]]):
+    * each micro-batch of (id, 64-bit-fingerprint) rows is bit-interleave
+    * banded with the SAME band family as the batch operator; candidate
+    * pairs come from band-value collisions within the batch and against a
+    * persistent band store, are confirmed at `bit_count(xor) ≤ maxHamming`
+    * (the fingerprint rides in the store rows, so cross-batch confirmation
+    * never re-reads old media), and append as (id_a, id_b, hamming) with
+    * id_a the earlier-seen side. `bands > maxHamming` keeps the pigeonhole
+    * recall guarantee batch-equal per batch AND across batches (the store
+    * holds every admitted band row).
+    *
+    * Same exactly-once contract as [[embeddingNearDupStream]]: state is a
+    * batch_id-partitioned table, retries overwrite their own partition,
+    * store reads see only strictly-earlier batches.
+    */
+  def fingerprintNearDupStream(hashes: DataFrame, outDir: String,
+      storeDir: String, checkpoint: String, bits: Int, bands: Int,
+      maxHamming: Int, idCol: String = "media_id",
+      hashCol: String = "dhash"): StreamingQuery =
+    hashes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processFingerprintBatch(batch, batchId, outDir, storeDir, bits,
+          bands, maxHamming, idCol, hashCol)
+      }
+      .start()
+
+  private[graft] def processFingerprintBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, bits: Int, bands: Int,
+      maxHamming: Int, idCol: String, hashCol: String): Unit = {
+    import graft.operators.Fuzzy
+    require(bands > maxHamming,
+      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol), col(hashCol)).persist()
+    val banded = Fuzzy.bandedHashes(b, hashCol, bits, bands)
+    val store = committedOr(spark, s"$storeDir/bands", batchId, banded.limit(0))
+    def hamming(a: Column, bc: Column): Column =
+      bit_count(a.bitwiseXOR(bc)).cast("int")
+    val within = banded
+      .select(col(idCol).as("id_a"), col(hashCol).as("__ha"), col("__bi"), col("__bv"))
+      .join(banded.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
+        col("__bi"), col("__bv")), Seq("__bi", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+    val cross = store
+      .select(col(idCol).as("id_a"), col(hashCol).as("__ha"), col("__bi"), col("__bv"))
+      .join(banded.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
+        col("__bi"), col("__bv")), Seq("__bi", "__bv"))
+      .filter(col("id_a") =!= col("id_b"))
+    within.unionByName(cross)
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb")).distinct()
+      .withColumn("hamming", hamming(col("__ha"), col("__hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    banded.write.mode("overwrite").parquet(s"$storeDir/bands/batch_id=$batchId")
+    b.unpersist()
+    ()
+  }
+
   /** Streaming TEXT near-dup detection — the ingest-time twin of the batch
     * MinHash+LSH+Jaccard pipeline (TextOps.minhashSignatures → lshBands →
     * exact Jaccard). Each micro-batch of (doc_id, text) rows is shingled

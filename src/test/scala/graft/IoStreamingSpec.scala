@@ -850,4 +850,69 @@ class IoStreamingSpec extends SparkSpec {
     assert(q.getAs[Double]("rms") == 0.0 && q.getAs[Int]("peak") == 0 &&
       q.getAs[Boolean]("is_silence"))
   }
+
+  test("streaming fingerprint near-dup matches the batch Hamming join across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{bit_count, col}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("fpstream").toString
+    // avalanche base hashes; partner(h, k) flips k bits
+    def h(seed: Long): Long = {
+      var x = seed * -7046029254386353131L
+      x ^= x >>> 32; x *= -4417276706812531889L; x ^= x >>> 29; x
+    }
+    def flip(v: Long, bitsToFlip: Seq[Int]): Long =
+      bitsToFlip.foldLeft(v)((acc, b) => acc ^ (1L << b))
+    val rows = Seq(
+      (0L, h(1)), (1L, flip(h(1), Seq(3))),           // within-batch pair, hamming 1
+      (2L, h(2)), (3L, flip(h(2), Seq(0, 17, 40, 63))), // hamming 4 > max: no pair
+      (4L, h(3)))
+    val late = Seq((100L, flip(h(3), Seq(8, 21, 55)))) // cross-batch, hamming 3
+    val mem = MemoryStream[(Long, Long)]
+    val sq = Streaming.fingerprintNearDupStream(
+      mem.toDF().toDF("media_id", "dhash"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt",
+      bits = 64, bands = 4, maxHamming = 3)
+    mem.addData(rows: _*)
+    sq.processAllAvailable()
+    mem.addData(late: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // twin contract: identical to the batch operator over the union
+    val all = (rows ++ late).toDF("media_id", "dhash")
+    val batchPairs = graft.operators.Fuzzy
+      .bandedHashes(all, "dhash", bits = 64, bands = 4)
+      .select(col("media_id").as("id_a"), col("dhash").as("ha"), col("__bi"), col("__bv"))
+      .join(graft.operators.Fuzzy.bandedHashes(all, "dhash", bits = 64, bands = 4)
+        .select(col("media_id").as("id_b"), col("dhash").as("hb"), col("__bi"), col("__bv")),
+        Seq("__bi", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct().filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == batchPairs, s"stream $got != batch $batchPairs")
+    assert(got.contains((0L, 1L, 1)) && got.contains((4L, 100L, 3)))
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(2L, 3L) })
+  }
+
+  test("fingerprint near-dup batches are idempotent under re-execution") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fpretry").toString
+    val b0 = Seq((0L, 123456789L), (1L, 123456789L ^ 5L)).toDF("media_id", "dhash")
+    val b1 = Seq((2L, 123456789L ^ 2L)).toDF("media_id", "dhash")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streaming.processFingerprintBatch(df, id, s"$dir/out", s"$dir/store",
+        bits = 64, bands = 4, maxHamming = 3, idCol = "media_id", hashCol = "dhash")
+    run(b0, 0L); run(b1, 1L)
+    val first = spark.read.parquet(s"$dir/out").collect().toSet
+    run(b1, 1L) // retry: must overwrite its own partition, not duplicate
+    val second = spark.read.parquet(s"$dir/out").collect().toSet
+    assert(first == second && first.nonEmpty)
+    assert(spark.read.parquet(s"$dir/store/bands")
+      .select("media_id").distinct().count() == 3)
+  }
 }
