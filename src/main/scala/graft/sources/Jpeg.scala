@@ -137,6 +137,13 @@ object Jpeg {
     out
   }
 
+  // the Annex-K code tables are constant — building them per encode call
+  // was measurable at 200k-frames-per-query scale
+  private lazy val DefaultDcCodes = buildCodes(DcBits, DcVals)
+  private lazy val DefaultAcCodes = buildCodes(AcBits, AcVals)
+  private lazy val DefaultDcChromaCodes = buildCodes(DcChromaBits, DcChromaVals)
+  private lazy val DefaultAcChromaCodes = buildCodes(AcChromaBits, AcChromaVals)
+
   private final class BitWriter(out: ArrayBuffer[Byte]) {
     private var acc = 0L
     private var nbits = 0
@@ -189,17 +196,37 @@ object Jpeg {
     marker(0xda) // SOS
     u16(6 + 2 * 1); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
 
-    val dcCodes = buildCodes(DcBits, DcVals)
-    val acCodes = buildCodes(AcBits, AcVals)
+    val dcCodes = DefaultDcCodes
+    val acCodes = DefaultAcCodes
     val bw = new BitWriter(out)
     val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
     var prevDc = 0
     var by = 0
     while (by < height / 8) {
       var bx = 0
       while (bx < width / 8) {
-        // float64 FDCT of the level-shifted block, quantized with
-        // floor(x/q + 0.5) — the rounding the relational oracle mirrors
+        // separable float64 FDCT of the level-shifted block (row pass into
+        // tmp, column pass into coef — 8× fewer flops than the direct
+        // double sum; DC stays bit-exact: CosT(_)(0)==1.0 so both passes
+        // sum INTEGERS), quantized with floor(x/q + 0.5) — the rounding
+        // the relational oracle mirrors
+        var ry = 0
+        while (ry < 8) {
+          val base = (by * 8 + ry) * width + bx * 8
+          var u = 0
+          while (u < 8) {
+            var s = 0.0
+            var x = 0
+            while (x < 8) {
+              s += ((gray(base + x) & 0xff) - 128).toDouble * CosT(x)(u)
+              x += 1
+            }
+            tmp(ry * 8 + u) = s
+            u += 1
+          }
+          ry += 1
+        }
         var v = 0
         while (v < 8) {
           var u = 0
@@ -207,12 +234,7 @@ object Jpeg {
             var s = 0.0
             var y = 0
             while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                val p = gray((by * 8 + y) * width + bx * 8 + x) & 0xff
-                s += (p - 128).toDouble * CosT(x)(u) * CosT(y)(v)
-                x += 1
-              }
+              s += tmp(y * 8 + u) * CosT(y)(v)
               y += 1
             }
             coef(v * 8 + u) = math.floor(s * Scale(u)(v) / quant(v * 8 + u) + 0.5).toInt
@@ -398,10 +420,10 @@ object Jpeg {
     u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
     u8(0); u8(63); u8(0)
 
-    val dcY = buildCodes(DcBits, DcVals)
-    val acY = buildCodes(AcBits, AcVals)
-    val dcC = buildCodes(DcChromaBits, DcChromaVals)
-    val acC = buildCodes(AcChromaBits, AcChromaVals)
+    val dcY = DefaultDcCodes
+    val acY = DefaultAcCodes
+    val dcC = DefaultDcChromaCodes
+    val acC = DefaultAcChromaCodes
     val bw = new BitWriter(out)
     var pY = 0
     var pCb = 0
