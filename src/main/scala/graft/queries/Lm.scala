@@ -218,6 +218,7 @@ object Lm {
     QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),
     QueryDef("q88_bm25", q88Bm25, Some(q88Sql)),
     QueryDef("q111_kn_perplexity", q111KnPerplexity, Some(q111Sql)),
+    QueryDef("q133_rrf_fusion", q133RrfFusion, Some(q133Sql)),
     QueryDef("q118_ccnet_buckets", q118CcnetBuckets, Some(q118Sql)))
 
   // ---------------------------------------------------------------- q111
@@ -286,6 +287,103 @@ object Lm {
        |  ROUND(exp(s / n_bigrams), 6) AS ppl,
        |  ROUND(s / n_bigrams, 6) < 4e0 AS is_fluent
        |FROM sc""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+
+  /** q133: hybrid-retrieval Reciprocal Rank Fusion (Cormack et al. 2009) —
+    * the fusion step every lexical+semantic retrieval stack runs: BM25
+    * top-20 (q88's scorer) and embedding-cosine top-20 (q38's scorer,
+    * query vector i for query `wq{i}`) full-outer-join per (query, doc)
+    * and fuse as Σ 1/(60+rank). The score is computed in integer
+    * micro-units (`1000000 div (60+rank)`) so fusion and the final
+    * ordering are engine-exact — rank arithmetic, not float addition.
+    * Both input lists are k-bounded, so fusion is WindowGroupLimit-sized
+    * regardless of corpus scale.
+    */
+  def q133RrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val lex = LmOps.bm25TopK(docs, Bm25Queries.toDF("qid", "term"), k = 20)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = graft.operators.Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id").isin(1L, 2L, 3L)), k = 20)
+      .select(concat(lit("wq"), col("query_id").cast("string")).as("qid"),
+        col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        expr("coalesce(CAST(1000000 AS BIGINT) div CAST(60 + lex_rank AS BIGINT), 0L) + " +
+          "coalesce(CAST(1000000 AS BIGINT) div CAST(60 + sem_rank AS BIGINT), 0L)"))
+      .withColumn("fused_rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("fused_rank") <= 10)
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        col("rrf_micro"), col("fused_rank"))
+  }
+
+  val q133Sql: String = {
+    val vals = Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |  list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""WITH q(qid, term) AS (VALUES $vals),
+       |tk AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |),
+       |m AS (SELECT tk.* FROM tk JOIN (SELECT DISTINCT term FROM q) qt USING (term)),
+       |tf AS (SELECT doc_id, dl, term, COUNT(1) AS tf FROM m GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+       |st AS (SELECT COUNT(1) AS n, AVG(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |pt AS (
+       |  SELECT q.qid, tf.doc_id,
+       |    ln((n - df + 5e-1) / (df + 5e-1) + 1e0) * (tf * (12e-1 + 1e0)) /
+       |      (tf + 12e-1 * ((1e0 - 75e-2) + 75e-2 * dl / avgdl)) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN st JOIN q USING (term)
+       |),
+       |lsc AS (SELECT qid, doc_id, ROUND(SUM(s), 6) AS score FROM pt GROUP BY qid, doc_id),
+       |lex AS (
+       |  SELECT qid, doc_id, CAST(rn AS INTEGER) AS lex_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+       |    FROM lsc
+       |  ) WHERE rn <= 20
+       |),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |       WHERE vec_id IN (1, 2, 3)),
+       |ssc AS (
+       |  SELECT qv.query_id, e.vec_id AS doc_id,
+       |    ROUND(${dot("qv.qvec", "e.embedding")}
+       |      / (SQRT(${dot("qv.qvec", "qv.qvec")}) * SQRT(${dot("e.embedding", "e.embedding")})), 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN qv
+       |  WHERE e.vec_id != qv.query_id
+       |),
+       |sem AS (
+       |  SELECT 'wq' || CAST(query_id AS VARCHAR) AS qid, doc_id,
+       |    CAST(rn AS INTEGER) AS sem_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, doc_id) AS rn
+       |    FROM ssc
+       |  ) WHERE rn <= 20
+       |),
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank,
+       |    COALESCE(CAST(1000000 AS BIGINT) // (60 + lex_rank), 0)
+       |      + COALESCE(CAST(1000000 AS BIGINT) // (60 + sem_rank), 0) AS rrf_micro
+       |  FROM lex FULL OUTER JOIN sem USING (qid, doc_id)
+       |)
+       |SELECT qid, doc_id, lex_rank, sem_rank, rrf_micro,
+       |  CAST(rn AS INTEGER) AS fused_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_micro DESC, doc_id) AS rn
+       |  FROM fused
+       |) WHERE rn <= 10""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q118
 

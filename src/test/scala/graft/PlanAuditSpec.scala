@@ -45,6 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // q132: the salience divisor crossJoins a broadcast corpus-count row
     // BOUNDED at 1 row (Fuzzy.q132TfidfSalience — the nbTrain/priors shape)
     "q132_tfidf_salience",
+    // q133: the semantic side scores the corpus against a broadcast query
+    // set BOUNDED at 3 vectors (Similarity.cosineTopK — the audited q38
+    // few-queries shape; the fusion join itself is k-bounded)
+    "q133_rrf_fusion",
     // q87: the dense NB feature grid crossJoins a broadcast class list
     // BOUNDED at the label cardinality; priors crossJoin a 1-row total
     // (LmOps.nbTrain)
