@@ -56,17 +56,38 @@ object Fuzzy {
     * bit-interleaved bands — 4 bands, Hamming ≤ 3, so recall is exact by
     * pigeonhole — and each side carries its collapsed group size.
     */
-  def q130ImageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  // the (dhash, n_docs) groups and the confirmed Hamming pairs are shared
+  // by q130 (pair report) and q134 (cluster labeling) — one decode+hash
+  // pass and one banded join per session, the Text-module cache pattern
+  private val hgCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedDhashGroups(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
-      .as[Multimodal.MediaRow]
-    val hg = Multimodal.dHash(media, width = 16, pool = 2)
-      .groupBy(col("dhash")).agg(count(lit(1)).as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    F.hammingNearDupPairs(hg.select(col("dhash")), "dhash",
-        bits = 56, bands = 4, maxHamming = 3)
+    hgCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    hgCache.getOrElseUpdate((spark, sfDir), {
+      val media = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+          encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+        .as[Multimodal.MediaRow]
+      Multimodal.dHash(media, width = 16, pool = 2)
+        .groupBy(col("dhash")).agg(count(lit(1)).as("n_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val hpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedHammingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    hpCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    hpCache.getOrElseUpdate((spark, sfDir),
+      F.hammingNearDupPairs(sharedDhashGroups(spark, sfDir).select(col("dhash")),
+          "dhash", bits = 56, bands = 4, maxHamming = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def q130ImageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val hg = sharedDhashGroups(spark, sfDir)
+    sharedHammingPairs(spark, sfDir)
       .join(broadcast(hg.select(col("dhash").as("hash_a"), col("n_docs").as("n_a"))), "hash_a")
       .join(broadcast(hg.select(col("dhash").as("hash_b"), col("n_docs").as("n_b"))), "hash_b")
       .select(col("hash_a"), col("hash_b"), col("hamming"), col("n_a"), col("n_b"))
@@ -113,6 +134,91 @@ object Fuzzy {
       |JOIN hg ga ON ga.dhash = c.hash_a
       |JOIN hg gb ON gb.dhash = c.hash_b
       |WHERE bit_count(xor(c.hash_a, c.hash_b)) <= 3""".stripMargin
+
+  /** q134: image near-dup CLUSTERS — the labeling step after q130's pair
+    * detection (the q59 shape lifted to perceptual fingerprints): the
+    * confirmed Hamming pairs become edges over the distinct-hash nodes,
+    * large-star/small-star connected components assign every hash its
+    * cluster (min member hash), and singleton hashes keep themselves.
+    * Shares the session's persisted hash groups and pair table with q130.
+    */
+  def q134ImageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val hg = sharedDhashGroups(spark, sfDir)
+    val pairs = sharedHammingPairs(spark, sfDir).select(col("hash_a"), col("hash_b"))
+    val cc = ConnectedComponents.run(pairs, "hash_a", "hash_b")
+      .withColumnRenamed("node", "dhash")
+    val labeled = hg.join(cc, Seq("dhash"), "left")
+      .select(col("dhash"), col("n_docs"),
+        coalesce(col("component"), col("dhash")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), sum(col("n_docs")).as("cluster_docs"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("dhash"), col("n_docs"), col("cluster_id"),
+        col("cluster_size"), col("cluster_docs"),
+        (col("dhash") === col("cluster_id")).as("is_canonical"))
+  }
+
+  val q134Sql: String = {
+    // q130's chain up to confirmed pairs, then min-label reachability
+    val confirmed =
+      """SELECT c.hash_a, c.hash_b
+        |  FROM cand c WHERE bit_count(xor(c.hash_a, c.hash_b)) <= 3""".stripMargin
+    s"""WITH RECURSIVE dims AS (
+       |  SELECT doc_id, text,
+       |    ((length(text) // 16) - (length(text) // 16) % 2) AS full_h
+       |  FROM documents
+       |),
+       |px AS (
+       |  SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS r,
+       |    CAST((i - 1) % 16 AS INTEGER) AS c,
+       |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, full_h * 16)) AS i FROM dims) t
+       |),
+       |blk AS (
+       |  SELECT doc_id, r // 2 AS br, c // 2 AS bc, AVG(v) AS m
+       |  FROM px WHERE r // 2 < 8 GROUP BY 1, 2, 3
+       |),
+       |bits AS (
+       |  SELECT a.doc_id, CASE WHEN a.m > b.m
+       |    THEN 1::BIGINT << (a.br * 7 + a.bc) ELSE 0::BIGINT END AS bit
+       |  FROM blk a JOIN blk b
+       |    ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1
+       |),
+       |h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
+       |hg AS (SELECT dhash, COUNT(*) AS n_docs FROM h GROUP BY dhash),
+       |bands AS (
+       |  SELECT dhash, bi,
+       |    (SELECT SUM(((dhash >> (4 * k + bi)) & 1) << k)
+       |     FROM (SELECT unnest(generate_series(0, 13)) AS k)) AS bv
+       |  FROM hg, (SELECT unnest(generate_series(0, 3)) AS bi) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.dhash AS hash_a, b.dhash AS hash_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.dhash < b.dhash
+       |),
+       |pairs AS (
+       |$confirmed
+       |),
+       |edges AS (
+       |  SELECT hash_a AS src, hash_b AS dst FROM pairs
+       |  UNION SELECT hash_b, hash_a FROM pairs
+       |),
+       |reach(v, m) AS (
+       |  SELECT dhash, dhash FROM hg
+       |  UNION
+       |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+       |),
+       |comp AS (SELECT v AS dhash, MIN(m) AS cluster_id FROM reach GROUP BY v),
+       |cs AS (
+       |  SELECT comp.cluster_id, COUNT(1) AS cluster_size, SUM(hg.n_docs) AS cluster_docs
+       |  FROM comp JOIN hg USING (dhash) GROUP BY comp.cluster_id
+       |)
+       |SELECT hg.dhash, hg.n_docs, comp.cluster_id, cs.cluster_size,
+       |  CAST(cs.cluster_docs AS BIGINT) AS cluster_docs,
+       |  hg.dhash = comp.cluster_id AS is_canonical
+       |FROM hg JOIN comp USING (dhash) JOIN cs USING (cluster_id)""".stripMargin
+  }
 
   /** q131: WordPiece greedy encode over the corpus vocabulary — derived
     * vocab (all chars + top-20 word prefixes 2..4 as initial pieces +
@@ -222,6 +328,7 @@ object Fuzzy {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),
     QueryDef("q130_image_neardup", q130ImageNearDup, Some(q130Sql)),
+    QueryDef("q134_image_clusters", q134ImageClusters, Some(q134Sql)),
     QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)),
     QueryDef("q132_tfidf_salience", q132TfidfSalience, Some(q132Sql)))
 }
