@@ -20,8 +20,12 @@ object Verify {
     // Dev-loop subset filter (same contract as Bench): run only the named
     // queries. The driver never sets this, so the gate still runs them all.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // substring match, same contract as Bench — an exact-name-only filter
+    // silently dumped nothing for "q132" and cost a confused dev loop
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

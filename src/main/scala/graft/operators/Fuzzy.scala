@@ -98,6 +98,25 @@ object Fuzzy {
         round(expr("jaro_winkler(str_a, str_b)"), 6).as("jw_sim"))
   }
 
+  /** Two-table record linkage — the A×B variant of
+    * [[blockedLevenshteinPairs]]: rows of `left` and `right` (each with
+    * `blkCol`, `strCol`) pair only within a shared block, kept at
+    * `levenshtein ≤ maxDist` with the distance and Jaro-Winkler score.
+    * Unlike the self-join there is no `a < b` dedup — every surviving
+    * (left, right) link is reported once. Same scale shape: one shuffle
+    * per side on the block key.
+    */
+  def blockedLevenshteinJoin(left: DataFrame, right: DataFrame, blkCol: String,
+      strCol: String, maxDist: Int): DataFrame = {
+    val a = left.select(col(blkCol).as("__blk"), col(strCol).as("str_a")).distinct()
+    val b = right.select(col(blkCol).as("__blk"), col(strCol).as("str_b")).distinct()
+    a.join(b, Seq("__blk"))
+      .withColumn("lev_dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("lev_dist") >= 0)
+      .select(col("str_a"), col("str_b"), col("lev_dist"),
+        round(expr("jaro_winkler(str_a, str_b)"), 6).as("jw_sim"))
+  }
+
   /** Banded Hamming near-dup over `bits`-wide fingerprints (`idCol`,
     * `hashCol`): hashes pair when some band value matches, confirmed at
     * `bit_count(xor) ≤ maxHamming`. Bands take bit-INTERLEAVED subsets

@@ -60,6 +60,18 @@ class FuzzySpec extends SparkSpec {
     // identical strings produce no pair (a < b fails on equality anyway)
   }
 
+  test("two-table linkage joins within blocks, keeps identical strings, no self-dedup") {
+    import spark.implicits._
+    val a = Seq(("b1", "acme corp"), ("b2", "zenith ltd")).toDF("blk", "s")
+    val b = Seq(("b1", "acme corp"), ("b1", "acme co"), ("b2", "acme corp")).toDF("blk", "s")
+    val got = Fuzzy.blockedLevenshteinJoin(a, b, "blk", "s", maxDist = 2)
+      .select("str_a", "str_b", "lev_dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // exact match links at distance 0 (no a < b suppression in A×B mode);
+    // cross-block "acme corp" in b2 must not link to a's b1 row
+    assert(got == Set(("acme corp", "acme corp", 0), ("acme corp", "acme co", 2)))
+  }
+
   test("banded Hamming join: exact recall at <= maxHamming, none beyond") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
