@@ -325,10 +325,83 @@ object Fuzzy {
       |  FROM sc
       |) WHERE rn <= 3""".stripMargin
 
+  /** q135: audio near-dup by spectral-peak fingerprinting — the
+    * frequency-domain companion to the image (q130/q134) and video (q123)
+    * near-dup passes, closing the multimodal dedup triple: each clip's
+    * first 4 audio frames (documents as 8-bit PCM, the q94 framing) FFT
+    * through the real radix-2 kernel, every frame contributes its peak
+    * bin (argmax over 4-decimal magnitudes, low-bin tiebreak — stable
+    * across the engine's FFT and the oracle's direct DFT at ~1e-10
+    * float delta), and the packed peak sequence (6 bits/frame) groups
+    * clips exactly. Amplitude-preserving edits past the fingerprinted
+    * region keep the same fingerprint — the audio analogue of q73's
+    * hash-region semantics.
+    */
+  def q135AudioNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("pcm8").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(0).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    val pk = Multimodal.fftSpectrum(media, frameLen = 64)
+      .filter(col("frame") < 4 && col("bin") >= 1)
+      .withColumn("__mag", round(col("mag"), 4))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("media_id"), col("frame"))
+          .orderBy(col("__mag").desc, col("bin").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("media_id").as("doc_id"), col("frame"), col("bin").as("peak"))
+    val fp = pk.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(expr("CAST(peak AS BIGINT) << (6 * frame)")).as("fingerprint"))
+    val g = fp.groupBy(col("n_frames"), col("fingerprint"))
+      .agg(min(col("doc_id")).as("__canon"), count(lit(1)).as("n_copies"))
+    fp.join(g, Seq("n_frames", "fingerprint"))
+      .select(col("doc_id"), col("n_frames"), col("fingerprint"),
+        (col("doc_id") === col("__canon")).as("is_canonical"), col("n_copies"))
+  }
+
+  val q135Sql: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS frame,
+      |    CAST((i - 1) % 64 AS INTEGER) AS tpos,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text,
+      |        unnest(generate_series(1, LEAST(n // 64, 4) * 64)) AS i FROM t)
+      |),
+      |x AS (
+      |  SELECT doc_id, frame, k,
+      |    SUM(v * cos(-2 * pi() * k * tpos / 64)) AS re,
+      |    SUM(v * sin(-2 * pi() * k * tpos / 64)) AS im
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS k) ks
+      |  GROUP BY doc_id, frame, k
+      |),
+      |mg AS (SELECT doc_id, frame, k, ROUND(sqrt(re * re + im * im), 4) AS mag FROM x),
+      |pk AS (
+      |  SELECT doc_id, frame, k AS peak FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id, frame
+      |      ORDER BY mag DESC, k) AS rn
+      |    FROM mg
+      |  ) WHERE rn = 1
+      |),
+      |fp AS (
+      |  SELECT doc_id, COUNT(*) AS n_frames,
+      |    CAST(SUM(CAST(peak AS BIGINT) << (6 * frame)) AS BIGINT) AS fingerprint
+      |  FROM pk GROUP BY doc_id
+      |),
+      |g AS (SELECT n_frames, fingerprint, MIN(doc_id) AS canon, COUNT(*) AS n_copies
+      |      FROM fp GROUP BY 1, 2)
+      |SELECT fp.doc_id, fp.n_frames, fp.fingerprint,
+      |  fp.doc_id = g.canon AS is_canonical, g.n_copies
+      |FROM fp JOIN g USING (n_frames, fingerprint)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),
     QueryDef("q130_image_neardup", q130ImageNearDup, Some(q130Sql)),
     QueryDef("q134_image_clusters", q134ImageClusters, Some(q134Sql)),
+    QueryDef("q135_audio_neardup", q135AudioNearDup, Some(q135Sql)),
     QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)),
     QueryDef("q132_tfidf_salience", q132TfidfSalience, Some(q132Sql)))
 }
