@@ -142,15 +142,27 @@ object Fuzzy {
     * cluster (min member hash), and singleton hashes keep themselves.
     * Shares the session's persisted hash groups and pair table with q130.
     */
-  def q134ImageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  // (dhash, n_docs, cluster_id) incl. singletons — shared by q134's
+  // report and q136's doc-level image-canonical signal
+  private val clCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedImageClusterMap(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.ConnectedComponents
-    val hg = sharedDhashGroups(spark, sfDir)
-    val pairs = sharedHammingPairs(spark, sfDir).select(col("hash_a"), col("hash_b"))
-    val cc = ConnectedComponents.run(pairs, "hash_a", "hash_b")
-      .withColumnRenamed("node", "dhash")
-    val labeled = hg.join(cc, Seq("dhash"), "left")
-      .select(col("dhash"), col("n_docs"),
-        coalesce(col("component"), col("dhash")).as("cluster_id"))
+    clCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    clCache.getOrElseUpdate((spark, sfDir), {
+      val hg = sharedDhashGroups(spark, sfDir)
+      val pairs = sharedHammingPairs(spark, sfDir).select(col("hash_a"), col("hash_b"))
+      val cc = ConnectedComponents.run(pairs, "hash_a", "hash_b")
+        .withColumnRenamed("node", "dhash")
+      hg.join(cc, Seq("dhash"), "left")
+        .select(col("dhash"), col("n_docs"),
+          coalesce(col("component"), col("dhash")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  def q134ImageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val labeled = sharedImageClusterMap(spark, sfDir)
     val sizes = labeled.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), sum(col("n_docs")).as("cluster_docs"))
     labeled.join(sizes, "cluster_id")
@@ -397,11 +409,152 @@ object Fuzzy {
       |  fp.doc_id = g.canon AS is_canonical, g.n_copies
       |FROM fp JOIN g USING (n_frames, fingerprint)""".stripMargin
 
+  /** q136: the MULTIMODAL curation decision — the capstone compose over
+    * the three modality dedup passes (the q64/q74 pattern lifted to
+    * media): a document survives iff it is the canonical representative
+    * of its text exact-dup group (md5), its image near-dup CLUSTER
+    * (q134's Hamming components, doc-level), and its audio fingerprint
+    * group (q135; clips too short to fingerprint pass trivially) — with
+    * the first failing modality as the drop reason. All three signals
+    * ride the session caches; every join is keyed on doc_id.
+    */
+  def q136MultimodalCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val txt = docs.select(col("doc_id"), md5(col("text")).as("__k"))
+      .withColumn("txt_canon",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__k"))))
+      .select(col("doc_id"), col("txt_canon"))
+    val media = docs
+      .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+    val img = Multimodal.dHash(media, width = 16, pool = 2)
+      .join(sharedImageClusterMap(spark, sfDir).select(col("dhash"), col("cluster_id")), "dhash")
+      .withColumn("img_canon",
+        col("media_id") === min(col("media_id")).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("media_id").as("doc_id"), col("img_canon"))
+    val aud = q135AudioNearDup(spark, sfDir)
+      .select(col("doc_id"), col("is_canonical").as("aud_canon"))
+    txt.join(img, Seq("doc_id"))
+      .join(aud, Seq("doc_id"), "left")
+      .withColumn("aud_canon", coalesce(col("aud_canon"), lit(true)))
+      .select(col("doc_id"), col("txt_canon"), col("img_canon"), col("aud_canon"),
+        (col("txt_canon") && col("img_canon") && col("aud_canon")).as("keep"),
+        when(!col("txt_canon"), "text_dup")
+          .when(!col("img_canon"), "image_dup")
+          .when(!col("aud_canon"), "audio_dup")
+          .otherwise("kept").as("drop_reason"))
+  }
+
+  val q136Sql: String =
+    """WITH RECURSIVE
+      |txt AS (
+      |  SELECT doc_id,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS txt_canon
+      |  FROM documents
+      |),
+      |dims AS (
+      |  SELECT doc_id, text,
+      |    ((length(text) // 16) - (length(text) // 16) % 2) AS full_h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS r,
+      |    CAST((i - 1) % 16 AS INTEGER) AS c,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, full_h * 16)) AS i FROM dims) t
+      |),
+      |blk AS (
+      |  SELECT doc_id, r // 2 AS br, c // 2 AS bc, AVG(v) AS m
+      |  FROM px WHERE r // 2 < 8 GROUP BY 1, 2, 3
+      |),
+      |bits AS (
+      |  SELECT a.doc_id, CASE WHEN a.m > b.m
+      |    THEN 1::BIGINT << (a.br * 7 + a.bc) ELSE 0::BIGINT END AS bit
+      |  FROM blk a JOIN blk b
+      |    ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1
+      |),
+      |h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
+      |hg AS (SELECT dhash FROM h GROUP BY dhash),
+      |bands AS (
+      |  SELECT dhash, bi,
+      |    (SELECT SUM(((dhash >> (4 * k + bi)) & 1) << k)
+      |     FROM (SELECT unnest(generate_series(0, 13)) AS k)) AS bv
+      |  FROM hg, (SELECT unnest(generate_series(0, 3)) AS bi) b
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.dhash AS hash_a, b.dhash AS hash_b
+      |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.dhash < b.dhash
+      |),
+      |hpairs AS (
+      |  SELECT hash_a, hash_b FROM cand WHERE bit_count(xor(hash_a, hash_b)) <= 3
+      |),
+      |edges AS (
+      |  SELECT hash_a AS src, hash_b AS dst FROM hpairs
+      |  UNION SELECT hash_b, hash_a FROM hpairs
+      |),
+      |reach(v, m) AS (
+      |  SELECT dhash, dhash FROM hg
+      |  UNION
+      |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+      |),
+      |comp AS (SELECT v AS dhash, MIN(m) AS cluster_id FROM reach GROUP BY v),
+      |img AS (
+      |  SELECT h.doc_id,
+      |    h.doc_id = MIN(h.doc_id) OVER (PARTITION BY comp.cluster_id) AS img_canon
+      |  FROM h JOIN comp USING (dhash)
+      |),
+      |at AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |asx AS (
+      |  SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS frame,
+      |    CAST((i - 1) % 64 AS INTEGER) AS tpos,
+      |    ascii(substr(text, CAST(i AS BIGINT), 1)) AS v
+      |  FROM (SELECT doc_id, text,
+      |        unnest(generate_series(1, LEAST(n // 64, 4) * 64)) AS i FROM at)
+      |),
+      |ax AS (
+      |  SELECT doc_id, frame, k,
+      |    SUM(v * cos(-2 * pi() * k * tpos / 64)) AS re,
+      |    SUM(v * sin(-2 * pi() * k * tpos / 64)) AS im
+      |  FROM asx CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS k) ks
+      |  GROUP BY doc_id, frame, k
+      |),
+      |amg AS (SELECT doc_id, frame, k, ROUND(sqrt(re * re + im * im), 4) AS mag FROM ax),
+      |apk AS (
+      |  SELECT doc_id, frame, k AS peak FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id, frame
+      |      ORDER BY mag DESC, k) AS rn
+      |    FROM amg
+      |  ) WHERE rn = 1
+      |),
+      |afp AS (
+      |  SELECT doc_id, COUNT(*) AS n_frames,
+      |    CAST(SUM(CAST(peak AS BIGINT) << (6 * frame)) AS BIGINT) AS fingerprint
+      |  FROM apk GROUP BY doc_id
+      |),
+      |ag AS (SELECT n_frames, fingerprint, MIN(doc_id) AS canon
+      |       FROM afp GROUP BY 1, 2),
+      |aud AS (
+      |  SELECT afp.doc_id, afp.doc_id = ag.canon AS aud_canon
+      |  FROM afp JOIN ag USING (n_frames, fingerprint)
+      |)
+      |SELECT txt.doc_id, txt.txt_canon, img.img_canon,
+      |  COALESCE(aud.aud_canon, TRUE) AS aud_canon,
+      |  txt.txt_canon AND img.img_canon AND COALESCE(aud.aud_canon, TRUE) AS keep,
+      |  CASE WHEN NOT txt.txt_canon THEN 'text_dup'
+      |       WHEN NOT img.img_canon THEN 'image_dup'
+      |       WHEN NOT COALESCE(aud.aud_canon, TRUE) THEN 'audio_dup'
+      |       ELSE 'kept' END AS drop_reason
+      |FROM txt JOIN img USING (doc_id) LEFT JOIN aud USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),
     QueryDef("q130_image_neardup", q130ImageNearDup, Some(q130Sql)),
     QueryDef("q134_image_clusters", q134ImageClusters, Some(q134Sql)),
     QueryDef("q135_audio_neardup", q135AudioNearDup, Some(q135Sql)),
+    QueryDef("q136_multimodal_curation", q136MultimodalCuration, Some(q136Sql)),
     QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)),
     QueryDef("q132_tfidf_salience", q132TfidfSalience, Some(q132Sql)))
 }
