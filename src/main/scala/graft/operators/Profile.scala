@@ -27,17 +27,25 @@ object Profile {
     */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    // TWO aggregation passes, not one: mixing countDistinct with plain
+    // aggregates makes Catalyst evaluate EVERY plain aggregate on every
+    // Expand-multiplied row (cols+1 × input) behind per-gid guards —
+    // measured 3.3 s vs 0.5+0.7 s for the split passes at sf0.1. Two
+    // columnar scans also shuffle less than one Expand at any scale.
+    val plainAggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
-        countDistinct(col(c)).as(s"${c}__ndist"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         (sum(col(c).cast(DecimalType(18, 2))) * lit(100)).cast("long")
           .as(s"${c}__cents"),
         count(col(c)).as(s"${c}__cnt"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val distAggs: Seq[Column] =
+      cols.map(c => countDistinct(col(c)).as(s"${c}__ndist"))
+    // both sides are single rows — the crossJoin is a 1×1 BNLJ
+    val one = df.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(df.agg(distAggs.head, distAggs.tail: _*))
     val stacked = cols.map { c =>
       struct(lit(c).as("col_name"),
         col(s"${c}__nnull").as("n_null"),

@@ -42,6 +42,10 @@ class PlanAuditSpec extends SparkSpec {
     // q67: the 8192-row feature table crossJoins a broadcast totals row
     // BOUNDED at 1 row (TextOps.dsirScores)
     "q67_dsir_score",
+    // q103: the profile's plain-aggregate row crossJoins its distinct-
+    // count row — BOTH sides are single rows (operators.Profile.numeric
+    // splits the passes so plain aggs don't ride the countDistinct Expand)
+    "q103_data_profile",
     // q132: the salience divisor crossJoins a broadcast corpus-count row
     // BOUNDED at 1 row (Fuzzy.q132TfidfSalience — the nbTrain/priors shape)
     "q132_tfidf_salience",
