@@ -974,6 +974,37 @@ object ScaleBench {
           require(got(q) == want, s"quantile $q: got ${got(q)} want $want")
         }
       }
+
+      // S4. One-pass numeric profile at 10M rows × 3 columns with
+      // closed-form truth: a (nullable cycling values, a permutation, a
+      // constant) — null counts, cardinalities, ranges and the exact
+      // integer-space mean all asserted equal. Exercises the split
+      // plain/distinct pass shape (the single-agg spelling evaluated
+      // every plain aggregate on the Expand-multiplied rows).
+      timed("data_profile_10M") {
+        val n = 10000000L
+        val df = spark.range(n).select(
+          when(col("id") % 10 === 0, lit(null).cast("double"))
+            .otherwise((col("id") % 100).cast("double")).as("a"),
+          // ÷100 keeps the 2-decimal money shape Profile documents (the
+          // exact-mean micro-division needs Σ·100·20000 within a long)
+          (((col("id") * 2654435761L) % n).cast("double") / 100.0).as("b"),
+          lit(7.5).as("c"))
+        val got = graft.operators.Profile.numeric(df, Seq("a", "b", "c"))
+          .collect().map(r => r.getString(0) -> r).toMap
+        val a = got("a")
+        require(a.getAs[Long]("n_null") == n / 10 &&
+          a.getAs[Long]("n_distinct") == 90 && // multiples of 10 are null
+          a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 99.0,
+          s"profile(a) wrong: $a")
+        val b = got("b")
+        require(b.getAs[Long]("n_null") == 0 &&
+          b.getAs[Long]("n_distinct") == n &&
+          b.getAs[Double]("max_v") == (n - 1).toDouble / 100.0, s"profile(b) wrong: $b")
+        val c = got("c")
+        require(c.getAs[Long]("n_distinct") == 1 &&
+          c.getAs[Double]("mean_v") == 7.5, s"profile(c) wrong: $c")
+      }
     }
 
     if (on("events")) {
