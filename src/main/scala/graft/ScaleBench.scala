@@ -517,6 +517,45 @@ object ScaleBench {
         s"banded Hamming join missed ${nWant - hit} planted pairs — pigeonhole broken")
     }
 
+    // 10a-1b. The next order needs a WIDER fingerprint, not more bands:
+    // at 10M, a 64-bit hash's 16-bit bands hold ~150 hashes each (≈3e9
+    // candidate pairs); a 128-bit fingerprint gives 4 bands of 32 bits
+    // (expected bucket occupancy ≈ 0.002) so candidates collapse to the
+    // planted pairs. Same pigeonhole-exact recall gate, 1M planted
+    // 1–3-bit-flip partners across both words.
+    if (big) timed("hamming_neardup_10M_wide128") {
+      val nH = 10000000L
+      val baseW = spark.range(nH).select(col("id"),
+        xxhash64(col("id")).as("h0"), xxhash64(col("id"), lit(1)).as("h1"))
+      def mask(bitExpr: String, word: Int): String =
+        s"CASE WHEN ($bitExpr) div 64 = $word " +
+          s"THEN shiftleft(1L, CAST(($bitExpr) % 64 AS INT)) ELSE 0L END"
+      val bitsE = Seq("id % 128", "(id * 7 + 13) % 128", "(id * 31 + 5) % 128")
+      def flips(word: Int): Column =
+        expr(bitsE.map(b => mask(b, word)).mkString(" | "))
+      val plantedW = baseW.filter(col("id") < nH / 10)
+        .select(col("id"), col("h0"), col("h1"),
+          col("h0").bitwiseXOR(flips(0)).as("p0"),
+          col("h1").bitwiseXOR(flips(1)).as("p1"))
+      val allW = baseW.select(col("h0"), col("h1"))
+        .unionByName(plantedW.select(col("p0").as("h0"), col("p1").as("h1")))
+        .distinct()
+      val gotW = operators.Fuzzy.hammingNearDupPairsWide(allW, Seq("h0", "h1"),
+          bands = 4, maxHamming = 3)
+        .select(col("hash_a"), col("hash_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wantW = plantedW.select(
+        least(struct(col("h0"), col("h1")), struct(col("p0").as("h0"), col("p1").as("h1"))).as("hash_a"),
+        greatest(struct(col("h0"), col("h1")), struct(col("p0").as("h0"), col("p1").as("h1"))).as("hash_b"))
+        .distinct()
+      val nWantW = wantW.count()
+      val hitW = gotW.join(wantW, Seq("hash_a", "hash_b")).count()
+      gotW.unpersist()
+      println(s"[scale] hamming_wide128 planted pairs found: $hitW/$nWantW (gate ==)")
+      require(hitW == nWantW,
+        s"wide Hamming join missed ${nWantW - hitW} planted pairs at 10M")
+    }
+
     // 10a-2. Blocked levenshtein join at 1M three-token phrases: 10k
     // blocks (the leading token) of ~100 phrases each — 50M thresholded
     // candidate comparisons, the early-abandon DP's bread and butter —

@@ -156,6 +156,42 @@ object Fuzzy {
       .drop("__b")
   }
 
+  /** Wide-fingerprint variant: the fingerprint spans several BIGINT
+    * columns (e.g. 128 bits as two words) so band values stay selective
+    * at populations where a 64-bit hash's bands saturate — candidate
+    * volume ≈ N²·bands/2^(bits/bands), so 10M uniform fingerprints need
+    * ~32-bit bands, which only a ≥128-bit fingerprint can give 4 bands.
+    * Same bit-interleaved banding (global bit j → band j % bands) and
+    * pigeonhole-exact recall; hamming sums `bit_count(xor)` per word.
+    */
+  def hammingNearDupPairsWide(hashes: DataFrame, hashCols: Seq[String],
+      bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming,
+      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+    val bits = 64 * hashCols.size
+    require(bits / bands <= 63, s"band width ${bits / bands} exceeds one long")
+    def bandValue(bi: Int): Column =
+      (0 until (bits - bi + bands - 1) / bands).map { k =>
+        val j = bands * k + bi
+        shiftleft(shiftright(col(hashCols(j / 64)), j % 64).bitwiseAND(lit(1L)), k)
+      }.reduce(_ + _)
+    val id = struct(hashCols.map(col): _*)
+    val banded = hashes.select(id.as("__h"),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("bi"), bandValue(bi).as("bv"))): _*)).as("__b"))
+      .select(col("__h"), col("__b.bi").as("__bi"), col("__b.bv").as("__bv"))
+    val a = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_a"))
+    val b = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_b"))
+    val ham = hashCols.indices.map { w =>
+      bit_count(col(s"hash_a.${hashCols(w)}").bitwiseXOR(col(s"hash_b.${hashCols(w)}")))
+    }.reduce(_ + _).cast("int")
+    a.join(b, Seq("__bi", "__bv"))
+      .filter(col("hash_a") < col("hash_b"))
+      .select(col("hash_a"), col("hash_b")).distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def hammingNearDupPairs(hashes: DataFrame, hashCol: String, bits: Int,
       bands: Int, maxHamming: Int): DataFrame = {
     require(bands > maxHamming,

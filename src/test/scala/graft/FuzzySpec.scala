@@ -60,6 +60,34 @@ class FuzzySpec extends SparkSpec {
     // identical strings produce no pair (a < b fails on equality anyway)
   }
 
+  test("wide 128-bit Hamming join: exact recall with 32-bit bands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(50)((rnd.nextLong(), rnd.nextLong()))
+    def flip(h: (Long, Long), bitsToFlip: Seq[Int]): (Long, Long) =
+      bitsToFlip.foldLeft(h) { case ((w0, w1), b) =>
+        if (b < 64) (w0 ^ (1L << b), w1) else (w0, w1 ^ (1L << (b - 64)))
+      }
+    val near = base.zipWithIndex.map { case (h, i) =>
+      flip(h, Seq(i % 128, (i * 37 + 5) % 128).distinct.take(1 + i % 3)) }
+    val far = base.map(h => flip(h, Seq(0, 19, 40, 66, 90, 101, 120)))
+    val all = (base ++ near ++ far).distinct.toDF("h0", "h1")
+    val got = Fuzzy.hammingNearDupPairsWide(all, Seq("h0", "h1"), bands = 4, maxHamming = 3)
+      .select("hash_a.h0", "hash_a.h1", "hash_b.h0", "hash_b.h1", "hamming")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)), r.getInt(4)))
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    base.zip(near).foreach { case (a, b) =>
+      if (a != b) {
+        val found = got.exists(p => Set(p._1, p._2) == Set(a, b))
+        assert(found, s"planted wide pair (ham ${ham(a, b)}) missed")
+      }
+    }
+    got.foreach { case (a, b, h) =>
+      assert(h == ham(a, b) && h <= 3, s"bad pair ($a,$b,$h)")
+    }
+  }
+
   test("two-table linkage joins within blocks, keeps identical strings, no self-dedup") {
     import spark.implicits._
     val a = Seq(("b1", "acme corp"), ("b2", "zenith ltd")).toDF("blk", "s")
