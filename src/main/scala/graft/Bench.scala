@@ -28,8 +28,12 @@ object Bench {
     // optional comma-separated substring filter, e.g. SPARK_GRAFT_QUERIES=q40,q42
     val filter = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      filter.forall(_.exists(name.contains))
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = filter match {
+      case None => all
+      case Some(tokens) =>
+        val sel = QueryFilter.selector(tokens, all.map(_._1))
+        all.filter { case (name, _) => sel(name) }
     }
     // warm up codegen/JIT + parquet footer caches outside the measurements
     try selected.headOption.foreach(_._2(spark, sfDir).write

@@ -21,10 +21,13 @@ object Verify {
     // queries. The driver never sets this, so the gate still runs them all.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    // substring match, same contract as Bench — an exact-name-only filter
-    // silently dumped nothing for "q132" and cost a confused dev loop
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.exists(n.contains))
+    // name-boundary match with substring fallback (QueryFilter) — same
+    // contract as Bench; "q13" selects q13_detrend, not q130..q136 too
+    val selected = only match {
+      case None => SparkEntry.queries
+      case Some(tokens) =>
+        val sel = QueryFilter.selector(tokens, SparkEntry.queries.keys)
+        SparkEntry.queries.filter { case (n, _) => sel(n) }
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

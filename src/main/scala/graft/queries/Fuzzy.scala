@@ -414,7 +414,8 @@ object Fuzzy {
     * media): a document survives iff it is the canonical representative
     * of its text exact-dup group (md5), its image near-dup CLUSTER
     * (q134's Hamming components, doc-level), and its audio fingerprint
-    * group (q135; clips too short to fingerprint pass trivially) — with
+    * group (q135). A document too short to fingerprint in a modality
+    * (no dHash rows, no audio frame) passes that modality trivially — with
     * the first failing modality as the drop reason. All three signals
     * ride the session caches; every join is keyed on doc_id.
     */
@@ -437,7 +438,12 @@ object Fuzzy {
       .select(col("media_id").as("doc_id"), col("img_canon"))
     val aud = q135AudioNearDup(spark, sfDir)
       .select(col("doc_id"), col("is_canonical").as("aud_canon"))
-    txt.join(img, Seq("doc_id"))
+    // img and aud are LEFT joins with a `true` default: a document whose
+    // text is too short to fingerprint in a modality (< 2 pooled dHash
+    // rows, < 1 audio frame) passes that modality trivially instead of
+    // silently dropping out of the curation report
+    txt.join(img, Seq("doc_id"), "left")
+      .withColumn("img_canon", coalesce(col("img_canon"), lit(true)))
       .join(aud, Seq("doc_id"), "left")
       .withColumn("aud_canon", coalesce(col("aud_canon"), lit(true)))
       .select(col("doc_id"), col("txt_canon"), col("img_canon"), col("aud_canon"),
@@ -540,14 +546,16 @@ object Fuzzy {
       |  SELECT afp.doc_id, afp.doc_id = ag.canon AS aud_canon
       |  FROM afp JOIN ag USING (n_frames, fingerprint)
       |)
-      |SELECT txt.doc_id, txt.txt_canon, img.img_canon,
+      |SELECT txt.doc_id, txt.txt_canon,
+      |  COALESCE(img.img_canon, TRUE) AS img_canon,
       |  COALESCE(aud.aud_canon, TRUE) AS aud_canon,
-      |  txt.txt_canon AND img.img_canon AND COALESCE(aud.aud_canon, TRUE) AS keep,
+      |  txt.txt_canon AND COALESCE(img.img_canon, TRUE)
+      |    AND COALESCE(aud.aud_canon, TRUE) AS keep,
       |  CASE WHEN NOT txt.txt_canon THEN 'text_dup'
-      |       WHEN NOT img.img_canon THEN 'image_dup'
+      |       WHEN NOT COALESCE(img.img_canon, TRUE) THEN 'image_dup'
       |       WHEN NOT COALESCE(aud.aud_canon, TRUE) THEN 'audio_dup'
       |       ELSE 'kept' END AS drop_reason
-      |FROM txt JOIN img USING (doc_id) LEFT JOIN aud USING (doc_id)""".stripMargin
+      |FROM txt LEFT JOIN img USING (doc_id) LEFT JOIN aud USING (doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),

@@ -47,21 +47,31 @@ object TarIO {
     val selected = members.select(
       col(keyCol).cast("string").as(keyCol), col(extCol), col(bytesCol))
     val nShards = math.max(1, selected.rdd.getNumPartitions)
+    // sample adjacency comes from the shuffle's in-partition sort (no
+    // per-task toSeq.sortBy copy), and each entry streams straight to the
+    // filesystem as header+body+padding — the task's memory bound is ONE
+    // member's bytes, not the whole shard (a hot sample key concentrates
+    // its members in one shard by design; it no longer concentrates the
+    // shard in memory)
     selected.repartition(nShards, col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(extCol))
       .as[(String, String, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
         if (it.hasNext) {
-          // keep one sample's members adjacent — the WebDataset contract
-          val entries = it.toSeq.sortBy { case (k, e, _) => (k, e) }
-            .map { case (k, e, b) =>
-              Tar.Entry(if (e.isEmpty) k else s"$k.$e",
-                Option(b).getOrElse(Array.emptyByteArray))
-            }
           val pid = TaskContext.get().partitionId()
           val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.tar")
           val fs = path.getFileSystem(conf.value)
           val out = fs.create(path, true)
-          try out.write(Tar.write(entries)) finally out.close()
+          try {
+            it.foreach { case (k, e, b0) =>
+              val b = Option(b0).getOrElse(Array.emptyByteArray)
+              out.write(Tar.headerBytes(if (e.isEmpty) k else s"$k.$e", b.length.toLong))
+              out.write(b)
+              val pad = (512 - (b.length % 512)) % 512
+              if (pad > 0) out.write(new Array[Byte](pad))
+            }
+            out.write(new Array[Byte](2 * 512)) // ustar terminator blocks
+          } finally out.close()
         }
       }
   }

@@ -91,16 +91,26 @@ object Streaming {
     * against exactly its original inputs and replaces (never duplicates)
     * its own output. Store paths resolve through the Hadoop FileSystem
     * API, so `storeDir` may live on HDFS/S3, not just the local disk.
+    *
+    * Retention: with the default `retainBatches = 0` the store is
+    * UNBOUNDED — every batch joins against all history, so per-batch cost
+    * grows linearly and cumulative cost quadratically with stream length.
+    * A positive `retainBatches` keeps a sliding window of that many prior
+    * batches: older partitions are pruned before the read, per-batch cost
+    * is O(window), and the near-dup promise narrows to "against the last
+    * N batches" (the watermark-horizon trade [[dedupStream]] makes,
+    * expressed as table retention).
     */
   def embeddingNearDupStream(vectors: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, threshold: Double, planes: Int, bands: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      retainBatches: Int = 0): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processNearDupBatch(batch, batchId, outDir, storeDir, threshold,
-          planes, bands, idCol, vecCol)
+          planes, bands, idCol, vecCol, retainBatches)
       }
       .start()
 
@@ -111,14 +121,42 @@ object Streaming {
     * the Hadoop FileSystem API (HDFS/S3 store dirs, not just local disk).
     */
   private def committedOr(spark: SparkSession, path: String, batchId: Long,
-      empty: => DataFrame): DataFrame = {
+      empty: => DataFrame, minBatchId: Long = Long.MinValue): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val exists = hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
     if (exists)
-      try spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
+      try spark.read.parquet(path)
+        .filter(col("batch_id") < batchId && col("batch_id") >= minBatchId)
+        .drop("batch_id")
       catch { case _: org.apache.spark.sql.AnalysisException => empty }
     else empty
   }
+
+  /** Retention horizon for a store at batch `batchId`: the smallest
+    * batch_id still inside the window, or MinValue when `retainBatches`
+    * ≤ 0 (unbounded — the default; per-batch cost then grows with total
+    * history, so long-lived streams should set a horizon). */
+  private def horizonOf(batchId: Long, retainBatches: Int): Long =
+    if (retainBatches > 0) batchId - retainBatches else Long.MinValue
+
+  /** Drop store partitions strictly below the horizon. Deterministic in
+    * batchId (a retry of batch N prunes the same set it pruned the first
+    * time and reads the same surviving partitions, so the idempotency
+    * contract holds WITHIN the horizon; pairs against pruned history are
+    * outside the promise by definition). Cumulative per-batch cost becomes
+    * O(horizon), not O(total stream length). */
+  private def pruneStore(spark: SparkSession, path: String, horizon: Long): Unit =
+    if (horizon != Long.MinValue) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.listStatus(hp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=") &&
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+              .exists(_ < horizon))
+          fs.delete(st.getPath, true)
+      }
+    }
 
   /** One micro-batch of [[embeddingNearDupStream]] — package-private so the
     * idempotency contract (same batchId twice ⇒ identical store + pairs)
@@ -126,12 +164,16 @@ object Streaming {
     */
   private[graft] def processNearDupBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, threshold: Double, planes: Int,
-      bands: Int, idCol: String, vecCol: String): Unit = {
+      bands: Int, idCol: String, vecCol: String,
+      retainBatches: Int = 0): Unit = {
     import graft.operators.Similarity
     val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/buckets", horizon)
+    pruneStore(spark, s"$storeDir/vectors", horizon)
     val b = batch.select(col(idCol), col(vecCol)).persist()
     def tableOr(path: String, empty: => DataFrame): DataFrame =
-      committedOr(spark, path, batchId, empty)
+      committedOr(spark, path, batchId, empty, horizon)
     val storeB = tableOr(s"$storeDir/buckets",
       spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"),
         lit(0L).as(idCol)).limit(0))
@@ -173,7 +215,8 @@ object Streaming {
     * never re-reads old media), and append as (id_a, id_b, hamming) with
     * id_a the earlier-seen side. `bands > maxHamming` keeps the pigeonhole
     * recall guarantee batch-equal per batch AND across batches (the store
-    * holds every admitted band row).
+    * holds every admitted band row inside the retention window; with the
+    * default `retainBatches = 0` that window is the whole stream).
     *
     * Same exactly-once contract as [[embeddingNearDupStream]]: state is a
     * batch_id-partitioned table, retries overwrite their own partition,
@@ -182,26 +225,33 @@ object Streaming {
   def fingerprintNearDupStream(hashes: DataFrame, outDir: String,
       storeDir: String, checkpoint: String, bits: Int, bands: Int,
       maxHamming: Int, idCol: String = "media_id",
-      hashCol: String = "dhash"): StreamingQuery =
+      hashCol: String = "dhash", retainBatches: Int = 0): StreamingQuery =
     hashes.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processFingerprintBatch(batch, batchId, outDir, storeDir, bits,
-          bands, maxHamming, idCol, hashCol)
+          bands, maxHamming, idCol, hashCol, retainBatches)
       }
       .start()
 
   private[graft] def processFingerprintBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, bits: Int, bands: Int,
-      maxHamming: Int, idCol: String, hashCol: String): Unit = {
+      maxHamming: Int, idCol: String, hashCol: String,
+      retainBatches: Int = 0): Unit = {
     import graft.operators.Fuzzy
     require(bands > maxHamming,
       s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
     val spark = batch.sparkSession
+    // same retention contract as embeddingNearDupStream: default
+    // unbounded (per-batch cost O(total history)); a positive
+    // retainBatches bounds the store to a sliding window
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/bands", horizon)
     val b = batch.select(col(idCol), col(hashCol)).persist()
     val banded = Fuzzy.bandedHashes(b, hashCol, bits, bands)
-    val store = committedOr(spark, s"$storeDir/bands", batchId, banded.limit(0))
+    val store = committedOr(spark, s"$storeDir/bands", batchId,
+      banded.limit(0), horizon)
     def hamming(a: Column, bc: Column): Column =
       bit_count(a.bitwiseXOR(bc)).cast("int")
     val within = banded

@@ -915,4 +915,26 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/bands")
       .select("media_id").distinct().count() == 3)
   }
+
+  test("fingerprint store retention prunes history beyond the window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fpretain").toString
+    val h = 123456789L
+    def run(rows: Seq[(Long, Long)], id: Long): Unit =
+      Streaming.processFingerprintBatch(rows.toDF("media_id", "dhash"), id,
+        s"$dir/out", s"$dir/store", bits = 64, bands = 4, maxHamming = 3,
+        idCol = "media_id", hashCol = "dhash", retainBatches = 1)
+    run(Seq((0L, h)), 0L)
+    run(Seq((1L, h ^ 1L)), 1L)      // batch 0 inside window: pair (0,1)
+    run(Seq((2L, h ^ 2L)), 2L)      // window = batch 1 only: pair (1,2), NOT (0,2)
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 2L)), s"got $got")
+    // pruned store: only the last retainBatches=1 partitions survive each
+    // batch — after batch 2, batch 0's bands are gone
+    val storeIds = new java.io.File(s"$dir/store/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(!storeIds.contains("batch_id=0"), s"store still holds $storeIds")
+  }
 }
