@@ -132,59 +132,63 @@ object Fuzzy {
     * Callers should pre-group identical hashes (exact-dup cliques pair
     * O(n²) otherwise) and re-attach group sizes afterward.
     */
+  /** ONE band-family implementation for both fingerprint widths: the
+    * value of band `bi` over a fingerprint spanning `hashCols` BIGINT
+    * words (`bits` total, global bit j lives in word j/64 at in-word
+    * position j%64), taking bit-interleaved subsets (band i gets bits j
+    * with j % bands == i, packed densely). The narrow and wide join paths
+    * and the streaming fingerprint store all band through here, so band
+    * values can never drift between them. */
+  private def bandValue(hashCols: Seq[String], bits: Int, bands: Int,
+      bi: Int): Column =
+    (0 until (bits - bi + bands - 1) / bands).map { k =>
+      val j = bands * k + bi
+      shiftleft(shiftright(col(hashCols(j / 64)), j % 64).bitwiseAND(lit(1L)), k)
+    }.reduce(_ + _)
+
+  private def bandStructs(hashCols: Seq[String], bits: Int,
+      bands: Int): Column =
+    explode(array((0 until bands).map(bi =>
+      struct(lit(bi).as("bi"), bandValue(hashCols, bits, bands, bi).as("bv"))): _*))
+
   /** Explode each row into `bands` rows carrying (`__bi`, `__bv`): the
-    * band index and the band's bit-INTERLEAVED value (band i gets bits j
-    * with j % bands == i, packed densely). All input columns pass
-    * through — the shared banding of [[hammingNearDupPairs]] and the
+    * band index and the band's bit-INTERLEAVED value. All input columns
+    * pass through — the shared banding of [[hammingNearDupPairs]] and the
     * streaming fingerprint store (band values admitted to the store must
     * be computed identically across batches). */
   def bandedHashes(hashes: DataFrame, hashCol: String, bits: Int,
       bands: Int): DataFrame = {
     require(bands <= bits, s"more bands ($bands) than bits ($bits)")
-    val h = col(hashCol)
-    def bandValue(bi: Int): Column = {
-      val terms = (0 until (bits - bi + bands - 1) / bands).map { k =>
-        shiftleft(shiftright(h, bands * k + bi).bitwiseAND(lit(1L)), k)
-      }
-      terms.reduce(_ + _)
-    }
-    hashes.withColumn("__b",
-        explode(array((0 until bands).map(bi =>
-          struct(lit(bi).as("bi"), bandValue(bi).as("bv"))): _*)))
+    require(bits <= 64, s"$bits bits exceed one word — use bandedHashesWide")
+    hashes.withColumn("__b", bandStructs(Seq(hashCol), bits, bands))
       .withColumn("__bi", col("__b.bi"))
       .withColumn("__bv", col("__b.bv"))
       .drop("__b")
   }
 
-  /** Wide-fingerprint variant: the fingerprint spans several BIGINT
-    * columns (e.g. 128 bits as two words) so band values stay selective
-    * at populations where a 64-bit hash's bands saturate — candidate
-    * volume ≈ N²·bands/2^(bits/bands), so 10M uniform fingerprints need
-    * ~32-bit bands, which only a ≥128-bit fingerprint can give 4 bands.
-    * Same bit-interleaved banding (global bit j → band j % bands) and
-    * pigeonhole-exact recall; hamming sums `bit_count(xor)` per word.
-    */
-  def hammingNearDupPairsWide(hashes: DataFrame, hashCols: Seq[String],
-      bands: Int, maxHamming: Int): DataFrame = {
-    require(bands > maxHamming,
-      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+  /** Multi-word twin of [[bandedHashes]] for fingerprints spanning
+    * several BIGINT columns — same band family (global bit j → band
+    * j % bands), same output contract. */
+  def bandedHashesWide(hashes: DataFrame, hashCols: Seq[String],
+      bands: Int): DataFrame = {
     val bits = 64 * hashCols.size
-    require(bits / bands <= 63, s"band width ${bits / bands} exceeds one long")
-    def bandValue(bi: Int): Column =
-      (0 until (bits - bi + bands - 1) / bands).map { k =>
-        val j = bands * k + bi
-        shiftleft(shiftright(col(hashCols(j / 64)), j % 64).bitwiseAND(lit(1L)), k)
-      }.reduce(_ + _)
-    val id = struct(hashCols.map(col): _*)
-    val banded = hashes.select(id.as("__h"),
-        explode(array((0 until bands).map(bi =>
-          struct(lit(bi).as("bi"), bandValue(bi).as("bv"))): _*)).as("__b"))
-      .select(col("__h"), col("__b.bi").as("__bi"), col("__b.bv").as("__bv"))
+    require(bands <= bits, s"more bands ($bands) than bits ($bits)")
+    hashes.withColumn("__b", bandStructs(hashCols, bits, bands))
+      .withColumn("__bi", col("__b.bi"))
+      .withColumn("__bv", col("__b.bv"))
+      .drop("__b")
+  }
+
+  /** The shared banded-join core: rows carrying the fingerprint as `__h`
+    * (any orderable type — BIGINT narrow, struct-of-words wide) and
+    * (`__bi`, `__bv`) band rows pair within equal band values, dedup to
+    * distinct (a < b) pairs, and confirm at `ham ≤ maxHamming`. One
+    * shuffle per side on the band key; `ham` runs on candidate rows only,
+    * inside whole-stage codegen. */
+  private def confirmedPairs(banded: DataFrame, ham: Column,
+      maxHamming: Int): DataFrame = {
     val a = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_a"))
     val b = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_b"))
-    val ham = hashCols.indices.map { w =>
-      bit_count(col(s"hash_a.${hashCols(w)}").bitwiseXOR(col(s"hash_b.${hashCols(w)}")))
-    }.reduce(_ + _).cast("int")
     a.join(b, Seq("__bi", "__bv"))
       .filter(col("hash_a") < col("hash_b"))
       .select(col("hash_a"), col("hash_b")).distinct()
@@ -192,18 +196,37 @@ object Fuzzy {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Wide-fingerprint variant: the fingerprint spans several BIGINT
+    * columns (e.g. 128 bits as two words) so band values stay selective
+    * at populations where a 64-bit hash's bands saturate — candidate
+    * volume ≈ N²·bands/2^(bits/bands), so 10M uniform fingerprints need
+    * ~32-bit bands, which only a ≥128-bit fingerprint can give 4 bands.
+    * Same bit-interleaved banding and pigeonhole-exact recall as the
+    * 1-word path (shared [[bandValue]]/[[confirmedPairs]] core); hamming
+    * sums `bit_count(xor)` per word.
+    */
+  def hammingNearDupPairsWide(hashes: DataFrame, hashCols: Seq[String],
+      bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming,
+      s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+    val bits = 64 * hashCols.size
+    require(bits / bands <= 63, s"band width ${bits / bands} exceeds one long")
+    val banded = bandedHashesWide(
+        hashes.select(struct(hashCols.map(col): _*).as("__h") +: hashCols.map(col): _*),
+        hashCols, bands)
+      .select(col("__h"), col("__bi"), col("__bv"))
+    val ham = hashCols.indices.map { w =>
+      bit_count(col(s"hash_a.${hashCols(w)}").bitwiseXOR(col(s"hash_b.${hashCols(w)}")))
+    }.reduce(_ + _).cast("int")
+    confirmedPairs(banded, ham, maxHamming)
+  }
+
   def hammingNearDupPairs(hashes: DataFrame, hashCol: String, bits: Int,
       bands: Int, maxHamming: Int): DataFrame = {
     require(bands > maxHamming,
       s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
     val banded = bandedHashes(hashes.select(col(hashCol).as("__h")), "__h", bits, bands)
-    val a = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_a"))
-    val b = banded.select(col("__bi"), col("__bv"), col("__h").as("hash_b"))
-    a.join(b, Seq("__bi", "__bv"))
-      .filter(col("hash_a") < col("hash_b"))
-      .select(col("hash_a"), col("hash_b")).distinct()
-      .withColumn("hamming",
-        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
+    confirmedPairs(banded,
+      bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"), maxHamming)
   }
 }

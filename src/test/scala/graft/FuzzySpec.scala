@@ -129,4 +129,23 @@ class FuzzySpec extends SparkSpec {
       assert(java.lang.Long.bitCount(a ^ b) <= 3, s"pair ($a,$b) beyond maxHamming")
     }
   }
+
+  test("narrow and wide Hamming paths share one band family: identical pairs") {
+    import spark.implicits._
+    // a 64-bit population where the two paths must agree exactly: the
+    // wide path with hashCols=Seq(h) IS the narrow path (shared
+    // bandValue + confirmedPairs core), so any band-family drift between
+    // them flips this set equality
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(60)(rnd.nextLong()).distinct
+    val near = base.map(h => h ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64)))
+    val all = (base ++ near).distinct.toDF("h")
+    val narrow = Fuzzy.hammingNearDupPairs(all, "h", bits = 64, bands = 4, maxHamming = 3)
+      .select("hash_a", "hash_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wide = Fuzzy.hammingNearDupPairsWide(all, Seq("h"), bands = 4, maxHamming = 3)
+      .select(col("hash_a.h"), col("hash_b.h"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(narrow.nonEmpty && narrow == wide, s"narrow $narrow != wide $wide")
+  }
 }
