@@ -60,6 +60,10 @@ object ScaleBench {
         val t0 = System.nanoTime()
         val r = f
         println(f"[scale] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        // drop CacheLife-scoped temps the target's operators registered —
+        // without a release hook they would pin storage for the whole
+        // combined session (the registry holds strong frame references)
+        graft.core.CacheLife.releaseScoped(spark)
         r
       }
     }
@@ -589,6 +593,106 @@ object ScaleBench {
       println(s"[scale] fuzzy_blocked planted pairs found: $hitP/$nWantP (gate ==)")
       require(hitP == nWantP,
         s"blocked levenshtein join missed ${nWantP - hitP} planted single-edit pairs")
+    }
+
+    // 10a-2b. AUTOMATIC hot-block salting: 500k uniform phrases (5k
+    // blocks of ~100) plus ONE pathological block of 5.8k phrases sharing
+    // the first word — ~3e7 candidate comparisons that an unsalted plan
+    // puts on ONE reducer (AQE cannot help: its coalescer and skew
+    // splitter both size by shuffle BYTES, and the block is tiny by bytes,
+    // quadratic by output). The salted join fans the block over
+    // ceil((5.8k)²/1000²)=34 sub-blocks behind an AQE-exempt user
+    // repartition. Gates: the salted pair set is row-identical to the
+    // unsalted one, every planted single-edit pair in the hot block
+    // surfaces, and the salted wall-clock strictly beats the one-reducer
+    // plan (expected gap ~10x; strict < survives host spikes).
+    timed("fuzzy_salted_hot_block_506k") {
+      // uniform tails are 12-digit multiplicative-hash numbers so
+      // incidental lev<=2 pairs stay rare (a "x<id>" tail made 2/3 of all
+      // in-block pairs survive and the 16.5M-pair result drowned the
+      // skew signal this gate exists to measure)
+      val uni = spark.range(500000L).select(
+        concat(lit("w"), (col("id") % 5000).cast("string")).as("w1"),
+        concat(lit("w"), (col("id") % 5000).cast("string"), lit(" m"),
+          ((col("id") * 7919) % 5000).cast("string"),
+          lit(" x"), ((col("id") * 2654435761L) % 1000000000000L).cast("string")).as("phrase"))
+      val hotBase = spark.range(5000L).select(col("id"),
+        concat(lit("hot m"), ((col("id") * 104729) % 997).cast("string"),
+          lit(" x"), ((col("id") * 1779033703L) % 1000000000000L).cast("string")).as("phrase"))
+      val hot = hotBase.select(lit("hot").as("w1"), col("phrase"))
+      // plant: 800 single-edit partners inside the hot block (x -> y)
+      val plantedH = hotBase.filter(col("id") < 800)
+        .select(col("phrase").as("phrase_a"),
+          regexp_replace(col("phrase"), lit(" x"), lit(" y")).as("phrase_b"))
+      val allH = uni.unionByName(hot)
+        .unionByName(plantedH.select(lit("hot").as("w1"), col("phrase_b").as("phrase")))
+      def pairsAt(thr: Int): (Long, org.apache.spark.sql.DataFrame, Long) = {
+        val t0 = System.nanoTime()
+        val got = operators.Fuzzy
+          .blockedLevenshteinPairs(allH, "w1", "phrase", maxDist = 2,
+            hotBlockThreshold = thr)
+          .select(col("str_a"), col("str_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = got.count() // the timed action; the comparisons below hit the cache
+        (((System.nanoTime() - t0) / 1e6).toLong, got, n)
+      }
+      val (tSalted, gotSalted, nSalted) = pairsAt(1000)
+      val (tPlain, gotPlain, nPlain) = pairsAt(Int.MaxValue) // ns = 1 everywhere
+      val diff = gotSalted.except(gotPlain).count() + gotPlain.except(gotSalted).count()
+      require(nSalted == nPlain && diff == 0,
+        s"salted pair set differs from unsalted: $nSalted vs $nPlain, $diff asymmetric")
+      val wantH = plantedH.select(
+        least(col("phrase_a"), col("phrase_b")).as("str_a"),
+        greatest(col("phrase_a"), col("phrase_b")).as("str_b")).distinct()
+      val nWantH = wantH.count()
+      val hitH = gotSalted.join(wantH, Seq("str_a", "str_b")).count()
+      gotSalted.unpersist(); gotPlain.unpersist()
+      require(hitH == nWantH,
+        s"salted join missed ${nWantH - hitH} planted hot-block pairs")
+      println(s"[scale] fuzzy_salted hot block: salted ${tSalted}ms vs one-reducer ${tPlain}ms ($nSalted pairs)")
+      require(tSalted < tPlain,
+        s"salting must beat the one-reducer plan: salted $tSalted ms vs plain $tPlain ms")
+    }
+
+    // 10a-2c. Two-table LINKAGE at 1M x 1M (the q128 gate's A-cross-B
+    // mirror, spec-gated only until now): left and right each carry 1M
+    // three-token phrases over 10k shared first-word blocks; 100k right
+    // rows are planted single-edit partners of left rows. Gate: every
+    // planted cross-table link surfaces at lev <= 2.
+    timed("fuzzy_linkage_1M_x_1M") {
+      val nP = 1000000L
+      val baseL = spark.range(nP).select(col("id"),
+        concat(lit("w"), (col("id") % 10000).cast("string")).as("w1"),
+        concat(lit("m"), ((col("id") * 7919) % 10000).cast("string"),
+          lit(" x"), col("id").cast("string")).as("rest"))
+      val left = baseL.select(col("w1"),
+        concat(col("w1"), lit(" "), col("rest")).as("phrase"))
+      // right: its own 1M distinct phrases (marker z, never within 2
+      // edits of a left row's " x<id>" tail at equal length) plus the
+      // planted partners (x -> y, one edit from their left source)
+      val right = spark.range(nP).select(
+          concat(lit("w"), (col("id") % 10000).cast("string")).as("w1"),
+          concat(lit("w"), (col("id") % 10000).cast("string"), lit(" zz"),
+            ((col("id") * 104729) % 10000).cast("string"),
+            lit(" q"), col("id").cast("string")).as("phrase"))
+        .unionByName(baseL.filter(col("id") < nP / 10)
+          .select(col("w1"), concat(col("w1"), lit(" "),
+            regexp_replace(col("rest"), lit(" x"), lit(" y"))).as("phrase")))
+      val links = operators.Fuzzy
+        .blockedLevenshteinJoin(left, right, "w1", "phrase", maxDist = 2)
+        .select(col("str_a"), col("str_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wantL = baseL.filter(col("id") < nP / 10).select(
+        concat(col("w1"), lit(" "), col("rest")).as("str_a"),
+        concat(col("w1"), lit(" "),
+          regexp_replace(col("rest"), lit(" x"), lit(" y"))).as("str_b"))
+        .distinct()
+      val nWantL = wantL.count()
+      val hitL = links.join(wantL, Seq("str_a", "str_b")).count()
+      links.unpersist()
+      println(s"[scale] fuzzy_linkage planted links found: $hitL/$nWantL (gate ==)")
+      require(hitL == nWantL,
+        s"linkage join missed ${nWantL - hitL} planted cross-table links")
     }
 
     // 10a-3. WordPiece greedy encode over 1M DISTINCT words (the encode

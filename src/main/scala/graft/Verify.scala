@@ -29,12 +29,17 @@ object Verify {
         val sel = QueryFilter.selector(tokens, SparkEntry.queries.keys)
         SparkEntry.queries.filter { case (n, _) => sel(n) }
     }
-    selected.foreach { case (name, fn) =>
+    // same cache lifecycle as Bench: shared session caches release after
+    // their last consumer instead of pinning storage for all 127 dumps
+    var completed = SparkEntry.queries.keySet -- selected.keySet
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      completed += name
+      graft.core.CacheLife.afterQuery(spark, completed)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -73,6 +73,58 @@ object Fuzzy {
     }
   }
 
+  /** Sub-block fan-out cap: a block pathological enough to ask for more
+    * sub-blocks than this replicates the b side too far — beyond the cap,
+    * per-task work degrades gracefully instead of the row count exploding. */
+  private val SaltCap = 1024
+
+  /** Skew-resistant block join core shared by the self-join and linkage
+    * variants. One cheap block-cardinality aggregation per side decides a
+    * per-block fan-out `ns = ceil(|a_blk|·|b_blk| / threshold²)` (capped
+    * at [[SaltCap]]): side a takes `salt = hash(str) % ns`, side b
+    * replicates to every salt, and the join key becomes (block, salt) —
+    * so a hot block's quadratic candidate work spreads over `ns` reducers
+    * at ≈ threshold² comparisons each, instead of landing on ONE. Each
+    * candidate pair meets exactly once (on the salt of its a-side
+    * element), so the result is row-identical to the plain block join.
+    * Blocks under the budget get ns = 1 — a plain equi-join row, the
+    * [[SkewJoin]] philosophy applied per-block with a data-derived
+    * fan-out rather than a global constant.
+    */
+  private def saltedBlockJoin(a: DataFrame, b: DataFrame,
+      hotBlockThreshold: Int): DataFrame = {
+    require(hotBlockThreshold > 0, "hotBlockThreshold must be positive")
+    val budget = hotBlockThreshold.toDouble * hotBlockThreshold
+    val an = a.groupBy(col("__blk")).agg(count(lit(1)).as("__an"))
+    val bn = b.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+    // double arithmetic is fine here: ns only PLANS the fan-out, the pair
+    // set is identical for every ns ≥ 1
+    val szs = an.join(bn, Seq("__blk"))
+      .select(col("__blk"),
+        least(lit(SaltCap),
+          greatest(lit(1),
+            ceil(col("__an").cast("double") * col("__bn") / budget)))
+          .cast("int").as("__ns"))
+    val aS = a.join(szs, "__blk")
+      .withColumn("__salt", pmod(xxhash64(col("str_a")), col("__ns")).cast("int"))
+      .drop("__ns")
+    val bS = b.join(szs, "__blk")
+      .withColumn("__salt", explode(sequence(lit(0), col("__ns") - 1)))
+      .drop("__ns")
+    // EXPLICIT user repartition on the salted key, at the session's
+    // shuffle parallelism: AQE's coalescer sizes partitions by shuffle
+    // BYTES, and a hot block's sub-blocks are tiny by bytes while
+    // quadratic by join OUTPUT — left to AQE they re-coalesce onto one
+    // partition and the salting is undone (measured: no speedup at all).
+    // A user-specified partition count is exempt from AQE coalescing, and
+    // HashPartitioning(__blk, __salt) satisfies the join's distribution
+    // requirement, so no second exchange appears.
+    val p = a.sparkSession.sessionState.conf.numShufflePartitions
+    aS.repartition(p, col("__blk"), col("__salt"))
+      .join(bS.repartition(p, col("__blk"), col("__salt")), Seq("__blk", "__salt"))
+      .drop("__salt")
+  }
+
   /** Blocked edit-distance self-join: rows of `strings` (`blkCol` blocking
     * key, `strCol` value) pair only within a block; kept when
     * `levenshtein ≤ maxDist`, with the distance and the Jaro-Winkler score
@@ -83,14 +135,16 @@ object Fuzzy {
     * At 100 TB: one shuffle of (block, string) per side; block-key
     * cardinality bounds parallelism and block size bounds the quadratic
     * candidate work — pick keys (prefix, phonetic code, join attribute)
-    * that keep blocks ≪ √(rows/blocks), and salt a pathological hot block
-    * the same way [[SkewJoin]] salts a hot join key.
+    * that keep blocks ≪ √(rows/blocks). Pathological hot blocks are
+    * salted AUTOMATICALLY by [[saltedBlockJoin]]: `hotBlockThreshold` is
+    * the per-reducer candidate budget's square root (default 5000 ≈ 25M
+    * thresholded comparisons per task).
     */
   def blockedLevenshteinPairs(strings: DataFrame, blkCol: String,
-      strCol: String, maxDist: Int): DataFrame = {
+      strCol: String, maxDist: Int, hotBlockThreshold: Int = 5000): DataFrame = {
     val a = strings.select(col(blkCol).as("__blk"), col(strCol).as("str_a")).distinct()
     val b = strings.select(col(blkCol).as("__blk"), col(strCol).as("str_b")).distinct()
-    a.join(b, Seq("__blk"))
+    saltedBlockJoin(a, b, hotBlockThreshold)
       .filter(col("str_a") < col("str_b"))
       .withColumn("lev_dist", levenshtein(col("str_a"), col("str_b"), maxDist))
       .filter(col("lev_dist") >= 0)
@@ -103,14 +157,14 @@ object Fuzzy {
     * `blkCol`, `strCol`) pair only within a shared block, kept at
     * `levenshtein ≤ maxDist` with the distance and Jaro-Winkler score.
     * Unlike the self-join there is no `a < b` dedup — every surviving
-    * (left, right) link is reported once. Same scale shape: one shuffle
-    * per side on the block key.
+    * (left, right) link is reported once. Same scale shape (one shuffle
+    * per side on the block key) and the same automatic hot-block salting.
     */
   def blockedLevenshteinJoin(left: DataFrame, right: DataFrame, blkCol: String,
-      strCol: String, maxDist: Int): DataFrame = {
+      strCol: String, maxDist: Int, hotBlockThreshold: Int = 5000): DataFrame = {
     val a = left.select(col(blkCol).as("__blk"), col(strCol).as("str_a")).distinct()
     val b = right.select(col(blkCol).as("__blk"), col(strCol).as("str_b")).distinct()
-    a.join(b, Seq("__blk"))
+    saltedBlockJoin(a, b, hotBlockThreshold)
       .withColumn("lev_dist", levenshtein(col("str_a"), col("str_b"), maxDist))
       .filter(col("lev_dist") >= 0)
       .select(col("str_a"), col("str_b"), col("lev_dist"),

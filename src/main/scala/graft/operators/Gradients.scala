@@ -568,7 +568,8 @@ object Gradients {
       val g2 = scharrG2(g, tileSize)
       val shared =
         if (windowSizes.length > 1)
-          g2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.core.CacheLife.scoped(
+            g2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         else g2
       windowSizes.map { ws =>
         gradientHistogram(shared, ws / f)

@@ -67,9 +67,10 @@ object GraphOps {
 
     // One shuffle, once: per-source out-degree riding on every edge.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val linked = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("od"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val linked = graft.core.CacheLife.scoped(
+      edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("od"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     val n = nodes.count() // bounded driver scalar (a node COUNT, not data)
     val base = (dampDen - dampNum) * Scale / (dampDen * n)
@@ -103,7 +104,9 @@ object GraphOps {
       ranks = persisted
       i += 1
     }
-    ranks
+    // the final iteration's cache backs the returned frame — query-scoped,
+    // released once the consumer's output is materialized
+    graft.core.CacheLife.scoped(ranks)
   }
 
   /** Driver-side twin of the distributed recurrence for bounded graphs:
@@ -172,6 +175,7 @@ object GraphOps {
       when(uord < vord, col("v")).otherwise(col("u")).as("b"),
       when(uord < vord, vord).otherwise(uord).as("bord"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLife.scoped(oriented)
     val e1 = oriented.select(col("a"), col("b").as("x"), col("bord").as("xord"))
     val e2 = oriented.select(col("a"), col("b").as("y"), col("bord").as("yord"))
     val wedges = e1.join(e2, Seq("a")).where(col("xord") < col("yord"))

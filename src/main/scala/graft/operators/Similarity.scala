@@ -361,6 +361,9 @@ object Similarity {
         Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("cent_id").asc)))
       .filter(col("rn") === 1).drop("rn", "c_cos")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query-scoped: released by CacheLife.afterQuery once the consuming
+    // query's output is materialized (the returned frame references it)
+    graft.core.CacheLife.scoped(assigned)
     val a = assigned.select(col("cent_id"), col(idCol).as("id_a"),
       col("v").as("va"), col("v_nrm").as("na"))
     val b = assigned.select(col("cent_id"), col(idCol).as("id_b"),

@@ -59,31 +59,27 @@ object Fuzzy {
   // the (dhash, n_docs) groups and the confirmed Hamming pairs are shared
   // by q130 (pair report) and q134 (cluster labeling) — one decode+hash
   // pass and one banded join per session, the Text-module cache pattern
-  private val hgCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedDhashGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    hgCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    hgCache.getOrElseUpdate((spark, sfDir), {
+  // the three image-signal caches are all released after q136 (the last
+  // consumer in CacheLife terms): q130 reads groups+pairs, q134 reads the
+  // cluster map (built from both), q136 reads groups + the cluster map
+  private val ImgConsumers: Set[String] =
+    Set("q130_image_neardup", "q134_image_clusters", "q136_multimodal_curation")
+
+  private def sharedDhashGroups(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "dhash_groups", ImgConsumers) {
+      import spark.implicits._
       val media = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id").as("media_id"), lit("gray").as("kind"),
           encode(col("text"), "UTF-8").as("payload"), lit(16).as("width"), lit(0).as("height"))
         .as[Multimodal.MediaRow]
       Multimodal.dHash(media, width = 16, pool = 2)
         .groupBy(col("dhash")).agg(count(lit(1)).as("n_docs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }
 
-  private val hpCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedHammingPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    hpCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    hpCache.getOrElseUpdate((spark, sfDir),
+  private def sharedHammingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "hamming_pairs", ImgConsumers)(
       F.hammingNearDupPairs(sharedDhashGroups(spark, sfDir).select(col("dhash")),
-          "dhash", bits = 56, bands = 4, maxHamming = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        "dhash", bits = 56, bands = 4, maxHamming = 3))
 
   def q130ImageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val hg = sharedDhashGroups(spark, sfDir)
@@ -144,12 +140,10 @@ object Fuzzy {
     */
   // (dhash, n_docs, cluster_id) incl. singletons — shared by q134's
   // report and q136's doc-level image-canonical signal
-  private val clCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedImageClusterMap(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.ConnectedComponents
-    clCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    clCache.getOrElseUpdate((spark, sfDir), {
+  private def sharedImageClusterMap(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "image_clusters",
+        Set("q134_image_clusters", "q136_multimodal_curation")) {
+      import graft.operators.ConnectedComponents
       val hg = sharedDhashGroups(spark, sfDir)
       val pairs = sharedHammingPairs(spark, sfDir).select(col("hash_a"), col("hash_b"))
       val cc = ConnectedComponents.run(pairs, "hash_a", "hash_b")
@@ -157,9 +151,7 @@ object Fuzzy {
       hg.join(cc, Seq("dhash"), "left")
         .select(col("dhash"), col("n_docs"),
           coalesce(col("component"), col("dhash")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }
 
   def q134ImageClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val labeled = sharedImageClusterMap(spark, sfDir)
@@ -292,6 +284,76 @@ object Fuzzy {
       |SELECT words.w AS word, words.freq, walk.n AS n_pieces, walk.acc AS encoded
       |FROM walk JOIN words ON words.w = walk.w
       |WHERE walk.p = length(words.w) + 1""".stripMargin
+
+  /** q137: TRAINED WordPiece vocabulary — the likelihood-driven merge
+    * table (Wu 2016), complementing q131's derived-vocab greedy encode:
+    * k rounds of score-argmax-fuse over the word-frequency table, score =
+    * freq(ab)/(freq(a)·freq(b)) — the pair whose fusion most increases
+    * corpus likelihood under a unigram piece LM. The oracle replays the
+    * FULL training as a generated k-level CTE chain (pair counts, symbol
+    * counts, the double-division score argmax with (score DESC, a, b)
+    * tie-break, the fold) — so the training procedure itself is
+    * driver-gated, like q80's BPE chain. All reported columns are
+    * integers/strings; the IEEE double score is ordering-only and
+    * identical on both engines by correct rounding.
+    */
+  private val WpK = 6
+
+  def q137WordPieceTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    WordPiece.train(
+        WordPiece.symTable(Tables.load(spark, sfDir, "documents")), WpK)
+      .map(m => (m.rank, m.a, m.b, m.merged, m.cnt, m.fa, m.fb))
+      .toDF("rank", "a", "b", "merged", "cnt", "fa", "fb")
+  }
+
+  // the WordPiece fold twin of Text.bpeFoldSql: fused piece strips b's ##
+  private def wpFoldSql(m: String): String =
+    s"""string_split(list_reduce(syms, (acc, x) -> CASE
+       |      WHEN string_split(acc, ' ')[-1] = $m.a AND x = $m.b
+       |      THEN substr(acc, 1, length(acc) - length(string_split(acc, ' ')[-1])) || $m.a || substr($m.b, 3)
+       |      ELSE acc || ' ' || x END), ' ')""".stripMargin
+
+  lazy val q137Sql: String = {
+    val base =
+      """s0 AS (
+        |  SELECT w, freq,
+        |    list_transform(generate_series(1, length(w)),
+        |      i -> CASE WHEN i = 1 THEN substr(w, 1, 1) ELSE '##' || substr(w, i, 1) END) AS syms
+        |  FROM (
+        |    SELECT w, COUNT(1) AS freq
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |    WHERE length(w) > 0 GROUP BY w
+        |  ) wt
+        |)""".stripMargin
+    val levels = (0 until WpK).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt
+         |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM s$r) z
+         |  GROUP BY 1, 2
+         |),
+         |f$r AS (
+         |  SELECT s AS sym, SUM(freq) AS f
+         |  FROM (SELECT freq, unnest(syms) AS s FROM s$r) z GROUP BY 1
+         |),
+         |m$r AS (
+         |  SELECT p.a, p.b, p.cnt, fa.f AS fa, fb.f AS fb
+         |  FROM p$r p JOIN f$r fa ON fa.sym = p.a JOIN f$r fb ON fb.sym = p.b
+         |  ORDER BY CAST(p.cnt AS DOUBLE) / fa.f / fb.f DESC, p.a ASC, p.b ASC
+         |  LIMIT 1
+         |),
+         |s${r + 1} AS (
+         |  SELECT w, freq, ${wpFoldSql(s"m$r")} AS syms
+         |  FROM s$r CROSS JOIN m$r
+         |)""".stripMargin
+    }
+    val rows = (0 until WpK).map { r =>
+      s"SELECT $r AS rank, a, b, a || substr(b, 3) AS merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt, CAST(fa AS BIGINT) AS fa, " +
+        s"CAST(fb AS BIGINT) AS fb FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"WITH ${(base +: levels).mkString(",\n")}\n  $rows"
+  }
 
   /** q132: TF-IDF-style term salience, integer-exact — top-3 terms per
     * document ranked by `tf·N/df` in micro-units via BIGINT division (the
@@ -564,5 +626,6 @@ object Fuzzy {
     QueryDef("q135_audio_neardup", q135AudioNearDup, Some(q135Sql)),
     QueryDef("q136_multimodal_curation", q136MultimodalCuration, Some(q136Sql)),
     QueryDef("q131_wordpiece", q131WordPiece, Some(q131Sql)),
-    QueryDef("q132_tfidf_salience", q132TfidfSalience, Some(q132Sql)))
+    QueryDef("q132_tfidf_salience", q132TfidfSalience, Some(q132Sql)),
+    QueryDef("q137_wordpiece_train", q137WordPieceTrain, Some(q137Sql)))
 }

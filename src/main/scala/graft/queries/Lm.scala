@@ -236,15 +236,11 @@ object Lm {
   // Text-module shingle caches, so the multi-shuffle model build runs
   // once, not once per query (and not 3× inside q118, whose quantile
   // boundaries and final label join each re-derived it unpersisted).
-  private val knCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedKnScored(spark: SparkSession, sfDir: String): DataFrame = {
-    knCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    knCache.getOrElseUpdate((spark, sfDir),
+  private def sharedKnScored(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "kn_scored",
+        Set("q111_kn_perplexity", "q118_ccnet_buckets"))(
       LmOps.knPerplexity(Tables.load(spark, sfDir, "documents"),
-          buckets = 1024, discount = 0.75, nllThreshold = 4.0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        buckets = 1024, discount = 0.75, nllThreshold = 4.0))
 
   def q111KnPerplexity(spark: SparkSession, sfDir: String): DataFrame =
     sharedKnScored(spark, sfDir)

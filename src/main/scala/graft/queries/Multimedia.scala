@@ -234,8 +234,9 @@ object Multimedia {
     // (video, frame, dhash) table — without it the whole JPEG encode →
     // MJPEG assemble → idx1 walk → decode chain executes TWICE (measured
     // 7.5 s → ~4 s at sf0.1). Hash-sized rows, so the cache is tiny.
-    val dh = Video.frameDHash(Video.mjpegAssemble(frames, 64, 16), stride = 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dh = graft.core.CacheLife.scoped(
+      Video.frameDHash(Video.mjpegAssemble(frames, 64, 16), stride = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = dh.select(col("video_id").as("doc_id_a"), col("frame_no"), col("dhash"))
     val b = dh.select(col("video_id").as("doc_id_b"), col("frame_no"), col("dhash"))
     a.join(b, Seq("frame_no", "dhash"))

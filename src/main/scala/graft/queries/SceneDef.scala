@@ -30,16 +30,19 @@ object SceneDef {
   // query — the shared-Scharr/shared-shingle pattern applied to the scene.
   // The cached columnar batches serve pruned reads, so narrow queries
   // still read narrow.
-  private val sceneCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // every query that reads the scene, directly or through a helper — the
+  // CacheLife release set (the cache drops once all of them have run)
+  private val SceneConsumers: Set[String] = Set(
+    "q10_gmf_cmod5n", "q11_gmf_vh", "q12_directions", "q13_detrend",
+    "q14_nesz_flat", "q15_invert_crosspol", "q16_invert_dualpol",
+    "q17_model_catalog", "q18_gmf_grid", "q19_dsig",
+    "q40_scharr", "q41_coarsen", "q42_grad_hist", "q43_circ_smooth",
+    "q44_peak", "q45_multiscale", "q46_smooth", "q47_local_stats",
+    "q48_local_gradients", "q49_filtering_params", "q50_hist_overlap")
 
-  def scene(spark: SparkSession, sfDir: String): DataFrame = {
-    // evict stopped sessions so multi-session processes don't pin dead
-    // persisted frames (ADVICE r7: session-keyed memos need eviction)
-    sceneCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    sceneCache.getOrElseUpdate((spark, sfDir),
-      build(spark, sfDir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+  def scene(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "scene", SceneConsumers)(
+      build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")

@@ -94,7 +94,8 @@ object Sketch {
     */
   def q125HllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(spark, sfDir)
-    val regs = Sketches.hllRegisters(t, col("tok"), Seq("source")).persist()
+    val regs = graft.core.CacheLife.scoped(
+      Sketches.hllRegisters(t, col("tok"), Seq("source")).persist())
     val srcs = t.select("source").distinct()
     val pairs = srcs.select(col("source").as("sa"))
       .crossJoin(srcs.select(col("source").as("sb")))
@@ -200,7 +201,8 @@ object Sketch {
     * pass shuffles vocabulary-sized data, not corpus-sized.
     */
   def q96HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    val freq = toks(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
+    val freq = graft.core.CacheLife.scoped(
+      toks(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("cnt")).persist())
     val cells = Sketches.cmsCells(freq, col("tok"), col("cnt"))
     val probes = freq.orderBy(col("cnt").desc, col("tok")).limit(10)
     val est = Sketches.cmsEstimate(cells, probes.select("tok"), "tok")

@@ -151,38 +151,33 @@ object Text {
   //  - the (doc, shingle-hash) table: the explode+distinct both the MinHash
   //    signatures (q35) AND the exact-Jaccard join (q36) scan;
   //  - the candidate-pair set: q36 scores exactly q35's output pairs.
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedShingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
-    // evict stopped sessions (ADVICE r7: session-keyed memos need eviction)
-    shCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    shCache.getOrElseUpdate((spark, sfDir),
-      TextOps.shingleHashes(Tables.load(spark, sfDir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+  // consumer sets for CacheLife release: every query reading the cache
+  // directly or through a helper (q64 reaches jaccard via q56, q74 via
+  // q64, q65 reads the shingle hashes straight)
+  private val JacConsumers: Set[String] = Set("q36_jaccard",
+    "q56_dedup_decision", "q59_neardup_clusters", "q64_curation_decision",
+    "q74_curation_funnel")
+  private val CandConsumers: Set[String] =
+    JacConsumers ++ Set("q35_minhash_pairs", "q129_containment")
+  private val ShConsumers: Set[String] =
+    CandConsumers + "q65_decontaminate"
 
-  private val candCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    candCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    candCache.getOrElseUpdate((spark, sfDir),
+  private def sharedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "shingle_hashes", ShConsumers)(
+      TextOps.shingleHashes(Tables.load(spark, sfDir, "documents")))
+
+  private def sharedCandidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "lsh_candidates", CandConsumers)(
       TextOps.lshCandidatePairs(
-        TextOps.minhashFromHashes(sharedShingleHashes(spark, sfDir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        TextOps.minhashFromHashes(sharedShingleHashes(spark, sfDir))))
 
   // the exact-Jaccard scores over the shared candidates — q36 reports them,
   // q56 and q59 threshold them at 0.8; pair-count-sized, so persisting is
   // cheap and saves the shuffle-heavy confirm join twice per session
-  private val jacCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    jacCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    jacCache.getOrElseUpdate((spark, sfDir),
+  private def sharedJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "jaccard", JacConsumers)(
       TextOps.jaccardFromHashes(sharedShingleHashes(spark, sfDir),
-          sharedCandidatePairs(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        sharedCandidatePairs(spark, sfDir)))
 
   /** q35: MinHash+LSH near-duplicate candidate pairs. */
   def q35MinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -335,7 +330,7 @@ object Text {
     */
   def q106PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val post = Index.positionalPostings(docs).persist()
+    val post = graft.core.CacheLife.scoped(Index.positionalPostings(docs).persist())
     val a = post.as("a")
     val b = post.as("b")
     val top = a.join(b,

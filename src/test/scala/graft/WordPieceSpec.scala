@@ -32,6 +32,39 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("training learns planted likelihood-maximal merges in order") {
+    import spark.implicits._
+    // corpus engineered so likelihood (cnt/(fa·fb)) and raw pair count
+    // DISAGREE: "xy" appears as a pair 30× but x,y are everywhere (high
+    // fa·fb); "qz" appears only 8× but q,z occur nowhere else, so its
+    // score 8/(8·8) = 0.125 beats 30/(50·48) ≈ 0.0129 — a pure
+    // count-argmax (BPE-style) would pick (x, ##y) first, the
+    // likelihood trainer must pick (q, ##z) first.
+    val docs = (Seq.fill(30)("xy") ++ Seq.fill(20)("xa") ++
+        Seq.fill(18)("by") ++ Seq.fill(8)("qz"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = WordPiece.train(WordPiece.symTable(docs), k = 2)
+    assert(merges.head.a == "q" && merges.head.b == "##z",
+      s"first merge should be the likelihood-maximal (q, ##z), got ${merges.head}")
+    assert(merges.head.merged == "qz" && merges.head.cnt == 8L &&
+      merges.head.fa == 8L && merges.head.fb == 8L)
+    // next best: (b,##y) 18/(18·48) ≈ 0.0208 beats (x,##a) 0.02 and
+    // (x,##y) 0.0125 — again NOT the raw-count argmax (x,##y)
+    assert(merges(1).a == "b" && merges(1).b == "##y", s"got ${merges(1)}")
+  }
+
+  test("merge fold fuses left-to-right without overlap and keeps ## status") {
+    import spark.implicits._
+    // "aaa" under merge (a, ##a): [a ##a ##a] -> [aa ##a] (the fused
+    // piece does not re-pair within the same round)
+    val t = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val sym = WordPiece.symTable(t)
+    val folded = sym.select(
+        WordPiece.applyMerge(org.apache.spark.sql.functions.col("syms"), "a", "##a").as("s"))
+      .collect().head.getSeq[String](0)
+    assert(folded == Seq("aa", "##a"), s"got $folded")
+  }
+
   test("derived vocab is bounded and the corpus encode covers every word") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val words = WordPiece.wordFreq(docs)
