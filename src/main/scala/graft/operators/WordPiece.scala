@@ -170,7 +170,8 @@ object WordPiece {
 
   /** Greedy-encode vocabulary from a trained merge list: every corpus
     * character (so encoding never fails) plus each merge product as an
-    * initial or continuation piece by its `##` status. */
+    * initial or continuation piece by its `##` status. `words` is the
+    * [[symTable]] output (column `w`). */
   def trainedVocab(words: DataFrame, merges: Seq[Merge]): Vocab = {
     val chars = words.select(explode(split(col("w"), "")).as("c"))
       .filter(col("c") =!= "").distinct().collect().map(_.getString(0)).toSet

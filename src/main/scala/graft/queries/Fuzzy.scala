@@ -299,10 +299,20 @@ object Fuzzy {
     */
   private val WpK = 6
 
+  // merges trained once per (session, sfDir) — the q80 BPE memo contract:
+  // a driver-side Seq (no storage cost), evicted with the session
+  private val wpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[WordPiece.Merge]]
+  private def trainedWpMerges(spark: SparkSession, sfDir: String): Seq[WordPiece.Merge] = {
+    wpCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    wpCache.getOrElseUpdate((spark, sfDir),
+      WordPiece.train(
+        WordPiece.symTable(Tables.load(spark, sfDir, "documents")), WpK))
+  }
+
   def q137WordPieceTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    WordPiece.train(
-        WordPiece.symTable(Tables.load(spark, sfDir, "documents")), WpK)
+    trainedWpMerges(spark, sfDir)
       .map(m => (m.rank, m.a, m.b, m.merged, m.cnt, m.fa, m.fb))
       .toDF("rank", "a", "b", "merged", "cnt", "fa", "fb")
   }

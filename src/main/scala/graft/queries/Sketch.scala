@@ -26,6 +26,15 @@ object Sketch {
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
 
+  // q95 reports per-source estimates from the SAME register table q125's
+  // set algebra merges — one corpus tokenize+groupBy-max per session,
+  // released after the later consumer (before round 12 the reuse was
+  // accidental, via the cache manager matching q125's persisted plan)
+  private def sharedHllRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "hll_registers",
+        Set("q95_hll_distinct", "q125_hll_setops"))(
+      Sketches.hllRegisters(toks(spark, sfDir), col("tok"), Seq("source")))
+
   // ---------------------------------------------------------------- q95
 
   /** q95: per-source distinct-token estimate via HyperLogLog (p=9, 512
@@ -37,8 +46,7 @@ object Sketch {
     */
   def q95HllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(spark, sfDir)
-    val est = Sketches.hllEstimate(
-      Sketches.hllRegisters(t, col("tok"), Seq("source")), Seq("source"))
+    val est = Sketches.hllEstimate(sharedHllRegisters(spark, sfDir), Seq("source"))
     val exact = t.groupBy("source").agg(countDistinct(col("tok")).as("exact_distinct"))
     est.join(exact, "source")
       .select(col("source"), col("est_distinct"), col("exact_distinct"))
@@ -94,8 +102,7 @@ object Sketch {
     */
   def q125HllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(spark, sfDir)
-    val regs = graft.core.CacheLife.scoped(
-      Sketches.hllRegisters(t, col("tok"), Seq("source")).persist())
+    val regs = sharedHllRegisters(spark, sfDir)
     val srcs = t.select("source").distinct()
     val pairs = srcs.select(col("source").as("sa"))
       .crossJoin(srcs.select(col("source").as("sb")))

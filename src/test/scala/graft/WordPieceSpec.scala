@@ -51,6 +51,13 @@ class WordPieceSpec extends SparkSpec {
     // next best: (b,##y) 18/(18·48) ≈ 0.0208 beats (x,##a) 0.02 and
     // (x,##y) 0.0125 — again NOT the raw-count argmax (x,##y)
     assert(merges(1).a == "b" && merges(1).b == "##y", s"got ${merges(1)}")
+    // the trained vocab greedy-encodes merged words as single pieces and
+    // still covers every word via char fallback
+    val vocab = WordPiece.trainedVocab(WordPiece.symTable(docs), merges)
+    assert(WordPiece.encodeWord("qz", vocab) == Seq("qz"))
+    assert(WordPiece.encodeWord("by", vocab) == Seq("by"))
+    assert(WordPiece.encodeWord("xy", vocab) == Seq("x", "##y"))
+    assert(WordPiece.encodeWord("zq", vocab) == Seq("z", "##q"))
   }
 
   test("merge fold fuses left-to-right without overlap and keeps ## status") {
