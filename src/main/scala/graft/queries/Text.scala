@@ -993,7 +993,10 @@ object Text {
        |    ($a[c.sub*4 + i] - $b[c.sub*4 + i]) * ($a[c.sub*4 + i] - $b[c.sub*4 + i]))),
        |  (x, y) -> x + y)""".stripMargin
 
-  val q76Sql: String =
+  // q76's CTE chain through `summed` (ADC candidate distances), shared
+  // verbatim by the q138 rerank oracle, which re-ranks a longer ADC
+  // shortlist with exact full-vector distances.
+  private val q76Ctes: String =
     s"""WITH cents AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent,
        |         embedding AS cv
@@ -1048,11 +1051,56 @@ object Text {
        |  JOIN lut l ON l.cent = en.cent AND l.sub = en.sub AND l.code = en.code
        |  WHERE en.vec_id != l.query_id
        |  GROUP BY l.query_id, en.vec_id
-       |)
+       |)""".stripMargin
+
+  val q76Sql: String =
+    s"""$q76Ctes
        |SELECT query_id, neighbor_id, d2_adc, CAST(rn AS INTEGER) AS rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY d2_adc ASC, neighbor_id ASC) AS rn
        |  FROM summed
+       |) WHERE rn <= 5""".stripMargin
+
+  /** q138: IVFADC+R — the production refine step (Jégou TPAMI 2011 §VI;
+    * faiss `IndexRefineFlat`): q76's ADC pipeline keeps a top-20
+    * shortlist per query, which is re-scored with EXACT squared L2 on
+    * the full vectors and cut to top-5. The 100 TB shape: the ADC scan
+    * still reads only m bytes/vector; the exact pass touches
+    * rerank·queries full vectors through a broadcast semi-join against
+    * the corpus (vectors re-read map-side, never shuffled). Untrained
+    * codebook (lloydIters = 0) keeps every fold left-to-right and the
+    * d2_exact identity ||q||² + ||c||² − 2⟨q,c⟩ evaluates the same IEEE
+    * sequence as the oracle's `dotSql` folds — bit-reproducible.
+    */
+  def q138IvfadcRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.ivfadcTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numCents = 8, nprobe = 2, m = 16, codebookSize = 16, rerank = 20)
+      .select(col("query_id"), col("neighbor_id"), col("d2_exact"), col("rank"))
+  }
+
+  val q138Sql: String =
+    s"""$q76Ctes,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2_adc ASC, neighbor_id ASC) AS rn
+       |    FROM summed
+       |  ) WHERE rn <= 20
+       |),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROUND(${dotSql("q.embedding", "q.embedding")}
+       |      + ${dotSql("c.embedding", "c.embedding")}
+       |      - 2 * ${dotSql("q.embedding", "c.embedding")}, 6) AS d2_exact
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, d2_exact, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d2_exact ASC, neighbor_id ASC) AS rn
+       |  FROM exact
        |) WHERE rn <= 5""".stripMargin
 
   /** q64: the END-TO-END curation decision — the one column a 100 TB
@@ -2007,6 +2055,7 @@ object Text {
     QueryDef("q78_flac_roundtrip", q78FlacRoundtrip, Some(q78Sql)),
     QueryDef("q77_jpeg_dc", q77JpegDc, Some(q77Sql)),
     QueryDef("q76_ivfadc_ann", q76IvfadcAnn, Some(q76Sql)),
+    QueryDef("q138_ivfadc_rerank", q138IvfadcRerank, Some(q138Sql)),
     QueryDef("q75_png_roundtrip", q75PngRoundtrip, Some(q75Sql)),
     QueryDef("q117_gif_roundtrip", q117GifRoundtrip, Some(q117Sql)),
     QueryDef("q119_unigram_seed", q119UnigramSeed, Some(q119Sql)),
