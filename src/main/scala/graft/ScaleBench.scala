@@ -714,6 +714,30 @@ object ScaleBench {
       require(bad == 0, s"$bad of $nW words failed piece reassembly")
     }
 
+    // 10a-3b. TRAINED WordPiece at 1M docs, closed-form merge sequence.
+    // Every doc is "xy ab u<id%1000>"; every 1000th doc appends " qz".
+    // The planted (q,##z) pair has the LOWEST count (1k vs 1M) but the
+    // HIGHEST likelihood 1k/(1k·1k) = 1e-3 — a thousand-fold margin over
+    // (a,##b)/(x,##y) at 1M/(1M·1M) = 1e-6 and ≥2.7× over every digit
+    // pair (max (u,##1) = 111k/(1M·300k) ≈ 3.7e-7), so no float near-tie;
+    // merge 2 vs 3 is the exact-equal-score tie broken by a ASC. Gates
+    // both the vocab-table reduction (training never re-scans the corpus)
+    // and that likelihood, not raw count, drives the argmax at scale.
+    timed("wordpiece_train_1M_docs") {
+      import graft.operators.WordPiece
+      val nDocsW = 1000000L
+      val docsW = spark.range(nDocsW).select(col("id").as("doc_id"),
+        concat(lit("xy ab u"), (col("id") % 1000).cast("string"),
+          when(col("id") % 1000 === 0, lit(" qz")).otherwise(lit(""))).as("text"))
+      val merges = WordPiece.train(WordPiece.symTable(docsW), 3)
+      val want = Seq(
+        WordPiece.Merge(0, "q", "##z", "qz", 1000L, 1000L, 1000L),
+        WordPiece.Merge(1, "a", "##b", "ab", nDocsW, nDocsW, nDocsW),
+        WordPiece.Merge(2, "x", "##y", "xy", nDocsW, nDocsW, nDocsW))
+      require(merges == want,
+        s"trained wordpiece drifted at $nDocsW docs: $merges vs $want")
+    }
+
     // 10b. Connected components at ~900k nodes: 10-node clusters (the
     // shape dedup produces — already near-stars) PLUS a 1024-node path
     // appended, the worst case for round count: label propagation would
