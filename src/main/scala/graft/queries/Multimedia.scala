@@ -201,7 +201,8 @@ object Multimedia {
     QueryDef("q109_audio_resample", q109AudioResample, Some(q109Sql)),
     QueryDef("q121_image_resize", q121ImageResize, Some(q121Sql)),
     QueryDef("q122_wds_census", q122WdsCensus, Some(q122Sql)),
-    QueryDef("q123_video_neardup", q123VideoNearDup, Some(q123Sql)))
+    QueryDef("q123_video_neardup", q123VideoNearDup, Some(q123Sql)),
+    QueryDef("q139_scene_cuts", q139SceneCuts, Some(q139Sql)))
 
   /** q123: video near-duplicate detection — the clip-dedup pass a
     * multimodal corpus needs: every odd doc's 4-frame clip is rebuilt
@@ -308,4 +309,93 @@ object Multimedia {
   // documents are ASCII → UTF-8 byte length = char length
   val q122Sql: String =
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents""".stripMargin
+
+  /** q139: scene-cut detection + segmentation — the clip-splitting pass a
+    * video training corpus runs before captioning/packing (split on
+    * visual discontinuity, emit per-scene segments). Every doc becomes a
+    * 6-frame MJPEG clip whose pixel content switches at a per-video cut
+    * point (frames before `2 + doc_id % 3` render the doc's text at byte
+    * offset 0, frames after at offset 1); each frame goes through the
+    * REAL pipeline (JPEG encode → MJPEG assemble → idx1-driven frame walk
+    * → perceptual dHash over the decoded DC surface, the q123 chain), a
+    * consecutive-frame Hamming distance ≥ 4 marks a cut, and a running
+    * cut-count over the per-video frame window labels scenes, aggregated
+    * to (start, end, n_frames) segments. Scale shape: hashing is
+    * map-side; the only shuffle is the per-video window + segment
+    * aggregate over hash-sized rows — never pixels; at 100 TB the window
+    * key (video_id) is the natural partitioner and frames-per-video is
+    * bounded by the stride sampler.
+    */
+  def q139SceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Video
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val frames = docs.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val cut = (2 + id % 3).toInt
+      (0 until 6).map { k =>
+        val off = if (k < cut) 0 else 1
+        val px = Array.tabulate(1024)(i => b((i + off) % b.length))
+        (id, k, graft.sources.Jpeg.encodeGray(64, 16, px))
+      }
+    }.toDF("video_id", "frame_no", "jpeg")
+    val dh = Video.frameDHash(Video.mjpegAssemble(frames, 64, 16), stride = 1)
+    val wOrd = Window.partitionBy(col("video_id")).orderBy(col("frame_no"))
+    val scenes = dh
+      .withColumn("d",
+        bit_count(col("dhash").bitwiseXOR(lag(col("dhash"), 1).over(wOrd))))
+      .withColumn("is_cut", when(col("d") >= 4, 1L).otherwise(0L))
+      .withColumn("scene_no", sum(col("is_cut")).over(wOrd))
+    scenes.groupBy(col("video_id"), col("scene_no"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
+  // same relational dHash replay as q123 (dyadic DC mean, 7×2 bit pack),
+  // with the per-frame byte offset switching at the planted cut point
+  val q139Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, CAST(f AS INTEGER) AS frame_no,
+      |    CAST((i - 1) // 64 AS INTEGER) AS r, CAST((i - 1) % 64 AS INTEGER) AS c,
+      |    ascii(substr(d.text, CAST((i - 1 +
+      |      CASE WHEN f < 2 + d.doc_id % 3 THEN 0 ELSE 1 END)
+      |      % length(d.text) + 1 AS BIGINT), 1)) AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 1024)) AS i) ii
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS f) ff
+      |),
+      |dc AS (
+      |  SELECT doc_id, frame_no, CAST(r // 8 AS INTEGER) AS br,
+      |    CAST(c // 8 AS INTEGER) AS bc,
+      |    128.0 + 2.0 * FLOOR((SUM(v) - 8192) / 128.0 + 0.5) AS m
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |),
+      |bits AS (
+      |  SELECT a.doc_id, a.frame_no,
+      |    CAST(SUM(CASE WHEN a.m < b.m
+      |      THEN CAST(1 AS BIGINT) << (a.br * 7 + a.bc) ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM dc a JOIN dc b
+      |    ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no
+      |   AND b.br = a.br AND b.bc = a.bc + 1
+      |  GROUP BY 1, 2
+      |),
+      |ham AS (
+      |  SELECT doc_id, frame_no,
+      |    bit_count(xor(dhash,
+      |      lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_no))) AS d
+      |  FROM bits
+      |),
+      |scenes AS (
+      |  SELECT doc_id, frame_no,
+      |    SUM(CASE WHEN d >= 4 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY frame_no) AS scene_no
+      |  FROM ham
+      |)
+      |SELECT doc_id AS video_id, CAST(scene_no AS BIGINT) AS scene_no,
+      |  MIN(frame_no) AS start_frame, MAX(frame_no) AS end_frame,
+      |  CAST(COUNT(1) AS BIGINT) AS n_frames
+      |FROM scenes GROUP BY doc_id, scene_no""".stripMargin
 }

@@ -36,6 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     // PQ codebook — a crossJoin BOUNDED at m·codebookSize rows, same
     // audited shape as q63 (Similarity.ivfadcTopK)
     "q76_ivfadc_ann",
+    // q138: the rerank tier runs the same q76 ADC pipeline (same bounded
+    // codebook crossJoins) before its broadcast-shortlist exact pass
+    "q138_ivfadc_rerank",
     // q66: the per-stratum rate table crossJoins a broadcast grand-total
     // BOUNDED at 1 row (TextOps.mixtureEpochs)
     "q66_mixture_epochs",
