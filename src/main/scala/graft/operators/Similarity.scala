@@ -53,6 +53,75 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance re-selection (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity step a retrieval stack runs on a
+    * candidate list before using it for training-data selection or RAG
+    * context: greedily pick `kOut` of the `kCand` cosine candidates,
+    * each round maximizing λ·rel − (1−λ)·max_sim-to-already-picked
+    * (λ = 1/2 here, so both factors are exact binary halves).
+    *
+    * Scale shape: [[cosineTopK]] bounds everything downstream at kCand
+    * rows per query — the pairwise sim table is kCand² per query and the
+    * greedy rounds unroll into kOut−1 window+join levels over those
+    * bounded frames, so cost is independent of corpus size once the
+    * candidate scan is done. Every arithmetic step is on 6-rounded
+    * doubles with exact-half λ, so the argmax chain replays
+    * bit-identically in the relational oracle.
+    *
+    * Output: (query_id, neighbor_id, rel, max_sim, mmr, pick) — pick is
+    * the selection round (1-based).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, kCand: Int, kOut: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kOut >= 1 && kOut <= kCand, s"kOut $kOut must be in [1, $kCand]")
+    // both frames are read by every unrolled greedy round below — persist
+    // (query-scoped, kCand·|queries| and kCand²·|queries| rows) so the
+    // corpus-wide candidate scan runs ONCE, not once per round per branch
+    val cands = graft.core.CacheLife.scoped(
+      cosineTopK(corpus, queries, kCand, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val withVec = cands.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")), "neighbor_id")
+    // candidate-pairwise cosine, kCand² rows per query
+    val sims = graft.core.CacheLife.scoped(
+      withVec.select(col("query_id"), col("neighbor_id"), col("v"))
+        .join(withVec.select(col("query_id"), col("neighbor_id").as("other_id"),
+          col("v").as("w")), Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("other_id"))
+        .select(col("query_id"), col("neighbor_id"), col("other_id"),
+          round(dot(col("v"), col("w"))
+            / (sqrt(norm2(col("v"))) * sqrt(norm2(col("w")))), 6).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    var selected = cands.withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        lit(0.0).as("max_sim"), lit(1).as("pick"))
+    for (t <- 2 to kOut) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id"))
+      val remaining = cands.join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = remaining
+        .join(sims.join(selIds.withColumnRenamed("neighbor_id", "other_id"),
+          Seq("query_id", "other_id"))
+          .select(col("query_id"), col("neighbor_id"), col("sim")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("sim")).as("max_sim"))
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy((col("rel") * 0.5 - col("max_sim") * 0.5).desc,
+          col("neighbor_id").asc)
+      val pick = ms.withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("max_sim"), lit(t).as("pick"))
+      selected = selected.unionByName(pick)
+    }
+    selected.withColumn("mmr",
+      round(col("rel") * 0.5 - col("max_sim") * 0.5, 6))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (dim i, plane j):
     * integer-seeded, portable across engines. Values in [-0.5, 0.5).
     *

@@ -219,6 +219,7 @@ object Lm {
     QueryDef("q88_bm25", q88Bm25, Some(q88Sql)),
     QueryDef("q111_kn_perplexity", q111KnPerplexity, Some(q111Sql)),
     QueryDef("q133_rrf_fusion", q133RrfFusion, Some(q133Sql)),
+    QueryDef("q140_mmr_diversify", q140MmrDiversify, Some(q140Sql)),
     QueryDef("q118_ccnet_buckets", q118CcnetBuckets, Some(q118Sql)))
 
   // ---------------------------------------------------------------- q111
@@ -379,6 +380,92 @@ object Lm {
        |    ORDER BY rrf_micro DESC, doc_id) AS rn
        |  FROM fused
        |) WHERE rn <= 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q140
+
+  /** q140: MMR diversity re-selection (Carbonell & Goldstein, SIGIR
+    * 1998) — the step after retrieval that keeps a RESULT SET diverse
+    * (dedup-adjacent: near-identical passages waste training-context
+    * slots): greedily pick 5 of the cosine top-20 per query, each round
+    * maximizing ½·rel − ½·max-sim-to-already-picked. Everything after
+    * the candidate scan is k-bounded per query (20² pairwise sims, four
+    * unrolled window+join rounds), so the diversification cost is
+    * independent of corpus size; the oracle replays the greedy argmax
+    * chain as a generated 5-level CTE cascade (the q137 pattern) on the
+    * same 6-rounded doubles with exact-half λ.
+    */
+  def q140MmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    graft.operators.Similarity.mmrTopK(emb,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), kCand = 20, kOut = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("max_sim"), col("mmr"), col("pick").cast("int").as("pick"))
+  }
+
+  val q140Sql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+         |  list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+         |  (x, y) -> x + y)""".stripMargin
+    val cos = (a: String, b: String) =>
+      s"ROUND(${dot(a, b)} / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)})), 6)"
+    val head =
+      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |            WHERE vec_id IN (1, 2, 3)),
+         |cs AS (
+         |  SELECT qv.query_id, e.vec_id AS neighbor_id,
+         |    ${cos("qv.qvec", "e.embedding")} AS rel
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != qv.query_id
+         |),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS rn FROM cs
+         |  ) WHERE rn <= 20
+         |),
+         |sims AS (
+         |  SELECT a.query_id, a.neighbor_id, b.neighbor_id AS other_id,
+         |    ${cos("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand a
+         |  JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id != a.neighbor_id
+         |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+         |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+         |),
+         |selu1 AS (
+         |  SELECT query_id, neighbor_id, rel, CAST(0 AS DOUBLE) AS max_sim,
+         |    1 AS pick FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS rn FROM cand
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val levels = (2 to 5).map { t =>
+      s"""mmr$t AS (
+         |  SELECT c.query_id, c.neighbor_id, c.rel, MAX(s.sim) AS max_sim
+         |  FROM cand c
+         |  JOIN sims s ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+         |  JOIN selu${t - 1} p ON p.query_id = s.query_id
+         |    AND p.neighbor_id = s.other_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} x
+         |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY 1, 2, 3
+         |),
+         |selu$t AS (
+         |  SELECT * FROM selu${t - 1}
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, rel, max_sim, $t AS pick FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel * 5e-1 - max_sim * 5e-1 DESC, neighbor_id) AS rn
+         |    FROM mmr$t
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    (Seq(head) ++ levels).mkString(",\n") +
+      """
+        |SELECT query_id, neighbor_id, rel, max_sim,
+        |  ROUND(rel * 5e-1 - max_sim * 5e-1, 6) AS mmr,
+        |  CAST(pick AS INTEGER) AS pick
+        |FROM selu5""".stripMargin
   }
 
   // ---------------------------------------------------------------- q118

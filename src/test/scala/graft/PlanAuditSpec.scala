@@ -39,6 +39,9 @@ class PlanAuditSpec extends SparkSpec {
     // q138: the rerank tier runs the same q76 ADC pipeline (same bounded
     // codebook crossJoins) before its broadcast-shortlist exact pass
     "q138_ivfadc_rerank",
+    // q140: the MMR candidate scan is q38's few-queries broadcast BNLJ;
+    // everything after it is k-bounded equi-joins (Similarity.mmrTopK)
+    "q140_mmr_diversify",
     // q66: the per-stratum rate table crossJoins a broadcast grand-total
     // BOUNDED at 1 row (TextOps.mixtureEpochs)
     "q66_mixture_epochs",

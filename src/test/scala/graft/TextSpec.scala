@@ -806,4 +806,26 @@ class TextSpec extends SparkSpec {
     assert(got(5L).getAs[Int]("n_sentences") == 4 && got(5L).getAs[Boolean]("keep"),
       "sentence count is per terminal mark, not per line")
   }
+
+  test("mmrTopK: a diverse lower-relevance candidate beats an equal-relevance near-dup") {
+    import spark.implicits._
+    // id 2 is id 1 scaled by 2 (cos is scale-invariant: rel ties at 0.9,
+    // sim(1,2) = 1 exactly); id 3 is less relevant (0.85) but diverse
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.43589f)),
+      (2L, Seq(1.8f, 0.87178f)),
+      (3L, Seq(0.85f, -0.5268f)),
+      (4L, Seq(0.7f, 0.714f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(rows, rows.filter(col("vec_id") === 0),
+        kCand = 4, kOut = 3)
+      .orderBy("pick").collect()
+    // pick 1: rel tie (1 vs 2) broken by id; pick 2: the near-dup's
+    // mmr = ½(0.9 − 1) < the diverse candidate's ½(0.85 − 0.535); pick 3:
+    // the near-dup still beats id 4 (rel 0.7, max_sim ≈ 0.94)
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out(1).getAs[Double]("rel") < out(0).getAs[Double]("rel"),
+      "diversity must beat raw relevance at pick 2")
+  }
 }
