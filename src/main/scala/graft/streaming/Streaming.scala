@@ -54,6 +54,39 @@ object Streaming {
       }
   }
 
+  final case class FrameHash(video_id: Long, frame_no: Int, dhash: Long)
+  final case class SceneCutState(lastFrameNo: Int, lastHash: Long, nCuts: Long)
+  final case class SceneLabel(video_id: Long, frame_no: Int, dist: Int, scene_no: Long)
+
+  /** Streaming scene-cut detection — the ingest-time twin of
+    * Multimedia.q139SceneCuts' cut labeling: frame hashes arrive on a
+    * stream (the MJPEG walk emits frames in order per video) and each
+    * frame is labeled with its scene number as it lands. Per-video state
+    * is ONLY the last (frame_no, dhash) and the running cut count —
+    * O(videos), never O(frames) — so a live captioning/packing consumer
+    * can segment clips without waiting for whole videos. `dist` is −1
+    * for a video's first frame (no predecessor), matching the batch
+    * window's null lag.
+    */
+  def sceneCutStream(frames: Dataset[FrameHash], threshold: Int): Dataset[SceneLabel] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.video_id)
+      .flatMapGroupsWithState[SceneCutState, SceneLabel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vid, batch, state: GroupState[SceneCutState]) =>
+          var st = state.getOption.getOrElse(SceneCutState(-1, 0L, 0L))
+          val out = batch.toSeq.sortBy(_.frame_no).map { f =>
+            val d = if (st.lastFrameNo < 0) -1
+              else java.lang.Long.bitCount(st.lastHash ^ f.dhash)
+            val cuts = st.nCuts + (if (d >= threshold) 1L else 0L)
+            st = SceneCutState(f.frame_no, f.dhash, cuts)
+            SceneLabel(vid, f.frame_no, d, cuts)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time twin of TextOps.exactDedup:
     * documents arriving on a stream are deduplicated by content hash with
     * `dropDuplicatesWithinWatermark`, so the dedup state store only keeps

@@ -937,4 +937,53 @@ class IoStreamingSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("batch_id=")).toSet
     assert(!storeIds.contains("batch_id=0"), s"store still holds $storeIds")
   }
+
+  test("streaming scene cuts equal the batch labels across a mid-video batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Video
+    implicit val sqlCtx = spark.sqlContext
+    // real-pipeline hashes for 4 clips (q139's construction: 6 frames,
+    // content switches at frame 2 + id % 3)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val frames = docs.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val cut = (2 + id % 3).toInt
+      (0 until 6).map { k =>
+        val off = if (k < cut) 0 else 1
+        val px = Array.tabulate(1024)(i => b((i + off) % b.length))
+        (id, k, graft.sources.Jpeg.encodeGray(64, 16, px))
+      }
+    }.toDF("video_id", "frame_no", "jpeg")
+    val dh = Video.frameDHash(Video.mjpegAssemble(frames, 64, 16), stride = 1)
+      .as[Streaming.FrameHash].collect().sortBy(f => (f.video_id, f.frame_no))
+    val expected = dh.groupBy(_.video_id).flatMap { case (_, fs) =>
+      var last = Option.empty[Long]
+      var cuts = 0L
+      fs.sortBy(_.frame_no).toSeq.map { f =>
+        val d = last.map(h => java.lang.Long.bitCount(h ^ f.dhash)).getOrElse(-1)
+        if (d >= 4) cuts += 1
+        last = Some(f.dhash)
+        (f.video_id, f.frame_no) -> cuts
+      }
+    }.toMap
+    assert(expected.values.exists(_ > 0), "fixture must contain a real cut")
+    val mem = MemoryStream[Streaming.FrameHash]
+    val q = Streaming.sceneCutStream(mem.toDS(), threshold = 4)
+      .writeStream.format("memory").queryName("scene_cuts")
+      .outputMode("append").start()
+    // split MID-video: frames 0-2 land in batch 1, 3-5 in batch 2, so the
+    // cross-batch state must carry the last hash over a cut boundary
+    val (b1, b2) = dh.partition(_.frame_no < 3)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("scene_cuts").as[Streaming.SceneLabel].collect()
+      .map(l => (l.video_id, l.frame_no) -> l.scene_no).toMap
+    q.stop()
+    assert(got == expected, s"stream labels diverged: $got vs $expected")
+  }
 }
