@@ -377,6 +377,77 @@ object Multimodal {
       .agg(sum(col("__bit")).as("dhash"))
   }
 
+  /** Fixed-point DCT basis shared VERBATIM with the relational oracle:
+    * C(k, n) = round(cos(π·(2n+1)·k / 64) · 2^14), k < 8, n < 32. Computed
+    * once here and string-interpolated into the oracle SQL as a VALUES
+    * literal, so both engines use the SAME integers — no libm cos
+    * rounding can diverge them. */
+  val PHashDctTable: Array[Array[Long]] = Array.tabulate(8, 32) { (k, n) =>
+    Math.round(Math.cos(Math.PI * (2 * n + 1) * k / 64.0) * 16384.0)
+  }
+
+  /** pHash — the classic DCT perceptual hash (32×32 → 8×8 low-pass,
+    * median threshold), in FIXED-POINT integer arithmetic so every step
+    * is exact Long math, deterministic, and relationally replayable:
+    * separable integer DCT-II over the first 32×32 payload bytes
+    * (S1 = C·P over rows, S2 = S1·Cᵀ over columns, only the 8 lowest
+    * frequencies each way), the 63 AC coefficients compared to their
+    * 32nd order statistic (the median), bit (u·8+v−1) set when the
+    * coefficient exceeds it. Magnitudes are bounded: |S2| ≤
+    * 32²·255·2^28 < 2^63 — no overflow. [[dHash]] is local gradient
+    * structure; pHash is global low-frequency structure, invariant to
+    * high-frequency noise (spec-pinned). Map-side kernel: zero shuffle.
+    */
+  def pHash64(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val ct = PHashDctTable
+    media.map { m =>
+      require(m.payload.length >= 1024,
+        s"pHash64 needs a 32x32 payload, got ${m.payload.length} bytes")
+      val s1 = Array.ofDim[Long](8, 32)
+      var u = 0
+      while (u < 8) {
+        var x = 0
+        while (x < 32) {
+          var acc = 0L
+          var y = 0
+          while (y < 32) { acc += ct(u)(y) * (m.payload(y * 32 + x) & 0xff); y += 1 }
+          s1(u)(x) = acc
+          x += 1
+        }
+        u += 1
+      }
+      val s2 = Array.ofDim[Long](8, 8)
+      val ac = new Array[Long](63)
+      var i = 0
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L
+          var x = 0
+          while (x < 32) { acc += ct(v)(x) * s1(u)(x); x += 1 }
+          s2(u)(v) = acc
+          if (u != 0 || v != 0) { ac(i) = acc; i += 1 }
+          v += 1
+        }
+        u += 1
+      }
+      val med = ac.sorted.apply(31)
+      var h = 0L
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if ((u != 0 || v != 0) && s2(u)(v) > med) h |= 1L << (u * 8 + v - 1)
+          v += 1
+        }
+        u += 1
+      }
+      (m.media_id, h)
+    }.toDF("media_id", "phash")
+  }
+
   /** REAL decode + framing for raw 16-bit little-endian PCM (the
     * uncompressed interchange audio shape: a WAV `data` chunk body) — the
     * audio sibling of [[decodeGrayPool]], no codec library needed. The

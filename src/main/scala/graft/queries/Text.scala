@@ -1479,6 +1479,72 @@ object Text {
       |SELECT h.doc_id, h.dhash, h.doc_id = g.canon AS is_canonical, g.n_copies
       |FROM h JOIN g USING (dhash)""".stripMargin
 
+  /** q141: DCT perceptual hash (pHash) groups — the global-structure
+    * sibling of q73's local-gradient dHash: each document renders as a
+    * tiled 32×32 gray image and hashes through the FIXED-POINT integer
+    * DCT ([[graft.operators.Multimodal.pHash64]]) — separable integer
+    * DCT-II on the 8 lowest frequencies, 63 AC coefficients vs their
+    * median, all exact Long math. The oracle replays the same matrix
+    * products relationally against the SAME interpolated cosine table,
+    * so the hash is bit-reproducible. The kernel is map-side; the only
+    * shuffle is the hash-group aggregate.
+    */
+  def q141Phash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        Multimodal.MediaRow(id, "gray",
+          Array.tabulate(1024)(i => b(i % b.length)), 32, 32)
+      }
+    val h = Multimodal.pHash64(media)
+      .select(col("media_id").as("doc_id"), col("phash"))
+    val g = h.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("__canon"), count(lit(1)).as("n_copies"))
+    h.join(g, "phash")
+      .select(col("doc_id"), col("phash"),
+        (col("doc_id") === col("__canon")).as("is_canonical"), col("n_copies"))
+  }
+
+  val q141Sql: String = {
+    val ctVals = (for (k <- 0 until 8; n <- 0 until 32)
+      yield s"($k, $n, ${graft.operators.Multimodal.PHashDctTable(k)(n)})")
+      .mkString(", ")
+    s"""WITH ct(k, n, w) AS (VALUES $ctVals),
+       |px AS (
+       |  SELECT doc_id,
+       |    CAST((i - 1) // 32 AS INTEGER) AS y, CAST((i - 1) % 32 AS INTEGER) AS x,
+       |    ascii(substr(text, CAST((i - 1) % length(text) + 1 AS BIGINT), 1)) AS v
+       |  FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 1024)) AS i) ii
+       |),
+       |s1 AS (
+       |  SELECT px.doc_id, ct.k AS u, px.x, SUM(ct.w * px.v) AS s
+       |  FROM px JOIN ct ON ct.n = px.y GROUP BY 1, 2, 3
+       |),
+       |s2 AS (
+       |  SELECT s1.doc_id, s1.u, ct.k AS vf, SUM(ct.w * s1.s) AS s
+       |  FROM s1 JOIN ct ON ct.n = s1.x GROUP BY 1, 2, 3
+       |),
+       |ac AS (SELECT doc_id, u, vf, s FROM s2 WHERE NOT (u = 0 AND vf = 0)),
+       |med AS (
+       |  SELECT doc_id, s AS med FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s, u, vf) AS rn
+       |    FROM ac
+       |  ) WHERE rn = 32
+       |),
+       |h AS (
+       |  SELECT ac.doc_id, CAST(SUM(CASE WHEN ac.s > med.med
+       |    THEN 1::BIGINT << (ac.u * 8 + ac.vf - 1) ELSE 0::BIGINT END) AS BIGINT) AS phash
+       |  FROM ac JOIN med USING (doc_id) GROUP BY 1
+       |),
+       |g AS (SELECT phash, MIN(doc_id) AS canon, COUNT(1) AS n_copies FROM h GROUP BY phash)
+       |SELECT h.doc_id, h.phash, h.doc_id = g.canon AS is_canonical,
+       |  g.n_copies
+       |FROM h JOIN g USING (phash)""".stripMargin
+  }
+
   /** q74: the curation FUNNEL — per-reason drop counts over the composed
     * q64 decision, attributing each document to its FIRST drop reason in
     * precedence order (the report every production curation pass emits).
@@ -2063,6 +2129,7 @@ object Text {
     QueryDef("q126_token_dropout", q126TokenDropout, Some(q126Sql)),
     QueryDef("q74_curation_funnel", q74CurationFunnel, Some(q74Sql)),
     QueryDef("q73_image_dhash", q73ImageDhash, Some(q73Sql)),
+    QueryDef("q141_phash", q141Phash, Some(q141Sql)),
     QueryDef("q72_pcm_silence", q72PcmSilence, Some(q72Sql)),
     QueryDef("q94_fft_spectrum", q94FftSpectrum, Some(q94Sql)),
     QueryDef("q71_length_buckets", q71LengthBuckets, Some(q71Sql)),

@@ -807,6 +807,32 @@ class TextSpec extends SparkSpec {
       "sentence count is per terminal mark, not per line")
   }
 
+  test("pHash64: invariant to Nyquist noise, sensitive to low-frequency change, ≤31 bits") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // textured base (full-spectrum content, so the 63 AC coefficients are
+    // well spread around their median — a smooth ramp would park 49 of
+    // them AT the median and make any hash unstable by construction);
+    // the +1 checkerboard is pure Nyquist-frequency noise, whose
+    // projection on the kept 8 lowest frequencies is only the cosine
+    // table's rounding residue — orders of magnitude below the
+    // coefficient spread
+    def img(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(1024)(i => f(i / 32, i % 32).toByte)
+    val tex = (y: Int, x: Int) => (y * 37 + x * 101 + y * x * 13) % 199
+    val base = img(tex)
+    val noisy = img((y, x) => tex(y, x) + (if ((x + y) % 2 == 0) 1 else 0))
+    val tilted = img((y, x) => tex(y, x) + x / 2) // low-frequency ramp
+    val rows = Seq((1L, base), (2L, noisy), (3L, tilted))
+      .map { case (id, p) => Multimodal.MediaRow(id, "gray", p, 32, 32) }.toDS()
+    val h = Multimodal.pHash64(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    assert(h(1L) == h(2L), "high-frequency checkerboard must not move the hash")
+    assert(h(1L) != h(3L), "a low-frequency ramp must move the hash")
+    // 63 AC coeffs vs their 32nd order statistic: at most 31 can exceed it
+    h.values.foreach(v => assert(java.lang.Long.bitCount(v) <= 31))
+  }
+
   test("mmrTopK: a diverse lower-relevance candidate beats an equal-relevance near-dup") {
     import spark.implicits._
     // id 2 is id 1 scaled by 2 (cos is scale-invariant: rel ties at 0.9,
