@@ -38,4 +38,35 @@ object RangeJoin {
       .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Join each left interval `[lStart, lEnd)` to every right interval
+    * `[rStart, rEnd)` it overlaps (lStart < rEnd AND rStart < lEnd).
+    * Both sides explode to the buckets they cover and candidates meet
+    * per bucket, but a pair overlapping across SEVERAL shared buckets
+    * is kept only in its CANONICAL one — the bucket containing
+    * max(lStart, rStart), which every overlapping pair covers on both
+    * sides exactly once — so no dedup shuffle is needed (the
+    * reference-point trick from spatial joins). A bare overlap
+    * predicate has no equi-key and plans the O(|L|·|R|) BNLJ cliff;
+    * this is one equi-shuffle each side with work proportional to
+    * bucket-local candidate pairs. Columns must be non-negative
+    * integers in one unit (epoch ns).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "__bucket is reserved by RangeJoin")
+    val l = left.withColumn("__bucket",
+      explode(sequence(expr(s"$lStart DIV $bucketWidth"),
+        expr(s"($lEnd - 1) DIV $bucketWidth"))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(expr(s"$rStart DIV $bucketWidth"),
+        expr(s"($rEnd - 1) DIV $bucketWidth"))))
+    l.join(r, Seq("__bucket"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(expr(s"greatest($lStart, $rStart) DIV $bucketWidth") === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -145,6 +145,49 @@ object Events {
       |FROM iv JOIN ev ON ev.ts_ns >= iv.start_ns AND ev.ts_ns < iv.start_ns + 5400000000000
       |GROUP BY o_orderkey""".stripMargin
 
+  /** q142: interval-OVERLAP join — the two-sided sibling of q23's
+    * point-in-interval: each sparse order window `[start, start+90min)`
+    * joins every event's 30-minute activity interval `[ts, ts+30min)` it
+    * overlaps. Bucketized like q23, plus the reference-point dedup: a
+    * pair overlapping across several shared buckets is emitted only from
+    * the bucket containing max(starts), so no distinct pass — the oracle
+    * is the bare overlap predicate, and matching proves bucketization
+    * AND single-emission are exact across bucket spans.
+    */
+  def q142IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = 1704067200000000000L
+    val hour = 3600000000000L
+    val orders = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+    val a = orders.select(col("o_orderkey"),
+      (lit(base) + (col("o_orderkey") % 29) * lit(24 * hour) +
+        (col("o_custkey") % 24) * lit(hour)).as("a_start"))
+      .withColumn("a_end", col("a_start") + lit(hour + hour / 2))
+    val b = Tables.loadEvents(spark, sfDir)
+      .select(col("ts").as("b_start"), (col("ts") + lit(hour / 2)).as("b_end"),
+        col("value"))
+    graft.operators.RangeJoin
+      .intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end",
+        bucketWidth = hour)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlaps"), exactSum(col("value")).as("sum_value"))
+  }
+
+  val q142Sql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey,
+      |    CAST(1704067200000000000 + (o_orderkey % 29) * 86400000000000
+      |         + (o_custkey % 24) * 3600000000000 AS BIGINT) AS a_start
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |),
+      |ev AS (SELECT epoch_ns(ts) AS b_start,
+      |       epoch_ns(ts) + 1800000000000 AS b_end, value FROM events)
+      |SELECT o_orderkey, COUNT(1) AS n_overlaps,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM iv JOIN ev ON iv.a_start < ev.b_end
+      |  AND ev.b_start < iv.a_start + 5400000000000
+      |GROUP BY o_orderkey""".stripMargin
+
   /** q99: cohort retention — users grouped by first-seen day, counted
     * distinct at each later-day offset: the standard product-analytics
     * rollup over an append-only event log. Two aggregations and one join,
@@ -332,6 +375,7 @@ object Events {
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
     QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),
     QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
+    QueryDef("q142_interval_join", q142IntervalJoin, Some(q142Sql)),
     QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),
     QueryDef("q101_latest_wins", q101LatestWins, Some(q101Sql)),
     QueryDef("q116_scd2", q116Scd2, Some(q116Sql)),

@@ -70,6 +70,28 @@ class RelationalSpec extends SparkSpec {
     assert(got == want, s"diff: missing=${want diff got} extra=${got diff want}")
   }
 
+  test("interval overlap join: exact pair set, one emission per multi-bucket overlap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // overlaps spanning several shared buckets (the dedup case), touching
+    // endpoints (half-open: NOT a match), sub-bucket slivers, containment
+    val ls = Seq((1L, 0L, 25L), (2L, 10L, 20L), (3L, 30L, 31L), (4L, 5L, 105L))
+    val rs = Seq((10L, 0L, 100L), (11L, 20L, 30L), (12L, 24L, 26L), (13L, 31L, 40L))
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(ls.toDF("l_id", "ls", "le"), rs.toDF("r_id", "rs", "re"),
+        "ls", "le", "rs", "re", bucketWidth = 10L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+    val want = (for {
+      (lid, s1, e1) <- ls
+      (rid, s2, e2) <- rs
+      if s1 < e2 && s2 < e1
+    } yield (lid, rid)).toList
+    // toList, not toSet: a pair emitted from two shared buckets would
+    // survive a set compare — duplicates must be caught
+    assert(got.sorted == want.sorted,
+      s"diff: missing=${want diff got} extra=${got diff want}")
+  }
+
   test("bucketed tables co-locate the join: no exchange on the join key") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
