@@ -1202,6 +1202,28 @@ object ScaleBench {
           a.getLong(4) == sumU + 2 * users, s"funnel sums: $a")
       }
 
+      // E1b. Interval-overlap join at 1M × 10M with closed-form truth:
+      // left i = [1000i, 1000i+500), right j = [100j, 100j+50) → right j
+      // overlaps left i iff 10i ≤ j ≤ 10i+4: exactly 5 per left, 5M
+      // total, id-sum closed-form. bucketWidth 300 makes every LEFT
+      // interval span 2-3 buckets, so the canonical-bucket single
+      // emission (no dedup shuffle) is what keeps the count exact.
+      timed("interval_overlap_1M_x_10M") {
+        val nL = 1000000L
+        val left = spark.range(nL).select(col("id").as("l_id"),
+          (col("id") * 1000).as("ls"), (col("id") * 1000 + 500).as("le"))
+        val right = spark.range(nL * 10).select(col("id").as("r_id"),
+          (col("id") * 100).as("rs"), (col("id") * 100 + 50).as("re"))
+        val j = operators.RangeJoin.intervalOverlap(left, right,
+          "ls", "le", "rs", "re", bucketWidth = 300L)
+        val a = j.agg(count(lit(1)).as("n"), sum(col("r_id")).as("rsum")).head()
+        // Σ_i Σ_{k=0..4} (10i+k) = Σ_i (50i + 10) = 50·nL(nL−1)/2 + 10·nL
+        val wantSum = 50L * nL * (nL - 1) / 2 + 10L * nL
+        require(a.getLong(0) == 5L * nL && a.getLong(1) == wantSum,
+          s"interval overlap drifted: n=${a.getLong(0)} rsum=${a.getLong(1)} " +
+            s"want n=${5L * nL} rsum=$wantSum")
+      }
+
       // E2. Latest-wins compaction at 10M events: the survivor per user is
       // closed-form (ts = u·1000 + 99) — gate count and exact ts-sum.
       timed("latest_wins_10M_events") {
@@ -1327,6 +1349,36 @@ object ScaleBench {
         }
         scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir)))
         ()
+      }
+
+      // M1c. pHash at 1M images: the fixed-point DCT kernel is pure
+      // map-side Long math (~10k multiplies/image). Gates: every hash
+      // respects the ≤31-bit median bound (a >31 popcount means the
+      // order-statistic threshold broke) and the hash discriminates —
+      // ≥90% distinct values over byte-diverse synthetic images.
+      timed("phash_1M_images") {
+        import spark.implicits._
+        val n = 1000000L
+        val imgs = spark.range(n).map { id =>
+          // per-pixel avalanche mix: a quasi-linear (id·C + i·D) pattern
+          // shares its LOW-FREQUENCY structure across ids and collapsed
+          // to 1268 distinct hashes at 1M — pHash correctly identified
+          // those images as perceptually alike; this gate needs images
+          // whose low frequencies actually differ
+          operators.Multimodal.MediaRow(id, "gray",
+            Array.tabulate(1024) { i =>
+              val m = (id * 2654435761L ^ (i.toLong * 40503L + 9973L)) *
+                1099511628211L
+              ((m >>> 24) % 251).toByte
+            }, 32, 32)
+        }
+        val h = operators.Multimodal.pHash64(imgs)
+        val a = h.agg(count(lit(1)).as("n"),
+          max(expr("bit_count(phash)")).as("maxbits"),
+          countDistinct(col("phash")).as("nd")).head()
+        require(a.getLong(0) == n && a.getInt(1) <= 31 &&
+          a.getLong(2) >= (n * 9) / 10,
+          s"phash gate: n=${a.getLong(0)} maxbits=${a.get(1)} distinct=${a.getLong(2)}")
       }
 
       // M2. Video frame sampling at 50k clips × 6 frames: assemble real

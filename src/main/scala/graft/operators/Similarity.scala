@@ -116,7 +116,12 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"),
           col("max_sim"), lit(t).as("pick"))
-      selected = selected.unionByName(pick)
+      // each round references `selected` three times (anti-join, sim
+      // filter, union) — without lineage truncation the plan nests ~3^t
+      // copies of round 1 and planning dominates wall time (measured
+      // 11.6 s → ~1 s at sf0.1). Same lazy-localCheckpoint pattern as
+      // ConnectedComponents; the frame is kOut·|queries| rows.
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected.withColumn("mmr",
       round(col("rel") * 0.5 - col("max_sim") * 0.5, 6))
