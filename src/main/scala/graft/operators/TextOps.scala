@@ -924,4 +924,50 @@ object TextOps {
       .withColumn("keep", nSentences >= minSentences && !pageBlocked)
       .drop(textCol)
   }
+
+  /** Cross-document line deduplication — the corpus-global half of C4/CCNet
+    * cleaning that [[c4Clean]] (page-local) deliberately leaves out: C4
+    * discards all but one of any span occurring more than once in the
+    * corpus (Raffel et al. 2020 §2.2) and CCNet dedups paragraphs by hash
+    * across shards (Wenzek et al. 2020 §3.1). Unit here is the line;
+    * first occurrence in corpus order (`idCol`, line position) wins,
+    * every later copy — in the same doc or any other — is dropped, and
+    * docs are reassembled with surviving lines in original order.
+    *
+    * Scale shape: one `posexplode` pass (map-side, pipeline-fused with the
+    * scan), ONE shuffle on the 128-bit line hash for the first-occurrence
+    * window (partitions are per-distinct-line — millions of tiny groups,
+    * which sort-based WindowExec streams), one shuffle back on `idCol` to
+    * reassemble. Line text never shuffles twice: the window carries
+    * (hash, doc, pos, line) once, and the rejoin with the original table is
+    * id-only (column-pruned scan). No driver materialization.
+    */
+  def corpusLineDedup(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .withColumn("lnorm", trim(col("line")))
+      .where(length(col("lnorm")) > 0)
+      .withColumn("h", md5(col("lnorm")))
+    val w = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    val flagged = lines.withColumn("rn", row_number().over(w))
+    val agg = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_lines"),
+      sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+      // collect_list skips the nulls `when` leaves for dropped lines;
+      // array_sort on (pos, line) structs restores document order
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("line"))))),
+          s => s.getField("line")),
+        "\n").as("deduped_text"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("deduped_text"), lit("")).as("deduped_text"))
+  }
 }

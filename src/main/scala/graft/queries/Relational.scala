@@ -359,7 +359,35 @@ object Relational {
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** q143: Bloom-pruned fact↔dimension join (the explicit runtime-filter
+    * operator, `operators.BloomJoin`). The dimension is filtered to ~10%
+    * of parts and joined `shuffle_hash` — the too-big-to-broadcast shape —
+    * with the fact side Bloom-pruned BEFORE its exchange so ~90% of
+    * lineitem rows never shuffle. The inner join removes Bloom false
+    * positives, so the oracle is the plain relational join.
+    */
+  def q143BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val smallParts = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+      .hint("shuffle_hash")
+    graft.operators.BloomJoin
+      .bloomPrunedJoin(lineitem, smallParts, "l_partkey", "p_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  val q143Sql: String =
+    """SELECT p_brand, COUNT(1) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 5
+      |GROUP BY p_brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
     QueryDef("q113_pivot", q113Pivot, Some(q113Sql)),

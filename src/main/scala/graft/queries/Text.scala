@@ -2110,7 +2110,51 @@ object Text {
       |  COALESCE(a.cleaned_text, '') AS cleaned_text
       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q144: corpus-global line dedup (C4's span rule / CCNet paragraph-hash
+    * dedup — `TextOps.corpusLineDedup`). Line structure is synthesized the
+    * q110 way (every `table` token ends a line); the small shared vocab
+    * makes short segments collide heavily across docs, exercising the
+    * first-occurrence-wins rule both within and across documents. The
+    * oracle replays split/trim/md5, the first-occurrence window, and the
+    * ordered rejoin relationally.
+    */
+  def q144LineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "table", "table\n").as("text"))
+    TextOps.corpusLineDedup(docs)
+  }
+
+  val q144Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, replace(text, 'table', 'table' || chr(10)) AS t FROM documents
+      |),
+      |lx AS (
+      |  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM base)
+      |),
+      |lines AS (
+      |  SELECT doc_id, i, ls[i] AS line, md5(trim(ls[i])) AS h FROM lx
+      |  WHERE length(trim(ls[i])) > 0
+      |),
+      |ranked AS (
+      |  SELECT doc_id, i, line,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      |  FROM lines
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_lines,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+      |    COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY i), '') AS deduped_text
+      |  FROM ranked GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+      |  COALESCE(a.n_kept, 0) AS n_kept,
+      |  COALESCE(a.deduped_text, '') AS deduped_text
+      |FROM base d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
     QueryDef("q84_jpeg_color", q84JpegColor, Some(q84Sql)),
     QueryDef("q83_pii_scrub", q83PiiScrub, Some(q83Sql)),

@@ -903,6 +903,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"$name expects (string), got ${other.length} args")
           }))
     }
+    // Spark's own runtime-filter pair (InjectRuntimeFilter machinery),
+    // exposed as callable functions so operators.BloomJoin can drive it
+    // deterministically: bloom_agg(xxhash64(key), items, bits) -> binary,
+    // bloom_might_contain(binary_literal, xxhash64(key)) -> boolean.
+    // The analyzer wraps the bare AggregateFunction in an
+    // AggregateExpression, as with every built-in aggregate.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            v, Cast(n, org.apache.spark.sql.types.LongType),
+            Cast(b, org.apache.spark.sql.types.LongType))
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg expects (long_hash, est_items, num_bits), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bf, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain expects (bloom_bytes, long_hash), got ${other.length} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo("graft.sql.JaroWinklerExpression", "jaro_winkler"),

@@ -854,4 +854,30 @@ class TextSpec extends SparkSpec {
     assert(out(1).getAs[Double]("rel") < out(0).getAs[Double]("rel"),
       "diversity must beat raw relevance at pick 2")
   }
+
+  test("corpus line dedup: first occurrence wins within and across docs, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma"),       // in-doc dup: 2nd alpha drops
+      (2L, "beta\ndelta\n  beta  \nepsilon"),  // cross-doc dup + trim-match
+      (3L, "alpha\nbeta\ndelta"),              // all dups -> empty
+      (4L, "\n\n  \n")                         // only blank lines
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusLineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"), r.getAs[String]("deduped_text")))
+      .toMap
+    assert(out(1L) == ((4, 3, "alpha\nbeta\ngamma")))
+    // doc 2: beta already seen in doc 1; "  beta  " trims to beta -> dup too
+    assert(out(2L) == ((4, 2, "delta\nepsilon")))
+    assert(out(3L) == ((3, 0, "")))
+    assert(out(4L) == ((0, 0, "")))
+  }
+
+  test("corpus line dedup keeps the surviving lines' ORIGINAL (untrimmed) text") {
+    import spark.implicits._
+    val docs = Seq((1L, "  padded  \nplain")).toDF("doc_id", "text")
+    val out = TextOps.corpusLineDedup(docs).collect().head
+    assert(out.getAs[String]("deduped_text") == "  padded  \nplain")
+  }
 }
