@@ -222,8 +222,11 @@ object Multimedia {
       .select((col("doc_id") - col("doc_id") % 2).as("src_id"), col("doc_id"))
     val texts = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").as("src_id"), col("text"))
-    val frames = docs.join(texts, "src_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread the single-split corpus before the per-frame encode kernel
+    // (same reasoning as q139 — no-op on a many-split corpus)
+    val frames = graft.core.Plans.ensureMinPartitions(
+      docs.join(texts, "src_id").select(col("doc_id"), col("text")),
+      spark.sparkContext.defaultParallelism).as[(Long, String)]
       .flatMap { case (id, text) =>
         val b = text.getBytes("UTF-8")
         (0 until 4).map { k =>
@@ -330,8 +333,12 @@ object Multimedia {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Video
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // the corpus parquet is a single sub-MB split — without the spread the
+    // 6·|docs| JPEG encodes below run on ONE core (no-op on a real
+    // many-split corpus)
+    val docs = graft.core.Plans.ensureMinPartitions(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+      spark.sparkContext.defaultParallelism).as[(Long, String)]
     val frames = docs.flatMap { case (id, text) =>
       val b = text.getBytes("UTF-8")
       val cut = (2 + id % 3).toInt
