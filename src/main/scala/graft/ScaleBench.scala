@@ -1013,6 +1013,31 @@ object ScaleBench {
         s"c4 closed form failed: $a want keep=$nGood blocked=$nBlocked")
     }
 
+    // 10h2. Corpus-global line dedup at 1M docs: every doc carries one
+    // globally shared line, one line shared by its id%1000 group, and one
+    // unique line. First-occurrence-wins gives a closed form: doc 0 keeps
+    // all 3, docs 1-999 (first of their group) keep 2, everyone else
+    // keeps only the unique line — 3M line rows, ~1M+1001 distinct
+    // hashes through one window shuffle.
+    timed("corpus_line_dedup_1M_docs") {
+      val n = 1000000L
+      val docs1m = spark.range(n).select(col("id").as("doc_id"),
+        concat(
+          lit("shared boilerplate header line\ngroup "),
+          (col("id") % 1000).cast("string"),
+          lit(" navigation line\nunique content line "),
+          col("id").cast("string")).as("text"))
+      val out = operators.TextOps.corpusLineDedup(docs1m)
+      val byKept = out.groupBy(col("n_kept")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(byKept == Map(3 -> 1L, 2 -> 999L, 1 -> (n - 1000L)),
+        s"line-dedup closed form failed: $byKept")
+      val tail = out.filter(col("doc_id") === n - 1).head()
+      require(tail.getAs[Int]("n_lines") == 3 &&
+        tail.getAs[String]("deduped_text") == s"unique content line ${n - 1}",
+        s"tail doc wrong: $tail")
+    }
+
     // 10i. Kneser-Ney perplexity at 1M docs: 90% template docs repeat one
     // fluent bigram chain; 10% draw pseudo-random token pairs. The KN
     // model trained on the mix must separate the populations (mean nll of
@@ -1503,6 +1528,40 @@ object ScaleBench {
           s"z-order skipping too weak: $hit/${files.size} files intersect")
         scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base)))
         ()
+      }
+
+      // 11b. Bloom-pruned join at 10M facts × 10k build keys (0.1% key
+      // selectivity): the probe side must thin to ~true-match rate before
+      // its shuffle (bounded fpp), and the join result must equal the
+      // plain join's closed form exactly — bloom = shuffle reducer, never
+      // a correctness dependency.
+      timed("bloom_join_10M_facts") {
+        val nFacts = 10000000L
+        val keySpace = 1000000L
+        val facts10m = spark.range(nFacts)
+          .select(col("id").as("fid"), (col("id") % keySpace).as("fk"))
+        val build = spark.range(0, keySpace, 100)
+          .select(col("id").as("dk")) // 10k keys, every 100th
+        val bf = operators.BloomJoin.buildFilter(build, "dk",
+          estItems = 10000, numBits = 1 << 20)
+        val kept = facts10m
+          .where(operators.BloomJoin.mightContain(bf, col("fk"))).count()
+        // true matches: fk % 100 == 0 → nFacts/100; fpp ≈ 1e-4 at these
+        // sizes — allow up to 3% of the probe side surviving
+        val trueMatches = nFacts / 100
+        require(kept >= trueMatches && kept <= nFacts * 3 / 100,
+          s"bloom kept $kept of $nFacts (want ~$trueMatches)")
+        val joined = operators.BloomJoin
+          .bloomPrunedJoin(facts10m, build.hint("shuffle_hash"), "fk", "dk",
+            estItems = 10000, numBits = 1 << 20)
+          .agg(count(lit(1)), sum(col("fid"))).head()
+        // each build key k matches fids {k, k+1M, ..., k+9M}: 10 rows/key
+        val nPairs = 10000L * 10
+        // sum over k in {0,100,...,999900} of Σ_{j<10}(k + j*1M)
+        val sumFid = (0L until keySpace by 100)
+          .map(k => 10 * k + (0L until 10).map(_ * keySpace).sum).sum
+        require(joined.getLong(0) == nPairs && joined.getLong(1) == sumFid,
+          s"bloom join diverged from closed form: $joined want ($nPairs, $sumFid)")
       }
     }
 
