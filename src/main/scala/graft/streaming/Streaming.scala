@@ -809,6 +809,77 @@ object Streaming {
     ()
   }
 
+  /** Streaming corpus-line dedup — the ingest-time twin of
+    * `TextOps.corpusLineDedup` (q144): each micro-batch drops every line
+    * whose trimmed hash was already emitted (earlier in this batch by
+    * corpus order, or by any committed earlier batch) and rewrites its
+    * docs from the surviving lines. When batches arrive in corpus order
+    * the outputs equal the batch operator over the concatenated corpus
+    * (IoStreamingSpec proves it).
+    *
+    * State is an exact line-hash table in a batch_id-partitioned store
+    * (16 bytes/distinct line — line text itself never enters the store);
+    * `retainBatches` bounds it to a sliding window exactly like the
+    * near-dup stores, trading "dedup against all history" for O(window)
+    * per-batch cost. Same exactly-once contract: read strictly earlier
+    * partitions, overwrite your own.
+    */
+  def lineDedupStream(docs: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
+      retainBatches: Int = 0): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processLineDedupBatch(batch, batchId, outDir, storeDir, idCol,
+          textCol, retainBatches)
+      }
+      .start()
+
+  /** One micro-batch of [[lineDedupStream]] — package-private for direct
+    * twin-equality and idempotency testing. */
+  private[graft] def processLineDedupBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, idCol: String, textCol: String,
+      retainBatches: Int = 0): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/lines", horizon)
+    val lines = batch
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .withColumn("lnorm", trim(col("line")))
+      .where(length(col("lnorm")) > 0)
+      .withColumn("h", md5(col("lnorm")))
+      .drop("lnorm")
+    val seen = committedOr(spark, s"$storeDir/lines", batchId,
+      lines.select(col("h")).limit(0), horizon)
+      .distinct().withColumn("__seen", lit(1))
+    val w = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    val flagged = lines.withColumn("rn", row_number().over(w))
+      .join(seen, Seq("h"), "left")
+      .withColumn("keep_line", col("rn") === 1 && col("__seen").isNull)
+    val agg = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_lines"),
+      sum(when(col("keep_line"), 1).otherwise(0)).cast("int").as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep_line"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")),
+        "\n").as("deduped_text"))
+    batch.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("deduped_text"), lit("")).as("deduped_text"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // admit this batch's distinct hashes — overwrite, so retries replace
+    lines.select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/lines/batch_id=$batchId")
+    ()
+  }
+
   /** Streaming distinct-count telemetry — the ingest-time twin of the
     * batch HLL operator (q95, operators.Sketches): each micro-batch writes
     * ITS OWN 512-register table (batch_id-partitioned, overwrite-on-retry),

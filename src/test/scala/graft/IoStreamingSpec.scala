@@ -986,4 +986,40 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
     assert(got == expected, s"stream labels diverged: $got vs $expected")
   }
+
+  test("streaming line dedup equals the batch operator over in-order batches, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("linededup").toString
+    val corpus = Seq(
+      (1L, "alpha\nbeta\nalpha"),   // batch 0: in-batch dup
+      (2L, "beta\ngamma"),          // batch 0: beta dups doc 1
+      (3L, "gamma\ndelta\nbeta"),   // batch 1: gamma+beta seen in batch 0
+      (4L, "epsilon\n  delta  "))   // batch 1: trimmed delta dups doc 3
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.lineDedupStream(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    mem.addData(corpus.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // twin contract: identical to the batch operator over the whole corpus
+    val want = graft.operators.TextOps
+      .corpusLineDedup(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("deduped_text"))).toMap
+    def readOut() = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("deduped_text"))).toMap
+    assert(readOut() == want, s"stream diverged from batch twin: ${readOut()} vs $want")
+    // idempotency: replaying batch 1 reads only batch 0's committed store
+    Streaming.processLineDedupBatch(
+      corpus.drop(2).toDF("doc_id", "text"), 1L,
+      s"$dir/out", s"$dir/store", "doc_id", "text")
+    assert(readOut() == want, "batch-1 replay must reproduce identical output")
+  }
 }
