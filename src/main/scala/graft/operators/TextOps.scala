@@ -925,6 +925,46 @@ object TextOps {
       .drop(textCol)
   }
 
+  /** Turn-threaded chat assembly — the SFT-formatting pass that turns an
+    * interaction log into rendered training conversations: per
+    * conversation key, order events into turns, alternate user/assistant
+    * roles, cap at `maxTurns`, and render one template string per
+    * conversation (ChatML-style role sentinels).
+    *
+    * Scale shape: the turn cap is a rank<=k window — Spark plans
+    * WindowGroupLimit, so over-long conversations drop their tail
+    * map-side BEFORE the shuffle carries content anywhere; then ONE
+    * groupBy-key shuffle assembles surviving turns (content bytes move
+    * exactly once). No driver materialization, no per-conversation state
+    * beyond the sort.
+    *
+    * Ordering must be made total by (`tsCol`, `tieCol`) or turn roles are
+    * nondeterministic — the same requirement every replayable event
+    * pipeline carries.
+    */
+  def chatAssemble(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, contentCol: Column, maxTurns: Int,
+      systemPrompt: String = "You are a helpful assistant."): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val turns = events
+      .withColumn("turn_no", row_number().over(w))
+      .where(col("turn_no") <= maxTurns)
+      .withColumn("turn_txt", concat(
+        when(col("turn_no") % 2 === 1, lit("<|user|>\n"))
+          .otherwise(lit("<|assistant|>\n")),
+        contentCol, lit("<|end|>")))
+    turns.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("int").as("n_turns"),
+      concat(lit(s"<|system|>\n$systemPrompt<|end|>\n"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_no"), col("turn_txt")))),
+            s => s.getField("turn_txt")),
+          "\n")).as("rendered"))
+      .withColumn("n_chars", length(col("rendered")).cast("int"))
+  }
+
   /** Cross-document line deduplication — the corpus-global half of C4/CCNet
     * cleaning that [[c4Clean]] (page-local) deliberately leaves out: C4
     * discards all but one of any span occurring more than once in the

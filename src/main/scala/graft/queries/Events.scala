@@ -370,7 +370,53 @@ object Events {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** q145: SFT chat assembly (`TextOps.chatAssemble`) — the event log as
+    * an interaction trace: each user's first 6 events (ts order,
+    * event_id tie-break) become alternating user/assistant turns rendered
+    * through a ChatML-style template. Values are rendered in integer
+    * cents (2-decimal doubles scale to near-integers, never half-way
+    * cases, so both engines round identically). The turn cap plans
+    * WindowGroupLimit — over-long histories drop map-side.
+    */
+  def q145ChatAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+    graft.operators.TextOps.chatAssemble(
+      ev, "user_id", "ts", "event_id",
+      concat(col("event_type"), lit(" "),
+        round(col("value") * 100).cast("long").cast("string")),
+      maxTurns = 6)
+      .select(col("user_id"), col("n_turns"), col("n_chars"), col("rendered"))
+  }
+
+  val q145Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+      |    event_type || ' ' ||
+      |      CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) AS content
+      |  FROM events
+      |),
+      |t AS (
+      |  SELECT user_id, content,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS turn_no
+      |  FROM ev
+      |),
+      |r AS (
+      |  SELECT user_id, turn_no,
+      |    CASE WHEN turn_no % 2 = 1 THEN '<|user|>' || chr(10)
+      |         ELSE '<|assistant|>' || chr(10) END || content || '<|end|>' AS turn_txt
+      |  FROM t WHERE turn_no <= 6
+      |),
+      |a AS (
+      |  SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_turns,
+      |    '<|system|>' || chr(10) || 'You are a helpful assistant.<|end|>' || chr(10)
+      |      || string_agg(turn_txt, chr(10) ORDER BY turn_no) AS rendered
+      |  FROM r GROUP BY user_id
+      |)
+      |SELECT user_id, n_turns, CAST(length(rendered) AS INTEGER) AS n_chars, rendered
+      |FROM a""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q145_chat_assembly", q145ChatAssembly, Some(q145Sql)),
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
     QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),

@@ -137,7 +137,8 @@ class PlanAuditSpec extends SparkSpec {
     // keeps only k rows per group BEFORE the exchange — the property that
     // makes window top-k beat a max-struct groupBy 5x at 1M groups. A
     // regression to a plain Window would silently ship every candidate row.
-    for (name <- Seq("q38_ann_topk", "q39_ann_lsh", "q51_ann_ivf", "q63_pq_ann")) {
+    for (name <- Seq("q38_ann_topk", "q39_ann_lsh", "q51_ann_ivf", "q63_pq_ann",
+        "q145_chat_assembly")) {
       assert(planOf(name).contains("WindowGroupLimit"),
         s"$name lost its WindowGroupLimit — rank filter no longer pushes into the window")
     }
