@@ -322,6 +322,46 @@ object LmOps {
     * |query vocab| and matching docs only; the final top-k per query is
     * a rank window over (qid) → WindowGroupLimit, never a global sort.
     */
+  /** Retrieval-evaluation metrics over two ranked lists — the measurement
+    * half every retrieval pipeline needs beside the retrievers themselves
+    * (the ScaleBench recall gates, promoted to a first-class operator):
+    * per query, recall@k / precision@k / MRR of `system` against `truth`.
+    *
+    * All metrics are integer micro-units (`1e6·hits DIV n_rel`,
+    * `1e6 DIV first_hit_rank`) — rank arithmetic is exact, so the numbers
+    * are engine-independent and oracle-hashable; queries with NO system
+    * hit carry mrr_micro = 0 rather than dropping (left join from truth's
+    * query set).
+    *
+    * Scale shape: both inputs are k-bounded per query by construction
+    * (they are ranked lists); the hit join shuffles only k·|queries| rows
+    * on (query, doc), and every aggregate is partial-agg friendly. Cost
+    * is independent of corpus size — like the RRF fusion (q133), the
+    * expensive part already happened in the retrievers.
+    */
+  def rankingMetrics(truth: DataFrame, system: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol))
+    val sys = system.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol).as("__sys_rank"))
+    val nRel = rel.groupBy(col(queryCol))
+      .agg(count(lit(1)).cast("int").as("n_rel"))
+    val hits = rel.join(sys, Seq(queryCol, docCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        min(col("__sys_rank")).cast("long").as("__first"))
+    nRel.join(hits, Seq(queryCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0)))
+      // DIV, not `/`: Spark's `/` on integral types is FRACTIONAL (double)
+      .select(col(queryCol), col("n_rel"), col("n_hits"),
+        expr("CAST(n_hits AS BIGINT) * 1000000 DIV n_rel").as("recall_micro"),
+        expr(s"CAST(n_hits AS BIGINT) * 1000000 DIV $k").as("precision_micro"),
+        coalesce(expr("1000000 DIV __first"), lit(0L)).as("mrr_micro"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

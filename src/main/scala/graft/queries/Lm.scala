@@ -212,7 +212,59 @@ object Lm {
        |SELECT qid, rank, doc_id, score FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** q146: retrieval-eval metrics (`LmOps.rankingMetrics`) — recall@5 /
+    * precision@5 / MRR per query in integer micro-units. Truth ranks
+    * customers per nation by account balance; the "system" ranks them by
+    * a multiplicative-hash proxy, yielding deterministic partial overlap
+    * so every metric takes non-trivial values. Both lists are k-bounded
+    * windows (WindowGroupLimit), and the metric joins shuffle only
+    * k·|queries| rows — evaluation cost independent of corpus size.
+    */
+  def q146RetrievalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_nationkey").as("query_id"), col("c_custkey").as("doc_id"),
+        col("c_acctbal"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_acctbal").desc, col("doc_id"))
+    val truth = cust.withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= 5).drop("c_acctbal")
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000003L)), col("doc_id"))
+    val system = cust.withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= 5).drop("c_acctbal")
+    LmOps.rankingMetrics(truth, system, k = 5)
+  }
+
+  val q146Sql: String =
+    """WITH t AS (
+      |  SELECT c_nationkey AS query_id, c_custkey AS doc_id,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rank
+      |  FROM customer
+      |),
+      |s AS (
+      |  SELECT c_nationkey AS query_id, c_custkey AS doc_id,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY (c_custkey * 2654435761) % 1000003, c_custkey) AS rank
+      |  FROM customer
+      |),
+      |rel AS (SELECT query_id, doc_id FROM t WHERE rank <= 5),
+      |sys AS (SELECT query_id, doc_id, rank FROM s WHERE rank <= 5),
+      |nr AS (SELECT query_id, CAST(COUNT(*) AS INTEGER) AS n_rel FROM rel GROUP BY query_id),
+      |h AS (
+      |  SELECT rel.query_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
+      |    MIN(sys.rank) AS first_rank
+      |  FROM rel JOIN sys USING (query_id, doc_id) GROUP BY rel.query_id
+      |)
+      |SELECT nr.query_id, nr.n_rel, COALESCE(h.n_hits, 0) AS n_hits,
+      |  CAST(CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000 // nr.n_rel AS BIGINT) AS recall_micro,
+      |  CAST(CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000 // 5 AS BIGINT) AS precision_micro,
+      |  CAST(COALESCE(1000000 // h.first_rank, 0) AS BIGINT) AS mrr_micro
+      |FROM nr LEFT JOIN h USING (query_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q146_retrieval_metrics", q146RetrievalMetrics, Some(q146Sql)),
     QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),
     QueryDef("q86_lm_perplexity", q86LmPerplexity, Some(q86Sql)),
     QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),

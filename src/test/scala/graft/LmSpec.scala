@@ -155,4 +155,34 @@ class LmSpec extends SparkSpec {
     assert(scored.length == 1 && scored(0).getAs[Double]("ppl") > 0 &&
       !scored(0).getAs[Double]("ppl").isInfinite)
   }
+
+  test("rankingMetrics: planted lists give exact micro-unit recall/precision/MRR") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      (2L, 10L, 1), (2L, 11L, 2),
+      (3L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val system = Seq(
+      (1L, 3L, 1), (1L, 9L, 2), (1L, 1L, 3),
+      (2L, 12L, 1), (2L, 13L, 2), (2L, 11L, 3),
+      (3L, 21L, 1), (3L, 22L, 2), (3L, 23L, 3)).toDF("query_id", "doc_id", "rank")
+    val got = LmOps.rankingMetrics(truth, system, k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("n_rel"), r.getAs[Int]("n_hits"), r.getAs[Long]("recall_micro"),
+          r.getAs[Long]("precision_micro"), r.getAs[Long]("mrr_micro"))).toMap
+    assert(got(1L) == ((3, 2, 666666L, 666666L, 1000000L)))
+    assert(got(2L) == ((2, 1, 500000L, 333333L, 333333L)))
+    // no hits: metrics zero, query still present (left join from truth)
+    assert(got(3L) == ((1, 0, 0L, 0L, 0L)))
+  }
+
+  test("rankingMetrics ignores ranks beyond k on both sides") {
+    import spark.implicits._
+    val truth = Seq((1L, 1L, 1), (1L, 2L, 9)).toDF("query_id", "doc_id", "rank")
+    val system = Seq((1L, 2L, 1), (1L, 1L, 9)).toDF("query_id", "doc_id", "rank")
+    val r = LmOps.rankingMetrics(truth, system, k = 2).collect().head
+    // only truth(1@1) and system(2@1) are inside k=2: no overlap
+    assert(r.getAs[Int]("n_rel") == 1 && r.getAs[Int]("n_hits") == 0 &&
+      r.getAs[Long]("mrr_micro") == 0L)
+  }
 }
