@@ -1013,6 +1013,36 @@ object ScaleBench {
         s"c4 closed form failed: $a want keep=$nGood blocked=$nBlocked")
     }
 
+    // 10h1b. EXACT set-similarity join (prefix filter) at 1M docs:
+    // docs 2k/2k+1 are single-last-token edits of a 12-token phrase
+    // whose words draw from a multiplicative-hash space (no accidental
+    // cross-pair similarity) — 3-gram shingles give inter 9 / union 11,
+    // J = 9/11 ≥ 4/5 exactly for planted pairs and ~0 otherwise. Gates:
+    // the join returns EXACTLY the 500k planted pairs (the no-recall-loss
+    // promise at scale) with exact integer inter/union.
+    timed("prefix_filter_join_1M_docs") {
+      val nPairs = 500000L
+      val words = (0 until 12).map { j =>
+        if (j < 11) concat(lit(s"w${j}_"),
+          pmod(col("pair") * 2654435761L + lit(j * 40503L), lit(999999937L)).cast("string"))
+        else concat(lit("t_"), col("twin").cast("string"), lit("_"),
+          pmod(col("pair") * 97L, lit(999999937L)).cast("string"))
+      }
+      val docs1m = spark.range(2 * nPairs).select(
+        col("id").as("doc_id"), expr("id DIV 2").as("pair"), (col("id") % 2).as("twin"))
+        .select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+      val got = operators.TextOps.prefixFilterJoin(docs1m, 4, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = got.count()
+      val planted = got.filter(col("doc_a") % 2 === 0 &&
+        col("doc_b") === col("doc_a") + 1 &&
+        col("n_inter") === 9L && col("n_union") === 11L).count()
+      got.unpersist()
+      println(s"[scale] prefix_filter planted pairs: $planted/$nPairs of $n rows (gate ==)")
+      require(n == nPairs && planted == nPairs,
+        s"prefix-filter join returned $n rows, $planted planted — want $nPairs/$nPairs")
+    }
+
     // 10h2. Corpus-global line dedup at 1M docs: every doc carries one
     // globally shared line, one line shared by its id%1000 group, and one
     // unique line. First-occurrence-wins gives a closed form: doc 0 keeps

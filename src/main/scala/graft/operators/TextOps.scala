@@ -925,6 +925,69 @@ object TextOps {
       .drop(textCol)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    * every pair with Jaccard ≥ thrNum/thrDen is returned, with NO recall
+    * loss — the exact complement to the probabilistic MinHash-LSH path
+    * (q35/q36), for when "probably all near-dup pairs" isn't good enough
+    * (legal dedup, eval decontamination audits).
+    *
+    * Canonical order = ascending document frequency (hash tie-break).
+    * With each doc's shingle set sorted that way, a qualifying pair's
+    * SMALLEST common token provably sits inside both docs' first
+    * `m - ceil(t·m) + 1` tokens (else the preceding non-shared tokens
+    * alone push the intersection below t·m ≤ t·|A∪B|) — so joining only
+    * prefix tokens finds every qualifying pair, and rare-token prefixes
+    * keep candidate groups small precisely because the order puts common
+    * tokens last. Exact Jaccard over full sets then removes false
+    * candidates. All-integer throughout: the threshold test is the cross
+    * multiplication `thrDen·|∩| ≥ thrNum·|∪|`.
+    *
+    * Scale shape: df count + rank join + per-doc sort are one shuffle
+    * each on corpus-sized rows; the candidate join shuffles only prefix
+    * tokens (≈ (1-t)·corpus tokens); verification is candidate-bounded.
+    * Every corpus-sized join side carries `shuffle_hash` for the same
+    * reason as [[jaccardFromHashes]].
+    */
+  def prefixFilterJoin(docs: DataFrame, thrNum: Int = 4, thrDen: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    prefixFilterFromHashes(shingleHashes(docs, idCol, textCol), thrNum, thrDen, idCol)
+
+  /** [[prefixFilterJoin]] over a precomputed (doc, shingle-hash) table. */
+  def prefixFilterFromHashes(sh: DataFrame, thrNum: Int, thrDen: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold $thrNum/$thrDen must lie in (0, 1]")
+    val sh2 = sh.select(col(idCol).as("pid"), col("h"))
+    val dfreq = sh2.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val lists = sh2.join(dfreq.hint("shuffle_hash"), "h")
+      .groupBy(col("pid")).agg(
+        array_sort(collect_list(struct(col("__df"), col("h")))).as("__ks"),
+        count(lit(1)).cast("int").as("__m"))
+    // prefix length p = m - ceil(t·m) + 1 (integer ceil via (m·num+den-1) DIV den)
+    val pfx = lists.select(col("pid"),
+      explode(slice(col("__ks"), lit(1),
+        col("__m") - expr(s"(__m * $thrNum + $thrDen - 1) DIV $thrDen").cast("int")
+          + lit(1))).as("k"))
+      .select(col("pid"), col("k.h").as("h"))
+    val cand = pfx.select(col("pid").as("doc_a"), col("h")).hint("shuffle_hash")
+      .join(pfx.select(col("pid").as("doc_b"), col("h")).hint("shuffle_hash"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = sh2.groupBy(col("pid")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.hint("shuffle_hash")
+      .join(sh2.select(col("pid").as("doc_a"), col("h")), "doc_a")
+      .join(sh2.select(col("pid").as("doc_b"), col("h").as("h2")).hint("shuffle_hash"), "doc_b")
+      .filter(col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("pid").as("doc_a"), col("n_sh").as("__na")).hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("pid").as("doc_b"), col("n_sh").as("__nb")).hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter").cast("long").as("n_inter"),
+        (col("__na") + col("__nb") - col("n_inter")).cast("long").as("n_union"))
+      .filter(col("n_inter") * thrDen >= col("n_union") * thrNum)
+  }
+
   /** Turn-threaded chat assembly — the SFT-formatting pass that turns an
     * interaction log into rendered training conversations: per
     * conversation key, order events into turns, alternate user/assistant

@@ -160,7 +160,7 @@ object Text {
   private val CandConsumers: Set[String] =
     JacConsumers ++ Set("q35_minhash_pairs", "q129_containment")
   private val ShConsumers: Set[String] =
-    CandConsumers + "q65_decontaminate"
+    CandConsumers ++ Set("q65_decontaminate", "q147_prefix_join")
 
   private def sharedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
     graft.core.CacheLife.shared(spark, sfDir, "shingle_hashes", ShConsumers)(
@@ -2110,6 +2110,30 @@ object Text {
       |  COALESCE(a.cleaned_text, '') AS cleaned_text
       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q147: EXACT set-similarity self-join (prefix filtering, AllPairs/
+    * PPJoin — `TextOps.prefixFilterJoin`) at Jaccard ≥ 4/5 over the
+    * session's shared shingle table. The oracle is the FULL all-pairs
+    * exact join — matching proves the prefix filter loses nothing, the
+    * guarantee that separates this operator from the MinHash-LSH path.
+    */
+  def q147PrefixJoin(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.prefixFilterFromHashes(sharedShingleHashes(spark, sfDir), 4, 5)
+
+  val q147Sql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_inter
+       |  FROM shing a JOIN shing b ON b.h = a.h AND b.doc_id > a.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.doc_a, c.doc_b, CAST(c.n_inter AS BIGINT) AS n_inter,
+       |  CAST(na.n_sh + nb.n_sh - c.n_inter AS BIGINT) AS n_union
+       |FROM common c
+       |JOIN sizes na ON na.doc_id = c.doc_a
+       |JOIN sizes nb ON nb.doc_id = c.doc_b
+       |WHERE 5 * c.n_inter >= 4 * (na.n_sh + nb.n_sh - c.n_inter)""".stripMargin
+
   /** q144: corpus-global line dedup (C4's span rule / CCNet paragraph-hash
     * dedup — `TextOps.corpusLineDedup`). Line structure is synthesized the
     * q110 way (every `table` token ends a line); the small shared vocab
@@ -2154,6 +2178,7 @@ object Text {
       |FROM base d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
     QueryDef("q84_jpeg_color", q84JpegColor, Some(q84Sql)),

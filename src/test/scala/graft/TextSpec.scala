@@ -855,6 +855,49 @@ class TextSpec extends SparkSpec {
       "diversity must beat raw relevance at pick 2")
   }
 
+  test("prefix-filter join equals brute-force exact Jaccard (no false negatives)") {
+    import spark.implicits._
+    // small corpus with known structure: near-dup pair (1,2), partial
+    // overlap (3,4) below threshold, unrelated 5
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three nine ten eleven twelve thirteen"),
+      (5L, "completely different words appear here today")
+    ).toDF("doc_id", "text")
+    val sh = TextOps.shingleHashes(c)
+    def brute(thrNum: Int, thrDen: Int): Set[(Long, Long)] = {
+      val s = sh.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      (for {
+        a <- s.keys; b <- s.keys if a < b
+        inter = (s(a) & s(b)).size; union = (s(a) | s(b)).size
+        if inter * thrDen >= union * thrNum
+      } yield (a, b)).toSet
+    }
+    for ((n, d) <- Seq((4, 5), (1, 2), (1, 4))) {
+      val got = TextOps.prefixFilterFromHashes(sh, n, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(n, d), s"threshold $n/$d diverged")
+    }
+    // sanity: the structure is actually exercised at 1/2
+    val at12 = TextOps.prefixFilterFromHashes(sh, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at12.contains((1L, 2L)) && !at12.contains((3L, 4L)))
+  }
+
+  test("prefix-filter join reports exact integer intersection/union sizes") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "a b c d e f"),   // shingles: abc bcd cde def (4)
+      (2L, "a b c d e g")    // shingles: abc bcd cde deg (4) -> inter 3, union 5
+    ).toDF("doc_id", "text")
+    val r = TextOps.prefixFilterJoin(c, 1, 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_inter") == 3L && r.head.getAs[Long]("n_union") == 5L)
+  }
+
   test("corpus line dedup: first occurrence wins within and across docs, order kept") {
     import spark.implicits._
     val docs = Seq(
