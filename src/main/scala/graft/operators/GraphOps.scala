@@ -144,6 +144,96 @@ object GraphOps {
     nodeIds.zip(r).toSeq.toDF("node", "pr_micro")
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+    * the undirected view of `edges` (symmetrized, de-duplicated, self-loops
+    * dropped) restricted to the node universe `nodes` (col `node`). Every
+    * node starts with its own id as its label; each round every node
+    * adopts the most frequent label among its neighbors PLUS one vote for
+    * its own current label, ties broken by the SMALLEST label — fully
+    * deterministic, so the unrolled relational oracle replays every round
+    * bit-for-bit (float-free: labels are ids, votes are counts).
+    *
+    * Scale shape: per round, one shuffle join of the cached symmetric edge
+    * list against the (node, label) frame — labels only, never payloads —
+    * then two map-side-combinable groupBys ((node, label) count, then the
+    * per-node argmax via `max_by` over (count, −label)). Lineage is cut
+    * with `localCheckpoint` every `checkpointEvery` rounds, and each round
+    * materializes before dropping its parent cache, so k rounds cost O(k)
+    * jobs, not O(k²) recomputation (same discipline as [[pageRank]]).
+    * Graphs at or below `smallGraphThreshold` edges solve driver-side with
+    * the identical rule (bit-equal — GraphOpsSpec asserts it).
+    *
+    * Returns (node, label) after `iters` rounds.
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 4, smallGraphThreshold: Long = 1000000L): DataFrame = {
+    require(iters >= 1)
+    // restrict the receiving endpoint to the universe up front (one-time),
+    // so the per-round groupBy never manufactures labels for non-nodes;
+    // the sending endpoint is restricted implicitly by the labels join
+    val ue = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    if (smallGraphThreshold > 0 && ue.limit((smallGraphThreshold + 1).toInt)
+        .count() <= smallGraphThreshold)
+      return labelPropagationLocal(nodes, ue, iters)
+
+    val linked = graft.core.CacheLife.scoped(
+      ue.persist(StorageLevel.MEMORY_AND_DISK))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iters) {
+      val votes = linked.join(labels, linked("src") === labels("node"))
+        .select(linked("dst").as("node"), col("label"))
+        .unionByName(labels.select(col("node"), col("label")))
+      val next = votes.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"), struct(col("cnt"), negate(col("label")))).as("label"))
+      val persisted =
+        (if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(false) else next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.count()
+      labels.unpersist(false)
+      labels = persisted
+      i += 1
+    }
+    graft.core.CacheLife.scoped(labels)
+  }
+
+  /** Driver-side twin for bounded graphs: identical vote/tie rule over
+    * collected adjacency, so results are bit-equal to the distributed
+    * recurrence. `ue` must already be the symmetric de-duplicated edge
+    * set (≤ `smallGraphThreshold` rows — the bounded-collect contract). */
+  private def labelPropagationLocal(nodes: DataFrame, ue: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect()
+    val idx = nodeIds.zipWithIndex.toMap
+    val es = ue.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    // edges touching ids outside the universe vote nothing, as in the
+    // distributed join (labels exist only for universe nodes)
+    val adj = Array.fill(nodeIds.length)(List.empty[Int])
+    es.foreach { case (s, d) =>
+      for (si <- idx.get(s); di <- idx.get(d)) adj(di) ::= si
+    }
+    var lab = nodeIds.clone()
+    for (_ <- 1 to iters) {
+      lab = Array.tabulate(lab.length) { v =>
+        val cnt = collection.mutable.Map.empty[Long, Long]
+        cnt(lab(v)) = 1L // the self-vote
+        adj(v).foreach { u => cnt(lab(u)) = cnt.getOrElse(lab(u), 0L) + 1L }
+        cnt.maxBy { case (l, c) => (c, -l) }._1 // max count, then min label
+      }
+    }
+    nodeIds.zip(lab).toSeq.toDF("node", "label")
+  }
+
   /** Per-node triangle counts by degree-ordered wedge counting (Suri &
     * Vassilvitskii, WWW 2011 — "the curse of the last reducer"): undirect
     * + dedup, then orient every edge from its lower-(degree, id) endpoint

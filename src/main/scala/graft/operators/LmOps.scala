@@ -362,6 +362,51 @@ object LmOps {
         coalesce(expr("1000000 DIV __first"), lit(0L)).as("mrr_micro"))
   }
 
+  /** ROUGE-N summary-overlap metrics (Lin 2004) per (candidate, reference)
+    * text pair: clipped n-gram multiset overlap, precision / recall / F1 in
+    * integer micro-units (floor division, so both engines agree exactly —
+    * the [[rankingMetrics]] contract).
+    *
+    * ZERO shuffle — every metric is a per-row computation over the pair's
+    * own n-gram arrays (higher-order functions, no explode): evaluation
+    * cost is one map pass regardless of corpus size, and the clip is
+    * O(|distinct cand-grams| · (|cand| + |ref|)) per row — quadratic only
+    * in the SUMMARY length, never the corpus. Gram arrays are materialized
+    * in their own projection first (interpreted HOFs re-evaluate non-cheap
+    * lambda references per element — the measured re-split trap documented
+    * on TextOps.qualityFilter).
+    *
+    * Output: input columns + n_overlap, n_cand, n_ref, precision_micro,
+    * recall_micro, f1_micro (empty sides score 0, never divide by zero).
+    */
+  def rougeN(pairs: DataFrame, candCol: String, refCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val grams = pairs
+      .withColumn("__ct", split(col(candCol), " "))
+      .withColumn("__rt", split(col(refCol), " "))
+      .withColumn("__cg", TextOps.shingles(col("__ct"), n))
+      .withColumn("__rg", TextOps.shingles(col("__rt"), n))
+    val clipped = grams.withColumn("n_overlap",
+      coalesce(
+        aggregate(array_distinct(col("__cg")), lit(0L), (acc, g) =>
+          acc + least(
+            size(filter(col("__cg"), x => x === g)),
+            size(filter(col("__rg"), x => x === g))).cast("long")),
+        lit(0L)))
+      .withColumn("n_cand", size(col("__cg")).cast("long"))
+      .withColumn("n_ref", size(col("__rg")).cast("long"))
+    clipped
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_cand = 0 THEN 0 ELSE n_overlap * 1000000 DIV n_cand END"))
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_ref = 0 THEN 0 ELSE n_overlap * 1000000 DIV n_ref END"))
+      .withColumn("f1_micro",
+        expr("""CASE WHEN precision_micro + recall_micro = 0 THEN 0
+                ELSE 2 * precision_micro * recall_micro DIV (precision_micro + recall_micro) END"""))
+      .drop("__ct", "__rt", "__cg", "__rg")
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

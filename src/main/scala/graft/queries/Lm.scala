@@ -263,8 +263,69 @@ object Lm {
       |  CAST(COALESCE(1000000 // h.first_rank, 0) AS BIGINT) AS mrr_micro
       |FROM nr LEFT JOIN h USING (query_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+
+  /** q149: ROUGE-2 summary-overlap evaluation (`LmOps.rougeN`) — the
+    * standard n-gram eval a summarization / distillation pipeline scores
+    * its generations with (Lin 2004). The "candidate summary" is a
+    * deterministic extractive compression of each document (every token
+    * whose (doc_id·31 + position) ≡ 0 mod 3 is dropped — data-driven, so
+    * precision and recall take non-trivial values: bigrams that spanned a
+    * dropped token exist in the candidate but not the reference). Clipped
+    * multiset overlap + P/R/F1 in integer micro-units; ZERO shuffle — one
+    * map pass, evaluation cost independent of corpus size.
+    */
+  def q149Rouge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = docs
+      .select(col("doc_id"), col("text").as("ref"))
+      .withColumn("__toks", split(col("ref"), " "))
+      // Spark HOF index is 0-based, DuckDB's is 1-based: use i+1 here
+      .withColumn("cand", concat_ws(" ",
+        filter(col("__toks"), (_, i) => (col("doc_id") * 31 + i + 1) % 3 =!= 0)))
+      .select(col("doc_id"), col("cand"), col("ref"))
+    LmOps.rougeN(pairs, "cand", "ref", n = 2)
+      .select(col("doc_id"), col("n_overlap"), col("n_cand"), col("n_ref"),
+        col("precision_micro"), col("recall_micro"), col("f1_micro"))
+  }
+
+  val q149Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+      |f AS (
+      |  SELECT doc_id, rt,
+      |    list_filter(rt, (x, i) -> (doc_id * 31 + i) % 3 <> 0) AS ct
+      |  FROM t
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ct) >= 2 THEN list_transform(generate_series(1, len(ct) - 1),
+      |      i -> array_to_string(ct[i:i+1], ' ')) ELSE CAST([] AS VARCHAR[]) END AS cg,
+      |    CASE WHEN len(rt) >= 2 THEN list_transform(generate_series(1, len(rt) - 1),
+      |      i -> array_to_string(rt[i:i+1], ' ')) ELSE CAST([] AS VARCHAR[]) END AS rg
+      |  FROM f
+      |),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(list_sum(list_transform(list_distinct(cg), g2 ->
+      |      least(len(list_filter(cg, x -> x = g2)),
+      |            len(list_filter(rg, x -> x = g2))))), 0) AS BIGINT) AS n_overlap,
+      |    CAST(len(cg) AS BIGINT) AS n_cand, CAST(len(rg) AS BIGINT) AS n_ref
+      |  FROM g
+      |),
+      |p AS (
+      |  SELECT doc_id, n_overlap, n_cand, n_ref,
+      |    CAST(CASE WHEN n_cand = 0 THEN 0 ELSE n_overlap * 1000000 // n_cand END AS BIGINT) AS precision_micro,
+      |    CAST(CASE WHEN n_ref = 0 THEN 0 ELSE n_overlap * 1000000 // n_ref END AS BIGINT) AS recall_micro
+      |  FROM m
+      |)
+      |SELECT doc_id, n_overlap, n_cand, n_ref, precision_micro, recall_micro,
+      |  CAST(CASE WHEN precision_micro + recall_micro = 0 THEN 0
+      |    ELSE 2 * precision_micro * recall_micro // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
+      |FROM p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q146_retrieval_metrics", q146RetrievalMetrics, Some(q146Sql)),
+    QueryDef("q149_rouge2", q149Rouge, Some(q149Sql)),
     QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),
     QueryDef("q86_lm_perplexity", q86LmPerplexity, Some(q86Sql)),
     QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),

@@ -83,6 +83,58 @@ object Web {
        |FROM r5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q148
+
+  /** q148: label-propagation communities (Raghavan et al. 2007) over the
+    * undirected view of the q89 link graph — the cheap community detector
+    * a crawl corpus runs to group mutually-linking sites (mirror farms,
+    * forums, doc families) before per-community curation decisions. Four
+    * synchronous rounds, smallest-label tie-break, one self-vote — every
+    * round is pure integer counting, so the oracle's unrolled CTE chain
+    * replays the recurrence bit-for-bit with a row_number argmax where the
+    * engine uses `max_by` over (count, −label): two independent argmax
+    * formulations that must agree on every node.
+    */
+  def q148LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    GraphOps.labelPropagation(docs.select(col("doc_id").as("node")),
+        linkGraph(docs, n), iters = 4)
+      .select(col("node").as("doc_id"), col("label"))
+  }
+
+  val q148Sql: String = {
+    def iter(i: Int): String =
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |    FROM (
+         |      SELECT node, label, COUNT(1) AS cnt FROM (
+         |        SELECT ue.dst AS node, l.label FROM ue JOIN l${i - 1} l ON l.node = ue.src
+         |        UNION ALL SELECT node, label FROM l${i - 1}
+         |      ) v GROUP BY node, label
+         |    ) c
+         |  ) r WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH nn AS (SELECT COUNT(1) AS n FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT doc_id AS src,
+       |    (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) AS dst
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${LinkFanout - 1})) AS k) ks
+       |  WHERE (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) <> doc_id
+       |),
+       |ue AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+       |  ) s JOIN documents d ON d.doc_id = s.dst WHERE src <> dst
+       |),
+       |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT node AS doc_id, label FROM l4""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q112
 
   /** q112: per-document triangle counts over the q89 link graph — the
@@ -336,6 +388,7 @@ object Web {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q89_pagerank", q89PageRank, Some(q89Sql)),
     QueryDef("q112_triangles", q112Triangles, Some(q112Sql)),
+    QueryDef("q148_label_prop", q148LabelProp, Some(q148Sql)),
     QueryDef("q90_jsonl_roundtrip", q90JsonlRoundtrip, Some(q90Sql)),
     QueryDef("q91_url_canon", q91UrlCanon, Some(q91Sql)),
     QueryDef("q92_normalize", q92Normalize, Some(q92Sql)),
