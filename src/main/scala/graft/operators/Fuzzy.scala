@@ -283,4 +283,57 @@ object Fuzzy {
     confirmedPairs(banded,
       bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"), maxHamming)
   }
+
+  /** Per-field survivorship rule for [[goldenRecord]]. Every rule is a
+    * TOTAL-ORDER pick, so the merged record is deterministic under any
+    * partitioning (no "first seen wins"). */
+  sealed trait Survivor
+  object Survivor {
+    /** Longest non-null string; equal lengths break to the binary-smallest
+      * string (both engines compare UTF-8 bytes). */
+    case object LongestString extends Survivor
+    /** Greatest value (the freshest balance / latest timestamp rule). */
+    case object MaxNumeric extends Survivor
+    /** Smallest non-null value (the stable-identifier rule: nulls lose). */
+    case object MinString extends Survivor
+    /** Value from the row with the greatest `versionCol` — last-write-wins
+      * at field granularity. Versions must be distinct within a cluster
+      * (enforce upstream), otherwise `max_by` ties are engine-defined. */
+    final case class LatestBy(versionCol: String) extends Survivor
+  }
+
+  /** Golden-record assembly — the survivorship step that ENDS an entity-
+    * resolution pipeline: after linkage ([[blockedLevenshteinJoin]]) and
+    * cluster labeling (ConnectedComponents) decide WHICH rows are the same
+    * entity, this decides what the ONE merged record says, field by field
+    * (the classic MDM merge: longest name, freshest balance, last-write
+    * address, any non-null phone).
+    *
+    * One map-side-combinable groupBy on the cluster key is the ENTIRE
+    * plan — every rule compiles to an ordinary aggregate (min/max over a
+    * sort-key struct, `max_by` for version picks), so partial aggregation
+    * collapses each cluster's duplicates inside the scan and only one
+    * candidate row per (cluster, partition) ever shuffles. No windows, no
+    * self-joins, no row materialization of losing records.
+    *
+    * Returns one row per cluster: `clusterCol`, `n_records`, then one
+    * column per rule (original names, survivor values).
+    */
+  def goldenRecord(records: DataFrame, clusterCol: String,
+      rules: Seq[(String, Survivor)]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecord needs at least one field rule")
+    val aggs = rules.map { case (f, rule) =>
+      (rule match {
+        case Survivor.LongestString =>
+          min(when(col(f).isNotNull,
+            struct(negate(length(col(f))).as("k"), col(f).as("v"))))
+            .getField("v")
+        case Survivor.MaxNumeric => max(col(f))
+        case Survivor.MinString => min(col(f))
+        case Survivor.LatestBy(v) => max_by(col(f), col(v))
+      }).as(f)
+    }
+    records.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_records"), aggs: _*)
+  }
 }

@@ -629,8 +629,76 @@ object Fuzzy {
       |       ELSE 'kept' END AS drop_reason
       |FROM txt LEFT JOIN img USING (doc_id) LEFT JOIN aud USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+
+  /** q150: golden-record survivorship (`Fuzzy.goldenRecord`) — the merge
+    * step that ends an entity-resolution pipeline: q128 links duplicate
+    * records, THIS decides what the one merged record says. The dirty set
+    * is customer plus two deterministic "re-imports" (a lower-cased
+    * re-keyed copy for even keys, a suffixed later version for keys
+    * divisible by 3), so clusters have 1–3 members with genuinely
+    * conflicting fields. Rules: longest name (ties → binary-smallest),
+    * freshest balance (max), last-write segment (by version), smallest
+    * non-null contact code. One map-side-combinable groupBy is the whole
+    * plan — survivorship cost is one aggregation pass at any scale.
+    */
+  def q150GoldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "customer").select(
+      col("c_custkey").as("custkey"), lit(1L).as("version"),
+      col("c_name").as("name"),
+      (QueryDef.dec2(col("c_acctbal")) * 100).cast("long").as("acctbal_cents"),
+      col("c_mktsegment").as("segment"),
+      concat(lit("N"), col("c_nationkey")).as("contact"))
+    val v2 = base.filter(col("custkey") % 2 === 0).select(
+      col("custkey"), lit(2L).as("version"),
+      lower(col("name")).as("name"),
+      (col("acctbal_cents") - 500).as("acctbal_cents"),
+      concat(lit("REIMPORT-"), col("segment")).as("segment"),
+      lit(null).cast("string").as("contact"))
+    val v3 = base.filter(col("custkey") % 3 === 0).select(
+      col("custkey"), lit(3L).as("version"),
+      concat(col("name"), lit(" JR")).as("name"),
+      (col("acctbal_cents") + 250).as("acctbal_cents"),
+      lower(col("segment")).as("segment"), lower(col("contact")).as("contact"))
+    F.goldenRecord(base.unionByName(v2).unionByName(v3), "custkey", Seq(
+      "name" -> F.Survivor.LongestString,
+      "acctbal_cents" -> F.Survivor.MaxNumeric,
+      "segment" -> F.Survivor.LatestBy("version"),
+      "contact" -> F.Survivor.MinString))
+      .select(col("custkey"), col("n_records"), col("name"),
+        col("acctbal_cents"), col("segment"), col("contact"))
+  }
+
+  val q150Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS custkey, CAST(1 AS BIGINT) AS version,
+      |    c_name AS name,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+      |    c_mktsegment AS segment, 'N' || c_nationkey AS contact
+      |  FROM customer
+      |),
+      |dirty AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT custkey, CAST(2 AS BIGINT), lower(name), acctbal_cents - 500,
+      |    'REIMPORT-' || segment, NULL
+      |  FROM base WHERE custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT custkey, CAST(3 AS BIGINT), name || ' JR', acctbal_cents + 250,
+      |    lower(segment), lower(contact)
+      |  FROM base WHERE custkey % 3 = 0
+      |)
+      |SELECT custkey, CAST(COUNT(1) AS BIGINT) AS n_records,
+      |  (MIN(CASE WHEN name IS NOT NULL
+      |     THEN {'k': -length(name), 'v': name} END)).v AS name,
+      |  MAX(acctbal_cents) AS acctbal_cents,
+      |  arg_max(segment, version) AS segment,
+      |  MIN(contact) AS contact
+      |FROM dirty GROUP BY custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q128_fuzzy_join", q128FuzzyJoin, Some(q128Sql)),
+    QueryDef("q150_golden_record", q150GoldenRecord, Some(q150Sql)),
     QueryDef("q130_image_neardup", q130ImageNearDup, Some(q130Sql)),
     QueryDef("q134_image_clusters", q134ImageClusters, Some(q134Sql)),
     QueryDef("q135_audio_neardup", q135AudioNearDup, Some(q135Sql)),
