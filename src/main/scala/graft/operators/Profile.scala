@@ -57,4 +57,60 @@ object Profile {
     }
     one.select(explode(array(stacked: _*)).as("m")).select(col("m.*"))
   }
+
+  /** Per-group robust outlier flags by median / MAD (median absolute
+    * deviation) — the data-QA pass that catches corrupted numerics (unit
+    * glitches, sensor spikes) where mean/stddev would be dragged by the
+    * very outliers it is hunting. A row is flagged when
+    * |x − median| > (kNum/kDen) · MAD.
+    *
+    * Arithmetic is INTEGER-EXACT on an integral `valueCol`: medians are
+    * carried DOUBLED (`med2` = 2·median — the even-count midpoint is a sum
+    * of the two middle order statistics, never a fraction), deviations as
+    * `dev2` = 2·|x − median| = |2x − med2|, and the MAD quadrupled
+    * (`mad4` = median2 of dev2 = 4·MAD), so the flag comparison
+    * `2·dev2·kDen > kNum·mad4` is pure BIGINT — bit-identical in any
+    * engine, no float quantile interpolation anywhere.
+    *
+    * Scale shape: ONE hash exchange on the group key serves the whole
+    * plan — the rank window partitions by key, the med2/mad4 groupBys and
+    * the two join-backs reuse that partitioning (AQE keeps them
+    * exchange-free), so the cost is two per-key sort passes over (key,
+    * value) pairs, never payloads. Per-key skew: a hot key pays its own
+    * sort; for million-row keys switch to the histogram-rank machinery of
+    * [[Sketches.groupedQuantiles]] (same semantics, no full per-key sort).
+    *
+    * Output: key, id, value, med2, dev2, mad4, is_outlier.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, kNum: Int = 3, kDen: Int = 1): DataFrame = {
+    require(kNum > 0 && kDen > 0, "threshold multiplier must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val k = col(keyCol)
+
+    // doubled median of `vc` per key: Σ of the one-or-two middle order
+    // statistics (both middles coincide for odd counts → counted twice)
+    def med2Of(in: DataFrame, vc: String, out: String): DataFrame = {
+      val w = Window.partitionBy(k).orderBy(col(vc), col(idCol))
+      val wk = Window.partitionBy(k)
+      in.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wk))
+        .withColumn("__c",
+          expr(s"""CASE
+            WHEN __rn = (__n - 1) DIV 2 + 1 AND __rn = __n DIV 2 + 1 THEN 2 * $vc
+            WHEN __rn = (__n - 1) DIV 2 + 1 OR  __rn = __n DIV 2 + 1 THEN $vc
+            ELSE 0 END"""))
+        .groupBy(k).agg(sum(col("__c")).as(out))
+    }
+
+    val vals = df.select(k, col(idCol), col(valueCol).cast("long").as(valueCol))
+    val med = med2Of(vals, valueCol, "med2")
+    val dev = vals.join(med, Seq(keyCol))
+      .withColumn("dev2", abs(lit(2) * col(valueCol) - col("med2")))
+    val mad = med2Of(dev.select(k, col(idCol), col("dev2")), "dev2", "__m")
+      .withColumnRenamed("__m", "mad4")
+    dev.join(mad, Seq(keyCol))
+      .select(k, col(idCol), col(valueCol), col("med2"), col("dev2"), col("mad4"),
+        (lit(2L * kDen) * col("dev2") > lit(kNum.toLong) * col("mad4")).as("is_outlier"))
+  }
 }

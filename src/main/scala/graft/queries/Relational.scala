@@ -386,7 +386,67 @@ object Relational {
       |WHERE p_size <= 5
       |GROUP BY p_brand""".stripMargin
 
+  /** q151: robust per-group outlier detection (`Profile.madOutliers`) —
+    * the median/MAD data-QA pass over customer balances per nation, with
+    * deterministic planted corruptions (every 97th key's balance ×100, the
+    * classic unit-glitch) so the flag set is non-trivial. All medians ride
+    * DOUBLED (med2/dev2/mad4) so every comparison is exact BIGINT — the
+    * oracle replays the identical rank arithmetic through its own window
+    * formulation. One hash exchange on the nation key serves the whole
+    * plan (rank windows, both median groupBys, both join-backs).
+    */
+  def q151MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.load(spark, sfDir, "customer").select(
+      col("c_nationkey").as("nation"), col("c_custkey").as("custkey"),
+      ((dec2(col("c_acctbal")) * 100).cast("long") *
+        when(col("c_custkey") % 97 === 0, 100L).otherwise(1L)).as("bal_cents"))
+    graft.operators.Profile.madOutliers(vals, "nation", "custkey", "bal_cents")
+  }
+
+  val q151Sql: String =
+    """WITH vals AS (
+      |  SELECT c_nationkey AS nation, c_custkey AS custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN c_custkey % 97 = 0 THEN 100 ELSE 1 END) AS bal_cents
+      |  FROM customer
+      |),
+      |r1 AS (
+      |  SELECT nation, custkey, bal_cents,
+      |    row_number() OVER (PARTITION BY nation ORDER BY bal_cents, custkey) AS rn,
+      |    COUNT(1) OVER (PARTITION BY nation) AS n
+      |  FROM vals
+      |),
+      |med AS (
+      |  SELECT nation, CAST(SUM(CASE
+      |    WHEN rn = (n - 1) // 2 + 1 AND rn = n // 2 + 1 THEN 2 * bal_cents
+      |    WHEN rn = (n - 1) // 2 + 1 OR  rn = n // 2 + 1 THEN bal_cents
+      |    ELSE 0 END) AS BIGINT) AS med2
+      |  FROM r1 GROUP BY nation
+      |),
+      |dev AS (
+      |  SELECT v.nation, v.custkey, v.bal_cents, m.med2,
+      |    abs(2 * v.bal_cents - m.med2) AS dev2
+      |  FROM vals v JOIN med m USING (nation)
+      |),
+      |r2 AS (
+      |  SELECT nation, custkey, dev2,
+      |    row_number() OVER (PARTITION BY nation ORDER BY dev2, custkey) AS rn,
+      |    COUNT(1) OVER (PARTITION BY nation) AS n
+      |  FROM dev
+      |),
+      |mad AS (
+      |  SELECT nation, CAST(SUM(CASE
+      |    WHEN rn = (n - 1) // 2 + 1 AND rn = n // 2 + 1 THEN 2 * dev2
+      |    WHEN rn = (n - 1) // 2 + 1 OR  rn = n // 2 + 1 THEN dev2
+      |    ELSE 0 END) AS BIGINT) AS mad4
+      |  FROM r2 GROUP BY nation
+      |)
+      |SELECT d.nation, d.custkey, d.bal_cents, d.med2, d.dev2, m.mad4,
+      |  2 * d.dev2 > 3 * m.mad4 AS is_outlier
+      |FROM dev d JOIN mad m USING (nation)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
