@@ -445,8 +445,39 @@ object Relational {
       |  2 * d.dev2 > 3 * m.mad4 AS is_outlier
       |FROM dev d JOIN mad m USING (nation)""".stripMargin
 
+  /** q152: per-brand Pareto front (`operators.Skyline`) — the
+    * multi-criteria shortlist: parts not dominated within their brand on
+    * (size, price), both maximized. The engine runs the declarative
+    * two-window sweep (one exchange, O(n log n) per group); the oracle is
+    * the brute-force NOT EXISTS dominance anti-join — two independent
+    * formulations of the same dominance relation that must agree
+    * row-for-row, duplicates included.
+    */
+  def q152ParetoFront(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.load(spark, sfDir, "part").select(
+      col("p_brand").as("brand"), col("p_partkey").as("partkey"),
+      col("p_size").cast("long").as("size"),
+      (dec2(col("p_retailprice")) * 100).cast("long").as("price_cents"))
+    graft.operators.Skyline.paretoFront2D(parts, Seq("brand"), "size", "price_cents")
+      .select(col("brand"), col("partkey"), col("size"), col("price_cents"))
+  }
+
+  val q152Sql: String =
+    """WITH p AS (
+      |  SELECT p_brand AS brand, p_partkey AS partkey,
+      |    CAST(p_size AS BIGINT) AS size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM part
+      |)
+      |SELECT brand, partkey, size, price_cents FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b WHERE b.brand = a.brand
+      |    AND b.size >= a.size AND b.price_cents >= a.price_cents
+      |    AND (b.size > a.size OR b.price_cents > a.price_cents))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
+    QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
     QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
