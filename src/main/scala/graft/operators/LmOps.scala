@@ -362,6 +362,51 @@ object LmOps {
         coalesce(expr("1000000 DIV __first"), lit(0L)).as("mrr_micro"))
   }
 
+  /** Per-class classifier evaluation from (actual, predicted) label pairs:
+    * support / prediction counts, the confusion-matrix diagonal, and
+    * precision / recall / F1 in integer micro-units (floor division — the
+    * [[rankingMetrics]] contract). The class universe is the UNION of
+    * actual and predicted values, so a class the model never predicts (or
+    * hallucinates) still gets a row with zero on the missing side.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over (actual, pred) —
+    * partial aggregation collapses the corpus inside the scan and only
+    * |classes|² count rows ever shuffle; every downstream join runs on
+    * that tiny matrix. Evaluation cost is one aggregation pass at any
+    * corpus size.
+    *
+    * Output: cls, n_actual, n_pred, tp, fp, fn, precision_micro,
+    * recall_micro, f1_micro.
+    */
+  def classifierEval(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val cm = df.groupBy(col(actualCol).as("actual"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val classes = cm.select(col("actual").as("cls"))
+      .unionByName(cm.select(col("pred").as("cls"))).distinct()
+    val actTot = cm.groupBy(col("actual").as("cls")).agg(sum("n").as("n_actual"))
+    val predTot = cm.groupBy(col("pred").as("cls")).agg(sum("n").as("n_pred"))
+    val diag = cm.filter(col("actual") === col("pred"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    classes
+      .join(actTot, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_actual") - col("tp"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_pred = 0 THEN 0 ELSE tp * 1000000 DIV n_pred END"))
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_actual = 0 THEN 0 ELSE tp * 1000000 DIV n_actual END"))
+      .withColumn("f1_micro",
+        expr("""CASE WHEN precision_micro + recall_micro = 0 THEN 0
+                ELSE 2 * precision_micro * recall_micro DIV (precision_micro + recall_micro) END"""))
+  }
+
   /** ROUGE-N summary-overlap metrics (Lin 2004) per (candidate, reference)
     * text pair: clipped n-gram multiset overlap, precision / recall / F1 in
     * integer micro-units (floor division, so both engines agree exactly —

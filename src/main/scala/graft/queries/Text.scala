@@ -2177,7 +2177,55 @@ object Text {
       |  COALESCE(a.deduped_text, '') AS deduped_text
       |FROM base d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+
+  /** q153: per-class classifier evaluation (`LmOps.classifierEval`) of the
+    * q32 marker-token language-ID heuristic against the documents table's
+    * ground-truth `lang` — the eval report a curation pipeline keeps next
+    * to every filter model: per-class support, confusion diagonal, and
+    * precision/recall/F1 in integer micro-units. One map-side-combinable
+    * (actual, pred) groupBy shuffles |classes|² count rows regardless of
+    * corpus size.
+    */
+  def q153ClassifierEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = docs.select(col("doc_id"), col("lang"))
+      .join(TextOps.langId(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
+    graft.operators.LmOps.classifierEval(pairs, "lang", "pred_lang")
+  }
+
+  val q153Sql: String =
+    s"""WITH $langScoreCte,
+       |pairs AS (
+       |  SELECT d.lang AS actual, $langPredSql AS pred
+       |  FROM langscore l JOIN documents d USING (doc_id)
+       |),
+       |cm AS (SELECT actual, pred, COUNT(1) AS n FROM pairs GROUP BY actual, pred),
+       |cls AS (
+       |  SELECT DISTINCT actual AS cls FROM cm
+       |  UNION SELECT DISTINCT pred FROM cm
+       |),
+       |a AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual FROM cm GROUP BY actual),
+       |p AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred),
+       |t AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS tp FROM cm WHERE actual = pred GROUP BY actual),
+       |m AS (
+       |  SELECT cls.cls, COALESCE(n_actual, 0) AS n_actual,
+       |    COALESCE(n_pred, 0) AS n_pred, COALESCE(tp, 0) AS tp
+       |  FROM cls LEFT JOIN a USING (cls) LEFT JOIN p USING (cls) LEFT JOIN t USING (cls)
+       |),
+       |mm AS (
+       |  SELECT cls, n_actual, n_pred, tp, n_pred - tp AS fp, n_actual - tp AS fn,
+       |    CAST(CASE WHEN n_pred = 0 THEN 0 ELSE tp * 1000000 // n_pred END AS BIGINT) AS precision_micro,
+       |    CAST(CASE WHEN n_actual = 0 THEN 0 ELSE tp * 1000000 // n_actual END AS BIGINT) AS recall_micro
+       |  FROM m
+       |)
+       |SELECT cls, n_actual, n_pred, tp, fp, fn, precision_micro, recall_micro,
+       |  CAST(CASE WHEN precision_micro + recall_micro = 0 THEN 0
+       |    ELSE 2 * precision_micro * recall_micro // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
+       |FROM mm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
