@@ -148,4 +148,33 @@ class FuzzySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(narrow.nonEmpty && narrow == wide, s"narrow $narrow != wide $wide")
   }
+
+  test("goldenRecord: every survivorship rule picks its documented winner") {
+    import spark.implicits._
+    val records = Seq(
+      // cluster 1: name lengths 2,3,3 — longest wins, tie breaks to
+      // binary-smallest ("Abc" < "abc"); balance max; version 3 wins the
+      // segment; null contact loses to both non-nulls
+      (1L, 1L, "ab", 100L, "s1", "N9": String),
+      (1L, 2L, "abc", 300L, "s2", null.asInstanceOf[String]),
+      (1L, 3L, "Abc", 200L, "s3", "N2"),
+      // cluster 2: a singleton passes through unchanged
+      (2L, 7L, "solo", 50L, "sX", "N5"))
+      .toDF("cluster", "version", "name", "bal", "segment", "contact")
+    val g = Fuzzy.goldenRecord(records, "cluster", Seq(
+      "name" -> Fuzzy.Survivor.LongestString,
+      "bal" -> Fuzzy.Survivor.MaxNumeric,
+      "segment" -> Fuzzy.Survivor.LatestBy("version"),
+      "contact" -> Fuzzy.Survivor.MinString))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = g(1L)
+    assert(c1.getLong(1) == 3L, "n_records")
+    assert(c1.getString(2) == "Abc", "longest name, tie to binary-smallest")
+    assert(c1.getLong(3) == 300L, "max balance")
+    assert(c1.getString(4) == "s3", "last-write segment by version")
+    assert(c1.getString(5) == "N2", "min non-null contact")
+    val c2 = g(2L)
+    assert(c2.getLong(1) == 1L && c2.getString(2) == "solo" &&
+      c2.getLong(3) == 50L && c2.getString(4) == "sX" && c2.getString(5) == "N5")
+  }
 }

@@ -89,6 +89,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(local.size == 40 && local.values.sum > 0)
   }
 
+  test("label propagation: disjoint cliques converge to their min id") {
+    import spark.implicits._
+    // two triangles (0,1,2) and (10,11,12) plus an isolated node 20
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 20L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val lab = GraphOps.labelPropagation(nodes, edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lab(0L) == 0L && lab(1L) == 0L && lab(2L) == 0L, s"clique A: $lab")
+    assert(lab(10L) == 10L && lab(11L) == 10L && lab(12L) == 10L, s"clique B: $lab")
+    assert(lab(20L) == 20L, s"isolated node keeps itself: $lab")
+  }
+
+  test("label propagation: smallest label wins vote ties") {
+    import spark.implicits._
+    // node 5 has neighbors 1 and 2 (one vote each) plus its own self-vote
+    // of 5: three-way tie after round 1 → label 1 (the smallest)
+    val nodes = Seq(1L, 2L, 5L).toDF("node")
+    val edges = Seq((1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val lab = GraphOps.labelPropagation(nodes, edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(lab(5L) == 1L, s"tie must break to the smallest label: $lab")
+  }
+
+  test("small-graph label propagation is bit-identical to the distributed recurrence") {
+    import spark.implicits._
+    // messy: parallel edges, self-loop, an edge to a node outside the
+    // universe (dropped by both paths), a dangling-receiver-only node
+    val nodes = (0L until 30L).toDF("node")
+    val edges = ((0L until 30L).flatMap(s => Seq((s, (s * 7 + 1) % 30), (s, (s * 3 + 2) % 30)))
+      ++ Seq((1L, 5L), (1L, 5L), (4L, 4L), (7L, 999L))).toDF("src", "dst")
+    val local = GraphOps.labelPropagation(nodes, edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val dist = GraphOps.labelPropagation(nodes, edges, iters = 4, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver-side and distributed LPA must be bit-equal")
+    assert(local.size == 30)
+  }
+
   test("triangleCounts: K4 + star + disconnected match closed form") {
     import spark.implicits._
     // K4 on 0-3 (4 triangles, each node in 3 of them); star hub 10 with
