@@ -21,7 +21,8 @@ object ScaleBench {
     * [lines samples] [big] [scene|vectors|docs]` — no section arg runs
     * everything (plus the 100×-scene targets with `big`). */
   private val Sections =
-    Set("scene", "vectors", "docs", "sketches", "events", "media", "graph", "layout")
+    Set("scene", "vectors", "docs", "sketches", "events", "media", "graph",
+      "layout", "eval")
 
   def main(args: Array[String]): Unit = {
     val big = args.contains("big")
@@ -1514,6 +1515,24 @@ object ScaleBench {
             s"hubAvg=${a.getDouble(1)} restAvg=${a.getDouble(2)}")
       }
 
+      // G2. Label propagation above the small-graph cutover: 1M nodes in
+      // 200k disjoint 5-cliques (4M directed edges → distributed path; the
+      // ≤1M path is bit-equality-gated in GraphOpsSpec). A clique has
+      // diameter 1 and all-distinct initial labels, so round 1 is a
+      // 5-way vote tie at every node → smallest label wins everywhere:
+      // EXACT convergence to the clique minimum, closed form.
+      timed("label_prop_1M_nodes_4M_edges") {
+        val nn = 1000000L
+        val nodes = spark.range(nn).select(col("id").as("node"))
+        val edges = spark.range(nn).select(col("id"))
+          .crossJoin(spark.range(1, 5).select(col("id").as("k")))
+          .select(col("id").as("src"),
+            ((col("id") - col("id") % 5) + (col("id") % 5 + col("k")) % 5).as("dst"))
+        val lab = operators.GraphOps.labelPropagation(nodes, edges, iters = 2)
+        val bad = lab.filter(col("label") =!= col("node") - col("node") % 5).count()
+        require(bad == 0L, s"$bad nodes off their clique-min label")
+      }
+
       timed("triangles_1M_nodes_closed_form") {
         val triples = 333333L
         val triEdges = spark.range(triples).select(col("id")).selectExpr(
@@ -1592,6 +1611,64 @@ object ScaleBench {
           .map(k => 10 * k + (0L until 10).map(_ * keySpace).sum).sum
         require(joined.getLong(0) == nPairs && joined.getLong(1) == sumFid,
           s"bloom join diverged from closed form: $joined want ($nPairs, $sumFid)")
+      }
+    }
+
+    if (on("eval")) {
+      // V1. Pareto front at 10M points / 1000 groups, closed form: per
+      // group, 100 anti-correlated frontier points (x + y = 199, distinct
+      // x) and 9900 points strictly below their same-x frontier point.
+      // The sweep must return EXACTLY the 100k frontier rows.
+      timed("pareto_front_10M_1000_groups") {
+        val pts = spark.range(10000000L).select(
+          (col("id") % 1000).as("g"),
+          col("id").as("pid"),
+          expr("(id DIV 1000) % 100").as("x"),
+          expr("""CASE WHEN id DIV 1000 < 100 THEN 199 - (id DIV 1000) % 100
+                  ELSE 199 - (id DIV 1000) % 100 - 1 - ((id DIV 100000) % 37)
+                  END""").as("y"))
+        val front = operators.Skyline.paretoFront2D(pts, Seq("g"), "x", "y")
+        val a = front.agg(count(lit(1)),
+          count(when(col("x") + col("y") =!= 199L, 1))).head()
+        require(a.getLong(0) == 100000L && a.getLong(1) == 0L,
+          s"pareto front off closed form: $a (want 100000 rows, all x+y=199)")
+      }
+
+      // V2. MAD outliers at 10M rows / 1000 keys, closed form: per key,
+      // values 0..9989 plus 10 spikes at 1e6+j. Even-count medians:
+      // med2 = 4999+5000 = 9999; the dev2 multiset makes mad4 = 10000;
+      // flag ⇔ dev2 > 15000 ⇔ exactly the 10 spikes per key.
+      timed("mad_outliers_10M_1000_keys") {
+        val rows = spark.range(10000000L).select(
+          (col("id") % 1000).as("k"), col("id").as("rid"),
+          expr("""CASE WHEN id DIV 1000 < 9990 THEN id DIV 1000
+                  ELSE 1000000 + id DIV 1000 END""").as("v"))
+        val out = operators.Profile.madOutliers(rows, "k", "rid", "v")
+        val a = out.agg(
+          count(when(col("is_outlier"), 1)),
+          count(when(col("is_outlier") && col("v") < 1000000L, 1)),
+          count(when(col("med2") =!= 9999L || col("mad4") =!= 10000L, 1))).head()
+        require(a.getLong(0) == 10000L && a.getLong(1) == 0L && a.getLong(2) == 0L,
+          s"MAD closed form failed: $a (want 10000 spike flags, exact med2/mad4)")
+      }
+
+      // V3. ROUGE-2 at 1M pairs, closed form: 20 distinct tokens per doc,
+      // candidate drops indices ≡ 0 mod 3 (7 of 20) → 12 cand bigrams, 19
+      // ref bigrams, and exactly 6 bigrams whose both tokens were ref-
+      // adjacent survive. P = 500000, R = 6e6 // 19 = 315789 for EVERY doc.
+      timed("rouge2_1M_pairs_map_only") {
+        val docs = spark.range(1000000L).select(col("id"),
+          concat_ws(" ", (0 until 20).map(i =>
+            concat(lit("w"), (col("id") + i) % 26)): _*).as("ref"))
+        val pairs = docs.withColumn("cand",
+          concat_ws(" ", filter(split(col("ref"), " "), (_, i) => i % 3 =!= 0)))
+        val m = operators.LmOps.rougeN(pairs, "cand", "ref", n = 2)
+        val a = m.agg(
+          count(when(col("precision_micro") =!= 500000L, 1)),
+          count(when(col("recall_micro") =!= 315789L, 1)),
+          count(when(col("n_overlap") =!= 6L, 1))).head()
+        require(a.getLong(0) == 0L && a.getLong(1) == 0L && a.getLong(2) == 0L,
+          s"ROUGE closed form failed: $a")
       }
     }
 

@@ -88,9 +88,12 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val k = col(keyCol)
 
-    // doubled median of `vc` per key: Σ of the one-or-two middle order
-    // statistics (both middles coincide for odd counts → counted twice)
-    def med2Of(in: DataFrame, vc: String, out: String): DataFrame = {
+    // rank pass: rows tagged with the doubled-median contribution (the
+    // one-or-two middle order statistics; both coincide for odd counts →
+    // counted twice). Returns the RANKED frame — hash-partitioned by key
+    // and sorted with key as the leading column, so the med join-back and
+    // the next window pass both reuse the partitioning exchange-free.
+    def ranked(in: DataFrame, vc: String): DataFrame = {
       val w = Window.partitionBy(k).orderBy(col(vc), col(idCol))
       val wk = Window.partitionBy(k)
       in.withColumn("__rn", row_number().over(w).cast("long"))
@@ -100,16 +103,18 @@ object Profile {
             WHEN __rn = (__n - 1) DIV 2 + 1 AND __rn = __n DIV 2 + 1 THEN 2 * $vc
             WHEN __rn = (__n - 1) DIV 2 + 1 OR  __rn = __n DIV 2 + 1 THEN $vc
             ELSE 0 END"""))
-        .groupBy(k).agg(sum(col("__c")).as(out))
     }
+    def med2Of(r: DataFrame, out: String): DataFrame =
+      r.groupBy(k).agg(sum(col("__c")).as(out))
 
     val vals = df.select(k, col(idCol), col(valueCol).cast("long").as(valueCol))
-    val med = med2Of(vals, valueCol, "med2")
-    val dev = vals.join(med, Seq(keyCol))
+    val r1 = ranked(vals, valueCol)
+    val dev = r1.drop("__rn", "__n", "__c")
+      .join(med2Of(r1, "med2"), Seq(keyCol))
       .withColumn("dev2", abs(lit(2) * col(valueCol) - col("med2")))
-    val mad = med2Of(dev.select(k, col(idCol), col("dev2")), "dev2", "__m")
-      .withColumnRenamed("__m", "mad4")
-    dev.join(mad, Seq(keyCol))
+    val r2 = ranked(dev, "dev2")
+    r2.drop("__rn", "__n", "__c")
+      .join(med2Of(r2, "mad4"), Seq(keyCol))
       .select(k, col(idCol), col(valueCol), col("med2"), col("dev2"), col("mad4"),
         (lit(2L * kDen) * col("dev2") > lit(kNum.toLong) * col("mad4")).as("is_outlier"))
   }
