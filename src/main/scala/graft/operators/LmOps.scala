@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Statistical text-curation operators that carry a trained model as
   * bounded broadcast state: HTML boilerplate extraction (the crawl → text
@@ -405,6 +406,46 @@ object LmOps {
       .withColumn("f1_micro",
         expr("""CASE WHEN precision_micro + recall_micro = 0 THEN 0
                 ELSE 2 * precision_micro * recall_micro DIV (precision_micro + recall_micro) END"""))
+  }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * label columns (two annotators, or a classifier against truth). The
+    * observed and expected agreement are first fixed as integer micro-unit
+    * fractions (po = agree/n, pe = Σ_l rowTot_l·colTot_l / n²), then
+    * kappa = (po − pe)/(1 − pe) is derived from THOSE micro values with
+    * sign-magnitude floor division — every step is integer, so both
+    * engines agree bit-for-bit even for negative kappa (truncate-vs-floor
+    * on negatives never fires: division runs on magnitudes only).
+    *
+    * The pe numerator Σ rowTot·colTot is carried as DECIMAL(38,0): at
+    * n = 10⁹ it reaches 10¹⁸·10⁶ scaled — past BIGINT, fine in 128-bit.
+    *
+    * Scale shape: one map-side-combinable (a, b) groupBy shuffles
+    * |labels|² counts; everything after runs on that tiny matrix.
+    * Output (one row): n, n_agree, po_micro, pe_micro, kappa_micro.
+    */
+  def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val at = cm.groupBy("a").agg(sum("n").as("na"))
+    val bt = cm.groupBy("b").agg(sum("n").as("nb"))
+    val s = at.join(bt, at("a") === bt("b"))
+      .agg(coalesce(sum(col("na").cast(DecimalType(38, 0)) * col("nb")),
+        lit(0).cast(DecimalType(38, 0))).as("s"))
+    val tot = cm.agg(sum("n").as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L)).as("n_agree"))
+    tot.crossJoin(s) // 1×1
+      .withColumn("po_micro", expr("n_agree * 1000000 DIV n"))
+      .withColumn("pe_micro",
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * s)
+                DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+      .withColumn("kappa_micro",
+        expr("""CASE WHEN pe_micro = 1000000 THEN 0 ELSE
+                  (CASE WHEN po_micro >= pe_micro THEN 1 ELSE -1 END) *
+                  (abs(po_micro - pe_micro) * 1000000 DIV (1000000 - pe_micro))
+                END"""))
+      .select(col("n"), col("n_agree"), col("po_micro"), col("pe_micro"),
+        col("kappa_micro"))
   }
 
   /** ROUGE-N summary-overlap metrics (Lin 2004) per (candidate, reference)

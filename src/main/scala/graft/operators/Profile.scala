@@ -58,6 +58,44 @@ object Profile {
     one.select(explode(array(stacked: _*)).as("m")).select(col("m.*"))
   }
 
+  /** Corpus-mix concentration report — per-key counts, micro-unit shares,
+    * and the Herfindahl–Hirschman concentration index of the whole mix
+    * (HHI = Σ share², ≈ 1e6/|keys| for a uniform mix, 1e6 for a monoculture)
+    * — the one-glance answer to "is this corpus dominated by one source?".
+    *
+    * Integer-exact: shares are `1e6·cnt // total`; the HHI numerator
+    * Σ cnt² rides DECIMAL(38,0) (overflows BIGINT past ~3e9 total rows)
+    * and lands as `1e6·Σcnt² // total²`. One map-side-combinable groupBy
+    * shuffles |keys| count rows; the total joins back as a broadcast
+    * 1-row frame. Output: key, n_rows, share_micro, hhi_micro (constant
+    * across rows — the mix-level index).
+    */
+  def concentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__tot"),
+      sum(col("n_rows").cast(DecimalType(38, 0)) * col("n_rows")).as("__sq"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_rows"),
+        expr("n_rows * 1000000 DIV __tot").as("share_micro"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq)
+                DIV (CAST(__tot AS DECIMAL(38,0)) * __tot) AS BIGINT)""")
+          .as("hhi_micro"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy QA a
+    * training corpus runs before release: every combination of the QI
+    * columns whose group is smaller than `k` re-identifies its members
+    * (Sweeney 2002). One map-side-combinable groupBy over the QI tuple;
+    * output one row per observed combination: the QI columns, `n_rows`,
+    * and `is_risky` (n_rows < k).
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("is_risky", col("n_rows") < k)
+  }
+
   /** Per-group robust outlier flags by median / MAD (median absolute
     * deviation) — the data-QA pass that catches corrupted numerics (unit
     * glitches, sensor spikes) where mean/stddev would be dragged by the

@@ -520,6 +520,46 @@ object TextOps {
   def hashUnit(key: Column): Column =
     tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
 
+  /** Largest-remainder (Hamilton) quota allocation — turn per-stratum
+    * sizes into INTEGER sample quotas that sum to `budget` EXACTLY: each
+    * stratum gets ⌊budget·size/total⌋, and the leftover seats go one each
+    * to the largest fractional remainders (ties → smaller key, so the
+    * allocation is a total order). The step between a mixture spec and an
+    * actual sampler: "give me exactly 10⁹ training tokens split
+    * proportionally across domains" with no float drift and no ±1 slack.
+    *
+    * `counts` is the per-stratum size table (keyCol, cntCol) — ALREADY
+    * aggregated, so its cardinality is the stratum count: the remainder
+    * rank runs as a single-partition window over |strata| rows (bounded
+    * by design — domains/languages/sources, not documents). Products
+    * `budget·cnt` ride DECIMAL(38,0), so a 10¹² budget times 10¹⁵ tokens
+    * cannot overflow. Output: key, cnt, base_quota, extra (0/1), quota;
+    * Σ quota = budget exactly.
+    */
+  def largestRemainderQuota(counts: DataFrame, keyCol: String,
+      cntCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tot = counts.agg(sum(col(cntCol)).as("__tot"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("__bp",
+        (lit(budget).cast(DecimalType(38, 0)) * col(cntCol)))
+      .withColumn("base_quota", expr("CAST(__bp DIV __tot AS BIGINT)"))
+      .withColumn("__rem", expr("CAST(__bp % __tot AS BIGINT)"))
+    // leftover seats: budget − Σ base (window over |strata| rows only)
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("__rem").desc, col(keyCol))
+    based
+      .withColumn("__left", lit(budget) - sum(col("base_quota")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("extra", when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .withColumn("quota", col("base_quota") + col("extra"))
+      .select(col(keyCol), col(cntCol), col("base_quota"), col("extra"),
+        col("quota"))
+  }
+
   /** Domain-mixture epoch weighting — the UPsampling counterpart of
     * [[sampleFlag]]: reshape the corpus to target mixture `weights`
     * (stratum → fraction of the final token budget) by giving each

@@ -475,9 +475,36 @@ object Relational {
       |    AND b.size >= a.size AND b.price_cents >= a.price_cents
       |    AND (b.size > a.size OR b.price_cents > a.price_cents))""".stripMargin
 
+  /** q157: k-anonymity audit (`Profile.kAnonymity`) — the privacy QA
+    * before a data release: every (nation, segment, $1000-balance-bucket)
+    * quasi-identifier combination smaller than k=3 re-identifies its
+    * members. The bucket rides a +100000-cent offset so the integer
+    * division never sees a negative numerator (Spark DIV truncates toward
+    * zero, DuckDB // floors — they disagree below zero). One map-side-
+    * combinable groupBy over the QI tuple.
+    */
+  def q157KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val qi = Tables.load(spark, sfDir, "customer").select(
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+              DIV 100000""").as("bal_bucket"))
+    graft.operators.Profile.kAnonymity(qi, Seq("nation", "segment", "bal_bucket"), k = 3)
+  }
+
+  val q157Sql: String =
+    """WITH qi AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_bucket
+      |  FROM customer
+      |)
+      |SELECT nation, segment, bal_bucket, CAST(COUNT(1) AS BIGINT) AS n_rows,
+      |  COUNT(1) < 3 AS is_risky
+      |FROM qi GROUP BY nation, segment, bal_bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
+    QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),

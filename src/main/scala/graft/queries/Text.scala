@@ -53,21 +53,26 @@ object Text {
     TextOps.langId(Tables.load(spark, sfDir, "documents"))
       .select(col("doc_id"), col("pred_lang"), col("best_score").cast("long").as("best_score"))
 
-  // lang-ID SQL fragments shared by q32 and q60
-  private val langScoreCte: String = {
+  // lang-ID SQL fragments shared by q32, q60, q153 and q154. The CTE and
+  // the argmax are parameterized (source text expression, column
+  // qualifier) so the dual-annotator evals can score the same doc twice.
+  private def langScoreCteFor(cteName: String, textExpr: String): String = {
     val score = TextOps.LangMarkers.map { case (name, markers) =>
       val set = markers.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS score_$name"
+      s"len(list_filter(string_split($textExpr, ' '), t -> t IN ($set))) AS score_$name"
     }.mkString(",\n  ")
-    s"langscore AS (SELECT doc_id,\n  $score\nFROM documents)"
+    s"$cteName AS (SELECT doc_id,\n  $score\nFROM documents)"
   }
-  private val langPredSql: String = {
+  private def langPredSqlFor(q: String): String = {
     val names = TextOps.LangMarkers.map(_._1)
     names.zipWithIndex.init.foldRight(s"'${names.last}'") { case ((name, i), rest) =>
-      val cond = names.drop(i + 1).map(o => s"score_$name >= score_$o").mkString(" AND ")
+      val cond = names.drop(i + 1).map(o => s"${q}score_$name >= ${q}score_$o")
+        .mkString(" AND ")
       s"CASE WHEN $cond THEN '$name' ELSE $rest END"
     }
   }
+  private val langScoreCte: String = langScoreCteFor("langscore", "text")
+  private val langPredSql: String = langPredSqlFor("")
 
   val q32Sql: String = {
     val great = TextOps.LangMarkers.map(n => s"score_${n._1}").mkString(", ")
@@ -2179,26 +2184,42 @@ object Text {
 
   // ---------------------------------------------------------------- q153
 
-  /** q153: per-class classifier evaluation (`LmOps.classifierEval`) of the
-    * q32 marker-token language-ID heuristic against the documents table's
-    * ground-truth `lang` — the eval report a curation pipeline keeps next
-    * to every filter model: per-class support, confusion diagonal, and
-    * precision/recall/F1 in integer micro-units. One map-side-combinable
-    * (actual, pred) groupBy shuffles |classes|² count rows regardless of
-    * corpus size.
+  /** q153: per-class classifier evaluation (`LmOps.classifierEval`) — the
+    * eval report a curation pipeline keeps next to every filter model:
+    * per-class support, confusion diagonal, precision/recall/F1 in integer
+    * micro-units. The (reference, candidate) pairs are the q32 dialect
+    * rater run twice per document — once on the full text (the reference
+    * annotation) and once on the first half of the tokens (a rater with
+    * less evidence) — so the confusion matrix is non-trivially off-
+    * diagonal exactly where the evidence halving flips the argmax. One
+    * map-side-combinable (actual, pred) groupBy shuffles |classes)|² count
+    * rows regardless of corpus size.
     */
+  private def halfDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      "array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) div 2, 1)), ' ')")
+      .as("text"))
+
+  private val halfTextSql: String =
+    "array_to_string((string_split(text, ' '))" +
+      "[1:greatest(len(string_split(text, ' ')) // 2, 1)], ' ')"
+
   def q153ClassifierEval(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val pairs = docs.select(col("doc_id"), col("lang"))
-      .join(TextOps.langId(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
-    graft.operators.LmOps.classifierEval(pairs, "lang", "pred_lang")
+    val full = TextOps.langId(docs)
+      .select(col("doc_id"), col("pred_lang").as("full_pred"))
+    val half = TextOps.langId(halfDocs(docs))
+      .select(col("doc_id"), col("pred_lang").as("half_pred"))
+    graft.operators.LmOps.classifierEval(full.join(half, "doc_id"),
+      "full_pred", "half_pred")
   }
 
   val q153Sql: String =
-    s"""WITH $langScoreCte,
+    s"""WITH ${langScoreCteFor("ls_full", "text")},
+       |${langScoreCteFor("ls_half", halfTextSql)},
        |pairs AS (
-       |  SELECT d.lang AS actual, $langPredSql AS pred
-       |  FROM langscore l JOIN documents d USING (doc_id)
+       |  SELECT ${langPredSqlFor("f.")} AS actual, ${langPredSqlFor("h.")} AS pred
+       |  FROM ls_full f JOIN ls_half h USING (doc_id)
        |),
        |cm AS (SELECT actual, pred, COUNT(1) AS n FROM pairs GROUP BY actual, pred),
        |cls AS (
@@ -2224,8 +2245,126 @@ object Text {
        |    ELSE 2 * precision_micro * recall_micro // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
        |FROM mm""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+
+  /** q154: Cohen's kappa (`LmOps.agreementKappa`) between q153's two
+    * raters (full-text vs half-text dialect annotation) — the chance-
+    * corrected inter-annotator agreement, the companion to q153's raw
+    * per-class report (with few balanced classes, chance buys ~25%
+    * agreement; kappa discounts it). po/pe land as micro-unit integers
+    * first, kappa derives from those with sign-magnitude floor division —
+    * bit-identical in both engines.
+    */
+  def q154Kappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val full = TextOps.langId(docs)
+      .select(col("doc_id"), col("pred_lang").as("full_pred"))
+    val half = TextOps.langId(halfDocs(docs))
+      .select(col("doc_id"), col("pred_lang").as("half_pred"))
+    graft.operators.LmOps.agreementKappa(full.join(half, "doc_id"),
+      "full_pred", "half_pred")
+  }
+
+  val q154Sql: String =
+    s"""WITH ${langScoreCteFor("ls_full", "text")},
+       |${langScoreCteFor("ls_half", halfTextSql)},
+       |pairs AS (
+       |  SELECT ${langPredSqlFor("f.")} AS a, ${langPredSqlFor("h.")} AS b
+       |  FROM ls_full f JOIN ls_half h USING (doc_id)
+       |),
+       |cm AS (SELECT a, b, COUNT(1) AS n FROM pairs GROUP BY a, b),
+       |at2 AS (SELECT a, SUM(n) AS na FROM cm GROUP BY a),
+       |bt2 AS (SELECT b, SUM(n) AS nb FROM cm GROUP BY b),
+       |s AS (
+       |  SELECT COALESCE(SUM(CAST(na AS HUGEINT) * nb), 0) AS s
+       |  FROM at2 JOIN bt2 ON at2.a = bt2.b
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT) AS n_agree
+       |  FROM cm
+       |),
+       |m AS (
+       |  SELECT n, n_agree,
+       |    CAST(n_agree * 1000000 // n AS BIGINT) AS po_micro,
+       |    CAST((1000000 * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro
+       |  FROM tot, s
+       |)
+       |SELECT n, n_agree, po_micro, pe_micro,
+       |  CAST(CASE WHEN pe_micro = 1000000 THEN 0 ELSE
+       |    (CASE WHEN po_micro >= pe_micro THEN 1 ELSE -1 END) *
+       |    (abs(po_micro - pe_micro) * 1000000 // (1000000 - pe_micro)) END
+       |  AS BIGINT) AS kappa_micro
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+
+  /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
+    * document shares plus the Herfindahl index of the whole mix, the
+    * source-diversity dashboard row a curation run publishes with every
+    * snapshot. One |sources|-row shuffle regardless of corpus size.
+    */
+  def q155MixReport(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.concentration(
+      Tables.load(spark, sfDir, "documents").select(col("source")), "source")
+
+  val q155Sql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_rows
+      |  FROM documents GROUP BY source
+      |),
+      |t AS (
+      |  SELECT CAST(SUM(n_rows) AS BIGINT) AS tot,
+      |    SUM(CAST(n_rows AS HUGEINT) * n_rows) AS sq
+      |  FROM c
+      |)
+      |SELECT source, n_rows,
+      |  CAST(n_rows * 1000000 // tot AS BIGINT) AS share_micro,
+      |  CAST((1000000 * sq) // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS hhi_micro
+      |FROM c, t""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+
+  /** q156: largest-remainder token-quota allocation
+    * (`TextOps.largestRemainderQuota`) — per-source character budgets that
+    * sum to the 777,777-token target EXACTLY (Hamilton apportionment:
+    * floor quotas, leftovers to the largest remainders, ties to the
+    * smaller key). The step between a mixture spec (q66) and a sampler
+    * that must hit a hard budget. The remainder rank is a window over
+    * |sources| rows only.
+    */
+  val QuotaBudget = 777777L
+
+  def q156QuotaAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("n_tokens"))
+    TextOps.largestRemainderQuota(counts, "source", "n_tokens", QuotaBudget)
+  }
+
+  val q156Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |),
+       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c),
+       |b AS (
+       |  SELECT source, n_tokens,
+       |    CAST(($QuotaBudget * CAST(n_tokens AS HUGEINT)) // tot AS BIGINT) AS base_quota,
+       |    CAST(($QuotaBudget * CAST(n_tokens AS HUGEINT)) % tot AS BIGINT) AS rem
+       |  FROM c, t
+       |),
+       |l AS (SELECT $QuotaBudget - SUM(base_quota) AS leftn FROM b),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+       |SELECT source, n_tokens, base_quota,
+       |  CAST(CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  base_quota + CAST(CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM r, l""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
+    QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
+    QueryDef("q155_mix_report", q155MixReport, Some(q155Sql)),
+    QueryDef("q156_quota_alloc", q156QuotaAlloc, Some(q156Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
