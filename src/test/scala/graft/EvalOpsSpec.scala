@@ -74,6 +74,60 @@ class EvalOpsSpec extends SparkSpec {
       "no flags in the uncorrupted group")
   }
 
+  test("agreementKappa: perfect, chance-level and textbook agreement") {
+    // perfect agreement → kappa = 1e6
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
+    val p = LmOps.agreementKappa(perfect, "x", "y").head()
+    assert(p.getLong(2) == 1000000L && p.getLong(4) == 1000000L)
+    // textbook 2×2: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no (n=50)
+    // po = 0.7, pe = (25·30 + 25·20)/2500 = 0.5 → kappa = 0.4
+    val tb = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))).toDF("x", "y")
+    val t = LmOps.agreementKappa(tb, "x", "y").head()
+    assert(t.getLong(0) == 50L && t.getLong(1) == 35L)
+    assert(t.getLong(2) == 700000L && t.getLong(3) == 500000L &&
+      t.getLong(4) == 400000L, s"textbook kappa: $t")
+    // systematic disagreement → negative kappa (sign-magnitude division)
+    val neg = (Seq.fill(10)(("a", "b")) ++ Seq.fill(10)(("b", "a"))).toDF("x", "y")
+    val nk = LmOps.agreementKappa(neg, "x", "y").head().getLong(4)
+    assert(nk == -1000000L, s"anti-agreement kappa must be -1e6: $nk")
+  }
+
+  test("largestRemainderQuota: quotas sum to the budget exactly") {
+    // shares of 100: 33.4, 33.3, 33.3 → base 33,33,33; one seat left →
+    // largest remainder (.4) gets it
+    val counts = Seq(("a", 334L), ("b", 333L), ("c", 333L)).toDF("src", "cnt")
+    val q = graft.operators.TextOps.largestRemainderQuota(counts, "src", "cnt", 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(q("a") == ((33L, 1L, 34L)) && q("b") == ((33L, 0L, 33L)) &&
+      q("c") == ((33L, 0L, 33L)), s"$q")
+    // remainder ties break to the smaller key
+    val tied = Seq(("z", 1L), ("a", 1L), ("m", 1L)).toDF("src", "cnt")
+    val t = graft.operators.TextOps.largestRemainderQuota(tied, "src", "cnt", 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(t == Map("a" -> 2L, "m" -> 1L, "z" -> 1L), s"tie must favor 'a': $t")
+  }
+
+  test("concentration: uniform vs dominated mix HHI") {
+    val uniform = (0 until 100).map(i => ("s" + i % 4)).toDF("src")
+    val u = graft.operators.Profile.concentration(uniform, "src").head()
+    assert(u.getLong(3) == 250000L, s"uniform 4-way HHI = 1e6/4: $u")
+    val mono = (0 until 100).map(_ => "only").toDF("src")
+    val m = graft.operators.Profile.concentration(mono, "src").head()
+    assert(m.getLong(2) == 1000000L && m.getLong(3) == 1000000L)
+  }
+
+  test("kAnonymity flags groups under k") {
+    val rows = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq(("FR", "A"))).toDF("c1", "c2")
+    val a = graft.operators.Profile.kAnonymity(rows, Seq("c1", "c2"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(a(("US", "A")) == ((5L, false)))
+    assert(a(("US", "B")) == ((2L, true)))
+    assert(a(("FR", "A")) == ((1L, true)))
+  }
+
   test("paretoFront2D matches brute-force dominance, duplicates survive") {
     val pts = Seq(
       ("g1", 1L, 5L, 5L), ("g1", 2L, 5L, 5L), // exact duplicates: both stay
