@@ -96,6 +96,33 @@ object Profile {
       .withColumn("is_risky", col("n_rows") < k)
   }
 
+  /** Per-group winsorization — the REPAIR companion of [[madOutliers]]:
+    * clamp every value into its group's [loQ, hiQ] exact-rank quantile
+    * band (value at 0-indexed rank ⌊q·(n−1)⌋ — the
+    * [[Sketches.groupedQuantiles]] semantics, which computes the bounds
+    * here: histogram-rank resolution, no per-key full sort, unbounded key
+    * cardinality). Clamped values stay in the data domain (they ARE order
+    * statistics — no float interpolation), so the output is integer-exact
+    * on integral inputs.
+    *
+    * Output: key, id, value, lo, hi, value_w (clamped), clamped_low/high.
+    */
+  def winsorize(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
+    require(0 <= loQ && loQ <= hiQ && hiQ <= 1, "need 0 <= loQ <= hiQ <= 1")
+    val vals = df.select(col(keyCol), col(idCol),
+      col(valueCol).cast("long").as(valueCol))
+    val qs = Sketches.groupedQuantiles(vals, keyCol, valueCol, Seq(loQ, hiQ))
+    val lo = qs.filter(col("q") === loQ)
+      .select(col(keyCol), col("value").cast("long").as("lo"))
+    val hi = qs.filter(col("q") === hiQ)
+      .select(col(keyCol), col("value").cast("long").as("hi"))
+    vals.join(lo, Seq(keyCol)).join(hi, Seq(keyCol))
+      .withColumn("value_w", least(greatest(col(valueCol), col("lo")), col("hi")))
+      .withColumn("clamped_low", col(valueCol) < col("lo"))
+      .withColumn("clamped_high", col(valueCol) > col("hi"))
+  }
+
   /** Per-group robust outlier flags by median / MAD (median absolute
     * deviation) — the data-QA pass that catches corrupted numerics (unit
     * glitches, sensor spikes) where mean/stddev would be dragged by the

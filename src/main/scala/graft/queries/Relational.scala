@@ -501,10 +501,49 @@ object Relational {
       |  COUNT(1) < 3 AS is_risky
       |FROM qi GROUP BY nation, segment, bal_bucket""".stripMargin
 
+  /** q158: per-group winsorization (`Profile.winsorize`) — the repair
+    * companion to q151's outlier flags: clamp balances into the nation's
+    * [p5, p95] exact-rank band. Bounds come from the sort-free histogram-
+    * rank machinery (`Sketches.groupedQuantiles` — q98's shape), so no
+    * per-key full sort exists anywhere; clamped values are order
+    * statistics from the data domain, never interpolated floats. The
+    * oracle derives the same ⌊q·(n−1)⌋-rank bounds through a window
+    * formulation — two independent quantile computations that must agree.
+    */
+  def q158Winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.load(spark, sfDir, "customer").select(
+      col("c_nationkey").as("nation"), col("c_custkey").as("custkey"),
+      (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+    graft.operators.Profile.winsorize(vals, "nation", "custkey", "bal_cents",
+      loQ = 0.05, hiQ = 0.95)
+  }
+
+  val q158Sql: String =
+    """WITH vals AS (
+      |  SELECT c_nationkey AS nation, c_custkey AS custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |  FROM customer
+      |),
+      |r AS (
+      |  SELECT nation, bal_cents,
+      |    row_number() OVER (PARTITION BY nation ORDER BY bal_cents, custkey) AS rn,
+      |    COUNT(1) OVER (PARTITION BY nation) AS n
+      |  FROM vals
+      |),
+      |lo AS (SELECT nation, bal_cents AS lo FROM r
+      |       WHERE rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1),
+      |hi AS (SELECT nation, bal_cents AS hi FROM r
+      |       WHERE rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1)
+      |SELECT v.nation, v.custkey, v.bal_cents, lo, hi,
+      |  least(greatest(bal_cents, lo), hi) AS value_w,
+      |  bal_cents < lo AS clamped_low, bal_cents > hi AS clamped_high
+      |FROM vals v JOIN lo USING (nation) JOIN hi USING (nation)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
+    QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
     QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),

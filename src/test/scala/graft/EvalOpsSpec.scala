@@ -128,6 +128,20 @@ class EvalOpsSpec extends SparkSpec {
     assert(a(("FR", "A")) == ((1L, true)))
   }
 
+  test("winsorize clamps to the exact-rank band, values stay in-domain") {
+    // 11 values 0..100 step 10 per key: rank ⌊0.1·10⌋=1 → lo=10,
+    // ⌊0.9·10⌋=9 → hi=90; 0 clamps up, 100 clamps down, rest untouched
+    val rows = (0 to 10).map(i => ("k", i.toLong, i * 10L)).toDF("key", "id", "v")
+    val w = graft.operators.Profile.winsorize(rows, "key", "id", "v", 0.1, 0.9)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(w(0L) == ((10L, 90L, 10L, true, false)))
+    assert(w(10L) == ((10L, 90L, 90L, false, true)))
+    assert(w(5L) == ((10L, 90L, 50L, false, false)))
+    assert(w.values.forall { case (lo, hi, v, _, _) => lo == 10L && hi == 90L && v % 10 == 0 })
+  }
+
   test("paretoFront2D matches brute-force dominance, duplicates survive") {
     val pts = Seq(
       ("g1", 1L, 5L, 5L), ("g1", 2L, 5L, 5L), // exact duplicates: both stay

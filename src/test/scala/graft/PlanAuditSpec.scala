@@ -79,7 +79,12 @@ class PlanAuditSpec extends SparkSpec {
     "q118_ccnet_buckets",
     // q125: the source-pair generator crossJoins the distinct-source list
     // with itself — BOUNDED at |sources|² rows (~dozens)
-    "q125_hll_setops")
+    "q125_hll_setops",
+    // q154/q155/q156: 1-row × 1-row (kappa's totals × pe-numerator) or
+    // |strata|-row × 1-row (count/quota tables × grand total) crossJoins —
+    // all build sides BOUNDED at one row (LmOps.agreementKappa,
+    // Profile.concentration, TextOps.largestRemainderQuota — the q66 shape)
+    "q154_kappa", "q155_mix_report", "q156_quota_alloc")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -187,6 +192,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       "q61 collapsed to a single-partition global window")
     assert(plan.contains("Window"), "q61 lost its per-bucket running-total window")
+  }
+
+  test("q149 ROUGE is map-only: zero exchanges") {
+    // the clipped n-gram overlap is per-row HOF work; any Exchange means
+    // the eval started shuffling the corpus
+    assert(!planOf("q149_rouge2").contains("Exchange"),
+      "q149 plans an Exchange — ROUGE must stay a single map pass")
+  }
+
+  test("q151/q158 share one data exchange on the group key") {
+    // madOutliers: the rank window's hash exchange on `nation` must be the
+    // ONLY exchange of the data rows — both median groupBys and both
+    // join-backs reuse that partitioning (the 35.5→16.1 s fix at 10M).
+    // Sides that exchange: the tiny per-key aggregate frames only.
+    val p151 = planOf("q151_mad_outliers")
+    val dataEx = "Exchange hashpartitioning\\(nation".r.findAllIn(p151).length
+    assert(dataEx <= 3, s"q151 plans $dataEx nation exchanges — rank/agg reuse broke")
+    assert(!p151.contains("Exchange SinglePartition"),
+      "q151 collapsed to a single-partition plan")
+    // winsorize inherits groupedQuantiles' histogram-rank shape: no
+    // per-key full sort of the data, no single-partition window
+    assert(!planOf("q158_winsorize").contains("Exchange SinglePartition"),
+      "q158 collapsed to a single-partition plan")
+  }
+
+  test("q152 pareto front plans its two windows over one brand exchange") {
+    val p = planOf("q152_pareto_front")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 2, s"q152 plans $ex hash exchanges — the sweep should need one on (brand[, size])")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q152 regressed to a dominance join")
+  }
+
+  test("q150 golden record is one aggregation pass") {
+    val p = planOf("q150_golden_record")
+    assert(!p.contains("Window"), "q150 must use aggregates, not windows")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 1, s"q150 plans $ex exchanges — survivorship is ONE groupBy")
   }
 
   test("q68 epoch shuffle never plans a single-partition global window") {
