@@ -1035,6 +1035,46 @@ object Streaming {
     ()
   }
 
+  /** Streaming k-anonymity monitor — the privacy QA of batch
+    * `Profile.kAnonymity` running continuously over arriving records:
+    * every micro-batch emits the FULL current audit (per-QI-combo size +
+    * risk flag) over everything seen so far. The store keeps per-batch
+    * COUNT DELTAS, not raw rows — each batch aggregates its own rows once
+    * (map-side combinable) and the audit re-sums |QI-combos|-sized delta
+    * partitions, so per-batch cost is O(batch + combos·batches), never
+    * O(history rows); compact the store with [[compactStore]] on the same
+    * schedule as the near-dup band stores. Replay-idempotent: deltas land
+    * in an overwrite-on-retry `batch_id` partition and `committedOr`
+    * reads strictly earlier ones.
+    */
+  def kAnonymityStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, qiCols: Seq[String], k: Long): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processKAnonymityBatch(batch, batchId, outDir, storeDir, qiCols, k)
+      }
+      .start()
+
+  /** One micro-batch of [[kAnonymityStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processKAnonymityBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, qiCols: Seq[String], k: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows")).persist()
+    delta.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    val all = committedOr(spark, s"$storeDir/counts", batchId, delta.limit(0))
+      .unionByName(delta)
+    all.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .withColumn("is_risky", col("n_rows") < k)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    delta.unpersist()
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

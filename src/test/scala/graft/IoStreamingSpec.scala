@@ -364,6 +364,42 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap(s"$dir/out/batch_id=1") == streamed)
   }
 
+  test("streaming k-anonymity audit equals the batch audit, incrementally and idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("kanonstream").toString
+    // batch 0 leaves (US,A) at 2 (risky at k=3); batch 1's third US-A row
+    // flips it safe — the audit must reflect accumulated counts, not the
+    // last batch's
+    val b0 = Seq(("US", "A"), ("US", "A"), ("FR", "B"))
+    val b1 = Seq(("US", "A"), ("FR", "B"), ("DE", "C"))
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.kAnonymityStream(mem.toDF().toDF("c1", "c2"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", Seq("c1", "c2"), k = 3)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = snap(s"$dir/out/batch_id=1")
+    val batchRes = graft.operators.Profile.kAnonymity(
+      (b0 ++ b1).toDF("c1", "c2"), Seq("c1", "c2"), k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batchRes, s"streamed=$streamed batch=$batchRes")
+    assert(streamed.find(t => t._1 == "US").get._4 == false,
+      "US-A reached 3 across batches — must be safe now")
+    assert(snap(s"$dir/out/batch_id=0").find(_._1 == "US").get._4 == true,
+      "US-A was risky after batch 0")
+    // replaying batch 1 reads only batch-0 deltas: identical audit
+    Streaming.processKAnonymityBatch(b1.toDF("c1", "c2"), 1L,
+      s"$dir/out", s"$dir/store", Seq("c1", "c2"), 3L)
+    assert(snap(s"$dir/out/batch_id=1") == streamed)
+  }
+
   test("streaming SCD2 equals the batch history, splits versions on late data, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
