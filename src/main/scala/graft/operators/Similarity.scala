@@ -53,6 +53,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training data prep: for each
+    * query vector, the k most similar vectors with a DIFFERENT label
+    * (cosine), i.e. the negatives the model currently confuses and learns
+    * most from (the in-batch/ANCE shape). Same audited few-queries
+    * broadcast scan as [[cosineTopK]] with the label-mismatch predicate
+    * riding the join, so same-label rows drop before scoring; top-k is a
+    * rank-≤-k window (WindowGroupLimit). For query sets past broadcast
+    * scale, mine from an ANN tier's candidates instead (q76's shape) and
+    * filter labels there.
+    *
+    * Output: query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+    * rank.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("query_label"), sqrt(norm2(col(vecCol))).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("neighbor_label"), sqrt(norm2(col(vecCol))).as("c_nrm"))
+    val scored = c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Maximal Marginal Relevance re-selection (Carbonell & Goldstein,
     * SIGIR 1998) — the diversity step a retrieval stack runs on a
     * candidate list before using it for training-data selection or RAG

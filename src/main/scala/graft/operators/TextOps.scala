@@ -520,6 +520,55 @@ object TextOps {
   def hashUnit(key: Column): Column =
     tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
 
+  /** Document-level collocation mining — for every token, its top-k
+    * co-occurrence partners by LIFT (P(x,y) / P(x)·P(y) — the PMI family
+    * without the log, same ranking since log is monotone, and therefore
+    * EXACT in integer micro-units: lift_micro = 1e6·c_xy·N // (c_x·c_y),
+    * products on DECIMAL(38,0)). The query-expansion / related-terms table
+    * a retrieval pipeline mines from its own corpus.
+    *
+    * Scale shape: the candidate generator is a per-document self-join of
+    * DISTINCT tokens — quadratic only in per-doc distinct vocabulary
+    * (bound it upstream with a top-V filter), shuffled once on doc id; the
+    * (x, y) pair counts and per-token doc counts are map-side-combinable
+    * groupBys bounded by V²/V; `minSupport` prunes the long tail before
+    * the joins; top-k per anchor is a rank-≤-k window (WindowGroupLimit —
+    * map-side group limit, no global sort).
+    *
+    * Output: anchor, partner, n_docs_pair, lift_micro, rank (1..k).
+    */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minSupport: Long = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(minSupport >= 1 && k >= 1, "need minSupport >= 1 and k >= 1")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .where(col("tok") =!= "")
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val cx = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val a = toks.select(col("__id"), col("tok").as("x"))
+    val b = toks.select(col("__id"), col("tok").as("y"))
+    val pairs = a.join(b, Seq("__id")).where(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= minSupport)
+    val sym = pairs.unionByName(
+      pairs.select(col("y").as("x"), col("x").as("y"), col("cxy")))
+    val scored = sym
+      .join(cx.select(col("tok").as("x"), col("c").as("cx")), "x")
+      .join(cx.select(col("tok").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(nDocs))
+      .select(col("x").as("anchor"), col("y").as("partner"),
+        col("cxy").as("n_docs_pair"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * cxy * __n)
+                DIV (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)""")
+          .as("lift_micro"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("lift_micro").desc, col("n_docs_pair").desc, col("partner"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Largest-remainder (Hamilton) quota allocation — turn per-stratum
     * sizes into INTEGER sample quotas that sum to `budget` EXACTLY: each
     * stratum gets ⌊budget·size/total⌋, and the leftover seats go one each

@@ -264,6 +264,38 @@ object Text {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** q160: hard-negative mining (`Similarity.hardNegatives`) — the
+    * contrastive-training prep: per query vector, the 5 most-similar
+    * DIFFERENT-label vectors (the negatives the model confuses). q38's
+    * audited broadcast scan with the label-mismatch predicate riding the
+    * join; oracle replays the same fold-ordered dot and filter.
+    */
+  def q160HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos_sim"), col("rank"))
+  }
+
+  val q160Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+       |    e.label AS neighbor_label,
+       |    ROUND(${dotSql("q.qv", "e.embedding")}
+       |      / (SQRT(${dotSql("q.qv", "q.qv")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.label <> q.query_label
+       |)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+       |  CAST(rn AS INTEGER) AS rank
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= 5""".stripMargin
+
   val q38Sql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
        |scored AS (
@@ -2360,11 +2392,58 @@ object Text {
        |  base_quota + CAST(CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS quota
        |FROM r, l""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+
+  /** q159: collocation mining (`TextOps.collocations`) — per-token top-3
+    * co-occurrence partners by exact integer lift (the PMI ranking without
+    * the log), the related-terms table a retrieval stack mines for query
+    * expansion. Candidates come from a per-document distinct-token
+    * self-join (quadratic in per-doc vocabulary only), counts are
+    * combinable groupBys bounded by V², and the top-3 is a rank window
+    * (WindowGroupLimit). Oracle replays the identical pair/count/lift
+    * arithmetic relationally.
+    */
+  def q159Collocations(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.collocations(Tables.load(spark, sfDir, "documents"),
+      minSupport = 5, k = 3)
+
+  val q159Sql: String =
+    """WITH tk AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |  ) t WHERE tok <> ''
+      |),
+      |nd AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM documents),
+      |cx AS (SELECT tok, CAST(COUNT(1) AS BIGINT) AS c FROM tk GROUP BY tok),
+      |p AS (
+      |  SELECT a.tok AS x, b.tok AS y, CAST(COUNT(1) AS BIGINT) AS cxy
+      |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY a.tok, b.tok HAVING COUNT(1) >= 5
+      |),
+      |sym AS (SELECT x, y, cxy FROM p UNION ALL SELECT y, x, cxy FROM p),
+      |l AS (
+      |  SELECT sym.x AS anchor, sym.y AS partner, cxy AS n_docs_pair,
+      |    CAST((1000000 * CAST(cxy AS HUGEINT) * nd.n)
+      |         // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_micro
+      |  FROM sym
+      |  JOIN cx ca ON ca.tok = sym.x
+      |  JOIN cx cb ON cb.tok = sym.y
+      |  CROSS JOIN nd
+      |),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY anchor
+      |    ORDER BY lift_micro DESC, n_docs_pair DESC, partner) AS rank
+      |  FROM l
+      |)
+      |SELECT anchor, partner, n_docs_pair, lift_micro, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
     QueryDef("q155_mix_report", q155MixReport, Some(q155Sql)),
     QueryDef("q156_quota_alloc", q156QuotaAlloc, Some(q156Sql)),
+    QueryDef("q159_collocations", q159Collocations, Some(q159Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
@@ -2418,6 +2497,7 @@ object Text {
     QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
     QueryDef("q129_containment", q129Containment, Some(q129Sql)),
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
+    QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),
     QueryDef("q106_phrase_search", q106PhraseSearch, Some(q106Sql)))

@@ -80,6 +80,13 @@ class PlanAuditSpec extends SparkSpec {
     // q125: the source-pair generator crossJoins the distinct-source list
     // with itself — BOUNDED at |sources|² rows (~dozens)
     "q125_hll_setops",
+    // q159: the V²-bounded pair-count table crossJoins a broadcast
+    // doc-count row BOUNDED at 1 row (TextOps.collocations)
+    "q159_collocations",
+    // q160: hard-negative scoring scans the corpus against the broadcast
+    // 10-query set with the label-mismatch predicate — the audited q38
+    // few-queries BNLJ shape (Similarity.hardNegatives)
+    "q160_hard_negatives",
     // q154/q155/q156: 1-row × 1-row (kappa's totals × pe-numerator) or
     // |strata|-row × 1-row (count/quota tables × grand total) crossJoins —
     // all build sides BOUNDED at one row (LmOps.agreementKappa,
