@@ -520,6 +520,33 @@ object TextOps {
   def hashUnit(key: Column): Column =
     tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
 
+  /** Deterministic class rebalancing — downsample every class to the size
+    * of the SMALLEST class (the classifier-training prep that stops a
+    * 90/10 label skew from training a majority-class predictor). Rows are
+    * picked by md5-hash order of their id (a seedless deterministic
+    * shuffle — the [[hashUnit]] coin), so the same corpus always yields
+    * the same balanced set, on any engine and any partitioning.
+    *
+    * One shuffle on the label (the pick-rank window); the per-class counts
+    * are a combinable groupBy and the min rides a broadcast 1-row frame. A
+    * pathologically hot majority class pays its own sort — for planet-
+    * scale skew, pre-prune it with [[sampleFlag]]-style hash thresholds
+    * before the exact rank.
+    *
+    * Output: input columns + pick_rank (1..min-class-size), kept rows only.
+    */
+  def classBalance(df: DataFrame, labelCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+    val minSize = sizes.agg(min(col("__n")).as("__m"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minSize))
+      .where(col("pick_rank") <= col("__m"))
+      .drop("__m")
+  }
+
   /** Document-level collocation mining — for every token, its top-k
     * co-occurrence partners by LIFT (P(x,y) / P(x)·P(y) — the PMI family
     * without the log, same ranking since log is monotone, and therefore

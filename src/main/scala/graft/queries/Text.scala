@@ -2438,12 +2438,42 @@ object Text {
       |SELECT anchor, partner, n_docs_pair, lift_micro, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+
+  /** q161: deterministic class rebalancing (`TextOps.classBalance`) — the
+    * classifier-training prep: every `lang` class downsamples to the
+    * smallest class's size, rows picked by md5-hash order (a seedless
+    * deterministic shuffle both engines replay). One label-keyed window;
+    * counts and the min ride broadcast frames.
+    */
+  def q161ClassBalance(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.classBalance(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("pick_rank"))
+
+  val q161Sql: String =
+    """WITH m AS (
+      |  SELECT MIN(n) AS m FROM (
+      |    SELECT COUNT(1) AS n FROM documents GROUP BY lang
+      |  ) s
+      |),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, CAST(pick_rank AS BIGINT) AS pick_rank
+      |FROM r, m WHERE pick_rank <= m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
     QueryDef("q155_mix_report", q155MixReport, Some(q155Sql)),
     QueryDef("q156_quota_alloc", q156QuotaAlloc, Some(q156Sql)),
     QueryDef("q159_collocations", q159Collocations, Some(q159Sql)),
+    QueryDef("q161_class_balance", q161ClassBalance, Some(q161Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
