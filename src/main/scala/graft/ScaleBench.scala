@@ -1652,6 +1652,28 @@ object ScaleBench {
           s"MAD closed form failed: $a (want 10000 spike flags, exact med2/mad4)")
       }
 
+      // V4. Collocations at 10M docs, closed form: even docs say "a b",
+      // odd say "a c", every 1000th (all even) adds "d". Doc counts:
+      // a=10M, b=5M, c=5M, d=10k; pair counts ab=ac=5M, ad=bd=10k.
+      // Lifts: ab=ac=ad = 1e6 exactly, bd = 2e6 — so d's TOP partner is
+      // the 500×-rarer b, proving the lift ranking beats raw frequency.
+      timed("collocations_10M_docs_closed_form") {
+        val docs = spark.range(10000000L).select(col("id").as("doc_id"),
+          concat(lit("a "),
+            when(col("id") % 2 === 0, "b").otherwise("c"),
+            when(col("id") % 1000 === 0, " d").otherwise("")).as("text"))
+        val got = operators.TextOps.collocations(docs, minSupport = 5, k = 3)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        require(got(("d", "b")) == ((10000L, 2000000L, 1L)),
+          s"d's top partner must be b at lift 2.0: ${got.filter(_._1._1 == "d")}")
+        require(got(("b", "d"))._2 == 2000000L && got(("b", "d"))._3 == 1L,
+          s"b's top partner must be d: ${got.filter(_._1._1 == "b")}")
+        require(got(("a", "b")) == ((5000000L, 1000000L, 1L)) &&
+          got(("a", "c")) == ((5000000L, 1000000L, 2L)),
+          s"a's partners off closed form: ${got.filter(_._1._1 == "a")}")
+      }
+
       // V3. ROUGE-2 at 1M pairs, closed form: 20 distinct tokens per doc,
       // candidate drops indices ≡ 0 mod 3 (7 of 20) → 12 cand bigrams, 19
       // ref bigrams, and exactly 6 bigrams whose both tokens were ref-
