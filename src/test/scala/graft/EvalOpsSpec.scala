@@ -142,6 +142,68 @@ class EvalOpsSpec extends SparkSpec {
     assert(w.values.forall { case (lo, hi, v, _, _) => lo == 10L && hi == 90L && v % 10 == 0 })
   }
 
+  test("property: kappa is symmetric in its two raters") {
+    val rnd = new scala.util.Random(7)
+    val labels = Array("a", "b", "c", "d")
+    val pairs = Seq.fill(300)((labels(rnd.nextInt(4)), labels(rnd.nextInt(4))))
+      .toDF("x", "y")
+    val k1 = LmOps.agreementKappa(pairs, "x", "y").head().getLong(4)
+    val k2 = LmOps.agreementKappa(pairs, "y", "x").head().getLong(4)
+    assert(k1 == k2, s"kappa must not care which rater is 'first': $k1 vs $k2")
+  }
+
+  test("property: pareto front is partitioning-invariant and idempotent") {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(400)(i =>
+      ("g" + i % 3, i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("g", "id", "x", "y")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    val front = Skyline.paretoFront2D(pts, Seq("g"), "x", "y")
+    val shuffled = Skyline.paretoFront2D(pts.repartition(7, col("id")), Seq("g"), "x", "y")
+    assert(ids(front) == ids(shuffled), "front must not depend on partitioning")
+    val again = Skyline.paretoFront2D(front, Seq("g"), "x", "y")
+    assert(ids(again) == ids(front), "front of a front must be itself")
+  }
+
+  test("property: quota always sums to the budget, extras are 0/1") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 5) {
+      val counts = Seq.tabulate(17)(i => ("s" + i, (rnd.nextInt(100000) + 1).toLong))
+        .toDF("src", "cnt")
+      val budget = rnd.nextInt(1000000).toLong + 1
+      val q = graft.operators.TextOps.largestRemainderQuota(counts, "src", "cnt", budget)
+        .select("base_quota", "extra", "quota").collect()
+      assert(q.map(_.getLong(2)).sum == budget, s"round $round: sum != budget")
+      assert(q.forall(r => r.getLong(1) == 0L || r.getLong(1) == 1L))
+      assert(q.forall(r => r.getLong(2) == r.getLong(0) + r.getLong(1)))
+    }
+  }
+
+  test("property: classBalance leaves every class at exactly the min size") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(500)(i => (i.toLong, "c" + rnd.nextInt(5))).toDF("id", "cls")
+    val minSize = rows.groupBy("cls").count().agg(min("count")).head().getLong(0)
+    val bal = graft.operators.TextOps.classBalance(rows, "cls", "id")
+    val sizes = bal.groupBy("cls").count().select("count").as[Long].collect()
+    assert(sizes.length == 5 && sizes.forall(_ == minSize), s"sizes: ${sizes.toSeq}")
+    // determinism across partitioning
+    val bal2 = graft.operators.TextOps.classBalance(rows.repartition(9), "cls", "id")
+    assert(bal.select("id").as[Long].collect().toSet ==
+      bal2.select("id").as[Long].collect().toSet)
+  }
+
+  test("property: rougeN of a text against itself is perfect") {
+    val rnd = new scala.util.Random(41)
+    val texts = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30) + 2)("w" + rnd.nextInt(8)).mkString(" ")))
+      .toDF("id", "t")
+    val m = LmOps.rougeN(texts.select(col("id"), col("t").as("cand"), col("t").as("ref")),
+      "cand", "ref", n = 2)
+    assert(m.filter(col("f1_micro") =!= 1000000L).count() == 0,
+      "self-ROUGE must be exactly 1.0 everywhere")
+  }
+
   test("paretoFront2D matches brute-force dominance, duplicates survive") {
     val pts = Seq(
       ("g1", 1L, 5L, 5L), ("g1", 2L, 5L, 5L), // exact duplicates: both stay
