@@ -454,13 +454,14 @@ object LmOps {
     * the [[rankingMetrics]] contract).
     *
     * ZERO shuffle — every metric is a per-row computation over the pair's
-    * own n-gram arrays (higher-order functions, no explode): evaluation
-    * cost is one map pass regardless of corpus size, and the clip is
-    * O(|distinct cand-grams| · (|cand| + |ref|)) per row — quadratic only
-    * in the SUMMARY length, never the corpus. Gram arrays are materialized
-    * in their own projection first (interpreted HOFs re-evaluate non-cheap
-    * lambda references per element — the measured re-split trap documented
-    * on TextOps.qualityFilter).
+    * own n-gram arrays: evaluation cost is one map pass regardless of
+    * corpus size, and the clip runs in O(|cand| + |ref|) per row through
+    * the native `ngram_clip_overlap` expression (sql.NgramClip — a hash
+    * count of the reference grams streamed against the candidate grams,
+    * inside whole-stage codegen). Gram arrays are materialized in their
+    * own projection first (interpreted HOFs re-evaluate non-cheap lambda
+    * references per element — the measured re-split trap documented on
+    * TextOps.qualityFilter).
     *
     * Output: input columns + n_overlap, n_cand, n_ref, precision_micro,
     * recall_micro, f1_micro (empty sides score 0, never divide by zero).
@@ -473,13 +474,11 @@ object LmOps {
       .withColumn("__rt", split(col(refCol), " "))
       .withColumn("__cg", TextOps.shingles(col("__ct"), n))
       .withColumn("__rg", TextOps.shingles(col("__rt"), n))
+    // linear-time hash clip (sql.NgramClip) — the interpreted-HOF spelling
+    // (per-distinct-gram filter scans, O(d·(c+r))) measured 17.1 s vs
+    // 10.9 s at the 1M-pair gate; the remainder is gram construction
     val clipped = grams.withColumn("n_overlap",
-      coalesce(
-        aggregate(array_distinct(col("__cg")), lit(0L), (acc, g) =>
-          acc + least(
-            size(filter(col("__cg"), x => x === g)),
-            size(filter(col("__rg"), x => x === g))).cast("long")),
-        lit(0L)))
+      expr("ngram_clip_overlap(__cg, __rg)"))
       .withColumn("n_cand", size(col("__cg")).cast("long"))
       .withColumn("n_ref", size(col("__rg")).cast("long"))
     clipped

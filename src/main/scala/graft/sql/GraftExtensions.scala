@@ -328,6 +328,67 @@ case class PolyHashExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-pass kernel for [[NgramClipOverlapExpression]]: hash-count the
+  * reference grams, then stream the candidate grams decrementing — the
+  * clipped multiset overlap Σ_g min(c_g, r_g) in O(|cand| + |ref|), versus
+  * the O(|distinct cand| · (|cand| + |ref|)) a per-distinct-gram
+  * filter-scan (interpreted HOF) pays. Order-independent by construction,
+  * so it equals the oracle's Σ min(counts) exactly.
+  */
+object NgramClip extends Serializable {
+  def overlap(cand: ArrayData, ref: ArrayData): Long = {
+    val rn = ref.numElements()
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](rn * 2)
+    var i = 0
+    while (i < rn) {
+      val k = ref.getUTF8String(i)
+      val c = m.get(k)
+      m.put(k, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    var acc = 0L
+    val cn = cand.numElements()
+    i = 0
+    while (i < cn) {
+      val c = m.get(cand.getUTF8String(i))
+      if (c != null && c > 0L) { acc += 1L; m.put(cand.getUTF8String(i), c - 1L) }
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Clipped n-gram multiset overlap (the ROUGE-N numerator) as a native
+  * expression: linear-time hash clip inside the projection loop (codegen
+  * calls the kernel directly — one virtual call per row).
+  */
+case class NgramClipOverlapExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_clip_overlap"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_clip_overlap expects two array<string> args, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NgramClip.overlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramClip", NgramClip, NgramClip.getClass.getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.overlap($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Codegen'd Jaro-Winkler similarity — bit-compatible with DuckDB's
   * `jaro_winkler_similarity` (kernel: [[graft.operators.Fuzzy.JaroWinkler]],
   * exhaustively cross-checked; evaluation ORDER is part of the contract).
@@ -932,6 +993,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
         case other => throw new IllegalArgumentException(
           s"bloom_might_contain expects (bloom_bytes, long_hash), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_clip_overlap"),
+      new ExpressionInfo("graft.sql.NgramClipOverlapExpression", "ngram_clip_overlap"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => NgramClipOverlapExpression(a, b)
+        case other => throw new IllegalArgumentException(
+          s"ngram_clip_overlap expects (cand_grams, ref_grams), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
