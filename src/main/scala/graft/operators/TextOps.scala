@@ -520,6 +520,45 @@ object TextOps {
   def hashUnit(key: Column): Column =
     tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — turn raw text
+    * into denoising (input, target) training pairs: fixed-position token
+    * spans (the first `spanLen` of every `period` tokens) are replaced by
+    * numbered sentinels in the input, and the target spells each sentinel
+    * followed by the tokens it hid. Fixed positions (not sampled) keep the
+    * pair construction seedless and engine-portable while masking
+    * spanLen/period of every document.
+    *
+    * Pure map-side: one token split, two index-transform passes, zero
+    * shuffle — corpus-size-independent like the rest of the augmentation
+    * family (q126 dropout). Output: input columns + input, target,
+    * n_masked.
+    */
+  def spanCorruption(docs: DataFrame, textCol: String = "text",
+      period: Int = 10, spanLen: Int = 3): DataFrame = {
+    require(period >= 2 && spanLen >= 1 && spanLen < period,
+      "need 1 <= spanLen < period")
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("input", expr(
+        s"""array_join(filter(transform(sequence(1, size(__toks)), i ->
+           |  CASE WHEN (i - 1) % $period < $spanLen THEN
+           |    (CASE WHEN (i - 1) % $period = 0
+           |     THEN concat('<extra_id_', CAST((i - 1) DIV $period AS STRING), '>')
+           |     ELSE NULL END)
+           |  ELSE element_at(__toks, i) END), x -> x IS NOT NULL), ' ')""".stripMargin))
+      .withColumn("target", expr(
+        s"""array_join(filter(transform(sequence(1, size(__toks)), i ->
+           |  CASE WHEN (i - 1) % $period = 0
+           |    THEN concat('<extra_id_', CAST((i - 1) DIV $period AS STRING), '> ',
+           |                element_at(__toks, i))
+           |  WHEN (i - 1) % $period < $spanLen THEN element_at(__toks, i)
+           |  ELSE NULL END), x -> x IS NOT NULL), ' ')""".stripMargin))
+      .withColumn("n_masked", expr(
+        s"size(filter(sequence(1, size(__toks)), i -> (i - 1) % $period < $spanLen))")
+        .cast("long"))
+      .drop("__toks")
+  }
+
   /** Deterministic class rebalancing — downsample every class to the size
     * of the SMALLEST class (the classifier-training prep that stops a
     * 90/10 label skew from training a majority-class predictor). Rows are

@@ -2467,6 +2467,36 @@ object Text {
       |SELECT doc_id, lang, CAST(pick_rank AS BIGINT) AS pick_rank
       |FROM r, m WHERE pick_rank <= m""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+
+  /** q162: T5-style span corruption (`TextOps.spanCorruption`) — the
+    * denoising-objective data prep: the first 3 tokens of every 10 become
+    * a numbered sentinel in the input, and the target spells each sentinel
+    * followed by the hidden tokens. Pure map-side (zero shuffle); the
+    * oracle replays the identical index arithmetic with list_transform.
+    */
+  def q162SpanCorruption(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.spanCorruption(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("input"), col("target"), col("n_masked"))
+
+  val q162Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_filter(list_transform(generate_series(1, len(toks)), i ->
+      |    CASE WHEN (i - 1) % 10 < 3 THEN
+      |      (CASE WHEN (i - 1) % 10 = 0
+      |       THEN '<extra_id_' || CAST((i - 1) // 10 AS VARCHAR) || '>'
+      |       ELSE NULL END)
+      |    ELSE toks[i] END), x -> x IS NOT NULL), ' ') AS input,
+      |  array_to_string(list_filter(list_transform(generate_series(1, len(toks)), i ->
+      |    CASE WHEN (i - 1) % 10 = 0
+      |      THEN '<extra_id_' || CAST((i - 1) // 10 AS VARCHAR) || '> ' || toks[i]
+      |    WHEN (i - 1) % 10 < 3 THEN toks[i]
+      |    ELSE NULL END), x -> x IS NOT NULL), ' ') AS target,
+      |  CAST(len(list_filter(generate_series(1, len(toks)),
+      |    i -> (i - 1) % 10 < 3)) AS BIGINT) AS n_masked
+      |FROM t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
@@ -2474,6 +2504,7 @@ object Text {
     QueryDef("q156_quota_alloc", q156QuotaAlloc, Some(q156Sql)),
     QueryDef("q159_collocations", q159Collocations, Some(q159Sql)),
     QueryDef("q161_class_balance", q161ClassBalance, Some(q161Sql)),
+    QueryDef("q162_span_corruption", q162SpanCorruption, Some(q162Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
