@@ -2497,6 +2497,49 @@ object Text {
       |    i -> (i - 1) % 10 < 3)) AS BIGINT) AS n_masked
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+
+  /** q163: preference-pair assembly — the reward-model data prep: per
+    * prompt group (source), pair the best-scored candidate against the
+    * worst (chosen/rejected with margin), score = distinct-token count
+    * (an integer quality proxy), ties to the smaller doc_id so the pair is
+    * a total-order pick. One map-side-combinable groupBy via min/max over
+    * sort-key structs (the q150 survivorship shape); groups whose margin
+    * is zero (all candidates tied) drop — no degenerate pairs. The oracle
+    * replays the same struct-ordered argmin/argmax.
+    */
+  def q163PreferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.load(spark, sfDir, "documents").select(
+      col("source"), col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+    scored.groupBy(col("source")).agg(
+      min(struct(negate(col("score")).as("k"), col("doc_id").as("v"),
+        col("score").as("s"))).as("__c"),
+      min(struct(col("score").as("k"), col("doc_id").as("v"))).as("__r"))
+      .select(col("source"),
+        col("__c.v").as("chosen_id"), col("__r.v").as("rejected_id"),
+        col("__c.s").as("chosen_score"), col("__r.k").as("rejected_score"),
+        (col("__c.s") - col("__r.k")).as("margin"))
+      .where(col("margin") > 0)
+  }
+
+  val q163Sql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT source,
+      |    MIN({'k': -score, 'v': doc_id, 's': score}) AS c,
+      |    MIN({'k': score, 'v': doc_id}) AS r
+      |  FROM s GROUP BY source
+      |)
+      |SELECT source, (c).v AS chosen_id, (r).v AS rejected_id,
+      |  (c).s AS chosen_score, (r).k AS rejected_score,
+      |  (c).s - (r).k AS margin
+      |FROM g WHERE (c).s - (r).k > 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
@@ -2505,6 +2548,7 @@ object Text {
     QueryDef("q159_collocations", q159Collocations, Some(q159Sql)),
     QueryDef("q161_class_balance", q161ClassBalance, Some(q161Sql)),
     QueryDef("q162_span_corruption", q162SpanCorruption, Some(q162Sql)),
+    QueryDef("q163_preference_pairs", q163PreferencePairs, Some(q163Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
