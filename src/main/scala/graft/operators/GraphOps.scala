@@ -234,6 +234,65 @@ object GraphOps {
     nodeIds.zip(lab).toSeq.toDF("node", "label")
   }
 
+  /** Deterministic GraphSAGE-style neighbor sampling (Hamilton et al.
+    * 2017): per source, keep the first `k` neighbors in md5-hash order of
+    * the (src, dst) pair — a seedless shuffle both engines replay, so the
+    * sampled adjacency is reproducible across epochs and engines. One
+    * shuffle on src (the rank window); a hub's fan-out truncates to k
+    * BEFORE any downstream join, which is the whole point — multi-hop
+    * expansion over sampled adjacency is O(k^hops) per node, never
+    * O(degree^hops). Output: src, dst, rank (1..k).
+    */
+  def sampleNeighbors(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(md5(concat(col("src").cast("string"), lit("_"),
+        col("dst").cast("string"))), col("dst"))
+    edges.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Two-hop sampled neighborhoods — the mini-batch expansion a GNN
+    * trainer materializes: hop-1 samples `k1` neighbors per node, hop-2
+    * samples `k2` per hop-1 neighbor (from the same deterministic
+    * adjacency), immediate back-edges (n2 = node) dropped. ≤ k1·k2 rows
+    * per node by construction. Output: node, n1, n2, rank1, rank2.
+    */
+  def twoHopSample(edges: DataFrame, k1: Int, k2: Int): DataFrame = {
+    val s1 = sampleNeighbors(edges, k1)
+      .select(col("src").as("node"), col("dst").as("n1"), col("rank").as("rank1"))
+    val s2 = sampleNeighbors(edges, k2)
+      .select(col("src").as("n1"), col("dst").as("n2"), col("rank").as("rank2"))
+    s1.join(s2, "n1").where(col("n2") =!= col("node"))
+      .select(col("node"), col("n1"), col("n2"), col("rank1"), col("rank2"))
+  }
+
+  /** Deterministic negative-edge sampling for link-prediction training:
+    * per node, `m` multiplicative-hash candidates in [0, n), self-loops
+    * dropped, TRUE edges removed by an anti-join against the adjacency,
+    * first `k` survivors kept in probe order. The anti-join is the exact
+    * filter random-rejection sampling approximates — no false negatives
+    * ever enter the training set. One shuffle of the (node, cand) probes
+    * against the edge set, one rank window. Output: node, neg, i (the
+    * probe index), rank (1..k).
+    */
+  def negativeEdges(nodes: DataFrame, edges: DataFrame, n: Long, m: Int,
+      k: Int): DataFrame = {
+    require(m >= k && k >= 1)
+    val cand = nodes.select(col("node"))
+      .withColumn("i", explode(sequence(lit(0L), lit((m - 1).toLong))))
+      .withColumn("cand", (col("node") * 31 + col("i") * 2654435761L) % n)
+      .where(col("cand") =!= col("node"))
+    val neg = cand.join(
+      edges.select(col("src").as("node"), col("dst").as("cand")),
+      Seq("node", "cand"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+      .orderBy(col("i"))
+    neg.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("node"), col("cand").as("neg"), col("i"), col("rank"))
+  }
+
   /** Per-node triangle counts by degree-ordered wedge counting (Suri &
     * Vassilvitskii, WWW 2011 — "the curse of the last reducer"): undirect
     * + dedup, then orient every edge from its lower-(degree, id) endpoint

@@ -103,6 +103,22 @@ object Web {
       .select(col("node").as("doc_id"), col("label"))
   }
 
+  // the undirected de-duplicated link-graph CTEs, shared by q148/q164/q165
+  private val ueCtes: String =
+    s"""nn AS (SELECT COUNT(1) AS n FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT doc_id AS src,
+       |    (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) AS dst
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${LinkFanout - 1})) AS k) ks
+       |  WHERE (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) <> doc_id
+       |),
+       |ue AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+       |  ) s JOIN documents d ON d.doc_id = s.dst WHERE src <> dst
+       |)""".stripMargin
+
   val q148Sql: String = {
     def iter(i: Int): String =
       s"""l$i AS (
@@ -117,23 +133,77 @@ object Web {
          |    ) c
          |  ) r WHERE rn = 1
          |)""".stripMargin
-    s"""WITH nn AS (SELECT COUNT(1) AS n FROM documents),
-       |e0 AS (
-       |  SELECT DISTINCT doc_id AS src,
-       |    (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) AS dst
-       |  FROM documents
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${LinkFanout - 1})) AS k) ks
-       |  WHERE (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) <> doc_id
-       |),
-       |ue AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-       |  ) s JOIN documents d ON d.doc_id = s.dst WHERE src <> dst
-       |),
+    s"""WITH $ueCtes,
        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
        |${(1 to 4).map(iter).mkString(",\n")}
        |SELECT node AS doc_id, label FROM l4""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q164
+
+  private def undirectedLinks(docs: DataFrame, n: Long): DataFrame = {
+    val e = linkGraph(docs, n)
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+  }
+
+  /** q164: two-hop sampled neighborhoods (`GraphOps.twoHopSample`) — the
+    * GNN mini-batch expansion (GraphSAGE, Hamilton 2017) over the q89 link
+    * graph: 2 hop-1 neighbors per node, 2 hop-2 per hop-1 neighbor, both
+    * picked by md5 order of the edge pair (seedless, engine-portable).
+    * Hub fan-outs truncate to k BEFORE the hop-2 join — the sampled
+    * expansion is O(k²) per node regardless of degree skew.
+    */
+  def q164NeighborSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    GraphOps.twoHopSample(undirectedLinks(docs, docs.count()), k1 = 2, k2 = 2)
+  }
+
+  val q164Sql: String =
+    s"""WITH $ueCtes,
+       |s1 AS (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |    ORDER BY md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)), dst) AS rk
+       |  FROM ue
+       |),
+       |a AS (SELECT src AS node, dst AS n1, CAST(rk AS BIGINT) AS rank1 FROM s1 WHERE rk <= 2),
+       |b AS (SELECT src AS n1, dst AS n2, CAST(rk AS BIGINT) AS rank2 FROM s1 WHERE rk <= 2)
+       |SELECT node, n1, n2, rank1, rank2
+       |FROM a JOIN b USING (n1) WHERE n2 <> node""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+
+  /** q165: negative-edge sampling (`GraphOps.negativeEdges`) — the
+    * link-prediction training prep: per node, 8 multiplicative-hash
+    * candidate endpoints, true edges removed by an EXACT anti-join (no
+    * false negatives, unlike rejection sampling), first 3 survivors kept
+    * in probe order.
+    */
+  def q165NegativeEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    GraphOps.negativeEdges(docs.select(col("doc_id").as("node")),
+      undirectedLinks(docs, n), n, m = 8, k = 3)
+  }
+
+  val q165Sql: String =
+    s"""WITH $ueCtes,
+       |c AS (
+       |  SELECT doc_id AS node, CAST(i AS BIGINT) AS i,
+       |    (doc_id * 31 + i * 2654435761) % (SELECT n FROM nn) AS cand
+       |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gi
+       |  WHERE (doc_id * 31 + i * 2654435761) % (SELECT n FROM nn) <> doc_id
+       |),
+       |neg AS (
+       |  SELECT c.* FROM c LEFT JOIN ue ON ue.src = c.node AND ue.dst = c.cand
+       |  WHERE ue.src IS NULL
+       |),
+       |r AS (
+       |  SELECT node, cand AS neg, i,
+       |    row_number() OVER (PARTITION BY node ORDER BY i) AS rk
+       |  FROM neg
+       |)
+       |SELECT node, neg, i, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 3""".stripMargin
 
   // ---------------------------------------------------------------- q112
 
@@ -389,6 +459,8 @@ object Web {
     QueryDef("q89_pagerank", q89PageRank, Some(q89Sql)),
     QueryDef("q112_triangles", q112Triangles, Some(q112Sql)),
     QueryDef("q148_label_prop", q148LabelProp, Some(q148Sql)),
+    QueryDef("q164_neighbor_sample", q164NeighborSample, Some(q164Sql)),
+    QueryDef("q165_negative_edges", q165NegativeEdges, Some(q165Sql)),
     QueryDef("q90_jsonl_roundtrip", q90JsonlRoundtrip, Some(q90Sql)),
     QueryDef("q91_url_canon", q91UrlCanon, Some(q91Sql)),
     QueryDef("q92_normalize", q92Normalize, Some(q92Sql)),
