@@ -128,6 +128,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(local.size == 30)
   }
 
+  test("neighbor sampling truncates hubs to k; two-hop stays within k1*k2") {
+    import spark.implicits._
+    // hub 0 with 20 neighbors; each leaf links back to the hub and one peer
+    val edges = ((1L to 20L).flatMap(l => Seq((0L, l), (l, 0L), (l, l % 20 + 1)))).toDF("src", "dst")
+    val s = GraphOps.sampleNeighbors(edges, k = 3)
+    val perSrc = s.groupBy("src").count().as[(Long, Long)].collect().toMap
+    assert(perSrc(0L) == 3L, s"hub must truncate to k: $perSrc")
+    assert(perSrc.values.forall(_ <= 3L))
+    // determinism across partitionings
+    val s2 = GraphOps.sampleNeighbors(edges.repartition(5), k = 3)
+    assert(s.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      s2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val hop2 = GraphOps.twoHopSample(edges, k1 = 2, k2 = 2)
+    val perNode = hop2.groupBy("node").count().as[(Long, Long)].collect().toMap
+    assert(perNode.values.forall(_ <= 4L), s"two-hop must stay within k1*k2: $perNode")
+    assert(hop2.filter($"n2" === $"node").count() == 0, "no immediate back-edges")
+  }
+
+  test("negative sampling never emits a true edge or a self-loop") {
+    import spark.implicits._
+    val n = 50L
+    val nodes = (0L until n).toDF("node")
+    // ring + chords
+    val e0 = (0L until n).flatMap(u => Seq((u, (u + 1) % n), (u, (u * 7 + 3) % n)))
+      .filter { case (a, b) => a != b }
+    val ue = (e0 ++ e0.map(_.swap)).distinct.toDF("src", "dst")
+    val neg = GraphOps.negativeEdges(nodes, ue, n, m = 8, k = 3)
+    val negSet = neg.select("node", "neg").as[(Long, Long)].collect().toSet
+    val trueSet = ue.as[(Long, Long)].collect().toSet
+    assert(negSet.nonEmpty && negSet.intersect(trueSet).isEmpty,
+      "negatives must not contain true edges")
+    assert(negSet.forall { case (a, b) => a != b }, "no self-loops")
+    val perNode = neg.groupBy("node").count().as[(Long, Long)].collect().toMap
+    assert(perNode.values.forall(_ <= 3L))
+  }
+
   test("triangleCounts: K4 + star + disconnected match closed form") {
     import spark.implicits._
     // K4 on 0-3 (4 triangles, each node in 3 of them); star hub 10 with
