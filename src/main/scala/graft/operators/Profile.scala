@@ -96,6 +96,39 @@ object Profile {
       .withColumn("is_risky", col("n_rows") < k)
   }
 
+  /** Distribution drift between two snapshots of the same column, by
+    * bucket-share total-variation distance — the training-data drift
+    * monitor (the PSI role, but log-free so it stays integer-exact):
+    * bucket both sides, compare per-bucket micro-unit shares, and report
+    * TV = Σ|share_a − share_b| / 2 (0 = identical mix, 1e6 = disjoint).
+    * Buckets absent on one side count at share 0 — the full-outer join
+    * keeps them.
+    *
+    * Two map-side-combinable groupBys (one per snapshot) shuffle
+    * |buckets| count rows each; totals ride broadcast 1-row frames. Output
+    * one row per observed bucket: bucket, n_a, n_b, share_a_micro,
+    * share_b_micro, plus the mix-level tv_micro constant on every row.
+    */
+  def bucketDrift(a: DataFrame, b: DataFrame, bucketCol: String): DataFrame = {
+    def shares(df: DataFrame, cn: String, sn: String, tot: String): DataFrame = {
+      val c = df.groupBy(col(bucketCol)).agg(count(lit(1)).as(cn))
+      c.crossJoin(broadcast(c.agg(sum(col(cn)).as(tot))))
+        .withColumn(sn, expr(s"$cn * 1000000 DIV $tot")).drop(tot)
+    }
+    val sa = shares(a, "n_a", "share_a_micro", "__ta")
+    val sb = shares(b, "n_b", "share_b_micro", "__tb")
+    val joined = sa.join(sb, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("share_a_micro"), lit(0L)).as("share_a_micro"),
+        coalesce(col("share_b_micro"), lit(0L)).as("share_b_micro"))
+    val tv = joined
+      .agg(sum(abs(col("share_a_micro") - col("share_b_micro"))).as("__s"))
+      .select(expr("__s DIV 2").as("tv_micro"))
+    joined.crossJoin(broadcast(tv))
+  }
+
   /** Per-group winsorization — the REPAIR companion of [[madOutliers]]:
     * clamp every value into its group's [loQ, hiQ] exact-rank quantile
     * band (value at 0-indexed rank ⌊q·(n−1)⌋ — the

@@ -539,11 +539,57 @@ object Relational {
       |  bal_cents < lo AS clamped_low, bal_cents > hi AS clamped_high
       |FROM vals v JOIN lo USING (nation) JOIN hi USING (nation)""".stripMargin
 
+  /** q166: snapshot distribution drift (`Profile.bucketDrift`) — the
+    * training-data drift monitor: bucket-share total-variation distance
+    * (the PSI role, log-free so integer-exact) between lineitem prices and
+    * a deterministically drifted refresh (+5% on every third order's
+    * lines). Two combinable groupBys shuffle |buckets| rows; TV rides a
+    * broadcast 1-row frame onto every bucket row.
+    */
+  def q166BucketDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    val a = li.select(expr(s"$cents DIV 500000").as("bucket"))
+    val b = li.select(expr(
+      s"""(CASE WHEN l_orderkey % 3 = 0 THEN ($cents * 105) DIV 100
+         | ELSE $cents END) DIV 500000""".stripMargin).as("bucket"))
+    graft.operators.Profile.bucketDrift(a, b, "bucket")
+  }
+
+  val q166Sql: String =
+    """WITH pc AS (
+      |  SELECT l_orderkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem
+      |),
+      |a AS (SELECT cents // 500000 AS bucket FROM pc),
+      |b AS (
+      |  SELECT (CASE WHEN l_orderkey % 3 = 0 THEN (cents * 105) // 100
+      |          ELSE cents END) // 500000 AS bucket
+      |  FROM pc
+      |),
+      |ca AS (SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n_a FROM a GROUP BY bucket),
+      |cb AS (SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n_b FROM b GROUP BY bucket),
+      |ta AS (SELECT SUM(n_a) AS t FROM ca),
+      |tb AS (SELECT SUM(n_b) AS t FROM cb),
+      |sa AS (SELECT bucket, n_a, CAST(n_a * 1000000 // t AS BIGINT) AS share_a_micro FROM ca, ta),
+      |sb AS (SELECT bucket, n_b, CAST(n_b * 1000000 // t AS BIGINT) AS share_b_micro FROM cb, tb),
+      |j AS (
+      |  SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+      |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+      |    COALESCE(share_a_micro, 0) AS share_a_micro,
+      |    COALESCE(share_b_micro, 0) AS share_b_micro
+      |  FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
+      |),
+      |tv AS (SELECT CAST(SUM(abs(share_a_micro - share_b_micro)) // 2 AS BIGINT) AS tv_micro FROM j)
+      |SELECT bucket, n_a, n_b, share_a_micro, share_b_micro, tv_micro FROM j, tv""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
+    QueryDef("q166_bucket_drift", q166BucketDrift, Some(q166Sql)),
     QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),

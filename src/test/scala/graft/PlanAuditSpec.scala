@@ -71,9 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     // q111: KN scoring crossJoins the broadcast (T, V) model-scalar row
     // BOUNDED at 1 row (LmOps.knScoreAgainst)
     "q111_kn_perplexity",
-    // q112: the link-graph fanout crossJoins the LITERAL 3-row k-range —
-    // the same bounded generator q89 uses (Web.linkGraph)
-    "q112_triangles",
+    // q112/q164/q165: the link-graph fanout crossJoins the LITERAL 3-row
+    // k-range — the same bounded generator q89 uses (Web.linkGraph; the
+    // GNN sampling queries build their undirected adjacency from it)
+    "q112_triangles", "q164_neighbor_sample", "q165_negative_edges",
     // q118: composes q111's KN scoring, inheriting its 1-row (T, V)
     // crossJoin (LmOps.knScoreAgainst)
     "q118_ccnet_buckets",
@@ -87,6 +88,9 @@ class PlanAuditSpec extends SparkSpec {
     // 10-query set with the label-mismatch predicate — the audited q38
     // few-queries BNLJ shape (Similarity.hardNegatives)
     "q160_hard_negatives",
+    // q166: bucket shares and the TV summary crossJoin broadcast totals —
+    // all build sides BOUNDED at 1 row (Profile.bucketDrift)
+    "q166_bucket_drift",
     // q154/q155/q156: 1-row × 1-row (kappa's totals × pe-numerator) or
     // |strata|-row × 1-row (count/quota tables × grand total) crossJoins —
     // all build sides BOUNDED at one row (LmOps.agreementKappa,
