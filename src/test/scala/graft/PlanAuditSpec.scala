@@ -91,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
     // q166: bucket shares and the TV summary crossJoin broadcast totals —
     // all build sides BOUNDED at 1 row (Profile.bucketDrift)
     "q166_bucket_drift",
+    // q161: the pick-rank filter crossJoins the broadcast min-class-size
+    // row BOUNDED at 1 row (TextOps.classBalance)
+    "q161_class_balance",
     // q154/q155/q156: 1-row × 1-row (kappa's totals × pe-numerator) or
     // |strata|-row × 1-row (count/quota tables × grand total) crossJoins —
     // all build sides BOUNDED at one row (LmOps.agreementKappa,
