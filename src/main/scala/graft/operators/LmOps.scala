@@ -492,6 +492,42 @@ object LmOps {
       .drop("__ct", "__rt", "__cg", "__rg")
   }
 
+  /** chrF-style character-n-gram F-score (Popović 2015, β=1, spaces
+    * stripped) per (candidate, reference) pair — the MT/generation eval
+    * that credits partial word matches ROUGE's token grams miss. Same
+    * integer micro-unit contract and the same linear-time
+    * `ngram_clip_overlap` hash clip as [[rougeN]]; ZERO shuffle.
+    *
+    * Output: input columns + n_overlap, n_cand, n_ref, precision_micro,
+    * recall_micro, f1_micro.
+    */
+  def chrF(pairs: DataFrame, candCol: String, refCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val g = pairs
+      .withColumn("__cs", regexp_replace(col(candCol), " ", ""))
+      .withColumn("__rs", regexp_replace(col(refCol), " ", ""))
+      .withColumn("__cg", when(length(col("__cs")) >= n,
+        transform(sequence(lit(1), length(col("__cs")) - (n - 1)),
+          i => col("__cs").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("__rg", when(length(col("__rs")) >= n,
+        transform(sequence(lit(1), length(col("__rs")) - (n - 1)),
+          i => col("__rs").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+    g.withColumn("n_overlap", expr("ngram_clip_overlap(__cg, __rg)"))
+      .withColumn("n_cand", size(col("__cg")).cast("long"))
+      .withColumn("n_ref", size(col("__rg")).cast("long"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_cand = 0 THEN 0 ELSE n_overlap * 1000000 DIV n_cand END"))
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_ref = 0 THEN 0 ELSE n_overlap * 1000000 DIV n_ref END"))
+      .withColumn("f1_micro",
+        expr("""CASE WHEN precision_micro + recall_micro = 0 THEN 0
+                ELSE 2 * precision_micro * recall_micro DIV (precision_micro + recall_micro) END"""))
+      .drop("__cs", "__rs", "__cg", "__rg")
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

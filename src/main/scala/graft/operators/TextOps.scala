@@ -520,6 +520,28 @@ object TextOps {
   def hashUnit(key: Column): Column =
     tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998) — route every record to the worker with the
+    * maximal md5(key ‖ worker): when the worker pool grows from W to W+1,
+    * ONLY the keys whose new hash wins move (≈ n/(W+1)), versus `key % W`
+    * where nearly everything reshuffles. The shard router for stateful
+    * stream workers, embedding-index shards, or cache affinity.
+    *
+    * ZERO shuffle: the argmax over the W candidate hashes is a per-row
+    * array expression (W is bounded — a worker pool, not data). md5 makes
+    * it seedless and engine-portable. Output: input columns + `shard`
+    * (0-based worker index).
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String, workers: Int): DataFrame = {
+    require(workers >= 1, "need at least one worker")
+    val hashes = array((0 until workers).map(w =>
+      md5(concat(col(keyCol).cast("string"), lit("_w"), lit(w)))): _*)
+    df.withColumn("__h", hashes)
+      .withColumn("shard",
+        (array_position(col("__h"), array_max(col("__h"))) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — turn raw text
     * into denoising (input, target) training pairs: fixed-position token
     * spans (the first `spanLen` of every `period` tokens) are replaced by

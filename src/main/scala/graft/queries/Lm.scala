@@ -323,9 +323,67 @@ object Lm {
       |    ELSE 2 * precision_micro * recall_micro // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+
+  /** q167: chrF character-bigram F-score (`LmOps.chrF`, Popović 2015) —
+    * ROUGE's character-level sibling, crediting partial word matches
+    * token grams miss; same q149 candidate construction (every
+    * (doc_id·31+i)≡0 mod 3 token dropped), spaces stripped, clip through
+    * the native `ngram_clip_overlap` kernel. ZERO shuffle.
+    */
+  def q167Chrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = docs
+      .select(col("doc_id"), col("text").as("ref"))
+      .withColumn("__toks", split(col("ref"), " "))
+      .withColumn("cand", concat_ws(" ",
+        filter(col("__toks"), (_, i) => (col("doc_id") * 31 + i + 1) % 3 =!= 0)))
+      .select(col("doc_id"), col("cand"), col("ref"))
+    LmOps.chrF(pairs, "cand", "ref", n = 2)
+      .select(col("doc_id"), col("n_overlap"), col("n_cand"), col("n_ref"),
+        col("precision_micro"), col("recall_micro"), col("f1_micro"))
+  }
+
+  val q167Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    replace(array_to_string(rt, ' '), ' ', '') AS rs,
+      |    replace(array_to_string(
+      |      list_filter(rt, (x, i) -> (doc_id * 31 + i) % 3 <> 0), ' '), ' ', '') AS cs
+      |  FROM t
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(cs) >= 2 THEN list_transform(generate_series(1, length(cs) - 1),
+      |      i -> substr(cs, CAST(i AS BIGINT), 2)) ELSE CAST([] AS VARCHAR[]) END AS cg,
+      |    CASE WHEN length(rs) >= 2 THEN list_transform(generate_series(1, length(rs) - 1),
+      |      i -> substr(rs, CAST(i AS BIGINT), 2)) ELSE CAST([] AS VARCHAR[]) END AS rg
+      |  FROM f
+      |),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(list_sum(list_transform(list_distinct(cg), g2 ->
+      |      least(len(list_filter(cg, x -> x = g2)),
+      |            len(list_filter(rg, x -> x = g2))))), 0) AS BIGINT) AS n_overlap,
+      |    CAST(len(cg) AS BIGINT) AS n_cand, CAST(len(rg) AS BIGINT) AS n_ref
+      |  FROM g
+      |),
+      |p AS (
+      |  SELECT doc_id, n_overlap, n_cand, n_ref,
+      |    CAST(CASE WHEN n_cand = 0 THEN 0 ELSE n_overlap * 1000000 // n_cand END AS BIGINT) AS precision_micro,
+      |    CAST(CASE WHEN n_ref = 0 THEN 0 ELSE n_overlap * 1000000 // n_ref END AS BIGINT) AS recall_micro
+      |  FROM m
+      |)
+      |SELECT doc_id, n_overlap, n_cand, n_ref, precision_micro, recall_micro,
+      |  CAST(CASE WHEN precision_micro + recall_micro = 0 THEN 0
+      |    ELSE 2 * precision_micro * recall_micro // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
+      |FROM p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q146_retrieval_metrics", q146RetrievalMetrics, Some(q146Sql)),
     QueryDef("q149_rouge2", q149Rouge, Some(q149Sql)),
+    QueryDef("q167_chrf", q167Chrf, Some(q167Sql)),
     QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),
     QueryDef("q86_lm_perplexity", q86LmPerplexity, Some(q86Sql)),
     QueryDef("q87_nb_classify", q87NbClassify, Some(q87Sql)),

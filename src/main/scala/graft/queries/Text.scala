@@ -2540,6 +2540,28 @@ object Text {
       |  (c).s - (r).k AS margin
       |FROM g WHERE (c).s - (r).k > 0""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+
+  /** q168: rendezvous-hash shard routing (`TextOps.rendezvousShard`,
+    * Thaler 1998) — per-doc worker assignment by maximal md5(key ‖ w)
+    * over an 8-worker pool, the minimal-remapping router (growing the
+    * pool moves only ≈ n/(W+1) keys — spec-gated). Zero shuffle; the
+    * oracle replays the same argmax over the same hash strings.
+    */
+  def q168RendezvousShards(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.rendezvousShard(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      "doc_id", workers = 8)
+
+  val q168Sql: String = {
+    val hashes = (0 until 8).map(w =>
+      s"md5(CAST(doc_id AS VARCHAR) || '_w' || '$w')").mkString(", ")
+    s"""WITH h AS (SELECT doc_id, [$hashes] AS hs FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_position(hs, list_aggregate(hs, 'max')) - 1 AS BIGINT) AS shard
+       |FROM h""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
@@ -2549,6 +2571,7 @@ object Text {
     QueryDef("q161_class_balance", q161ClassBalance, Some(q161Sql)),
     QueryDef("q162_span_corruption", q162SpanCorruption, Some(q162Sql)),
     QueryDef("q163_preference_pairs", q163PreferencePairs, Some(q163Sql)),
+    QueryDef("q168_rendezvous_shards", q168RendezvousShards, Some(q168Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),

@@ -204,6 +204,37 @@ class EvalOpsSpec extends SparkSpec {
       "self-ROUGE must be exactly 1.0 everywhere")
   }
 
+  test("rendezvous sharding: growing the pool moves only keys won by the new worker") {
+    val keys = (0L until 4000L).toDF("k")
+    val w8 = graft.operators.TextOps.rendezvousShard(keys, "k", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w9 = graft.operators.TextOps.rendezvousShard(keys, "k", 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w8.values.toSet.subsetOf((0L until 8L).toSet))
+    val moved = w8.keys.filter(k => w8(k) != w9(k)).toSeq
+    assert(moved.forall(k => w9(k) == 8L),
+      "every moved key must land on the NEW worker — the rendezvous guarantee")
+    val frac = moved.size / 4000.0
+    assert(frac > 0.06 && frac < 0.17, s"moved fraction $frac should be ~1/9")
+    // balance: each of the 8 shards holds roughly n/8
+    val sizes = w8.values.groupBy(identity).map(_._2.size)
+    assert(sizes.min > 4000 / 8 * 0.7 && sizes.max < 4000 / 8 * 1.3,
+      s"shard sizes too skewed: $sizes")
+  }
+
+  test("chrF: identical pair is perfect, char grams credit partial words") {
+    val pairs = Seq(
+      (1L, "ab cd", "ab cd"),       // identical
+      (2L, "abcd", "abce"))         // 3 bigrams each, 2 shared (ab, bc)
+      .toDF("id", "cand", "ref")
+    val m = LmOps.chrF(pairs, "cand", "ref", n = 2)
+      .select("id", "n_overlap", "n_cand", "precision_micro", "f1_micro")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(1L) == ((3L, 3L, 1000000L, 1000000L)))
+    assert(m(2L) == ((2L, 3L, 666666L, 666666L)), s"partial credit: ${m(2L)}")
+  }
+
   test("paretoFront2D matches brute-force dominance, duplicates survive") {
     val pts = Seq(
       ("g1", 1L, 5L, 5L), ("g1", 2L, 5L, 5L), // exact duplicates: both stay
