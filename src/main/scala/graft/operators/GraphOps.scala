@@ -144,6 +144,73 @@ object GraphOps {
     nodeIds.zip(r).toSeq.toDF("node", "pr_micro")
   }
 
+  /** Personalized PageRank (the topic-sensitive variant, Haveliwala 2002)
+    * — random walks teleport back to the SEED set instead of everywhere,
+    * so the ranks measure proximity to the seeds: the related-content /
+    * recommendation primitive ("documents like these trusted ones").
+    * Identical integer recurrence to [[pageRank]] with the uniform base
+    * and dangling redistribution restricted to seeds:
+    *
+    *   b(v)     = [v∈S] · Scale // |S|
+    *   r₀       = b
+    *   rᵢ₊₁(v)  = [v∈S]·(dampDen−dampNum)·Scale // (dampDen·|S|)
+    *            + dampNum·(Σ_{u→v} rᵢ(u)//od(u) + [v∈S]·(dangling//|S|)) // dampDen
+    *
+    * With S = all nodes this reduces bit-for-bit to [[pageRank]]
+    * (GraphOpsSpec asserts it). Seeds ride a broadcast membership join;
+    * everything else shares pageRank's shuffle shape and lineage
+    * discipline. Exact BIGINT micro-units; returns (node, ppr_micro).
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int, dampNum: Int = 85, dampDen: Int = 100,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
+    val seedSet = seeds.select(col("node")).distinct()
+      .join(nodes.select(col("node")), Seq("node"), "left_semi")
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed in the universe")
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val linked = graft.core.CacheLife.scoped(
+      edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("od"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val seeded = graft.core.CacheLife.scoped(
+      nodes.select(col("node"))
+        .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(false)).as("__s"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val base = (dampDen - dampNum) * Scale / (dampDen * nSeeds)
+
+    var ranks = seeded.select(col("node"),
+      when(col("__s"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("ppr_micro"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iters) {
+      val contrib = linked.join(ranks, linked("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("ppr_micro div od")).as("inc"))
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("ppr_micro")), lit(0L)).as("dm"))
+      val next = seeded
+        .join(contrib, seeded("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (when(col("__s"), lit(base)).otherwise(lit(0L)) +
+            expr(s"""($dampNum * (coalesce(inc, 0L) +
+              (CASE WHEN __s THEN dm div ${nSeeds}L ELSE 0L END))) div $dampDen""")
+          ).as("ppr_micro"))
+      val persisted =
+        (if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(false) else next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.count()
+      ranks.unpersist(false)
+      ranks = persisted
+      i += 1
+    }
+    graft.core.CacheLife.scoped(ranks)
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
     * the undirected view of `edges` (symmetrized, de-duplicated, self-loops
     * dropped) restricted to the node universe `nodes` (col `node`). Every

@@ -139,6 +139,67 @@ object Web {
        |SELECT node AS doc_id, label FROM l4""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q169
+
+  /** q169: personalized PageRank (`GraphOps.personalizedPageRank`,
+    * Haveliwala 2002) from the every-50th-doc seed set over the q89 link
+    * graph — proximity-to-trusted-documents as a curation/retrieval prior
+    * (the "more like these" primitive). Five exact-integer iterations;
+    * the oracle unrolls the seeded recurrence the same way q89's does.
+    */
+  def q169PersonalizedPr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    GraphOps.personalizedPageRank(
+      docs.select(col("doc_id").as("node")), linkGraph(docs, n),
+      docs.filter(col("doc_id") % 50 === 0).select(col("doc_id").as("node")),
+      iters = 5)
+      .select(col("node").as("doc_id"), col("ppr_micro"))
+  }
+
+  val q169Sql: String = {
+    val S = GraphOps.Scale
+    val seed = "d.doc_id % 50 = 0"
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst, SUM(r.pr // od.od) AS inc
+         |  FROM e0 e JOIN od USING (src) JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst
+         |),
+         |d$i AS (
+         |  SELECT COALESCE(SUM(r.pr), 0) AS dm
+         |  FROM $prev r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL
+         |),
+         |r$i AS (
+         |  SELECT d.doc_id AS node,
+         |    (CASE WHEN $seed THEN (15 * $S) // (100 * (SELECT ns FROM sn)) ELSE 0 END)
+         |    + (85 * (COALESCE(c.inc, 0) +
+         |        CASE WHEN $seed THEN dd.dm // (SELECT ns FROM sn) ELSE 0 END)) // 100 AS pr
+         |  FROM documents d
+         |  LEFT JOIN c$i c ON c.dst = d.doc_id
+         |  CROSS JOIN d$i dd
+         |)""".stripMargin
+    }
+    s"""WITH nn AS (SELECT COUNT(1) AS n FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT doc_id AS src,
+       |    (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) AS dst
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${LinkFanout - 1})) AS k) ks
+       |  WHERE (doc_id * 31 + n_chars * 7 + k * 13) % (SELECT n FROM nn) <> doc_id
+       |),
+       |od AS (SELECT src, COUNT(1) AS od FROM e0 GROUP BY src),
+       |sn AS (SELECT CAST(COUNT(1) AS BIGINT) AS ns FROM documents WHERE doc_id % 50 = 0),
+       |r0 AS (
+       |  SELECT d.doc_id AS node,
+       |    CASE WHEN $seed THEN $S // (SELECT ns FROM sn) ELSE 0 END AS pr
+       |  FROM documents d
+       |),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node AS doc_id, CAST(pr AS BIGINT) AS ppr_micro FROM r5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q164
 
   private def undirectedLinks(docs: DataFrame, n: Long): DataFrame = {
@@ -460,6 +521,7 @@ object Web {
     QueryDef("q112_triangles", q112Triangles, Some(q112Sql)),
     QueryDef("q148_label_prop", q148LabelProp, Some(q148Sql)),
     QueryDef("q164_neighbor_sample", q164NeighborSample, Some(q164Sql)),
+    QueryDef("q169_personalized_pr", q169PersonalizedPr, Some(q169Sql)),
     QueryDef("q165_negative_edges", q165NegativeEdges, Some(q165Sql)),
     QueryDef("q90_jsonl_roundtrip", q90JsonlRoundtrip, Some(q90Sql)),
     QueryDef("q91_url_canon", q91UrlCanon, Some(q91Sql)),

@@ -128,6 +128,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(local.size == 30)
   }
 
+  test("personalized PageRank with all-node seeds reduces to PageRank bit-for-bit") {
+    import spark.implicits._
+    val nodes = (0L until 30L).toDF("node")
+    val edges = (0L until 30L).flatMap(s => Seq((s, (s * 7 + 1) % 30), (s, (s * 3 + 2) % 30)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val pr = GraphOps.pageRank(nodes, edges, iters = 4, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    val ppr = GraphOps.personalizedPageRank(nodes, edges, nodes, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == ppr, "uniform seeds must reproduce plain PageRank exactly")
+  }
+
+  test("personalized PageRank concentrates mass near the seeds") {
+    import spark.implicits._
+    // two disjoint rings; seeds only in ring A → ring B gets ZERO mass
+    val ringA = (0L until 10L).map(i => (i, (i + 1) % 10))
+    val ringB = (10L until 20L).map(i => (i, 10L + (i + 1) % 10))
+    val nodes = (0L until 20L).toDF("node")
+    val seeds = Seq(0L, 5L).toDF("node")
+    val ppr = GraphOps.personalizedPageRank(nodes,
+      (ringA ++ ringB).toDF("src", "dst"), seeds, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert((10L until 20L).forall(ppr(_) == 0L),
+      s"the unreachable component must hold zero mass: $ppr")
+    assert(ppr(0L) > 0L && ppr(1L) > 0L, "seeds and their successors rank")
+    assert(ppr.values.sum <= GraphOps.Scale, "mass never exceeds Scale")
+  }
+
   test("neighbor sampling truncates hubs to k; two-hop stays within k1*k2") {
     import spark.implicits._
     // hub 0 with 20 neighbors; each leaf links back to the hub and one peer
