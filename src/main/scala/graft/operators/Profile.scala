@@ -109,14 +109,24 @@ object Profile {
     * one row per observed bucket: bucket, n_a, n_b, share_a_micro,
     * share_b_micro, plus the mix-level tv_micro constant on every row.
     */
-  def bucketDrift(a: DataFrame, b: DataFrame, bucketCol: String): DataFrame = {
-    def shares(df: DataFrame, cn: String, sn: String, tot: String): DataFrame = {
-      val c = df.groupBy(col(bucketCol)).agg(count(lit(1)).as(cn))
+  def bucketDrift(a: DataFrame, b: DataFrame, bucketCol: String): DataFrame =
+    bucketDriftFromCounts(
+      a.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_rows")),
+      b.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_rows")),
+      bucketCol)
+
+  /** [[bucketDrift]] over PRE-AGGREGATED (bucket, n_rows) count tables —
+    * the incremental form a streaming monitor maintains (count-delta
+    * stores sum to these without ever re-materializing rows). */
+  def bucketDriftFromCounts(ca: DataFrame, cb: DataFrame,
+      bucketCol: String): DataFrame = {
+    def shares(c0: DataFrame, cn: String, sn: String, tot: String): DataFrame = {
+      val c = c0.select(col(bucketCol), col("n_rows").cast("long").as(cn))
       c.crossJoin(broadcast(c.agg(sum(col(cn)).as(tot))))
         .withColumn(sn, expr(s"$cn * 1000000 DIV $tot")).drop(tot)
     }
-    val sa = shares(a, "n_a", "share_a_micro", "__ta")
-    val sb = shares(b, "n_b", "share_b_micro", "__tb")
+    val sa = shares(ca, "n_a", "share_a_micro", "__ta")
+    val sb = shares(cb, "n_b", "share_b_micro", "__tb")
     val joined = sa.join(sb, Seq(bucketCol), "full_outer")
       .select(col(bucketCol),
         coalesce(col("n_a"), lit(0L)).as("n_a"),

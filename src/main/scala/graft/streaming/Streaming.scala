@@ -1075,6 +1075,46 @@ object Streaming {
     ()
   }
 
+  /** Streaming distribution-drift monitor — batch `Profile.bucketDrift`
+    * running continuously: every micro-batch emits the bucket-share
+    * total-variation report of everything seen so far against a STATIC
+    * reference snapshot (the training distribution). Same count-delta
+    * store as [[kAnonymityStream]] — per-batch cost O(batch + buckets ×
+    * batches), compactable with [[compactStore]]; replay-idempotent.
+    * `reference` must carry the same single bucket column.
+    */
+  def bucketDriftStream(rows: DataFrame, reference: DataFrame, outDir: String,
+      storeDir: String, checkpoint: String, bucketCol: String): StreamingQuery = {
+    val refCounts = reference.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("n_rows")).persist()
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBucketDriftBatch(batch, batchId, refCounts, outDir, storeDir, bucketCol)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[bucketDriftStream]] — package-private for direct
+    * idempotency testing. `refCounts` is the pre-aggregated (bucket,
+    * n_rows) reference. */
+  private[graft] def processBucketDriftBatch(batch: DataFrame, batchId: Long,
+      refCounts: DataFrame, outDir: String, storeDir: String,
+      bucketCol: String): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("n_rows")).persist()
+    delta.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    val seen = committedOr(spark, s"$storeDir/counts", batchId, delta.limit(0))
+      .unionByName(delta)
+      .groupBy(col(bucketCol)).agg(sum(col("n_rows")).as("n_rows"))
+    graft.operators.Profile.bucketDriftFromCounts(seen, refCounts, bucketCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    delta.unpersist()
+    ()
+  }
+
   /** Compact a batch_id-partitioned near-dup store table: merge every
     * partition with batch_id ≤ `upTo` into the single partition
     * `batch_id=upTo`. A long-lived stream accumulates one small partition

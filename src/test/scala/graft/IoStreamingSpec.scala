@@ -400,6 +400,41 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap(s"$dir/out/batch_id=1") == streamed)
   }
 
+  test("streaming drift monitor equals the batch TV report, incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("driftstream").toString
+    val ref = Seq(0L, 0L, 1L, 1L, 2L, 2L).toDF("bucket")
+    // the stream skews toward bucket 0 as batches accumulate
+    val b0 = Seq(0L, 1L, 2L)
+    val b1 = Seq(0L, 0L, 0L)
+    val mem = MemoryStream[Long]
+    val q = Streaming.bucketDriftStream(mem.toDF().toDF("bucket"), ref,
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "bucket")
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val streamed = snap(s"$dir/out/batch_id=1")
+    val batchRes = graft.operators.Profile.bucketDrift(
+      (b0 ++ b1).toDF("bucket"), ref, "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(streamed == batchRes, s"streamed=$streamed batch=$batchRes")
+    // batch 0 was uniform like the reference → TV 0; batch 1 skews it
+    assert(snap(s"$dir/out/batch_id=0").head._6 == 0L, "uniform start drifts zero")
+    assert(streamed.head._6 > 0L, "accumulated skew must register")
+    // replaying batch 1 reads only batch-0 deltas: identical report
+    Streaming.processBucketDriftBatch(b1.toDF("bucket"), 1L,
+      ref.groupBy("bucket").count().withColumnRenamed("count", "n_rows"),
+      s"$dir/out", s"$dir/store", "bucket")
+    assert(snap(s"$dir/out/batch_id=1") == streamed)
+  }
+
   test("streaming SCD2 equals the batch history, splits versions on late data, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
