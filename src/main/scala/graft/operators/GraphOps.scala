@@ -163,12 +163,21 @@ object GraphOps {
     */
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
       seeds: DataFrame, iters: Int, dampNum: Int = 85, dampDen: Int = 100,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8, smallGraphThreshold: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
     val seedSet = seeds.select(col("node")).distinct()
       .join(nodes.select(col("node")), Seq("node"), "left_semi")
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "personalizedPageRank needs at least one seed in the universe")
+
+    // the pageRank small-graph cutover: below broadcast scale, 5
+    // distributed iterations cost ~10 shuffle+action rounds for nothing —
+    // run the IDENTICAL integer recurrence driver-side (bit-equal,
+    // GraphOpsSpec asserts it against the distributed path)
+    if (smallGraphThreshold > 0 && edges.limit((smallGraphThreshold + 1).toInt)
+        .count() <= smallGraphThreshold)
+      return personalizedPageRankLocal(nodes, edges, seedSet, nSeeds, iters,
+        dampNum, dampDen)
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val linked = graft.core.CacheLife.scoped(
@@ -209,6 +218,42 @@ object GraphOps {
       i += 1
     }
     graft.core.CacheLife.scoped(ranks)
+  }
+
+  /** Driver-side twin of the seeded recurrence for bounded graphs —
+    * identical integer rule, bit-equal (the pageRankLocal contract). */
+  private def personalizedPageRankLocal(nodes: DataFrame, edges: DataFrame,
+      seedSet: DataFrame, nSeeds: Long, iters: Int, dampNum: Int,
+      dampDen: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect()
+    val idx = nodeIds.zipWithIndex.toMap
+    val isSeed = {
+      val s = seedSet.select(col("node").cast("long")).as[Long].collect().toSet
+      nodeIds.map(s.contains)
+    }
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val od = new Array[Long](nodeIds.length)
+    es.foreach { case (s, _) => idx.get(s).foreach(od(_) += 1) }
+    val base = (dampDen - dampNum) * Scale / (dampDen * nSeeds)
+    var r = Array.tabulate(nodeIds.length)(v =>
+      if (isSeed(v)) Scale / nSeeds else 0L)
+    for (_ <- 1 to iters) {
+      val inc = new Array[Long](nodeIds.length)
+      es.foreach { case (s, d) =>
+        for (si <- idx.get(s); di <- idx.get(d))
+          inc(di) += r(si) / od(si)
+      }
+      var dm = 0L
+      var i = 0
+      while (i < r.length) { if (od(i) == 0) dm += r(i); i += 1 }
+      r = Array.tabulate(r.length)(v =>
+        (if (isSeed(v)) base else 0L) +
+          (dampNum * (inc(v) + (if (isSeed(v)) dm / nSeeds else 0L))) / dampDen)
+    }
+    nodeIds.zip(r).toSeq.toDF("node", "ppr_micro")
   }
 
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over

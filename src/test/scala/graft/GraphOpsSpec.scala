@@ -135,9 +135,12 @@ class GraphOpsSpec extends SparkSpec {
       .filter { case (a, b) => a != b }.toDF("src", "dst")
     val pr = GraphOps.pageRank(nodes, edges, iters = 4, smallGraphThreshold = 0)
       .as[(Long, Long)].collect().toMap
-    val ppr = GraphOps.personalizedPageRank(nodes, edges, nodes, iters = 4)
+    val pprLocal = GraphOps.personalizedPageRank(nodes, edges, nodes, iters = 4)
       .as[(Long, Long)].collect().toMap
-    assert(pr == ppr, "uniform seeds must reproduce plain PageRank exactly")
+    val pprDist = GraphOps.personalizedPageRank(nodes, edges, nodes, iters = 4,
+      smallGraphThreshold = 0).as[(Long, Long)].collect().toMap
+    assert(pr == pprDist, "uniform seeds must reproduce plain PageRank exactly")
+    assert(pprLocal == pprDist, "driver-side and distributed PPR must be bit-equal")
   }
 
   test("personalized PageRank concentrates mass near the seeds") {
