@@ -1515,6 +1515,31 @@ object ScaleBench {
             s"hubAvg=${a.getDouble(1)} restAvg=${a.getDouble(2)}")
       }
 
+      // G1b. Personalized PageRank above the cutover: same 2M-edge graph,
+      // every 100th node a seed. Gates: mass stays within Scale and ≥90%
+      // survives truncation; seed nodes out-average non-seeds (the
+      // teleport bias that IS personalization).
+      timed("personalized_pr_2M_edges_distributed") {
+        val nn = 1000000L
+        val nodes = spark.range(nn).select(col("id").as("node"))
+        val edges = spark.range(nn).select(col("id").as("src"),
+            ((col("id") * 31 + 7) % nn).as("dst"))
+          .unionAll(spark.range(nn).select(col("id").as("src"),
+            (col("id") % 1000).as("dst")))
+          .filter(col("src") =!= col("dst"))
+        val seeds = spark.range(0, nn, 100).select(col("id").as("node"))
+        val ppr = operators.GraphOps.personalizedPageRank(nodes, edges, seeds,
+          iters = 4, smallGraphThreshold = 0)
+        val a = ppr.agg(sum(col("ppr_micro")),
+          avg(when(col("node") % 100 === 0, col("ppr_micro"))),
+          avg(when(col("node") % 100 =!= 0, col("ppr_micro")))).head()
+        require(a.getLong(0) <= operators.GraphOps.Scale &&
+          a.getLong(0) >= operators.GraphOps.Scale * 9 / 10,
+          s"ppr mass off: ${a.getLong(0)}")
+        require(a.getDouble(1) > a.getDouble(2),
+          s"seeds must out-average non-seeds: ${a.getDouble(1)} vs ${a.getDouble(2)}")
+      }
+
       // G2. Label propagation above the small-graph cutover: 1M nodes in
       // 200k disjoint 5-cliques (4M directed edges → distributed path; the
       // ≤1M path is bit-equality-gated in GraphOpsSpec). A clique has
