@@ -139,6 +139,33 @@ object Profile {
     joined.crossJoin(broadcast(tv))
   }
 
+  /** Functional-dependency check lhs → rhs: one row with the distinct
+    * lhs-key count and how many keys map to MORE than one rhs value (the
+    * FD's violators). The schema-profiling primitive (Metanome-style FD
+    * discovery, Papenbrock 2015) a pipeline runs before trusting a column
+    * as a join/dedup key. One combinable (lhs, rhs) distinct + one lhs
+    * groupBy — key columns only ever shuffle.
+    */
+  def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.select(col(lhs), col(rhs)).distinct()
+      .groupBy(col(lhs)).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("__n") > 1, 1L)), lit(0L)).as("n_violations"))
+
+  /** Inclusion-dependency check a.acol ⊆ b.bcol: one row with a's distinct
+    * key count and the ORPHANS (a-keys absent from b) — the
+    * foreign-key/referential-integrity audit. Distinct + left-anti join on
+    * the key columns only.
+    */
+  def inclusionOrphans(a: DataFrame, acol: String, b: DataFrame,
+      bcol: String): DataFrame = {
+    val ak = a.select(col(acol).as("__k")).distinct()
+    val orphans = ak.join(b.select(col(bcol).as("__k")).distinct(),
+      Seq("__k"), "left_anti")
+    ak.agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_violations"))))
+  }
+
   /** Per-group winsorization — the REPAIR companion of [[madOutliers]]:
     * clamp every value into its group's [loQ, hiQ] exact-rank quantile
     * band (value at 0-indexed rank ⌊q·(n−1)⌋ — the

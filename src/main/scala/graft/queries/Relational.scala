@@ -584,12 +584,75 @@ object Relational {
       |tv AS (SELECT CAST(SUM(abs(share_a_micro - share_b_micro)) // 2 AS BIGINT) AS tv_micro FROM j)
       |SELECT bucket, n_a, n_b, share_a_micro, share_b_micro, tv_micro FROM j, tv""".stripMargin
 
+  /** q170: schema-dependency profile (`Profile.fdViolations` /
+    * `inclusionOrphans`, the Metanome-style discovery primitives) — the
+    * audit a pipeline runs before trusting join/dedup keys: two FD checks
+    * (one that genuinely holds, one that genuinely fails on this data) and
+    * three referential-integrity checks (both true FKs plus the reverse
+    * direction, which orphans customers without orders). Each check
+    * shuffles key columns only.
+    */
+  def q170DependencyProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Profile
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("n_keys"),
+        col("n_violations"), (col("n_violations") === 0).as("holds"))
+    tag("fd_orderkey_custkey", Profile.fdViolations(orders, "o_orderkey", "o_custkey"))
+      .unionByName(tag("fd_custkey_priority",
+        Profile.fdViolations(orders, "o_custkey", "o_orderpriority")))
+      .unionByName(tag("ind_orders_customer",
+        Profile.inclusionOrphans(orders, "o_custkey", cust, "c_custkey")))
+      .unionByName(tag("ind_customer_orders",
+        Profile.inclusionOrphans(cust, "c_custkey", orders, "o_custkey")))
+      .unionByName(tag("ind_lineitem_part",
+        Profile.inclusionOrphans(li, "l_partkey", part, "p_partkey")))
+  }
+
+  val q170Sql: String =
+    """WITH fd1 AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
+      |    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_violations
+      |  FROM (SELECT o_orderkey, COUNT(1) AS n FROM
+      |        (SELECT DISTINCT o_orderkey, o_custkey FROM orders) GROUP BY o_orderkey)
+      |),
+      |fd2 AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
+      |    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_violations
+      |  FROM (SELECT o_custkey, COUNT(1) AS n FROM
+      |        (SELECT DISTINCT o_custkey, o_orderpriority FROM orders) GROUP BY o_custkey)
+      |),
+      |i1 AS (
+      |  SELECT (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_keys,
+      |    CAST((SELECT COUNT(1) FROM (SELECT DISTINCT o_custkey FROM orders) o
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS n_violations
+      |),
+      |i2 AS (
+      |  SELECT (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS n_keys,
+      |    CAST((SELECT COUNT(1) FROM (SELECT DISTINCT c_custkey FROM customer) c
+      |     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT) AS n_violations
+      |),
+      |i3 AS (
+      |  SELECT (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_keys,
+      |    CAST((SELECT COUNT(1) FROM (SELECT DISTINCT l_partkey FROM lineitem) l
+      |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT) AS n_violations
+      |)
+      |SELECT 'fd_orderkey_custkey' AS check, n_keys, n_violations, n_violations = 0 AS holds FROM fd1
+      |UNION ALL SELECT 'fd_custkey_priority', n_keys, n_violations, n_violations = 0 FROM fd2
+      |UNION ALL SELECT 'ind_orders_customer', n_keys, n_violations, n_violations = 0 FROM i1
+      |UNION ALL SELECT 'ind_customer_orders', n_keys, n_violations, n_violations = 0 FROM i2
+      |UNION ALL SELECT 'ind_lineitem_part', n_keys, n_violations, n_violations = 0 FROM i3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
     QueryDef("q166_bucket_drift", q166BucketDrift, Some(q166Sql)),
+    QueryDef("q170_dependency_profile", q170DependencyProfile, Some(q170Sql)),
     QueryDef("q143_bloom_join", q143BloomJoin, Some(q143Sql)),
     QueryDef("q53_rollup", q53Rollup, Some(q53Sql)),
     QueryDef("q54_skew_join", q54SkewJoin, Some(q54Sql)),
