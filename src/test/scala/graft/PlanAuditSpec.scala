@@ -91,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
     // q166: bucket shares and the TV summary crossJoin broadcast totals —
     // all build sides BOUNDED at 1 row (Profile.bucketDrift)
     "q166_bucket_drift",
+    // q170: each inclusion check crossJoins its broadcast orphan-count
+    // row BOUNDED at 1 row (Profile.inclusionOrphans)
+    "q170_dependency_profile",
     // q161: the pick-rank filter crossJoins the broadcast min-class-size
     // row BOUNDED at 1 row (TextOps.classBalance)
     "q161_class_balance",
