@@ -358,6 +358,77 @@ object NgramClip extends Serializable {
   }
 }
 
+/** Kernel for [[CharBigramClipExpression]]: the chrF numerator straight
+  * off the two STRINGS — no per-row materialization of an n-element
+  * bigram array. Code-point bigrams pack into one long (21 bits each), so
+  * the clip is two linear passes over a primitive-keyed map; equal by
+  * construction to clipping the substr(i, 2) string arrays (distinct
+  * bigram strings ↔ distinct code-point pairs).
+  */
+object CharBigramClip extends Serializable {
+  def overlap(candU: UTF8String, refU: UTF8String): Long = {
+    val ref = refU.toString
+    val cand = candU.toString
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](ref.length * 2)
+    var i = 0
+    var prev = -1
+    while (i < ref.length) {
+      val cp = ref.codePointAt(i)
+      if (prev >= 0) {
+        val k = java.lang.Long.valueOf((prev.toLong << 21) | cp)
+        val c = m.get(k)
+        m.put(k, if (c == null) 1L else c + 1L)
+      }
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    var acc = 0L
+    i = 0
+    prev = -1
+    while (i < cand.length) {
+      val cp = cand.codePointAt(i)
+      if (prev >= 0) {
+        val k = java.lang.Long.valueOf((prev.toLong << 21) | cp)
+        val c = m.get(k)
+        if (c != null && c > 0L) { acc += 1L; m.put(k, c - 1L) }
+      }
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Clipped character-bigram overlap (the chrF-2 numerator) as a native
+  * expression over the raw strings.
+  */
+case class CharBigramClipExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_bigram_clip"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_bigram_clip expects two string args, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CharBigramClip.overlap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charBigramClip", CharBigramClip,
+      CharBigramClip.getClass.getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.overlap($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Clipped n-gram multiset overlap (the ROUGE-N numerator) as a native
   * expression: linear-time hash clip inside the projection loop (codegen
   * calls the kernel directly — one virtual call per row).
@@ -993,6 +1064,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
         case other => throw new IllegalArgumentException(
           s"bloom_might_contain expects (bloom_bytes, long_hash), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_bigram_clip"),
+      new ExpressionInfo("graft.sql.CharBigramClipExpression", "char_bigram_clip"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CharBigramClipExpression(a, b)
+        case other => throw new IllegalArgumentException(
+          s"char_bigram_clip expects (cand, ref), got ${other.length} args")
       }))
     ext.injectFunction((
       FunctionIdentifier("ngram_clip_overlap"),
