@@ -161,6 +161,31 @@ object Sketches {
     *
     * Returns (q, value) with q as a double column.
     */
+  /** Half-life-decayed popularity score — the trending/recency aggregate
+    * (the Reddit/HN-style decay), INTEGER-EXACT: each event contributes
+    * `1e6 >> age_days` micro-units (halving per day relative to the
+    * corpus's newest event), so the score is a sum of exact powers of two
+    * — no float pow/exp, engine-identical, and MERGEABLE (shard scores
+    * sum). Ages > 20 days shift to zero and are clamped explicitly —
+    * Java's `>>` silently wraps the shift count at 64, DuckDB's does not,
+    * so the clamp is part of the operator's portable semantics. `dayCol`
+    * is an integer day number (epoch-ns DIV 86400e9 — the q99 pattern).
+    *
+    * One map-side-combinable groupBy on the key; the reference day rides
+    * a broadcast 1-row frame. Output: key, n_events, score_micro.
+    */
+  def halfLifeScore(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val ref = df.agg(max(col(dayCol)).as("__ref"))
+    df.select(col(keyCol), col(dayCol).as("__d"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__w", expr(
+        """CASE WHEN __ref - __d > 20 THEN 0
+           |ELSE shiftright(CAST(1000000 AS BIGINT), CAST(__ref - __d AS INT))
+           |END""".stripMargin))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("score_micro"))
+  }
+
   def exactQuantiles(
       df: DataFrame, valueCol: String, qs: Seq[Double],
       nBuckets: Int = 1024): DataFrame = {

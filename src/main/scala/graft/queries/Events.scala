@@ -415,7 +415,30 @@ object Events {
       |SELECT user_id, n_turns, CAST(length(rendered) AS INTEGER) AS n_chars, rendered
       |FROM a""".stripMargin
 
+  /** q171: half-life-decayed trending scores (`Sketches.halfLifeScore`) —
+    * the recency-weighted popularity every feed/recsys pipeline keeps:
+    * each event contributes 1e6 >> age_days micro-units (exact powers of
+    * two — no float exp), summed per event type. Mergeable across shards;
+    * one combinable groupBy.
+    */
+  def q171HalfLifeTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+    graft.operators.Sketches.halfLifeScore(ev, "event_type", "day")
+  }
+
+  val q171Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events
+      |),
+      |ref AS (SELECT MAX(day) AS r FROM ev)
+      |SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN r - day > 20 THEN 0
+      |    ELSE 1000000 >> (r - day) END) AS BIGINT) AS score_micro
+      |FROM ev, ref GROUP BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_half_life_trend", q171HalfLifeTrend, Some(q171Sql)),
     QueryDef("q145_chat_assembly", q145ChatAssembly, Some(q145Sql)),
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),

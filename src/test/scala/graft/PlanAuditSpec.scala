@@ -94,6 +94,9 @@ class PlanAuditSpec extends SparkSpec {
     // q170: each inclusion check crossJoins its broadcast orphan-count
     // row BOUNDED at 1 row (Profile.inclusionOrphans)
     "q170_dependency_profile",
+    // q171: the decay weights crossJoin the broadcast reference-day row
+    // BOUNDED at 1 row (Sketches.halfLifeScore)
+    "q171_half_life_trend",
     // q161: the pick-rank filter crossJoins the broadcast min-class-size
     // row BOUNDED at 1 row (TextOps.classBalance)
     "q161_class_balance",
