@@ -161,7 +161,7 @@ object Text {
   // q64, q65 reads the shingle hashes straight)
   private val JacConsumers: Set[String] = Set("q36_jaccard",
     "q56_dedup_decision", "q59_neardup_clusters", "q64_curation_decision",
-    "q74_curation_funnel")
+    "q74_curation_funnel", "q172_dedup_sweep")
   private val CandConsumers: Set[String] =
     JacConsumers ++ Set("q35_minhash_pairs", "q129_containment")
   private val ShConsumers: Set[String] =
@@ -2562,6 +2562,57 @@ object Text {
        |FROM h""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q172
+
+  /** q172: dedup threshold sweep — the TUNING report behind q56's 0.8
+    * cutoff: how many documents the keep-first-by-id near-dup rule drops
+    * at Jaccard ≥ 0.7 / 0.8 / 0.9, from the SAME session-cached candidate
+    * + Jaccard tables every other dedup consumer reads (one extra scan of
+    * a pair-count-sized cache per threshold, nothing recomputed).
+    */
+  def q172DedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.load(spark, sfDir, "documents").count()
+    val pairs = sharedJaccard(spark, sfDir)
+      .select(col("doc_b"), round(col("jaccard"), 6).as("j"))
+    Seq(0.7, 0.8, 0.9).map { t =>
+      pairs.filter(col("j") >= t).select(col("doc_b")).distinct()
+        .agg(count(lit(1)).as("n_dropped"))
+        .select(lit(t).as("threshold"), col("n_dropped"),
+          (lit(n) - col("n_dropped")).as("n_surviving"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q172Sql: String =
+    s"""WITH $shingleCte,
+       |${sigCte(16)},
+       |${bandsCte(16, 4)},
+       |$candCte,
+       |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_common
+       |  FROM cand c
+       |  JOIN shing sa ON sa.doc_id = c.doc_a
+       |  JOIN shing sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |jac AS (
+       |  SELECT m.doc_b,
+       |    ROUND(m.n_common / (na.n_sh + nb.n_sh - m.n_common), 6) AS j
+       |  FROM common m
+       |  JOIN sizes na ON na.doc_id = m.doc_a
+       |  JOIN sizes nb ON nb.doc_id = m.doc_b
+       |),
+       |t(threshold) AS (VALUES (0.7), (0.8), (0.9)),
+       |d AS (
+       |  SELECT t.threshold, COUNT(DISTINCT jac.doc_b) AS n_dropped
+       |  FROM t LEFT JOIN jac ON jac.j >= t.threshold
+       |  GROUP BY t.threshold
+       |)
+       |SELECT CAST(threshold AS DOUBLE) AS threshold,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST((SELECT COUNT(1) FROM documents) - n_dropped AS BIGINT) AS n_surviving
+       |FROM d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
@@ -2572,6 +2623,7 @@ object Text {
     QueryDef("q162_span_corruption", q162SpanCorruption, Some(q162Sql)),
     QueryDef("q163_preference_pairs", q163PreferencePairs, Some(q163Sql)),
     QueryDef("q168_rendezvous_shards", q168RendezvousShards, Some(q168Sql)),
+    QueryDef("q172_dedup_sweep", q172DedupSweep, Some(q172Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
