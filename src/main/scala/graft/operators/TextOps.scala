@@ -520,6 +520,27 @@ object TextOps {
   def hashUnit(key: Column): Column =
     tokenHash(key.cast("string")).cast("double") / lit(math.pow(2, 60))
 
+  /** Run-length de-stuttering — collapse IMMEDIATE token repeats ("the
+    * the the" → "the"), the cleanup pass ASR transcripts and degenerate
+    * model generations need before counting or training. Pure map-side
+    * index filter (keep token i iff it differs from token i−1); reports
+    * how many tokens vanished. split∘join identity as in
+    * [[removeDupSpans]].
+    *
+    * Output: input columns + text_clean, n_removed.
+    */
+  def destutter(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      // Spark HOF index is 0-based; element_at is 1-based, so
+      // element_at(__toks, i) IS the previous token at index i
+      .withColumn("__kept",
+        filter(col("__toks"), (x, i) => i === 0 || x =!= element_at(col("__toks"), i)))
+      .withColumn("text_clean", concat_ws(" ", col("__kept")))
+      .withColumn("n_removed",
+        (size(col("__toks")) - size(col("__kept"))).cast("long"))
+      .drop("__toks", "__kept")
+
   /** Rendezvous (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1998) — route every record to the worker with the
     * maximal md5(key ‖ worker): when the worker pool grows from W to W+1,

@@ -437,8 +437,45 @@ object Events {
       |    ELSE 1000000 >> (r - day) END) AS BIGINT) AS score_micro
       |FROM ev, ref GROUP BY event_type""".stripMargin
 
+  /** q174: per-user inter-arrival (burstiness) profile — the bot/abuse
+    * signal an event pipeline keeps per actor: event count, active span,
+    * LARGEST silence (a lag window over the user-keyed sort), and the mean
+    * gap — which is exactly span DIV (n−1) by telescoping, so it needs no
+    * window at all. Integer epoch-ns math throughout; one hash exchange on
+    * user_id serves the window and the aggregate.
+    */
+  def q174InterArrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("__gap", col("ts") - lag(col("ts"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")) - min(col("ts"))).as("span_ns"),
+        coalesce(max(col("__gap")), lit(0L)).as("max_gap_ns"))
+      .withColumn("mean_gap_ns",
+        expr("CASE WHEN n_events < 2 THEN 0 ELSE span_ns DIV (n_events - 1) END"))
+  }
+
+  val q174Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events
+      |),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM ev
+      |)
+      |SELECT user_id, CAST(COUNT(1) AS BIGINT) AS n_events,
+      |  CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_ns,
+      |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_ns,
+      |  CAST(CASE WHEN COUNT(1) < 2 THEN 0
+      |    ELSE (MAX(ts) - MIN(ts)) // (COUNT(1) - 1) END AS BIGINT) AS mean_gap_ns
+      |FROM g GROUP BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_half_life_trend", q171HalfLifeTrend, Some(q171Sql)),
+    QueryDef("q174_inter_arrival", q174InterArrival, Some(q174Sql)),
     QueryDef("q145_chat_assembly", q145ChatAssembly, Some(q145Sql)),
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),

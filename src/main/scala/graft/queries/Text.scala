@@ -2613,6 +2613,24 @@ object Text {
        |  CAST((SELECT COUNT(1) FROM documents) - n_dropped AS BIGINT) AS n_surviving
        |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+
+  /** q173: run-length de-stuttering (`TextOps.destutter`) — collapse
+    * immediate token repeats, the ASR/degenerate-generation cleanup pass.
+    * Pure map-side index filter, zero shuffle; the oracle replays the same
+    * previous-token comparison with DuckDB's 1-based lambda index.
+    */
+  def q173Destutter(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.destutter(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text_clean"), col("n_removed"))
+
+  val q173Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]), ' ') AS text_clean,
+      |  CAST(len(toks) - len(list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1])) AS BIGINT) AS n_removed
+      |FROM t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q153_classifier_eval", q153ClassifierEval, Some(q153Sql)),
     QueryDef("q154_kappa", q154Kappa, Some(q154Sql)),
@@ -2624,6 +2642,7 @@ object Text {
     QueryDef("q163_preference_pairs", q163PreferencePairs, Some(q163Sql)),
     QueryDef("q168_rendezvous_shards", q168RendezvousShards, Some(q168Sql)),
     QueryDef("q172_dedup_sweep", q172DedupSweep, Some(q172Sql)),
+    QueryDef("q173_destutter", q173Destutter, Some(q173Sql)),
     QueryDef("q147_prefix_join", q147PrefixJoin, Some(q147Sql)),
     QueryDef("q144_line_dedup", q144LineDedup, Some(q144Sql)),
     QueryDef("q110_c4_clean", q110C4Clean, Some(q110Sql)),
