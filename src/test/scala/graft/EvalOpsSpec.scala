@@ -235,6 +235,19 @@ class EvalOpsSpec extends SparkSpec {
     assert(m(2L) == ((2L, 3L, 666666L, 666666L)), s"partial credit: ${m(2L)}")
   }
 
+  test("destutter collapses runs but never non-adjacent repeats") {
+    val docs = Seq(
+      (1L, "the the the cat sat sat"),  // runs collapse
+      (2L, "a b a b"),                  // non-adjacent repeats survive
+      (3L, "x"))                        // single token untouched
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.destutter(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) == (("the cat sat", 3L)))
+    assert(out(2L) == (("a b a b", 0L)))
+    assert(out(3L) == (("x", 0L)))
+  }
+
   test("paretoFront2D matches brute-force dominance, duplicates survive") {
     val pts = Seq(
       ("g1", 1L, 5L, 5L), ("g1", 2L, 5L, 5L), // exact duplicates: both stay
