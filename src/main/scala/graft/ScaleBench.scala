@@ -1198,6 +1198,37 @@ object ScaleBench {
         }
       }
 
+      // S3b. KLL sketch at 10M rows, k=256, forced deep compaction, with
+      // the same closed-form permutation truth (value v has true rank v):
+      // the native kll_sketch aggregate builds per-partition sketches and
+      // merges them at the final agg — O(k·log n) longs ever shuffled —
+      // then a per-shard kll_merge rollup over 32 day-shards must land
+      // inside the SAME rank-error envelope. Gate: every probed quantile
+      // within 2% of n (observed ≤ ~1%; the randomized-KLL theory bound
+      // at k=256 is tighter, but the deterministic alternating selector
+      // trades a constant for reproducibility — gate what we measure).
+      timed("kll_sketch_10M_k256") {
+        val n = 10000000L
+        val df = spark.range(n)
+          .select(((col("id") * 2654435761L) % n).as("v"),
+            (col("id") % 32).as("day"))
+        val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+        def gate(sk: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+          val got = operators.Kll.quantilesFromSketch(
+            sk.withColumn("g", lit(1)), Seq("g"), "sk", qs)
+            .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+          qs.foreach { q =>
+            val want = math.floor(q * (n - 1)).toLong
+            val err = math.abs(got(q) - want)
+            require(err <= 0.02 * n,
+              s"$tag q=$q got=${got(q)} want=$want err=$err (> 2% of $n)")
+          }
+        }
+        gate(df.agg(expr("kll_sketch(v, 256)").as("sk")), "direct")
+        gate(df.groupBy("day").agg(expr("kll_sketch(v, 256)").as("sk"))
+          .agg(expr("kll_merge(sk)").as("sk")), "rollup")
+      }
+
       // S4. One-pass numeric profile at 10M rows × 3 columns with
       // closed-form truth: a (nullable cycling values, a permutation, a
       // constant) — null counts, cardinalities, ranges and the exact

@@ -275,7 +275,11 @@ object GraphOps {
     * Graphs at or below `smallGraphThreshold` edges solve driver-side with
     * the identical rule (bit-equal — GraphOpsSpec asserts it).
     *
-    * Returns (node, label) after `iters` rounds.
+    * Returns (node, label) after `iters` rounds — or earlier, at the first
+    * round where no label changed: synchronous LPA is then at a fixed
+    * point, so the early exit is result-identical and skips the remaining
+    * rounds' shuffles on fast-converging graphs (the convergence probe
+    * doubles as the per-round materialization, replacing the bare count).
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
       checkpointEvery: Int = 4, smallGraphThreshold: Long = 1000000L): DataFrame = {
@@ -297,7 +301,8 @@ object GraphOps {
     var labels = nodes.select(col("node"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val votes = linked.join(labels, linked("src") === labels("node"))
         .select(linked("dst").as("node"), col("label"))
         .unionByName(labels.select(col("node"), col("label")))
@@ -308,10 +313,17 @@ object GraphOps {
       val persisted =
         (if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(false) else next)
           .persist(StorageLevel.MEMORY_AND_DISK)
-      persisted.count()
+      // materialize via the convergence probe instead of a bare count():
+      // synchronous LPA at an all-labels-stable round is a FIXED POINT
+      // (identical labels produce identical votes), so stopping early is
+      // result-identical while saving every remaining round's shuffles
+      val changed = persisted
+        .join(labels.select(col("node"), col("label").as("__prev")), Seq("node"))
+        .where(col("label") =!= col("__prev")).count()
       labels.unpersist(false)
       labels = persisted
       i += 1
+      if (changed == 0L) converged = true
     }
     graft.core.CacheLife.scoped(labels)
   }
@@ -335,13 +347,18 @@ object GraphOps {
       for (si <- idx.get(s); di <- idx.get(d)) adj(di) ::= si
     }
     var lab = nodeIds.clone()
-    for (_ <- 1 to iters) {
-      lab = Array.tabulate(lab.length) { v =>
+    var r = 0
+    var stable = false
+    while (r < iters && !stable) {
+      val nl = Array.tabulate(lab.length) { v =>
         val cnt = collection.mutable.Map.empty[Long, Long]
         cnt(lab(v)) = 1L // the self-vote
         adj(v).foreach { u => cnt(lab(u)) = cnt.getOrElse(lab(u), 0L) + 1L }
         cnt.maxBy { case (l, c) => (c, -l) }._1 // max count, then min label
       }
+      stable = java.util.Arrays.equals(nl, lab) // fixed point — same early
+      lab = nl                                  // exit as the distributed path
+      r += 1
     }
     nodeIds.zip(lab).toSeq.toDF("node", "label")
   }
@@ -384,17 +401,24 @@ object GraphOps {
     * dropped, TRUE edges removed by an anti-join against the adjacency,
     * first `k` survivors kept in probe order. The anti-join is the exact
     * filter random-rejection sampling approximates — no false negatives
-    * ever enter the training set. One shuffle of the (node, cand) probes
-    * against the edge set, one rank window. Output: node, neg, i (the
-    * probe index), rank (1..k).
+    * ever enter the training set. Probe collisions (i·2654435761 mod n
+    * repeats within m probes when n shares a factor with the multiplier)
+    * are deduplicated to the FIRST probe index per (node, cand), so no
+    * duplicate negatives reach the rank window. One shuffle of the
+    * (node, cand) probes against the edge set, one rank window. Output:
+    * node, neg, i (the probe index), rank (1..k).
     */
   def negativeEdges(nodes: DataFrame, edges: DataFrame, n: Long, m: Int,
       k: Int): DataFrame = {
     require(m >= k && k >= 1)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"), col("cand"))
     val cand = nodes.select(col("node"))
       .withColumn("i", explode(sequence(lit(0L), lit((m - 1).toLong))))
       .withColumn("cand", (col("node") * 31 + col("i") * 2654435761L) % n)
       .where(col("cand") =!= col("node"))
+      .withColumn("__mini", min(col("i")).over(wDedup))
+      .where(col("i") === col("__mini")).drop("__mini")
     val neg = cand.join(
       edges.select(col("src").as("node"), col("dst").as("cand")),
       Seq("node", "cand"), "left_anti")

@@ -1,0 +1,165 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KLL quantile sketch (Karnin, Lang & Liberty, FOCS 2016) — the MERGEABLE
+  * order-statistic summary the exact passes ([[Sketches.exactQuantiles]],
+  * [[Sketches.groupedQuantiles]]) deliberately are not: per-shard /
+  * per-day sketches of O(k·log(n/k)) longs roll up by merge without ever
+  * re-touching the data, which is what per-day → per-month quantile
+  * rollups over 100 TB actually need (the exact passes re-scan the union).
+  *
+  * Structure: a ladder of weight-2^h buffers ("compactors"). Level h
+  * holds items each standing for 2^h original rows. When the sketch
+  * exceeds its capacity, the lowest over-full level sorts itself and
+  * promotes every other item to level h+1 (the survivors' weight doubles,
+  * the rest are discarded); capacities decay geometrically (2/3) below
+  * the top level, which is what gives the O(1/k) rank-error guarantee
+  * with O(k) total space. This implementation uses the DETERMINISTIC
+  * alternating selector (the compaction counter's parity picks odd/even
+  * positions) instead of a random coin, trading a small constant in the
+  * error bound for run-to-run reproducibility — KllSpec measures the
+  * realized bound rather than assuming the randomized one.
+  *
+  * Exactness regime: while total size stays within capacity nothing is
+  * ever compacted, every item keeps weight 1, and quantile extraction is
+  * EXACT (value at 0-indexed rank floor(q·(n−1)), the same convention as
+  * [[Sketches.exactQuantiles]]) — which is what lets q176/q177's DuckDB
+  * oracle verify the full aggregate → merge → extract plumbing by brute
+  * rank SQL at test scale, while the spec and ScaleBench gate the
+  * APPROXIMATE regime (small k, forced compactions) against measured
+  * rank-error bounds.
+  *
+  * The aggregation itself is the native Catalyst
+  * `graft.sql.KllSketchAgg` (TypedImperativeAggregate — real JVM buffer,
+  * binary-serialized only across the partial-aggregation shuffle),
+  * registered as `kll_sketch(value, k)` and re-aggregated with
+  * `kll_merge(sketch)`; this object holds the algorithm and the
+  * DECLARATIVE quantile extractor (explode + one window — no UDF).
+  */
+object Kll {
+
+  /** Mutable aggregation state: levels(h) holds weight-2^h items. */
+  final class KllBuf(val k: Int) extends Serializable {
+    require(k >= 8, s"kll sketch needs k >= 8, got $k")
+    val levels: ArrayBuffer[ArrayBuffer[Long]] = ArrayBuffer(ArrayBuffer.empty[Long])
+    var comps: Long = 0L
+
+    private def cap(h: Int): Int = {
+      // top level capacity k, decaying by 2/3 per level below it
+      val fromTop = levels.length - 1 - h
+      math.max(2, math.ceil(k * math.pow(2.0 / 3.0, fromTop.toDouble)).toInt)
+    }
+    private def totalCap: Long = (0 until levels.length).map(cap(_).toLong).sum
+    private def totalSize: Long = levels.iterator.map(_.length.toLong).sum
+
+    def update(v: Long): Unit = { levels(0) += v; compactIfNeeded() }
+
+    def mergeIn(o: KllBuf): Unit = {
+      while (levels.length < o.levels.length) levels += ArrayBuffer.empty[Long]
+      var h = 0
+      while (h < o.levels.length) { levels(h) ++= o.levels(h); h += 1 }
+      comps += o.comps
+      compactIfNeeded()
+    }
+
+    private def compactIfNeeded(): Unit = {
+      while (totalSize > totalCap) {
+        // lowest level at-or-over its capacity; one must exist when the
+        // total is over (all-under levels sum below totalCap)
+        val h = (0 until levels.length).find(i => levels(i).length >= cap(i)).get
+        val buf = levels(h)
+        val sorted = buf.toArray
+        java.util.Arrays.sort(sorted)
+        if (h + 1 == levels.length) levels += ArrayBuffer.empty[Long]
+        val offset = (comps % 2).toInt // deterministic alternating selector
+        var i = offset
+        val up = levels(h + 1)
+        while (i < sorted.length) { up += sorted(i); i += 2 }
+        buf.clear()
+        comps += 1L
+      }
+    }
+  }
+
+  /** Binary wire format: k, comps, nLevels, then (size, items)* — the
+    * shuffle representation of the aggregate buffer. */
+  def serialize(b: KllBuf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.k); out.writeLong(b.comps); out.writeInt(b.levels.length)
+    b.levels.foreach { l => out.writeInt(l.length); l.foreach(out.writeLong) }
+    out.flush(); bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): KllBuf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new KllBuf(in.readInt())
+    b.comps = in.readLong()
+    val n = in.readInt()
+    while (b.levels.length < n) b.levels += ArrayBuffer.empty[Long]
+    var h = 0
+    while (h < n) {
+      val sz = in.readInt()
+      var i = 0
+      while (i < sz) { b.levels(h) += in.readLong(); i += 1 }
+      h += 1
+    }
+    b
+  }
+
+  /** Driver-side estimator (spec/gate use): value at weighted 0-indexed
+    * rank floor(q·(W−1)) over the weight-expanded multiset. */
+  def quantiles(b: KllBuf, qs: Seq[Double]): Seq[Long] = {
+    val items = (for {
+      h <- b.levels.indices.iterator
+      v <- b.levels(h).iterator
+    } yield (v, 1L << h)).toArray.sortBy(_._1)
+    val w = items.iterator.map(_._2).sum
+    require(w > 0, "quantiles on empty sketch")
+    qs.map { q =>
+      val t = math.floor(q * (w - 1).toDouble).toLong // 0-indexed target
+      var cw = 0L
+      var i = 0
+      while (cw <= t && i < items.length) { cw += items(i)._2; i += 1 }
+      items(i - 1)._1
+    }
+  }
+
+  /** Declarative per-key quantile extraction from a sketch column (the
+    * struct `kll_sketch`/`kll_merge` emit): posexplode the level ladder,
+    * explode items at weight 2^h, then ONE cumulative window per key picks
+    * the value whose inclusive weight straddles the target rank — sketch
+    * size is O(k·log), so the exploded table is tiny regardless of the
+    * data the sketch summarized. Output: keys..., q, value.
+    */
+  def quantilesFromSketch(df: DataFrame, keys: Seq[String], sketchCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val kcols = keys.map(col)
+    val items = df
+      .select(kcols :+ posexplode(col(s"$sketchCol.levels")).as(Seq("h", "lvl")): _*)
+      .select(kcols ++ Seq(col("h"), explode(col("lvl")).as("v")): _*)
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(h AS INT))"))
+    val wOrd = Window.partitionBy(kcols: _*)
+      .orderBy(col("v"), col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kcols: _*)
+    val ranked = items
+      .withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wAll)) // total weight ("w" vs
+      // "W" would collide under Spark's case-insensitive resolution)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(qs.toDF("q"))
+    ranked.join(qdf,
+        // inclusive cumulative weight straddles target rank t = floor(q(tw-1)):
+        // previous cw (= cw - w) <= t < cw — exactly one item per (key, q)
+        expr("cw - w <= CAST(floor(q * (tw - 1)) AS BIGINT)") &&
+          expr("CAST(floor(q * (tw - 1)) AS BIGINT) < cw"))
+      .select(kcols ++ Seq(col("q"), col("v").as("value")): _*)
+  }
+}

@@ -63,9 +63,11 @@ object Profile {
     * (HHI = Σ share², ≈ 1e6/|keys| for a uniform mix, 1e6 for a monoculture)
     * — the one-glance answer to "is this corpus dominated by one source?".
     *
-    * Integer-exact: shares are `1e6·cnt // total`; the HHI numerator
-    * Σ cnt² rides DECIMAL(38,0) (overflows BIGINT past ~3e9 total rows)
-    * and lands as `1e6·Σcnt² // total²`. One map-side-combinable groupBy
+    * Integer-exact: shares are `1e6·cnt // total` with the numerator on
+    * DECIMAL(38,0) (BIGINT `cnt·1e6` overflows past ~9.2e12 rows per key);
+    * the HHI numerator Σ cnt² rides DECIMAL(38,0) too (overflows BIGINT
+    * past ~3e9 total rows) and lands as `1e6·Σcnt² // total²`. One
+    * map-side-combinable groupBy
     * shuffles |keys| count rows; the total joins back as a broadcast
     * 1-row frame. Output: key, n_rows, share_micro, hhi_micro (constant
     * across rows — the mix-level index).
@@ -76,7 +78,8 @@ object Profile {
       sum(col("n_rows").cast(DecimalType(38, 0)) * col("n_rows")).as("__sq"))
     counts.crossJoin(broadcast(tot))
       .select(col(keyCol), col("n_rows"),
-        expr("n_rows * 1000000 DIV __tot").as("share_micro"),
+        expr("""CAST((CAST(n_rows AS DECIMAL(38,0)) * 1000000)
+                DIV __tot AS BIGINT)""").as("share_micro"),
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq)
                 DIV (CAST(__tot AS DECIMAL(38,0)) * __tot) AS BIGINT)""")
           .as("hhi_micro"))

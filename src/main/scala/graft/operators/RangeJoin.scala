@@ -30,10 +30,14 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
+    // empty/inverted intervals ([s, e) with e <= s) contain no point and
+    // would explode to a DESCENDING bucket sequence (spurious buckets);
+    // drop them before the expansion — exactly the half-open semantics
     val p = points.withColumn("__bucket", expr(s"$ptCol DIV $bucketWidth"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"$startCol DIV $bucketWidth"),
-        expr(s"($endCol - 1) DIV $bucketWidth"))))
+    val iv = intervals.where(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"$startCol DIV $bucketWidth"),
+          expr(s"($endCol - 1) DIV $bucketWidth"))))
     iv.join(p, Seq("__bucket"))
       .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")
@@ -50,7 +54,11 @@ object RangeJoin {
     * predicate has no equi-key and plans the O(|L|·|R|) BNLJ cliff;
     * this is one equi-shuffle each side with work proportional to
     * bucket-local candidate pairs. Columns must be non-negative
-    * integers in one unit (epoch ns).
+    * integers in one unit (epoch ns). Empty/inverted intervals
+    * ([s, e) with e <= s) overlap nothing under half-open semantics
+    * and are dropped before the expansion — without the filter they
+    * would explode to descending (spurious) bucket sequences and
+    * [s, s) would wrongly match any interval containing s.
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
@@ -58,12 +66,14 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
-    val l = left.withColumn("__bucket",
-      explode(sequence(expr(s"$lStart DIV $bucketWidth"),
-        expr(s"($lEnd - 1) DIV $bucketWidth"))))
-    val r = right.withColumn("__bucket",
-      explode(sequence(expr(s"$rStart DIV $bucketWidth"),
-        expr(s"($rEnd - 1) DIV $bucketWidth"))))
+    val l = left.where(col(lEnd) > col(lStart))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"$lStart DIV $bucketWidth"),
+          expr(s"($lEnd - 1) DIV $bucketWidth"))))
+    val r = right.where(col(rEnd) > col(rStart))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"$rStart DIV $bucketWidth"),
+          expr(s"($rEnd - 1) DIV $bucketWidth"))))
     l.join(r, Seq("__bucket"))
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .where(expr(s"greatest($lStart, $rStart) DIV $bucketWidth") === col("__bucket"))

@@ -475,6 +475,43 @@ object Relational {
       |    AND b.size >= a.size AND b.price_cents >= a.price_cents
       |    AND (b.size > a.size OR b.price_cents > a.price_cents))""".stripMargin
 
+  /** q175: GLOBAL Pareto front (`Skyline.paretoFront2DGlobal`) — the
+    * value/recency frontier over ALL events, no grouping key: the shape
+    * where the grouped sweep (q152) would serialize every row onto one
+    * reducer. The engine runs the classic two-phase skyline instead —
+    * a zero-exchange per-partition local sweep (spillable
+    * sortWithinPartitions + one streaming pass) prunes to the union of
+    * local fronts, and only those rows reach the single-group window.
+    * The oracle replays dominance with DuckDB's own window machinery
+    * (ascending RANGE frame), while SkylineSpec pins the global path to
+    * the brute-force dominance scan on planted data.
+    */
+  def q175GlobalPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir).select(
+      col("event_id"),
+      (dec2(col("value")) * 100).cast("long").as("value_cents"),
+      expr("ts DIV 1000").as("ts_us")) // loadEvents normalizes ts to epoch ns
+    graft.operators.Skyline.paretoFront2DGlobal(ev, "value_cents", "ts_us")
+      .select(col("event_id"), col("value_cents"), col("ts_us"))
+  }
+
+  val q175Sql: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+      |    epoch_us(ts) AS ts_us
+      |  FROM events
+      |),
+      |s AS (
+      |  SELECT e.*,
+      |    MAX(ts_us) OVER (ORDER BY value_cents
+      |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS besty,
+      |    MAX(ts_us) OVER (PARTITION BY value_cents) AS blocky
+      |  FROM e
+      |)
+      |SELECT event_id, value_cents, ts_us FROM s
+      |WHERE ts_us = blocky AND (besty IS NULL OR ts_us > besty)""".stripMargin
+
   /** q157: k-anonymity audit (`Profile.kAnonymity`) — the privacy QA
     * before a data release: every (nation, segment, $1000-balance-bucket)
     * quasi-identifier combination smaller than k=3 re-identifies its
@@ -649,6 +686,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
+    QueryDef("q175_global_pareto", q175GlobalPareto, Some(q175Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
     QueryDef("q166_bucket_drift", q166BucketDrift, Some(q166Sql)),

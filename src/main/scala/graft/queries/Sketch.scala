@@ -294,8 +294,73 @@ object Sketch {
        |JOIN r ON r.k = n.k AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q176
+
+  /** q176: per-source document-length quantiles via the MERGEABLE KLL
+    * sketch (`kll_sketch` — the native TypedImperativeAggregate) +
+    * the declarative explode/window extractor. At test scale the
+    * capacity (k=8192) exceeds every group, so no compaction fires and
+    * the sketch is EXACT — which lets the brute rank-SQL oracle verify
+    * the aggregate → struct → extractor plumbing end to end; the
+    * APPROXIMATE regime (small k, forced compactions, measured rank-error
+    * bounds, shard merges) is gated by KllSpec and the ScaleBench kll
+    * gate instead, since no SQL oracle can replay compaction.
+    */
+  val KllQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  def q176KllQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sk = docs.groupBy("source").agg(expr("kll_sketch(n_chars, 8192)").as("sk"))
+    graft.operators.Kll.quantilesFromSketch(sk, Seq("source"), "sk", KllQs)
+  }
+
+  val q176Sql: String = {
+    val vals = KllQs.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (SELECT source, n_chars AS v FROM documents),
+       |n AS (SELECT source, COUNT(1) AS c FROM v GROUP BY source),
+       |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM v),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES $vals) t(q))
+       |SELECT r.source, q, r.v AS value
+       |FROM qs CROSS JOIN n
+       |JOIN r ON r.source = n.source
+       |  AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q177
+
+  /** q177: the ROLLUP path — per-source KLL sketches re-aggregated with
+    * `kll_merge` into ONE corpus-level sketch, then extracted. This is
+    * the shape that matters at 100 TB: per-shard/per-day sketches of
+    * O(k·log) longs roll up to any coarser grain WITHOUT re-touching the
+    * data (the exact passes q97/q98 re-scan the union instead). Exact
+    * regime at test scale (capacity > corpus) keeps the brute rank
+    * oracle valid through BOTH aggregation levels.
+    */
+  val RollupQs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
+  def q177KllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val perSource = docs.groupBy("source")
+      .agg(expr("kll_sketch(n_chars, 8192)").as("sk"))
+    val rolled = perSource.agg(expr("kll_merge(sk)").as("sk"))
+    graft.operators.Kll.quantilesFromSketch(rolled, Seq.empty, "sk", RollupQs)
+  }
+
+  val q177Sql: String = {
+    val vals = RollupQs.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (SELECT n_chars AS v FROM documents),
+       |n AS (SELECT COUNT(1) AS c FROM v),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES $vals) t(q))
+       |SELECT q, r.v AS value
+       |FROM qs JOIN r
+       |  ON r.rn = CAST(floor(q * ((SELECT c FROM n) - 1)) AS BIGINT) + 1""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q95_hll_distinct", q95HllDistinct, Some(q95Sql)),
+    QueryDef("q176_kll_quantiles", q176KllQuantiles, Some(q176Sql)),
+    QueryDef("q177_kll_rollup", q177KllRollup, Some(q177Sql)),
     QueryDef("q96_heavy_hitters", q96HeavyHitters, Some(q96Sql)),
     QueryDef("q97_quantiles", q97Quantiles, Some(q97Sql)),
     QueryDef("q98_grouped_quantiles", q98GroupedQuantiles, Some(q98Sql)),

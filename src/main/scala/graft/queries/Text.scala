@@ -2351,7 +2351,7 @@ object Text {
       |  FROM c
       |)
       |SELECT source, n_rows,
-      |  CAST(n_rows * 1000000 // tot AS BIGINT) AS share_micro,
+      |  CAST((CAST(n_rows AS HUGEINT) * 1000000) // tot AS BIGINT) AS share_micro,
       |  CAST((1000000 * sq) // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS hhi_micro
       |FROM c, t""".stripMargin
 

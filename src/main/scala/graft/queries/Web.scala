@@ -249,11 +249,15 @@ object Web {
 
   val q165Sql: String =
     s"""WITH $ueCtes,
-       |c AS (
+       |c0 AS (
        |  SELECT doc_id AS node, CAST(i AS BIGINT) AS i,
        |    (doc_id * 31 + i * 2654435761) % (SELECT n FROM nn) AS cand
        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gi
        |  WHERE (doc_id * 31 + i * 2654435761) % (SELECT n FROM nn) <> doc_id
+       |),
+       |c AS (
+       |  SELECT node, i, cand FROM c0
+       |  QUALIFY i = MIN(i) OVER (PARTITION BY node, cand)
        |),
        |neg AS (
        |  SELECT c.* FROM c LEFT JOIN ue ON ue.src = c.node AND ue.dst = c.cand

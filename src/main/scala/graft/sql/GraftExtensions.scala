@@ -1097,6 +1097,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"dot_f32 expects (array, array), got ${other.length} args")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo("graft.sql.KllSketchAgg", "kll_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, k) => KllSketchAgg(Cast(v, org.apache.spark.sql.types.LongType),
+          Cast(k, org.apache.spark.sql.types.IntegerType)).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"kll_sketch expects (value, k), got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge"),
+      new ExpressionInfo("graft.sql.KllMergeAgg", "kll_merge"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => KllMergeAgg(s).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"kll_merge expects (sketch), got ${other.length} args")
+      }))
     scalarFns.foreach { case (name, fn) =>
       ext.injectFunction((
         FunctionIdentifier(name),

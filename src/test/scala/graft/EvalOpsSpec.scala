@@ -268,4 +268,43 @@ class EvalOpsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
     assert(got == Set(1L, 2L, 3L, 4L, 7L, 8L))
   }
+
+  test("paretoFront2DGlobal == brute force, partitioning-invariant, nulls dropped") {
+    val rnd = new scala.util.Random(41)
+    val base = Seq.tabulate(600)(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val pts = (base.map { case (i, x, y) => (i, Some(x), Some(y)) } ++
+      Seq((600L, None, Some(99L)), (601L, Some(99L), None))) // null x/y never win
+      .toDF("id", "x", "y")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    val want = base.filter { case (_, x, y) =>
+      !base.exists { case (_, x2, y2) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(ids(Skyline.paretoFront2DGlobal(pts, "x", "y")) == want)
+    assert(ids(Skyline.paretoFront2DGlobal(pts.repartition(11, col("id")),
+      "x", "y")) == want, "global front must not depend on partitioning")
+    // single-partition degenerate case
+    assert(ids(Skyline.paretoFront2DGlobal(pts.coalesce(1), "x", "y")) == want)
+  }
+
+  test("paretoFront2DGlobal keeps exact duplicates and agrees with grouped path") {
+    val pts = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 4L, 6L), (4L, 6L, 4L),
+      (5L, 4L, 4L), (6L, 5L, 4L)).toDF("id", "x", "y")
+    val global = Skyline.paretoFront2DGlobal(pts, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val grouped = Skyline.paretoFront2D(pts.withColumn("g", lit(1)),
+      Seq("g"), "x", "y").select("id").as[Long].collect().toSet
+    assert(global == grouped && global == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("paretoFront2D rejects fractional x/y loudly") {
+    val pts = Seq((1L, 1.5, 2L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Skyline.paretoFront2D(pts, Seq("id"), "x", "y")
+    }
+    intercept[IllegalArgumentException] {
+      Skyline.paretoFront2DGlobal(pts, "x", "y")
+    }
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Kll
+import graft.operators.Kll.KllBuf
+
+/** KLL sketch: exactness in the no-compaction regime, measured rank-error
+  * bounds in the approximate regime, mergeability (shard-merge within the
+  * same bound), the SQL aggregate plumbing, and the declarative extractor
+  * agreeing with the driver-side estimator. */
+class KllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  // deterministic permutation of 0 until n (multiplicative hash order)
+  private def permuted(n: Int): Seq[Long] =
+    (0 until n).map(_.toLong).sortBy(v => (v * 2654435761L) % 1000000007L)
+
+  private def rankOf(v: Long, sorted: Array[Long]): Int = {
+    // number of elements < v (rank band lower end)
+    val i = java.util.Arrays.binarySearch(sorted, v)
+    if (i >= 0) { var j = i; while (j > 0 && sorted(j - 1) == v) j -= 1; j }
+    else -i - 1
+  }
+
+  test("exact regime: capacity >= n reproduces brute-force rank quantiles") {
+    val data = permuted(500)
+    val b = new KllBuf(1024)
+    data.foreach(b.update)
+    val sorted = data.sorted.toArray
+    val got = Kll.quantiles(b, Qs)
+    val want = Qs.map(q => sorted(math.floor(q * (sorted.length - 1)).toInt))
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("approximate regime: k=128 rank error within 3% of n at n=100k") {
+    val n = 100000
+    val data = permuted(n)
+    val b = new KllBuf(128)
+    data.foreach(b.update)
+    assert(b.comps > 0, "expected compactions at n >> k")
+    // data is a permutation of 0..n-1, so value v has true rank v
+    val got = Kll.quantiles(b, Qs)
+    Qs.zip(got).foreach { case (q, v) =>
+      val trueRank = math.floor(q * (n - 1)).toLong
+      assert(math.abs(v - trueRank) <= 0.03 * n,
+        s"q=$q value=$v trueRank=$trueRank err=${math.abs(v - trueRank)}")
+    }
+  }
+
+  test("merge of 8 shards stays within the same rank-error bound") {
+    val n = 100000
+    val data = permuted(n)
+    val shards = data.grouped(n / 8).toSeq.map { chunk =>
+      val s = new KllBuf(128); chunk.foreach(s.update); s
+    }
+    val merged = new KllBuf(128)
+    shards.foreach(merged.mergeIn)
+    val got = Kll.quantiles(merged, Qs)
+    Qs.zip(got).foreach { case (q, v) =>
+      val trueRank = math.floor(q * (n - 1)).toLong
+      assert(math.abs(v - trueRank) <= 0.03 * n,
+        s"q=$q value=$v trueRank=$trueRank")
+    }
+  }
+
+  test("serialize/deserialize roundtrip is identity") {
+    val b = new KllBuf(64)
+    permuted(5000).foreach(b.update)
+    val r = Kll.deserialize(Kll.serialize(b))
+    assert(r.k == b.k && r.comps == b.comps &&
+      r.levels.map(_.toSeq) == b.levels.map(_.toSeq))
+  }
+
+  test("kll_sketch SQL aggregate + declarative extractor == exact ranks (exact regime)") {
+    val df = permuted(2000).zipWithIndex
+      .map { case (v, i) => (if (i % 2 == 0) "a" else "b", v) }
+      .toDF("g", "v")
+    val sk = df.groupBy("g").agg(expr("kll_sketch(v, 4096)").as("sk"))
+    val got = Kll.quantilesFromSketch(sk, Seq("g"), "sk", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b"); q <- Seq(0.5, 0.9)) {
+      val vals = df.where(col("g") === g).select("v").as[Long].collect().sorted
+      val want = vals(math.floor(q * (vals.length - 1)).toInt)
+      assert(got((g, q)) == want, s"g=$g q=$q got=${got((g, q))} want=$want")
+    }
+  }
+
+  test("kll_merge rollup == single-pass sketch (exact regime) and approx within bound") {
+    // exact regime: shard by day, merge per group — extraction must equal
+    // the brute rank because no compaction ever fires
+    val df = permuted(3000).zipWithIndex
+      .map { case (v, i) => ("g", i % 7, v) }.toDF("g", "day", "v")
+    val daily = df.groupBy("g", "day").agg(expr("kll_sketch(v, 8192)").as("sk"))
+    val rolled = daily.groupBy("g").agg(expr("kll_merge(sk)").as("sk"))
+    val got = Kll.quantilesFromSketch(rolled, Seq("g"), "sk", Seq(0.25, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    val vals = (0 until 3000).map(_.toLong).toArray
+    assert(got(0.25) == vals(math.floor(0.25 * 2999).toInt))
+    assert(got(0.75) == vals(math.floor(0.75 * 2999).toInt))
+
+    // approximate regime through SQL: one group, small k, distributed input
+    val n = 50000
+    val big = permuted(n).toDF("v").repartition(8)
+      .groupBy().agg(expr("kll_sketch(v, 128)").as("sk"))
+    val approx = Kll.quantilesFromSketch(big.withColumn("g", lit(1)),
+        Seq("g"), "sk", Seq(0.5)).collect()
+    assert(approx.length == 1)
+    val v = approx(0).getLong(2)
+    assert(math.abs(v - n / 2) <= 0.03 * n, s"p50=$v")
+  }
+
+  test("deterministic: same input order gives an identical sketch") {
+    val data = permuted(30000)
+    val a = new KllBuf(64); data.foreach(a.update)
+    val b = new KllBuf(64); data.foreach(b.update)
+    assert(a.comps == b.comps && a.levels.map(_.toSeq) == b.levels.map(_.toSeq))
+  }
+}

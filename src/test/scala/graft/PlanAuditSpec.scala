@@ -39,6 +39,11 @@ class PlanAuditSpec extends SparkSpec {
     // q138: the rerank tier runs the same q76 ADC pipeline (same bounded
     // codebook crossJoins) before its broadcast-shortlist exact pass
     "q138_ivfadc_rerank",
+    // q176/q177: Kll.quantilesFromSketch joins the broadcast quantile
+    // table (BOUNDED at |qs| ≤ 7 rows) against the exploded sketch items
+    // (O(k·log n) per key) on a rank-band predicate — non-equi by nature,
+    // both sides sketch-sized, never data-sized
+    "q176_kll_quantiles", "q177_kll_rollup",
     // (q140's candidate-scan BNLJ — q38's few-queries broadcast shape —
     // is hidden from this audit since mmrTopK truncates its round lineage
     // via localCheckpoint: the final plan shows only Scan ExistingRDD.
