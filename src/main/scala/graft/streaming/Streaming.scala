@@ -918,6 +918,45 @@ object Streaming {
     ()
   }
 
+  /** Streaming per-key quantile monitor — the ingest-time twin of the
+    * batch KLL queries (q176/q177): every micro-batch sketches its own
+    * rows (`kll_sketch`), appends the sketch row per key to a
+    * batch_id-partitioned store, and emits quantiles of EVERYTHING seen
+    * so far by `kll_merge`-ing the store — the data itself is never
+    * re-read, only O(k·log) sketch longs per (key, batch). Replay-
+    * idempotent via the same committed-batch store discipline as
+    * [[hllDistinctStream]]; compactable with [[compactStore]] (re-merging
+    * compacted sketch rows is exactly kll_merge's contract).
+    */
+  def quantileMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, keyCol: String, valueCol: String,
+      k: Int = 256, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQuantileBatch(batch, batchId, outDir, storeDir, keyCol,
+          valueCol, k, qs)
+      }
+      .start()
+
+  /** One micro-batch of [[quantileMonitorStream]] — package-private for
+    * direct idempotency testing. */
+  private[graft] def processQuantileBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, keyCol: String, valueCol: String,
+      k: Int, qs: Seq[Double]): Unit = {
+    val spark = batch.sparkSession
+    val mine = batch.groupBy(col(keyCol))
+      .agg(expr(s"kll_sketch($valueCol, $k)").as("sk"))
+    val prior = committedOr(spark, s"$storeDir/sketches", batchId, mine.limit(0))
+    val merged = prior.unionByName(mine)
+      .groupBy(col(keyCol)).agg(expr("kll_merge(sk)").as("sk"))
+    graft.operators.Kll.quantilesFromSketch(merged, Seq(keyCol), "sk", qs)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/sketches/batch_id=$batchId")
+    ()
+  }
+
   /** Streaming ordered-funnel progress — the ingest-time twin of the batch
     * Funnel.steps operator. Per-entity step-completion times live in a
     * batch_id-partitioned store; each micro-batch advances them with the

@@ -326,6 +326,47 @@ class IoStreamingSpec extends SparkSpec {
     assert(replay == streamed)
   }
 
+  test("streaming quantile monitor: merged-sketch quantiles equal one batch sketch, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("kllstream").toString
+    val mem = MemoryStream[(String, Long)]
+    val q = Streaming.quantileMonitorStream(
+      mem.toDF().toDF("source", "v"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "source", "v",
+      k = 4096, qs = Seq(0.5, 0.9)) // exact regime: no compaction at test size
+    // deterministic permuted values so ranks are known
+    def perm(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong * 2654435761L) % 100000L)
+    val b0 = perm(0, 500).map(("web", _)) ++ perm(0, 50).map(("books", _))
+    val b1 = perm(500, 900).map(("web", _)) ++ perm(50, 120).map(("books", _))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val streamed = snap()
+    // batch truth: one kll_sketch over b0 ∪ b1 (exact regime ⇒ exact ranks)
+    val whole = (b0 ++ b1).toDF("source", "v")
+    val batchQ = graft.operators.Kll.quantilesFromSketch(
+      whole.groupBy("source").agg(expr("kll_sketch(v, 4096)").as("sk")),
+      Seq("source"), "sk", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(streamed == batchQ, s"streamed=$streamed batch=$batchQ")
+    // and both equal brute-force ranks
+    for (src <- Seq("web", "books"); qq <- Seq(0.5, 0.9)) {
+      val vals = (b0 ++ b1).filter(_._1 == src).map(_._2).sorted
+      assert(streamed((src, qq)) == vals(math.floor(qq * (vals.length - 1)).toInt))
+    }
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processQuantileBatch(b1.toDF("source", "v"), 1L,
+      s"$dir/out", s"$dir/store", "source", "v", 4096, Seq(0.5, 0.9))
+    assert(snap() == streamed)
+  }
+
   test("streaming funnel equals the batch operator under ts-ordered batches, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
