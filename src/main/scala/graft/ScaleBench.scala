@@ -696,6 +696,27 @@ object ScaleBench {
         s"linkage join missed ${nWantL - hitL} planted cross-table links")
     }
 
+    // 10a-2d. Sorted-neighborhood candidate generation at 10M rows with
+    // an identity closed form: keys are a permutation of 0..n−1, so the
+    // record of global rank r has key r−1 and the d-th successor pair is
+    // exactly key_b = key_a + d. Gates the two-phase distributed ranking
+    // (per-bucket windows + broadcast offsets — no single-reducer sort)
+    // at a scale where a global row_number window would serialize 10M
+    // rows onto one task. Asserts exact pair count and zero rank slips.
+    timed("sorted_neighborhood_10M_rows") {
+      val n = 10000000L
+      val wN = 4
+      val rows = spark.range(n).select(col("id"),
+        ((col("id") * 2654435761L) % n).as("key"))
+      val pairs = operators.Fuzzy.sortedNeighborhood(rows, "id", "key",
+        w = wN, bucketWidth = 4096L)
+      val a = pairs.agg(count(lit(1)),
+        count(when(col("key_b") - col("key_a") =!= col("d"), 1))).head()
+      val wantPairs = (1 until wN).map(d => n - d).sum
+      require(a.getLong(0) == wantPairs && a.getLong(1) == 0L,
+        s"sorted-neighborhood closed form failed: $a (want $wantPairs pairs, 0 slips)")
+    }
+
     // 10a-3. WordPiece greedy encode over 1M DISTINCT words (the encode
     // runs per distinct word, so this is 1000× the natural corpus-vocab
     // load): derived vocab broadcast, per-row max-munch kernel. Gate:
@@ -1227,6 +1248,22 @@ object ScaleBench {
         gate(df.agg(expr("kll_sketch(v, 256)").as("sk")), "direct")
         gate(df.groupBy("day").agg(expr("kll_sketch(v, 256)").as("sk"))
           .agg(expr("kll_merge(sk)").as("sk")), "rollup")
+      }
+
+      // S3c. Exact heavy hitters at 10M tokens / 8M-distinct vocabulary,
+      // closed form: h0..h9 planted at 200k each (2%), 8M singleton tail.
+      // The Misra–Gries prune keeps candidates ≤ partitions·(k−1) — the
+      // vocabulary-wide groupBy this replaces would shuffle 8M rows to
+      // find 10 — and the exact recount must return exactly h0..h9 at
+      // exactly 200000 each (k=100 ⇒ strict threshold 100k).
+      timed("exact_heavy_hitters_10M_8M_vocab") {
+        val toks = spark.range(10000000L).select(
+          when(col("id") < 2000000L, concat(lit("h"), (col("id") % 10).cast("string")))
+            .otherwise(concat(lit("t"), col("id").cast("string"))).as("tok"))
+        val got = operators.Sketches.exactHeavyHitters(toks, "tok", k = 100)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(got.size == 10 && (0 until 10).forall(i => got(s"h$i") == 200000L),
+          s"heavy-hitter closed form failed: $got")
       }
 
       // S4. One-pass numeric profile at 10M rows × 3 columns with

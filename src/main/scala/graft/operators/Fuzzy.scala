@@ -319,6 +319,53 @@ object Fuzzy {
     * Returns one row per cluster: `clusterCol`, `n_records`, then one
     * column per rule (original names, survivor values).
     */
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    * SIGMOD 1995) — the third blocking family beside token blocks
+    * ([[blockedLevenshteinPairs]]) and Hamming bands: impose a TOTAL
+    * ORDER on a sort key and pair every record with its `w−1` successors,
+    * so near-records meet even when they share no block token (typo in
+    * the first character) as long as the sort key places them nearby.
+    *
+    * The global rank is computed WITHOUT a single-reducer window: integer
+    * keys range-bucket by `key DIV bucketWidth` (order-preserving), local
+    * ranks come from a per-bucket window, and each bucket's starting
+    * offset is a cumulative sum over the tiny bucket-count table joined
+    * back broadcast — the classic two-phase distributed ranking. Pairing
+    * is then an EQUI join on `rank + d` (d exploded 1..w−1), one shuffle
+    * each side, never an inequality join. A value-skewed hot bucket
+    * serializes its local window — pick `bucketWidth` so key ties spread
+    * across buckets, same discipline as RangeJoin's width note.
+    *
+    * Output: id_a/key_a, id_b/key_b (b = the d-th successor of a), d.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+      w: Int, bucketWidth: Long = 1024L): DataFrame = {
+    require(w >= 2, "window must pair each row with at least one successor")
+    require(bucketWidth > 0)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col(keyCol), col(idCol))
+    val bucketed = df.select(col(idCol), col(keyCol))
+      .withColumn("__bkt", expr(s"$keyCol DIV $bucketWidth"))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .drop("__c")
+    val ranked = bucketed
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__r", col("__off") + row_number().over(wLoc))
+      .select(col(idCol), col(keyCol), col("__r"))
+    val probes = ranked
+      .withColumn("d", explode(sequence(lit(1L), lit((w - 1).toLong))))
+      .withColumn("__r2", col("__r") + col("d"))
+    probes.alias("a")
+      .join(ranked.alias("b"), col("a.__r2") === col("b.__r"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"a.$keyCol").as("key_a"),
+        col(s"b.$idCol").as("id_b"), col(s"b.$keyCol").as("key_b"), col("d"))
+  }
+
   def goldenRecord(records: DataFrame, clusterCol: String,
       rules: Seq[(String, Survivor)]): DataFrame = {
     require(rules.nonEmpty, "goldenRecord needs at least one field rule")

@@ -186,6 +186,59 @@ object Sketches {
       .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("score_micro"))
   }
 
+  /** EXACT heavy hitters — every token with count strictly above n/k —
+    * with bounded memory and a candidate-only shuffle, the two-pass
+    * Misra–Gries prune (Misra & Gries 1982): a vocabulary-wide
+    * `groupBy(tok)` shuffles every distinct token, which at web scale is
+    * billions of near-singleton rows shuffled to find a few hundred heavy
+    * ones. Instead pass 1 runs an O(k)-memory Misra–Gries summary PER
+    * PARTITION in one scan (survivor guarantee: any item with local count
+    * > n_p/k keeps a counter; by pigeonhole a GLOBAL count > n/k forces
+    * local count > n_p/k in at least one partition, so the union of
+    * survivors is a superset of every true heavy hitter — candidates are
+    * ≤ partitions·(k−1) however large the vocabulary). Pass 2 re-scans,
+    * semi-joins the broadcast candidate set, and counts ONLY candidates
+    * exactly — map-side combine leaves ≤ |candidates| rows per partition
+    * on the wire. The final `cnt·k > n` filter makes the output exact and
+    * partitioning-independent (the candidate superset varies with layout;
+    * the reported set never does). Output: (tok, cnt), cnt exact.
+    */
+  def exactHeavyHitters(toks: DataFrame, tokCol: String, k: Int): DataFrame = {
+    require(k >= 2, "exactHeavyHitters needs k >= 2")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val t = toks.select(col(tokCol).cast("string").as("tok"))
+    // pass 1: Misra–Gries survivors per partition + the partition's token
+    // count, one scan; the count rides a null-token sentinel row
+    val pass1 = t.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      while (it.hasNext) {
+        val tok = it.next()
+        np += 1
+        val cur = counters.getOrElse(tok, -1L)
+        if (cur >= 0L) counters(tok) = cur + 1L
+        else if (counters.size < k - 1) counters(tok) = 1L
+        else {
+          // decrement-all, dropping zeros: amortized O(1) per token
+          // (each event burns k-1 count units)
+          counters.toArray.foreach { case (kk, c) =>
+            if (c == 1L) counters.remove(kk) else counters(kk) = c - 1L
+          }
+        }
+      }
+      counters.keysIterator.map(tk => (tk, 0L)) ++ Iterator(((null: String), np))
+    }.toDF("tok", "np")
+    val p1 = graft.core.CacheLife.scoped(pass1.persist())
+    val cands = p1.where(col("tok").isNotNull).select("tok").distinct()
+    val nDf = p1.agg(sum(col("np")).as("__n"))
+    t.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nDf))
+      .where(col("cnt") * k > col("__n"))
+      .select(col("tok"), col("cnt"))
+  }
+
   def exactQuantiles(
       df: DataFrame, valueCol: String, qs: Seq[Double],
       nBuckets: Int = 1024): DataFrame = {

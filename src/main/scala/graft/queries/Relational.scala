@@ -512,6 +512,37 @@ object Relational {
       |SELECT event_id, value_cents, ts_us FROM s
       |WHERE ts_us = blocky AND (besty IS NULL OR ts_us > besty)""".stripMargin
 
+  /** q179: sorted-neighborhood candidate pairs (`Fuzzy.sortedNeighborhood`,
+    * Hernández & Stolfo 1995) — the ER blocking family token blocks and
+    * Hamming bands can't replace: records pair with their w−1 SUCCESSORS
+    * in a total sort order (here: account balance in cents), so near-ties
+    * meet regardless of shared tokens. The engine computes the global
+    * rank with the two-phase bucket-offset scheme (no single-reducer
+    * window anywhere — per-bucket windows + a broadcast cumulative
+    * offset table) and pairs by EQUI join on rank+d; the oracle is the
+    * brute single-window row_number + rank-arithmetic join, so any slip
+    * in the distributed ranking breaks the hash.
+    */
+  def q179SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer").select(
+      col("c_custkey").as("id"),
+      (dec2(col("c_acctbal")) * 100).cast("long").as("bal"))
+    graft.operators.Fuzzy.sortedNeighborhood(cust, "id", "bal", w = 5)
+      .select(col("id_a"), col("key_a").as("bal_a"),
+        col("id_b"), col("key_b").as("bal_b"), col("d"))
+  }
+
+  val q179Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS id,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      |  FROM customer
+      |),
+      |r AS (SELECT id, bal, row_number() OVER (ORDER BY bal, id) AS rn FROM c),
+      |ds AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) AS d)
+      |SELECT a.id AS id_a, a.bal AS bal_a, b.id AS id_b, b.bal AS bal_b, d
+      |FROM r a CROSS JOIN ds JOIN r b ON b.rn = a.rn + d""".stripMargin
+
   /** q157: k-anonymity audit (`Profile.kAnonymity`) — the privacy QA
     * before a data release: every (nation, segment, $1000-balance-bucket)
     * quasi-identifier combination smaller than k=3 re-identifies its
@@ -687,6 +718,7 @@ object Relational {
     QueryDef("q151_mad_outliers", q151MadOutliers, Some(q151Sql)),
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
     QueryDef("q175_global_pareto", q175GlobalPareto, Some(q175Sql)),
+    QueryDef("q179_sorted_neighborhood", q179SortedNeighborhood, Some(q179Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
     QueryDef("q166_bucket_drift", q166BucketDrift, Some(q166Sql)),

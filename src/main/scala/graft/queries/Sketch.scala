@@ -294,6 +294,27 @@ object Sketch {
        |JOIN r ON r.k = n.k AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q178
+
+  /** q178: EXACT heavy hitters (count > n/200) without a vocabulary-wide
+    * shuffle — `Sketches.exactHeavyHitters`, the two-pass Misra–Gries
+    * prune: per-partition O(k) summaries make a bounded candidate set
+    * (superset guaranteed by pigeonhole), then an exact candidate-only
+    * recount. Complements q96 (CMS needs a probe list and over-counts;
+    * this finds the heavy set itself, exactly). The oracle is the brute
+    * vocabulary groupBy with the same strict threshold — the engine must
+    * reproduce it from bounded memory.
+    */
+  def q178ExactHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.exactHeavyHitters(toks(spark, sfDir), "tok", k = 200)
+
+  val q178Sql: String =
+    s"""WITH $tokCte,
+       |n AS (SELECT COUNT(1) AS c FROM tk)
+       |SELECT tok, CAST(COUNT(1) AS BIGINT) AS cnt
+       |FROM tk GROUP BY tok
+       |HAVING COUNT(1) * 200 > (SELECT c FROM n)""".stripMargin
+
   // ---------------------------------------------------------------- q176
 
   /** q176: per-source document-length quantiles via the MERGEABLE KLL
@@ -361,6 +382,7 @@ object Sketch {
     QueryDef("q95_hll_distinct", q95HllDistinct, Some(q95Sql)),
     QueryDef("q176_kll_quantiles", q176KllQuantiles, Some(q176Sql)),
     QueryDef("q177_kll_rollup", q177KllRollup, Some(q177Sql)),
+    QueryDef("q178_exact_heavy_hitters", q178ExactHeavyHitters, Some(q178Sql)),
     QueryDef("q96_heavy_hitters", q96HeavyHitters, Some(q96Sql)),
     QueryDef("q97_quantiles", q97Quantiles, Some(q97Sql)),
     QueryDef("q98_grouped_quantiles", q98GroupedQuantiles, Some(q98Sql)),

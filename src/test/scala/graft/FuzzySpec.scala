@@ -177,4 +177,27 @@ class FuzzySpec extends SparkSpec {
     assert(c2.getLong(1) == 1L && c2.getString(2) == "solo" &&
       c2.getLong(3) == 50L && c2.getString(4) == "sX" && c2.getString(5) == "N5")
   }
+
+  test("sortedNeighborhood == brute single-window pairs across layouts and widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // duplicate keys, NEGATIVE keys (trunc-div buckets stay monotone),
+    // and ids shuffled so rank ties break on id
+    val rows = Seq.tabulate(500)(i =>
+      (i.toLong, (rnd.nextInt(400) - 200).toLong)).toDF("id", "key")
+    val w = 4
+    val brute = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+    val want = (for {
+      (a, ra) <- brute; (b, rb) <- brute
+      if rb > ra && rb - ra < w
+    } yield (a._1, a._2, b._1, b._2, (rb - ra).toLong)).toSet
+    for ((parts, bw) <- Seq((1, 1024L), (7, 16L), (32, 1L), (13, 1000000L))) {
+      val got = Fuzzy.sortedNeighborhood(rows.repartition(parts), "id", "key",
+          w, bucketWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, s"parts=$parts bw=$bw: ${got.size} vs ${want.size}")
+    }
+  }
 }

@@ -103,4 +103,25 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(inter - 10000) / 10000 < 0.20,
       s"inclusion-exclusion intersection off: $inter want ~10000")
   }
+
+  test("exactHeavyHitters == brute force, partitioning-independent, threshold strict") {
+    import spark.implicits._
+    // planted so n = 60000 exactly, k = 100, threshold n/k = 600:
+    // five heavy items (3000,2500,2000,1500,1100), m0 at EXACTLY 600
+    // (must be excluded — the threshold is strict), 49300 singleton tail
+    // — vocabulary ≫ k so the Misra–Gries prune actually prunes
+    val k = 100
+    val all = Seq(("h0", 3000), ("h1", 2500), ("h2", 2000), ("h3", 1500),
+      ("h4", 1100), ("m0", 600)) ++ (0 until 49300).map(i => (s"t$i", 1))
+    val n = all.map(_._2).sum
+    assert(n == 60000)
+    val rows = all.flatMap { case (t, cnt) => Seq.fill(cnt)(t) }.toDF("tok")
+    val want = Set(("h0", 3000L), ("h1", 2500L), ("h2", 2000L),
+      ("h3", 1500L), ("h4", 1100L))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketches.exactHeavyHitters(rows.repartition(parts), "tok", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"parts=$parts got=$got")
+    }
+  }
 }
