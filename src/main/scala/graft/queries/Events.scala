@@ -71,6 +71,45 @@ object Events {
       |       MAX(ts_us - prev_us) AS max_gap_us
       |FROM t GROUP BY user_id""".stripMargin
 
+  /** q180: event-type Markov transition matrix — the user-journey /
+    * session-grammar profile (what follows what, and how often): per-user
+    * lag in (ts, event_id) order yields (prev_type → type) transitions,
+    * counted and row-normalized into integer micro-probabilities
+    * (`1e6·cnt // prev_total`, exact in both engines). First events have
+    * no predecessor and drop, as Markov chains define. One user-keyed
+    * window shuffle + one |types|²-bounded groupBy — the output is
+    * vocabulary-of-types-sized whatever the event volume.
+    */
+  def q180Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(wPrev))
+      .withColumn("p_micro", expr("n * 1000000 DIV __tot"))
+      .drop("__tot")
+  }
+
+  val q180Sql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |),
+      |c AS (
+      |  SELECT prev_type, event_type, CAST(COUNT(1) AS BIGINT) AS n
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+      |)
+      |SELECT prev_type, event_type, n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+      |FROM c""".stripMargin
+
   /** q22: as-of join — each click annotated with the most recent purchase
     * by the same user at or before it (AsOfJoin: union + carry-forward
     * window, one shuffle; the oracle is the quadratic join+rank form).
@@ -476,6 +515,7 @@ object Events {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_half_life_trend", q171HalfLifeTrend, Some(q171Sql)),
     QueryDef("q174_inter_arrival", q174InterArrival, Some(q174Sql)),
+    QueryDef("q180_transitions", q180Transitions, Some(q180Sql)),
     QueryDef("q145_chat_assembly", q145ChatAssembly, Some(q145Sql)),
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),

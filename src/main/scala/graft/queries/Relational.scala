@@ -543,6 +543,45 @@ object Relational {
       |SELECT a.id AS id_a, a.bal AS bal_a, b.id AS id_b, b.bal AS bal_b, d
       |FROM r a CROSS JOIN ds JOIN r b ON b.rn = a.rn + d""".stripMargin
 
+  /** q181: percentile-rank feature normalization — the rank-based
+    * transform feature pipelines apply before mixing heterogeneous
+    * scores (quantile normalization): each balance maps to its
+    * within-nation percent rank in exact integer micro-units,
+    * `(rank−1)·1e6 DIV (n−1)`, with `rank()` (min-rank) so exact ties
+    * share a value, and singleton groups pin to 0. One hash exchange per
+    * nation serves both windows; output is order-preserving and bounded
+    * [0, 1e6] whatever the raw scale.
+    */
+  def q181PercentileRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("nation")).orderBy(col("bal_cents"))
+    val wAll = Window.partitionBy(col("nation"))
+    Tables.load(spark, sfDir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_nationkey").as("nation"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      .withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pr_micro",
+        expr("CASE WHEN __n < 2 THEN 0 ELSE (__rk - 1) * 1000000 DIV (__n - 1) END"))
+      .drop("__rk", "__n")
+  }
+
+  val q181Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS custkey, c_nationkey AS nation,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |  FROM customer
+      |),
+      |r AS (
+      |  SELECT custkey, nation, bal_cents,
+      |    rank() OVER (PARTITION BY nation ORDER BY bal_cents) AS rk,
+      |    COUNT(1) OVER (PARTITION BY nation) AS n
+      |  FROM c
+      |)
+      |SELECT custkey, nation, bal_cents,
+      |  CAST(CASE WHEN n < 2 THEN 0 ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT)
+      |    AS pr_micro
+      |FROM r""".stripMargin
+
   /** q157: k-anonymity audit (`Profile.kAnonymity`) — the privacy QA
     * before a data release: every (nation, segment, $1000-balance-bucket)
     * quasi-identifier combination smaller than k=3 re-identifies its
@@ -719,6 +758,7 @@ object Relational {
     QueryDef("q152_pareto_front", q152ParetoFront, Some(q152Sql)),
     QueryDef("q175_global_pareto", q175GlobalPareto, Some(q175Sql)),
     QueryDef("q179_sorted_neighborhood", q179SortedNeighborhood, Some(q179Sql)),
+    QueryDef("q181_percentile_rank", q181PercentileRank, Some(q181Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
     QueryDef("q166_bucket_drift", q166BucketDrift, Some(q166Sql)),

@@ -877,6 +877,33 @@ object Text {
        |FROM k""".stripMargin
   }
 
+  /** q182: stratified k-fold assignment — the deterministic
+    * cross-validation / eval-split layout: within each stratum (source),
+    * documents take folds 0..4 round-robin in md5(doc_id)-order, so every
+    * fold holds an EXACT ⌈n_s/5⌉/⌊n_s/5⌋ share of each stratum (unlike
+    * md5-mod coin flips, which only balance in expectation), the
+    * assignment is seedless and replayable by any engine, and adding a
+    * stratum never reshuffles another. One hash exchange on the stratum
+    * for the rank window.
+    */
+  def q182StratifiedFolds(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("fold", (row_number().over(w) - 1) % 5)
+      .withColumn("fold", col("fold").cast("long"))
+  }
+
+  val q182Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, CAST((rn - 1) % 5 AS BIGINT) AS fold FROM r""".stripMargin
+
   /** q61: sequence PACKING — the layout step that turns a curated corpus
     * into fixed-size training windows: concatenate all documents in id
     * order, split every `seqLen`=2048 tokens, report each document's
@@ -2679,6 +2706,7 @@ object Text {
     QueryDef("q59_neardup_clusters", q59NearDupClusters, Some(q59Sql)),
     QueryDef("q93_cluster_pick", q93ClusterPick, Some(q93Sql)),
     QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),
+    QueryDef("q182_stratified_folds", q182StratifiedFolds, Some(q182Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),
     QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
     QueryDef("q57_quality_filter", q57QualityFilter, Some(q57Sql)),

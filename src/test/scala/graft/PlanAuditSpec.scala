@@ -44,6 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     // (O(k·log n) per key) on a rank-band predicate — non-equi by nature,
     // both sides sketch-sized, never data-sized
     "q176_kll_quantiles", "q177_kll_rollup",
+    // q178: the exact-recount threshold crossJoins the broadcast 1-ROW
+    // total-count frame (Sketches.exactHeavyHitters — same audited shape
+    // as the concentration/drift totals)
+    "q178_exact_heavy_hitters",
     // (q140's candidate-scan BNLJ — q38's few-queries broadcast shape —
     // is hidden from this audit since mmrTopK truncates its round lineage
     // via localCheckpoint: the final plan shows only Scan ExistingRDD.
