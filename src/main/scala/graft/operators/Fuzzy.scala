@@ -339,16 +339,27 @@ object Fuzzy {
     * Output: id_a/key_a, id_b/key_b (b = the d-th successor of a), d.
     */
   def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
-      w: Int, bucketWidth: Long = 1024L): DataFrame = {
+      w: Int, bucketWidth: Long = 1024L): DataFrame =
+    sortedNeighborhoodBy(df, idCol, keyCol, w,
+      expr(s"$keyCol DIV $bucketWidth"))
+
+  /** [[sortedNeighborhood]] for ANY orderable key type: `bucketExpr` must
+    * be order-preserving in the key (bucket(x) non-decreasing as x grows —
+    * for strings, an order-preserving prefix like `substring(key, 1, p)`;
+    * the integer entry point uses truncating division, which is monotone
+    * including negatives). Rank correctness needs only that monotonicity;
+    * bucket widths may be uneven, they just shift work between the local
+    * windows. */
+  def sortedNeighborhoodBy(df: DataFrame, idCol: String, keyCol: String,
+      w: Int, bucketExpr: Column): DataFrame = {
     require(w >= 2, "window must pair each row with at least one successor")
-    require(bucketWidth > 0)
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__bkt"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val wLoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(col(keyCol), col(idCol))
     val bucketed = df.select(col(idCol), col(keyCol))
-      .withColumn("__bkt", expr(s"$keyCol DIV $bucketWidth"))
+      .withColumn("__bkt", bucketExpr)
     val offsets = bucketed.groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))

@@ -207,7 +207,10 @@ object Sketches {
     require(k >= 2, "exactHeavyHitters needs k >= 2")
     val spark = toks.sparkSession
     import spark.implicits._
+    // null tokens drop (SQL aggregates skip nulls; and a null candidate
+    // could never match the pass-2 semi-join anyway)
     val t = toks.select(col(tokCol).cast("string").as("tok"))
+      .where(col("tok").isNotNull)
     // pass 1: Misra–Gries survivors per partition + the partition's token
     // count, one scan; the count rides a null-token sentinel row
     val pass1 = t.as[String].mapPartitions { it =>

@@ -200,4 +200,26 @@ class FuzzySpec extends SparkSpec {
       assert(got == want, s"parts=$parts bw=$bw: ${got.size} vs ${want.size}")
     }
   }
+
+  test("sortedNeighborhoodBy over string keys: prefix buckets match brute pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val names = Seq("smith", "smyth", "smithe", "jones", "jonas", "brown",
+      "braun", "miller", "muller", "mueller")
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, names(rnd.nextInt(names.length)) + rnd.nextInt(10)))
+      .toDF("id", "name")
+    val w = 3
+    val brute = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+    val want = (for {
+      (a, ra) <- brute; (b, rb) <- brute
+      if rb > ra && rb - ra < w
+    } yield (a._1, b._1, (rb - ra).toLong)).toSet
+    val got = Fuzzy.sortedNeighborhoodBy(rows.repartition(9), "id", "name",
+        w, org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("name"), 1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
 }

@@ -111,6 +111,24 @@ class KllSpec extends SparkSpec {
     assert(math.abs(v - n / 2) <= 0.03 * n, s"p50=$v")
   }
 
+  test("property: quantile values are non-decreasing in q, at any k") {
+    for (k <- Seq(8, 32, 256)) {
+      val b = new KllBuf(k)
+      permuted(20000).foreach(b.update)
+      val qs = (0 to 20).map(_ / 20.0)
+      val vs = Kll.quantiles(b, qs)
+      assert(vs == vs.sorted, s"k=$k quantiles not monotone: $vs")
+      assert(vs.head >= 0 && vs.last <= 19999, "estimates must be real items")
+    }
+  }
+
+  test("all-null group through SQL: kll_merge yields an empty sketch, extractor yields no rows") {
+    val df = spark.range(4).selectExpr("CAST(null AS BIGINT) AS v", "'g' AS g")
+    val sk = df.groupBy("g").agg(expr("kll_sketch(v, 64)").as("sk"))
+      .groupBy("g").agg(expr("kll_merge(sk)").as("sk"))
+    assert(Kll.quantilesFromSketch(sk, Seq("g"), "sk", Seq(0.5)).count() == 0)
+  }
+
   test("deterministic: same input order gives an identical sketch") {
     val data = permuted(30000)
     val a = new KllBuf(64); data.foreach(a.update)
