@@ -166,6 +166,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q179 ranks without serializing the data onto one task") {
+    // sortedNeighborhood's claim: global ranks from PER-BUCKET windows
+    // (Exchange hashpartitioning(__bkt)) plus ONE SinglePartition exchange
+    // over the tiny bucket-count table. A regression to a bare global
+    // row_number window would plan a second SinglePartition exchange over
+    // the DATA — the 10M-row one-task cliff the operator exists to avoid.
+    val plan = planOf("q179_sorted_neighborhood")
+    // every row_number window must partition by the range bucket — a bare
+    // global row_number (empty partition spec) is the regression
+    val rnSpecs = "row_number\\(\\) windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(rnSpecs.nonEmpty && rnSpecs.forall(_.contains("__bkt")),
+      s"q179 ranks outside the bucket windows: $rnSpecs")
+    // SinglePartition exchanges exist only under the bucket-COUNT offset
+    // window (the self-join rebuilds that tiny subtree once per side)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 2, s"q179 plans $single SinglePartition exchanges — " +
+      "something beyond the two offset-table subtrees is centralizing")
+  }
+
+  test("q178 counts only semi-joined candidates, never the full vocabulary") {
+    // exactHeavyHitters' pass 2 must gate the groupBy behind the broadcast
+    // candidate semi-join; without it the count shuffles every distinct
+    // token — exactly the vocabulary-wide exchange the operator replaces.
+    val plan = planOf("q178_exact_heavy_hitters")
+    assert(plan.contains("LeftSemi"),
+      "q178 lost the candidate semi-join before the exact recount")
+  }
+
   test("top-k rank<=k windows plan WindowGroupLimit (map-side group limit)") {
     // Spark 4 plans row_number()<=k as WindowGroupLimit: each partition
     // keeps only k rows per group BEFORE the exchange — the property that
