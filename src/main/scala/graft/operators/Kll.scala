@@ -59,6 +59,27 @@ object Kll {
 
     def update(v: Long): Unit = { levels(0) += v; compactIfNeeded() }
 
+    /** Weighted update — the pre-aggregated form: an item carrying count
+      * `w` enters as one copy per SET BIT of w at that bit's level (level
+      * h items weigh 2^h, so the binary decomposition adds exactly w of
+      * total weight with ≤ 64 insertions however large the count). This
+      * is what lets a (value, count) table from an upstream groupBy feed
+      * the sketch without re-expanding rows. */
+    def updateWeighted(v: Long, w: Long): Unit = {
+      require(w >= 0, s"negative weight $w")
+      var b = 0
+      var rest = w
+      while (rest != 0L) {
+        if ((rest & 1L) == 1L) {
+          while (levels.length <= b) levels += ArrayBuffer.empty[Long]
+          levels(b) += v
+        }
+        rest >>>= 1
+        b += 1
+      }
+      compactIfNeeded()
+    }
+
     def mergeIn(o: KllBuf): Unit = {
       while (levels.length < o.levels.length) levels += ArrayBuffer.empty[Long]
       var h = 0

@@ -294,6 +294,40 @@ object Sketch {
        |JOIN r ON r.k = n.k AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q183
+
+  /** q183: WEIGHTED KLL over the pre-aggregated (source, n_chars, count)
+    * histogram — the shape quantile work actually arrives in at 100 TB
+    * (an upstream groupBy already collapsed the corpus): `kll_sketch_w`
+    * inserts each value once per set bit of its count, so the sketch
+    * build is O(distinct values · popcount), never corpus-sized, and the
+    * result is IDENTICAL to sketching the raw rows (the extractor's
+    * 2^level weights see exactly the same multiset). Exact regime at test
+    * scale — the oracle is the same brute rank SQL as the raw-row path,
+    * which is the point: pre-aggregation must not change a single answer.
+    */
+  val WeightedQs: Seq[Double] = Seq(0.1, 0.5, 0.95)
+
+  def q183KllWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.load(spark, sfDir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val sk = hist.groupBy("source")
+      .agg(expr("kll_sketch_w(n_chars, cnt, 8192)").as("sk"))
+    graft.operators.Kll.quantilesFromSketch(sk, Seq("source"), "sk", WeightedQs)
+  }
+
+  val q183Sql: String = {
+    val vals = WeightedQs.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (SELECT source, n_chars AS v FROM documents),
+       |n AS (SELECT source, COUNT(1) AS c FROM v GROUP BY source),
+       |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM v),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES $vals) t(q))
+       |SELECT r.source, q, r.v AS value
+       |FROM qs CROSS JOIN n
+       |JOIN r ON r.source = n.source
+       |  AND r.rn = CAST(floor(q * (n.c - 1)) AS BIGINT) + 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q178
 
   /** q178: EXACT heavy hitters (count > n/200) without a vocabulary-wide
@@ -383,6 +417,7 @@ object Sketch {
     QueryDef("q176_kll_quantiles", q176KllQuantiles, Some(q176Sql)),
     QueryDef("q177_kll_rollup", q177KllRollup, Some(q177Sql)),
     QueryDef("q178_exact_heavy_hitters", q178ExactHeavyHitters, Some(q178Sql)),
+    QueryDef("q183_kll_weighted", q183KllWeighted, Some(q183Sql)),
     QueryDef("q96_heavy_hitters", q96HeavyHitters, Some(q96Sql)),
     QueryDef("q97_quantiles", q97Quantiles, Some(q97Sql)),
     QueryDef("q98_grouped_quantiles", q98GroupedQuantiles, Some(q98Sql)),

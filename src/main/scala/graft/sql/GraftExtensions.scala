@@ -1107,6 +1107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"kll_sketch expects (value, k), got ${other.length} args")
       }))
     ext.injectFunction((
+      FunctionIdentifier("kll_sketch_w"),
+      new ExpressionInfo("graft.sql.KllWeightedAgg", "kll_sketch_w"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, w, k) => KllWeightedAgg(
+          Cast(v, org.apache.spark.sql.types.LongType),
+          Cast(w, org.apache.spark.sql.types.LongType),
+          Cast(k, org.apache.spark.sql.types.IntegerType)).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"kll_sketch_w expects (value, weight, k), got ${other.length} args")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_merge"),
       new ExpressionInfo("graft.sql.KllMergeAgg", "kll_merge"),
       (args: Seq[Expression]) => args match {

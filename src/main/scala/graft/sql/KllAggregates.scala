@@ -92,6 +92,59 @@ case class KllSketchAgg(child: Expression, kExpr: Expression,
   override def prettyName: String = "kll_sketch"
 }
 
+/** `kll_sketch_w(value, weight, k)` — weighted KLL sketch over
+  * PRE-AGGREGATED (value, count) rows: each row inserts its value once
+  * per set bit of the count (level h carries weight 2^h), so a
+  * vocabulary-sized frequency table sketches in O(rows·popcount) without
+  * ever re-expanding to corpus size. Null values or weights skip; zero
+  * weights add nothing. */
+case class KllWeightedAgg(child: Expression, weight: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuf] {
+
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"kll_sketch_w: k must be a foldable INT literal, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType && weight.dataType == LongType &&
+        kExpr.dataType == IntegerType && kExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_w expects (BIGINT value, BIGINT weight, foldable INT k), got " +
+        s"(${child.dataType}, ${weight.dataType}, ${kExpr.dataType})")
+  override def children: Seq[Expression] = Seq(child, weight, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = KllSchema.sketchType
+
+  override def createAggregationBuffer(): KllBuf = new KllBuf(k)
+
+  override def update(b: KllBuf, input: InternalRow): KllBuf = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null)
+      b.updateWeighted(v.asInstanceOf[Long], w.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: KllBuf, o: KllBuf): KllBuf = { b.mergeIn(o); b }
+  override def eval(b: KllBuf): Any = KllSchema.toRow(b)
+  override def serialize(b: KllBuf): Array[Byte] = Kll.serialize(b)
+  override def deserialize(bytes: Array[Byte]): KllBuf = Kll.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): KllWeightedAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllWeightedAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllWeightedAgg =
+    copy(child = newChildren(0), weight = newChildren(1), kExpr = newChildren(2))
+  override def prettyName: String = "kll_sketch_w"
+}
+
 /** `kll_merge(sketch)` — re-aggregates KLL sketch structs (per-day →
   * per-month rollup without re-touching the data). Merging concatenates
   * level-wise then re-compacts to capacity, so space stays O(k·log) no

@@ -129,6 +129,36 @@ class KllSpec extends SparkSpec {
     assert(Kll.quantilesFromSketch(sk, Seq("g"), "sk", Seq(0.5)).count() == 0)
   }
 
+  test("weighted update == repeat-expanded update, exact and approximate") {
+    // exact regime: weighted build of a frequency table must equal brute
+    // ranks of the expanded multiset
+    val freqs = Seq((5L, 7L), (9L, 1L), (2L, 12L), (14L, 3L), (1L, 130L))
+    val expanded = freqs.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+    val b = new KllBuf(1024)
+    freqs.foreach { case (v, w) => b.updateWeighted(v, w) }
+    val sorted = expanded.sorted.toArray
+    val got = Kll.quantiles(b, Qs)
+    val want = Qs.map(q => sorted(math.floor(q * (sorted.length - 1)).toInt))
+    assert(got == want, s"got=$got want=$want")
+    // zero weight adds nothing
+    val before = Kll.serialize(b).toSeq
+    b.updateWeighted(42L, 0L)
+    assert(Kll.serialize(b).toSeq == before)
+
+    // approximate regime: weighted build over a 100k-mass frequency table
+    // stays inside the same 3% rank-error envelope as the raw-row build
+    val n = 100000
+    val wb = new KllBuf(128)
+    // values 0..9999, each with weight 10 → total mass 100k, true rank of
+    // value v is 10·v
+    (0 until 10000).foreach(v => wb.updateWeighted(v.toLong, 10L))
+    Qs.zip(Kll.quantiles(wb, Qs)).foreach { case (q, v) =>
+      val trueRank = math.floor(q * (n - 1)).toLong
+      assert(math.abs(v * 10 - trueRank) <= 0.03 * n,
+        s"q=$q value=$v trueRank=$trueRank")
+    }
+  }
+
   test("deterministic: same input order gives an identical sketch") {
     val data = permuted(30000)
     val a = new KllBuf(64); data.foreach(a.update)

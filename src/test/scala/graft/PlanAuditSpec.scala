@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     // table (BOUNDED at |qs| ≤ 7 rows) against the exploded sketch items
     // (O(k·log n) per key) on a rank-band predicate — non-equi by nature,
     // both sides sketch-sized, never data-sized
-    "q176_kll_quantiles", "q177_kll_rollup",
+    "q176_kll_quantiles", "q177_kll_rollup", "q183_kll_weighted",
     // q178: the exact-recount threshold crossJoins the broadcast 1-ROW
     // total-count frame (Sketches.exactHeavyHitters — same audited shape
     // as the concentration/drift totals)
