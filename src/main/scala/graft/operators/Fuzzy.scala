@@ -358,7 +358,11 @@ object Fuzzy {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val wLoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(col(keyCol), col(idCol))
+    // a null sort key has no position in the total order — such rows are
+    // EXCLUDED from the neighborhood (made explicit here; without the
+    // filter the offsets equi-join would drop them silently anyway)
     val bucketed = df.select(col(idCol), col(keyCol))
+      .where(col(keyCol).isNotNull)
       .withColumn("__bkt", bucketExpr)
     val offsets = bucketed.groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__c"))

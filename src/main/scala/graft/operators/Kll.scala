@@ -48,16 +48,37 @@ object Kll {
     require(k >= 8, s"kll sketch needs k >= 8, got $k")
     val levels: ArrayBuffer[ArrayBuffer[Long]] = ArrayBuffer(ArrayBuffer.empty[Long])
     var comps: Long = 0L
+    // hot-path counters: update() is the per-row map side of the
+    // aggregate, so size/capacity are O(1) running values — the capacity
+    // table recomputes only when the ladder grows (O(log n) times total),
+    // never per row
+    private var size: Long = 0L
+    private var caps: Array[Int] = Array(k)
+    private var capTotal: Long = k.toLong
 
-    private def cap(h: Int): Int = {
-      // top level capacity k, decaying by 2/3 per level below it
-      val fromTop = levels.length - 1 - h
-      math.max(2, math.ceil(k * math.pow(2.0 / 3.0, fromTop.toDouble)).toInt)
+    private def refreshCaps(): Unit = {
+      val height = levels.length
+      caps = Array.tabulate(height) { h =>
+        // top level capacity k, decaying by 2/3 per level below it
+        math.max(2, math.ceil(k * math.pow(2.0 / 3.0, (height - 1 - h).toDouble)).toInt)
+      }
+      capTotal = 0L
+      caps.foreach(capTotal += _)
     }
-    private def totalCap: Long = (0 until levels.length).map(cap(_).toLong).sum
-    private def totalSize: Long = levels.iterator.map(_.length.toLong).sum
 
-    def update(v: Long): Unit = { levels(0) += v; compactIfNeeded() }
+    private def addLevel(): Unit = {
+      levels += ArrayBuffer.empty[Long]
+      refreshCaps()
+    }
+
+    /** Recompute the derived counters from `levels` — deserializers that
+      * populate the ladder directly must call this before further use. */
+    private[graft] def recount(): Unit = {
+      size = levels.iterator.map(_.length.toLong).sum
+      refreshCaps()
+    }
+
+    def update(v: Long): Unit = { levels(0) += v; size += 1; compactIfNeeded() }
 
     /** Weighted update — the pre-aggregated form: an item carrying count
       * `w` enters as one copy per SET BIT of w at that bit's level (level
@@ -71,8 +92,9 @@ object Kll {
       var rest = w
       while (rest != 0L) {
         if ((rest & 1L) == 1L) {
-          while (levels.length <= b) levels += ArrayBuffer.empty[Long]
+          while (levels.length <= b) addLevel()
           levels(b) += v
+          size += 1
         }
         rest >>>= 1
         b += 1
@@ -81,27 +103,39 @@ object Kll {
     }
 
     def mergeIn(o: KllBuf): Unit = {
-      while (levels.length < o.levels.length) levels += ArrayBuffer.empty[Long]
+      while (levels.length < o.levels.length) addLevel()
       var h = 0
-      while (h < o.levels.length) { levels(h) ++= o.levels(h); h += 1 }
+      while (h < o.levels.length) {
+        levels(h) ++= o.levels(h)
+        size += o.levels(h).length
+        h += 1
+      }
       comps += o.comps
       compactIfNeeded()
     }
 
     private def compactIfNeeded(): Unit = {
-      while (totalSize > totalCap) {
+      while (size > capTotal) {
         // lowest level at-or-over its capacity; one must exist when the
-        // total is over (all-under levels sum below totalCap)
-        val h = (0 until levels.length).find(i => levels(i).length >= cap(i)).get
+        // total is over (all-under levels sum below capTotal)
+        val h = (0 until levels.length).find(i => levels(i).length >= caps(i)).get
         val buf = levels(h)
         val sorted = buf.toArray
         java.util.Arrays.sort(sorted)
-        if (h + 1 == levels.length) levels += ArrayBuffer.empty[Long]
+        if (h + 1 == levels.length) addLevel()
+        // compact only an EVEN count so total weight is preserved exactly
+        // (even·2^h removed == even/2 promoted at 2^(h+1)); an odd
+        // straggler — deterministically the sorted max — stays behind at
+        // level h, as canonical KLL prescribes (promoting ceil(s/2) would
+        // drift the sketch's total mass by ±2^h per odd compaction)
+        val even = sorted.length & ~1
         val offset = (comps % 2).toInt // deterministic alternating selector
         var i = offset
         val up = levels(h + 1)
-        while (i < sorted.length) { up += sorted(i); i += 2 }
+        while (i < even) { up += sorted(i); i += 2 }
         buf.clear()
+        if (even < sorted.length) buf += sorted(sorted.length - 1)
+        size -= (even / 2)
         comps += 1L
       }
     }
@@ -130,6 +164,7 @@ object Kll {
       while (i < sz) { b.levels(h) += in.readLong(); i += 1 }
       h += 1
     }
+    b.recount()
     b
   }
 
@@ -160,6 +195,12 @@ object Kll {
     */
   def quantilesFromSketch(df: DataFrame, keys: Seq[String], sketchCol: String,
       qs: Seq[Double]): DataFrame = {
+    val reserved = Set("h", "lvl", "v", "w", "cw", "tw", "q", "value")
+    (keys :+ sketchCol).foreach { c =>
+      require(!reserved.contains(c.toLowerCase),
+        s"quantilesFromSketch reserves columns ${reserved.mkString("/")} " +
+          s"(case-insensitive) for the extractor — rename '$c'")
+    }
     val kcols = keys.map(col)
     val items = df
       .select(kcols :+ posexplode(col(s"$sketchCol.levels")).as(Seq("h", "lvl")): _*)

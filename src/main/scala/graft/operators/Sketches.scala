@@ -202,6 +202,12 @@ object Sketches {
     * on the wire. The final `cnt·k > n` filter makes the output exact and
     * partitioning-independent (the candidate superset varies with layout;
     * the reported set never does). Output: (tok, cnt), cnt exact.
+    *
+    * CONTRACT: `toks` must be deterministic under re-evaluation — the two
+    * passes each scan it (caching a corpus-sized token stream is exactly
+    * what this operator avoids), so a nondeterministic upstream (sampling,
+    * rand() salting) could recount data pass 1 never summarized, voiding
+    * the superset guarantee. Persist upstream first in that case.
     */
   def exactHeavyHitters(toks: DataFrame, tokCol: String, k: Int): DataFrame = {
     require(k >= 2, "exactHeavyHitters needs k >= 2")

@@ -91,7 +91,10 @@ object Events {
       .groupBy(col("prev_type"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("__tot", sum(col("n")).over(wPrev))
-      .withColumn("p_micro", expr("n * 1000000 DIV __tot"))
+      // DECIMAL(38,0) numerator, like every micro-share in the repo —
+      // BIGINT n·1e6 would wrap past ~9.2e12 transitions per prev_type
+      .withColumn("p_micro",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV __tot AS BIGINT)"))
       .drop("__tot")
   }
 
@@ -107,7 +110,8 @@ object Events {
       |  FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
       |)
       |SELECT prev_type, event_type, n,
-      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+      |  CAST((CAST(n AS HUGEINT) * 1000000)
+      |    // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
       |FROM c""".stripMargin
 
   /** q22: as-of join — each click annotated with the most recent purchase

@@ -558,10 +558,15 @@ object Relational {
     Tables.load(spark, sfDir, "customer").select(
         col("c_custkey").as("custkey"), col("c_nationkey").as("nation"),
         (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
-      .withColumn("__rk", rank().over(w))
+      // rank() is IntegerType — cast BEFORE the 1e6 multiply (INT wraps
+      // past rank ~2148); the numerator then rides DECIMAL(38,0) like
+      // every other micro-share in the repo (exact past 9.2e12-row groups)
+      .withColumn("__rk", rank().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("pr_micro",
-        expr("CASE WHEN __n < 2 THEN 0 ELSE (__rk - 1) * 1000000 DIV (__n - 1) END"))
+        expr("""CASE WHEN __n < 2 THEN 0
+                ELSE CAST((CAST(__rk - 1 AS DECIMAL(38,0)) * 1000000)
+                          DIV (__n - 1) AS BIGINT) END"""))
       .drop("__rk", "__n")
   }
 
@@ -578,7 +583,8 @@ object Relational {
       |  FROM c
       |)
       |SELECT custkey, nation, bal_cents,
-      |  CAST(CASE WHEN n < 2 THEN 0 ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT)
+      |  CAST(CASE WHEN n < 2 THEN 0
+      |       ELSE (CAST(rk - 1 AS HUGEINT) * 1000000) // (n - 1) END AS BIGINT)
       |    AS pr_micro
       |FROM r""".stripMargin
 

@@ -36,6 +36,7 @@ object KllSchema {
       while (i < l.numElements()) { b.levels(h) += l.getLong(i); i += 1 }
       h += 1
     }
+    b.recount()
     b
   }
 }

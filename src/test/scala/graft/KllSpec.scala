@@ -17,13 +17,6 @@ class KllSpec extends SparkSpec {
   private def permuted(n: Int): Seq[Long] =
     (0 until n).map(_.toLong).sortBy(v => (v * 2654435761L) % 1000000007L)
 
-  private def rankOf(v: Long, sorted: Array[Long]): Int = {
-    // number of elements < v (rank band lower end)
-    val i = java.util.Arrays.binarySearch(sorted, v)
-    if (i >= 0) { var j = i; while (j > 0 && sorted(j - 1) == v) j -= 1; j }
-    else -i - 1
-  }
-
   test("exact regime: capacity >= n reproduces brute-force rank quantiles") {
     val data = permuted(500)
     val b = new KllBuf(1024)
@@ -109,6 +102,21 @@ class KllSpec extends SparkSpec {
     assert(approx.length == 1)
     val v = approx(0).getLong(2)
     assert(math.abs(v - n / 2) <= 0.03 * n, s"p50=$v")
+  }
+
+  test("compaction preserves total weight exactly, unweighted and weighted") {
+    def mass(b: KllBuf): Long =
+      (for (h <- b.levels.indices; _ <- b.levels(h)) yield 1L << h).sum
+    for (k <- Seq(8, 64, 256)) {
+      val b = new KllBuf(k)
+      permuted(50000).foreach(b.update)
+      assert(b.comps > 0)
+      assert(mass(b) == 50000L, s"k=$k drifted to ${mass(b)}")
+      val wb = new KllBuf(k)
+      (0 until 3000).foreach(v => wb.updateWeighted(v.toLong, (v % 13 + 1).toLong))
+      val want = (0 until 3000).map(v => (v % 13 + 1).toLong).sum
+      assert(mass(wb) == want, s"k=$k weighted drifted to ${mass(wb)} want $want")
+    }
   }
 
   test("property: quantile values are non-decreasing in q, at any k") {
