@@ -842,6 +842,28 @@ object Text {
        |       c.doc_id = c.cluster_id AS is_canonical
        |FROM comp c JOIN cs USING (cluster_id)""".stripMargin
 
+  /** q184: LEAKAGE-SAFE eval folds — the guard q182's per-document folds
+    * can't give: near-duplicate documents must never straddle train/eval,
+    * or the eval set silently scores memorization. Folds assign per
+    * CLUSTER (q59's connected components over the jaccard≥0.8 graph) by
+    * an md5 coin on the cluster id — map-side after the labeling, so the
+    * assignment adds ZERO shuffles to the cluster pass and stays
+    * scale-free (an exact round-robin over clusters would need a global
+    * rank; the coin balances in expectation, which is what eval splits
+    * need). Every cluster member shares its fold by construction.
+    */
+  def q184LeakageSafeFolds(spark: SparkSession, sfDir: String): DataFrame =
+    q59NearDupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(5L)).as("fold"))
+
+  lazy val q184Sql: String =
+    s"""WITH cl AS (\n$q59Sql\n)
+       |SELECT doc_id, cluster_id,
+       |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
+       |FROM cl""".stripMargin
+
   /** Per-language sampling rates for q60 — a domain-mix recipe: downsample
     * the dominant class hard, keep rarer classes at higher rates, keep one
     * entirely (the rate-≥1 path). Quantized to k/256 by the operator. */
@@ -2707,6 +2729,7 @@ object Text {
     QueryDef("q93_cluster_pick", q93ClusterPick, Some(q93Sql)),
     QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),
     QueryDef("q182_stratified_folds", q182StratifiedFolds, Some(q182Sql)),
+    QueryDef("q184_leakage_safe_folds", q184LeakageSafeFolds, Some(q184Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),
     QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
     QueryDef("q57_quality_filter", q57QualityFilter, Some(q57Sql)),
