@@ -588,6 +588,80 @@ object Relational {
       |    AS pr_micro
       |FROM r""".stripMargin
 
+  /** q185: Benford first-digit profile — the fraud / synthetic-data
+    * screen (Benford 1938; Nigrini's audit use): naturally-occurring
+    * multi-magnitude amounts put digit d first with probability
+    * log10(1+1/d); fabricated or truncated data visibly deviates. One
+    * map-side-combinable 9-row groupBy over price cents; shares ride the
+    * repo's DECIMAL micro-unit discipline and the expected shares are
+    * PRECOMPUTED integer constants (301029µ..45757µ) so no engine ever
+    * evaluates log10. Output: digit, n, share_micro, benford_micro,
+    * dev_micro (|observed − expected|).
+    */
+  def q185Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val expect = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val expectSql = expect.zipWithIndex
+      .map { case (m, i) => s"WHEN ${i + 1} THEN ${m}L" }.mkString(" ")
+    val wAll = Window.partitionBy()
+    Tables.load(spark, sfDir, "lineitem")
+      .select((dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .where(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("share_micro",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV __tot AS BIGINT)"))
+      .withColumn("benford_micro", expr(s"CASE digit $expectSql END"))
+      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+      .drop("__tot")
+  }
+
+  val q185Sql: String = {
+    val expect = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val expectSql = expect.zipWithIndex
+      .map { case (m, i) => s"WHEN ${i + 1} THEN $m" }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM lineitem
+       |),
+       |d AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(COUNT(1) AS BIGINT) AS n
+       |  FROM c WHERE cents > 0 GROUP BY 1
+       |)
+       |SELECT digit, n,
+       |  CAST((CAST(n AS HUGEINT) * 1000000) // SUM(n) OVER () AS BIGINT) AS share_micro,
+       |  CAST(CASE digit $expectSql END AS BIGINT) AS benford_micro,
+       |  abs(CAST((CAST(n AS HUGEINT) * 1000000) // SUM(n) OVER () AS BIGINT)
+       |      - (CASE digit $expectSql END)) AS dev_micro
+       |FROM d""".stripMargin
+  }
+
+  /** q186: equi-depth discretization (per-nation balance deciles via
+    * `ntile(10)`) — the feature-binning step before crosses/monotonic
+    * encodings: each nation's balances split into ten equal-count ranks,
+    * remainder to the first buckets (the SQL-standard ntile rule both
+    * engines share). Total order fixed by (bal, custkey) so ties are
+    * deterministic; one hash exchange per nation.
+    */
+  def q186Deciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("nation")).orderBy(col("bal_cents"), col("custkey"))
+    Tables.load(spark, sfDir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_nationkey").as("nation"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+  }
+
+  val q186Sql: String =
+    """SELECT c_custkey AS custkey, c_nationkey AS nation,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+      |  CAST(ntile(10) OVER (PARTITION BY c_nationkey
+      |    ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), c_custkey)
+      |    AS BIGINT) AS decile
+      |FROM customer""".stripMargin
+
   /** q157: k-anonymity audit (`Profile.kAnonymity`) — the privacy QA
     * before a data release: every (nation, segment, $1000-balance-bucket)
     * quasi-identifier combination smaller than k=3 re-identifies its
@@ -765,6 +839,8 @@ object Relational {
     QueryDef("q175_global_pareto", q175GlobalPareto, Some(q175Sql)),
     QueryDef("q179_sorted_neighborhood", q179SortedNeighborhood, Some(q179Sql)),
     QueryDef("q181_percentile_rank", q181PercentileRank, Some(q181Sql)),
+    QueryDef("q185_benford", q185Benford, Some(q185Sql)),
+    QueryDef("q186_deciles", q186Deciles, Some(q186Sql)),
     QueryDef("q157_k_anonymity", q157KAnonymity, Some(q157Sql)),
     QueryDef("q158_winsorize", q158Winsorize, Some(q158Sql)),
     QueryDef("q166_bucket_drift", q166BucketDrift, Some(q166Sql)),
