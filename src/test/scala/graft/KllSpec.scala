@@ -167,6 +167,36 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("property: rank error holds across distribution shapes at k=128") {
+    val n = 60000
+    // constant: every quantile IS the value, exactly, at any k
+    val cb = new KllBuf(16)
+    (0 until n).foreach(_ => cb.update(7L))
+    assert(Kll.quantiles(cb, Qs).forall(_ == 7L))
+    // zipf-ish: value v = floor(n / (i mod 1000 + 1)) — heavy ties at the
+    // head, long sparse tail; and bimodal: two tight clusters
+    val shapes = Seq(
+      "zipf" -> (0 until n).map(i => (n / (i % 1000 + 1)).toLong),
+      "bimodal" -> (0 until n).map(i =>
+        if (i % 2 == 0) (i % 50).toLong else 1000000L + (i % 50)))
+    for ((name, data) <- shapes) {
+      val b = new KllBuf(128)
+      // insertion order scrambled deterministically
+      data.sortBy(v => (v * 2654435761L) % 999983L).foreach(b.update)
+      val sorted = data.sorted.toArray
+      Qs.zip(Kll.quantiles(b, Qs)).foreach { case (q, v) =>
+        // translate value error to rank error via the sorted multiset
+        val lo = sorted.indexWhere(_ >= v)
+        val hi = sorted.lastIndexWhere(_ <= v)
+        val trueRank = math.floor(q * (n - 1)).toLong
+        val rankErr =
+          if (lo <= trueRank && trueRank <= hi) 0L
+          else math.min(math.abs(lo - trueRank), math.abs(hi - trueRank))
+        assert(rankErr <= 0.03 * n, s"$name q=$q v=$v rankErr=$rankErr")
+      }
+    }
+  }
+
   test("deterministic: same input order gives an identical sketch") {
     val data = permuted(30000)
     val a = new KllBuf(64); data.foreach(a.update)
