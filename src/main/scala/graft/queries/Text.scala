@@ -864,6 +864,56 @@ object Text {
        |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
        |FROM cl""".stripMargin
 
+  /** q187: dataset card — the one-row release summary every published
+    * corpus ships (docs, chars, whitespace tokens, source/lang coverage,
+    * exact-dup rate, mean length), all integer-exact: counts are BIGINT,
+    * rates ride the repo's DECIMAL micro-unit discipline. One
+    * map-side-combinable pass plus one md5-groupBy for the dup rate —
+    * every number a release reviewer asks for without a notebook.
+    */
+  def q187DatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dups = docs.groupBy(md5(col("text")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c") - 1).as("dup_docs"))
+    // plain aggregates and countDistincts in SEPARATE passes: mixing them
+    // in one agg evaluates every plain aggregate on the Expand-multiplied
+    // rows (the q103 lesson — 3× the scan work for two distincts)
+    val plain = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+    val distincts = docs.agg(
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val card = plain.crossJoin(broadcast(distincts))
+      .select(col("n_docs"), col("total_chars"), col("total_tokens"),
+        col("n_sources"), col("n_langs"))
+    card.crossJoin(broadcast(dups))
+      .withColumn("dup_rate_micro",
+        expr("CAST((CAST(dup_docs AS DECIMAL(38,0)) * 1000000) DIV n_docs AS BIGINT)"))
+      .withColumn("mean_chars_micro",
+        expr("CAST((CAST(total_chars AS DECIMAL(38,0)) * 1000000) DIV n_docs AS BIGINT)"))
+  }
+
+  val q187Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents
+      |),
+      |dup AS (
+      |  SELECT CAST(SUM(c - 1) AS BIGINT) AS dup_docs
+      |  FROM (SELECT COUNT(1) AS c FROM documents GROUP BY md5(text))
+      |)
+      |SELECT n_docs, total_chars, total_tokens, n_sources, n_langs, dup_docs,
+      |  CAST((CAST(dup_docs AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS dup_rate_micro,
+      |  CAST((CAST(total_chars AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS mean_chars_micro
+      |FROM d, dup""".stripMargin
+
   /** Per-language sampling rates for q60 — a domain-mix recipe: downsample
     * the dominant class hard, keep rarer classes at higher rates, keep one
     * entirely (the rate-≥1 path). Quantized to k/256 by the operator. */
@@ -2730,6 +2780,7 @@ object Text {
     QueryDef("q60_stratified_sample", q60StratifiedSample, Some(q60Sql)),
     QueryDef("q182_stratified_folds", q182StratifiedFolds, Some(q182Sql)),
     QueryDef("q184_leakage_safe_folds", q184LeakageSafeFolds, Some(q184Sql)),
+    QueryDef("q187_dataset_card", q187DatasetCard, Some(q187Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),
     QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
     QueryDef("q57_quality_filter", q57QualityFilter, Some(q57Sql)),

@@ -48,6 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     // total-count frame (Sketches.exactHeavyHitters — same audited shape
     // as the concentration/drift totals)
     "q178_exact_heavy_hitters",
+    // q187: the dataset card assembles THREE broadcast 1-ROW aggregate
+    // frames (plain totals × distinct counts × dup count) — bounded at
+    // one row each by construction
+    "q187_dataset_card",
     // (q140's candidate-scan BNLJ — q38's few-queries broadcast shape —
     // is hidden from this audit since mmrTopK truncates its round lineage
     // via localCheckpoint: the final plan shows only Scan ExistingRDD.
