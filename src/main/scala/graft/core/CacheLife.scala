@@ -82,6 +82,14 @@ object CacheLife {
     dead.map(_._3).sorted
   }
 
+  /** Test-visible view of this session's live shared caches:
+    * cacheKey → (cached frame, declared consumer set). CacheLifeSpec uses
+    * it to rot-proof the consumer declarations against the actual plans. */
+  private[graft] def sharedEntries(spark: SparkSession): Map[String, (DataFrame, Set[String])] =
+    sharedStore.iterator.collect {
+      case ((s, _, key), Shared(df, cons)) if s == spark => key -> (df, cons)
+    }.toMap
+
   /** (cached RDD count, storage bytes mem+disk) — the bench telemetry that
     * makes in-session storage drift attributable from the artifact. */
   def storageStats(spark: SparkSession): (Int, Long) = {

@@ -349,9 +349,21 @@ object Fuzzy {
     * the integer entry point uses truncating division, which is monotone
     * including negatives). Rank correctness needs only that monotonicity;
     * bucket widths may be uneven, they just shift work between the local
-    * windows. */
+    * windows.
+    *
+    * The offsets table has one row per DISTINCT bucket, so its size is
+    * set by `bucketExpr`'s cardinality, not by the data: a too-fine
+    * bucketing (bucketWidth=1 over millions of distinct keys) would make
+    * the "tiny" table data-sized. The offsets are persisted (scoped),
+    * counted, and joined broadcast only below `maxBroadcastBuckets` rows
+    * (~24 bytes each); above it the join falls back to a shuffled hash
+    * join — correct either way, and the count also keeps the offset
+    * window's single-partition cumulative sum honest (it is bounded by
+    * the same cardinality). Aim for ≥ w rows per bucket when choosing
+    * the bucketing. */
   def sortedNeighborhoodBy(df: DataFrame, idCol: String, keyCol: String,
-      w: Int, bucketExpr: Column): DataFrame = {
+      w: Int, bucketExpr: Column,
+      maxBroadcastBuckets: Long = 1L << 22): DataFrame = {
     require(w >= 2, "window must pair each row with at least one successor")
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__bkt"))
@@ -364,12 +376,16 @@ object Fuzzy {
     val bucketed = df.select(col(idCol), col(keyCol))
       .where(col(keyCol).isNotNull)
       .withColumn("__bkt", bucketExpr)
-    val offsets = bucketed.groupBy(col("__bkt"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .drop("__c")
+    val offsets = graft.core.CacheLife.scoped(
+      bucketed.groupBy(col("__bkt"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+        .drop("__c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val offsetsSized =
+      if (offsets.count() <= maxBroadcastBuckets) broadcast(offsets) else offsets
     val ranked = bucketed
-      .join(broadcast(offsets), Seq("__bkt"))
+      .join(offsetsSized, Seq("__bkt"))
       .withColumn("__r", col("__off") + row_number().over(wLoc))
       .select(col(idCol), col(keyCol), col("__r"))
     val probes = ranked

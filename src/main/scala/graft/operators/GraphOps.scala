@@ -298,18 +298,30 @@ object GraphOps {
 
     val linked = graft.core.CacheLife.scoped(
       ue.persist(StorageLevel.MEMORY_AND_DISK))
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // `cached` carries (node, label[, __prev]); `labels` is its 2-column
+    // view fed to the next round's join/union
+    var cached = nodes.select(col("node"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = cached
     var i = 0
     var converged = false
     while (i < iters && !converged) {
+      // the self-vote row smuggles the node's CURRENT label through the
+      // vote aggregates (__self is null on neighbor votes, so max(__self)
+      // per (node,label) group is non-null exactly for the prev-label
+      // group, and max of that per node is prev) — the convergence probe
+      // then reads `label != __prev` off the same pass instead of
+      // re-joining this round's labels against last round's
       val votes = linked.join(labels, linked("src") === labels("node"))
-        .select(linked("dst").as("node"), col("label"))
-        .unionByName(labels.select(col("node"), col("label")))
+        .select(linked("dst").as("node"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("__self"))
+        .unionByName(labels.select(col("node"), col("label"),
+          col("label").as("__self")))
       val next = votes.groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt"), max(col("__self")).as("__pv"))
         .groupBy(col("node"))
-        .agg(max_by(col("label"), struct(col("cnt"), negate(col("label")))).as("label"))
+        .agg(max_by(col("label"), struct(col("cnt"), negate(col("label")))).as("label"),
+          max(col("__pv")).as("__prev"))
       val persisted =
         (if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(false) else next)
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -317,15 +329,15 @@ object GraphOps {
       // synchronous LPA at an all-labels-stable round is a FIXED POINT
       // (identical labels produce identical votes), so stopping early is
       // result-identical while saving every remaining round's shuffles
-      val changed = persisted
-        .join(labels.select(col("node"), col("label").as("__prev")), Seq("node"))
-        .where(col("label") =!= col("__prev")).count()
-      labels.unpersist(false)
-      labels = persisted
+      val changed = persisted.where(col("label") =!= col("__prev")).count()
+      cached.unpersist(false)
+      cached = persisted
+      labels = persisted.select(col("node"), col("label"))
       i += 1
       if (changed == 0L) converged = true
     }
-    graft.core.CacheLife.scoped(labels)
+    graft.core.CacheLife.scoped(cached)
+    labels
   }
 
   /** Driver-side twin for bounded graphs: identical vote/tie rule over

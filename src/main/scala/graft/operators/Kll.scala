@@ -67,6 +67,11 @@ object Kll {
     }
 
     private def addLevel(): Unit = {
+      // level h items weigh 2^h; an index-63 level would weigh 2^63 —
+      // unrepresentable in a 64-bit weight (and total weight would have
+      // overflowed Long already). Reachable only past ~2^62 total weight.
+      require(levels.length < 63,
+        "kll sketch total weight exceeds 2^62 — weights no longer fit in 64 bits")
       levels += ArrayBuffer.empty[Long]
       refreshCaps()
     }
@@ -103,6 +108,11 @@ object Kll {
     }
 
     def mergeIn(o: KllBuf): Unit = {
+      // sketches built at different k carry different error bounds; a
+      // silent merge would keep this side's k label while inheriting the
+      // other side's weaker accuracy — make the mismatch an error
+      require(o.k == k,
+        s"cannot merge kll sketches with different k: $k vs ${o.k}")
       while (levels.length < o.levels.length) addLevel()
       var h = 0
       while (h < o.levels.length) {
@@ -178,7 +188,10 @@ object Kll {
     val w = items.iterator.map(_._2).sum
     require(w > 0, "quantiles on empty sketch")
     qs.map { q =>
-      val t = math.floor(q * (w - 1).toDouble).toLong // 0-indexed target
+      // 0-indexed target rank in exact decimal arithmetic: double
+      // multiplication loses integer precision past 2^53 total weight
+      val t = (BigDecimal(q) * BigDecimal(w - 1))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
       var cw = 0L
       var i = 0
       while (cw <= t && i < items.length) { cw += items(i)._2; i += 1 }
@@ -217,11 +230,15 @@ object Kll {
     val spark = df.sparkSession
     import spark.implicits._
     val qdf = broadcast(qs.toDF("q"))
+    // target rank t = floor(q·(tw−1)) in DECIMAL: q at 15 exact decimal
+    // places times a BIGINT stays within DECIMAL(37,15), so the product is
+    // computed exactly — a DOUBLE product loses integer precision past
+    // 2^53 total weight, silently shifting the extracted rank
+    val target = "CAST(floor(CAST(q AS DECIMAL(16,15)) * (tw - 1)) AS BIGINT)"
     ranked.join(qdf,
-        // inclusive cumulative weight straddles target rank t = floor(q(tw-1)):
+        // inclusive cumulative weight straddles the target rank:
         // previous cw (= cw - w) <= t < cw — exactly one item per (key, q)
-        expr("cw - w <= CAST(floor(q * (tw - 1)) AS BIGINT)") &&
-          expr("CAST(floor(q * (tw - 1)) AS BIGINT) < cw"))
+        expr(s"cw - w <= $target") && expr(s"$target < cw"))
       .select(kcols ++ Seq(col("q"), col("v").as("value")): _*)
   }
 }

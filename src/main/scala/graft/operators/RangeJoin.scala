@@ -17,27 +17,46 @@ import org.apache.spark.sql.functions._
   *
   * Pick `bucketWidth` near the median interval length: much smaller means
   * wide expansion of long intervals; much larger means many false candidates
-  * per bucket.
+  * per bucket. Pass `bucketWidth = 0` to have [[RangeJoin.medianWidth]]
+  * pick it automatically from a sampled median of interval lengths.
   */
 object RangeJoin {
 
+  /** Median interval length — the auto `bucketWidth` used when a caller
+    * passes 0. One column-pruned `percentile_approx` pass over the
+    * non-empty intervals (a tiny extra job relative to the join itself;
+    * deterministic at fixed accuracy). Empty input falls back to 1.
+    */
+  def medianWidth(intervals: DataFrame, startCol: String, endCol: String): Long =
+    medianLen(intervals.select((col(endCol) - col(startCol)).cast("long").as("len")))
+
+  private def medianLen(lens: DataFrame): Long = {
+    val row = lens.where(col("len") > 0)
+      .select(percentile_approx(col("len"), lit(0.5), lit(10000)).as("w"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
   /** Join each point row (integer `ptCol`) to every interval row whose
     * `[startCol, endCol)` contains it. All three columns must be the same
-    * integer unit (e.g. epoch ns).
+    * integer unit (e.g. epoch ns). `bucketWidth = 0` auto-selects the
+    * median interval length.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame, ptCol: String,
       startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(bucketWidth >= 0, "bucketWidth must be positive (or 0 for auto)")
+    val bw = if (bucketWidth == 0) medianWidth(intervals, startCol, endCol)
+             else bucketWidth
     require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
     // empty/inverted intervals ([s, e) with e <= s) contain no point and
     // would explode to a DESCENDING bucket sequence (spurious buckets);
     // drop them before the expansion — exactly the half-open semantics
-    val p = points.withColumn("__bucket", expr(s"$ptCol DIV $bucketWidth"))
+    val p = points.withColumn("__bucket", expr(s"$ptCol DIV $bw"))
     val iv = intervals.where(col(endCol) > col(startCol))
       .withColumn("__bucket",
-        explode(sequence(expr(s"$startCol DIV $bucketWidth"),
-          expr(s"($endCol - 1) DIV $bucketWidth"))))
+        explode(sequence(expr(s"$startCol DIV $bw"),
+          expr(s"($endCol - 1) DIV $bw"))))
     iv.join(p, Seq("__bucket"))
       .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")
@@ -59,24 +78,31 @@ object RangeJoin {
     * and are dropped before the expansion — without the filter they
     * would explode to descending (spurious) bucket sequences and
     * [s, s) would wrongly match any interval containing s.
+    * `bucketWidth = 0` auto-selects the median length pooled over BOTH
+    * sides' intervals (each side's expansion and the candidate density
+    * depend on both distributions).
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(bucketWidth >= 0, "bucketWidth must be positive (or 0 for auto)")
+    val bw = if (bucketWidth == 0) medianLen(
+      left.select((col(lEnd) - col(lStart)).cast("long").as("len"))
+        .unionAll(right.select((col(rEnd) - col(rStart)).cast("long").as("len"))))
+    else bucketWidth
     require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
     val l = left.where(col(lEnd) > col(lStart))
       .withColumn("__bucket",
-        explode(sequence(expr(s"$lStart DIV $bucketWidth"),
-          expr(s"($lEnd - 1) DIV $bucketWidth"))))
+        explode(sequence(expr(s"$lStart DIV $bw"),
+          expr(s"($lEnd - 1) DIV $bw"))))
     val r = right.where(col(rEnd) > col(rStart))
       .withColumn("__bucket",
-        explode(sequence(expr(s"$rStart DIV $bucketWidth"),
-          expr(s"($rEnd - 1) DIV $bucketWidth"))))
+        explode(sequence(expr(s"$rStart DIV $bw"),
+          expr(s"($rEnd - 1) DIV $bw"))))
     l.join(r, Seq("__bucket"))
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .where(expr(s"greatest($lStart, $rStart) DIV $bucketWidth") === col("__bucket"))
+      .where(expr(s"greatest($lStart, $rStart) DIV $bw") === col("__bucket"))
       .drop("__bucket")
   }
 }

@@ -1141,11 +1141,29 @@ object TextOps {
     * candidates. All-integer throughout: the threshold test is the cross
     * multiplication `thrDen·|∩| ≥ thrNum·|∪|`.
     *
+    * On top of the prefix filter, both PPJoin candidate filters (Xiao
+    * et al. 2008 §3) prune at match time, before the dedup/verify
+    * shuffles, with zero recall loss:
+    *
+    *  - LENGTH: Jaccard ≥ t forces `t·max(|A|,|B|) ≤ min(|A|,|B|)` (the
+    *    smaller set alone caps the intersection, the larger alone floors
+    *    the union), i.e. `thrDen·min ≥ thrNum·max` in integers.
+    *  - POSITIONAL: a shared prefix token at 1-based positions (i, j) in
+    *    the SAME canonical order bounds the overlap by
+    *    `1 + min(|A|−i, |B|−j)` (every other common token lies after it
+    *    in both lists). Jaccard ≥ t needs overlap
+    *    `α = ⌈t·(|A|+|B|)/(1+t)⌉` (from |∩| ≥ t·(|A|+|B|−|∩|)), so a
+    *    token match with bound < α cannot witness a qualifying pair.
+    *    Recall holds because for a qualifying pair the SMALLEST common
+    *    token is in both prefixes and its bound ≥ the true overlap ≥ α.
+    *
     * Scale shape: df count + rank join + per-doc sort are one shuffle
     * each on corpus-sized rows; the candidate join shuffles only prefix
-    * tokens (≈ (1-t)·corpus tokens); verification is candidate-bounded.
-    * Every corpus-sized join side carries `shuffle_hash` for the same
-    * reason as [[jaccardFromHashes]].
+    * tokens (≈ (1-t)·corpus tokens) and the PPJoin filters cut the
+    * matched rows before the `distinct` shuffle; verification is
+    * candidate-bounded, and carrying (|A|, |B|) through the candidate
+    * row makes the final union arithmetic join-free. Every corpus-sized
+    * join side carries `shuffle_hash` as in [[jaccardFromHashes]].
     */
   def prefixFilterJoin(docs: DataFrame, thrNum: Int = 4, thrDen: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -1154,6 +1172,27 @@ object TextOps {
   /** [[prefixFilterJoin]] over a precomputed (doc, shingle-hash) table. */
   def prefixFilterFromHashes(sh: DataFrame, thrNum: Int, thrDen: Int,
       idCol: String = "doc_id"): DataFrame = {
+    val cand = prefixCandidates(sh, thrNum, thrDen, idCol)
+    val sh2 = sh.select(col(idCol).as("pid"), col("h"))
+    cand.hint("shuffle_hash")
+      .join(sh2.select(col("pid").as("doc_a"), col("h")), "doc_a")
+      .join(sh2.select(col("pid").as("doc_b"), col("h").as("h2")).hint("shuffle_hash"), "doc_b")
+      .filter(col("h") === col("h2"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter").cast("long").as("n_inter"),
+        (col("__na") + col("__nb") - col("n_inter")).cast("long").as("n_union"))
+      .filter(col("n_inter") * thrDen >= col("n_union") * thrNum)
+  }
+
+  /** Candidate pairs of [[prefixFilterFromHashes]] — (doc_a, doc_b, __na,
+    * __nb) with a < b, distinct. Package-private with filter toggles so
+    * TextSpec/ScaleBench can MEASURE the PPJoin filters' candidate-count
+    * reduction; production callers always run both (zero recall loss —
+    * see [[prefixFilterJoin]]'s proof sketch). */
+  private[graft] def prefixCandidates(sh: DataFrame, thrNum: Int, thrDen: Int,
+      idCol: String = "doc_id", lengthFilter: Boolean = true,
+      positionalFilter: Boolean = true): DataFrame = {
     require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold $thrNum/$thrDen must lie in (0, 1]")
     val sh2 = sh.select(col(idCol).as("pid"), col("h"))
@@ -1163,27 +1202,32 @@ object TextOps {
         array_sort(collect_list(struct(col("__df"), col("h")))).as("__ks"),
         count(lit(1)).cast("int").as("__m"))
     // prefix length p = m - ceil(t·m) + 1 (integer ceil via (m·num+den-1) DIV den)
-    val pfx = lists.select(col("pid"),
-      explode(slice(col("__ks"), lit(1),
+    val pfx = lists.select(col("pid"), col("__m"),
+      posexplode(slice(col("__ks"), lit(1),
         col("__m") - expr(s"(__m * $thrNum + $thrDen - 1) DIV $thrDen").cast("int")
-          + lit(1))).as("k"))
-      .select(col("pid"), col("k.h").as("h"))
-    val cand = pfx.select(col("pid").as("doc_a"), col("h")).hint("shuffle_hash")
-      .join(pfx.select(col("pid").as("doc_b"), col("h")).hint("shuffle_hash"), "h")
+          + lit(1))))
+      .select(col("pid"), col("__m"), (col("pos") + 1).as("__p"), col("col.h").as("h"))
+    val matched = pfx.select(col("pid").as("doc_a"), col("__m").as("__na"),
+        col("__p").as("__pa"), col("h")).hint("shuffle_hash")
+      .join(pfx.select(col("pid").as("doc_b"), col("__m").as("__nb"),
+        col("__p").as("__pb"), col("h")).hint("shuffle_hash"), "h")
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val sizes = sh2.groupBy(col("pid")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand.hint("shuffle_hash")
-      .join(sh2.select(col("pid").as("doc_a"), col("h")), "doc_a")
-      .join(sh2.select(col("pid").as("doc_b"), col("h").as("h2")).hint("shuffle_hash"), "doc_b")
-      .filter(col("h") === col("h2"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("pid").as("doc_a"), col("n_sh").as("__na")).hint("shuffle_hash"), "doc_a")
-      .join(sizes.select(col("pid").as("doc_b"), col("n_sh").as("__nb")).hint("shuffle_hash"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_inter").cast("long").as("n_inter"),
-        (col("__na") + col("__nb") - col("n_inter")).cast("long").as("n_union"))
-      .filter(col("n_inter") * thrDen >= col("n_union") * thrNum)
+    // PPJoin length filter: thrDen·min(na,nb) ≥ thrNum·max(na,nb)
+    val lenFiltered = if (lengthFilter)
+      matched.filter(least(col("__na"), col("__nb")) * thrDen >=
+        greatest(col("__na"), col("__nb")) * thrNum)
+    else matched
+    // PPJoin positional filter: overlap upper bound from this token's
+    // positions must reach α; integer form (1+min)·(num+den) ≥ num·(na+nb)
+    val posFiltered = if (positionalFilter)
+      lenFiltered.filter(
+        (lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb"))) *
+          (thrNum + thrDen) >= (col("__na") + col("__nb")) * thrNum)
+    else lenFiltered
+    // sizes are functionally dependent on the ids, so carrying them
+    // through distinct is free and saves two size-rejoin shuffles later
+    posFiltered.select(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .distinct()
   }
 
   /** Turn-threaded chat assembly — the SFT-formatting pass that turns an

@@ -169,7 +169,8 @@ object Events {
     val events = Tables.loadEvents(spark, sfDir)
       .select(col("ts").as("ts_ns"), col("event_type"), col("value"))
     graft.operators.RangeJoin
-      .pointInInterval(events, intervals, "ts_ns", "start_ns", "end_ns", bucketWidth = hour)
+      // bucketWidth = 0: auto-selected median interval length (90 min here)
+      .pointInInterval(events, intervals, "ts_ns", "start_ns", "end_ns", bucketWidth = 0L)
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_events"),
         exactSum(col("value")).as("sum_value"))
@@ -210,8 +211,9 @@ object Events {
       .select(col("ts").as("b_start"), (col("ts") + lit(hour / 2)).as("b_end"),
         col("value"))
     graft.operators.RangeJoin
+      // bucketWidth = 0: auto median over BOTH sides' interval lengths
       .intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end",
-        bucketWidth = hour)
+        bucketWidth = 0L)
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_overlaps"), exactSum(col("value")).as("sum_value"))
   }

@@ -168,8 +168,12 @@ case class KllMergeAgg(child: Expression,
         s"kll_merge expects a kll_sketch struct, got $other")
     }
 
-  // the buffer starts empty and adopts the first input's k; an all-null
-  // group evals to an empty k=8 sketch (extraction yields no rows)
+  // the buffer starts empty and adopts the first NON-EMPTY input's k; an
+  // all-null/all-empty group evals to an empty k=8 sketch (extraction
+  // yields no rows). Empty sketches merge as no-ops regardless of their
+  // k label (they carry no mass); NON-empty inputs must agree on k —
+  // KllBuf.mergeIn rejects a mismatch rather than silently keeping the
+  // first shard's k while inheriting the other's weaker error bound.
   override def createAggregationBuffer(): KllBuf = new KllBuf(8)
   private def isEmpty(b: KllBuf): Boolean =
     b.comps == 0L && b.levels.forall(_.isEmpty)
@@ -179,12 +183,16 @@ case class KllMergeAgg(child: Expression,
     if (v == null) b
     else {
       val o = KllSchema.fromRow(v.asInstanceOf[InternalRow])
-      if (isEmpty(b)) o else { b.mergeIn(o); b }
+      if (isEmpty(o)) b
+      else if (isEmpty(b)) o
+      else { b.mergeIn(o); b }
     }
   }
 
   override def merge(b: KllBuf, o: KllBuf): KllBuf =
-    if (isEmpty(b)) o else { b.mergeIn(o); b }
+    if (isEmpty(o)) b
+    else if (isEmpty(b)) o
+    else { b.mergeIn(o); b }
 
   override def eval(b: KllBuf): Any = KllSchema.toRow(b)
   override def serialize(b: KllBuf): Array[Byte] = Kll.serialize(b)

@@ -12,6 +12,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Default sliding retention window (in micro-batches) for the
+    * batch_id-partitioned store tables (near-dup band/vector/line stores,
+    * drift counts). Finite BY DEFAULT: an unbounded store makes per-batch
+    * cost grow linearly and cumulative cost quadratically with stream
+    * length, which is never the right silent default for a long-lived
+    * ingest stream. Pass [[Unbounded]] to opt in to full-history
+    * retention explicitly.
+    */
+  val DefaultRetainBatches: Int = 64
+
+  /** Explicit opt-in for unbounded store retention (see
+    * [[DefaultRetainBatches]]). */
+  val Unbounded: Int = -1
+
+  /** `retainBatches` contract: positive sliding window or the explicit
+    * [[Unbounded]] sentinel. 0 is rejected — it used to silently mean
+    * unbounded, the exact foot-gun a finite default exists to remove. */
+  private def checkRetain(retainBatches: Int): Unit =
+    require(retainBatches > 0 || retainBatches == Unbounded,
+      s"retainBatches must be a positive window or Streaming.Unbounded (-1); got $retainBatches")
+
   final case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
   final case class SessionState(nEvents: Long, nSessions: Long, lastTsUs: Long)
   final case class SessionUpdate(userId: Long, nEvents: Long, nSessions: Long)
@@ -125,19 +146,19 @@ object Streaming {
     * its own output. Store paths resolve through the Hadoop FileSystem
     * API, so `storeDir` may live on HDFS/S3, not just the local disk.
     *
-    * Retention: with the default `retainBatches = 0` the store is
-    * UNBOUNDED — every batch joins against all history, so per-batch cost
-    * grows linearly and cumulative cost quadratically with stream length.
-    * A positive `retainBatches` keeps a sliding window of that many prior
-    * batches: older partitions are pruned before the read, per-batch cost
-    * is O(window), and the near-dup promise narrows to "against the last
-    * N batches" (the watermark-horizon trade [[dedupStream]] makes,
-    * expressed as table retention).
+    * Retention: `retainBatches` keeps a sliding window of that many
+    * prior batches (default [[DefaultRetainBatches]]): older partitions
+    * are pruned before the read, per-batch cost is O(window), and the
+    * near-dup promise narrows to "against the last N batches" (the
+    * watermark-horizon trade [[dedupStream]] makes, expressed as table
+    * retention). Pass [[Unbounded]] to join every batch against ALL
+    * history — an explicit opt-in because per-batch cost then grows
+    * linearly and cumulative cost quadratically with stream length.
     */
   def embeddingNearDupStream(vectors: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, threshold: Double, planes: Int, bands: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      retainBatches: Int = 0): StreamingQuery =
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -166,11 +187,13 @@ object Streaming {
   }
 
   /** Retention horizon for a store at batch `batchId`: the smallest
-    * batch_id still inside the window, or MinValue when `retainBatches`
-    * ≤ 0 (unbounded — the default; per-batch cost then grows with total
-    * history, so long-lived streams should set a horizon). */
-  private def horizonOf(batchId: Long, retainBatches: Int): Long =
+    * batch_id still inside the window, or MinValue for [[Unbounded]]
+    * (explicit opt-in — per-batch cost then grows with total history).
+    * Validates the [[checkRetain]] contract on every batch. */
+  private def horizonOf(batchId: Long, retainBatches: Int): Long = {
+    checkRetain(retainBatches)
     if (retainBatches > 0) batchId - retainBatches else Long.MinValue
+  }
 
   /** Drop store partitions strictly below the horizon. Deterministic in
     * batchId (a retry of batch N prunes the same set it pruned the first
@@ -198,7 +221,7 @@ object Streaming {
   private[graft] def processNearDupBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, threshold: Double, planes: Int,
       bands: Int, idCol: String, vecCol: String,
-      retainBatches: Int = 0): Unit = {
+      retainBatches: Int = DefaultRetainBatches): Unit = {
     import graft.operators.Similarity
     val spark = batch.sparkSession
     val horizon = horizonOf(batchId, retainBatches)
@@ -248,8 +271,8 @@ object Streaming {
     * never re-reads old media), and append as (id_a, id_b, hamming) with
     * id_a the earlier-seen side. `bands > maxHamming` keeps the pigeonhole
     * recall guarantee batch-equal per batch AND across batches (the store
-    * holds every admitted band row inside the retention window; with the
-    * default `retainBatches = 0` that window is the whole stream).
+    * holds every admitted band row inside the retention window; pass
+    * [[Unbounded]] to make that window the whole stream).
     *
     * Same exactly-once contract as [[embeddingNearDupStream]]: state is a
     * batch_id-partitioned table, retries overwrite their own partition,
@@ -258,7 +281,7 @@ object Streaming {
   def fingerprintNearDupStream(hashes: DataFrame, outDir: String,
       storeDir: String, checkpoint: String, bits: Int, bands: Int,
       maxHamming: Int, idCol: String = "media_id",
-      hashCol: String = "dhash", retainBatches: Int = 0): StreamingQuery =
+      hashCol: String = "dhash", retainBatches: Int = DefaultRetainBatches): StreamingQuery =
     hashes.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -271,14 +294,13 @@ object Streaming {
   private[graft] def processFingerprintBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, bits: Int, bands: Int,
       maxHamming: Int, idCol: String, hashCol: String,
-      retainBatches: Int = 0): Unit = {
+      retainBatches: Int = DefaultRetainBatches): Unit = {
     import graft.operators.Fuzzy
     require(bands > maxHamming,
       s"recall guarantee needs bands > maxHamming, got $bands <= $maxHamming")
     val spark = batch.sparkSession
-    // same retention contract as embeddingNearDupStream: default
-    // unbounded (per-batch cost O(total history)); a positive
-    // retainBatches bounds the store to a sliding window
+    // same retention contract as embeddingNearDupStream: finite sliding
+    // window by default; Unbounded (-1) opts in to O(total history)
     val horizon = horizonOf(batchId, retainBatches)
     pruneStore(spark, s"$storeDir/bands", horizon)
     val b = batch.select(col(idCol), col(hashCol)).persist()
@@ -319,20 +341,23 @@ object Streaming {
     * and append to `outDir` as (doc_a, doc_b, jaccard) with doc_a the
     * earlier-seen side.
     *
-    * Same production shape and exactly-once contract as
-    * [[embeddingNearDupStream]]: state in tables (`storeDir/bands`,
-    * `storeDir/shingles`), every write batch_id-partitioned and
-    * overwritten on retry, store reads only strictly-earlier partitions.
+    * Same production shape, exactly-once contract, AND retention
+    * contract as [[embeddingNearDupStream]]: state in tables
+    * (`storeDir/bands`, `storeDir/shingles`), every write
+    * batch_id-partitioned and overwritten on retry, store reads only
+    * strictly-earlier partitions inside the `retainBatches` window
+    * (finite by default; [[Unbounded]] opts in to full history).
     */
   def textNearDupStream(docs: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, threshold: Double, numHashes: Int = 16, rows: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+      idCol: String = "doc_id", textCol: String = "text",
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processTextNearDupBatch(batch, batchId, outDir, storeDir, threshold,
-          numHashes, rows, idCol, textCol)
+          numHashes, rows, idCol, textCol, retainBatches)
       }
       .start()
 
@@ -340,16 +365,20 @@ object Streaming {
     * for why this is a named, directly-testable step). */
   private[graft] def processTextNearDupBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, threshold: Double, numHashes: Int,
-      rows: Int, idCol: String, textCol: String): Unit = {
+      rows: Int, idCol: String, textCol: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
     import graft.operators.TextOps
     val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/bands", horizon)
+    pruneStore(spark, s"$storeDir/shingles", horizon)
     // batch shingle hashes are the shared prefix of banding AND Jaccard —
     // compute once, persist for the batch's lifetime
     val sh = TextOps.shingleHashes(batch, idCol, textCol).persist()
     val sigs = TextOps.minhashFromHashes(sh, numHashes, idCol)
     val bb = TextOps.lshBands(sigs, numHashes, rows, idCol)
-    val storeBands = committedOr(spark, s"$storeDir/bands", batchId, bb.limit(0))
-    val storeSh = committedOr(spark, s"$storeDir/shingles", batchId, sh.limit(0))
+    val storeBands = committedOr(spark, s"$storeDir/bands", batchId, bb.limit(0), horizon)
+    val storeSh = committedOr(spark, s"$storeDir/shingles", batchId, sh.limit(0), horizon)
     // within-batch pairs (a < b) + cross-store pairs (stored id first)
     val l = bb.select(col(idCol).as("doc_a"), col("band_id"), col("band_hash"))
     val r = bb.select(col(idCol).as("doc_b"), col("band_id"), col("band_hash"))
@@ -826,7 +855,7 @@ object Streaming {
     */
   def lineDedupStream(docs: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
-      retainBatches: Int = 0): StreamingQuery =
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -840,7 +869,7 @@ object Streaming {
     * twin-equality and idempotency testing. */
   private[graft] def processLineDedupBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, idCol: String, textCol: String,
-      retainBatches: Int = 0): Unit = {
+      retainBatches: Int = DefaultRetainBatches): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val horizon = horizonOf(batchId, retainBatches)
@@ -955,6 +984,114 @@ object Streaming {
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     mine.write.mode("overwrite").parquet(s"$storeDir/sketches/batch_id=$batchId")
     ()
+  }
+
+  /** Streaming heavy hitters — the ingest-time twin of the batch exact
+    * Misra–Gries pass (`Sketches.exactHeavyHitters`, q178), built on the
+    * MERGEABILITY of MG summaries (Agarwal et al., Mergeable Summaries,
+    * PODS 2012): each micro-batch stores ITS OWN ≤(k−1)-row summary
+    * (batch_id-partitioned, overwrite-on-retry), and the per-batch emit
+    * merges all committed summaries in the retention window by summing
+    * counters per token.
+    *
+    * Semantics of the emit (candidates + error bound, not exact counts —
+    * an exact recount would need re-scanning raw batches the stream does
+    * not keep): `cnt_lb ≤ true_count ≤ cnt_lb + n_total/k`, because each
+    * batch's MG residuals under-count by at most n_batch/k and deficits
+    * add across the window. Consequently the candidate set is a SUPERSET
+    * of every token with true windowed count > n_total/k (pigeonhole: it
+    * must beat n_b/k in some batch and so survive that batch's summary),
+    * and `guaranteed = cnt_lb·k > n_total` marks tokens PROVEN heavy from
+    * the lower bound alone. Output at `outDir/batch_id=N`:
+    * (tok, cnt_lb, n_total, guaranteed).
+    *
+    * Same exactly-once and retention contracts as the near-dup stores:
+    * reads see strictly-earlier partitions inside the window, writes
+    * overwrite their own partition, store size is O(window·k).
+    */
+  def heavyHittersStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, tokCol: String = "tok", k: Int = 256,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHeavyHittersBatch(batch, batchId, outDir, storeDir, tokCol,
+          k, retainBatches)
+      }
+      .start()
+
+  /** One micro-batch of [[heavyHittersStream]] — package-private for
+    * direct superset/idempotency testing. */
+  private[graft] def processHeavyHittersBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, tokCol: String, k: Int,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/mg", horizon)
+    val mine = mgSummary(batch, tokCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/mg", batchId, mine.limit(0), horizon)
+      .unionByName(mine)
+    // window total rides the null-token sentinel rows; 1-row broadcast
+    val totalDf = all.where(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    all.where(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt_lb"))
+      .join(broadcast(totalDf), lit(true), "left")
+      .withColumn("guaranteed", col("cnt_lb") * k > col("n_total"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/mg/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
+  /** Misra–Gries summary of one batch as (tok, cnt) rows — ≤ k−1
+    * candidate rows with `true − n/k ≤ cnt ≤ true`, plus the batch total
+    * as a null-token sentinel row. Per-partition O(k)-memory MG loops
+    * (same scan as the batch operator's pass 1, but KEEPING the residual
+    * counters, not just survivor keys) merge by the mergeable-summaries
+    * rule: sum counters per token, subtract the k-th largest merged
+    * count, drop non-positives. The rank window runs over the already-
+    * summarized candidate rows (≤ partitions·(k−1)) — bounded by layout,
+    * never by data.
+    */
+  private def mgSummary(batch: DataFrame, tokCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavy hitters needs k >= 2, got $k")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = batch.select(col(tokCol).cast("string").as("tok"))
+      .where(col("tok").isNotNull)
+    val perPart = t.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      while (it.hasNext) {
+        val tok = it.next()
+        np += 1
+        val cur = counters.getOrElse(tok, -1L)
+        if (cur >= 0L) counters(tok) = cur + 1L
+        else if (counters.size < k - 1) counters(tok) = 1L
+        else counters.toArray.foreach { case (kk, c) =>
+          if (c == 1L) counters.remove(kk) else counters(kk) = c - 1L
+        }
+      }
+      counters.iterator.map { case (tk, c) => (tk, c) } ++
+        Iterator(((null: String), np))
+    }.toDF("tok", "cnt")
+    val summed = perPart.where(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+    val ranked = summed.withColumn("__rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    val kth = ranked.where(col("__rk") === k).select(col("cnt").as("__sub"))
+    val pruned = ranked.where(col("__rk") < k)
+      .join(broadcast(kth), lit(true), "left")
+      .select(col("tok"), (col("cnt") - coalesce(col("__sub"), lit(0L))).as("cnt"))
+      .where(col("cnt") > 0)
+    val sentinel = perPart.where(col("tok").isNull)
+      .groupBy().agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+      .select(lit(null).cast("string").as("tok"), col("cnt"))
+    pruned.unionByName(sentinel)
   }
 
   /** Streaming ordered-funnel progress — the ingest-time twin of the batch
@@ -1119,18 +1256,25 @@ object Streaming {
     * total-variation report of everything seen so far against a STATIC
     * reference snapshot (the training distribution). Same count-delta
     * store as [[kAnonymityStream]] — per-batch cost O(batch + buckets ×
-    * batches), compactable with [[compactStore]]; replay-idempotent.
+    * window), compactable with [[compactStore]]; replay-idempotent.
     * `reference` must carry the same single bucket column.
+    * `retainBatches` bounds the comparison to a sliding window of recent
+    * batches (finite by default — for drift this is usually also the
+    * more USEFUL monitor: "is recent traffic drifting?" rather than
+    * diluting a fresh shift into all-time history); [[Unbounded]] opts
+    * in to everything-seen-so-far semantics.
     */
   def bucketDriftStream(rows: DataFrame, reference: DataFrame, outDir: String,
-      storeDir: String, checkpoint: String, bucketCol: String): StreamingQuery = {
+      storeDir: String, checkpoint: String, bucketCol: String,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
     val refCounts = reference.groupBy(col(bucketCol))
       .agg(count(lit(1)).as("n_rows")).persist()
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBucketDriftBatch(batch, batchId, refCounts, outDir, storeDir, bucketCol)
+        processBucketDriftBatch(batch, batchId, refCounts, outDir, storeDir,
+          bucketCol, retainBatches)
       }
       .start()
   }
@@ -1140,12 +1284,14 @@ object Streaming {
     * n_rows) reference. */
   private[graft] def processBucketDriftBatch(batch: DataFrame, batchId: Long,
       refCounts: DataFrame, outDir: String, storeDir: String,
-      bucketCol: String): Unit = {
+      bucketCol: String, retainBatches: Int = DefaultRetainBatches): Unit = {
     val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
     val delta = batch.groupBy(col(bucketCol))
       .agg(count(lit(1)).as("n_rows")).persist()
     delta.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
-    val seen = committedOr(spark, s"$storeDir/counts", batchId, delta.limit(0))
+    val seen = committedOr(spark, s"$storeDir/counts", batchId, delta.limit(0), horizon)
       .unionByName(delta)
       .groupBy(col(bucketCol)).agg(sum(col("n_rows")).as("n_rows"))
     graft.operators.Profile.bucketDriftFromCounts(seen, refCounts, bucketCol)

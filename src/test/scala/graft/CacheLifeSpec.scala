@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+/** Rot-proofs the CacheLife consumer declarations against reality.
+  *
+  * The shared-cache release policy is only sound if (a) every declared
+  * consumer name is a real registered query (a typo'd name never
+  * "completes", so its cache would live to end-of-session — the r11 drift
+  * class all over again) and (b) every query whose plan actually READS a
+  * shared cached relation is in that cache's consumer set (a missing name
+  * means the cache can be unpersisted while a later query still needs it,
+  * silently recomputing the cached subtree). Both directions are checked
+  * from the ANALYZED plans, so adding a query that joins a cache family
+  * without updating its consumer set fails here, not in a 2× bench entry
+  * three rounds later.
+  */
+class CacheLifeSpec extends SparkSpec {
+
+  /** Construct every registered query once — shared caches materialize
+    * their store entries at DataFrame-construction time. */
+  private lazy val queryPlans: Map[String, DataFrame] =
+    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sfDir) }
+
+  /** The cache-substitution builders of a frame's plan — CacheManager
+    * swaps persisted subtrees for InMemoryRelations sharing the SAME
+    * CachedRDDBuilder instance, so reference identity maps a relation in
+    * any query's plan back to the shared entry that owns it. */
+  private def buildersOf(df: DataFrame): Seq[AnyRef] =
+    df.queryExecution.withCachedData.collect {
+      case r: InMemoryRelation => r.cacheBuilder
+    }
+
+  private lazy val entries: Map[String, (DataFrame, Set[String])] = {
+    queryPlans // force construction so every shared cache registers
+    graft.core.CacheLife.sharedEntries(spark)
+  }
+
+  private lazy val entryBuilders: Map[String, Seq[AnyRef]] =
+    entries.map { case (key, (df, _)) => key -> buildersOf(df) }
+
+  test("shared caches exist to audit (fixture sanity)") {
+    assert(entries.nonEmpty, "no shared caches registered — did the query " +
+      "modules stop using CacheLife.shared?")
+  }
+
+  test("every declared consumer is a registered query name") {
+    val known = SparkEntry.queries.keySet
+    for ((key, (_, consumers)) <- entries) {
+      val ghosts = consumers -- known
+      assert(ghosts.isEmpty,
+        s"cache '$key' declares consumers that are not registered queries " +
+          s"(they would never 'complete', pinning the cache for the whole " +
+          s"session): ${ghosts.toSeq.sorted.mkString(", ")}")
+    }
+  }
+
+  test("every query reading a shared cache is in that cache's consumer set") {
+    for ((name, df) <- queryPlans) {
+      val reads = buildersOf(df)
+      for ((key, (_, consumers)) <- entries) {
+        val readsThis = entryBuilders(key).exists(b => reads.exists(_ eq b))
+        if (readsThis)
+          assert(consumers.contains(name),
+            s"query '$name' reads shared cache '$key' but is missing from " +
+              s"its consumer set — the cache could be released before " +
+              s"'$name' runs, recomputing the subtree")
+      }
+    }
+  }
+
+  test("cache-on-cache dependencies imply consumer-set containment") {
+    // if cache X is BUILT FROM cache Y, Y must outlive X's readers: every
+    // consumer of X must also be declared on Y (the modules encode this
+    // with superset unions — this pins it against drift)
+    for ((x, (xdf, xCons)) <- entries; (y, (_, yCons)) <- entries if x != y) {
+      val xReadsY = entryBuilders(y).exists(b => buildersOf(xdf).exists(_ eq b))
+      if (xReadsY) {
+        val missing = xCons -- yCons
+        assert(missing.isEmpty,
+          s"cache '$x' is built from cache '$y' but '$y' does not declare " +
+            s"all of '$x''s consumers: ${missing.toSeq.sorted.mkString(", ")}")
+      }
+    }
+  }
+}

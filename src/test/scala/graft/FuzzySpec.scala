@@ -222,4 +222,21 @@ class FuzzySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
     assert(got == want, s"${got.size} vs ${want.size}")
   }
+
+  test("sortedNeighborhood offsets join falls back off-broadcast above the bucket cap") {
+    import spark.implicits._
+    // high-cardinality bucketing (width 1, every key distinct): with
+    // maxBroadcastBuckets = 0 the offsets table must NOT broadcast —
+    // results stay identical, only the join strategy changes
+    val rows = Seq.tabulate(200)(i => (i.toLong, (i * 7 % 200).toLong))
+      .toDF("id", "key")
+    val w = 3
+    val bucket = org.apache.spark.sql.functions.expr("key DIV 1")
+    val viaBroadcast = Fuzzy.sortedNeighborhoodBy(rows, "id", "key", w, bucket)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    val viaShuffle = Fuzzy.sortedNeighborhoodBy(rows, "id", "key", w, bucket,
+        maxBroadcastBuckets = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+  }
 }

@@ -1134,4 +1134,84 @@ class IoStreamingSpec extends SparkSpec {
       s"$dir/out", s"$dir/store", "doc_id", "text")
     assert(readOut() == want, "batch-1 replay must reproduce identical output")
   }
+
+  test("retainBatches = 0 is rejected (unbounded retention is explicit opt-in only)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retainzero").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.processLineDedupBatch(Seq((1L, "a")).toDF("doc_id", "text"),
+        0L, s"$dir/out", s"$dir/store", "doc_id", "text", retainBatches = 0)
+    }
+    assert(e.getMessage.contains("Unbounded"))
+    // the explicit sentinel still works (full-history semantics)
+    Streaming.processLineDedupBatch(Seq((1L, "a")).toDF("doc_id", "text"),
+      0L, s"$dir/out", s"$dir/store", "doc_id", "text",
+      retainBatches = Streaming.Unbounded)
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+  }
+
+  test("finite retention keeps the store partition count bounded over many batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("boundedstore").toString
+    // 6 batches at retainBatches=2: after each batch the store holds at
+    // most window+1 partitions (the window plus the batch's own write)
+    (0 to 5).foreach { b =>
+      Streaming.processLineDedupBatch(
+        Seq((b.toLong, s"line$b\nshared")).toDF("doc_id", "text"),
+        b.toLong, s"$dir/out", s"$dir/store", "doc_id", "text",
+        retainBatches = 2)
+      val parts = new java.io.File(s"$dir/store/lines").listFiles()
+        .map(_.getName).count(_.startsWith("batch_id="))
+      assert(parts <= 3, s"after batch $b the store holds $parts partitions")
+    }
+  }
+
+  test("streaming heavy hitters: candidates cover the batch exact hitters, idempotently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hhstream").toString
+    // corpus with two planted heavy tokens spread ACROSS batches (neither
+    // is heavy in every batch) plus a long noise tail; k small enough to
+    // force MG pruning inside each batch summary
+    // hot1 count > 2n/k so its LOWER bound (true − n/k worst-case MG
+    // deficit) still clears n/k — the 'guaranteed' flag must fire
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(1200)("hot1") ++ Seq.fill(500)("hot2") ++
+      Seq.tabulate(2000)(i => s"noise${rnd.nextInt(900)}_$i")
+    val batches = rnd.shuffle(toks).grouped(1250).toSeq
+    val k = 8
+    batches.zipWithIndex.foreach { case (b, id) =>
+      Streaming.processHeavyHittersBatch(b.toDF("tok"), id.toLong,
+        s"$dir/out", s"$dir/store", "tok", k)
+    }
+    val lastId = batches.length - 1
+    def readLast() = spark.read.parquet(s"$dir/out/batch_id=$lastId")
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt_lb"),
+        r.getAs[Long]("n_total"), r.getAs[Boolean]("guaranteed"))).toSet
+    val emitted = readLast()
+    val n = toks.length.toLong
+    assert(emitted.headOption.map(_._3).contains(n), "window total wrong")
+    // exact hitters over the concatenated corpus (true count > n/k)
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c * k > n }.keySet
+    val cands = emitted.map(_._1)
+    assert(exact.subsetOf(cands),
+      s"candidate set lost hitters: missing ${exact -- cands}")
+    // lower-bound sanity: cnt_lb never exceeds the true count, and every
+    // 'guaranteed' token is truly heavy
+    val trueCnt = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    emitted.foreach { case (t, lb, tot, g) =>
+      assert(lb <= trueCnt(t), s"$t lower bound $lb > true ${trueCnt(t)}")
+      if (g) assert(trueCnt(t) * k > tot, s"$t marked guaranteed but not heavy")
+    }
+    assert(emitted.exists(_._4), "fixture should guarantee at least hot1")
+    // replay idempotency: rerunning the last batch reproduces the output
+    Streaming.processHeavyHittersBatch(batches(lastId).toDF("tok"),
+      lastId.toLong, s"$dir/out", s"$dir/store", "tok", k)
+    assert(readLast() == emitted, "replay diverged")
+    // store stays O(window·k): each partition holds ≤ k rows (k−1
+    // candidates + the sentinel)
+    val storeRows = spark.read.parquet(s"$dir/store/mg").count()
+    assert(storeRows <= batches.length.toLong * k,
+      s"store holds $storeRows rows — summaries are not pruned to k")
+  }
 }

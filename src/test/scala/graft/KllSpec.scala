@@ -203,4 +203,26 @@ class KllSpec extends SparkSpec {
     val b = new KllBuf(64); data.foreach(b.update)
     assert(a.comps == b.comps && a.levels.map(_.toSeq) == b.levels.map(_.toSeq))
   }
+
+  test("k mismatch is rejected on merge; EMPTY sketches merge as no-ops at any k") {
+    // direct: different-k non-empty sketches must not silently merge (the
+    // result would keep one k label with the other's error bound)
+    val a = new KllBuf(64); (1L to 100L).foreach(a.update)
+    val b = new KllBuf(128); (1L to 100L).foreach(b.update)
+    val e = intercept[IllegalArgumentException](a.mergeIn(b))
+    assert(e.getMessage.contains("different k"))
+    // SQL rollup: mixed-k NON-EMPTY shards fail loudly...
+    val mixed = spark.range(10).selectExpr("kll_sketch(id, 64) AS sk")
+      .unionByName(spark.range(10).selectExpr("kll_sketch(id, 128) AS sk"))
+    val err = intercept[Throwable](mixed.selectExpr("kll_merge(sk) AS m").collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(err).exists(_.contains("different k")), s"unexpected error: $err")
+    // ...but an EMPTY shard (e.g. a partition that saw no rows — its
+    // buffer carries the default k=8 label) never poisons the rollup
+    val withEmpty = spark.range(0).selectExpr("kll_sketch(id, 64) AS sk")
+      .unionByName(spark.range(10).selectExpr("kll_sketch(id, 128) AS sk"))
+    val m = withEmpty.selectExpr("kll_merge(sk) AS m").select("m.k").head()
+    assert(m.getInt(0) == 128, "merge must adopt the non-empty shard's k")
+  }
 }

@@ -92,6 +92,30 @@ class RelationalSpec extends SparkSpec {
       s"diff: missing=${want diff got} extra=${got diff want}")
   }
 
+  test("range join auto bucketWidth: median pinned on fixture, results unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // lengths 10, 10, 100, 30, 1 (and one empty interval excluded) —
+    // median interval length is 10
+    val intervals = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 5L, 105L),
+      (4L, 20L, 50L), (5L, 7L, 8L), (6L, 9L, 9L)).toDF("iv_id", "s", "e")
+    assert(graft.operators.RangeJoin.medianWidth(intervals, "s", "e") == 10L)
+    // empty interval set falls back to width 1 rather than failing
+    assert(graft.operators.RangeJoin.medianWidth(
+      intervals.where(col("e") <= col("s")), "s", "e") == 1L)
+    val points = Seq(0L, 5L, 9L, 10L, 25L, 49L, 104L, 105L).toDF("pt")
+    def pairs(width: Long): Set[(Long, Long)] = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "pt", "s", "e", bucketWidth = width)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    assert(pairs(0L) == pairs(7L), "auto width changed the result set")
+    // two-sided: pooled-median auto width, same exact pair list (dup-safe)
+    val rs = Seq((10L, 0L, 100L), (11L, 20L, 30L), (12L, 104L, 106L)).toDF("r_id", "rs", "re")
+    def overlaps(width: Long): List[(Long, Long)] = graft.operators.RangeJoin
+      .intervalOverlap(intervals, rs, "s", "e", "rs", "re", bucketWidth = width)
+      .select("iv_id", "r_id").as[(Long, Long)].collect().toList.sorted
+    assert(overlaps(0L) == overlaps(13L), "auto width changed the overlap list")
+  }
+
   test("bucketed tables co-locate the join: no exchange on the join key") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString

@@ -855,6 +855,39 @@ class TextSpec extends SparkSpec {
       "diversity must beat raw relevance at pick 2")
   }
 
+  test("PPJoin length+positional filters cut candidates with zero recall loss") {
+    import spark.implicits._
+    // mixed-length corpus: (1,2) near-dups; 6 shares 1's rare tokens but
+    // is 4× longer (length filter kills it); 7 shares one late-prefix
+    // token with 3 but their positions cap the overlap below α
+    // (positional filter kills it); brute Jaccard is the ground truth
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (6L, ("alpha beta gamma delta " + (1 to 30).map(i => s"pad$i ").mkString).trim),
+      (7L, "one two eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val sh = TextOps.shingleHashes(c)
+    val unfiltered = TextOps.prefixCandidates(sh, 4, 5,
+      lengthFilter = false, positionalFilter = false).count()
+    val filtered = TextOps.prefixCandidates(sh, 4, 5).count()
+    info(s"candidates: $unfiltered prefix-only -> $filtered with PPJoin filters")
+    assert(filtered < unfiltered,
+      s"PPJoin filters pruned nothing ($unfiltered -> $filtered) — fixture rot?")
+    // exactness vs brute force must hold WITH the filters active
+    val s = sh.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = (for {
+      a <- s.keys; b <- s.keys if a < b
+      inter = (s(a) & s(b)).size; union = (s(a) | s(b)).size
+      if inter * 5 >= union * 4
+    } yield (a, b)).toSet
+    val got = TextOps.prefixFilterJoin(c, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"filters lost recall: got $got want $brute")
+  }
+
   test("prefix-filter join equals brute-force exact Jaccard (no false negatives)") {
     import spark.implicits._
     // small corpus with known structure: near-dup pair (1,2), partial
