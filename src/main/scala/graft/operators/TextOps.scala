@@ -1315,4 +1315,119 @@ object TextOps {
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("deduped_text"), lit("")).as("deduped_text"))
   }
+
+  /** Sliding-window document chunking — the RAG/embedding-index prep pass:
+    * each document splits into fixed-budget word windows of `chunkSize`
+    * advancing by `stride` (stride < chunkSize ⇒ overlapping chunks, the
+    * standard retrieval trick so a fact straddling a boundary still lands
+    * whole in SOME chunk). Chunk k covers words [k·stride, k·stride +
+    * chunkSize); the last chunk starts at the smallest k·stride reaching
+    * the tail, so every word is covered and no empty chunk is emitted.
+    *
+    * Scale shape: ZERO shuffles — one map-side split + bounded explode
+    * (the ~chunkSize/stride payload duplication is inherent to overlap
+    * chunking, not a plan artifact); embarrassingly parallel at any
+    * corpus size. Output: id, chunk_id, start_word, n_words, chunk_text.
+    */
+  def slidingChunks(docs: DataFrame, chunkSize: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      // last chunk index: 0 when the doc fits, else ceil((n-size)/stride)
+      // (DIV yields LONG — pin the contract to INT after the explode)
+      .withColumn("__k", explode(expr(
+        s"sequence(0, CASE WHEN __n <= $chunkSize THEN 0 " +
+          s"ELSE (__n - $chunkSize + $stride - 1) DIV $stride END)")))
+      .withColumn("chunk_id", col("__k").cast("int"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_word"),
+        least(lit(chunkSize), col("__n") - col("chunk_id") * stride)
+          .cast("int").as("n_words"),
+        array_join(slice(col("__ws"), col("chunk_id") * stride + 1,
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** Exact vocabulary-coverage curve — the tokenizer-design question "how
+    * many vocabulary entries cover X% of corpus tokens?" answered with
+    * integer arithmetic and NO vocabulary-sized single-reducer pass.
+    *
+    * The naive rank-the-vocab window funnels every distinct token through
+    * one task (billions at web scale). Instead tokens aggregate to a
+    * FREQUENCY HISTOGRAM (count → how many tokens have it, Zipf-small:
+    * thousands of distinct counts however large the vocabulary), the
+    * cumulative window runs over THAT, and each requested percentage
+    * resolves inside its straddling bucket in closed form: within a
+    * bucket every token contributes `cnt`, so
+    * `rank = tokens_before + ceil((needed − mass_before) / cnt)`.
+    * Ties are rank-agnostic by construction (any token order within a
+    * bucket gives the same rank), which is what makes the answer exact
+    * AND layout-independent. Output per pct: vocab_rank, covered_tokens,
+    * total_tokens.
+    */
+  def vocabCoverage(docs: DataFrame, pcts: Seq[Int],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must lie in [1, 100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_toks"))
+      .select(col("cnt"), col("n_toks"), (col("n_toks") * col("cnt")).as("mass"))
+    // single-partition window over DISTINCT COUNT VALUES only (Zipf-small,
+    // never vocabulary-sized) — the same bounded-window discipline as the
+    // sketch extractors
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("toks_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("mass_before", coalesce(sum(col("mass")).over(w), lit(0L)))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val pctDf = broadcast(pcts.toDF("pct"))
+    cum.crossJoin(broadcast(total)).join(pctDf,
+        // the straddling bucket: coverage crosses `needed` inside it
+        expr("mass_before * 100 < total_tokens * pct") &&
+          expr("(mass_before + mass) * 100 >= total_tokens * pct"))
+      .select(col("pct"),
+        // needed = ceil(total·pct/100); rank = toks_before + ceil(gap/cnt)
+        expr("toks_before + ((total_tokens * pct + 99) DIV 100 - mass_before + cnt - 1) DIV cnt")
+          .as("vocab_rank"),
+        expr("mass_before + (((total_tokens * pct + 99) DIV 100 - mass_before + cnt - 1) DIV cnt) * cnt")
+          .as("covered_tokens"),
+        col("total_tokens"))
+  }
+
+  /** Length-bucketed batch-shape report — the padding-waste audit a
+    * training pipeline runs before fixing its batching buckets: sequences
+    * (here: whitespace token counts, clipped at `cap`) land in
+    * power-of-two length buckets, and each bucket reports how many pad
+    * tokens batching at its top would burn, in exact integer micro-units.
+    * One map-side-combinable groupBy over ≤ log2(cap)+1 buckets — no
+    * other shuffle, no floats.
+    */
+  def paddingWaste(docs: DataFrame, cap: Int = 512,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cap >= 1 && (cap & (cap - 1)) == 0, s"cap must be a power of 2, got $cap")
+    // CASE ladder over the fixed power-of-two tops: integer-exact and
+    // engine-portable (a log2-based bucket flips at exact powers under
+    // float rounding)
+    val tops = Iterator.iterate(1)(_ * 2).takeWhile(_ <= cap).toSeq
+    val ladder = tops.dropRight(1).map(t => s"WHEN __len <= $t THEN $t")
+      .mkString("CASE ", " ", s" ELSE $cap END")
+    docs
+      .select(least(size(split(col(textCol), " ")), lit(cap)).as("__len"))
+      .withColumn("bucket_top", expr(ladder))
+      .groupBy(col("bucket_top"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("__len")).as("sum_len"))
+      .select(col("bucket_top"), col("n_seqs"), col("sum_len"),
+        (col("n_seqs") * col("bucket_top") - col("sum_len")).as("pad_tokens"),
+        expr("CAST((CAST(n_seqs * bucket_top - sum_len AS DECIMAL(38,0)) * 1000000) " +
+          "DIV (n_seqs * bucket_top) AS BIGINT)").as("waste_micro"))
+  }
 }

@@ -914,6 +914,91 @@ object Text {
       |  CAST((CAST(total_chars AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS mean_chars_micro
       |FROM d, dup""".stripMargin
 
+  /** q188: sliding-window RAG chunking (TextOps.slidingChunks) — 32-word
+    * chunks advancing by 24 (8-word overlap). Zero-shuffle map-side
+    * explode; the oracle replays the window arithmetic with DuckDB list
+    * slicing, proving chunk boundaries, tail handling, and the overlap
+    * are exact.
+    */
+  def q188RagChunks(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.slidingChunks(Tables.load(spark, sfDir, "documents"), 32, 24)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_word").cast("long").as("start_word"),
+        col("n_words").cast("long").as("n_words"), col("chunk_text"))
+
+  val q188Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, len(ws) AS n,
+      |    unnest(generate_series(0,
+      |      CASE WHEN len(ws) <= 32 THEN 0 ELSE (len(ws) - 32 + 23) // 24 END)) AS k
+      |  FROM w)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |  CAST(k * 24 AS BIGINT) AS start_word,
+      |  CAST(LEAST(32, n - k * 24) AS BIGINT) AS n_words,
+      |  array_to_string(ws[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+      |FROM c""".stripMargin
+
+  /** q189: exact vocabulary-coverage curve (TextOps.vocabCoverage) — the
+    * smallest vocab rank covering 50/90/99% of corpus tokens, computed
+    * over the Zipf-small FREQUENCY HISTOGRAM instead of a vocab-sized
+    * global window (the scale story; see the operator's scaladoc). The
+    * oracle replays the bucket arithmetic directly.
+    */
+  def q189VocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.vocabCoverage(Tables.load(spark, sfDir, "documents"), Seq(50, 90, 99))
+      .select(col("pct").cast("long").as("pct"), col("vocab_rank"),
+        col("covered_tokens"), col("total_tokens"))
+
+  val q189Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tc AS (
+      |  SELECT tok, COUNT(1) AS cnt FROM toks WHERE length(tok) > 0 GROUP BY tok),
+      |hist AS (
+      |  SELECT cnt, COUNT(1) AS n_toks, COUNT(1) * cnt AS mass FROM tc GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, n_toks, mass,
+      |    COALESCE(SUM(n_toks) OVER
+      |      (ORDER BY cnt DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before,
+      |    COALESCE(SUM(mass) OVER
+      |      (ORDER BY cnt DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mass_before
+      |  FROM hist),
+      |tot AS (SELECT SUM(cnt) AS total_tokens FROM tc)
+      |SELECT CAST(p.pct AS BIGINT) AS pct,
+      |  CAST(toks_before + ((total_tokens * p.pct + 99) // 100 - mass_before + cnt - 1) // cnt
+      |    AS BIGINT) AS vocab_rank,
+      |  CAST(mass_before + (((total_tokens * p.pct + 99) // 100 - mass_before + cnt - 1) // cnt) * cnt
+      |    AS BIGINT) AS covered_tokens,
+      |  CAST(total_tokens AS BIGINT) AS total_tokens
+      |FROM cum, tot, (SELECT unnest([50, 90, 99]) AS pct) p
+      |WHERE mass_before * 100 < total_tokens * p.pct
+      |  AND (mass_before + mass) * 100 >= total_tokens * p.pct""".stripMargin
+
+  /** q190: length-bucketed padding-waste report (TextOps.paddingWaste) —
+    * the batch-shape audit before fixing training buckets, exact integer
+    * micro-units, one map-side-combinable groupBy.
+    */
+  def q190PaddingWaste(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.paddingWaste(Tables.load(spark, sfDir, "documents"))
+      .select(col("bucket_top").cast("long").as("bucket_top"), col("n_seqs"),
+        col("sum_len"), col("pad_tokens"), col("waste_micro"))
+
+  val q190Sql: String = {
+    val ladder = Iterator.iterate(1)(_ * 2).takeWhile(_ < 512)
+      .map(t => s"WHEN len <= $t THEN $t").mkString("CASE ", " ", " ELSE 512 END")
+    s"""WITH lens AS (
+       |  SELECT LEAST(len(string_split(text, ' ')), 512) AS len FROM documents),
+       |b AS (SELECT $ladder AS bucket_top, len FROM lens)
+       |SELECT CAST(bucket_top AS BIGINT) AS bucket_top,
+       |  CAST(COUNT(1) AS BIGINT) AS n_seqs,
+       |  CAST(SUM(len) AS BIGINT) AS sum_len,
+       |  CAST(COUNT(1) * bucket_top - SUM(len) AS BIGINT) AS pad_tokens,
+       |  CAST((CAST(COUNT(1) * bucket_top - SUM(len) AS HUGEINT) * 1000000)
+       |    // (COUNT(1) * bucket_top) AS BIGINT) AS waste_micro
+       |FROM b GROUP BY bucket_top""".stripMargin
+  }
+
   /** Per-language sampling rates for q60 — a domain-mix recipe: downsample
     * the dominant class hard, keep rarer classes at higher rates, keep one
     * entirely (the rate-≥1 path). Quantized to k/256 by the operator. */
@@ -2781,6 +2866,9 @@ object Text {
     QueryDef("q182_stratified_folds", q182StratifiedFolds, Some(q182Sql)),
     QueryDef("q184_leakage_safe_folds", q184LeakageSafeFolds, Some(q184Sql)),
     QueryDef("q187_dataset_card", q187DatasetCard, Some(q187Sql)),
+    QueryDef("q188_rag_chunks", q188RagChunks, Some(q188Sql)),
+    QueryDef("q189_vocab_coverage", q189VocabCoverage, Some(q189Sql)),
+    QueryDef("q190_padding_waste", q190PaddingWaste, Some(q190Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),
     QueryDef("q58_semantic_dedup", q58SemanticDedup, Some(q58Sql)),
     QueryDef("q57_quality_filter", q57QualityFilter, Some(q57Sql)),

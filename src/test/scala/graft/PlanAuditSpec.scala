@@ -117,7 +117,12 @@ class PlanAuditSpec extends SparkSpec {
     // |strata|-row × 1-row (count/quota tables × grand total) crossJoins —
     // all build sides BOUNDED at one row (LmOps.agreementKappa,
     // Profile.concentration, TextOps.largestRemainderQuota — the q66 shape)
-    "q154_kappa", "q155_mix_report", "q156_quota_alloc")
+    "q154_kappa", "q155_mix_report", "q156_quota_alloc",
+    // q189: the coverage lookup joins the broadcast pct list (3 rows)
+    // against the cumulative FREQUENCY-HISTOGRAM table (distinct count
+    // values — Zipf-small, never vocabulary-sized) on a range-straddle
+    // predicate, plus the 1-row total crossJoin (TextOps.vocabCoverage)
+    "q189_vocab_coverage")
 
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -184,8 +189,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(rnSpecs.nonEmpty && rnSpecs.forall(_.contains("__bkt")),
       s"q179 ranks outside the bucket windows: $rnSpecs")
     // SinglePartition exchanges exist only under the bucket-COUNT offset
-    // window (the self-join rebuilds that tiny subtree once per side)
-    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    // window. The offsets table is persisted (broadcast-size guard), so
+    // its cached plan PRINTS once per scan site — count distinct plan_ids,
+    // not textual occurrences, to get the physical exchange count.
+    val single = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
     assert(single <= 2, s"q179 plans $single SinglePartition exchanges — " +
       "something beyond the two offset-table subtrees is centralizing")
   }

@@ -855,6 +855,85 @@ class TextSpec extends SparkSpec {
       "diversity must beat raw relevance at pick 2")
   }
 
+  test("slidingChunks: boundaries, tail, overlap and degenerate docs match brute") {
+    import spark.implicits._
+    // n < size, n == size, n == size+1, exact stride multiple, long doc,
+    // empty text (split('') == [''] on both engines)
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 9).map(i => s"w$i").mkString(" ")),
+      (4L, (1 to 14).map(i => s"w$i").mkString(" ")),
+      (5L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val (size, stride) = (8, 6)
+    val got = TextOps.slidingChunks(docs, size, stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    val want = docs.collect().flatMap { r =>
+      val (id, ws) = (r.getLong(0), r.getString(1).split(" ", -1))
+      val n = ws.length
+      val last = if (n <= size) 0 else (n - size + stride - 1) / stride
+      (0 to last).map { k =>
+        (id, k, k * stride, math.min(size, n - k * stride),
+          ws.slice(k * stride, k * stride + size).mkString(" "))
+      }
+    }.toSet
+    assert(got == want)
+    // every word index is covered by at least one chunk
+    val covered = want.filter(_._1 == 5L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 40).toSet)
+  }
+
+  test("vocabCoverage: histogram closed form equals the brute rank walk") {
+    import spark.implicits._
+    val words = Seq.fill(60)("the") ++ Seq.fill(25)("of") ++ Seq.fill(25)("to") ++
+      (1 to 40).map(i => s"rare$i")
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val pcts = Seq(10, 40, 50, 90, 100)
+    val got = TextOps.vocabCoverage(docs, pcts)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val freq = words.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = words.length.toLong
+    pcts.foreach { p =>
+      val needed = (total * p + 99) / 100
+      var (cum, rank) = (0L, 0L)
+      while (cum < needed) { cum += freq(rank.toInt)._2; rank += 1 }
+      val (gr, gc, gt) = got(p)
+      assert(gr == rank && gc == cum && gt == total,
+        s"pct=$p got ($gr,$gc,$gt) want ($rank,$cum,$total)")
+    }
+    // ties must not matter: 'of'/'to' share count 25; pct=40 needs 60
+    // (all 'the'), pct=50 needs 75 — one tied token more, either one
+    assert(got(40)._1 == 1L && got(50)._1 == 2L)
+  }
+
+  test("paddingWaste: power-of-two buckets, exact integer waste") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),                                  // len 1  -> bucket 1
+      (2L, "a b c"),                              // len 3  -> bucket 4
+      (3L, (1 to 4).map(_ => "x").mkString(" ")), // len 4  -> bucket 4
+      (4L, (1 to 9).map(_ => "x").mkString(" "))  // len 9  -> bucket 16
+    ).toDF("doc_id", "text")
+    val got = TextOps.paddingWaste(docs, cap = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got(1) == (1L, 1L, 0L, 0L))
+    assert(got(4) == (2L, 7L, 1L, 125000L))   // 1/8 waste
+    assert(got(16) == (1L, 9L, 7L, 437500L))  // 7/16 waste
+    // clipping: a doc longer than cap lands in the cap bucket at len=cap
+    val clipped = TextOps.paddingWaste(
+      Seq((9L, (1 to 40).map(_ => "x").mkString(" "))).toDF("doc_id", "text"),
+      cap = 16).collect()
+    assert(clipped.length == 1 &&
+      clipped.head.getInt(0) == 16 && clipped.head.getLong(2) == 16L)
+  }
+
   test("PPJoin length+positional filters cut candidates with zero recall loss") {
     import spark.implicits._
     // mixed-length corpus: (1,2) near-dups; 6 shares 1's rare tokens but
