@@ -1065,6 +1065,26 @@ object ScaleBench {
         s"prefix-filter join returned $n rows, $planted planted — want $nPairs/$nPairs")
     }
 
+    // 10h3. Vocabulary-coverage curve at 11M tokens / 1M-token vocab:
+    // 10 head tokens at 1M occurrences each + 1M singleton tail tokens
+    // gives closed-form answers (50% → rank 6, 90% → rank 10, 99% →
+    // rank 890,010) — and the SHAPE claim: the only global window runs
+    // over the 2-row frequency histogram, never the 1M-token vocabulary.
+    timed("vocab_coverage_11M_tokens") {
+      val head = spark.range(10000000L).select(
+        col("id").as("doc_id"),
+        concat(lit("h"), (col("id") % 10).cast("string")).as("text"))
+      val tail = spark.range(1000000L).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat(lit("t"), col("id").cast("string")).as("text"))
+      val got = operators.TextOps.vocabCoverage(
+          head.unionByName(tail), Seq(50, 90, 99))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      require(got(50) == ((6L, 6000000L)) && got(90) == ((10L, 10000000L)) &&
+        got(99) == ((890010L, 10890000L)),
+        s"vocab coverage closed form diverged: $got")
+    }
+
     // 10h2. Corpus-global line dedup at 1M docs: every doc carries one
     // globally shared line, one line shared by its id%1000 group, and one
     // unique line. First-occurrence-wins gives a closed form: doc 0 keeps

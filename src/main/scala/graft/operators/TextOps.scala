@@ -1316,39 +1316,6 @@ object TextOps {
         coalesce(col("deduped_text"), lit("")).as("deduped_text"))
   }
 
-  /** Sliding-window document chunking — the RAG/embedding-index prep pass:
-    * each document splits into fixed-budget word windows of `chunkSize`
-    * advancing by `stride` (stride < chunkSize ⇒ overlapping chunks, the
-    * standard retrieval trick so a fact straddling a boundary still lands
-    * whole in SOME chunk). Chunk k covers words [k·stride, k·stride +
-    * chunkSize); the last chunk starts at the smallest k·stride reaching
-    * the tail, so every word is covered and no empty chunk is emitted.
-    *
-    * Scale shape: ZERO shuffles — one map-side split + bounded explode
-    * (the ~chunkSize/stride payload duplication is inherent to overlap
-    * chunking, not a plan artifact); embarrassingly parallel at any
-    * corpus size. Output: id, chunk_id, start_word, n_words, chunk_text.
-    */
-  def slidingChunks(docs: DataFrame, chunkSize: Int, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
-      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
-    docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .withColumn("__n", size(col("__ws")))
-      // last chunk index: 0 when the doc fits, else ceil((n-size)/stride)
-      // (DIV yields LONG — pin the contract to INT after the explode)
-      .withColumn("__k", explode(expr(
-        s"sequence(0, CASE WHEN __n <= $chunkSize THEN 0 " +
-          s"ELSE (__n - $chunkSize + $stride - 1) DIV $stride END)")))
-      .withColumn("chunk_id", col("__k").cast("int"))
-      .select(col(idCol), col("chunk_id"),
-        (col("chunk_id") * stride).as("start_word"),
-        least(lit(chunkSize), col("__n") - col("chunk_id") * stride)
-          .cast("int").as("n_words"),
-        array_join(slice(col("__ws"), col("chunk_id") * stride + 1,
-          lit(chunkSize)), " ").as("chunk_text"))
-  }
-
   /** Exact vocabulary-coverage curve — the tokenizer-design question "how
     * many vocabulary entries cover X% of corpus tokens?" answered with
     * integer arithmetic and NO vocabulary-sized single-reducer pass.
@@ -1410,6 +1377,11 @@ object TextOps {
     * tokens batching at its top would burn, in exact integer micro-units.
     * One map-side-combinable groupBy over ≤ log2(cap)+1 buckets — no
     * other shuffle, no floats.
+    *
+    * Complement of [[lengthBuckets]], not a variant: that operator
+    * ASSIGNS docs to near-equal-count rank buckets for batch drawing;
+    * this one AUDITS the cost of a fixed power-of-two padding scheme
+    * (the decision input for choosing bucket tops in the first place).
     */
   def paddingWaste(docs: DataFrame, cap: Int = 512,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -914,31 +914,6 @@ object Text {
       |  CAST((CAST(total_chars AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS mean_chars_micro
       |FROM d, dup""".stripMargin
 
-  /** q188: sliding-window RAG chunking (TextOps.slidingChunks) — 32-word
-    * chunks advancing by 24 (8-word overlap). Zero-shuffle map-side
-    * explode; the oracle replays the window arithmetic with DuckDB list
-    * slicing, proving chunk boundaries, tail handling, and the overlap
-    * are exact.
-    */
-  def q188RagChunks(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.slidingChunks(Tables.load(spark, sfDir, "documents"), 32, 24)
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        col("start_word").cast("long").as("start_word"),
-        col("n_words").cast("long").as("n_words"), col("chunk_text"))
-
-  val q188Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |c AS (
-      |  SELECT doc_id, ws, len(ws) AS n,
-      |    unnest(generate_series(0,
-      |      CASE WHEN len(ws) <= 32 THEN 0 ELSE (len(ws) - 32 + 23) // 24 END)) AS k
-      |  FROM w)
-      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-      |  CAST(k * 24 AS BIGINT) AS start_word,
-      |  CAST(LEAST(32, n - k * 24) AS BIGINT) AS n_words,
-      |  array_to_string(ws[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
-      |FROM c""".stripMargin
-
   /** q189: exact vocabulary-coverage curve (TextOps.vocabCoverage) — the
     * smallest vocab rank covering 50/90/99% of corpus tokens, computed
     * over the Zipf-small FREQUENCY HISTOGRAM instead of a vocab-sized
@@ -2866,7 +2841,6 @@ object Text {
     QueryDef("q182_stratified_folds", q182StratifiedFolds, Some(q182Sql)),
     QueryDef("q184_leakage_safe_folds", q184LeakageSafeFolds, Some(q184Sql)),
     QueryDef("q187_dataset_card", q187DatasetCard, Some(q187Sql)),
-    QueryDef("q188_rag_chunks", q188RagChunks, Some(q188Sql)),
     QueryDef("q189_vocab_coverage", q189VocabCoverage, Some(q189Sql)),
     QueryDef("q190_padding_waste", q190PaddingWaste, Some(q190Sql)),
     QueryDef("q61_pack_sequences", q61PackSequences, Some(q61Sql)),

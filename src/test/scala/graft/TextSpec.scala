@@ -855,38 +855,6 @@ class TextSpec extends SparkSpec {
       "diversity must beat raw relevance at pick 2")
   }
 
-  test("slidingChunks: boundaries, tail, overlap and degenerate docs match brute") {
-    import spark.implicits._
-    // n < size, n == size, n == size+1, exact stride multiple, long doc,
-    // empty text (split('') == [''] on both engines)
-    val docs = Seq(
-      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),
-      (2L, (1 to 8).map(i => s"w$i").mkString(" ")),
-      (3L, (1 to 9).map(i => s"w$i").mkString(" ")),
-      (4L, (1 to 14).map(i => s"w$i").mkString(" ")),
-      (5L, (1 to 40).map(i => s"w$i").mkString(" ")),
-      (6L, "")
-    ).toDF("doc_id", "text")
-    val (size, stride) = (8, 6)
-    val got = TextOps.slidingChunks(docs, size, stride)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
-        r.getInt(3), r.getString(4))).toSet
-    val want = docs.collect().flatMap { r =>
-      val (id, ws) = (r.getLong(0), r.getString(1).split(" ", -1))
-      val n = ws.length
-      val last = if (n <= size) 0 else (n - size + stride - 1) / stride
-      (0 to last).map { k =>
-        (id, k, k * stride, math.min(size, n - k * stride),
-          ws.slice(k * stride, k * stride + size).mkString(" "))
-      }
-    }.toSet
-    assert(got == want)
-    // every word index is covered by at least one chunk
-    val covered = want.filter(_._1 == 5L)
-      .flatMap(c => c._3 until (c._3 + c._4)).toSet
-    assert(covered == (0 until 40).toSet)
-  }
-
   test("vocabCoverage: histogram closed form equals the brute rank walk") {
     import spark.implicits._
     val words = Seq.fill(60)("the") ++ Seq.fill(25)("of") ++ Seq.fill(25)("to") ++
