@@ -185,7 +185,9 @@ object Bench {
       else if (r.cacheInMb > 2048) "storage-pressure"
       else "env"
     }
-    val anomRecs = results.filter(_.extraRep).map { r =>
+    // cap at the 8 slowest anomalies so a pathological session can't blow
+    // the stdout budget; the snapshot's `reps` map still carries them all
+    val anomRecs = results.filter(_.extraRep).sortBy(-_.min).take(8).map { r =>
       "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
         "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
         ",\"cause\":\"" + cause(r) + "\"}"

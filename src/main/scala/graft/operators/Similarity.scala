@@ -129,29 +129,44 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("rel"),
         lit(0.0).as("max_sim"), lit(1).as("pick"))
+    // `state` = remaining candidates with their RUNNING max similarity to
+    // the picked set — the textbook incremental MMR update. Each round
+    // touches only the LAST pick's sim rows (left join vs a 1-row-per-
+    // query frame + `greatest`) instead of re-aggregating max(sim) over
+    // the whole picked set, which grew the per-round work linearly in t.
+    // Associativity of max over the rounded sims makes the running value
+    // bit-identical to the re-aggregated one. The initial −2.0 sits below
+    // the cosine range so a NEGATIVE best similarity survives the first
+    // greatest() (a 0.0 start silently clamped it — caught by the q140
+    // oracle); after round 2 every remaining candidate carries a real sim.
+    var state = cands.withColumn("max_sim", lit(-2.0))
+    var lastPick = selected.select(col("query_id"), col("neighbor_id").as("other_id"))
     for (t <- 2 to kOut) {
-      val selIds = selected.select(col("query_id"), col("neighbor_id"))
-      val remaining = cands.join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
-      val ms = remaining
-        .join(sims.join(selIds.withColumnRenamed("neighbor_id", "other_id"),
-          Seq("query_id", "other_id"))
+      val updated = state
+        .join(lastPick.withColumnRenamed("other_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(sims.join(lastPick, Seq("query_id", "other_id"))
           .select(col("query_id"), col("neighbor_id"), col("sim")),
-          Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
-        .agg(max(col("sim")).as("max_sim"))
+          Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          greatest(col("max_sim"), coalesce(col("sim"), lit(-2.0))).as("max_sim"))
+        // `updated` is read three ways (pick window, next round's state,
+        // next anti-join) — truncate lineage HERE, once per round, so the
+        // plan stays linear in t (without it planning dominates wall time:
+        // measured 11.6 s → ~1 s at sf0.1). Same lazy-localCheckpoint
+        // pattern as ConnectedComponents; kCand·|queries| rows. The pick
+        // and selected-union stay lazy views over the checkpointed state.
+        .localCheckpoint(false)
       val wMmr = Window.partitionBy(col("query_id"))
         .orderBy((col("rel") * 0.5 - col("max_sim") * 0.5).desc,
           col("neighbor_id").asc)
-      val pick = ms.withColumn("rn", row_number().over(wMmr))
+      val pick = updated.withColumn("rn", row_number().over(wMmr))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"),
           col("max_sim"), lit(t).as("pick"))
-      // each round references `selected` three times (anti-join, sim
-      // filter, union) — without lineage truncation the plan nests ~3^t
-      // copies of round 1 and planning dominates wall time (measured
-      // 11.6 s → ~1 s at sf0.1). Same lazy-localCheckpoint pattern as
-      // ConnectedComponents; the frame is kOut·|queries| rows.
-      selected = selected.unionByName(pick).localCheckpoint(false)
+      selected = selected.unionByName(pick)
+      lastPick = pick.select(col("query_id"), col("neighbor_id").as("other_id"))
+      state = updated
     }
     selected.withColumn("mmr",
       round(col("rel") * 0.5 - col("max_sim") * 0.5, 6))
