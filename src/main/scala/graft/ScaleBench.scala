@@ -1318,6 +1318,45 @@ object ScaleBench {
       }
     }
 
+    if (on("sketches")) {
+      // S-hh. Streaming heavy hitters at 10M tokens over 4 micro-batches
+      // (the MERGEABLE Misra–Gries property at scale): per batch of 2.5M
+      // rows, 'hot' is 24% of the stream, 'warm' 2% (both > 1/64), 'cool'
+      // ~1.5% (just below), tail unique. Gates: the merged candidate set
+      // covers every true hitter (the pigeonhole superset promise), 'hot'
+      // is flagged guaranteed from the lower bound alone, the window total
+      // is exact, and the per-batch store stays O(k).
+      timed("heavy_hitters_stream_10M_tokens") {
+        val dir = java.nio.file.Files.createTempDirectory("hhscale").toString
+        val k = 64
+        (0 until 4).foreach { b =>
+          val batch = spark.range(2500000L).select(
+            when(col("id") % 25 < 6, lit("hot"))
+              .when(col("id") % 50 === 6, lit("warm"))
+              .when(col("id") % 66 === 7, lit("cool"))
+              .otherwise(concat(lit(s"t${b}_"), col("id").cast("string")))
+              .as("tok"))
+          graft.streaming.Streaming.processHeavyHittersBatch(batch, b.toLong,
+            s"$dir/out", s"$dir/store", "tok", k)
+        }
+        val last = spark.read.parquet(s"$dir/out/batch_id=3")
+          .collect().map(r => r.getAs[String]("tok") ->
+            (r.getAs[Long]("cnt_lb"), r.getAs[Long]("n_total"),
+              r.getAs[Boolean]("guaranteed"))).toMap
+        val nTotal = last.values.head._2
+        require(nTotal == 10000000L, s"window total $nTotal != 10M")
+        require(last.contains("hot") && last.contains("warm"),
+          s"candidate set lost a true hitter: ${last.keySet.filter(_.length < 6)}")
+        require(last("hot")._3, s"hot not guaranteed: ${last("hot")}")
+        require(last("hot")._1 <= 2400000L && last("warm")._1 <= 200000L,
+          "lower bounds exceeded true counts")
+        val storeRows = spark.read.parquet(s"$dir/store/mg").count()
+        require(storeRows <= 4L * k, s"store holds $storeRows rows — not O(k)")
+        println(s"[scale] heavy_hitters_stream candidates: ${last.size}, " +
+          s"hot lb ${last("hot")._1}/2400000, warm lb ${last("warm")._1}/200000")
+      }
+    }
+
     if (on("events")) {
       import graft.operators.{Delta, Funnel}
 

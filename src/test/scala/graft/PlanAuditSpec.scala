@@ -52,11 +52,12 @@ class PlanAuditSpec extends SparkSpec {
     // frames (plain totals × distinct counts × dup count) — bounded at
     // one row each by construction
     "q187_dataset_card",
-    // (q140's candidate-scan BNLJ — q38's few-queries broadcast shape —
-    // is hidden from this audit since mmrTopK truncates its round lineage
-    // via localCheckpoint: the final plan shows only Scan ExistingRDD.
-    // The BNLJ lives in the PRE-truncation candidate plan, audited by
-    // FuzzySpec's mmr tests on semantics; nothing to whitelist here.)
+    // q140: the pick-1 candidate scan scores the corpus against the
+    // broadcast 3-query set — the audited q38 few-queries BNLJ shape
+    // (Similarity.cosineTopK). Visible again since the incremental MMR
+    // rewrite checkpoints only the per-round state, leaving the selected
+    // union (and round 1's candidate plan) lazy.
+    "q140_mmr_diversify",
     // q66: the per-stratum rate table crossJoins a broadcast grand-total
     // BOUNDED at 1 row (TextOps.mixtureEpochs)
     "q66_mixture_epochs",
