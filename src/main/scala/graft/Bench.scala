@@ -77,6 +77,27 @@ object Bench {
       catch { case _: Throwable => }
     }
     graft.core.CacheLife.releaseScoped(spark)
+    // HOST CALIBRATION — fixed deterministic work, timed after warmup:
+    // [0] a 32-thread Spark aggregate over 200M longs, [1] a single-thread
+    // ALU loop. Two sessions' artifacts divide these out: a uniformly
+    // drifted query set WITH a drifted calibration is the host (thermal /
+    // noisy neighbor), not the code — the round-12/13 "moving outlier
+    // cluster" class becomes attributable from the artifacts alone.
+    // (Round-14 control: re-running the round-13 COMMITTED code on the
+    // round-14 host reproduced the same ~1.2-1.6× inflation on untouched
+    // queries, so the cross-round total drift was host-side.)
+    val calSpark = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id % 97)").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calCpu = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 200000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+      if (acc == 42L) System.err.println("") // consume acc (defeat DCE)
+      (System.nanoTime() - t0) / 1e9
+    }
     // Per-query wall seconds as the MIN over `reps` executions. Single-run
     // timings on this shared host carry multi-second environmental spikes
     // (observed 8×+ on random queries across otherwise-identical runs, no
@@ -196,8 +217,9 @@ object Bench {
     val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_.min).sum
+    val cal = s""""cal":[${fmt2(calSpark)},${fmt2(calCpu)}]"""
     val head =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec",$cachePeak,"anom":$anom,"failed":$failed,"sf":"$sfDir""""
+      s""""metric":"total","value":${fmt(total)},"unit":"sec",$cal,$cachePeak,"anom":$anom,"failed":$failed,"sf":"$sfDir""""
     val stdoutBudget = 1900 // whole line + sbt's ~70-byte trailer < tail window
     val entries = results.map(r => (r.min, "\"" + short(r.name) + "\":" + fmt2(r.min)))
     // keep the slowest entries that fit the budget; emit in results order
@@ -215,7 +237,7 @@ object Bench {
     val qtrunc = entries.length - kept.length
     val line = s"""{$head,"queries":$qsShort,"qtrunc":$qtrunc}"""
     val snapshot =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"cache_mb":$cacheFull,$cachePeak,"reps":$repsFull,"anom":$anom,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qsFull,"cache_mb":$cacheFull,$cachePeak,"reps":$repsFull,"anom":$anom,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), snapshot + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] snapshot write failed: $e") }
