@@ -146,6 +146,81 @@ object Events {
       |QUALIFY p.event_id IS NULL
       |  OR ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) = 1""".stripMargin
 
+  /** q191: FORWARD as-of join with tolerance — each click annotated with
+    * the NEXT purchase by the same user at or after it, nulled when it is
+    * more than one hour out (AsOfJoin.asOfDirected: the mirrored
+    * first-over-following frame of q22's carry-forward window, still one
+    * shuffle; the oracle is the quadratic join+rank form with the
+    * tolerance folded into the range predicate — equivalent because the
+    * first at-or-after match is the minimum timestamp, so it is within
+    * tolerance iff any match is).
+    */
+  def q191AsOfForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("value"), col("ts_us").as("pts"))
+    graft.operators.AsOfJoin.asOfDirected(clicks, purchases,
+        keyCol = "user_id", tsCol = "ts_us", rightOrd = "event_id",
+        payload = Seq("value", "pts"),
+        direction = "forward", tolerance = 3600000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_pts"), col("asof_value"))
+  }
+
+  val q191Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |),
+      |clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |purch AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS asof_pts, p.value AS asof_value
+      |FROM clicks c LEFT JOIN purch p
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |  AND p.ts_us <= c.ts_us + 3600000000
+      |QUALIFY p.event_id IS NULL
+      |  OR ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts_us ASC, p.event_id DESC) = 1""".stripMargin
+
+  /** q192: NEAREST as-of join — each click annotated with the closest
+    * purchase in time (either direction), ties to the backward side, then
+    * to the largest purchase id (AsOfJoin.asOfDirected 'nearest': both
+    * carry frames over ONE sorted partition — two window functions, one
+    * shuffle; the oracle ranks the quadratic join by |Δts| with the same
+    * tie chain).
+    */
+  def q192AsOfNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("value"), col("ts_us").as("pts"))
+    graft.operators.AsOfJoin.asOfDirected(clicks, purchases,
+        keyCol = "user_id", tsCol = "ts_us", rightOrd = "event_id",
+        payload = Seq("value", "pts"), direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_pts"), col("asof_value"))
+  }
+
+  val q192Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |),
+      |clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |purch AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS asof_pts, p.value AS asof_value
+      |FROM clicks c LEFT JOIN purch p ON p.user_id = c.user_id
+      |QUALIFY p.event_id IS NULL
+      |  OR ROW_NUMBER() OVER (PARTITION BY c.event_id
+      |       ORDER BY ABS(p.ts_us - c.ts_us) ASC,
+      |                (p.ts_us > c.ts_us) ASC, p.event_id DESC) = 1""".stripMargin
+
   /** q23: point-in-interval range join (operators.RangeJoin) — per-order
     * 90-minute deterministic windows over January 2024 vs the event stream.
     * Spark side runs the bucketized equi-join (a bare range predicate would
@@ -526,6 +601,8 @@ object Events {
     QueryDef("q20_event_hourly", q20HourlyAgg, Some(q20Sql)),
     QueryDef("q21_sessionize", q21Sessionize, Some(q21Sql)),
     QueryDef("q22_asof_join", q22AsOfJoin, Some(q22Sql)),
+    QueryDef("q191_asof_forward", q191AsOfForward, Some(q191Sql)),
+    QueryDef("q192_asof_nearest", q192AsOfNearest, Some(q192Sql)),
     QueryDef("q23_range_join", q23RangeJoin, Some(q23Sql)),
     QueryDef("q142_interval_join", q142IntervalJoin, Some(q142Sql)),
     QueryDef("q99_cohort_retention", q99CohortRetention, Some(q99Sql)),

@@ -25,4 +25,74 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.asOf(left, right, "k", "ts", "rid", Seq("v")).collect()
     assert(out.head.getAs[Double]("asof_v") == 9.0)
   }
+
+  test("forward direction picks the first at-or-after; tolerance nulls far matches") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 10L, 1.0), (1L, 180L, 11L, 1.8), (1L, 600L, 12L, 6.0),
+      (2L, 40L, 13L, 4.0))
+      .toDF("k", "ts", "rid", "v")
+    def run(tol: Long) = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid",
+        Seq("v"), direction = "forward", tolerance = tol)
+      .select("tag", "asof_v").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val noTol = run(Long.MaxValue)
+    assert(noTol("a") == 1.0)  // equal timestamp eligible forward too
+    assert(noTol("b") == 6.0)  // first at-or-after 250
+    assert(noTol("c") == null) // only earlier rows exist for key 2
+    val tol = run(200L)
+    assert(tol("a") == 1.0 && tol("c") == null)
+    assert(tol("b") == null, "600 is 350 out — beyond the 200 tolerance")
+  }
+
+  test("nearest picks the closest side; exact |dt| ties go backward") {
+    val left = Seq((1L, 100L, "a"), (1L, 205L, "b"), (1L, 500L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 90L, 10L, 0.9), (1L, 110L, 11L, 1.1),
+      (1L, 200L, 12L, 2.0), (1L, 210L, 13L, 2.1))
+      .toDF("k", "ts", "rid", "v")
+    val out = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
+        direction = "nearest")
+      .select("tag", "asof_v").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out("a") == 0.9, "tie |100-90| == |110-100| must go backward")
+    assert(out("b") == 2.0, "tie |205-200| == |210-205| must go backward")
+    assert(out("c") == 2.1, "only earlier rows — nearest falls back to backward side")
+  }
+
+  test("directed variants equal a brute scan on random data, all directions") {
+    val rnd = new scala.util.Random(41)
+    val left = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val rightRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextInt(100).toDouble))
+    val right = rightRows.toDF("k", "ts", "rid", "v")
+    val byKey = rightRows.groupBy(_._1)
+    def brute(k: Long, ts: Long, dir: String, tol: Long): Option[Double] = {
+      val rs = byKey.getOrElse(k, Seq.empty)
+      // backward: max ts then max rid; forward: min ts then max rid
+      val cand = dir match {
+        case "backward" => rs.filter(_._2 <= ts).sortBy(r => (r._2, r._3)).lastOption
+        case "forward" => rs.filter(_._2 >= ts).sortBy(r => (r._2, -r._3)).headOption
+        case "nearest" =>
+          val b = rs.filter(_._2 <= ts).sortBy(r => (r._2, r._3)).lastOption
+          val f = rs.filter(_._2 >= ts).sortBy(r => (r._2, -r._3)).headOption
+          (b, f) match {
+            case (Some(bb), Some(ff)) =>
+              if (math.abs(ff._2 - ts) < math.abs(bb._2 - ts)) Some(ff) else Some(bb)
+            case (x, y) => x.orElse(y)
+          }
+      }
+      cand.filter(r => math.abs(r._2 - ts) <= tol).map(_._4)
+    }
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(Long.MaxValue, 50L)) {
+      val got = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
+          direction = dir, tolerance = tol)
+        .select("lid", "asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      left.collect().foreach { r =>
+        val (k, ts, lid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(got(lid) == brute(k, ts, dir, tol),
+          s"dir=$dir tol=$tol lid=$lid k=$k ts=$ts: ${got(lid)} vs ${brute(k, ts, dir, tol)}")
+      }
+    }
+  }
 }

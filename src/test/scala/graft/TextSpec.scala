@@ -935,6 +935,39 @@ class TextSpec extends SparkSpec {
     assert(got == brute, s"filters lost recall: got $got want $brute")
   }
 
+  test("property: prefix join == brute Jaccard on random corpora, any threshold") {
+    import spark.implicits._
+    // randomized recall/precision sweep: mixed doc lengths, shared-token
+    // families, dup pairs, disjoint noise — 5 seeds × 3 thresholds, each
+    // compared to exact brute force over the same shingle sets
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 1000 + 7)
+      val docs = (0 until 30).map { i =>
+        val fam = i % 5
+        val n = 5 + rnd.nextInt(40)
+        val words = (0 until n).map { _ =>
+          if (rnd.nextInt(10) < 6) s"f${fam}_w${rnd.nextInt(12)}"
+          else s"u${rnd.nextInt(5000)}"
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = TextOps.shingleHashes(docs)
+      val sets = sh.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      for ((tn, td) <- Seq((1, 3), (1, 2), (4, 5))) {
+        val brute = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          inter = (sets(a) & sets(b)).size; union = (sets(a) | sets(b)).size
+          if inter * td >= union * tn
+        } yield (a, b)).toSet
+        val got = TextOps.prefixFilterFromHashes(sh, tn, td).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == brute,
+          s"seed=$seed thr=$tn/$td: missing=${brute -- got} extra=${got -- brute}")
+      }
+    }
+  }
+
   test("prefix-filter join equals brute-force exact Jaccard (no false negatives)") {
     import spark.implicits._
     // small corpus with known structure: near-dup pair (1,2), partial
