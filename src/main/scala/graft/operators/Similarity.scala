@@ -1072,4 +1072,113 @@ object Similarity {
       .orderBy(col("est_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** PCA over an embedding column — the standard preprocessing rotation
+    * before product quantization / IVF (decorrelated axes make per-
+    * subspace codebooks far more efficient; same role as in Faiss's
+    * OPQ/PCAR transforms). Returns (mean, eigenvalues desc, row-major
+    * components: k rows of d).
+    *
+    * Scale shape, MLlib-style split: the corpus-sized work is ONE
+    * map-side-combinable pass that explodes each vector's d² outer-
+    * product cells map-side into a d²-group aggregate (d = embedding
+    * width, so 256 cells at d=16 — shuffle volume is d² rows per
+    * partition, NEVER corpus-sized); the eigensolve then runs driver-side
+    * on the d×d covariance — a BOUNDED collect (d² doubles) with a cyclic
+    * Jacobi solver, O(d³) on constants the executor count never sees.
+    */
+  def pcaComponents(vectors: DataFrame, k: Int,
+      vecCol: String = "embedding"): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val head = vectors.select(size(col(vecCol)).as("d")).head()
+    val d = head.getInt(0)
+    require(k >= 1 && k <= d, s"k=$k must lie in [1, $d]")
+    // one pass: n, per-dim sums, and the full d² second-moment matrix —
+    // all map-side-combinable (the explode feeds a partial aggregate)
+    val cells = vectors.select(explode(expr(
+      s"""flatten(transform($vecCol, (x, i) ->
+         |  transform($vecCol, (y, j) ->
+         |    struct(i AS i, j AS j, CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))""".stripMargin)))
+      .select(col("col.i"), col("col.j"), col("col.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = cells.head.getLong(3).toDouble
+    val moment = Array.ofDim[Double](d, d)
+    cells.foreach(r => moment(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val sums = vectors.select(posexplode(col(vecCol)))
+      .groupBy(col("pos")).agg(sum(col("col").cast("double")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mean = Array.tabulate(d)(i => sums(i) / n)
+    val cov = Array.tabulate(d, d)((i, j) => moment(i)(j) / n - mean(i) * mean(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    (mean, evals.take(k), evecs.take(k))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — returns
+    * (eigenvalues desc, matching row eigenvectors), deterministic.
+    * Driver-side by design: the input is the d×d covariance of
+    * [[pcaComponents]], bounded by the embedding width. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            case tt => tt
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until d) {
+            val apj = a(p)(j); val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    // eigenpairs sorted by eigenvalue desc; sign normalized so the first
+    // non-negligible coordinate is positive (eigenvectors are sign-free —
+    // pin one for determinism)
+    val pairs = (0 until d).map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      val lead = vec.find(x => math.abs(x) > 1e-12).getOrElse(1.0)
+      (a(j)(j), if (lead < 0) vec.map(-_) else vec)
+    }.sortBy { case (ev, vec) => (-ev, vec.headOption.getOrElse(0.0)) }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** Project vectors onto the top-k PCA components: (id, pc1..pck).
+    * The components ride as FOLDED LITERALS inside one codegen'd
+    * expression per output column — projection is pure map-side column
+    * math, no join, no shuffle, no UDF. */
+  def pcaProject(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", round6: Boolean = true): DataFrame = {
+    val (mean, _, comps) = pcaComponents(vectors, k, vecCol)
+    val d = mean.length
+    val pcs = comps.zipWithIndex.map { case (c, j) =>
+      val terms = (0 until d).map(i =>
+        s"(CAST($vecCol[$i] AS DOUBLE) - (${mean(i)})) * (${c(i)})").mkString(" + ")
+      val e = expr(terms)
+      (if (round6) round(e, 6) else e).as(s"pc${j + 1}")
+    }
+    vectors.select(col(idCol) +: pcs: _*)
+  }
 }

@@ -264,6 +264,20 @@ object Text {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** q193: PCA projection of the embedding corpus onto its top-4
+    * principal axes (`Similarity.pcaProject`) — the decorrelating
+    * rotation that precedes PQ/IVF codebook training (Faiss's PCAR/OPQ
+    * role). The Gramian is ONE map-side-combinable d²-cell pass, the
+    * eigensolve is a bounded d×d driver-side Jacobi, and the projection
+    * is folded-literal column math (no join, no UDF). Not
+    * SQL-expressible (no eigensolver in DuckDB) — driver records the
+    * rows-only check; the math is spec-gated (SimilaritySpec: planted
+    * covariance closed form, eigen residuals, orthonormality, projection
+    * equivalence).
+    */
+  def q193PcaProject(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pcaProject(Tables.load(spark, sfDir, "embeddings"), k = 4)
+
   /** q160: hard-negative mining (`Similarity.hardNegatives`) — the
     * contrastive-training prep: per query vector, the 5 most-similar
     * DIFFERENT-label vectors (the negatives the model confuses). q38's
@@ -2860,6 +2874,7 @@ object Text {
     QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
     QueryDef("q129_containment", q129Containment, Some(q129Sql)),
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
+    QueryDef("q193_pca_project", q193PcaProject, None),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -97,6 +97,62 @@ class TextSpec extends SparkSpec {
     assert(out(11L).getAs[Double]("max_prior_cos") >= 0.99)
   }
 
+  test("PCA: planted 2-factor covariance recovers axes, variances, projections") {
+    import spark.implicits._
+    val s2 = math.sqrt(2.0)
+    // points a·d1 + b·d2 with d1=(1,1,0,0)/√2, d2=(1,−1,0,0)/√2,
+    // (a,b) ∈ {±2}×{±1}: mean 0, eigenvalues exactly (4, 1, 0, 0)
+    val pts = for (a <- Seq(-2.0, 2.0); b <- Seq(-1.0, 1.0)) yield
+      Array((a + b) / s2, (a - b) / s2, 0.0, 0.0).map(_.toFloat).toSeq
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val (mean, evals, comps) = Similarity.pcaComponents(df, 4)
+    // float32 inputs: exactness is at 1e-7-ish scale, not 1e-15
+    mean.foreach(m => assert(math.abs(m) < 1e-6))
+    assert(math.abs(evals(0) - 4.0) < 1e-5 && math.abs(evals(1) - 1.0) < 1e-5)
+    assert(math.abs(evals(2)) < 1e-6 && math.abs(evals(3)) < 1e-6)
+    // sign-normalized components match the planted directions
+    assert(comps(0).zip(Array(1 / s2, 1 / s2, 0, 0)).forall { case (x, y) => math.abs(x - y) < 1e-5 })
+    assert(comps(1).zip(Array(1 / s2, -1 / s2, 0, 0)).forall { case (x, y) => math.abs(x - y) < 1e-5 })
+    // distributed projection == driver-side dot products
+    val proj = Similarity.pcaProject(df, 2, round6 = false).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    pts.zipWithIndex.foreach { case (v, i) =>
+      val want1 = v.zip(comps(0)).map { case (x, c) => x * c }.sum
+      val want2 = v.zip(comps(1)).map { case (x, c) => x * c }.sum
+      assert(math.abs(proj(i.toLong)._1 - want1) < 1e-6)
+      assert(math.abs(proj(i.toLong)._2 - want2) < 1e-6)
+    }
+  }
+
+  test("PCA: eigen residuals, orthonormality and ordering on the corpus embeddings") {
+    // full decomposition (k = d) so trace == sum of eigenvalues holds
+    val dAll = emb.select(size(col("embedding"))).head().getInt(0)
+    val (mean, evals, comps) = Similarity.pcaComponents(emb, dAll)
+    val d = mean.length
+    assert(evals.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "eigenvalues must descend")
+    // brute covariance from the collected corpus (test-scale only)
+    val rows = emb.collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val n = rows.length.toDouble
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    }
+    // trace == Σλ (rotation preserves total variance)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(trace - evals.sum) < 1e-6 * math.max(1.0, trace))
+    for (j <- 0 until d) {
+      val v = comps(j)
+      val cv = Array.tabulate(d)(i => (0 until d).map(l => cov(i)(l) * v(l)).sum)
+      val resid = cv.zip(v).map { case (x, y) => math.abs(x - evals(j) * y) }.max
+      assert(resid < 1e-6, s"eigen residual $resid at component $j")
+      for (l <- j until d) {
+        val dot = comps(j).zip(comps(l)).map { case (x, y) => x * y }.sum
+        val want = if (l == j) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"orthonormality broke at ($j, $l)")
+      }
+    }
+  }
+
   test("text stats are sane") {
     val s = TextOps.textStats(docs).collect()
     assert(s.forall { r =>
