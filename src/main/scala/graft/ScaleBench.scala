@@ -132,6 +132,33 @@ object ScaleBench {
     }
 
     if (on("vectors")) {
+    // V0. PCA at 200k × 64-dim with a planted closed form: vectors are
+    // a·d1 + b·d2 with d1 = (1,1,0,…)/√2, d2 = (1,−1,0,…)/√2 and
+    // (a, b) ∈ {±2}×{±1} by id bits — covariance eigenvalues exactly
+    // (4, 1, 0, …), components exactly the planted directions. Gates the
+    // distributed upper-triangle Gramian pass (d(d+1)/2 = 2080 cells per
+    // vector, map-side-combined to 2080 groups) + the driver Jacobi at a
+    // scale where a naive collect-the-corpus eigensolve would not fly.
+    timed("pca_200k_x_64d_closed_form") {
+      val s2 = math.sqrt(2.0)
+      val a = (col("id") % 2 * 4 - 2).cast("double")       // ±2
+      val b = (expr("id DIV 2") % 2 * 2 - 1).cast("double") // ±1
+      val vecs = spark.range(200000L).select(col("id").as("vec_id"),
+        concat(array(((a + b) / s2).cast("float"), ((a - b) / s2).cast("float")),
+          transform(sequence(lit(2), lit(63)), _ => lit(0.0f))).as("embedding"))
+      val (mean, evals, comps) =
+        operators.Similarity.pcaComponents(vecs, 4, "embedding")
+      require(mean.forall(m => math.abs(m) < 1e-6), "mean must vanish")
+      require(math.abs(evals(0) - 4.0) < 1e-4 && math.abs(evals(1) - 1.0) < 1e-4 &&
+        math.abs(evals(2)) < 1e-6,
+        s"planted eigenvalues diverged: ${evals.take(3).mkString(",")}")
+      require(math.abs(comps(0)(0) - 1 / s2) < 1e-5 &&
+        math.abs(comps(0)(1) - 1 / s2) < 1e-5 &&
+        math.abs(comps(1)(0) - 1 / s2) < 1e-5 &&
+        math.abs(comps(1)(1) + 1 / s2) < 1e-5,
+        "planted components diverged")
+    }
+
     // synthetic 1M-vector embedding corpus, dim 16, deterministic — murmur3
     // mixed per (id, dim) so vectors are genuinely distinct (a plain linear
     // congruence mod 2000 has period 2000 in id: only 2000 distinct vectors
