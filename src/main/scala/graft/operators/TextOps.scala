@@ -1347,14 +1347,29 @@ object TextOps {
     val hist = counts.groupBy(col("cnt"))
       .agg(count(lit(1)).as("n_toks"))
       .select(col("cnt"), col("n_toks"), (col("n_toks") * col("cnt")).as("mass"))
-    // single-partition window over DISTINCT COUNT VALUES only (Zipf-small,
-    // never vocabulary-sized) — the same bounded-window discipline as the
-    // sketch extractors
-    val w = Window.orderBy(col("cnt").desc)
+    // Two-phase cumulative over count DESC — the same distributed-ranking
+    // discipline as sortedNeighborhood: the histogram is usually
+    // Zipf-small, but its distinct-count cardinality is data-dependent,
+    // so no single-partition window over it. Counts bucket by binary
+    // magnitude (length of the base-2 string — integer-exact, no float
+    // log2 edge at powers of two), per-bucket exclusive cumsums run in
+    // parallel windows, and only the ≤64-row bucket-total table crosses a
+    // SinglePartition exchange.
+    val bucketed = hist.withColumn("b", length(conv(col("cnt"), 10, 2)))
+    val wOff = Window.orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist
-      .withColumn("toks_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
-      .withColumn("mass_before", coalesce(sum(col("mass")).over(w), lit(0L)))
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("n_toks")).as("bt"), sum(col("mass")).as("bm"))
+      .withColumn("off_t", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .withColumn("off_m", coalesce(sum(col("bm")).over(wOff), lit(0L)))
+      .select(col("b"), col("off_t"), col("off_m"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("toks_before",
+        col("off_t") + coalesce(sum(col("n_toks")).over(wLoc), lit(0L)))
+      .withColumn("mass_before",
+        col("off_m") + coalesce(sum(col("mass")).over(wLoc), lit(0L)))
     val total = counts.agg(sum(col("cnt")).as("total_tokens"))
     val pctDf = broadcast(pcts.toDF("pct"))
     cum.crossJoin(broadcast(total)).join(pctDf,
