@@ -176,6 +176,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("as-of joins shuffle ONCE on the key, in every direction") {
+    // the operator's whole claim vs the join+filter+rank formulation:
+    // union both sides, one hash exchange on the key, carry values with
+    // a window. `nearest` adds a second Window operator but must REUSE
+    // the same exchange (both frames sort within the same partitioning) —
+    // a second data exchange would mean the union trick regressed
+    for ((q, wantWindows) <- Seq(("q22_asof_join", 1),
+        ("q191_asof_forward", 1), ("q192_asof_nearest", 2))) {
+      val plan = planOf(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val singleEx = "Exchange SinglePartition".r.findAllIn(plan).length
+      val windows = "Window ".r.findAllIn(plan).length
+      assert(hashEx == 1, s"$q plans $hashEx hash exchanges — want exactly 1 (the key)")
+      assert(singleEx == 0, s"$q plans a SinglePartition exchange")
+      assert(windows == wantWindows, s"$q plans $windows Window ops, want $wantWindows")
+    }
+  }
+
   test("q179 ranks without serializing the data onto one task") {
     // sortedNeighborhood's claim: global ranks from PER-BUCKET windows
     // (Exchange hashpartitioning(__bkt)) plus ONE SinglePartition exchange
