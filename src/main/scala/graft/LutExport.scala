@@ -15,6 +15,11 @@ object LutExport {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: LutExport <outDir> [--nc] [modelName ...]")
     val outDir = args.head
+    // Guard against flag-like output dirs: `LutExport --help` once wrote 39 MB of
+    // parquet into a directory literally named `--help/` and it got committed.
+    require(
+      !outDir.startsWith("-"),
+      s"outDir '$outDir' looks like a flag, not a path; pass the output directory first")
     val asNc = args.tail.contains("--nc")
     val only = args.tail.filterNot(_ == "--nc").toSet
     val spark = GraftSession.getOrCreate(

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** Sink for the sortedNeighborhoodBy broadcast-fallback warning — a
+    * package-private hook so FuzzySpec can assert the fallback is LOUD
+    * (a silent shuffled join is correct but hides a mis-set bucketing).
+    * Production default: slf4j warn. */
+  private[graft] var onBroadcastFallback: String => Unit =
+    msg => org.slf4j.LoggerFactory.getLogger(Fuzzy.getClass).warn(msg)
+
   /** Jaro-Winkler similarity, bit-compatible with DuckDB's
     * `jaro_winkler_similarity` (verified exhaustively against it over the
     * corpus vocabulary): empty strings score 0 even against themselves,
@@ -382,8 +389,20 @@ object Fuzzy {
         .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
         .drop("__c")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nBuckets = offsets.count()
     val offsetsSized =
-      if (offsets.count() <= maxBroadcastBuckets) broadcast(offsets) else offsets
+      if (nBuckets <= maxBroadcastBuckets) broadcast(offsets)
+      else {
+        // correct but a symptom: the bucketing is finer than the data (aim
+        // for >= w rows per bucket) — tell the user instead of silently
+        // shuffling what was meant to be a broadcast side
+        onBroadcastFallback(
+          s"sortedNeighborhoodBy: $nBuckets distinct buckets exceed " +
+            s"maxBroadcastBuckets=$maxBroadcastBuckets; falling back to a " +
+            "shuffled offsets join — widen bucketExpr (too-fine bucketing) " +
+            "or raise maxBroadcastBuckets")
+        offsets
+      }
     val ranked = bucketed
       .join(offsetsSized, Seq("__bkt"))
       .withColumn("__r", col("__off") + row_number().over(wLoc))

@@ -189,8 +189,14 @@ object Kll {
     require(w > 0, "quantiles on empty sketch")
     qs.map { q =>
       // 0-indexed target rank in exact decimal arithmetic: double
-      // multiplication loses integer precision past 2^53 total weight
-      val t = (BigDecimal(q) * BigDecimal(w - 1))
+      // multiplication loses integer precision past 2^53 total weight.
+      // q is quantized to 15 decimal digits HALF_UP FIRST — the same
+      // quantization the SQL path's CAST(q AS DECIMAL(16,15)) applies in
+      // quantilesFromSketch — so driver and SQL extraction compute the
+      // identical target rank even for q values whose binary expansion
+      // differs past the 15th decimal digit
+      val t = (BigDecimal(q).setScale(15, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(w - 1))
         .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
       var cw = 0L
       var i = 0

@@ -1087,19 +1087,42 @@ object Similarity {
     * on the d×d covariance — a BOUNDED collect (d² doubles) with a cyclic
     * Jacobi solver, O(d³) on constants the executor count never sees.
     */
-  // memoized full decompositions, keyed by the vectors' ANALYZED-plan
-  // semantic hash — re-executions of the same projection (bench reps,
-  // multiple queries over one corpus) pay the Gramian pass once per
-  // session. Bounded: one (d + d² + d·d) double payload per distinct plan.
+  // memoized full decompositions — re-executions of the same projection
+  // (bench reps, multiple queries over one corpus) pay the Gramian pass
+  // once per session. The key is DATA-AWARE, not just plan-shaped: the
+  // SHA-256 of the full canonicalized analyzed plan (a 32-bit semanticHash
+  // could collide and silently serve another dataset's components — this
+  // is a correctness output, unlike RangeJoin's bucketing heuristic) plus
+  // the sorted list of backing input files. Overwriting a source table
+  // mid-session writes new part-<uuid> file names, so the key changes and
+  // the memo misses; in-memory data is embedded in the canonical plan
+  // itself. The one blind spot — a non-Spark writer mutating a file IN
+  // PLACE under the same name — is covered by [[invalidatePcaMemo]].
+  // Bounded: one (d + d² + k·d) double payload per distinct key.
   private val pcaMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, String),
+    .empty[(org.apache.spark.sql.SparkSession, String),
       (Array[Double], Array[Double], Array[Array[Double]])]
+
+  /** Drop every memoized PCA decomposition. Only needed when a source file
+    * was rewritten IN PLACE under an unchanged name (Spark's own overwrite
+    * writes fresh part-file names, which the memo key already sees). */
+  def invalidatePcaMemo(): Unit = pcaMemo.clear()
+
+  private def pcaMemoKey(vectors: DataFrame, vecCol: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(vectors.queryExecution.analyzed.canonicalized.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    vectors.inputFiles.sorted.foreach { f =>
+      md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.update(vecCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   def pcaComponents(vectors: DataFrame, k: Int,
       vecCol: String = "embedding"): (Array[Double], Array[Double], Array[Array[Double]]) = {
     pcaMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
-    val memoKey = (vectors.sparkSession,
-      vectors.queryExecution.analyzed.semanticHash(), vecCol)
+    val memoKey = (vectors.sparkSession, pcaMemoKey(vectors, vecCol))
     val (mean, evals, evecs) = pcaMemo.getOrElseUpdate(memoKey, {
       val head = vectors.select(size(col(vecCol)).as("d")).head()
       val d = head.getInt(0)

@@ -158,7 +158,10 @@ object Streaming {
   def embeddingNearDupStream(vectors: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, threshold: Double, planes: Int, bands: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    // fail fast: a bad retainBatches would otherwise only surface as a
+    // runtime crash inside the first foreachBatch
+    checkRetain(retainBatches)
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -167,6 +170,7 @@ object Streaming {
           planes, bands, idCol, vecCol, retainBatches)
       }
       .start()
+  }
 
   /** Committed rows of an idempotent batch-partitioned store table:
     * partitions with batch_id < this batch. A retried batch may find its
@@ -281,7 +285,8 @@ object Streaming {
   def fingerprintNearDupStream(hashes: DataFrame, outDir: String,
       storeDir: String, checkpoint: String, bits: Int, bands: Int,
       maxHamming: Int, idCol: String = "media_id",
-      hashCol: String = "dhash", retainBatches: Int = DefaultRetainBatches): StreamingQuery =
+      hashCol: String = "dhash", retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
     hashes.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -290,6 +295,7 @@ object Streaming {
           bands, maxHamming, idCol, hashCol, retainBatches)
       }
       .start()
+  }
 
   private[graft] def processFingerprintBatch(batch: DataFrame, batchId: Long,
       outDir: String, storeDir: String, bits: Int, bands: Int,
@@ -351,7 +357,8 @@ object Streaming {
   def textNearDupStream(docs: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, threshold: Double, numHashes: Int = 16, rows: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
-      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -360,6 +367,7 @@ object Streaming {
           numHashes, rows, idCol, textCol, retainBatches)
       }
       .start()
+  }
 
   /** One micro-batch of [[textNearDupStream]] (see [[processNearDupBatch]]
     * for why this is a named, directly-testable step). */
@@ -672,13 +680,18 @@ object Streaming {
     *    change mid-ingest);
     *  - duplicated spans vs a running 10-gram span-hash store.
     *
-    * Semantics vs the batch pass: dedup/span state is SEEN-SO-FAR — with
+    * Semantics vs the batch pass: with the default
+    * `retainBatches = Unbounded`, dedup/span state is SEEN-SO-FAR — with
     * batches arriving in id order the asymmetric flags (exact, near-dup)
     * equal the batch keep-first-by-id decision exactly; the symmetric
     * dup-span flag marks a doc when its partner has already landed (same
     * batch or earlier), so an early doc whose partner arrives later is
     * flagged by the later compose-time batch pass, not retroactively here
-    * — the standard ingest-vs-compose split. Every store follows the
+    * — the standard ingest-vs-compose split. A positive `retainBatches`
+    * windows ALL THREE stores (content hashes, near-dup shingles/bands,
+    * span hashes) to that many prior batches — per-batch cost becomes
+    * O(window) but the dup flags narrow to "vs the last N batches" and no
+    * longer equal the batch decision. Every store follows the
     * batch_id-partition contract (read strictly earlier, overwrite own),
     * so retried batches are exactly-once.
     */
@@ -686,15 +699,19 @@ object Streaming {
       outDir: String, storeDir: String, checkpoint: String,
       jaccardThreshold: Double = 0.8, contamMinFrac: Double = 0.1,
       sampleRates: Map[String, Double] = Map.empty, defaultRate: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+      idCol: String = "doc_id", textCol: String = "text",
+      retainBatches: Int = Unbounded): StreamingQuery = {
+    checkRetain(retainBatches)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCurationBatch(batch, batchId, evalHashes, outDir, storeDir,
-          jaccardThreshold, contamMinFrac, sampleRates, defaultRate, idCol, textCol)
+          jaccardThreshold, contamMinFrac, sampleRates, defaultRate, idCol,
+          textCol, retainBatches)
       }
       .start()
+  }
 
   /** One micro-batch of [[curationDecisionStream]] — package-private for
     * direct idempotency testing. */
@@ -702,15 +719,19 @@ object Streaming {
       evalHashes: DataFrame, outDir: String, storeDir: String,
       jaccardThreshold: Double, contamMinFrac: Double,
       sampleRates: Map[String, Double], defaultRate: Double,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      retainBatches: Int = Unbounded): Unit = {
     import graft.operators.TextOps
     val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/hashes", horizon)
+    pruneStore(spark, s"$storeDir/spans", horizon)
     val b = batch.persist()
 
     // exact dedup vs the running hash store: canonical is the smallest id
     // over everything seen through this batch
     val bh = b.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val storeH = committedOr(spark, s"$storeDir/hashes", batchId, bh.limit(0))
+    val storeH = committedOr(spark, s"$storeDir/hashes", batchId, bh.limit(0), horizon)
     val canon = storeH.unionByName(bh)
       .groupBy(col("content_hash")).agg(min(col(idCol)).as("__canon"))
     val exact = bh.join(canon, "content_hash")
@@ -719,7 +740,8 @@ object Streaming {
     // near-dup via the existing banded machinery: its per-batch pair output
     // (earlier/smaller side first) lands under the store, the later side drops
     processTextNearDupBatch(b, batchId, s"$storeDir/neardup_pairs",
-      s"$storeDir/neardup", jaccardThreshold, 16, 4, idCol, textCol)
+      s"$storeDir/neardup", jaccardThreshold, 16, 4, idCol, textCol,
+      retainBatches)
     val nearDrop = spark.read.parquet(s"$storeDir/neardup_pairs/batch_id=$batchId")
       .select(col("doc_b").as(idCol)).distinct()
       .withColumn("__near", lit(true))
@@ -744,7 +766,7 @@ object Streaming {
       explode_outer(call_function("shingle_hashes", col(textCol), lit(10),
         lit(TextOps.HashP))).as("h"))
     val storeSp = committedOr(spark, s"$storeDir/spans", batchId,
-      spB.select(col("h")).limit(0))
+      spB.select(col("h")).limit(0), horizon)
     val dupH = storeSp.select(col("h")).unionByName(spB.select(col("h")))
       .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") > 1).select(col("h"), lit(1).as("__dup"))
@@ -855,7 +877,8 @@ object Streaming {
     */
   def lineDedupStream(docs: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
-      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -864,6 +887,7 @@ object Streaming {
           textCol, retainBatches)
       }
       .start()
+  }
 
   /** One micro-batch of [[lineDedupStream]] — package-private for direct
     * twin-equality and idempotency testing. */
@@ -1011,7 +1035,8 @@ object Streaming {
     */
   def heavyHittersStream(rows: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, tokCol: String = "tok", k: Int = 256,
-      retainBatches: Int = DefaultRetainBatches): StreamingQuery =
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1020,6 +1045,7 @@ object Streaming {
           k, retainBatches)
       }
       .start()
+  }
 
   /** One micro-batch of [[heavyHittersStream]] — package-private for
     * direct superset/idempotency testing. */
@@ -1267,6 +1293,7 @@ object Streaming {
   def bucketDriftStream(rows: DataFrame, reference: DataFrame, outDir: String,
       storeDir: String, checkpoint: String, bucketCol: String,
       retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
     val refCounts = reference.groupBy(col(bucketCol))
       .agg(count(lit(1)).as("n_rows")).persist()
     rows.writeStream

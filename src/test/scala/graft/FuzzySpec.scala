@@ -232,11 +232,21 @@ class FuzzySpec extends SparkSpec {
       .toDF("id", "key")
     val w = 3
     val bucket = org.apache.spark.sql.functions.expr("key DIV 1")
-    val viaBroadcast = Fuzzy.sortedNeighborhoodBy(rows, "id", "key", w, bucket)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
-    val viaShuffle = Fuzzy.sortedNeighborhoodBy(rows, "id", "key", w, bucket,
-        maxBroadcastBuckets = 0L)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
-    assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+    val warns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prior = Fuzzy.onBroadcastFallback
+    Fuzzy.onBroadcastFallback = warns += _
+    try {
+      val viaBroadcast = Fuzzy.sortedNeighborhoodBy(rows, "id", "key", w, bucket)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+      assert(warns.isEmpty, "the broadcast path must not warn")
+      val viaShuffle = Fuzzy.sortedNeighborhoodBy(rows, "id", "key", w, bucket,
+          maxBroadcastBuckets = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+      // the fallback must be LOUD — users should learn their bucketExpr is
+      // finer than the data, not silently eat a shuffled join
+      assert(warns.exists(_.contains("maxBroadcastBuckets")),
+        s"expected a fallback warning, got $warns")
+    } finally Fuzzy.onBroadcastFallback = prior
   }
 }

@@ -775,6 +775,40 @@ class IoStreamingSpec extends SparkSpec {
     joined.unpersist(); evalHashes.unpersist()
   }
 
+  test("curation retention: Unbounded remembers every batch, finite window forgets") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val dir = Files.createTempDirectory("curretain").toString
+    def mk(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+    val evalHashes = TextOps.evalShingleSet(mk(1L, "x").limit(0)).persist()
+    evalHashes.count()
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    def run(id: Long, text: String, batchId: Long, retain: Int): Unit =
+      Streaming.processCurationBatch(mk(id, text), batchId, evalHashes,
+        s"$dir/out", s"$dir/store", 0.8, 0.1, Map.empty, 1.0,
+        "doc_id", "text", retain)
+    // default (Unbounded): a dup re-ingested two batches later is caught —
+    // the SEEN-SO-FAR semantics the scaladoc promises
+    run(1L, t, 0L, Streaming.Unbounded)
+    run(2L, "entirely different filler words covering separate topics here", 1L,
+      Streaming.Unbounded)
+    run(3L, t, 2L, Streaming.Unbounded)
+    val dupUnbounded = spark.read.parquet(s"$dir/out/batch_id=2")
+      .select("is_exact_dup").as[Boolean].head()
+    assert(dupUnbounded, "unbounded retention must remember the batch-0 hash")
+    // retainBatches=1: replaying batch 2 prunes everything below batch 1
+    // from ALL curation stores first, so the same text is no longer a dup
+    run(3L, t, 2L, 1)
+    val dupWindowed = spark.read.parquet(s"$dir/out/batch_id=2")
+      .select("is_exact_dup").as[Boolean].head()
+    assert(!dupWindowed, "a 1-batch window must forget the batch-0 hash")
+    val survivors = new java.io.File(s"$dir/store/hashes").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(survivors == Set("batch_id=1", "batch_id=2"),
+      s"hash store must hold only the window, got $survivors")
+    evalHashes.unpersist()
+  }
+
   test("curation decisions (quality + stratified sample) stream stateless per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -204,6 +204,25 @@ class KllSpec extends SparkSpec {
     assert(a.comps == b.comps && a.levels.map(_.toSeq) == b.levels.map(_.toSeq))
   }
 
+  test("driver and SQL extraction quantize q identically at edge ranks") {
+    // q = 0.0999999999999999 rounds to 0.1 at 15 decimal digits (the SQL
+    // path's DECIMAL(16,15) cast); with 11 items (tw-1 = 10) that's target
+    // rank 1, while the raw binary expansion would floor to rank 0. Both
+    // paths must agree — the driver now applies the same HALF_UP
+    // quantization before the floor.
+    val q = 0.0999999999999999
+    val vals = (0L to 10L).map(_ * 100L) // distinct values, rank i -> i*100
+    val b = new KllBuf(64)
+    vals.foreach(b.update)
+    val driver = Kll.quantiles(b, Seq(q)).head
+    assert(driver == 100L, s"driver picked rank ${driver / 100} (want 1)")
+    val sk = vals.toDF("v").withColumn("g", lit("g"))
+      .groupBy("g").agg(expr("kll_sketch(v, 64)").as("sk"))
+    val sql = Kll.quantilesFromSketch(sk, Seq("g"), "sk", Seq(q))
+      .select("value").as[Long].head()
+    assert(sql == driver, s"SQL=$sql driver=$driver diverged at edge q")
+  }
+
   test("k mismatch is rejected on merge; EMPTY sketches merge as no-ops at any k") {
     // direct: different-k non-empty sketches must not silently merge (the
     // result would keep one k label with the other's error bound)
