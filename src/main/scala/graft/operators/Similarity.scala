@@ -1214,13 +1214,22 @@ object Similarity {
   def pcaProject(vectors: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", round6: Boolean = true): DataFrame = {
     val (mean, _, comps) = pcaComponents(vectors, k, vecCol)
-    val d = mean.length
     val pcs = comps.zipWithIndex.map { case (c, j) =>
-      val terms = (0 until d).map(i =>
-        s"(CAST($vecCol[$i] AS DOUBLE) - (${mean(i)})) * (${c(i)})").mkString(" + ")
-      val e = expr(terms)
+      val e = expr(projectionTerms(mean, c, i => s"$vecCol[$i]"))
       (if (round6) round(e, 6) else e).as(s"pc${j + 1}")
     }
     vectors.select(col(idCol) +: pcs: _*)
   }
+
+  /** Centered-dot-product term text for ONE principal component. Shared by
+    * [[pcaProject]] and the q193 DuckDB oracle builder: both engines parse
+    * the IDENTICAL shortest-round-trip Double.toString literals and the
+    * identical left-associated `+` chain, so the pre-round projection is
+    * bit-equal across Spark and DuckDB. `idx` renders each engine's array
+    * access (Spark 0-based `embedding[i]`, DuckDB 1-based `embedding[i+1]`).
+    */
+  private[graft] def projectionTerms(mean: Array[Double], comp: Array[Double],
+      idx: Int => String): String =
+    mean.indices.map(i =>
+      s"(CAST(${idx(i)} AS DOUBLE) - (${mean(i)})) * (${comp(i)})").mkString(" + ")
 }

@@ -11,11 +11,19 @@ import org.apache.spark.sql.types.DecimalType
   *   - every computed column is aliased identically in Spark and SQL;
   *   - floating outputs are rounded (or decimal-exact-summed) on BOTH sides
   *     so libm/summation-order ULP differences can't flip the hash.
-  */
+  *
+  * `oracle` is the usual static SQL;
+  * `dynamicOracle` covers queries whose oracle embeds DATA-DEPENDENT
+  * constants computed while the query ran (q193: the fitted PCA mean and
+  * components become literals, the q141 interpolation pattern) — Verify
+  * dumps oracle_sql.json AFTER running every query, so the thunk sees the
+  * fitted values; it returns None when the query never ran (driver then
+  * records the weaker rows-only check, same as a missing oracle). */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    dynamicOracle: Option[() => Option[String]] = None)
 
 object QueryDef {
 

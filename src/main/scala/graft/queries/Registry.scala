@@ -20,5 +20,6 @@ object Registry {
     all.map(q => q.name -> q.fn).toMap
 
   def oracles: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q =>
+      q.oracle.orElse(q.dynamicOracle.flatMap(_())).map(q.name -> _)).toMap
 }

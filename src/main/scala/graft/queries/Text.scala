@@ -269,14 +269,40 @@ object Text {
     * rotation that precedes PQ/IVF codebook training (Faiss's PCAR/OPQ
     * role). The Gramian is ONE map-side-combinable d²-cell pass, the
     * eigensolve is a bounded d×d driver-side Jacobi, and the projection
-    * is folded-literal column math (no join, no UDF). Not
-    * SQL-expressible (no eigensolver in DuckDB) — driver records the
-    * rows-only check; the math is spec-gated (SimilaritySpec: planted
+    * is folded-literal column math (no join, no UDF). The EIGENSOLVE has
+    * no DuckDB twin, but the projection does: the fitted mean/components
+    * are stashed while the query runs and interpolated into the oracle as
+    * literals (the q141 integer-DCT pattern), so the centered dot
+    * product, null handling, rounding and ordering are all hash-verified;
+    * only the eigensolve itself stays spec-gated (SimilaritySpec: planted
     * covariance closed form, eigen residuals, orthonormality, projection
     * equivalence).
     */
-  def q193PcaProject(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.pcaProject(Tables.load(spark, sfDir, "embeddings"), k = 4)
+  def q193PcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // fit first (memoized — pcaProject below hits the same memo key) so
+    // the dynamic oracle can replay the projection with these literals
+    val (mean, _, comps) = Similarity.pcaComponents(emb, k = 4)
+    q193Fitted = Some((mean, comps))
+    Similarity.pcaProject(emb, k = 4)
+  }
+
+  // the last fit q193 ran with — read by the dynamic oracle AFTER Verify
+  // has executed every query (one sfDir per Verify JVM, so last-write wins
+  // is exact, not racy-by-data)
+  @volatile private var q193Fitted: Option[(Array[Double], Array[Array[Double]])] = None
+
+  /** Data-dependent q193 oracle: replay the folded-literal projection in
+    * DuckDB with the SAME [[Similarity.projectionTerms]] text as the Spark
+    * plan — 1-based list access, identical double literals, identical
+    * left-to-right summation, same ROUND(..., 6). None until the query has
+    * run (the driver then falls back to the rows-only check). */
+  def q193Oracle: Option[String] = q193Fitted.map { case (mean, comps) =>
+    val pcs = comps.zipWithIndex.map { case (c, j) =>
+      s"ROUND(${Similarity.projectionTerms(mean, c, i => s"embedding[${i + 1}]")}, 6) AS pc${j + 1}"
+    }
+    s"SELECT vec_id, ${pcs.mkString(", ")} FROM embeddings"
+  }
 
   /** q160: hard-negative mining (`Similarity.hardNegatives`) — the
     * contrastive-training prep: per query vector, the 5 most-similar
@@ -2874,7 +2900,8 @@ object Text {
     QueryDef("q36_jaccard", q36Jaccard, Some(q36Sql)),
     QueryDef("q129_containment", q129Containment, Some(q129Sql)),
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
-    QueryDef("q193_pca_project", q193PcaProject, None),
+    QueryDef("q193_pca_project", q193PcaProject, None,
+      dynamicOracle = Some(() => q193Oracle)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),
