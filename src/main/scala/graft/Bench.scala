@@ -15,19 +15,28 @@ object Bench {
       .asScala.map(_.getCollectionTime.max(0L)).sum
   }
 
-  /** Prior-round committed per-query seconds, for anomaly auto-rep: the
-    * env override SPARK_GRAFT_PRIOR, else the numerically-latest
-    * bench_r*.json in the working dir. Parsed with a narrow regex — the
-    * snapshot's "queries" map is the only place a qNN key maps to a bare
-    * decimal (cache_mb values are [n,mb] arrays, cache_peak's "at" maps to
-    * a string), so no JSON library is needed.
+  /** Prior-ROUND committed per-query seconds, for anomaly auto-rep: the
+    * env override SPARK_GRAFT_PRIOR, else the latest bench_r*.json from a
+    * COMPLETED round. The prior round's number is read off the driver's
+    * BENCH_r{NN}.json artifacts (written once per finished round) — the
+    * numerically-latest bench_r*.json alone would be this round's own
+    * intra-round refresh, which resets the comparison baseline exactly
+    * when a cross-round regression needs catching (the r14 loophole:
+    * q129 at 2.85× r13 sailed through with anom:{}). Parsed with a narrow
+    * regex — the snapshot's "queries" map is the only place a qNN key maps
+    * to a bare decimal (cache_mb values are [n,mb] arrays, cache_peak's
+    * "at" maps to a string), so no JSON library is needed.
     */
   private def loadPrior(): Map[String, Double] = {
     val path = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
-      val snaps = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.matches("bench_r\\d+\\.json"))
-      if (snaps.isEmpty) None
-      else Some(snaps.maxBy(n => n.replaceAll("\\D", "").toInt))
+      val names = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .map(_.getName)
+      def num(n: String): Int = n.replaceAll("\\D", "").toInt
+      val snaps = names.filter(_.matches("bench_r\\d+\\.json"))
+      val priorRound = names.filter(_.matches("BENCH_r\\d+\\.json"))
+        .map(num).maxOption
+      priorRound.flatMap(pr => snaps.filter(num(_) <= pr).maxByOption(num))
+        .orElse(snaps.maxByOption(num))
     }
     path.flatMap { p =>
       try {

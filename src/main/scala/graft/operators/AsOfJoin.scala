@@ -38,14 +38,31 @@ object AsOfJoin {
 
   /** [[asOf]] with direction and tolerance. `tolerance` is in `tsCol`
     * units; a match farther than it from the left timestamp yields nulls
-    * (the row is kept — as-of is always a left join). */
+    * (the row is kept — as-of is always a left join).
+    *
+    * `bucketWidth` (in `tsCol` units, cast to long) is the SKEW option:
+    * the plain path's `Window.partitionBy(key)` funnels one hot entity's
+    * full history through a single task — a straggler cliff when one key
+    * holds most of the rows. With `bucketWidth > 0` the window runs per
+    * (key, floor(ts/bucketWidth)) instead, and cross-bucket matches are
+    * carried by a BUCKET-SUMMARY side pass: one combinable groupBy reduces
+    * the right side to its per-bucket best backward/forward candidate,
+    * a per-key window over that summary table (rows = #buckets, never
+    * data-sized) accumulates each bucket's carry-in/carry-out, and a
+    * co-partitioned (key, bucket) join hands them back. Results are
+    * IDENTICAL to the plain path (AsOfJoinSpec proves equality across
+    * directions and tolerances); only the partitioning changes. */
   def asOfDirected(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightOrd: String, payload: Seq[String],
       direction: String = "backward",
-      tolerance: Long = Long.MaxValue): DataFrame = {
+      tolerance: Long = Long.MaxValue,
+      bucketWidth: Long = 0L): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward/forward/nearest, got '$direction'")
     require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
+    if (bucketWidth > 0)
+      return asOfBucketed(left, right, keyCol, tsCol, rightOrd, payload,
+        direction, tolerance, bucketWidth)
     val leftCols = left.columns
     // ALL payload columns (plus the right row's own timestamp, for
     // tolerance/nearest arithmetic) ride in one struct so the window's
@@ -107,6 +124,119 @@ object AsOfJoin {
         when(abs(col(tsCol).cast("long") - col("__cand.__ats")) <= tolerance,
           col("__cand")))
     annotated.filter(col("__side") === 1)
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        payload.map(p => col(s"__asof.$p").as(s"asof_$p"))): _*)
+  }
+
+  /** Skew-safe two-pass as-of (see [[asOfDirected]]'s `bucketWidth` doc).
+    *
+    * Pass 1 (big data, per-BUCKET windows): the same union+window as the
+    * plain path but partitioned by (key, ts-bucket) — the hot key's
+    * history splits across #buckets tasks.
+    * Pass 2 (summary-sized): the best within-bucket candidate can miss a
+    * match in another bucket, so each (key, bucket) gets a carry-in (the
+    * latest right row of any EARLIER bucket — a backward match is best
+    * when latest, and anything in a later-yet-still-earlier bucket beats
+    * every older bucket's rows) and a carry-out (the earliest right row of
+    * any LATER bucket, mirrored). Both come from one combinable groupBy
+    * over the right side plus one per-key window over the bucket-summary
+    * table; the local candidate, when present, always wins (same bucket ⇒
+    * strictly closer in ts than any carried row), so
+    * `coalesce(local, carry)` is exact, including the largest-ord tie
+    * policy (equal timestamps land in the same bucket, where the window
+    * order already breaks them; the summary picks max (ts, ord) / min
+    * (ts, -ord) for the same reason).
+    */
+  private def asOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightOrd: String, payload: Seq[String],
+      direction: String, tolerance: Long, bucketWidth: Long): DataFrame = {
+    val leftCols = left.columns
+    def tsL(c: Column): Column = c.cast("long")
+    // floor division via pmod — exact long math, floor (not truncate-
+    // toward-zero) semantics for negative timestamps
+    def bktOf(c: Column): Column =
+      (tsL(c) - pmod(tsL(c), lit(bucketWidth))) / lit(bucketWidth)
+
+    // the same atomic payload struct as the plain path
+    val payloadStruct = struct(tsL(col(tsCol)).as("__ats") +: payload.map(col): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__ats",
+          org.apache.spark.sql.types.LongType) +:
+          payload.map(p => right.schema(p))))
+    // carried summary structs hold an extra ordering field — strip it so
+    // coalesce(local, carry) sees one struct type (guarded: getField on a
+    // NULL struct yields a non-null struct of nulls)
+    def strip(c: Column): Column = when(c.isNotNull,
+      struct(c.getField("__ats").as("__ats") +:
+        payload.map(p => c.getField(p).as(p)): _*))
+
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(Long.MaxValue))
+      .select((Seq(col(keyCol), col(tsCol), col("__side"), col("__ord")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) :+
+        nullStruct.as("__p")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .withColumn("__ord", col(rightOrd).cast("long"))
+      .select((Seq(col(keyCol), col(tsCol), col("__side"), col("__ord")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p")): _*)
+    val u = l.unionByName(r).withColumn("__bkt", bktOf(col(tsCol)))
+
+    // per-(key, bucket) right summaries: struct comparison is field-
+    // lexicographic, so max(ts, ord, ...) IS "latest, largest ord on tie"
+    // and min(ts, -ord, ...) IS "earliest, largest ord on tie"
+    val rs = right.groupBy(col(keyCol), bktOf(col(tsCol)).as("__bkt")).agg(
+      max(struct(tsL(col(tsCol)).as("__ats") +:
+        col(rightOrd).cast("long").as("__o") +: payload.map(col): _*)).as("__lastb"),
+      min(struct(tsL(col(tsCol)).as("__ats") +:
+        negate(col(rightOrd).cast("long")).as("__o") +: payload.map(col): _*)).as("__firstb"))
+    // bucket universe over BOTH sides, so left-only buckets still carry
+    val universe = u.select(col(keyCol), col("__bkt")).distinct()
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = universe.join(rs, Seq(keyCol, "__bkt"), "left")
+      .select(col(keyCol), col("__bkt"),
+        last(col("__lastb"), ignoreNulls = true).over(wPrev).as("__carryB"),
+        first(col("__firstb"), ignoreNulls = true).over(wNext).as("__carryF"))
+
+    val wB = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col(tsCol).asc, col("__side").desc, col("__ord").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val withLocal = u
+      .withColumn("__lb", if (needB) last(col("__p"), ignoreNulls = true).over(wB) else lit(null))
+      .withColumn("__lf", if (needF) first(col("__p"), ignoreNulls = true).over(wF) else lit(null))
+      .join(carry, Seq(keyCol, "__bkt"), "left")
+    val bestB = coalesce(col("__lb"), strip(col("__carryB")))
+    val bestF = coalesce(col("__lf"), strip(col("__carryF")))
+    val picked = direction match {
+      case "backward" => bestB
+      case "forward" => bestF
+      case "nearest" =>
+        val db = abs(tsL(col(tsCol)) - bestB.getField("__ats"))
+        val df_ = abs(tsL(col(tsCol)) - bestF.getField("__ats"))
+        when(bestB.isNull, bestF)
+          .when(bestF.isNull, bestB)
+          .when(df_ < db, bestF)
+          .otherwise(bestB)
+    }
+    withLocal
+      .withColumn("__cand", picked)
+      .withColumn("__asof",
+        when(abs(tsL(col(tsCol)) - col("__cand.__ats")) <= tolerance,
+          col("__cand")))
+      .filter(col("__side") === 1)
       .select((Seq(col(keyCol), col(tsCol)) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
         payload.map(p => col(s"__asof.$p").as(s"asof_$p"))): _*)

@@ -114,7 +114,13 @@ object TarIO {
     * Parallelism = shard count — the standard WebDataset plan. */
   def readShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    // pathGlobFilter instead of a "$dir/*.ext" glob path: FileStreamSink
+    // .hasMetadata probes the glob STRING as a literal path and logs a
+    // full FileNotFoundException stack trace at WARN (it polluted the
+    // round-14 bench stdout tail); loading the directory keeps the probe
+    // on a real path
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").load(dir)
       .select(col("path"), col("content"))
       .flatMap(r => Tar.readAll(r.getAs[Array[Byte]](1))
         .map(e => memberRow(r.getString(0), e.name, e.body)))

@@ -52,7 +52,13 @@ object WarcIO {
   /** Whole-file-per-task read of a crawl directory. */
   def readCrawl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.warc.gz")
+    // pathGlobFilter instead of a "$dir/*.ext" glob path: FileStreamSink
+    // .hasMetadata probes the glob STRING as a literal path and logs a
+    // full FileNotFoundException stack trace at WARN (it polluted the
+    // round-14 bench stdout tail); loading the directory keeps the probe
+    // on a real path
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
       .select(col("content"))
       .flatMap(r => Warc.readAll(r.getAs[Array[Byte]](0))
         .map(w => (w.recordId, w.targetUri, w.bodyText)))
@@ -69,7 +75,9 @@ object WarcIO {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val members = spark.read.format("binaryFile").load(s"$dir/*.warc.gz")
+    // pathGlobFilter, not a glob path — see readCrawl's note
+    val members = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
       .select(col("path"), col("content"))
       .flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)

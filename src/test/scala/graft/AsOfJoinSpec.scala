@@ -83,16 +83,51 @@ class AsOfJoinSpec extends SparkSpec {
       }
       cand.filter(r => math.abs(r._2 - ts) <= tol).map(_._4)
     }
-    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(Long.MaxValue, 50L)) {
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(Long.MaxValue, 50L);
+         width <- Seq(0L, 1L, 64L, 100000L)) {
       val got = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
-          direction = dir, tolerance = tol)
+          direction = dir, tolerance = tol, bucketWidth = width)
         .select("lid", "asof_v").collect()
         .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
       left.collect().foreach { r =>
         val (k, ts, lid) = (r.getLong(0), r.getLong(1), r.getLong(2))
         assert(got(lid) == brute(k, ts, dir, tol),
-          s"dir=$dir tol=$tol lid=$lid k=$k ts=$ts: ${got(lid)} vs ${brute(k, ts, dir, tol)}")
+          s"dir=$dir tol=$tol width=$width lid=$lid k=$k ts=$ts: " +
+            s"${got(lid)} vs ${brute(k, ts, dir, tol)}")
       }
     }
+  }
+
+  test("bucketed mode: carries, ties, and negative timestamps match the plain path") {
+    // crafted cross-bucket cases at width 100: a left row at a bucket start
+    // whose only backward match is two buckets back; a forward match three
+    // buckets ahead; equal-ts ord ties inside one bucket; negative ts
+    // exercising floor (not truncate-toward-zero) bucketing
+    val left = Seq((1L, 300L, "carryB"), (1L, 310L, "carryF2"),
+      (2L, 100L, "tie"), (3L, -150L, "neg"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 95L, 1L, 0.95),   // two buckets before 300
+      (1L, 650L, 2L, 6.5),   // three buckets after 310
+      (2L, 100L, 3L, 3.0), (2L, 100L, 9L, 9.0), // ord tie at equal ts
+      (3L, -160L, 4L, -1.6), (3L, -90L, 5L, -0.9))
+      .toDF("k", "ts", "rid", "v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val plain = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
+        direction = dir).select("tag", "asof_v").collect()
+        .map(r => r.getString(0) -> r.get(1)).toMap
+      val bucketed = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
+        direction = dir, bucketWidth = 100L).select("tag", "asof_v").collect()
+        .map(r => r.getString(0) -> r.get(1)).toMap
+      assert(bucketed == plain, s"dir=$dir: $bucketed vs $plain")
+    }
+    // spot-check the interesting values through the bucketed path
+    val near = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
+      direction = "nearest", bucketWidth = 100L).select("tag", "asof_v")
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(near("carryB") == 0.95, "carry-in from two buckets back")
+    assert(near("carryF2") == 0.95, "|310-95|=215 < |650-310|=340 — backward wins")
+    assert(near("tie") == 9.0, "largest ord at the equal timestamp")
+    assert(near("neg") == -1.6, "floor bucketing on negatives: −160 (|Δ|=10) beats −90 (|Δ|=60)")
   }
 }
