@@ -1505,6 +1505,49 @@ object ScaleBench {
           s"gap-fill closed form failed: $a")
       }
 
+      // Skew-safe as-of: one key holds 10M of the 11M rows (per side). The
+      // plain path funnels the hot key's 20M union rows through ONE window
+      // task; the bucketed mode splits it across ~10k (key, ts-bucket)
+      // groups and reconciles cross-bucket matches via the summary carry.
+      // Gate: both paths hit the closed form AND bucketed beats plain.
+      timed("asof_hotkey_11M_skew") {
+        val hotN = 10000000L
+        val coldKeys = 100L
+        val coldN = 10000L
+        // left at even ts, right at odd ts=2j+1 with v=j — the backward
+        // match of left ts=2i is v=i-1 (none for i=0), so per key of n
+        // rows: n-1 matches summing to (n-1)(n-2)/2
+        val left = spark.range(hotN).select(lit(0L).as("k"), (col("id") * 2).as("ts"))
+          .unionByName(spark.range(coldKeys * coldN).select(
+            (col("id") / coldN + 1).cast("long").as("k"),
+            ((col("id") % coldN) * 2).as("ts")))
+        val right = spark.range(hotN).select(lit(0L).as("k"),
+            (col("id") * 2 + 1).as("ts"), col("id").as("rid"),
+            col("id").cast("double").as("v"))
+          .unionByName(spark.range(coldKeys * coldN).select(
+            (col("id") / coldN + 1).cast("long").as("k"),
+            ((col("id") % coldN) * 2 + 1).as("ts"), col("id").as("rid"),
+            (col("id") % coldN).cast("double").as("v")))
+        val wantCount = (hotN - 1) + coldKeys * (coldN - 1)
+        val wantSum = (hotN - 1) * (hotN - 2) / 2.0 +
+          coldKeys * ((coldN - 1) * (coldN - 2) / 2.0)
+        def run(width: Long): (Double, Long, Double) = {
+          val t0 = System.nanoTime()
+          val a = operators.AsOfJoin.asOfDirected(left, right, "k", "ts", "rid",
+              Seq("v"), direction = "backward", bucketWidth = width)
+            .agg(count(col("asof_v")), sum(col("asof_v"))).head()
+          ((System.nanoTime() - t0) / 1e9, a.getLong(0), a.getDouble(1))
+        }
+        val (tPlain, cP, sP) = run(0L)
+        val (tBkt, cB, sB) = run(2048L) // hot ts span 20M → ~10k buckets
+        println(f"[scale] asof_hotkey: plain $tPlain%.2f s vs bucketed $tBkt%.2f s " +
+          f"(hot key $hotN of ${hotN + coldKeys * coldN} rows/side)")
+        require(cP == wantCount && sP == wantSum, s"plain closed form: $cP/$sP")
+        require(cB == wantCount && sB == wantSum, s"bucketed closed form: $cB/$sB")
+        require(tBkt < tPlain,
+          f"bucketed ($tBkt%.2f s) must beat the one-task plain window ($tPlain%.2f s)")
+      }
+
       timed("scd2_10M_events") {
         val users = 100000L
         val ev = spark.range(users * 100).select(
