@@ -1237,6 +1237,88 @@ object Streaming {
     ()
   }
 
+  /** Streaming DIRECTED AS-OF — the ingest-time twin of
+    * [[graft.operators.AsOfJoin.asOfDirected]] (backward/forward/nearest +
+    * tolerance) over one mixed event stream: rows where `isLeft` holds are
+    * the annotate side, the rest are the reference side. Both sides land
+    * in batch_id-partitioned stores (read strictly earlier, overwrite own
+    * — replays are exactly-once).
+    *
+    * Late data is the whole point of the directed surface: a FORWARD or
+    * NEAREST match for an already-emitted left row can arrive in a later
+    * batch (the at-or-after candidate simply hasn't happened yet at ingest
+    * time). So each batch re-annotates, besides its own arriving left
+    * rows, every STORED left row sharing a key with a newly arrived right
+    * row, and writes the refreshed decisions into its own output
+    * partition. Downstream reads the CURRENT decision per left row via
+    * [[asOfLatest]] (largest batch_id wins) — with that view the stream
+    * equals the batch operator over everything ingested, for every
+    * direction (IoStreamingSpec). Per-batch cost is O(batch + stored
+    * lefts of touched keys + right history of touched keys), bounded by
+    * `retainBatches` (default [[Unbounded]]: the twin-equality semantics;
+    * a positive window bounds state like the other streams and narrows
+    * matches to the retained history).
+    */
+  def asOfStream(events: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, isLeft: Column, keyCol: String, tsCol: String,
+      rightOrd: String, payload: Seq[String],
+      direction: String = "backward", tolerance: Long = Long.MaxValue,
+      retainBatches: Int = Unbounded): StreamingQuery = {
+    checkRetain(retainBatches)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAsOfBatch(batch, batchId, outDir, storeDir, isLeft, keyCol,
+          tsCol, rightOrd, payload, direction, tolerance, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[asOfStream]] — package-private for direct
+    * twin-equality and idempotency testing. */
+  private[graft] def processAsOfBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, isLeft: Column, keyCol: String,
+      tsCol: String, rightOrd: String, payload: Seq[String],
+      direction: String, tolerance: Long,
+      retainBatches: Int = Unbounded): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/left", horizon)
+    pruneStore(spark, s"$storeDir/right", horizon)
+    val b = batch.persist()
+    val newL = b.filter(isLeft)
+    val newR = b.filter(!isLeft)
+    val storedL = committedOr(spark, s"$storeDir/left", batchId, newL.limit(0), horizon)
+    val storedR = committedOr(spark, s"$storeDir/right", batchId, newR.limit(0), horizon)
+    // re-annotate: arriving lefts + stored lefts whose key got new rights
+    // (only those decisions can change — a right row for key k never moves
+    // another key's match)
+    val affected = newL.unionByName(
+      storedL.join(newR.select(col(keyCol)).distinct(), Seq(keyCol), "leftsemi"))
+    graft.operators.AsOfJoin.asOfDirected(affected,
+        storedR.unionByName(newR), keyCol, tsCol, rightOrd, payload,
+        direction, tolerance)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // admit the batch into the stores — overwrite, so retries replace
+    newL.write.mode("overwrite").parquet(s"$storeDir/left/batch_id=$batchId")
+    newR.write.mode("overwrite").parquet(s"$storeDir/right/batch_id=$batchId")
+    b.unpersist()
+    ()
+  }
+
+  /** Current as-of decisions from an [[asOfStream]] output dir: each left
+    * row's LATEST re-annotation wins (largest batch_id per `leftIdCol`).
+    */
+  def asOfLatest(spark: SparkSession, outDir: String,
+      leftIdCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftIdCol)).orderBy(col("batch_id").desc)
+    spark.read.parquet(outDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "batch_id")
+  }
+
   /** Streaming k-anonymity monitor — the privacy QA of batch
     * `Profile.kAnonymity` running continuously over arriving records:
     * every micro-batch emits the FULL current audit (per-QI-combo size +

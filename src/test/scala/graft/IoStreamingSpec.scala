@@ -515,6 +515,59 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap(s"$dir/out/batch_id=1") == streamed)
   }
 
+  test("streaming directed as-of equals batch after late data, all directions, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // mixed event rows: (is_left, key, ts, rid, v). Batch 1 delivers LATE
+    // rights that IMPROVE earlier decisions: k=1's left@100 first matches
+    // backward 90, then a nearer 105 arrives (the nearest late-data case);
+    // k=2's left@50 has NO forward match until 70 lands in batch 1.
+    val b0 = Seq((true, 1L, 100L, 0L, 0.0), (false, 1L, 90L, 1L, 0.9),
+      (true, 2L, 50L, 0L, 0.0), (true, 3L, 10L, 0L, 0.0))
+    val b1 = Seq((false, 1L, 105L, 2L, 1.05), (false, 2L, 70L, 3L, 0.7),
+      (true, 1L, 104L, 0L, 0.0))
+    val all = b0 ++ b1
+    for (dir0 <- Seq("backward", "forward", "nearest")) {
+      val dir = Files.createTempDirectory(s"asofstream_$dir0").toString
+      val mem = MemoryStream[(Boolean, Long, Long, Long, Double)]
+      val q = Streaming.asOfStream(
+        mem.toDF().toDF("is_left", "k", "ts", "rid", "v"),
+        s"$dir/out", s"$dir/store", s"$dir/ckpt",
+        isLeft = col("is_left"), "k", "ts", "rid", Seq("v"),
+        direction = dir0, tolerance = 40L)
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      q.stop()
+      def latest() = Streaming.asOfLatest(spark, s"$dir/out", "ts")
+        .select("k", "ts", "asof_v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+      val streamed = latest()
+      val df = all.toDF("is_left", "k", "ts", "rid", "v")
+      val want = graft.operators.AsOfJoin.asOfDirected(
+          df.filter(col("is_left")), df.filter(!col("is_left")),
+          "k", "ts", "rid", Seq("v"), direction = dir0, tolerance = 40L)
+        .select("k", "ts", "asof_v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+      assert(streamed == want, s"dir=$dir0: $streamed vs $want")
+      if (dir0 == "nearest")
+        assert(streamed((1L, 100L)) == 1.05, "the late 105 must displace 90")
+      if (dir0 == "forward")
+        assert(streamed((2L, 50L)) == 0.7, "left@50 gains its forward match late")
+      // replaying batch 1 reads only batch-0 stores — identical decisions
+      val before = spark.read.parquet(s"$dir/out/batch_id=1")
+        .select("k", "ts", "asof_v").collect().map(_.toSeq).toSet
+      Streaming.processAsOfBatch(b1.toDF("is_left", "k", "ts", "rid", "v"), 1L,
+        s"$dir/out", s"$dir/store", col("is_left"), "k", "ts", "rid", Seq("v"),
+        dir0, 40L)
+      val after = spark.read.parquet(s"$dir/out/batch_id=1")
+        .select("k", "ts", "asof_v").collect().map(_.toSeq).toSet
+      assert(after == before, s"dir=$dir0: replay must rebuild identical output")
+    }
+  }
+
   test("streaming WebDataset ingest emits members as tar shards land") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("wdsstream").toString
