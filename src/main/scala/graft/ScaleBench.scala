@@ -159,6 +159,44 @@ object ScaleBench {
         "planted components diverged")
     }
 
+    // V0b. WIDE embeddings: the same planted 2-factor construction at
+    // d = 512 and 200k vectors through the partition-local accumulator
+    // (packed 131,328-double triangle per task — nothing per-row), plus
+    // the superseded explode formulation timed on a 256-row slice for
+    // the quadratic-per-row-cost comparison (131,328 struct cells PER ROW
+    // at this width — 5k rows already took 345 s in development; 200k
+    // would be ~5.3G cells).
+    timed("pca_200k_x_512d_wide") {
+      val s2 = math.sqrt(2.0)
+      val a = (col("id") % 2 * 4 - 2).cast("double")
+      val b = (expr("id DIV 2") % 2 * 2 - 1).cast("double")
+      val vecs = spark.range(200000L).select(col("id").as("vec_id"),
+        concat(array(((a + b) / s2).cast("float"), ((a - b) / s2).cast("float")),
+          transform(sequence(lit(2), lit(511)), _ => lit(0.0f))).as("embedding"))
+        .persist()
+      vecs.count()
+      val t0 = System.nanoTime()
+      val (mean, evals, comps) =
+        operators.Similarity.pcaComponents(vecs, 4, "embedding")
+      val tLocal = (System.nanoTime() - t0) / 1e9
+      require(mean.forall(m => math.abs(m) < 1e-6), "mean must vanish")
+      require(math.abs(evals(0) - 4.0) < 1e-4 && math.abs(evals(1) - 1.0) < 1e-4 &&
+        math.abs(evals(2)) < 1e-6,
+        s"planted eigenvalues diverged at d=512: ${evals.take(3).mkString(",")}")
+      require(math.abs(comps(0)(0) - 1 / s2) < 1e-5 &&
+        math.abs(comps(1)(1) + 1 / s2) < 1e-5, "planted components diverged")
+      val slice = vecs.filter(col("vec_id") < 256).persist()
+      slice.count()
+      val t1 = System.nanoTime()
+      operators.Similarity.pcaMomentsExplode(slice, "embedding")
+      val tExpl = (System.nanoTime() - t1) / 1e9
+      slice.unpersist(); vecs.unpersist()
+      println(f"[scale] pca_wide d=512: local 200k rows in $tLocal%.2f s; " +
+        f"explode 256 rows in $tExpl%.2f s (781× fewer rows)")
+      require(tLocal < tExpl,
+        "local full corpus must beat explode on the 781×-smaller slice")
+    }
+
     // synthetic 1M-vector embedding corpus, dim 16, deterministic — murmur3
     // mixed per (id, dim) so vectors are genuinely distinct (a plain linear
     // congruence mod 2000 has period 2000 in id: only 2000 distinct vectors

@@ -1080,12 +1080,13 @@ object Similarity {
     * components: k rows of d).
     *
     * Scale shape, MLlib-style split: the corpus-sized work is ONE
-    * map-side-combinable pass that explodes each vector's d² outer-
-    * product cells map-side into a d²-group aggregate (d = embedding
-    * width, so 256 cells at d=16 — shuffle volume is d² rows per
-    * partition, NEVER corpus-sized); the eigensolve then runs driver-side
-    * on the d×d covariance — a BOUNDED collect (d² doubles) with a cyclic
-    * Jacobi solver, O(d³) on constants the executor count never sees.
+    * partition-local accumulator pass ([[pcaMoments]] — each task folds
+    * its rows into a packed d(d+1)/2 upper-triangle, treeAggregate merges
+    * one triangle per partition, so shuffle volume is partitions × d²
+    * doubles, NEVER corpus-sized and independent of embedding width per
+    * row); the eigensolve then runs driver-side on the d×d covariance — a
+    * BOUNDED collect (d² doubles) with a cyclic Jacobi solver, O(d³) on
+    * constants the executor count never sees.
     */
   // memoized full decompositions — re-executions of the same projection
   // (bench reps, multiple queries over one corpus) pay the Gramian pass
@@ -1124,28 +1125,9 @@ object Similarity {
     pcaMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
     val memoKey = (vectors.sparkSession, pcaMemoKey(vectors, vecCol))
     val (mean, evals, evecs) = pcaMemo.getOrElseUpdate(memoKey, {
-      val head = vectors.select(size(col(vecCol)).as("d")).head()
-      val d = head.getInt(0)
-      // one pass over the UPPER TRIANGLE of outer-product cells (the
-      // covariance is symmetric — d(d+1)/2 cells per row, not d²), all
-      // map-side-combinable (the explode feeds a partial aggregate)
-      val cells = vectors.select(explode(expr(
-        s"""flatten(transform($vecCol, (x, i) ->
-           |  transform(slice($vecCol, i + 1, $d - i), (y, jj) ->
-           |    struct(i AS i, i + jj AS j,
-           |           CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))""".stripMargin)))
-        .select(col("col.i"), col("col.j"), col("col.p"))
-        .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val n = cells.head.getLong(3).toDouble
-      val moment = Array.ofDim[Double](d, d)
-      cells.foreach { r =>
-        moment(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-        moment(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
-      }
-      val sums = vectors.select(posexplode(col(vecCol)))
-        .groupBy(col("pos")).agg(sum(col("col").cast("double")).as("s"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val (moment, sums, nRows) = pcaMoments(vectors, vecCol)
+      val d = sums.length
+      val n = nRows.toDouble
       val mean = Array.tabulate(d)(i => sums(i) / n)
       val cov = Array.tabulate(d, d)((i, j) => moment(i)(j) / n - mean(i) * mean(j))
       val (ev, vecs) = jacobiEigen(cov)
@@ -1153,6 +1135,88 @@ object Similarity {
     })
     require(k >= 1 && k <= mean.length, s"k=$k must lie in [1, ${mean.length}]")
     (mean, evals.take(k), evecs.take(k))
+  }
+
+  /** Raw second-moment matrix, per-dimension sums, and non-null row count
+    * in ONE partition-local pass: each task folds its rows into a packed
+    * d(d+1)/2-double upper-triangle accumulator (a pure multiply-add loop
+    * — nothing per-row is materialized), and `treeAggregate` merges one
+    * triangle per partition. Shuffle volume is partitions × O(d²) doubles,
+    * independent of the corpus; the explode formulation it replaces
+    * ([[pcaMomentsExplode]]) materialized d(d+1)/2 struct cells PER ROW
+    * through a CodegenFallback nested transform — fine at d = 16-64,
+    * ~525k cells/row at d = 1024. Null vectors contribute nothing (same
+    * rule as explode over a null array). */
+  private[graft] def pcaMoments(vectors: DataFrame, vecCol: String)
+      : (Array[Array[Double]], Array[Double], Long) = {
+    val d = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val tri = d * (d + 1) / 2
+    val (triSum, sums, n) = vectors.select(col(vecCol).cast("array<double>")).rdd
+      .treeAggregate((new Array[Double](tri), new Array[Double](d), 0L))(
+        seqOp = (acc, row) =>
+          if (row.isNullAt(0)) acc
+          else {
+            val v = row.getSeq[Double](0)
+            val t = acc._1
+            val s = acc._2
+            var i = 0
+            var kk = 0
+            while (i < d) {
+              val xi = v(i)
+              s(i) += xi
+              var j = i
+              while (j < d) { t(kk) += xi * v(j); kk += 1; j += 1 }
+              i += 1
+            }
+            (t, s, acc._3 + 1)
+          },
+        combOp = { case ((t1, s1, n1), (t2, s2, n2)) =>
+          var kk = 0
+          while (kk < tri) { t1(kk) += t2(kk); kk += 1 }
+          var i = 0
+          while (i < d) { s1(i) += s2(i); i += 1 }
+          (t1, s1, n1 + n2)
+        })
+    val moment = Array.ofDim[Double](d, d)
+    var kk = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        moment(i)(j) = triSum(kk); moment(j)(i) = triSum(kk); kk += 1; j += 1
+      }
+      i += 1
+    }
+    (moment, sums, n)
+  }
+
+  /** The declarative explode formulation of [[pcaMoments]], kept for the
+    * agreement spec and the ScaleBench wide-d cost comparison: the upper
+    * triangle of outer-product cells (d(d+1)/2 per row) explodes into a
+    * map-side-combined d²-group aggregate, plus a posexplode pass for the
+    * sums. Correct and corpus-shuffle-free, but per-row cell
+    * materialization grows quadratically with embedding width. */
+  private[graft] def pcaMomentsExplode(vectors: DataFrame, vecCol: String)
+      : (Array[Array[Double]], Array[Double], Long) = {
+    val d = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val cells = vectors.select(explode(expr(
+      s"""flatten(transform($vecCol, (x, i) ->
+         |  transform(slice($vecCol, i + 1, $d - i), (y, jj) ->
+         |    struct(i AS i, i + jj AS j,
+         |           CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))""".stripMargin)))
+      .select(col("col.i"), col("col.j"), col("col.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = cells.head.getLong(3)
+    val moment = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      moment(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      moment(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    val sumsMap = vectors.select(posexplode(col(vecCol)))
+      .groupBy(col("pos")).agg(sum(col("col").cast("double")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (moment, Array.tabulate(d)(sumsMap), n)
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix — returns

@@ -153,6 +153,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("PCA: partition-local Gramian agrees with the explode formulation") {
+    // same corpus through both moment passes: identical row count, sums
+    // and second moments (1e-9 relative — the two pass orders differ only
+    // in double-addition association), and the USER-VISIBLE projection
+    // (round 6) must be bit-identical
+    val (mE, sE, nE) = Similarity.pcaMomentsExplode(emb, "embedding")
+    val (mL, sL, nL) = Similarity.pcaMoments(emb, "embedding")
+    assert(nE == nL, s"row counts diverged: $nE vs $nL")
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    sE.indices.foreach(i => assert(close(sE(i), sL(i)), s"sum[$i]: ${sE(i)} vs ${sL(i)}"))
+    for (i <- mE.indices; j <- mE.indices)
+      assert(close(mE(i)(j), mL(i)(j)), s"moment[$i][$j]: ${mE(i)(j)} vs ${mL(i)(j)}")
+  }
+
   test("text stats are sane") {
     val s = TextOps.textStats(docs).collect()
     assert(s.forall { r =>
