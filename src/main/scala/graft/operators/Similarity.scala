@@ -1296,4 +1296,26 @@ object Similarity {
       idx: Int => String): String =
     mean.indices.map(i =>
       s"(CAST(${idx(i)} AS DOUBLE) - (${mean(i)})) * (${comp(i)})").mkString(" + ")
+
+  /** Squared-L2-to-centroid term text: ||c||² − 2·(v·c), with ||c||²
+    * pre-folded to ONE double literal and the dot chained left-to-right.
+    * Shared by the q194 Spark plan and its DuckDB oracle (the
+    * [[projectionTerms]] contract: identical shortest-round-trip literals,
+    * identical association, so argmin ties agree bitwise). The v·v term is
+    * omitted — constant per row, it cancels in every within-row
+    * comparison, and the reported distance is defined as this expression.
+    */
+  private[graft] def centroidDistTerms(cent: Array[Double],
+      idx: Int => String): String = {
+    val c2 = cent.map(x => x * x).sum
+    val dotTerms = cent.indices.map(i =>
+      s"(CAST(${idx(i)} AS DOUBLE)) * (${cent(i)})").mkString(" + ")
+    s"(($c2) - 2e0 * ($dotTerms))"
+  }
+
+  /** ||v||² term text (companion of [[centroidDistTerms]] — adding it back
+    * turns the relative argmin value into the true squared distance). */
+  private[graft] def vnorm2Terms(d: Int, idx: Int => String): String =
+    (0 until d).map(i =>
+      s"(CAST(${idx(i)} AS DOUBLE)) * (CAST(${idx(i)} AS DOUBLE))").mkString(" + ")
 }

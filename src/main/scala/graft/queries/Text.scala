@@ -304,6 +304,69 @@ object Text {
     s"SELECT vec_id, ${pcs.mkString(", ")} FROM embeddings"
   }
 
+  /** q194: k-means cluster assignment report — the offline quantizer
+    * training path (k-means|| seeding, Bahmani et al. 2012, + two Lloyd
+    * passes, both pure DataFrame ops) exposed end-to-end: every embedding
+    * gets its cluster and true squared distance. The fitted centroids fold
+    * into ONE codegen'd argmin expression as literals (map-side, no join,
+    * no shuffle — the assignment you'd run over 100 TB once the k-row
+    * centroid table is trained) AND into the DuckDB oracle via the
+    * dynamic-oracle channel (the q193 pattern) — so the distance
+    * arithmetic, smallest-index tie policy, and rounding are all
+    * hash-verified; the training itself is spec-gated (TextSpec planted
+    * clusters, kmeans|| seeding quality).
+    */
+  def q194KmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val init = Similarity.kmeansParallelInit(emb, k = 8, rounds = 3)
+    // bounded collect: k centroid vectors (re-indexed 0..k-1 in cent_id
+    // order — the ids the seeding picked are arbitrary corpus ids)
+    val cents = Similarity.lloydRefine(emb, init, iters = 2)
+      .orderBy(col("cent_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    q194Fitted = Some(cents)
+    val d = cents.head.length
+    val sel = q194SelectParts(cents, d, i => s"embedding[$i]")
+    emb.select(col("vec_id") +: sel._1.map { case (t, n) => expr(t).as(n) }: _*)
+      .select(col("vec_id"), expr(sel._2).as("cent_id"), expr(sel._3).as("d2"))
+  }
+
+  // the last fit q194 ran with (same contract as q194Fitted's sibling
+  // above: one sfDir per Verify JVM, read after every query has run)
+  @volatile private var q194Fitted: Option[Array[Array[Double]]] = None
+
+  /** Shared q194 select fragments from the fitted centroids: per-centroid
+    * relative-distance columns d0..dk-1 plus ||v||² as vv, the
+    * smallest-index argmin CASE, and the rounded true distance — one text,
+    * two engines ([[Similarity.centroidDistTerms]] contract). */
+  private def q194SelectParts(cents: Array[Array[Double]], d: Int,
+      idx: Int => String): (Seq[(String, String)], String, String) = {
+    val k = cents.length
+    val defs = cents.zipWithIndex.map { case (c, j) =>
+      (Similarity.centroidDistTerms(c, idx), s"d$j")
+    }.toSeq :+ ((Similarity.vnorm2Terms(d, idx), "vv"))
+    val whens = (0 until k - 1).map { j =>
+      val rest = (j + 1 until k).map(i => s"d$i").mkString(", ")
+      val least = if (j + 1 == k - 1) rest else s"LEAST($rest)"
+      s"WHEN d$j <= $least THEN $j"
+    }.mkString(" ")
+    val allD = (0 until k).map(i => s"d$i").mkString(", ")
+    (defs,
+      s"CAST(CASE $whens ELSE ${k - 1} END AS INT)",
+      s"ROUND(vv + LEAST($allD), 6)")
+  }
+
+  /** Data-dependent q194 oracle (the q193 pattern): replay the folded-
+    * literal argmin in DuckDB — 1-based list access, identical double
+    * literals and association, identical LEAST/CASE tie policy. */
+  def q194Oracle: Option[String] = q194Fitted.map { cents =>
+    val d = cents.head.length
+    val (defs, centSql, d2Sql) = q194SelectParts(cents, d, i => s"embedding[${i + 1}]")
+    val defsSql = defs.map { case (t, n) => s"$t AS $n" }.mkString(", ")
+    s"""WITH s AS (SELECT vec_id, $defsSql FROM embeddings)
+       |SELECT vec_id, $centSql AS cent_id, $d2Sql AS d2 FROM s""".stripMargin
+  }
+
   /** q160: hard-negative mining (`Similarity.hardNegatives`) — the
     * contrastive-training prep: per query vector, the 5 most-similar
     * DIFFERENT-label vectors (the negatives the model confuses). q38's
@@ -2902,6 +2965,8 @@ object Text {
     QueryDef("q38_ann_topk", q38AnnTopK, Some(q38Sql)),
     QueryDef("q193_pca_project", q193PcaProject, None,
       dynamicOracle = Some(() => q193Oracle)),
+    QueryDef("q194_kmeans_assign", q194KmeansAssign, None,
+      dynamicOracle = Some(() => q194Oracle)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),
