@@ -121,6 +121,17 @@ class AsOfJoinSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.get(1)).toMap
       assert(bucketed == plain, s"dir=$dir: $bucketed vs $plain")
     }
+    // plan shape: the data-sized window must partition by BOTH key and
+    // ts-bucket (the skew fix — a bare per-key window is the hot-key
+    // cliff), and nothing may collapse to a single partition
+    val plan = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
+      direction = "nearest", bucketWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "bucketed as-of planned a SinglePartition exchange")
+    assert("windowspecdefinition\\(k#\\d+L?, __bkt".r.findFirstIn(plan).isDefined,
+      "the main window must partition by (key, __bkt)")
+
     // spot-check the interesting values through the bucketed path
     val near = AsOfJoin.asOfDirected(left, right, "k", "ts", "rid", Seq("v"),
       direction = "nearest", bucketWidth = 100L).select("tag", "asof_v")

@@ -264,9 +264,14 @@ class PlanAuditSpec extends SparkSpec {
     // PNG encode→decode round trip are pure per-row work: any Exchange
     // appearing here means a scale regression (a shuffle of the full
     // corpus — or worse, of image payloads — for a map-side decision)
+    // q193/q194: the PCA projection and k-means assignment fold their
+    // fitted constants into literal column math — the returned plan must
+    // be a bare projection over the scan (the fit's own bounded jobs run
+    // eagerly at construction and never appear in the query plan)
     for (name <- Seq("q57_quality_filter", "q60_stratified_sample", "q62_decode_pool",
         "q75_png_roundtrip", "q77_jpeg_dc", "q78_flac_roundtrip", "q83_pii_scrub",
-        "q84_jpeg_color", "q85_html_extract", "q91_url_canon", "q92_normalize")) {
+        "q84_jpeg_color", "q85_html_extract", "q91_url_canon", "q92_normalize",
+        "q193_pca_project", "q194_kmeans_assign")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name plans an Exchange — map-side decision queries must not shuffle")
