@@ -1075,6 +1075,27 @@ object ScaleBench {
         s"epoch shuffle is not a permutation: $agg")
     }
 
+    // Greedy budget selection at 10M rows, closed form: 1000 score levels
+    // of 10k rows each, unit cost, budget 5M ⇒ keeps EXACTLY the 5M rows
+    // whose score level is in the top 500 (levels 999..500), inclusive
+    // running cost topping out at 5M. Gates the two-phase shape: only the
+    // ≤1001-row bucket table may cross SinglePartition.
+    timed("budget_select_10M_rows") {
+      val n = 10000000L
+      val budget = 5000000L
+      val rows10m = spark.range(n).select(col("id").as("doc_id"),
+        ((col("id") % 1000).cast("double") / 1000.0).as("score"),
+        lit(1L).as("cost"))
+      val out = operators.TextOps.budgetSelect(rows10m, "score", "cost",
+        budget, buckets = 1000)
+      val a = out.agg(
+        count(when(col("keep"), 1)).as("kept"),
+        max(when(col("keep"), col("cum_cost"))).as("maxCum"),
+        count(when(col("keep") && col("doc_id") % 1000 < 500, 1)).as("wrong")).head()
+      require(a.getLong(0) == budget && a.getLong(1) == budget && a.getLong(2) == 0L,
+        s"budget-select closed form failed: $a")
+    }
+
     // 10h. C4 cleaning at 1M docs with closed-form truth: ids ≡ 0 mod 7
     // get a 3-good-sentence page (kept), ids ≡ 1 mod 7 a lorem-ipsum page
     // (blocked), everyone else a 1-sentence page (dropped, not blocked).

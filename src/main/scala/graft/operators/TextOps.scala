@@ -922,6 +922,49 @@ object TextOps {
         expr(s"(rank * $nBuckets) DIV ${n}L").as("bucket"))
   }
 
+  /** GREEDY BUDGET SELECTION — keep the highest-scoring rows until a hard
+    * integer cost budget is spent: exactly the prefix of the global
+    * (score desc, id asc) order whose INCLUSIVE running cost stays within
+    * `budget` (the curation step after scoring — "train on the best N
+    * tokens", the data-constrained-scaling recipe).
+    *
+    * Scale shape — no corpus-sized single-partition window: scores
+    * (required in [0, 1]; rescale upstream otherwise) are quantized to
+    * `buckets` integer levels, which is monotone in score, so bucket desc
+    * + in-bucket (score desc, id asc) IS the global order; only the
+    * ≤ buckets+1-row bucket-total table crosses a SinglePartition window
+    * (the sortedNeighborhood/vocabCoverage two-phase contract), and the
+    * running sums are ordinary per-bucket windows — raise `buckets` to
+    * shrink per-task spans at larger corpora. Null scores are excluded
+    * (they have no place in the order). Output: id, score, cost (long),
+    * cum_cost (inclusive, exact), keep.
+    */
+  def budgetSelect(rows: DataFrame, scoreCol: String, costCol: String,
+      budget: Long, idCol: String = "doc_id", buckets: Int = 256): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val base = rows
+      .select(col(idCol), col(scoreCol), col(costCol).cast("long").as("__cost"))
+      .where(col(scoreCol).isNotNull)
+      .withColumn("__bkt", floor(col(scoreCol) * buckets).cast("int"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__bkt"))
+      .agg(sum(col("__cost")).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .drop("__bc")
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("cum_cost", col("__off") + sum(col("__cost")).over(wLoc))
+      .select(col(idCol), col(scoreCol), col("__cost").as(costCol),
+        col("cum_cost"), (col("cum_cost") <= budget).as("keep"))
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
     * Spirakis A-ES priority sampling): each row draws the reproducible
     * md5 coin u = [[hashUnit]](id) and keeps the k largest priorities

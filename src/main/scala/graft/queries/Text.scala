@@ -372,6 +372,43 @@ object Text {
        |SELECT vec_id, $centSql AS cent_id, $d2Sql AS d2 FROM s""".stripMargin
   }
 
+  /** q195: token-budget curation (`TextOps.budgetSelect`) — keep the
+    * lexically richest documents (type-token ratio, the q57 Gopher signal
+    * through the same codegen'd `gopher_signals` kernel) until a hard
+    * 100k-character budget is spent: the greedy best-score prefix, exact
+    * inclusive running cost, ties (score, doc_id). Two-phase: only the
+    * ≤257-row bucket-total table crosses SinglePartition; the corpus sees
+    * per-bucket windows only. The oracle replays the full global-order
+    * window relationally (fine at oracle scale; the two-phase form is the
+    * point at 100 TB).
+    */
+  val BudgetChars = 100000L
+
+  def q195BudgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val prepared = docs.select(col("doc_id"), col("n_chars"),
+      call_function("gopher_signals", col("text")).as("__sig"))
+    val scored = prepared.select(col("doc_id"), col("n_chars"),
+      round(col("__sig.n_distinct").cast("double") / col("__sig.n_words"), 6)
+        .as("ttr"))
+    TextOps.budgetSelect(scored, "ttr", "n_chars", BudgetChars)
+  }
+
+  val q195Sql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, n_chars,
+       |    ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |          / len(string_split(text, ' ')), 6) AS ttr
+       |  FROM documents
+       |)
+       |SELECT doc_id, ttr, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_chars) OVER (ORDER BY ttr DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost,
+       |  CAST(SUM(n_chars) OVER (ORDER BY ttr DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    <= $BudgetChars AS keep
+       |FROM sig""".stripMargin
+
   /** q160: hard-negative mining (`Similarity.hardNegatives`) — the
     * contrastive-training prep: per query vector, the 5 most-similar
     * DIFFERENT-label vectors (the negatives the model confuses). q38's
@@ -2972,6 +3009,7 @@ object Text {
       dynamicOracle = Some(() => q193Oracle)),
     QueryDef("q194_kmeans_assign", q194KmeansAssign, None,
       dynamicOracle = Some(() => q194Oracle)),
+    QueryDef("q195_budget_select", q195BudgetSelect, Some(q195Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

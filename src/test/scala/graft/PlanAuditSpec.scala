@@ -278,6 +278,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q195 budget-select keeps the SinglePartition pass on the bucket table only") {
+    // the two-phase claim: running costs come from PER-BUCKET windows; the
+    // only SinglePartition exchange sits under the ≤257-row bucket-total
+    // offset window. A regression to a bare global running-sum window
+    // would put the corpus itself through one task.
+    val plan = planOf("q195_budget_select")
+    val single = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(single <= 1, s"q195 plans $single SinglePartition exchanges — " +
+      "the corpus running sum must stay per-bucket")
+    val sumSpecs = "sum\\(__cost[^)]*\\) windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(sumSpecs.nonEmpty && sumSpecs.forall(_.contains("__bkt")),
+      s"q195 runs the corpus running sum outside the bucket windows: $sumSpecs")
+  }
+
   test("q61 packing never plans a single-partition global window") {
     // the two-phase prefix scan exists precisely to avoid
     // Exchange SinglePartition + global Sort; a regression funnels the

@@ -168,6 +168,30 @@ class TextSpec extends SparkSpec {
       assert(close(mE(i)(j), mL(i)(j)), s"moment[$i][$j]: ${mE(i)(j)} vs ${mL(i)(j)}")
   }
 
+  test("budgetSelect == brute greedy prefix, with score ties and null scores") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(17)
+    // quantized scores force bucket collisions AND exact ties; a few nulls
+    // must drop out of the order entirely
+    val rows = Seq.tabulate(300) { i =>
+      val score = if (i % 41 == 0) null
+        else java.lang.Double.valueOf(rnd.nextInt(20) / 20.0)
+      (i.toLong, score, (rnd.nextInt(50) + 1).toLong)
+    }
+    val df = rows.toDF("doc_id", "score", "cost")
+    for (budget <- Seq(0L, 500L, 3000L, 100000L); buckets <- Seq(1, 7, 256)) {
+      val got = TextOps.budgetSelect(df, "score", "cost", budget,
+          buckets = buckets).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+      var cum = 0L
+      val want = rows.filter(_._2 != null)
+        .sortBy { case (id, s, _) => (-s, id) }
+        .map { case (id, _, c) => cum += c; id -> (cum, cum <= budget) }.toMap
+      assert(got == want, s"budget=$budget buckets=$buckets")
+    }
+  }
+
   test("text stats are sane") {
     val s = TextOps.textStats(docs).collect()
     assert(s.forall { r =>
