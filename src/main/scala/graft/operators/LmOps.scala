@@ -571,4 +571,164 @@ object LmOps {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col(idCol), col("score"))
   }
+
+  // ---------------------------------------------------------------- AUC
+
+  /** ROC-AUC of an integer score against a binary label, computed as the
+    * tie-corrected Mann–Whitney statistic WITHOUT a global rank: group by
+    * distinct score (map-side combinable), then a two-phase cumulative
+    * negative count over the distinct-score table — sign-aware binary-
+    * magnitude buckets, per-bucket parallel windows, and only the ≤128-row
+    * bucket-total table ever crosses a SinglePartition exchange (the
+    * [[TextOps.vocabCoverage]] ranking discipline). Each positive at score
+    * s beats every negative strictly below and half of the negatives tied
+    * at s, so with num2 = Σ_s p_s·(2·negBelow_s + n_s):
+    * AUC = num2 / (2·nPos·nNeg), floored to integer micro-units.
+    *
+    * num2 is carried as DECIMAL(38,0) (nPos·nNeg alone passes BIGINT near
+    * n = 10⁹; the oracle mirrors with HUGEINT). Degenerate inputs (no
+    * positives or no negatives) report auc_micro = 0 rather than NaN.
+    *
+    * Scale shape: shuffle volume is the distinct-score cardinality (for
+    * micro-rounded bounded metrics ≤ 2·10⁶ + 1 rows), never the corpus;
+    * no row-level rank, no single-reducer pass over data-sized input.
+    * Output (one row): n, n_pos, n_neg, auc_micro, gini_micro.
+    */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(col(scoreCol).cast("long").as("score"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
+    // sign-aware binary magnitude: ascending bucket id ⇔ ascending score
+    val bucketed = g.withColumn("b",
+      when(col("score") >= 0, length(conv(col("score") + 1, 10, 2)))
+        .otherwise(-length(conv(-col("score"), 10, 2))))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("ng")).as("bn"))
+      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("b"), col("off_n"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("neg_below",
+        col("off_n") + coalesce(sum(col("ng")).over(wLoc), lit(0L)))
+    cum.agg(
+        sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        coalesce(sum(col("p").cast(DecimalType(38, 0)) *
+          (col("neg_below") * 2 + col("ng"))), lit(0).cast(DecimalType(38, 0)))
+          .as("num2"))
+      .select(
+        (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * num2)
+                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").as("auc_micro"))
+      .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
+  }
+
+  // -------------------------------------------------------- calibration
+
+  /** Probability-calibration report over integer micro-unit scores
+    * (0..10⁶): equal-width confidence bins, each reporting support,
+    * positives, mean confidence and empirical accuracy, plus the global
+    * Brier score and Expected Calibration Error (Naeini et al. 2015)
+    * repeated on every row (the q155 hhi_micro convention — the scalar
+    * rides the per-bin table instead of a second result set).
+    *
+    * All arithmetic is exact integer: conf = Σprob DIV n per bin,
+    * acc = pos·10⁶ DIV n, ece = Σ_b n_b·|acc_b − conf_b| DIV n,
+    * brier = Σ(prob − y·10⁶)² DIV (n·10⁶) with the squared sum carried
+    * as DECIMAL(38,0) (10¹² per row breaches BIGINT past ~9M rows).
+    *
+    * Scale shape: ONE map-side-combinable groupBy over ≤ `bins` buckets
+    * carrying both the per-bin and the global sums (grouping sets would
+    * rescan; a crossJoin of two aggs would double-scan) — a bins-row
+    * broadcast closes ECE. No window, no row-level state.
+    */
+  def calibrationReport(df: DataFrame, probMicroCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val base = df.select(col(probMicroCol).cast("long").as("pm"),
+      when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
+    val perBin = base
+      .withColumn("bin", least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("pm")).as("__spm"),
+        sum(((col("pm") - col("y") * 1000000L).cast(DecimalType(38, 0)) *
+          (col("pm") - col("y") * 1000000L))).as("__sq"))
+      .withColumn("conf_micro", expr("__spm DIV n"))
+      .withColumn("acc_micro", expr("n_pos * 1000000 DIV n"))
+    val glob = perBin.agg(
+      sum(col("n")).as("__nt"),
+      coalesce(sum(col("__sq")), lit(0).cast(DecimalType(38, 0))).as("__sqt"),
+      coalesce(sum(col("n") * abs(col("acc_micro") - col("conf_micro"))),
+        lit(0L)).as("__ed"))
+      .select(
+        expr("CAST(__sqt DIV (CAST(__nt AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_micro"),
+        expr("__ed DIV __nt").as("ece_micro"))
+    perBin.crossJoin(broadcast(glob)) // bins × 1
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"),
+        col("acc_micro"), col("brier_micro"), col("ece_micro"))
+  }
+
+  // ------------------------------------------------------- Krippendorff
+
+  /** Krippendorff's alpha (nominal metric, Krippendorff 2004) over long-
+    * format annotations — one row per (unit, rater observation), raters
+    * anonymous, any number of raters per unit. The generalization of
+    * [[agreementKappa]] beyond two fixed raters.
+    *
+    * Exact-integer quantization contract: each unit with m ≥ 2
+    * observations contributes its pairwise disagreement scaled to micro
+    * units with a PER-UNIT floor — 10⁶·(m² − Σ_c cnt_c²) DIV (m − 1) —
+    * summed into Do·n·10⁶ (the m² − Σcnt² identity counts ordered
+    * disagreeing pairs, so no c≠k double loop materializes). Expected
+    * disagreement uses value totals over included units only:
+    * de_micro = 10⁶·(n² − Σ_c n_c²) DIV (n·(n−1)), both squares in
+    * DECIMAL(38,0). alpha_micro = 10⁶ − do_micro·10⁶ DIV de_micro — every
+    * division is on non-negatives, so floor = truncate in both engines.
+    * Units with m < 2 are excluded (they carry no pair information);
+    * de = 0 (all observations one value) reports alpha_micro = 0.
+    *
+    * Scale shape: one (unit, value) groupBy (map-side combinable, ≤ one
+    * row per distinct pair), one per-unit rollup, one |values|-row total —
+    * no window, no broadcast of anything unit-sized.
+    * Output (one row): n_units, n, do_micro, de_micro, alpha_micro.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      valueCol: String): DataFrame = {
+    val cnt = df.groupBy(col(unitCol).as("u"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val perUnit = cnt.groupBy(col("u"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("ss"))
+      .filter(col("m") >= 2)
+    val doNum = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      coalesce(sum(col("m")), lit(0L)).as("n"),
+      coalesce(sum(expr("1000000 * (m * m - ss) DIV (m - 1)")), lit(0L))
+        .as("__dn"))
+    val nc = cnt.join(perUnit.select(col("u")), Seq("u"))
+      .groupBy(col("v")).agg(sum(col("c")).as("n_c"))
+    val sq = nc.agg(coalesce(sum(col("n_c").cast(DecimalType(38, 0)) *
+      col("n_c")), lit(0).cast(DecimalType(38, 0))).as("__ncsq"))
+    doNum.crossJoin(sq) // 1×1
+      .withColumn("do_micro",
+        expr("CASE WHEN n = 0 THEN 0 ELSE __dn DIV n END"))
+      .withColumn("de_micro",
+        expr("""CASE WHEN n < 2 THEN 0 ELSE
+                CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                  (CAST(n AS DECIMAL(38,0)) * n - __ncsq))
+                  DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) END"""))
+      .withColumn("alpha_micro",
+        expr("""CASE WHEN de_micro = 0 THEN 0
+                ELSE 1000000 - do_micro * 1000000 DIV de_micro END"""))
+      .select(col("n_units"), col("n"), col("do_micro"), col("de_micro"),
+        col("alpha_micro"))
+  }
 }

@@ -256,4 +256,61 @@ object Profile {
       .select(k, col(idCol), col(valueCol), col("med2"), col("dev2"), col("mad4"),
         (lit(2L * kDen) * col("dev2") > lit(kNum.toLong) * col("mad4")).as("is_outlier"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic over an integer value column
+    * between two groups — the ordered-axis drift detector that
+    * [[bucketDrift]]'s per-bucket shares can't see (a mass shift between
+    * ADJACENT buckets barely moves L1 shares but stacks up in the CDF
+    * gap). D = max_v |F_a(v) − F_b(v)| in exact integer micro-units
+    * (per-side floors: cum·10⁶ DIV n — the quantization contract both
+    * engines replay bit-for-bit).
+    *
+    * Scale shape: one map-side-combinable groupBy over DISTINCT values
+    * (never the row count), then the two-phase cumulative discipline of
+    * [[TextOps.vocabCoverage]] — sign-aware binary-magnitude buckets,
+    * per-bucket parallel windows, only the ≤128-row bucket-total table
+    * crossing SinglePartition — and a TakeOrderedAndProject limit-1 for
+    * the argmax (ties break to the smallest value). No global sort, no
+    * row-level rank.
+    *
+    * Output (one row): at_value (smallest value attaining D), n_a, n_b,
+    * cum_a, cum_b (counts ≤ at_value), d_micro. An empty side makes D
+    * undefined — the row reports d_micro = 0 rather than a null/divide
+    * error (deterministic in both engines).
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+    val bucketed = g.withColumn("b",
+      when(col("v") >= 0, length(conv(col("v") + 1, 10, 2)))
+        .otherwise(-length(conv(-col("v"), 10, 2))))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wOff), lit(0L)))
+      .select(col("b"), col("off_a"), col("off_b"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLoc))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLoc))
+    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("d_micro",
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                ELSE abs(cum_a * 1000000 DIV n_a - cum_b * 1000000 DIV n_b)
+                END"""))
+      .orderBy(col("d_micro").desc, col("v"))
+      .limit(1)
+      .select(col("v").as("at_value"), col("n_a"), col("n_b"),
+        col("cum_a"), col("cum_b"), col("d_micro"))
+  }
 }

@@ -2633,6 +2633,215 @@ object Text {
        |  AS BIGINT) AS kappa_micro
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+
+  // anchor-probe scoring shared by q196/q197: cosine of every embedding
+  // to the vec_id-0 exemplar, micro-rounded, labeled 1 when the class
+  // matches the anchor's. The dot runs through the codegen'd dot_f32 whose
+  // left-to-right double fold is bit-identical to the oracle's
+  // list_reduce, so the rounded integer scores agree exactly.
+  private def anchorScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val anchor = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__av"), col("label").as("__albl"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(
+        round(Similarity.cosine(col("embedding"), col("__av")) * 1000000)
+          .cast("long").as("score_micro"),
+        when(col("label") === col("__albl"), 1L).otherwise(0L).as("y"))
+  }
+
+  private val anchorScoredSql: String =
+    s"""a AS (SELECT embedding AS av, label AS albl FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT CAST(ROUND(${dotSql("e.embedding", "a.av")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("a.av", "a.av")}))
+       |      * 1000000) AS BIGINT) AS score_micro,
+       |    CASE WHEN e.label = a.albl THEN 1 ELSE 0 END AS y
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id != 0
+       |)""".stripMargin
+
+  /** q196: ROC-AUC of the anchor-probe retrieval score
+    * (`LmOps.binaryAuc`) — does cosine similarity to one exemplar predict
+    * same-class membership? The tie-corrected Mann–Whitney statistic in
+    * exact integer micro-units, computed rank-free over the distinct-
+    * score table (two-phase cumulative negatives — no corpus-sized sort).
+    */
+  def q196BinaryAuc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryAuc(anchorScored(spark, sfDir),
+      "score_micro", "y")
+
+  val q196Sql: String =
+    s"""WITH $anchorScoredSql,
+       |g AS (
+       |  SELECT score_micro AS score, CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+       |  FROM scored GROUP BY score_micro
+       |),
+       |c AS (
+       |  SELECT p, ng, COALESCE(SUM(ng) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM g
+       |),
+       |r AS (
+       |  SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+       |    CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n_neg,
+       |    COALESCE(SUM(CAST(p AS HUGEINT) * (2 * neg_below + ng)), 0) AS num2
+       |  FROM c
+       |),
+       |m AS (
+       |  SELECT n_pos + n_neg AS n, n_pos, n_neg,
+       |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |      ELSE (CAST(1000000 AS HUGEINT) * num2)
+       |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_micro
+       |  FROM r
+       |)
+       |SELECT n, n_pos, n_neg, auc_micro,
+       |  auc_micro * 2 - 1000000 AS gini_micro
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+
+  /** q197: calibration report of the anchor probe as a same-class
+    * "probability" ((cos+1)/2 in micro-units) — per-bin confidence vs
+    * empirical accuracy plus global Brier score and ECE
+    * (`LmOps.calibrationReport`): the reliability audit a curation
+    * pipeline keeps next to every learned filter threshold. One
+    * ≤10-bucket map-side-combinable groupBy; all-integer.
+    */
+  def q197Calibration(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.calibrationReport(
+      anchorScored(spark, sfDir)
+        .select(expr("(score_micro + 1000000) DIV 2").as("prob_micro"), col("y")),
+      "prob_micro", "y", bins = 10)
+
+  val q197Sql: String =
+    s"""WITH $anchorScoredSql,
+       |p AS (SELECT (score_micro + 1000000) // 2 AS pm, y FROM scored),
+       |binned AS (SELECT CAST(LEAST(pm * 10 // 1000000, 9) AS BIGINT) AS bin, pm, y FROM p),
+       |perbin AS (
+       |  SELECT bin, CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(pm) AS BIGINT) AS spm,
+       |    SUM(CAST(pm - y * 1000000 AS HUGEINT) * (pm - y * 1000000)) AS sq
+       |  FROM binned GROUP BY bin
+       |),
+       |pb2 AS (
+       |  SELECT bin, n, n_pos, spm // n AS conf_micro,
+       |    n_pos * 1000000 // n AS acc_micro, sq
+       |  FROM perbin
+       |),
+       |gl AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sq) AS sqt,
+       |    CAST(SUM(n * abs(acc_micro - conf_micro)) AS BIGINT) AS ed
+       |  FROM pb2
+       |)
+       |SELECT bin, n, n_pos, conf_micro, acc_micro,
+       |  CAST(sqt // (CAST(nt AS HUGEINT) * 1000000) AS BIGINT) AS brier_micro,
+       |  ed // nt AS ece_micro
+       |FROM pb2, gl""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+
+  /** q198: Krippendorff's alpha (`LmOps.krippendorffAlpha`) across THREE
+    * evidence-starved raters — the q153/q154 dialect annotator run on the
+    * full text, the first half, and the first quarter of each document's
+    * tokens. The nominal-metric generalization of q154's two-rater kappa:
+    * same chance-corrected family, but rater-count-agnostic and built on
+    * the coincidence identity m² − Σcnt² (ordered disagreeing pairs), so
+    * no |raters|² pair join ever materializes.
+    */
+  private def quarterDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      "array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) div 4, 1)), ' ')")
+      .as("text"))
+
+  private val quarterTextSql: String =
+    "array_to_string((string_split(text, ' '))" +
+      "[1:greatest(len(string_split(text, ' ')) // 4, 1)], ' ')"
+
+  def q198Krippendorff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val obs = Seq[DataFrame => DataFrame](identity, halfDocs, quarterDocs)
+      .map(f => TextOps.langId(f(docs))
+        .select(col("doc_id"), col("pred_lang").as("v")))
+      .reduce(_ unionByName _)
+    graft.operators.LmOps.krippendorffAlpha(obs, "doc_id", "v")
+  }
+
+  val q198Sql: String =
+    s"""WITH ${langScoreCteFor("ls_full", "text")},
+       |${langScoreCteFor("ls_half", halfTextSql)},
+       |${langScoreCteFor("ls_quarter", quarterTextSql)},
+       |obs AS (
+       |  SELECT doc_id, ${langPredSqlFor("f.")} AS v FROM ls_full f
+       |  UNION ALL SELECT doc_id, ${langPredSqlFor("h.")} FROM ls_half h
+       |  UNION ALL SELECT doc_id, ${langPredSqlFor("q.")} FROM ls_quarter q
+       |),
+       |cnt AS (SELECT doc_id AS u, v, COUNT(1) AS c FROM obs GROUP BY u, v),
+       |pu AS (
+       |  SELECT u, CAST(SUM(c) AS BIGINT) AS m, CAST(SUM(c * c) AS BIGINT) AS ss
+       |  FROM cnt GROUP BY u HAVING SUM(c) >= 2
+       |),
+       |dn AS (
+       |  SELECT CAST(COUNT(1) AS BIGINT) AS n_units,
+       |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(1000000 * (m * m - ss) // (m - 1)), 0) AS BIGINT) AS dnum
+       |  FROM pu
+       |),
+       |nc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS n_c FROM cnt JOIN pu USING (u) GROUP BY v),
+       |sq AS (SELECT COALESCE(SUM(CAST(n_c AS HUGEINT) * n_c), 0) AS ncsq FROM nc),
+       |m0 AS (
+       |  SELECT n_units, n,
+       |    CAST(CASE WHEN n = 0 THEN 0 ELSE dnum // n END AS BIGINT) AS do_micro,
+       |    CAST(CASE WHEN n < 2 THEN 0 ELSE
+       |      (CAST(1000000 AS HUGEINT) * (CAST(n AS HUGEINT) * n - ncsq))
+       |        // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT) AS de_micro
+       |  FROM dn, sq
+       |)
+       |SELECT n_units, n, do_micro, de_micro,
+       |  CAST(CASE WHEN de_micro = 0 THEN 0
+       |    ELSE 1000000 - do_micro * 1000000 // de_micro END AS BIGINT) AS alpha_micro
+       |FROM m0""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+
+  /** q199: two-sample Kolmogorov–Smirnov drift between the two
+    * lexicographically-first sources' document-length distributions
+    * (`Profile.ksTwoSample`) — the ordered-axis complement of q166's
+    * per-bucket share drift: a shift between ADJACENT length buckets
+    * barely moves L1 shares but stacks up in the CDF gap. Exact integer
+    * micro-units over the distinct-value table; argmax ties break to the
+    * smallest length.
+    */
+  def q199KsDrift(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.ksTwoSample(
+      Tables.load(spark, sfDir, "documents").select(col("n_chars"), col("source")),
+      "n_chars", "source", "src0", "src1")
+
+  val q199Sql: String =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars
+      |),
+      |c AS (
+      |  SELECT v, ca, cb,
+      |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+      |  FROM g WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM g),
+      |d AS (
+      |  SELECT v, n_a, n_b, CAST(cum_a AS BIGINT) AS cum_a, CAST(cum_b AS BIGINT) AS cum_b,
+      |    CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+      |      ELSE abs(cum_a * 1000000 // n_a - cum_b * 1000000 // n_b) END AS BIGINT) AS d_micro
+      |  FROM c, t
+      |)
+      |SELECT v AS at_value, n_a, n_b, cum_a, cum_b, d_micro
+      |FROM d ORDER BY d_micro DESC, at_value LIMIT 1""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -3010,6 +3219,10 @@ object Text {
     QueryDef("q194_kmeans_assign", q194KmeansAssign, None,
       dynamicOracle = Some(() => q194Oracle)),
     QueryDef("q195_budget_select", q195BudgetSelect, Some(q195Sql)),
+    QueryDef("q196_binary_auc", q196BinaryAuc, Some(q196Sql)),
+    QueryDef("q197_calibration", q197Calibration, Some(q197Sql)),
+    QueryDef("q198_krippendorff", q198Krippendorff, Some(q198Sql)),
+    QueryDef("q199_ks_drift", q199KsDrift, Some(q199Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -307,4 +307,102 @@ class EvalOpsSpec extends SparkSpec {
       Skyline.paretoFront2DGlobal(pts, "x", "y")
     }
   }
+
+  // ---------------------------------------------------------------- AUC
+
+  private def aucOf(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val r = LmOps.binaryAuc(rows.toDF("score", "y"), "score", "y").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("binaryAuc: separation, pure ties, mixed ties, negative scores, degenerate") {
+    // perfect separation → 1.0
+    assert(aucOf(Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L))) ==
+      ((4L, 2L, 2L, 1000000L, 1000000L)))
+    // every score tied → 0.5, gini 0
+    assert(aucOf(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L))) ==
+      ((4L, 2L, 2L, 500000L, 0L)))
+    // hand case: pairs 3 wins + 1 tie of 4 → 0.875
+    assert(aucOf(Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L))) ==
+      ((4L, 2L, 2L, 875000L, 750000L)))
+    // same case shifted below zero — the sign-aware magnitude buckets
+    // must keep ascending score order across the 0 boundary
+    assert(aucOf(Seq((-4L, 0L), (-3L, 1L), (-3L, 0L), (-2L, 1L)))._4 == 875000L)
+    assert(aucOf(Seq((-2L, 0L), (-1L, 0L), (1L, 1L), (2L, 1L)))._4 == 1000000L)
+    // no negatives → defined as 0, not NaN
+    assert(aucOf(Seq((1L, 1L), (2L, 1L))) == ((2L, 2L, 0L, 0L, -1000000L)))
+  }
+
+  test("binaryAuc matches the O(n²) pairwise count on a pseudo-random input") {
+    // deterministic LCG — no Math.random in specs
+    val xs = Iterator.iterate(48271L)(x => (x * 25214903917L + 11) & 0xffffffffL)
+      .drop(1).take(60).toSeq
+    val rows = xs.map(x => ((x >> 7) % 19 - 9, (x >> 3) % 2)) // scores in [-9,9], ~half pos
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = 1000000L * num2 / (2L * pos.size * neg.size)
+    assert(aucOf(rows)._4 == expected)
+  }
+
+  test("calibrationReport: hand-computed bins, Brier and ECE; top-edge bin clamp") {
+    val rows = Seq((100000L, 0L), (300000L, 1L), (900000L, 1L), (950000L, 0L))
+    val out = LmOps.calibrationReport(rows.toDF("pm", "y"), "pm", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // brier = (1e10 + 4.9e11 + 1e10 + 9.025e11) DIV (4·1e6) = 353125
+    // ece   = (1·100000 + 1·700000 + 2·425000) DIV 4 = 412500
+    assert(out(1L) == ((1L, 0L, 100000L, 0L, 353125L, 412500L)))
+    assert(out(3L) == ((1L, 1L, 300000L, 1000000L, 353125L, 412500L)))
+    assert(out(9L) == ((2L, 1L, 925000L, 500000L, 353125L, 412500L)))
+    assert(out.size == 3)
+    // pm = 10⁶ exactly lands in the top bin, not a phantom bin 10
+    val edge = LmOps.calibrationReport(
+      Seq((1000000L, 1L)).toDF("pm", "y"), "pm", "y", bins = 10).collect()(0)
+    assert(edge.getLong(0) == 9L && edge.getLong(5) == 0L)
+  }
+
+  test("krippendorffAlpha: hand case, m<2 exclusion, perfect, single-value") {
+    // u1 aaa, u2 aab, u3 bbb, u4 abc → do 5e6/12, de 82e6/132, alpha 329270
+    val obs = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "c")).toDF("u", "v")
+    val r = LmOps.krippendorffAlpha(obs, "u", "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 12L, 416666L, 621212L, 329270L)))
+    // a singleton unit carries no pair information — identical output
+    val r2 = LmOps.krippendorffAlpha(
+      obs.unionByName(Seq((5L, "c")).toDF("u", "v")), "u", "v").collect()(0)
+    assert((r2.getLong(0), r2.getLong(4)) == ((4L, 329270L)))
+    // perfect agreement → alpha = 1
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("u", "v")
+    assert(LmOps.krippendorffAlpha(perfect, "u", "v")
+      .collect()(0).getLong(4) == 1000000L)
+    // one value everywhere → de = 0 → alpha reported 0 per contract
+    val mono = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "v")
+    assert(LmOps.krippendorffAlpha(mono, "u", "v")
+      .collect()(0).getLong(4) == 0L)
+  }
+
+  test("ksTwoSample: identical, disjoint, negative values, empty side") {
+    def ks(rows: Seq[(Long, String)]): (Long, Long, Long, Long, Long, Long) = {
+      val r = Profile.ksTwoSample(rows.toDF("v", "g"), "v", "g", "A", "B").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    val same = Seq((1L, "A"), (2L, "A"), (3L, "A"), (1L, "B"), (2L, "B"), (3L, "B"))
+    assert(ks(same) == ((1L, 3L, 3L, 1L, 1L, 0L)))
+    val disj = Seq((1L, "A"), (2L, "A"), (5L, "B"), (6L, "B"))
+    assert(ks(disj) == ((2L, 2L, 2L, 2L, 0L, 1000000L)))
+    // negatives exercise the sign-aware magnitude buckets; per-side
+    // floors make the two directions land 333333 vs 333334
+    val neg = Seq((-5L, "A"), (-1L, "A"), (3L, "A"), (-3L, "B"), (2L, "B"), (4L, "B"))
+    assert(ks(neg) == ((3L, 3L, 3L, 3L, 2L, 333334L)))
+    // an empty side is undefined — deterministic d = 0 row, not an error
+    val only = Seq((1L, "A"), (2L, "A"))
+    assert(ks(only) == ((1L, 2L, 0L, 1L, 0L, 0L)))
+  }
 }
