@@ -1096,6 +1096,48 @@ object ScaleBench {
         s"budget-select closed form failed: $a")
     }
 
+    // Rank-free ROC-AUC at 10M rows with 10M DISTINCT scores — the
+    // worst case for the two-phase cumulative (every row is its own
+    // score group, so the distinct-score table IS corpus-sized and the
+    // per-bucket windows carry all of it; only the ≤1025-row bucket-total
+    // table may cross SinglePartition). Closed forms: alternating labels
+    // over ascending scores ⇒ num2 = M(M+1), auc = ⌊10⁶(M+1)/(2M)⌋ =
+    // 500000; top-half-positive ⇒ perfect 10⁶.
+    timed("binary_auc_10M_distinct_scores") {
+      val n = 10000000L
+      val m = n / 2
+      val rows = spark.range(n).select(col("id").as("score"),
+        (col("id") % 2).as("y"))
+      val a = operators.LmOps.binaryAuc(rows, "score", "y").head()
+      // ⌊10⁶·M(M+1) / 2M²⌋ = ⌊500000 + 500000/M⌋ = 500000 (the ·M(M+1)
+      // product itself would overflow Long — the operator carries it in
+      // DECIMAL(38,0), the closed form here is just the reduced value)
+      require(a.getLong(1) == m && a.getLong(2) == m &&
+        a.getLong(3) == 500000L && a.getLong(4) == 0L,
+        s"alternating-label AUC closed form failed: $a")
+      val sep = spark.range(n).select(col("id").as("score"),
+        when(col("id") >= m, 1L).otherwise(0L).as("y"))
+      val b = operators.LmOps.binaryAuc(sep, "score", "y").head()
+      require(b.getLong(3) == 1000000L && b.getLong(4) == 1000000L,
+        s"separated AUC closed form failed: $b")
+    }
+
+    // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
+    // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
+    // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same
+    // two-phase distinct-value discipline as the AUC (11M distinct
+    // values, per-bucket windows) plus the TakeOrdered argmax tie rule.
+    timed("ks_two_sample_20M_rows") {
+      val n = 10000000L
+      val s = n / 10
+      val a = spark.range(n).select(col("id").as("v"), lit("A").as("g"))
+      val b = spark.range(n).select((col("id") + s).as("v"), lit("B").as("g"))
+      val r = operators.Profile.ksTwoSample(a.unionByName(b), "v", "g", "A", "B").head()
+      require(r.getLong(0) == s - 1 && r.getLong(1) == n && r.getLong(2) == n &&
+        r.getLong(3) == s && r.getLong(4) == 0L && r.getLong(5) == 100000L,
+        s"KS shift closed form failed: $r")
+    }
+
     // 10h. C4 cleaning at 1M docs with closed-form truth: ids ≡ 0 mod 7
     // get a 3-good-sentence page (kept), ids ≡ 1 mod 7 a lorem-ipsum page
     // (blocked), everyone else a 1-sentence page (dropped, not blocked).

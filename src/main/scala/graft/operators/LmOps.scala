@@ -577,13 +577,21 @@ object LmOps {
   /** ROC-AUC of an integer score against a binary label, computed as the
     * tie-corrected Mann–Whitney statistic WITHOUT a global rank: group by
     * distinct score (map-side combinable), then a two-phase cumulative
-    * negative count over the distinct-score table — sign-aware binary-
-    * magnitude buckets, per-bucket parallel windows, and only the ≤128-row
-    * bucket-total table ever crosses a SinglePartition exchange (the
-    * [[TextOps.vocabCoverage]] ranking discipline). Each positive at score
+    * negative count over the distinct-score table — equal-width order-
+    * preserving buckets, per-bucket parallel windows, and only the
+    * ≤1025-row bucket-total table ever crosses a SinglePartition exchange
+    * (the [[TextOps.vocabCoverage]] ranking discipline). Each positive at score
     * s beats every negative strictly below and half of the negatives tied
     * at s, so with num2 = Σ_s p_s·(2·negBelow_s + n_s):
     * AUC = num2 / (2·nPos·nNeg), floored to integer micro-units.
+    *
+    * Buckets are EQUAL-WIDTH from a min/max pass over the grouped table
+    * (order-preserving integer arithmetic; the groupBy exchange is reused,
+    * so the stats pass is nearly free) — NOT binary magnitude: for
+    * uniform or metric-bounded scores a magnitude bucketing parks ~half
+    * the distinct table in its top bucket, which is exactly the one-task
+    * sort cliff the two-phase shape exists to avoid. Score ranges must
+    * fit in a Long difference (micro-unit metrics always do).
     *
     * num2 is carried as DECIMAL(38,0) (nPos·nNeg alone passes BIGINT near
     * n = 10⁹; the oracle mirrors with HUGEINT). Degenerate inputs (no
@@ -601,10 +609,13 @@ object LmOps {
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
       .groupBy(col("score"))
       .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
-    // sign-aware binary magnitude: ascending bucket id ⇔ ascending score
-    val bucketed = g.withColumn("b",
-      when(col("score") >= 0, length(conv(col("score") + 1, 10, 2)))
-        .otherwise(-length(conv(-col("score"), 10, 2))))
+    // equal-width order-preserving buckets: b = (score − mn) DIV w with
+    // w sized so ≤1024 buckets cover [mn, mx]
+    val stats = g.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b",
+        expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
     val wOff = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("b"))

@@ -267,8 +267,10 @@ object Profile {
     *
     * Scale shape: one map-side-combinable groupBy over DISTINCT values
     * (never the row count), then the two-phase cumulative discipline of
-    * [[TextOps.vocabCoverage]] — sign-aware binary-magnitude buckets,
-    * per-bucket parallel windows, only the ≤128-row bucket-total table
+    * [[TextOps.vocabCoverage]] — equal-width order-preserving buckets
+    * from a min/max pass (reused exchange; magnitude buckets would park
+    * half a uniform value range in one bucket — see [[LmOps.binaryAuc]]),
+    * per-bucket parallel windows, only the ≤1025-row bucket-total table
     * crossing SinglePartition — and a TakeOrderedAndProject limit-1 for
     * the argmax (ties break to the smallest value). No global sort, no
     * row-level rank.
@@ -287,9 +289,10 @@ object Profile {
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"))
       .groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
-    val bucketed = g.withColumn("b",
-      when(col("v") >= 0, length(conv(col("v") + 1, 10, 2)))
-        .otherwise(-length(conv(-col("v"), 10, 2))))
+    val stats = g.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b", expr("(v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
     val wOff = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("b"))

@@ -325,8 +325,8 @@ class EvalOpsSpec extends SparkSpec {
     // hand case: pairs 3 wins + 1 tie of 4 → 0.875
     assert(aucOf(Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L))) ==
       ((4L, 2L, 2L, 875000L, 750000L)))
-    // same case shifted below zero — the sign-aware magnitude buckets
-    // must keep ascending score order across the 0 boundary
+    // same case shifted below zero — the equal-width buckets must keep
+    // ascending score order across the 0 boundary
     assert(aucOf(Seq((-4L, 0L), (-3L, 1L), (-3L, 0L), (-2L, 1L)))._4 == 875000L)
     assert(aucOf(Seq((-2L, 0L), (-1L, 0L), (1L, 1L), (2L, 1L)))._4 == 1000000L)
     // no negatives → defined as 0, not NaN
@@ -397,7 +397,7 @@ class EvalOpsSpec extends SparkSpec {
     assert(ks(same) == ((1L, 3L, 3L, 1L, 1L, 0L)))
     val disj = Seq((1L, "A"), (2L, "A"), (5L, "B"), (6L, "B"))
     assert(ks(disj) == ((2L, 2L, 2L, 2L, 0L, 1000000L)))
-    // negatives exercise the sign-aware magnitude buckets; per-side
+    // negatives exercise bucketing over a negative value range; per-side
     // floors make the two directions land 333333 vs 333334
     val neg = Seq((-5L, "A"), (-1L, "A"), (3L, "A"), (-3L, "B"), (2L, "B"), (4L, "B"))
     assert(ks(neg) == ((3L, 3L, 3L, 3L, 2L, 333334L)))

@@ -119,6 +119,19 @@ class PlanAuditSpec extends SparkSpec {
     // all build sides BOUNDED at one row (LmOps.agreementKappa,
     // Profile.concentration, TextOps.largestRemainderQuota — the q66 shape)
     "q154_kappa", "q155_mix_report", "q156_quota_alloc",
+    // q196/q197: the anchor probe crossJoins the broadcast 1-ROW
+    // vec_id-0 exemplar (queries.Text.anchorScored); q196 adds the 1-row
+    // min/max bucket-stats crossJoin (LmOps.binaryAuc), q197 the 1-row
+    // Brier/ECE scalar frame onto the ≤bins-row bin table
+    // (LmOps.calibrationReport)
+    "q196_binary_auc", "q197_calibration",
+    // q198: the 1×1 crossJoin of the disagreement row with the value-
+    // totals square row (LmOps.krippendorffAlpha — the kappa shape)
+    "q198_krippendorff",
+    // q199: the distinct-value CDF table crossJoins the broadcast 1-ROW
+    // (n_a, n_b) totals frame and the 1-row min/max bucket-stats frame
+    // (Profile.ksTwoSample — the drift-totals shape)
+    "q199_ks_drift",
     // q189: the coverage lookup joins the broadcast pct list (3 rows)
     // against the cumulative FREQUENCY-HISTOGRAM table (distinct count
     // values — Zipf-small, never vocabulary-sized) on a range-straddle
@@ -292,6 +305,33 @@ class PlanAuditSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toList
     assert(sumSpecs.nonEmpty && sumSpecs.forall(_.contains("__bkt")),
       s"q195 runs the corpus running sum outside the bucket windows: $sumSpecs")
+  }
+
+  test("q196 AUC and q199 KS rank over per-bucket windows, SinglePartition only on bucket totals") {
+    // the rank-free two-phase claim: the distinct-score / distinct-value
+    // cumulative sums run in PER-BUCKET windows (partitioned by the
+    // equal-width bucket b); only the ≤1025-row bucket-total offset
+    // table crosses SinglePartition. A regression to a bare
+    // global window would funnel the whole distinct table (up to 2·10⁶
+    // rows for micro-rounded metrics) through one task. Legitimate
+    // SinglePartition crossings: the 1-row min/max bucket-stats aggregate
+    // (planned twice across the DAG branches, deduped by ReuseExchange at
+    // runtime), the ≤1025-row bucket-total offset window, and the final
+    // one-row aggregate/totals — map-side partials, ~one row per task
+    // crosses each. None of them carries the distinct table itself, which
+    // the window-spec assert below pins to per-bucket partitions.
+    Seq("q196_binary_auc" -> "ng", "q199_ks_drift" -> "ca").foreach {
+      case (q, cumCol) =>
+        val plan = planOf(q)
+        val single = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
+          .findAllMatchIn(plan).map(_.group(1)).toSet.size
+        assert(single <= 4, s"$q plans $single SinglePartition exchanges — " +
+          "the distinct-table cumulative sum must stay per-bucket")
+        val sumSpecs = s"sum\\($cumCol[^)]*\\) windowspecdefinition\\(([^,]*)".r
+          .findAllMatchIn(plan).map(_.group(1)).toList
+        assert(sumSpecs.nonEmpty && sumSpecs.forall(_.contains("b")),
+          s"$q runs the cumulative sum outside the bucket windows: $sumSpecs")
+    }
   }
 
   test("q61 packing never plans a single-partition global window") {
