@@ -602,13 +602,23 @@ object LmOps {
     * no row-level rank, no single-reducer pass over data-sized input.
     * Output (one row): n, n_pos, n_neg, auc_micro, gini_micro.
     */
-  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = df
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    binaryAucFromCounts(df
       .select(col(scoreCol).cast("long").as("score"),
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
       .groupBy(col("score"))
-      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng")))
+
+  /** [[binaryAuc]] over a PRE-AGGREGATED (score, p, ng) count table — the
+    * incremental form a streaming eval monitor maintains (per-batch count
+    * deltas sum to these without re-reading rows; the
+    * [[Profile.bucketDriftFromCounts]] contract). Rows with the same
+    * score are combined, so a delta store may carry duplicates.
+    */
+  def binaryAucFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = counts.groupBy(col("score"))
+      .agg(sum(col("p")).as("p"), sum(col("ng")).as("ng"))
     // equal-width order-preserving buckets: b = (score − mn) DIV w with
     // w sized so ≤1024 buckets cover [mn, mx]
     val stats = g.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))

@@ -281,14 +281,23 @@ object Profile {
     * error (deterministic in both engines).
     */
   def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
-      groupA: String, groupB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = df
+      groupA: String, groupB: String): DataFrame =
+    ksTwoSampleFromCounts(df
       .filter(col(groupCol).isin(groupA, groupB))
       .select(col(valueCol).cast("long").as("v"),
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"))
       .groupBy(col("v"))
-      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb")))
+
+  /** [[ksTwoSample]] over a PRE-AGGREGATED (v, ca, cb) count table — the
+    * incremental form a streaming drift monitor maintains (the
+    * [[bucketDriftFromCounts]] contract). Rows with the same value are
+    * combined, so a delta store may carry duplicates.
+    */
+  def ksTwoSampleFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = counts.groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val stats = g.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
     val bucketed = g.crossJoin(broadcast(stats))
       .withColumn("b", expr("(v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))

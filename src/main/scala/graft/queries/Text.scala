@@ -2640,28 +2640,35 @@ object Text {
   // matches the anchor's. The dot runs through the codegen'd dot_f32 whose
   // left-to-right double fold is bit-identical to the oracle's
   // list_reduce, so the rounded integer scores agree exactly.
-  private def anchorScored(spark: SparkSession, sfDir: String): DataFrame = {
+  private def anchorScored(spark: SparkSession, sfDir: String,
+      dim: Int = 0): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
+    val trunc = if (dim > 0) slice(col("embedding"), 1, dim) else col("embedding")
     val anchor = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("__av"), col("label").as("__albl"))
+      .select(trunc.as("__av"), col("label").as("__albl"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(anchor))
       .select(
-        round(Similarity.cosine(col("embedding"), col("__av")) * 1000000)
+        round(Similarity.cosine(trunc, col("__av")) * 1000000)
           .cast("long").as("score_micro"),
         when(col("label") === col("__albl"), 1L).otherwise(0L).as("y"))
   }
 
-  private val anchorScoredSql: String =
+  private def anchorScoredSqlAt(dim: Int): String = {
+    val e = if (dim > 0) s"e.embedding[1:$dim]" else "e.embedding"
+    val av = if (dim > 0) s"av[1:$dim]" else "a.av"
     s"""a AS (SELECT embedding AS av, label AS albl FROM embeddings WHERE vec_id = 0),
        |scored AS (
-       |  SELECT CAST(ROUND(${dotSql("e.embedding", "a.av")}
-       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("a.av", "a.av")}))
+       |  SELECT CAST(ROUND(${dotSql(e, av)}
+       |      / (SQRT(${dotSql(e, e)}) * SQRT(${dotSql(av, av)}))
        |      * 1000000) AS BIGINT) AS score_micro,
        |    CASE WHEN e.label = a.albl THEN 1 ELSE 0 END AS y
        |  FROM embeddings e CROSS JOIN a
        |  WHERE e.vec_id != 0
        |)""".stripMargin
+  }
+
+  private val anchorScoredSql: String = anchorScoredSqlAt(0)
 
   /** q196: ROC-AUC of the anchor-probe retrieval score
     * (`LmOps.binaryAuc`) — does cosine similarity to one exemplar predict
@@ -2673,8 +2680,8 @@ object Text {
     graft.operators.LmOps.binaryAuc(anchorScored(spark, sfDir),
       "score_micro", "y")
 
-  val q196Sql: String =
-    s"""WITH $anchorScoredSql,
+  private def aucSqlFor(dim: Int): String =
+    s"""WITH ${anchorScoredSqlAt(dim)},
        |g AS (
        |  SELECT score_micro AS score, CAST(SUM(y) AS BIGINT) AS p,
        |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
@@ -2701,6 +2708,35 @@ object Text {
        |SELECT n, n_pos, n_neg, auc_micro,
        |  auc_micro * 2 - 1000000 AS gini_micro
        |FROM m""".stripMargin
+
+  val q196Sql: String = aucSqlFor(0)
+
+  // ---------------------------------------------------------------- q200
+
+  /** q200: embedding-dimension truncation sweep — the matryoshka audit
+    * (Kusupati et al. 2022): the anchor-probe AUC of q196 recomputed on
+    * the first 8/16/32/64 dimensions of every embedding, one row per
+    * width. The curve tells a pipeline how many dimensions its retrieval
+    * probe can drop before same-class ranking degrades — the decision
+    * input for truncated-index tiers. Each width is the full q196
+    * rank-free pipeline (bounded two-phase ranking, shared broadcast
+    * anchor); the dims are independent bounded aggregates, so the sweep
+    * is 4 scans and zero data-sized shuffles.
+    */
+  def q200TruncationSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    dims.map { d =>
+      graft.operators.LmOps.binaryAuc(anchorScored(spark, sfDir, d),
+        "score_micro", "y")
+        .select(lit(d.toLong).as("dim"), col("n"), col("n_pos"),
+          col("n_neg"), col("auc_micro"), col("gini_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q200Sql: String =
+    Seq(8, 16, 32, 64).map { d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, n, n_pos, n_neg, auc_micro, gini_micro FROM (${aucSqlFor(d)})"
+    }.mkString("\nUNION ALL\n")
 
   // ---------------------------------------------------------------- q197
 
@@ -3223,6 +3259,7 @@ object Text {
     QueryDef("q197_calibration", q197Calibration, Some(q197Sql)),
     QueryDef("q198_krippendorff", q198Krippendorff, Some(q198Sql)),
     QueryDef("q199_ks_drift", q199KsDrift, Some(q199Sql)),
+    QueryDef("q200_truncation_sweep", q200TruncationSweep, Some(q200Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -1120,6 +1120,105 @@ object Streaming {
     pruned.unionByName(sentinel)
   }
 
+  /** Streaming ROC-AUC monitor — the ingest-time twin of the batch
+    * `LmOps.binaryAuc` (q196): each micro-batch stores ITS OWN
+    * (score, p, ng) distinct-score count deltas (batch_id-partitioned,
+    * overwrite-on-retry), and the emit computes the exact tie-corrected
+    * AUC over every committed batch in the retention window via
+    * `LmOps.binaryAucFromCounts` — counts sum per score, so the raw rows
+    * are never re-read (the mergeable-summaries contract; count tables
+    * are the group homomorphism here).
+    *
+    * State is bounded by the DISTINCT-SCORE cardinality inside the
+    * window (≤ 2·10⁶ + 1 for micro-rounded bounded metrics), never the
+    * row count. Retention follows the store-wide default (a windowed
+    * AUC — the drift-monitor semantics); pass [[Unbounded]] explicitly
+    * for seen-so-far eval. Output at `outDir/batch_id=N`: the one-row
+    * (n, n_pos, n_neg, auc_micro, gini_micro) snapshot.
+    */
+  def aucMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, scoreCol: String = "score", labelCol: String = "y",
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAucBatch(batch, batchId, outDir, storeDir, scoreCol,
+          labelCol, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[aucMonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processAucBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, scoreCol: String, labelCol: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    val mine = batch
+      .select(col(scoreCol).cast("long").as("score"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("score"))
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.LmOps.binaryAucFromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    ()
+  }
+
+  /** Streaming two-sample KS drift monitor — the ingest-time twin of the
+    * batch `Profile.ksTwoSample` (q199): per-batch (v, ca, cb)
+    * distinct-value count deltas in a batch_id-partitioned store, emit =
+    * exact D over every committed batch in the retention window via
+    * `Profile.ksTwoSampleFromCounts`. Same state bound, retention and
+    * replay contracts as [[aucMonitorStream]]. Rows whose group is
+    * neither `groupA` nor `groupB` are ignored. Output at
+    * `outDir/batch_id=N`: the one-row (at_value, n_a, n_b, cum_a, cum_b,
+    * d_micro) snapshot.
+    */
+  def ksMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processKsBatch(batch, batchId, outDir, storeDir, valueCol, groupCol,
+          groupA, groupB, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[ksMonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processKsBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    val mine = batch
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.Profile.ksTwoSampleFromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    ()
+  }
+
   /** Streaming ordered-funnel progress — the ingest-time twin of the batch
     * Funnel.steps operator. Per-entity step-completion times live in a
     * batch_id-partitioned store; each micro-batch advances them with the

@@ -367,6 +367,78 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming AUC monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("aucstream").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.aucMonitorStream(mem.toDF().toDF("score", "y"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "score", "y")
+    // deterministic scores with ties across batches: score = i % 37,
+    // label biased to high scores so the AUC is non-trivial
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val s = (i.toLong * 2654435761L) % 37L
+      (s, if (s * 3 % 7 > 2) 1L else 0L)
+    }
+    val b0 = rows(0, 400)
+    val b1 = rows(400, 900)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val streamed = snap()
+    val batch = graft.operators.LmOps.binaryAuc(
+      (b0 ++ b1).toDF("score", "y"), "score", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed._1 == 900L)
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processAucBatch(b1.toDF("score", "y"), 1L,
+      s"$dir/out", s"$dir/store", "score", "y")
+    assert(snap() == streamed)
+  }
+
+  test("streaming KS monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ksstream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ksMonitorStream(mem.toDF().toDF("v", "g"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "v", "g", "ref", "live")
+    // live is ref shifted by +7 on a 0..49 value grid; a third group is
+    // noise the monitor must ignore
+    def rows(lo: Int, hi: Int) = (lo until hi).flatMap { i =>
+      val v = (i.toLong * 2654435761L) % 50L
+      Seq((v, "ref"), (v + 7L, "live"), (v, "other"))
+    }
+    val b0 = rows(0, 300)
+    val b1 = rows(300, 800)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    val streamed = snap()
+    val batch = graft.operators.Profile.ksTwoSample(
+      (b0 ++ b1).toDF("v", "g"), "v", "g", "ref", "live")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed._2 == 800L && streamed._3 == 800L && streamed._6 > 0L)
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processKsBatch(b1.toDF("v", "g"), 1L,
+      s"$dir/out", s"$dir/store", "v", "g", "ref", "live")
+    assert(snap() == streamed)
+  }
+
   test("streaming funnel equals the batch operator under ts-ordered batches, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -125,6 +125,9 @@ class PlanAuditSpec extends SparkSpec {
     // Brier/ECE scalar frame onto the ≤bins-row bin table
     // (LmOps.calibrationReport)
     "q196_binary_auc", "q197_calibration",
+    // q200: four dim-truncated copies of q196's anchor probe — same 1-row
+    // broadcast anchor and bucket-stats crossJoins per width
+    "q200_truncation_sweep",
     // q198: the 1×1 crossJoin of the disagreement row with the value-
     // totals square row (LmOps.krippendorffAlpha — the kappa shape)
     "q198_krippendorff",
