@@ -1122,6 +1122,26 @@ object ScaleBench {
         s"separated AUC closed form failed: $b")
     }
 
+    // Keyed AUC at 10M rows / 100 slices: per-key alternating labels over
+    // 100k distinct scores each ⇒ every slice lands exactly
+    // ⌊10⁶(M+1)/(2M)⌋ = 500010 micro at M = 50000 (the binary_auc closed
+    // form, per key — the +10 is the finite-M half-tie term that the 5M-M
+    // global gate floors away). Gates the fully-keyed shape: no
+    // SinglePartition window at all, 100 slices rank in parallel.
+    timed("group_auc_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        (col("id") / 100).cast("long").as("score"),
+        ((col("id") / 100) % 2).as("y"))
+      val out = operators.LmOps.binaryAucBy(rows, Seq("k"), "score", "y")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("auc_micro") === 500010L &&
+          col("n") === n / 100, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed AUC closed form failed: $a")
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same

@@ -651,6 +651,61 @@ object LmOps {
       .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
   }
 
+  /** [[binaryAuc]] per key group — the slice dashboard (AUC by source,
+    * language, time bucket…). Same tie-corrected rank-free statistic and
+    * quantization contract, but STRICTLY more parallel than the global
+    * form: bucket widths come from per-key min/max, every window is
+    * partitioned by (keys) or (keys, b), and the final aggregate groups
+    * by keys — NO SinglePartition exchange anywhere, so slices never
+    * funnel through one task no matter how many there are. The
+    * bucket-offset join is keyed (≤ |groups|·1025 rows — AQE broadcasts
+    * it when small). Output (one row per group): keys…, n, n_pos, n_neg,
+    * auc_micro, gini_micro.
+    */
+  def binaryAucBy(df: DataFrame, keys: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(keys.nonEmpty, "binaryAucBy needs at least one key (use binaryAuc)")
+    val reserved = Set("score", "p", "ng", "b")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not be named ${reserved.mkString("/")}")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    val g = df
+      .select(ks :+ col(scoreCol).cast("long").as("score") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .groupBy(ks :+ col("score"): _*)
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    val stats = g.groupBy(ks: _*)
+      .agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+    val bucketed = g.join(stats, keys)
+      .withColumn("b",
+        expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.partitionBy(ks: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(ks :+ col("b"): _*)
+      .agg(sum(col("ng")).as("bn"))
+      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(ks :+ col("b") :+ col("off_n"): _*)
+    val wLoc = Window.partitionBy(ks :+ col("b"): _*).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.join(offsets, keys :+ "b")
+      .withColumn("neg_below",
+        col("off_n") + coalesce(sum(col("ng")).over(wLoc), lit(0L)))
+    cum.groupBy(ks: _*)
+      .agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        coalesce(sum(col("p").cast(DecimalType(38, 0)) *
+          (col("neg_below") * 2 + col("ng"))), lit(0).cast(DecimalType(38, 0)))
+          .as("num2"))
+      .select(ks ++ Seq(
+        (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * num2)
+                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").as("auc_micro")): _*)
+      .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
+  }
+
   // -------------------------------------------------------- calibration
 
   /** Probability-calibration report over integer micro-unit scores

@@ -257,6 +257,61 @@ object Profile {
         (lit(2L * kDen) * col("dev2") > lit(kNum.toLong) * col("mad4")).as("is_outlier"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns,
+    * with Cramér's V — the CATEGORICAL drift/association test next to
+    * [[ksTwoSample]]'s ordered-axis one (is the language mix independent
+    * of the source, or did one shard go monolingual?).
+    *
+    * Exact-integer quantization contract, replayed bit-for-bit by the
+    * oracle: over the FULL |A|×|B| cell grid (zero-observed cells
+    * included — they carry e = r·c/n of the statistic),
+    * cell_micro = ⌊10⁶·(o·n − r·c)² / (n·r·c)⌋, summed. Spark's DIV
+    * returns Long, and 10⁶·diff² can reach 10⁴² — so the floor is
+    * computed EXACTLY as q·10⁶ + ⌊rem·10⁶/denom⌋ with q = diff² DIV
+    * denom (≤ n, the χ² cell bound) and rem = diff² % denom: every
+    * quotient fits a Long while the numerator algebra stays in
+    * DECIMAL(38,0); the oracle takes the direct HUGEINT path — the two
+    * are the same integer. cramers_v = √(χ²/(n·min(|A|−1, |B|−1))) as a
+    * round-6 double from the exact integers (identical inputs ⇒
+    * identical doubles). chi2_micro ≤ 10⁶·n·min(|A|,|B|) — BIGINT-safe
+    * through n = 10⁹ for any realistic category count.
+    *
+    * Scale shape: one map-side-combinable (a, b) groupBy shuffling
+    * ≤ |A|·|B| count rows; the cell grid is a crossJoin of the two
+    * bounded distinct-value tables. Output (one row): n, n_a, n_b, dof,
+    * chi2_micro, cramers_v.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val cb = obs.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("n_a"), count_distinct(col("b")).as("n_b"))
+    val cells = ra.crossJoin(cb) // |A|×|B|, both sides bounded
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("__d", (col("o").cast(DecimalType(38, 0)) * col("n") -
+        col("r").cast(DecimalType(38, 0)) * col("c")))
+      .withColumn("__den",
+        expr("CAST(n AS DECIMAL(38,0)) * r * c"))
+      .withColumn("__cell",
+        expr("""(__d * __d DIV __den) * 1000000 +
+                ((__d * __d) % __den) * 1000000 DIV __den"""))
+      .groupBy(col("n"), col("n_a"), col("n_b"))
+      .agg(coalesce(sum(col("__cell").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("__chi"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        expr("CAST(__chi AS BIGINT)").as("chi2_micro"))
+      .withColumn("cramers_v",
+        expr("""CASE WHEN n = 0 OR least(n_a - 1, n_b - 1) <= 0 THEN 0.0
+                ELSE ROUND(SQRT(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                  / (CAST(n AS DOUBLE) * least(n_a - 1, n_b - 1))), 6) END"""))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over an integer value column
     * between two groups — the ordered-axis drift detector that
     * [[bucketDrift]]'s per-bucket shares can't see (a mass shift between

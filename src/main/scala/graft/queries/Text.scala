@@ -2878,6 +2878,100 @@ object Text {
       |SELECT v AS at_value, n_a, n_b, cum_a, cum_b, d_micro
       |FROM d ORDER BY d_micro DESC, at_value LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** q201: χ² independence of (source × lang) with Cramér's V
+    * (`Profile.chiSquare`) — the categorical association test next to
+    * q199's ordered-axis KS: is the language mix independent of the
+    * source shard, or did one shard drift monolingual? Exact-integer χ²
+    * micro-units over the full cell grid (zero cells included), V as a
+    * round-6 double from the exact integers.
+    */
+  def q201ChiSquare(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.chiSquare(
+      Tables.load(spark, sfDir, "documents").select(col("source"), col("lang")),
+      "source", "lang")
+
+  val q201Sql: String =
+    """WITH obs AS (
+      |  SELECT source AS a, lang AS b, CAST(COUNT(1) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY a),
+      |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+      |  FROM obs
+      |),
+      |cells AS (
+      |  SELECT r, c, COALESCE(o, 0) AS o
+      |  FROM ra CROSS JOIN cb LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+      |),
+      |s AS (
+      |  SELECT n, n_a, n_b,
+      |    CAST(COALESCE(SUM(
+      |      (1000000 * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
+      |      // (CAST(n AS HUGEINT) * r * c)), 0) AS BIGINT) AS chi2_micro
+      |  FROM cells, tot GROUP BY n, n_a, n_b
+      |)
+      |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof, chi2_micro,
+      |  CASE WHEN n = 0 OR LEAST(n_a - 1, n_b - 1) <= 0 THEN 0.0
+      |    ELSE ROUND(SQRT(CAST(chi2_micro AS DOUBLE) / 1000000.0
+      |      / (CAST(n AS DOUBLE) * LEAST(n_a - 1, n_b - 1))), 6) END AS cramers_v
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+
+  /** q202: per-source AUC slice dashboard (`LmOps.binaryAucBy`) — for
+    * each source shard, does document length predict English? One AUC
+    * row per source, fully keyed two-phase ranking (every window
+    * partitioned by source — zero SinglePartition crossings, the
+    * strictly-more-parallel form of q196).
+    */
+  def q202GroupAuc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryAucBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars").as("len_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "len_score", "is_en")
+
+  val q202Sql: String =
+    """WITH base AS (
+      |  SELECT source, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT source, score, CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+      |  FROM base GROUP BY 1, 2
+      |),
+      |c AS (
+      |  SELECT source, p, ng, COALESCE(SUM(ng) OVER (PARTITION BY source
+      |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS neg_below
+      |  FROM g
+      |),
+      |r AS (
+      |  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+      |    CAST(SUM(ng) AS BIGINT) AS n_neg,
+      |    COALESCE(SUM(CAST(p AS HUGEINT) * (2 * neg_below + ng)), 0) AS num2
+      |  FROM c GROUP BY source
+      |),
+      |m AS (
+      |  SELECT source, n_pos + n_neg AS n, n_pos, n_neg,
+      |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+      |      ELSE (CAST(1000000 AS HUGEINT) * num2)
+      |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_micro
+      |  FROM r
+      |)
+      |SELECT source, n, n_pos, n_neg, auc_micro,
+      |  auc_micro * 2 - 1000000 AS gini_micro
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -3260,6 +3354,8 @@ object Text {
     QueryDef("q198_krippendorff", q198Krippendorff, Some(q198Sql)),
     QueryDef("q199_ks_drift", q199KsDrift, Some(q199Sql)),
     QueryDef("q200_truncation_sweep", q200TruncationSweep, Some(q200Sql)),
+    QueryDef("q201_chi_square", q201ChiSquare, Some(q201Sql)),
+    QueryDef("q202_group_auc", q202GroupAuc, Some(q202Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -346,6 +346,26 @@ class EvalOpsSpec extends SparkSpec {
     assert(aucOf(rows)._4 == expected)
   }
 
+  test("binaryAucBy equals per-group binaryAuc, groups never leak into each other") {
+    val xs = Iterator.iterate(7919L)(x => (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL)
+      .drop(1).take(120).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"g${i % 3}", (x >> 5) % 23 - 11, (x >> 2) % 2) }
+    val grouped = LmOps.binaryAucBy(rows.toDF("k", "score", "y"),
+      Seq("k"), "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(grouped.size == 3)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = LmOps.binaryAuc(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("score", "y"),
+        "score", "y").collect()(0)
+      assert(grouped(g) ==
+        ((solo.getLong(0), solo.getLong(1), solo.getLong(2), solo.getLong(3))),
+        s"group $g disagrees with the global operator on its slice")
+    }
+  }
+
   test("calibrationReport: hand-computed bins, Brier and ECE; top-edge bin clamp") {
     val rows = Seq((100000L, 0L), (300000L, 1L), (900000L, 1L), (950000L, 0L))
     val out = LmOps.calibrationReport(rows.toDF("pm", "y"), "pm", "y", bins = 10)
@@ -386,6 +406,29 @@ class EvalOpsSpec extends SparkSpec {
     val mono = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "v")
     assert(LmOps.krippendorffAlpha(mono, "u", "v")
       .collect()(0).getLong(4) == 0L)
+  }
+
+  test("chiSquare: hand 2x2, independence, perfect association with zero cells") {
+    def chi(rows: Seq[(String, String)]): (Long, Long, Long, Long, Long, Double) = {
+      val r = Profile.chiSquare(rows.toDF("a", "b"), "a", "b").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    }
+    // 30/10 vs 10/30 over 80: e = 20 per cell, χ² = 4·(10²/20) = 20, V = 0.5
+    val hand = Seq.fill(30)(("s1", "en")) ++ Seq.fill(10)(("s1", "fr")) ++
+      Seq.fill(10)(("s2", "en")) ++ Seq.fill(30)(("s2", "fr"))
+    assert(chi(hand) == ((80L, 2L, 2L, 1L, 20000000L, 0.5)))
+    // perfectly independent uniform grid → 0
+    val indep = for (a <- Seq("s1", "s2"); b <- Seq("en", "fr");
+      _ <- 1 to 20) yield (a, b)
+    assert(chi(indep) == ((80L, 2L, 2L, 1L, 0L, 0.0)))
+    // perfect association: the off-diagonal cells are ZERO-observed and
+    // must still contribute e = r·c/n each; χ² = n, V = 1
+    val assoc = Seq.fill(10)(("u", "p")) ++ Seq.fill(10)(("v", "q"))
+    assert(chi(assoc) == ((20L, 2L, 2L, 1L, 20000000L, 1.0)))
+    // degenerate single column value → dof 0, V defined as 0
+    val mono = Seq(("s1", "en"), ("s2", "en"))
+    assert(chi(mono) == ((2L, 2L, 1L, 0L, 0L, 0.0)))
   }
 
   test("ksTwoSample: identical, disjoint, negative values, empty side") {

@@ -131,6 +131,10 @@ class PlanAuditSpec extends SparkSpec {
     // q198: the 1×1 crossJoin of the disagreement row with the value-
     // totals square row (LmOps.krippendorffAlpha — the kappa shape)
     "q198_krippendorff",
+    // q201: the χ² cell grid crossJoins the two bounded distinct-value
+    // tables (|sources| × |langs|) plus the broadcast 1-row totals frame
+    // (Profile.chiSquare)
+    "q201_chi_square",
     // q199: the distinct-value CDF table crossJoins the broadcast 1-ROW
     // (n_a, n_b) totals frame and the 1-row min/max bucket-stats frame
     // (Profile.ksTwoSample — the drift-totals shape)
