@@ -312,6 +312,68 @@ object Profile {
                   / (CAST(n AS DOUBLE) * least(n_a - 1, n_b - 1))), 6) END"""))
   }
 
+  /** Spearman rank correlation between two integer columns — the
+    * monotone-association dial of the drift/QA family (is token count
+    * still tracking char count, or did a re-tokenization break the
+    * relationship?). Uses the classic Σd² form with AVERAGE ranks under
+    * ties (the textbook extension; exact Pearson-on-ranks differs only
+    * in the tie-mass normalization):
+    * ρ = 1 − 6·Σd²/(n³ − n).
+    *
+    * Exact-integer quantization contract: doubled average ranks are
+    * integral — 2·rank(x) = 2·cumBelow(x) + cnt(x) + 1 — so with
+    * d2 = 2·rank_x − 2·rank_y (per row), Σd2² = 4Σd² and
+    * rho_micro = 10⁶ − (3·10⁶·Σd2²) DIV (2·(n³ − n)), every step
+    * integer, Σd2² ≤ 4n³ carried in DECIMAL(38,0)/HUGEINT (safe to
+    * n = 10⁹). n < 2 (or a constant column making n³ − n = 0 share the
+    * guard) reports rho_micro = 0.
+    *
+    * Scale shape: per-column distinct-value rank maps built with the
+    * same equal-width two-phase cumulative as [[ksTwoSample]] (only
+    * bucket-total tables cross SinglePartition), then two hash joins
+    * attach the doubled ranks back to rows — shuffle keys are the value
+    * columns, never a global sort or row-number. Output (one row):
+    * n, rho_micro.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankMap(rows: DataFrame, c: String): DataFrame = {
+      val g = rows.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+      val stats = g.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      val bucketed = g.crossJoin(broadcast(stats))
+        .withColumn("__b", expr("(__v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+        .drop("__mn", "__mx")
+      val wOff = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("__b"))
+        .agg(sum(col("__cnt")).as("__bt"))
+        .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+        .select(col("__b"), col("__off"))
+      val wLoc = Window.partitionBy(col("__b")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offsets), "__b")
+        .withColumn("__below",
+          col("__off") + coalesce(sum(col("__cnt")).over(wLoc), lit(0L)))
+        .select(col("__v").as(c),
+          (col("__below") * 2 + col("__cnt") + 1).as(s"__r2_$c"))
+    }
+    val base = df.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    val joined = base
+      .join(rankMap(base.select(col("__x")), "__x"), Seq("__x"))
+      .join(rankMap(base.select(col("__y")), "__y"), Seq("__y"))
+      .withColumn("__d2",
+        (col("__r2___x") - col("__r2___y")).cast(DecimalType(38, 0)))
+    joined.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__d2") * col("__d2")),
+          lit(0).cast(DecimalType(38, 0))).as("__s"))
+      .select(col("n"),
+        expr("""CASE WHEN n < 2 THEN 0 ELSE CAST(1000000 -
+                  (CAST(3000000 AS DECIMAL(38,0)) * __s)
+                  DIV (2 * (CAST(n AS DECIMAL(38,0)) * n * n - n))
+                AS BIGINT) END""").as("rho_micro"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over an integer value column
     * between two groups — the ordered-axis drift detector that
     * [[bucketDrift]]'s per-bucket shares can't see (a mass shift between

@@ -2972,6 +2972,42 @@ object Text {
       |  auc_micro * 2 - 1000000 AS gini_micro
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q203
+
+  /** q203: Spearman rank correlation of characters vs whitespace tokens
+    * per document (`Profile.spearman`) — the monotone-association QA dial
+    * (a re-tokenization or encoding bug that breaks the length
+    * relationship shows up here before anything else does). Average-rank
+    * Σd² form, exact integer micro-units, rank maps built with the
+    * two-phase bucket discipline.
+    */
+  def q203Spearman(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.spearman(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("n_chars"), size(split(col("text"), " ")).as("n_toks")),
+      "n_chars", "n_toks")
+
+  val q203Sql: String =
+    """WITH base AS (
+      |  SELECT n_chars AS x, len(string_split(text, ' ')) AS y FROM documents
+      |),
+      |r AS (
+      |  -- doubled average rank: 2·RANK + tieCount − 1 = 2·cumBelow + cnt + 1
+      |  SELECT 2 * RANK() OVER (ORDER BY x) + COUNT(1) OVER (PARTITION BY x) - 1 AS r2x,
+      |         2 * RANK() OVER (ORDER BY y) + COUNT(1) OVER (PARTITION BY y) - 1 AS r2y
+      |  FROM base
+      |),
+      |s AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+      |    COALESCE(SUM(CAST(r2x - r2y AS HUGEINT) * (r2x - r2y)), 0) AS sd
+      |  FROM r
+      |)
+      |SELECT n,
+      |  CAST(CASE WHEN n < 2 THEN 0 ELSE 1000000 -
+      |    (CAST(3000000 AS HUGEINT) * sd)
+      |      // (2 * (CAST(n AS HUGEINT) * n * n - n)) END AS BIGINT) AS rho_micro
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -3356,6 +3392,7 @@ object Text {
     QueryDef("q200_truncation_sweep", q200TruncationSweep, Some(q200Sql)),
     QueryDef("q201_chi_square", q201ChiSquare, Some(q201Sql)),
     QueryDef("q202_group_auc", q202GroupAuc, Some(q202Sql)),
+    QueryDef("q203_spearman", q203Spearman, Some(q203Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -408,6 +408,18 @@ class EvalOpsSpec extends SparkSpec {
       .collect()(0).getLong(4) == 0L)
   }
 
+  test("spearman: perfect, inverse, tie hand case, degenerate") {
+    def rho(rows: Seq[(Long, Long)]): (Long, Long) = {
+      val r = Profile.spearman(rows.toDF("x", "y"), "x", "y").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(rho(Seq((1L, 10L), (2L, 20L), (5L, 21L), (9L, 90L))) == ((4L, 1000000L)))
+    assert(rho(Seq((1L, 3L), (2L, 2L), (3L, 1L))) == ((3L, -1000000L)))
+    // tie on x = 2 (avg rank 2.5): Σd2² = 2 → ρ = 1 − 3/60 = 0.95
+    assert(rho(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 950000L)))
+    assert(rho(Seq((7L, 7L))) == ((1L, 0L)))
+  }
+
   test("chiSquare: hand 2x2, independence, perfect association with zero cells") {
     def chi(rows: Seq[(String, String)]): (Long, Long, Long, Long, Long, Double) = {
       val r = Profile.chiSquare(rows.toDF("a", "b"), "a", "b").collect()(0)

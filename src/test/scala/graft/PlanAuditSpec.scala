@@ -131,6 +131,9 @@ class PlanAuditSpec extends SparkSpec {
     // q198: the 1×1 crossJoin of the disagreement row with the value-
     // totals square row (LmOps.krippendorffAlpha — the kappa shape)
     "q198_krippendorff",
+    // q203: each rank map crossJoins its broadcast 1-row min/max
+    // bucket-stats frame (Profile.spearman — the binaryAuc stats shape)
+    "q203_spearman",
     // q201: the χ² cell grid crossJoins the two bounded distinct-value
     // tables (|sources| × |langs|) plus the broadcast 1-row totals frame
     // (Profile.chiSquare)
