@@ -753,6 +753,81 @@ object LmOps {
         col("acc_micro"), col("brier_micro"), col("ece_micro"))
   }
 
+  // ----------------------------------------------------------- isotonic
+
+  /** Per-bin aggregates feeding [[pavFit]]: equal-width bins over integer
+    * micro-unit probabilities, each with support, positives, and mean
+    * confidence — ONE map-side-combinable groupBy over ≤ `bins` rows
+    * (the [[calibrationReport]] shape). Empty bins are simply absent. */
+  def isotonicBins(df: DataFrame, probMicroCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"bins must be in [2, 65536], got $bins")
+    df.select(col(probMicroCol).cast("long").as("pm"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .withColumn("bin", least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("pm")).as("__spm"))
+      .withColumn("conf_micro", expr("__spm DIV n"))
+      .drop("__spm")
+  }
+
+  /** Pool-Adjacent-Violators over ascending (bin, n, n_pos) rows (Ayer et
+    * al. 1955; the isotonic-regression fit scikit-learn calls on the same
+    * shape): merge adjacent blocks while an earlier block's positive rate
+    * exceeds a later one's — rate comparison in exact cross-multiplied
+    * integers, never floats — then every bin reports its pooled block's
+    * rate as ⌊10⁶·pos/n⌋. The result is non-decreasing by construction.
+    * Pure driver function over the ≤ `bins`-row aggregate (the bounded-
+    * collect contract: the INPUT rows never exceed the bin count, no
+    * matter the corpus size).
+    */
+  def pavFit(binRows: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = binRows.sortBy(_._1)
+    // stack of pooled blocks: (firstIdx, n, pos)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    sorted.zipWithIndex.foreach { case ((_, n, pos), i) =>
+      var (fi, bn, bp) = (i, n, pos)
+      while (blocks.nonEmpty && {
+        val (_, pn, pp) = blocks.last
+        pp * bn > bp * pn // prev rate > cur rate ⇒ violation
+      }) {
+        val (pfi, pn, pp) = blocks.remove(blocks.size - 1)
+        fi = pfi; bn += pn; bp += pp
+      }
+      blocks += ((fi, bn, bp))
+    }
+    // blocks sit in ascending first-index order; each covers [fi, next.fi)
+    val cal = new Array[Long](sorted.size)
+    val bounds = blocks.map(_._1).drop(1) :+ sorted.size
+    blocks.zip(bounds).foreach { case ((fi, bn, bp), until) =>
+      val v = bp * 1000000L / bn
+      (fi until until).foreach(cal(_) = v)
+    }
+    sorted.map(_._1).zip(cal.toSeq)
+  }
+
+  /** Isotonic (PAV) probability calibration over integer micro-unit
+    * scores: [[isotonicBins]] → bounded collect → [[pavFit]] → the
+    * fitted step function joins back onto the bin table as a broadcast
+    * ≤ `bins`-row literal map. The monotone fit is the driver-side part
+    * (spec-gated closed forms); everything data-sized stays one
+    * map-side-combinable groupBy. Output (one row per non-empty bin):
+    * bin, n, n_pos, conf_micro, iso_micro — with iso_micro non-decreasing
+    * in bin.
+    */
+  def isotonicCalibrate(df: DataFrame, probMicroCol: String,
+      labelCol: String, bins: Int = 32): DataFrame = {
+    val agg = isotonicBins(df, probMicroCol, labelCol, bins)
+    val fitted = pavFit(agg.select(col("bin"), col("n"), col("n_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    val spark = df.sparkSession
+    import spark.implicits._
+    agg.join(broadcast(fitted.toDF("bin", "iso_micro")), Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"),
+        col("iso_micro"))
+  }
+
   // ------------------------------------------------------- Krippendorff
 
   /** Krippendorff's alpha (nominal metric, Krippendorff 2004) over long-

@@ -2778,6 +2778,54 @@ object Text {
        |  ed // nt AS ece_micro
        |FROM pb2, gl""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+
+  /** q204: isotonic (PAV) calibration of the anchor probe
+    * (`LmOps.isotonicCalibrate`) — the monotone recalibration a pipeline
+    * fits when q197's reliability report shows the raw scores are off:
+    * 32 confidence bins, pooled-adjacent-violators fit, per-bin
+    * calibrated rate. The PAV fit itself is driver-side over the bounded
+    * bin table (spec-gated closed forms); the ORACLE gets the fitted
+    * step function as literals (the q193/q194 dynamicOracle pattern) and
+    * replays the binning, counts and join relationally.
+    */
+  def q204Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val probs = anchorScored(spark, sfDir)
+      .select(expr("(score_micro + 1000000) DIV 2").as("prob_micro"), col("y"))
+    val agg = graft.operators.LmOps.isotonicBins(probs, "prob_micro", "y", 32)
+    val fitted = graft.operators.LmOps.pavFit(
+      agg.select(col("bin"), col("n"), col("n_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    q204Fitted = Some(fitted)
+    import spark.implicits._
+    agg.join(broadcast(fitted.toDF("bin", "iso_micro")), Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"),
+        col("iso_micro"))
+  }
+
+  // the last fit q204 ran with — read by the dynamic oracle AFTER Verify
+  // has executed every query (one sfDir per Verify JVM — the q193 memo
+  // contract)
+  @volatile private var q204Fitted: Option[Seq[(Long, Long)]] = None
+
+  /** Data-dependent q204 oracle: the PAV step function rides in as a
+    * VALUES table; binning, counts and the join replay relationally. */
+  def q204Oracle: Option[String] = q204Fitted.map { fitted =>
+    val values = fitted.map { case (b, v) => s"($b, $v)" }.mkString(", ")
+    s"""WITH $anchorScoredSql,
+       |p AS (SELECT (score_micro + 1000000) // 2 AS pm, y FROM scored),
+       |b AS (
+       |  SELECT CAST(LEAST(pm * 32 // 1000000, 31) AS BIGINT) AS bin,
+       |    CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(pm) AS BIGINT) AS spm
+       |  FROM p GROUP BY 1
+       |),
+       |cal(bin, iso_micro) AS (SELECT * FROM (VALUES $values) v(b2, i2))
+       |SELECT b.bin, n, n_pos, spm // n AS conf_micro,
+       |  CAST(iso_micro AS BIGINT) AS iso_micro
+       |FROM b JOIN cal USING (bin)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q198
 
   /** q198: Krippendorff's alpha (`LmOps.krippendorffAlpha`) across THREE
@@ -3393,6 +3441,8 @@ object Text {
     QueryDef("q201_chi_square", q201ChiSquare, Some(q201Sql)),
     QueryDef("q202_group_auc", q202GroupAuc, Some(q202Sql)),
     QueryDef("q203_spearman", q203Spearman, Some(q203Sql)),
+    QueryDef("q204_isotonic", q204Isotonic, None,
+      dynamicOracle = Some(() => q204Oracle)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

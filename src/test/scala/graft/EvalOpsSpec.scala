@@ -384,6 +384,40 @@ class EvalOpsSpec extends SparkSpec {
     assert(edge.getLong(0) == 9L && edge.getLong(5) == 0L)
   }
 
+  test("pavFit: monotone passes through, violators pool, chains collapse") {
+    // already monotone → untouched rates
+    assert(LmOps.pavFit(Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))) ==
+      Seq(0L -> 100000L, 1L -> 500000L, 2L -> 900000L))
+    // single violation pools both bins at the joint rate
+    assert(LmOps.pavFit(Seq((0L, 10L, 8L), (1L, 10L, 2L))) ==
+      Seq(0L -> 500000L, 1L -> 500000L))
+    // textbook 1,0,1 → first two pool, third stands
+    assert(LmOps.pavFit(Seq((0L, 1L, 1L), (1L, 1L, 0L), (2L, 1L, 1L))) ==
+      Seq(0L -> 500000L, 1L -> 500000L, 2L -> 1000000L))
+    // strictly decreasing chain collapses to one block
+    assert(LmOps.pavFit(Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L))) ==
+      Seq(0L -> 500000L, 1L -> 500000L, 2L -> 500000L))
+    // sparse / unsorted bin ids are sorted first
+    assert(LmOps.pavFit(Seq((9L, 4L, 4L), (2L, 4L, 0L))) ==
+      Seq(2L -> 0L, 9L -> 1000000L))
+  }
+
+  test("isotonicCalibrate: output is non-decreasing and preserves bin counts") {
+    val rows = (0 until 200).map { i =>
+      val pm = (i.toLong * 2654435761L) % 1000001L
+      // noisy-but-rising label probability in the score
+      (pm, if ((pm / 1000L + (i % 7) * 40L) % 97L > 45L) 1L else 0L)
+    }
+    val out = LmOps.isotonicCalibrate(rows.toDF("pm", "y"), "pm", "y", bins = 8)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(1)).sum == 200L)
+    val iso = out.map(_.getLong(4))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"iso_micro not monotone: ${iso.mkString(",")}")
+    // each bin's pooled value is bounded by the raw rate extremes
+    assert(iso.head >= 0L && iso.last <= 1000000L)
+  }
+
   test("krippendorffAlpha: hand case, m<2 exclusion, perfect, single-value") {
     // u1 aaa, u2 aab, u3 bbb, u4 abc → do 5e6/12, de 82e6/132, alpha 329270
     val obs = Seq(

@@ -128,6 +128,10 @@ class PlanAuditSpec extends SparkSpec {
     // q200: four dim-truncated copies of q196's anchor probe — same 1-row
     // broadcast anchor and bucket-stats crossJoins per width
     "q200_truncation_sweep",
+    // q204: the isotonic bin table reuses q197's anchor probe (1-row
+    // broadcast exemplar crossJoin); the fitted step function joins back
+    // as an equi-keyed broadcast, not a BNLJ
+    "q204_isotonic",
     // q198: the 1×1 crossJoin of the disagreement row with the value-
     // totals square row (LmOps.krippendorffAlpha — the kappa shape)
     "q198_krippendorff",
