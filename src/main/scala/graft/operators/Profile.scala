@@ -281,10 +281,18 @@ object Profile {
     * bounded distinct-value tables. Output (one row): n, n_a, n_b, dof,
     * chi2_micro, cramers_v.
     */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val obs = df.select(col(aCol).cast("string").as("a"),
-        col(bCol).cast("string").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCounts(df
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")))
+
+  /** [[chiSquare]] over a PRE-AGGREGATED (a, b, o) contingency count
+    * table — the incremental form a streaming drift monitor maintains
+    * (the [[bucketDriftFromCounts]] contract). Duplicate (a, b) rows are
+    * combined, so a delta store may carry per-batch counts.
+    */
+  def chiSquareFromCounts(counts: DataFrame): DataFrame = {
+    val obs = counts.groupBy(col("a"), col("b")).agg(sum(col("o")).as("o"))
     val ra = obs.groupBy(col("a")).agg(sum(col("o")).as("r"))
     val cb = obs.groupBy(col("b")).agg(sum(col("o")).as("c"))
     val tot = obs.agg(sum(col("o")).as("n"),

@@ -1219,6 +1219,50 @@ object Streaming {
     ()
   }
 
+  /** Streaming χ² independence monitor — the CATEGORICAL drift twin
+    * completing the monitor trio ([[aucMonitorStream]] for ranking,
+    * [[ksMonitorStream]] for ordered values): per-batch (a, b, o)
+    * contingency count deltas in a batch_id-partitioned store, emit =
+    * exact χ² + Cramér's V over every committed batch in the retention
+    * window via `Profile.chiSquareFromCounts`. State is bounded by the
+    * |A|·|B| observed-cell cardinality inside the window. Same retention
+    * and replay contracts as the other monitors. Output at
+    * `outDir/batch_id=N`: the one-row (n, n_a, n_b, dof, chi2_micro,
+    * cramers_v) snapshot.
+    */
+  def chiSquareMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, aCol: String, bCol: String,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processChiSquareBatch(batch, batchId, outDir, storeDir, aCol, bCol,
+          retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[chiSquareMonitorStream]] — package-private for
+    * direct idempotency testing. */
+  private[graft] def processChiSquareBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, aCol: String, bCol: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    val mine = batch
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.Profile.chiSquareFromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    ()
+  }
+
   /** Streaming ordered-funnel progress — the ingest-time twin of the batch
     * Funnel.steps operator. Per-entity step-completion times live in a
     * batch_id-partitioned store; each micro-batch advances them with the

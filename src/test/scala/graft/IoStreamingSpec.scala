@@ -439,6 +439,41 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming chi-square monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("chistream").toString
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.chiSquareMonitorStream(mem.toDF().toDF("src", "lang"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "src", "lang")
+    // association that only emerges once both batches land
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val h = (i.toLong * 2654435761L) % 12L
+      (s"s${h % 3}", if ((h / 3 + i % 2) % 2 == 0) "en" else "fr")
+    }
+    val b0 = rows(0, 250)
+    val b1 = rows(250, 700)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).head
+    val streamed = snap()
+    val batch = graft.operators.Profile.chiSquare(
+      (b0 ++ b1).toDF("src", "lang"), "src", "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).head
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed._1 == 700L)
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processChiSquareBatch(b1.toDF("src", "lang"), 1L,
+      s"$dir/out", s"$dir/store", "src", "lang")
+    assert(snap() == streamed)
+  }
+
   test("streaming funnel equals the batch operator under ts-ordered batches, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
