@@ -2718,19 +2718,31 @@ object Text {
     * the first 8/16/32/64 dimensions of every embedding, one row per
     * width. The curve tells a pipeline how many dimensions its retrieval
     * probe can drop before same-class ranking degrades — the decision
-    * input for truncated-index tiers. Each width is the full q196
-    * rank-free pipeline (bounded two-phase ranking, shared broadcast
-    * anchor); the dims are independent bounded aggregates, so the sweep
-    * is 4 scans and zero data-sized shuffles.
+    * input for truncated-index tiers. ONE corpus scan computes all four
+    * truncated cosines per row (the prefix dots share nothing the
+    * codegen'd dot_f32 wouldn't recompute, but the SCAN and the anchor
+    * broadcast are shared), explodes (dim, score) pairs, and the keyed
+    * `binaryAucBy` ranks every width in parallel — one shuffle keyed by
+    * (dim, score), zero SinglePartition, instead of four independent
+    * jobs re-reading the corpus.
     */
   def q200TruncationSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val dims = Seq(8, 16, 32, 64)
-    dims.map { d =>
-      graft.operators.LmOps.binaryAuc(anchorScored(spark, sfDir, d),
-        "score_micro", "y")
-        .select(lit(d.toLong).as("dim"), col("n"), col("n_pos"),
-          col("n_neg"), col("auc_micro"), col("gini_micro"))
-    }.reduce(_ unionByName _)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val anchor = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__av"), col("label").as("__albl"))
+    val pairs = dims.map { d =>
+      struct(lit(d.toLong).as("dim"),
+        round(Similarity.cosine(slice(col("embedding"), 1, d),
+          slice(col("__av"), 1, d)) * 1000000).cast("long").as("score_micro"))
+    }
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(explode(array(pairs: _*)).as("__p"),
+        when(col("label") === col("__albl"), 1L).otherwise(0L).as("y"))
+      .select(col("__p.dim").as("dim"), col("__p.score_micro").as("score_micro"),
+        col("y"))
+    graft.operators.LmOps.binaryAucBy(scored, Seq("dim"), "score_micro", "y")
   }
 
   val q200Sql: String =
