@@ -153,10 +153,16 @@ object AsOfJoin {
       direction: String, tolerance: Long, bucketWidth: Long): DataFrame = {
     val leftCols = left.columns
     def tsL(c: Column): Column = c.cast("long")
-    // floor division via pmod — exact long math, floor (not truncate-
-    // toward-zero) semantics for negative timestamps
+    // floor division via pmod — floor (not truncate-toward-zero)
+    // semantics for negative timestamps. The pmod subtraction makes the
+    // numerator an EXACT multiple of the width, and the division runs in
+    // DECIMAL (Column `/` on longs is double division, which rounds the
+    // numerator past 2⁵³ — nanosecond epochs would get drifting,
+    // non-integral bucket ids), so the bucket id is an exact Long key.
     def bktOf(c: Column): Column =
-      (tsL(c) - pmod(tsL(c), lit(bucketWidth))) / lit(bucketWidth)
+      ((tsL(c) - pmod(tsL(c), lit(bucketWidth)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(bucketWidth))
+        .cast("long")
 
     // the same atomic payload struct as the plain path
     val payloadStruct = struct(tsL(col(tsCol)).as("__ats") +: payload.map(col): _*)

@@ -614,10 +614,15 @@ object LmOps {
     * deltas sum to these without re-reading rows; the
     * [[Profile.bucketDriftFromCounts]] contract). Rows with the same
     * score are combined, so a delta store may carry duplicates.
+    * NULL scores are EXCLUDED before anything else — a null group would
+    * sort NULLS FIRST into every bucket offset while the null-unsafe
+    * offsets join dropped its own row, silently inflating neg_below for
+    * every real score (an unscored row carries no ranking information;
+    * complete-case is the only consistent semantics here).
     */
   def binaryAucFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = counts.groupBy(col("score"))
+    val g = counts.where(col("score").isNotNull).groupBy(col("score"))
       .agg(sum(col("p")).as("p"), sum(col("ng")).as("ng"))
     // equal-width order-preserving buckets: b = (score − mn) DIV w with
     // w sized so ≤1024 buckets cover [mn, mx]
@@ -665,14 +670,20 @@ object LmOps {
   def binaryAucBy(df: DataFrame, keys: Seq[String], scoreCol: String,
       labelCol: String): DataFrame = {
     require(keys.nonEmpty, "binaryAucBy needs at least one key (use binaryAuc)")
-    val reserved = Set("score", "p", "ng", "b")
+    // complete-case: null scores carry no rank (see binaryAucFromCounts);
+    // null KEYS would be dropped anyway by the null-unsafe stats/offsets
+    // joins — filter both explicitly so the semantics are a contract, not
+    // a join artifact
+    val reserved = Set("score", "p", "ng", "b", "bn", "off_n", "neg_below",
+      "num2", "n", "n_pos", "n_neg", "auc_micro", "gini_micro", "__y")
     require(keys.forall(k => !reserved(k)),
-      s"key columns may not be named ${reserved.mkString("/")}")
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
     import org.apache.spark.sql.expressions.Window
     val ks = keys.map(col)
     val g = df
       .select(ks :+ col(scoreCol).cast("long").as("score") :+
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("score").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
       .groupBy(ks :+ col("score"): _*)
       .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
     val stats = g.groupBy(ks: _*)
@@ -728,8 +739,12 @@ object LmOps {
   def calibrationReport(df: DataFrame, probMicroCol: String,
       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    // complete-case: a null probability would land in a null bin while
+    // still counting toward n — exclude up front (binaryAucFromCounts
+    // contract)
     val base = df.select(col(probMicroCol).cast("long").as("pm"),
       when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
+      .where(col("pm").isNotNull)
     val perBin = base
       .withColumn("bin", least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)))
       .groupBy(col("bin"))
@@ -764,6 +779,7 @@ object LmOps {
     require(bins >= 2 && bins <= 65536, s"bins must be in [2, 65536], got $bins")
     df.select(col(probMicroCol).cast("long").as("pm"),
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .where(col("pm").isNotNull) // complete-case (calibrationReport contract)
       .withColumn("bin", least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
@@ -819,9 +835,16 @@ object LmOps {
   def isotonicCalibrate(df: DataFrame, probMicroCol: String,
       labelCol: String, bins: Int = 32): DataFrame = {
     val agg = isotonicBins(df, probMicroCol, labelCol, bins)
-    val fitted = pavFit(agg.select(col("bin"), col("n"), col("n_pos"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
-    val spark = df.sparkSession
+    isotonicApply(agg, pavFit(agg.select(col("bin"), col("n"), col("n_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq))
+  }
+
+  /** Attach a [[pavFit]] step function back onto an [[isotonicBins]]
+    * table as a broadcast literal map — split out so callers that need
+    * the fitted values themselves (the q204 dynamic oracle) run the
+    * identical pipeline instead of a copy. */
+  def isotonicApply(agg: DataFrame, fitted: Seq[(Long, Long)]): DataFrame = {
+    val spark = agg.sparkSession
     import spark.implicits._
     agg.join(broadcast(fitted.toDF("bin", "iso_micro")), Seq("bin"))
       .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"),

@@ -289,10 +289,15 @@ object Profile {
   /** [[chiSquare]] over a PRE-AGGREGATED (a, b, o) contingency count
     * table — the incremental form a streaming drift monitor maintains
     * (the [[bucketDriftFromCounts]] contract). Duplicate (a, b) rows are
-    * combined, so a delta store may carry per-batch counts.
+    * combined, so a delta store may carry per-batch counts. NULL
+    * categories are EXCLUDED up front (complete-case, the R chisq.test
+    * convention) — a null key would be counted into the row/column totals
+    * while the null-unsafe cell-grid join zeroed its observed count,
+    * silently inflating χ².
     */
   def chiSquareFromCounts(counts: DataFrame): DataFrame = {
-    val obs = counts.groupBy(col("a"), col("b")).agg(sum(col("o")).as("o"))
+    val obs = counts.where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(sum(col("o")).as("o"))
     val ra = obs.groupBy(col("a")).agg(sum(col("o")).as("r"))
     val cb = obs.groupBy(col("b")).agg(sum(col("o")).as("c"))
     val tot = obs.agg(sum(col("o")).as("n"),
@@ -365,8 +370,13 @@ object Profile {
         .select(col("__v").as(c),
           (col("__below") * 2 + col("__cnt") + 1).as(s"__r2_$c"))
     }
+    // complete-case: a null on either side would shift one column's rank
+    // space (NULLS-FIRST into every bucket offset) while the pair itself
+    // dropped out of the equi-join — Σd² would mix two inconsistent rank
+    // spaces. Standard pairwise-deletion semantics instead.
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
     val joined = base
       .join(rankMap(base.select(col("__x")), "__x"), Seq("__x"))
       .join(rankMap(base.select(col("__y")), "__y"), Seq("__y"))
@@ -417,11 +427,15 @@ object Profile {
   /** [[ksTwoSample]] over a PRE-AGGREGATED (v, ca, cb) count table — the
     * incremental form a streaming drift monitor maintains (the
     * [[bucketDriftFromCounts]] contract). Rows with the same value are
-    * combined, so a delta store may carry duplicates.
+    * combined, so a delta store may carry duplicates. NULL values are
+    * EXCLUDED (complete-case): a null group would fold into every
+    * cumulative offset via NULLS-FIRST ordering yet never surface as an
+    * argmax candidate (the null-unsafe offsets join drops it), silently
+    * underreporting D when the gap sits at the null mass.
     */
   def ksTwoSampleFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = counts.groupBy(col("v"))
+    val g = counts.where(col("v").isNotNull).groupBy(col("v"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val stats = g.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
     val bucketed = g.crossJoin(broadcast(stats))

@@ -2809,10 +2809,7 @@ object Text {
       agg.select(col("bin"), col("n"), col("n_pos"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
     q204Fitted = Some(fitted)
-    import spark.implicits._
-    agg.join(broadcast(fitted.toDF("bin", "iso_micro")), Seq("bin"))
-      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"),
-        col("iso_micro"))
+    graft.operators.LmOps.isotonicApply(agg, fitted)
   }
 
   // the last fit q204 ran with — read by the dynamic oracle AFTER Verify

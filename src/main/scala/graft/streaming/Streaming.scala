@@ -1158,16 +1158,21 @@ object Streaming {
     val spark = batch.sparkSession
     val horizon = horizonOf(batchId, retainBatches)
     pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
     val mine = batch
       .select(col(scoreCol).cast("long").as("score"),
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
       .groupBy(col("score"))
       .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
       horizon).unionByName(mine)
     graft.operators.LmOps.binaryAucFromCounts(all)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
     ()
   }
 
@@ -1205,17 +1210,22 @@ object Streaming {
     val spark = batch.sparkSession
     val horizon = horizonOf(batchId, retainBatches)
     pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
     val mine = batch
       .filter(col(groupCol).isin(groupA, groupB))
       .select(col(valueCol).cast("long").as("v"),
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
       .groupBy(col("v"))
       .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
       horizon).unionByName(mine)
     graft.operators.Profile.ksTwoSampleFromCounts(all)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
     ()
   }
 
@@ -1252,14 +1262,19 @@ object Streaming {
     val spark = batch.sparkSession
     val horizon = horizonOf(batchId, retainBatches)
     pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
     val mine = batch
       .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
       horizon).unionByName(mine)
     graft.operators.Profile.chiSquareFromCounts(all)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
     ()
   }
 

@@ -384,6 +384,46 @@ class EvalOpsSpec extends SparkSpec {
     assert(edge.getLong(0) == 9L && edge.getLong(5) == 0L)
   }
 
+  test("null inputs are complete-case across the eval/drift family") {
+    // binaryAuc: a null score group must not inflate neg_below (it used
+    // to sort NULLS FIRST into every offset while the null-unsafe join
+    // dropped its own row → auc_micro 5.0)
+    val withNull = Seq((Some(1L), 0L), (Some(2L), 1L), (None, 0L), (None, 0L))
+      .toDF("score", "y")
+    val a = LmOps.binaryAuc(withNull, "score", "y").collect()(0)
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ((2L, 1L, 1L, 1000000L)))
+    // binaryAucBy: null keys and null scores both drop, by contract
+    val byNull = Seq((Some("g"), Some(1L), 0L), (Some("g"), Some(2L), 1L),
+      (None: Option[String], Some(9L), 1L), (Some("g"), None: Option[Long], 0L))
+      .toDF("k", "score", "y")
+    val by = LmOps.binaryAucBy(byNull, Seq("k"), "score", "y").collect()
+    assert(by.length == 1 && by(0).getLong(1) == 2L && by(0).getLong(4) == 1000000L)
+    // chiSquare: null categories excluded from totals AND grid
+    val chiNull = Seq((Some("s1"), Some("en")), (Some("s1"), Some("fr")),
+      (Some("s2"), Some("en")), (Some("s2"), Some("fr")),
+      (Some("s1"), None: Option[String]), (None: Option[String], Some("en")))
+      .toDF("a", "b")
+    val c = Profile.chiSquare(chiNull, "a", "b").collect()(0)
+    assert((c.getLong(0), c.getLong(4)) == ((4L, 0L))) // uniform 2×2 → χ² 0
+    // spearman: pairwise deletion keeps the rank spaces consistent
+    val spNull = Seq((Some(1L), Some(10L)), (Some(2L), Some(20L)),
+      (None: Option[Long], Some(5L)), (Some(3L), None: Option[Long]),
+      (Some(3L), Some(30L))).toDF("x", "y")
+    val sp = Profile.spearman(spNull, "x", "y").collect()(0)
+    assert((sp.getLong(0), sp.getLong(1)) == ((3L, 1000000L)))
+    // ksTwoSample: null values excluded from both CDFs and totals
+    val ksNull = Seq((Some(1L), "A"), (Some(2L), "A"), (None: Option[Long], "A"),
+      (Some(1L), "B"), (Some(2L), "B")).toDF("v", "g")
+    val k = Profile.ksTwoSample(ksNull, "v", "g", "A", "B").collect()(0)
+    assert((k.getLong(1), k.getLong(2), k.getLong(5)) == ((2L, 2L, 0L)))
+    // calibrationReport: a null probability neither bins nor counts
+    val calNull = Seq((Some(500000L), 1L), (None: Option[Long], 0L))
+      .toDF("pm", "y")
+    val cal = LmOps.calibrationReport(calNull, "pm", "y").collect()
+    assert(cal.length == 1 && cal(0).getLong(1) == 1L)
+  }
+
   test("pavFit: monotone passes through, violators pool, chains collapse") {
     // already monotone → untouched rates
     assert(LmOps.pavFit(Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))) ==
