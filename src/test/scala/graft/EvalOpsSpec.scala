@@ -384,6 +384,49 @@ class EvalOpsSpec extends SparkSpec {
     assert(edge.getLong(0) == 9L && edge.getLong(5) == 0L)
   }
 
+  test("property: eval/drift invariances — AUC monotone/complement, Spearman/chi2/KS symmetry") {
+    // three deterministic LCG datasets; each property is exact, not
+    // approximate, so a handful of draws is a real check
+    for (seed <- Seq(3L, 17L, 91L)) {
+      val xs = Iterator.iterate(seed * 2654435761L)(x =>
+        (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL)
+        .drop(1).take(60).toSeq
+      val rows = xs.map(x => ((x >> 4) % 31 - 15, (x >> 2) % 2))
+      def auc(df: org.apache.spark.sql.DataFrame) =
+        LmOps.binaryAuc(df, "score", "y").collect()(0).getLong(3)
+      val base = auc(rows.toDF("score", "y"))
+      // strictly monotone transforms preserve every pairwise comparison
+      assert(auc(rows.map(t => (t._1 * 3 - 7, t._2)).toDF("score", "y")) == base)
+      // complement: num2(s) + num2(−s) = 2·nPos·nNeg exactly, so the two
+      // floored AUCs sum to 10⁶ or 10⁶−1
+      val comp = auc(rows.map(t => (-t._1, t._2)).toDF("score", "y"))
+      assert(base + comp == 1000000L || base + comp == 999999L,
+        s"auc complement broke: $base + $comp")
+      // Spearman: symmetric in its arguments; self-correlation is exactly 1
+      val pairs = xs.map(x => ((x >> 3) % 23, (x >> 6) % 19))
+      val pdf = pairs.toDF("x", "y")
+      val rxy = Profile.spearman(pdf, "x", "y").collect()(0).getLong(1)
+      val ryx = Profile.spearman(pdf, "y", "x").collect()(0).getLong(1)
+      assert(rxy == ryx)
+      assert(Profile.spearman(pdf, "x", "x").collect()(0).getLong(1) == 1000000L)
+      // χ²: swapping the two categorical columns transposes the grid —
+      // identical statistic, swapped cardinalities
+      val cats = xs.map(x => (s"a${(x >> 2) % 3}", s"b${(x >> 5) % 4}"))
+      val cdf = cats.toDF("u", "v")
+      val c1 = Profile.chiSquare(cdf, "u", "v").collect()(0)
+      val c2 = Profile.chiSquare(cdf, "v", "u").collect()(0)
+      assert(c1.getLong(4) == c2.getLong(4) && c1.getLong(3) == c2.getLong(3) &&
+        c1.getLong(1) == c2.getLong(2) && c1.getLong(2) == c2.getLong(1))
+      // KS: swapping sides flips cum_a/cum_b but D and its argmax agree
+      val ks = xs.map(x => ((x >> 4) % 41, if ((x & 1) == 0) "A" else "B"))
+      val kdf = ks.toDF("v", "g")
+      val k1 = Profile.ksTwoSample(kdf, "v", "g", "A", "B").collect()(0)
+      val k2 = Profile.ksTwoSample(kdf, "v", "g", "B", "A").collect()(0)
+      assert(k1.getLong(5) == k2.getLong(5) && k1.getLong(0) == k2.getLong(0) &&
+        k1.getLong(3) == k2.getLong(4) && k1.getLong(4) == k2.getLong(3))
+    }
+  }
+
   test("null inputs are complete-case across the eval/drift family") {
     // binaryAuc: a null score group must not inflate neg_below (it used
     // to sort NULLS FIRST into every offset while the null-unsafe join
