@@ -656,6 +656,104 @@ object LmOps {
       .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
   }
 
+  /** [[binaryAuc]] with the DeLong standard error and a 95% CI (DeLong,
+    * DeLong & Clarke-Pearson 1988) — the difference between "AUC 0.71"
+    * and "AUC 0.71 ± 0.04" is whether the eval set was big enough to act
+    * on. The per-observation PLACEMENTS the estimator needs fall out of
+    * the SAME two-phase cumulative machinery: every positive at score s
+    * has doubled placement p2 = 2·negBelow + ngₛ (fraction of negatives
+    * beaten, ties half), every negative r2 = 2·posAbove + pₛ — so the
+    * variance components are three extra integer sums over the
+    * distinct-score table, no second pass over rows:
+    *   S10 = (nPos·Σp·p2² − (Σp·p2)²) / (4·nNeg²·nPos·(nPos−1))
+    *   S01 = (nNeg·Σng·r2² − (Σng·r2)²) / (4·nPos²·nNeg·(nNeg−1))
+    *   SE  = √(S10/nPos + S01/nNeg)
+    * Integer sums ride DECIMAL(38,0) (p2 ≤ 2n ⇒ p·p2² ≤ 4n³); the final
+    * SE/CI are round-6 doubles computed from the exact integers with the
+    * IDENTICAL expression text in the oracle (same operand order ⇒ same
+    * doubles). Degenerate inputs (nPos < 2 or nNeg < 2) report se/CI 0.
+    * Output (one row): n, n_pos, n_neg, auc_micro, se6, lo6, hi6 (CI
+    * clamped to [0, 1]).
+    */
+  def binaryAucSe(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(col(scoreCol).cast("long").as("score"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .where(col("score").isNotNull)
+      .groupBy(col("score"))
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    val stats = g.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b",
+        expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("ng")).as("bn"), sum(col("p")).as("bp"))
+      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .withColumn("off_p", coalesce(sum(col("bp")).over(wOff), lit(0L)))
+      .select(col("b"), col("off_n"), col("off_p"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("neg_below",
+        col("off_n") + coalesce(sum(col("ng")).over(wLoc), lit(0L)))
+      .withColumn("pos_below",
+        col("off_p") + coalesce(sum(col("p")).over(wLoc), lit(0L)))
+    val agg = cum.agg(
+      sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+      coalesce(sum(col("p").cast(DecimalType(38, 0)) *
+        (col("neg_below") * 2 + col("ng"))), lit(0).cast(DecimalType(38, 0)))
+        .as("a10"),
+      coalesce(sum(col("p").cast(DecimalType(38, 0)) *
+        (col("neg_below") * 2 + col("ng")) * (col("neg_below") * 2 + col("ng"))),
+        lit(0).cast(DecimalType(38, 0))).as("b10"))
+    // posAbove needs n_pos — fold it in after the totals exist; r2 =
+    // 2·(n_pos − pos_below − p) + p, summed weighted by ng in a second
+    // bounded pass over the SAME cum frame (Spark reuses the exchange)
+    val tot = agg.select(col("n_pos").as("__tp"), col("n_neg").as("__tn"),
+      col("a10"), col("b10"))
+    val neg = cum.crossJoin(broadcast(tot))
+      .withColumn("r2",
+        (col("__tp") - col("pos_below") - col("p")) * 2 + col("p"))
+      .agg(
+        first(col("__tp")).as("n_pos"), first(col("__tn")).as("n_neg"),
+        first(col("a10")).as("a10"), first(col("b10")).as("b10"),
+        coalesce(sum(col("ng").cast(DecimalType(38, 0)) * col("r2")),
+          lit(0).cast(DecimalType(38, 0))).as("a01"),
+        coalesce(sum(col("ng").cast(DecimalType(38, 0)) * col("r2") * col("r2")),
+          lit(0).cast(DecimalType(38, 0))).as("b01"))
+    neg
+      .select(
+        (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * a10)
+                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").as("auc_micro"),
+        col("a10"), col("b10"), col("a01"), col("b01"))
+      .withColumn("se6",
+        expr("""CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+                ROUND(SQRT(
+                  CAST(n_pos * b10 - a10 * a10 AS DOUBLE)
+                    / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                       * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+                       * CAST(n_pos AS DOUBLE)) +
+                  CAST(n_neg * b01 - a01 * a01 AS DOUBLE)
+                    / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                       * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+                       * CAST(n_neg AS DOUBLE))), 6) END"""))
+      .withColumn("lo6",
+        expr("""ROUND(GREATEST(0.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+                - 1.959964 * se6), 6)"""))
+      .withColumn("hi6",
+        expr("""ROUND(LEAST(1.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+                + 1.959964 * se6), 6)"""))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("auc_micro"),
+        col("se6"), col("lo6"), col("hi6"))
+  }
+
   /** [[binaryAuc]] per key group — the slice dashboard (AUC by source,
     * language, time bucket…). Same tie-corrected rank-free statistic and
     * quantization contract, but STRICTLY more parallel than the global

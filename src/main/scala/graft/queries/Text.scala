@@ -2750,6 +2750,76 @@ object Text {
       s"SELECT CAST($d AS BIGINT) AS dim, n, n_pos, n_neg, auc_micro, gini_micro FROM (${aucSqlFor(d)})"
     }.mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------- q205
+
+  /** q205: anchor-probe AUC with the DeLong standard error and 95% CI
+    * (`LmOps.binaryAucSe`) — q196's point estimate upgraded to an
+    * interval: the doubled placements both variance components need are
+    * integer by construction and fall out of the same two-phase
+    * cumulative pass, so the CI costs three extra sums over the
+    * distinct-score table. The SE/CI doubles are computed from exact
+    * integer sums with identical expression text in both engines.
+    */
+  def q205AucDelong(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryAucSe(anchorScored(spark, sfDir),
+      "score_micro", "y")
+
+  val q205Sql: String =
+    s"""WITH $anchorScoredSql,
+       |g AS (
+       |  SELECT score_micro AS score, CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+       |  FROM scored GROUP BY score_micro
+       |),
+       |c AS (
+       |  SELECT p, ng,
+       |    COALESCE(SUM(ng) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
+       |    COALESCE(SUM(p) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below
+       |  FROM g
+       |),
+       |t AS (
+       |  SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+       |    CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n_neg,
+       |    COALESCE(SUM(CAST(p AS HUGEINT) * (2 * neg_below + ng)), 0) AS a10,
+       |    COALESCE(SUM(CAST(p AS HUGEINT) * (2 * neg_below + ng)
+       |      * (2 * neg_below + ng)), 0) AS b10
+       |  FROM c
+       |),
+       |r AS (
+       |  SELECT n_pos, n_neg, a10, b10,
+       |    COALESCE(SUM(CAST(ng AS HUGEINT)
+       |      * ((n_pos - pos_below - p) * 2 + p)), 0) AS a01,
+       |    COALESCE(SUM(CAST(ng AS HUGEINT)
+       |      * ((n_pos - pos_below - p) * 2 + p)
+       |      * ((n_pos - pos_below - p) * 2 + p)), 0) AS b01
+       |  FROM c, t GROUP BY n_pos, n_neg, a10, b10
+       |),
+       |m AS (
+       |  SELECT n_pos + n_neg AS n, n_pos, n_neg,
+       |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |      ELSE (CAST(1000000 AS HUGEINT) * a10)
+       |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_micro,
+       |    CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+       |      ROUND(SQRT(
+       |        CAST(n_pos * b10 - a10 * a10 AS DOUBLE)
+       |          / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+       |             * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+       |             * CAST(n_pos AS DOUBLE)) +
+       |        CAST(n_neg * b01 - a01 * a01 AS DOUBLE)
+       |          / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+       |             * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+       |             * CAST(n_neg AS DOUBLE))), 6) END AS se6
+       |  FROM r
+       |)
+       |SELECT n, n_pos, n_neg, auc_micro, se6,
+       |  ROUND(GREATEST(0.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+       |    - 1.959964 * se6), 6) AS lo6,
+       |  ROUND(LEAST(1.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+       |    + 1.959964 * se6), 6) AS hi6
+       |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- q197
 
   /** q197: calibration report of the anchor probe as a same-class
@@ -3452,6 +3522,7 @@ object Text {
     QueryDef("q203_spearman", q203Spearman, Some(q203Sql)),
     QueryDef("q204_isotonic", q204Isotonic, None,
       dynamicOracle = Some(() => q204Oracle)),
+    QueryDef("q205_auc_delong", q205AucDelong, Some(q205Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

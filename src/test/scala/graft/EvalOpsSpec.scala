@@ -366,6 +366,33 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("binaryAucSe: DeLong hand case, placement identity, degenerate") {
+    // pos {2,3}, neg {1,2}: placements q = {0.75, 1.0}, r = {1.0, 0.75}
+    // → S10 = S01 = 1/32, SE = √(1/32) = 0.176777
+    val rows = Seq((2L, 1L), (3L, 1L), (1L, 0L), (2L, 0L)).toDF("score", "y")
+    val r = LmOps.binaryAucSe(rows, "score", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 2L, 875000L)))
+    val se = r.getDouble(4)
+    assert(se == BigDecimal(math.sqrt(1.0 / 32.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val lo = BigDecimal(math.max(0.0, 0.875 - 1.959964 * se))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hi = BigDecimal(math.min(1.0, 0.875 + 1.959964 * se))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == lo && r.getDouble(6) == hi)
+    // the AUC itself must agree with the plain operator on any input
+    val xs = Iterator.iterate(23L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(80).toSeq
+    val rnd = xs.map(x => ((x >> 5) % 17 - 8, (x >> 2) % 2)).toDF("score", "y")
+    assert(LmOps.binaryAucSe(rnd, "score", "y").collect()(0).getLong(3) ==
+      LmOps.binaryAuc(rnd, "score", "y").collect()(0).getLong(3))
+    // nPos < 2 → SE and CI collapse to the point estimate bounds
+    val degen = Seq((5L, 1L), (1L, 0L), (2L, 0L)).toDF("score", "y")
+    val d = LmOps.binaryAucSe(degen, "score", "y").collect()(0)
+    assert(d.getLong(3) == 1000000L && d.getDouble(4) == 0.0)
+  }
+
   test("calibrationReport: hand-computed bins, Brier and ECE; top-edge bin clamp") {
     val rows = Seq((100000L, 0L), (300000L, 1L), (900000L, 1L), (950000L, 0L))
     val out = LmOps.calibrationReport(rows.toDF("pm", "y"), "pm", "y", bins = 10)
