@@ -257,6 +257,63 @@ object Profile {
         (lit(2L * kDen) * col("dev2") > lit(kNum.toLong) * col("mad4")).as("is_outlier"))
   }
 
+  /** [[ksTwoSample]] per key group — the drift slice dashboard (which
+    * language / time bucket / shard pair actually moved?), the
+    * [[LmOps.binaryAucBy]] pattern applied to the CDF gap: per-key
+    * bucket widths from a keyed min/max join, every window partitioned
+    * by (keys) or (keys, b), and the per-key argmax as a rank ≤ 1
+    * window (WindowGroupLimit — map-side group limit, no global sort) —
+    * NO SinglePartition exchange anywhere. Null values and null keys
+    * are complete-case like the global form. Output (one row per key
+    * with both sides observed… or one side empty → d_micro 0):
+    * keys…, at_value, n_a, n_b, cum_a, cum_b, d_micro.
+    */
+  def ksTwoSampleBy(df: DataFrame, keys: Seq[String], valueCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    require(keys.nonEmpty, "ksTwoSampleBy needs at least one key (use ksTwoSample)")
+    val reserved = Set("v", "ca", "cb", "b", "ba", "bb", "off_a", "off_b",
+      "cum_a", "cum_b", "n_a", "n_b", "d_micro", "at_value", "__ia", "__rn")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    val g = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(ks :+ col(valueCol).cast("long").as("v") :+
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"): _*)
+      .where(col("v").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks :+ col("v"): _*)
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+    val stats = g.groupBy(ks: _*)
+      .agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"),
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val bucketed = g.join(stats, keys)
+      .withColumn("b", expr("(v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.partitionBy(ks: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(ks :+ col("b"): _*)
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wOff), lit(0L)))
+      .select(ks :+ col("b") :+ col("off_a") :+ col("off_b"): _*)
+    val wLoc = Window.partitionBy(ks :+ col("b"): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(ks: _*)
+      .orderBy(col("d_micro").desc, col("v"))
+    bucketed.join(offsets, keys :+ "b")
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLoc))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLoc))
+      .withColumn("d_micro",
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                ELSE abs(cum_a * 1000000 DIV n_a - cum_b * 1000000 DIV n_b)
+                END"""))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(ks ++ Seq(col("v").as("at_value"), col("n_a"), col("n_b"),
+        col("cum_a"), col("cum_b"), col("d_micro")): _*)
+  }
+
   /** Pearson χ² test of independence between two categorical columns,
     * with Cramér's V — the CATEGORICAL drift/association test next to
     * [[ksTwoSample]]'s ordered-axis one (is the language mix independent

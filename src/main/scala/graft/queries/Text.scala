@@ -3135,6 +3135,54 @@ object Text {
       |      // (2 * (CAST(n AS HUGEINT) * n * n - n)) END AS BIGINT) AS rho_micro
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+
+  /** q206: per-language KS drift slice dashboard (`Profile.ksTwoSampleBy`)
+    * — q199's shard-drift statistic computed per language: WHICH slice's
+    * length distribution moved between src0 and src1? Fully keyed
+    * two-phase CDFs (every window partitioned by lang — zero
+    * SinglePartition) with the per-key argmax as a rank ≤ 1
+    * WindowGroupLimit.
+    */
+  def q206KsByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.ksTwoSampleBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("n_chars"), col("source")),
+      Seq("lang"), "n_chars", "source", "src0", "src1")
+
+  val q206Sql: String =
+    """WITH g AS (
+      |  SELECT lang, n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY lang, n_chars
+      |),
+      |t AS (
+      |  SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      |  FROM g GROUP BY lang
+      |),
+      |c AS (
+      |  SELECT g.lang, v, n_a, n_b,
+      |    CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+      |  FROM g JOIN t USING (lang)
+      |  WINDOW w AS (PARTITION BY g.lang ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |d AS (
+      |  SELECT lang, v, n_a, n_b, cum_a, cum_b,
+      |    CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+      |      ELSE abs(cum_a * 1000000 // n_a - cum_b * 1000000 // n_b)
+      |      END AS BIGINT) AS d_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      |      CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+      |        ELSE abs(cum_a * 1000000 // n_a - cum_b * 1000000 // n_b)
+      |        END AS BIGINT) DESC, v) AS rn
+      |  FROM c
+      |)
+      |SELECT lang, v AS at_value, n_a, n_b, cum_a, cum_b, d_micro
+      |FROM d WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -3523,6 +3571,7 @@ object Text {
     QueryDef("q204_isotonic", q204Isotonic, None,
       dynamicOracle = Some(() => q204Oracle)),
     QueryDef("q205_auc_delong", q205AucDelong, Some(q205Sql)),
+    QueryDef("q206_ks_by_lang", q206KsByLang, Some(q206Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

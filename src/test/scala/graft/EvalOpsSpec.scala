@@ -564,6 +564,31 @@ class EvalOpsSpec extends SparkSpec {
     assert(rho(Seq((7L, 7L))) == ((1L, 0L)))
   }
 
+  test("ksTwoSampleBy equals per-group ksTwoSample; WindowGroupLimit argmax") {
+    val xs = Iterator.iterate(101L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(150).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", (x >> 4) % 37, if ((x & 2) == 0) "A" else "B") }
+    val by = Profile.ksTwoSampleBy(rows.toDF("k", "v", "g"),
+      Seq("k"), "v", "g", "A", "B")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.ksTwoSample(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("v", "g"),
+        "v", "g", "A", "B").collect()(0)
+      assert(by(grp) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        solo.getLong(3), solo.getLong(4), solo.getLong(5))),
+        s"slice $grp disagrees with the global operator")
+    }
+    // the rank<=1 argmax must plan WindowGroupLimit, not a full per-key sort
+    val plan = Profile.ksTwoSampleBy(rows.toDF("k", "v", "g"),
+      Seq("k"), "v", "g", "A", "B").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-key argmax lost the WindowGroupLimit shape")
+  }
+
   test("chiSquare: hand 2x2, independence, perfect association with zero cells") {
     def chi(rows: Seq[(String, String)]): (Long, Long, Long, Long, Long, Double) = {
       val r = Profile.chiSquare(rows.toDF("a", "b"), "a", "b").collect()(0)
