@@ -676,56 +676,19 @@ object LmOps {
     * clamped to [0, 1]).
     */
   def binaryAucSe(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = df
+    val pl = delongPlacements(df
       .select(col(scoreCol).cast("long").as("score"),
-        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
-      .where(col("score").isNotNull)
-      .groupBy(col("score"))
-      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
-    val stats = g.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
-    val bucketed = g.crossJoin(broadcast(stats))
-      .withColumn("b",
-        expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
-      .drop("__mn", "__mx")
-    val wOff = Window.orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("b"))
-      .agg(sum(col("ng")).as("bn"), sum(col("p")).as("bp"))
-      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
-      .withColumn("off_p", coalesce(sum(col("bp")).over(wOff), lit(0L)))
-      .select(col("b"), col("off_n"), col("off_p"))
-    val wLoc = Window.partitionBy(col("b")).orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = bucketed.join(broadcast(offsets), "b")
-      .withColumn("neg_below",
-        col("off_n") + coalesce(sum(col("ng")).over(wLoc), lit(0L)))
-      .withColumn("pos_below",
-        col("off_p") + coalesce(sum(col("p")).over(wLoc), lit(0L)))
-    val agg = cum.agg(
-      sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
-      coalesce(sum(col("p").cast(DecimalType(38, 0)) *
-        (col("neg_below") * 2 + col("ng"))), lit(0).cast(DecimalType(38, 0)))
-        .as("a10"),
-      coalesce(sum(col("p").cast(DecimalType(38, 0)) *
-        (col("neg_below") * 2 + col("ng")) * (col("neg_below") * 2 + col("ng"))),
-        lit(0).cast(DecimalType(38, 0))).as("b10"))
-    // posAbove needs n_pos — fold it in after the totals exist; r2 =
-    // 2·(n_pos − pos_below − p) + p, summed weighted by ng in a second
-    // bounded pass over the SAME cum frame (Spark reuses the exchange)
-    val tot = agg.select(col("n_pos").as("__tp"), col("n_neg").as("__tn"),
-      col("a10"), col("b10"))
-    val neg = cum.crossJoin(broadcast(tot))
-      .withColumn("r2",
-        (col("__tp") - col("pos_below") - col("p")) * 2 + col("p"))
-      .agg(
-        first(col("__tp")).as("n_pos"), first(col("__tn")).as("n_neg"),
-        first(col("a10")).as("a10"), first(col("b10")).as("b10"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y")))
+    pl.agg(
+        sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        coalesce(sum(col("p").cast(DecimalType(38, 0)) * col("p2")),
+          lit(0).cast(DecimalType(38, 0))).as("a10"),
+        coalesce(sum(col("p").cast(DecimalType(38, 0)) * col("p2") * col("p2")),
+          lit(0).cast(DecimalType(38, 0))).as("b10"),
         coalesce(sum(col("ng").cast(DecimalType(38, 0)) * col("r2")),
           lit(0).cast(DecimalType(38, 0))).as("a01"),
         coalesce(sum(col("ng").cast(DecimalType(38, 0)) * col("r2") * col("r2")),
           lit(0).cast(DecimalType(38, 0))).as("b01"))
-    neg
       .select(
         (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
         expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
@@ -752,6 +715,123 @@ object LmOps {
                 + 1.959964 * se6), 6)"""))
       .select(col("n"), col("n_pos"), col("n_neg"), col("auc_micro"),
         col("se6"), col("lo6"), col("hi6"))
+  }
+
+  /** Per-distinct-score DeLong placements for one scorer: every positive
+    * at score s beats fraction p2/(2·nNeg) of the negatives (doubled to
+    * stay integral: p2 = 2·negBelow + ngₛ), every negative is beaten by
+    * r2/(2·nPos) of the positives (r2 = 2·posAbove + pₛ). The same
+    * two-phase cumulative machinery as [[binaryAucFromCounts]]; output
+    * one row per distinct score: score, p, ng, p2, r2.
+    */
+  private def delongPlacements(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.where(col("score").isNotNull).groupBy(col("score"))
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    val stats = g.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"),
+      sum(col("p")).as("__tp"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b", expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("ng")).as("bn"), sum(col("p")).as("bp"))
+      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .withColumn("off_p", coalesce(sum(col("bp")).over(wOff), lit(0L)))
+      .select(col("b"), col("off_n"), col("off_p"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "b")
+      .withColumn("neg_below",
+        col("off_n") + coalesce(sum(col("ng")).over(wLoc), lit(0L)))
+      .withColumn("pos_below",
+        col("off_p") + coalesce(sum(col("p")).over(wLoc), lit(0L)))
+      .select(col("score"), col("p"), col("ng"),
+        (col("neg_below") * 2 + col("ng")).as("p2"),
+        ((col("__tp") - col("pos_below") - col("p")) * 2 + col("p")).as("r2"))
+  }
+
+  /** Paired DeLong comparison of TWO scorers on the SAME eval rows
+    * (DeLong et al. 1988, the correlated-AUC z-test) — the question a
+    * retrieval upgrade actually asks: "is ranker A better than ranker B,
+    * or is the gap noise?" An unpaired comparison wastes the shared
+    * labels; the paired covariance term usually shrinks the SE several-
+    * fold on correlated scorers.
+    *
+    * Per-OBSERVATION placements come from each scorer's distinct-score
+    * placement map ([[delongPlacements]] — integral doubled values)
+    * joined back to the rows, so the covariance components are five
+    * exact DECIMAL(38,0) sums per label class; SE and z are round-6
+    * doubles computed from those integers with identical expression text
+    * in the oracle. SE = 0 (identical scorers, or degenerate classes)
+    * reports z6 = 0.
+    *
+    * Scale shape: two distinct-score maps (bounded like binaryAuc), two
+    * hash joins of the rows against them (shuffle keys are the scores —
+    * AQE broadcasts bounded maps), one combinable aggregate. Output
+    * (one row): n, n_pos, n_neg, auc_a_micro, auc_b_micro, diff_micro,
+    * se6, z6.
+    */
+  def binaryAucCompare(df: DataFrame, scoreACol: String, scoreBCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(
+        col(scoreACol).cast("long").as("sa"),
+        col(scoreBCol).cast("long").as("sb"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .where(col("sa").isNotNull && col("sb").isNotNull)
+    val pa = delongPlacements(base.select(col("sa").as("score"), col("__y")))
+      .select(col("score").as("sa"), col("p2").as("p2a"), col("r2").as("r2a"))
+    val pb = delongPlacements(base.select(col("sb").as("score"), col("__y")))
+      .select(col("score").as("sb"), col("p2").as("p2b"), col("r2").as("r2b"))
+    val placed = base.join(pa, Seq("sa")).join(pb, Seq("sb"))
+      .select(col("__y"),
+        when(col("__y") === 1L, col("p2a")).otherwise(col("r2a")).as("ua"),
+        when(col("__y") === 1L, col("p2b")).otherwise(col("r2b")).as("ub"))
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    def sums(y: Int, sfx: String): Seq[Column] = Seq(
+      coalesce(sum(when(col("__y") === y, d(col("ua")))), d(lit(0))).as(s"sa$sfx"),
+      coalesce(sum(when(col("__y") === y, d(col("ua")) * col("ua"))), d(lit(0))).as(s"saa$sfx"),
+      coalesce(sum(when(col("__y") === y, d(col("ub")))), d(lit(0))).as(s"sb$sfx"),
+      coalesce(sum(when(col("__y") === y, d(col("ub")) * col("ub"))), d(lit(0))).as(s"sbb$sfx"),
+      coalesce(sum(when(col("__y") === y, d(col("ua")) * col("ub"))), d(lit(0))).as(s"sab$sfx"))
+    val aggCols = Seq(sum(col("__y")).as("n_pos"),
+      sum(lit(1L) - col("__y")).as("n_neg")) ++ sums(1, "10") ++ sums(0, "01")
+    val agg = placed.agg(aggCols.head, aggCols.tail: _*)
+    agg
+      .select(
+        (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * sa10)
+                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").as("auc_a_micro"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * sb10)
+                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").as("auc_b_micro"),
+        col("sa10"), col("saa10"), col("sb10"), col("sbb10"), col("sab10"),
+        col("sa01"), col("saa01"), col("sb01"), col("sbb01"), col("sab01"))
+      .withColumn("diff_micro", col("auc_a_micro") - col("auc_b_micro"))
+      .withColumn("se6",
+        expr("""CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+                ROUND(SQRT(GREATEST(0.0,
+                  (CAST(n_pos * saa10 - sa10 * sa10 AS DOUBLE)
+                   + CAST(n_pos * sbb10 - sb10 * sb10 AS DOUBLE)
+                   - 2.0 * CAST(n_pos * sab10 - sa10 * sb10 AS DOUBLE))
+                    / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                       * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+                       * CAST(n_pos AS DOUBLE)) +
+                  (CAST(n_neg * saa01 - sa01 * sa01 AS DOUBLE)
+                   + CAST(n_neg * sbb01 - sb01 * sb01 AS DOUBLE)
+                   - 2.0 * CAST(n_neg * sab01 - sa01 * sb01 AS DOUBLE))
+                    / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                       * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+                       * CAST(n_neg AS DOUBLE)))), 6) END"""))
+      .withColumn("z6",
+        expr("""CASE WHEN se6 <= 0.0 THEN 0.0
+                ELSE ROUND((CAST(diff_micro AS DOUBLE) / 1000000.0) / se6, 6)
+                END"""))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("auc_a_micro"),
+        col("auc_b_micro"), col("diff_micro"), col("se6"), col("z6"))
   }
 
   /** [[binaryAuc]] per key group — the slice dashboard (AUC by source,

@@ -2820,6 +2820,119 @@ object Text {
        |    + 1.959964 * se6), 6) AS hi6
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+
+  /** q207: paired DeLong comparison (`LmOps.binaryAucCompare`) of the
+    * full-dim anchor probe against its 16-dim truncation — the
+    * significance test behind q200's sweep: is the full-width AUC gap
+    * over the cheap index REAL on this eval set, or noise? One scan
+    * computes both scores; the paired covariance (the scorers share
+    * every label) is what makes the z usable at eval-set sizes where an
+    * unpaired test would shrug.
+    */
+  def q207AucCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val anchor = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("__av"), col("label").as("__albl"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(
+        round(Similarity.cosine(col("embedding"), col("__av")) * 1000000)
+          .cast("long").as("score_a"),
+        round(Similarity.cosine(slice(col("embedding"), 1, 16),
+          slice(col("__av"), 1, 16)) * 1000000).cast("long").as("score_b"),
+        when(col("label") === col("__albl"), 1L).otherwise(0L).as("y"))
+    graft.operators.LmOps.binaryAucCompare(scored, "score_a", "score_b", "y")
+  }
+
+  val q207Sql: String = {
+    val eFull = "e.embedding"
+    val e16 = "e.embedding[1:16]"
+    val avFull = "a.av"
+    val av16 = "av[1:16]"
+    def placements(tag: String, scoreCol: String): String =
+      s"""g$tag AS (
+         |  SELECT $scoreCol AS score, CAST(SUM(y) AS BIGINT) AS p,
+         |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+         |  FROM scored2 GROUP BY $scoreCol
+         |),
+         |t$tag AS (SELECT CAST(SUM(p) AS BIGINT) AS tp FROM g$tag),
+         |p$tag AS (
+         |  SELECT score,
+         |    2 * COALESCE(SUM(ng) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ng AS p2,
+         |    2 * (tp - COALESCE(SUM(p) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - p) + p AS r2
+         |  FROM g$tag, t$tag
+         |)""".stripMargin
+    s"""WITH a AS (SELECT embedding AS av, label AS albl FROM embeddings WHERE vec_id = 0),
+       |scored2 AS (
+       |  SELECT CAST(ROUND(${dotSql(eFull, avFull)}
+       |      / (SQRT(${dotSql(eFull, eFull)}) * SQRT(${dotSql(avFull, avFull)}))
+       |      * 1000000) AS BIGINT) AS sa,
+       |    CAST(ROUND(${dotSql(e16, av16)}
+       |      / (SQRT(${dotSql(e16, e16)}) * SQRT(${dotSql(av16, av16)}))
+       |      * 1000000) AS BIGINT) AS sb,
+       |    CASE WHEN e.label = a.albl THEN 1 ELSE 0 END AS y
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id != 0
+       |),
+       |${placements("a", "sa")},
+       |${placements("b", "sb")},
+       |placed AS (
+       |  SELECT y,
+       |    CASE WHEN y = 1 THEN pa.p2 ELSE pa.r2 END AS ua,
+       |    CASE WHEN y = 1 THEN pb.p2 ELSE pb.r2 END AS ub
+       |  FROM scored2 JOIN pa ON scored2.sa = pa.score
+       |    JOIN pb ON scored2.sb = pb.score
+       |),
+       |s AS (
+       |  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS n_neg,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ua AS HUGEINT) END), 0) AS sa10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ua AS HUGEINT) * ua END), 0) AS saa10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ub AS HUGEINT) END), 0) AS sb10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ub AS HUGEINT) * ub END), 0) AS sbb10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ua AS HUGEINT) * ub END), 0) AS sab10,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ua AS HUGEINT) END), 0) AS sa01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ua AS HUGEINT) * ua END), 0) AS saa01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ub AS HUGEINT) END), 0) AS sb01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ub AS HUGEINT) * ub END), 0) AS sbb01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ua AS HUGEINT) * ub END), 0) AS sab01
+       |  FROM placed
+       |),
+       |m AS (
+       |  SELECT n_pos + n_neg AS n, n_pos, n_neg,
+       |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |      ELSE (CAST(1000000 AS HUGEINT) * sa10)
+       |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_a_micro,
+       |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |      ELSE (CAST(1000000 AS HUGEINT) * sb10)
+       |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_b_micro,
+       |    CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+       |      ROUND(SQRT(GREATEST(0.0,
+       |        (CAST(n_pos * saa10 - sa10 * sa10 AS DOUBLE)
+       |         + CAST(n_pos * sbb10 - sb10 * sb10 AS DOUBLE)
+       |         - 2.0 * CAST(n_pos * sab10 - sa10 * sb10 AS DOUBLE))
+       |          / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+       |             * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+       |             * CAST(n_pos AS DOUBLE)) +
+       |        (CAST(n_neg * saa01 - sa01 * sa01 AS DOUBLE)
+       |         + CAST(n_neg * sbb01 - sb01 * sb01 AS DOUBLE)
+       |         - 2.0 * CAST(n_neg * sab01 - sa01 * sb01 AS DOUBLE))
+       |          / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+       |             * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+       |             * CAST(n_neg AS DOUBLE)))), 6) END AS se6
+       |  FROM s
+       |)
+       |SELECT n, n_pos, n_neg, auc_a_micro, auc_b_micro,
+       |  auc_a_micro - auc_b_micro AS diff_micro, se6,
+       |  CASE WHEN se6 <= 0.0 THEN 0.0
+       |    ELSE ROUND((CAST(auc_a_micro - auc_b_micro AS DOUBLE) / 1000000.0)
+       |      / se6, 6) END AS z6
+       |FROM m""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q197
 
   /** q197: calibration report of the anchor probe as a same-class
@@ -3572,6 +3685,7 @@ object Text {
       dynamicOracle = Some(() => q204Oracle)),
     QueryDef("q205_auc_delong", q205AucDelong, Some(q205Sql)),
     QueryDef("q206_ks_by_lang", q206KsByLang, Some(q206Sql)),
+    QueryDef("q207_auc_compare", q207AucCompare, Some(q207Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

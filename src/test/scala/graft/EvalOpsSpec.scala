@@ -393,6 +393,60 @@ class EvalOpsSpec extends SparkSpec {
     assert(d.getLong(3) == 1000000L && d.getDouble(4) == 0.0)
   }
 
+  test("binaryAucCompare: brute-force paired DeLong, identical scorers, constant baseline") {
+    val xs = Iterator.iterate(311L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(70).toSeq
+    val rows = xs.map { x =>
+      val y = (x >> 2) % 2
+      // scorer A is informative, B is a noisier copy — correlated scorers
+      val sa = (x >> 5) % 13 + y * 4
+      val sb = (x >> 7) % 13 + y * 2
+      (sa, sb, y)
+    }
+    val r = LmOps.binaryAucCompare(rows.toDF("sa", "sb", "y"), "sa", "sb", "y")
+      .collect()(0)
+    // brute force: per-observation placements, paired variance components
+    val pos = rows.filter(_._3 == 1L)
+    val neg = rows.filter(_._3 == 0L)
+    def plPos(s: Long, f: ((Long, Long, Long)) => Long) =
+      (neg.count(n => f(n) < s) + 0.5 * neg.count(n => f(n) == s)) / neg.size
+    def plNeg(s: Long, f: ((Long, Long, Long)) => Long) =
+      (pos.count(p => f(p) > s) + 0.5 * pos.count(p => f(p) == s)) / pos.size
+    def comps(pl: Seq[(Double, Double)], m: Int) = {
+      val (ma, mb) = (pl.map(_._1).sum / m, pl.map(_._2).sum / m)
+      (pl.map(t => (t._1 - ma) * (t._1 - ma)).sum / (m - 1),
+        pl.map(t => (t._2 - mb) * (t._2 - mb)).sum / (m - 1),
+        pl.map(t => (t._1 - ma) * (t._2 - mb)).sum / (m - 1))
+    }
+    val p10 = pos.map(t => (plPos(t._1, _._1), plPos(t._2, _._2)))
+    val p01 = neg.map(t => (plNeg(t._1, _._1), plNeg(t._2, _._2)))
+    val (va10, vb10, cab10) = comps(p10, pos.size)
+    val (va01, vb01, cab01) = comps(p01, neg.size)
+    val se = math.sqrt((va10 + vb10 - 2 * cab10) / pos.size +
+      (va01 + vb01 - 2 * cab01) / neg.size)
+    val aucA = p10.map(_._1).sum / pos.size
+    val aucB = p10.map(_._2).sum / pos.size
+    assert(r.getLong(3) == (aucA * 1000000).round ||
+      r.getLong(3) == math.floor(aucA * 1000000).toLong) // floor contract
+    assert(math.abs(r.getDouble(6) - se) < 2e-6,
+      s"se mismatch: op=${r.getDouble(6)} brute=$se")
+    val z = (r.getLong(5).toDouble / 1000000.0) / r.getDouble(6)
+    assert(math.abs(r.getDouble(7) - z) < 2e-6)
+    assert(r.getLong(3) - r.getLong(4) == r.getLong(5))
+    assert((aucA - aucB) * (r.getLong(5).toDouble) >= 0.0) // same sign
+    // identical scorers: diff, SE and z all collapse to zero
+    val same = LmOps.binaryAucCompare(
+      rows.map(t => (t._1, t._1, t._3)).toDF("sa", "sb", "y"), "sa", "sb", "y")
+      .collect()(0)
+    assert(same.getLong(5) == 0L && same.getDouble(6) == 0.0 &&
+      same.getDouble(7) == 0.0)
+    // constant baseline scores exactly 0.5 (all ties)
+    val const = LmOps.binaryAucCompare(
+      rows.map(t => (t._1, 7L, t._3)).toDF("sa", "sb", "y"), "sa", "sb", "y")
+      .collect()(0)
+    assert(const.getLong(4) == 500000L)
+  }
+
   test("calibrationReport: hand-computed bins, Brier and ECE; top-edge bin clamp") {
     val rows = Seq((100000L, 0L), (300000L, 1L), (900000L, 1L), (950000L, 0L))
     val out = LmOps.calibrationReport(rows.toDF("pm", "y"), "pm", "y", bins = 10)

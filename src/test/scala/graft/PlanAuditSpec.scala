@@ -128,10 +128,9 @@ class PlanAuditSpec extends SparkSpec {
     // q200: four dim-truncated copies of q196's anchor probe — same 1-row
     // broadcast anchor and bucket-stats crossJoins per width
     "q200_truncation_sweep",
-    // q205: q196's anchor/stats 1-row crossJoins plus the 1-row variance
-    // totals frame folded back for the negative placements
-    // (LmOps.binaryAucSe)
-    "q205_auc_delong",
+    // q205/q207: q196's anchor/stats 1-row crossJoins, once per placement
+    // map (LmOps.delongPlacements; q207 runs two maps, one per scorer)
+    "q205_auc_delong", "q207_auc_compare",
     // q204: the isotonic bin table reuses q197's anchor probe (1-row
     // broadcast exemplar crossJoin); the fitted step function joins back
     // as an equi-keyed broadcast, not a BNLJ
