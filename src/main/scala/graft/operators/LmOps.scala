@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -787,6 +787,14 @@ object LmOps {
       .select(col("__y"),
         when(col("__y") === 1L, col("p2a")).otherwise(col("r2a")).as("ua"),
         when(col("__y") === 1L, col("p2b")).otherwise(col("r2b")).as("ub"))
+    val aggCols = compareAggCols
+    compareProjection(placed.agg(aggCols.head, aggCols.tail: _*), Seq.empty)
+  }
+
+  /** The twelve paired-DeLong aggregate columns (class counts + ten
+    * DECIMAL(38,0) covariance sums) shared by [[binaryAucCompare]] and
+    * [[binaryAucCompareBy]]. */
+  private def compareAggCols: Seq[Column] = {
     def d(c: Column): Column = c.cast(DecimalType(38, 0))
     def sums(y: Int, sfx: String): Seq[Column] = Seq(
       coalesce(sum(when(col("__y") === y, d(col("ua")))), d(lit(0))).as(s"sa$sfx"),
@@ -794,11 +802,16 @@ object LmOps {
       coalesce(sum(when(col("__y") === y, d(col("ub")))), d(lit(0))).as(s"sb$sfx"),
       coalesce(sum(when(col("__y") === y, d(col("ub")) * col("ub"))), d(lit(0))).as(s"sbb$sfx"),
       coalesce(sum(when(col("__y") === y, d(col("ua")) * col("ub"))), d(lit(0))).as(s"sab$sfx"))
-    val aggCols = Seq(sum(col("__y")).as("n_pos"),
+    Seq(sum(col("__y")).as("n_pos"),
       sum(lit(1L) - col("__y")).as("n_neg")) ++ sums(1, "10") ++ sums(0, "01")
-    val agg = placed.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Paired-DeLong final projection from the [[compareAggCols]] sums to
+    * (keys…, n, n_pos, n_neg, auc_a_micro, auc_b_micro, diff_micro, se6,
+    * z6) — one text, both the global and the keyed form. */
+  private def compareProjection(agg: DataFrame, ks: Seq[Column]): DataFrame =
     agg
-      .select(
+      .select(ks ++ Seq(
         (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
         expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
                 ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * sa10)
@@ -809,7 +822,7 @@ object LmOps {
                   DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
                 END""").as("auc_b_micro"),
         col("sa10"), col("saa10"), col("sb10"), col("sbb10"), col("sab10"),
-        col("sa01"), col("saa01"), col("sb01"), col("sbb01"), col("sab01"))
+        col("sa01"), col("saa01"), col("sb01"), col("sbb01"), col("sab01")): _*)
       .withColumn("diff_micro", col("auc_a_micro") - col("auc_b_micro"))
       .withColumn("se6",
         expr("""CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
@@ -830,8 +843,91 @@ object LmOps {
         expr("""CASE WHEN se6 <= 0.0 THEN 0.0
                 ELSE ROUND((CAST(diff_micro AS DOUBLE) / 1000000.0) / se6, 6)
                 END"""))
-      .select(col("n"), col("n_pos"), col("n_neg"), col("auc_a_micro"),
-        col("auc_b_micro"), col("diff_micro"), col("se6"), col("z6"))
+      .select(ks ++ Seq(col("n"), col("n_pos"), col("n_neg"),
+        col("auc_a_micro"), col("auc_b_micro"), col("diff_micro"),
+        col("se6"), col("z6")): _*)
+
+  /** [[binaryAucCompare]] per key group — the A/B slice readout ("is
+    * scorer A better than scorer B PER LANGUAGE / source / time bucket?")
+    * composing the paired-DeLong z with the [[binaryAucBy]] keyed
+    * two-phase discipline. Each scorer's distinct-score placement map is
+    * built per key (every window partitioned by (keys) or (keys, b) —
+    * ZERO SinglePartition anywhere), the rows join their placements back
+    * on (keys, score), and the ten covariance sums aggregate grouped by
+    * keys. Complete-case on keys and both scores (the [[binaryAucBy]]
+    * contract, mirrored in oracles as explicit IS NOT NULL filters).
+    *
+    * Scale shape: shuffle keys are (keys, score) — distinct-score-sized
+    * map sides, row-sized probes, one combinable grouped aggregate; slice
+    * count only ADDS parallelism. Output (one row per group): keys…, n,
+    * n_pos, n_neg, auc_a_micro, auc_b_micro, diff_micro, se6, z6.
+    */
+  def binaryAucCompareBy(df: DataFrame, keys: Seq[String], scoreACol: String,
+      scoreBCol: String, labelCol: String): DataFrame = {
+    require(keys.nonEmpty,
+      "binaryAucCompareBy needs at least one key (use binaryAucCompare)")
+    val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
+      "neg_below", "pos_below", "sa", "sb", "ua", "ub", "p2", "r2", "__tp",
+      "__y", "n", "n_pos", "n_neg")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val base = df.select(ks ++ Seq(
+        col(scoreACol).cast("long").as("sa"),
+        col(scoreBCol).cast("long").as("sb"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y")): _*)
+      .where(col("sa").isNotNull && col("sb").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+    val pa = delongPlacementsBy(
+        base.select(ks :+ col("sa").as("score") :+ col("__y"): _*), keys)
+      .select(ks ++ Seq(col("score").as("sa"),
+        col("p2").as("p2a"), col("r2").as("r2a")): _*)
+    val pb = delongPlacementsBy(
+        base.select(ks :+ col("sb").as("score") :+ col("__y"): _*), keys)
+      .select(ks ++ Seq(col("score").as("sb"),
+        col("p2").as("p2b"), col("r2").as("r2b")): _*)
+    val placed = base.join(pa, keys :+ "sa").join(pb, keys :+ "sb")
+      .select(ks ++ Seq(col("__y"),
+        when(col("__y") === 1L, col("p2a")).otherwise(col("r2a")).as("ua"),
+        when(col("__y") === 1L, col("p2b")).otherwise(col("r2b")).as("ub")): _*)
+    val aggCols = compareAggCols
+    compareProjection(
+      placed.groupBy(ks: _*).agg(aggCols.head, aggCols.tail: _*), ks)
+  }
+
+  /** [[delongPlacements]] per key group: the same two-phase cumulative
+    * machinery with every window partitioned by (keys) or (keys, b) and
+    * per-key bucket stats — no SinglePartition (the [[binaryAucBy]]
+    * shape). Output one row per (keys, distinct score): keys…, score, p,
+    * ng, p2, r2. */
+  private def delongPlacementsBy(scored: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    val g = scored.where(col("score").isNotNull).groupBy(ks :+ col("score"): _*)
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    val stats = g.groupBy(ks: _*)
+      .agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"),
+        sum(col("p")).as("__tp"))
+    val bucketed = g.join(stats, keys)
+      .withColumn("b", expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+    val wOff = Window.partitionBy(ks: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(ks :+ col("b"): _*)
+      .agg(sum(col("ng")).as("bn"), sum(col("p")).as("bp"))
+      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .withColumn("off_p", coalesce(sum(col("bp")).over(wOff), lit(0L)))
+      .select(ks ++ Seq(col("b"), col("off_n"), col("off_p")): _*)
+    val wLoc = Window.partitionBy(ks :+ col("b"): _*).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offsets, keys :+ "b")
+      .withColumn("neg_below",
+        col("off_n") + coalesce(sum(col("ng")).over(wLoc), lit(0L)))
+      .withColumn("pos_below",
+        col("off_p") + coalesce(sum(col("p")).over(wLoc), lit(0L)))
+      .select(ks ++ Seq(col("score"), col("p"), col("ng"),
+        (col("neg_below") * 2 + col("ng")).as("p2"),
+        ((col("__tp") - col("pos_below") - col("p")) * 2 + col("p")).as("r2")): _*)
   }
 
   /** [[binaryAuc]] per key group — the slice dashboard (AUC by source,
@@ -915,21 +1011,46 @@ object LmOps {
     * broadcast closes ECE. No window, no row-level state.
     */
   def calibrationReport(df: DataFrame, probMicroCol: String,
-      labelCol: String, bins: Int = 10): DataFrame = {
+      labelCol: String, bins: Int = 10): DataFrame =
+    calibrationReportFromCounts(
+      calibrationBinCounts(df, probMicroCol, labelCol, bins))
+
+  /** Per-bin calibration count deltas (bin, n, n_pos, spm, sq) — the
+    * mergeable store unit behind [[calibrationReport]] and the streaming
+    * calibration monitor: deltas from disjoint batches SUM per bin to the
+    * whole-data counts (the group homomorphism the AUC/KS/χ² monitors
+    * ride), so the report recomputes exactly without re-reading rows.
+    * State is ≤ `bins` rows no matter the corpus. `bins` must be held
+    * constant across merged delta sets — it defines the bin ids. */
+  def calibrationBinCounts(df: DataFrame, probMicroCol: String,
+      labelCol: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     // complete-case: a null probability would land in a null bin while
     // still counting toward n — exclude up front (binaryAucFromCounts
     // contract)
-    val base = df.select(col(probMicroCol).cast("long").as("pm"),
-      when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
+    df.select(col(probMicroCol).cast("long").as("pm"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
       .where(col("pm").isNotNull)
-    val perBin = base
-      .withColumn("bin", least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)))
+      // clamp BOTH edges: the documented domain is 0..10⁶, but an
+      // out-of-range input must land in the edge bin, not a negative or
+      // overflow bin id (ADVICE r15 — only the top edge was clamped)
+      .withColumn("bin", greatest(
+        least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)), lit(0L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-        sum(col("pm")).as("__spm"),
+        sum(col("pm")).as("spm"),
         sum(((col("pm") - col("y") * 1000000L).cast(DecimalType(38, 0)) *
-          (col("pm") - col("y") * 1000000L))).as("__sq"))
+          (col("pm") - col("y") * 1000000L))).as("sq"))
+  }
+
+  /** [[calibrationReport]] over PRE-AGGREGATED [[calibrationBinCounts]]
+    * deltas — rows with the same bin combine, so a batch-delta store may
+    * carry duplicates (the [[binaryAucFromCounts]] contract). */
+  def calibrationReportFromCounts(counts: DataFrame): DataFrame = {
+    val perBin = counts.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("spm")).as("__spm"),
+        sum(col("sq").cast(DecimalType(38, 0))).as("__sq"))
       .withColumn("conf_micro", expr("__spm DIV n"))
       .withColumn("acc_micro", expr("n_pos * 1000000 DIV n"))
     val glob = perBin.agg(
@@ -958,7 +1079,9 @@ object LmOps {
     df.select(col(probMicroCol).cast("long").as("pm"),
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
       .where(col("pm").isNotNull) // complete-case (calibrationReport contract)
-      .withColumn("bin", least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)))
+      // both-edge clamp (the calibrationReport contract)
+      .withColumn("bin", greatest(
+        least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)), lit(0L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
         sum(col("pm")).as("__spm"))
@@ -984,7 +1107,11 @@ object LmOps {
       var (fi, bn, bp) = (i, n, pos)
       while (blocks.nonEmpty && {
         val (_, pn, pp) = blocks.last
-        pp * bn > bp * pn // prev rate > cur rate ⇒ violation
+        // prev rate > cur rate ⇒ violation. BigInt: pooled-block counts
+        // beyond ~3e9 rows would overflow a raw Long cross-multiply and
+        // silently invert the comparison (ADVICE r15); the bin count is
+        // bounded, so the promotion costs nothing.
+        BigInt(pp) * BigInt(bn) > BigInt(bp) * BigInt(pn)
       }) {
         val (pfi, pn, pp) = blocks.remove(blocks.size - 1)
         fi = pfi; bn += pn; bp += pp
@@ -1012,9 +1139,29 @@ object LmOps {
     */
   def isotonicCalibrate(df: DataFrame, probMicroCol: String,
       labelCol: String, bins: Int = 32): DataFrame = {
-    val agg = isotonicBins(df, probMicroCol, labelCol, bins)
-    isotonicApply(agg, pavFit(agg.select(col("bin"), col("n"), col("n_pos"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq))
+    // ONE corpus scan: collect the bounded bin table, fit driver-side,
+    // and rebuild the output from the COLLECTED rows — joining the
+    // uncached agg plan would re-run the corpus aggregation a second
+    // time (ADVICE r15).
+    val rows = isotonicBins(df, probMicroCol, labelCol, bins)
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    isotonicFromCollected(df.sparkSession, rows,
+      pavFit(rows.map(t => (t._1, t._2, t._3))))
+  }
+
+  /** Rebuild a COLLECTED [[isotonicBins]] table (bin, n, n_pos,
+    * conf_micro) as a local DataFrame with its [[pavFit]] step attached —
+    * the single-scan output side of [[isotonicCalibrate]] and the q204 /
+    * q208 queries (bounded-collect contract: ≤ bins·|keys| rows). */
+  def isotonicFromCollected(spark: SparkSession,
+      rows: Seq[(Long, Long, Long, Long)],
+      fitted: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val fm = fitted.toMap
+    rows.map { case (b, n, p, c) => (b, n, p, c, fm(b)) }
+      .toDF("bin", "n", "n_pos", "conf_micro", "iso_micro")
   }
 
   /** Attach a [[pavFit]] step function back onto an [[isotonicBins]]
@@ -1027,6 +1174,63 @@ object LmOps {
     agg.join(broadcast(fitted.toDF("bin", "iso_micro")), Seq("bin"))
       .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"),
         col("iso_micro"))
+  }
+
+  /** [[isotonicCalibrate]] per key group — the calibration sibling of the
+    * q202/q206 slice dashboards: one independent PAV fit per key
+    * (per-language / per-source calibration is the form a curation
+    * pipeline actually consumes — a global fit hides a slice whose scores
+    * drifted). The per-key bin tables come from ONE map-side-combinable
+    * groupBy(keys, bin) — no window, no SinglePartition anywhere; the
+    * driver loop runs over the bounded collected (key × ≤bins) table
+    * with an EXPLICIT row cap that fails loudly (reduce bins, coarsen
+    * keys, or raise the cap) instead of silently OOMing the driver, and
+    * the output rebuilds from the same collected rows (single corpus
+    * scan — the [[isotonicCalibrate]] ADVICE-r15 contract). Complete-case
+    * on keys and probabilities. Output (one row per non-empty (key,
+    * bin)): keys…, bin, n, n_pos, conf_micro, iso_micro — iso_micro
+    * non-decreasing in bin WITHIN each key.
+    */
+  def isotonicCalibrateBy(df: DataFrame, keys: Seq[String],
+      probMicroCol: String, labelCol: String, bins: Int = 32,
+      maxCollect: Int = 1 << 20): DataFrame = {
+    require(keys.nonEmpty,
+      "isotonicCalibrateBy needs at least one key (use isotonicCalibrate)")
+    require(bins >= 2 && bins <= 65536, s"bins must be in [2, 65536], got $bins")
+    val reserved = Set("pm", "bin", "n", "n_pos", "conf_micro", "iso_micro",
+      "__spm", "__y")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val spark = df.sparkSession
+    val ks = keys.map(col)
+    val agg = df.select(ks :+ col(probMicroCol).cast("long").as("pm") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("pm").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+      .withColumn("bin", greatest(
+        least(expr(s"pm * $bins DIV 1000000"), lit(bins - 1L)), lit(0L)))
+      .groupBy(ks :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("pm")).as("__spm"))
+      .withColumn("conf_micro", expr("__spm DIV n"))
+      .drop("__spm")
+    val collected = agg.limit(maxCollect + 1).collect()
+    require(collected.length <= maxCollect,
+      s"isotonicCalibrateBy would collect more than $maxCollect (key × bin) " +
+        "rows — reduce bins, coarsen the keys, or raise maxCollect")
+    val kw = keys.length
+    val fitted: Map[Seq[Any], Map[Long, Long]] = collected
+      .groupBy(r => (0 until kw).map(r.get).toSeq)
+      .map { case (k, rs) =>
+        k -> pavFit(rs.toSeq.map(r =>
+          (r.getLong(kw), r.getLong(kw + 1), r.getLong(kw + 2)))).toMap
+      }
+    val outRows = collected.map { r =>
+      val k = (0 until kw).map(r.get).toSeq
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ fitted(k)(r.getLong(kw)))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(outRows: _*),
+      agg.schema.add("iso_micro",
+        org.apache.spark.sql.types.LongType, nullable = false))
   }
 
   // ------------------------------------------------------- Krippendorff

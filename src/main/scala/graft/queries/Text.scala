@@ -158,10 +158,17 @@ object Text {
   //  - the candidate-pair set: q36 scores exactly q35's output pairs.
   // consumer sets for CacheLife release: every query reading the cache
   // directly or through a helper (q64 reaches jaccard via q56, q74 via
-  // q64, q65 reads the shingle hashes straight)
+  // q64, q65 reads the shingle hashes straight). q93 and q184 read
+  // jaccard THROUGH q59's ConnectedComponents pass, which materializes
+  // driver-side (iterative localCheckpoint / small-graph collect) — so
+  // their analyzed plans carry NO InMemoryRelation lineage back to the
+  // cache and CacheLifeSpec's plan-based audit cannot see the read; they
+  // must be declared BY HAND here. Missing them cost q93 a full
+  // shingle→jaccard rebuild per bench run (r15: 5.5 s first rep, in_mb 0).
   private val JacConsumers: Set[String] = Set("q36_jaccard",
     "q56_dedup_decision", "q59_neardup_clusters", "q64_curation_decision",
-    "q74_curation_funnel", "q172_dedup_sweep")
+    "q74_curation_funnel", "q93_cluster_pick", "q172_dedup_sweep",
+    "q184_leakage_safe_folds")
   private val CandConsumers: Set[String] =
     JacConsumers ++ Set("q35_minhash_pairs", "q129_containment")
   private val ShConsumers: Set[String] =
@@ -283,21 +290,27 @@ object Text {
     // fit first (memoized — pcaProject below hits the same memo key) so
     // the dynamic oracle can replay the projection with these literals
     val (mean, _, comps) = Similarity.pcaComponents(emb, k = 4)
-    q193Fitted = Some((mean, comps))
+    q193Fitted.put(sfDir, (mean, comps))
     Similarity.pcaProject(emb, k = 4)
   }
 
-  // the last fit q193 ran with — read by the dynamic oracle AFTER Verify
-  // has executed every query (one sfDir per Verify JVM, so last-write wins
-  // is exact, not racy-by-data)
-  @volatile private var q193Fitted: Option[(Array[Double], Array[Array[Double]])] = None
+  // the fits q193 ran with, KEYED BY sfDir (ADVICE r15 on q204 — the
+  // single-Option memo class yields a wrong oracle if one Verify JVM
+  // replays multiple sfDirs); read by the dynamic oracle AFTER Verify
+  // has executed every query
+  private val q193Fitted = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Array[Double]])]
 
   /** Data-dependent q193 oracle: replay the folded-literal projection in
     * DuckDB with the SAME [[Similarity.projectionTerms]] text as the Spark
     * plan — 1-based list access, identical double literals, identical
     * left-to-right summation, same ROUND(..., 6). None until the query has
-    * run (the driver then falls back to the rows-only check). */
-  def q193Oracle: Option[String] = q193Fitted.map { case (mean, comps) =>
+    * run, or if it ran against more than one sfDir in this JVM (the driver
+    * then falls back to the rows-only check). */
+  def q193Oracle: Option[String] = (q193Fitted.toMap match {
+    case m if m.size == 1 => Some(m.head._2)
+    case _ => None
+  }).map { case (mean, comps) =>
     val pcs = comps.zipWithIndex.map { case (c, j) =>
       s"ROUND(${Similarity.projectionTerms(mean, c, i => s"embedding[${i + 1}]")}, 6) AS pc${j + 1}"
     }
@@ -329,16 +342,16 @@ object Text {
         .orderBy(col("cent_id")).collect()
         .map(_.getSeq[Double](1).toArray)
     }
-    q194Fitted = Some(cents)
+    q194Fitted.put(sfDir, cents)
     val d = cents.head.length
     val sel = q194SelectParts(cents, d, i => s"embedding[$i]")
     emb.select(col("vec_id") +: sel._1.map { case (t, n) => expr(t).as(n) }: _*)
       .select(col("vec_id"), expr(sel._2).as("cent_id"), expr(sel._3).as("d2"))
   }
 
-  // the last fit q194 ran with (same contract as q194Fitted's sibling
-  // above: one sfDir per Verify JVM, read after every query has run)
-  @volatile private var q194Fitted: Option[Array[Array[Double]]] = None
+  // the fits q194 ran with, keyed by sfDir (the q193Fitted contract)
+  private val q194Fitted =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
   /** Shared q194 select fragments from the fitted centroids: per-centroid
     * relative-distance columns d0..dk-1 plus ||v||² as vv, the
@@ -364,7 +377,10 @@ object Text {
   /** Data-dependent q194 oracle (the q193 pattern): replay the folded-
     * literal argmin in DuckDB — 1-based list access, identical double
     * literals and association, identical LEAST/CASE tie policy. */
-  def q194Oracle: Option[String] = q194Fitted.map { cents =>
+  def q194Oracle: Option[String] = (q194Fitted.toMap match {
+    case m if m.size == 1 => Some(m.head._2)
+    case _ => None
+  }).map { cents =>
     val d = cents.head.length
     val (defs, centSql, d2Sql) = q194SelectParts(cents, d, i => s"embedding[${i + 1}]")
     val defsSql = defs.map { case (t, n) => s"$t AS $n" }.mkString(", ")
@@ -2987,35 +3003,55 @@ object Text {
   def q204Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
     val probs = anchorScored(spark, sfDir)
       .select(expr("(score_micro + 1000000) DIV 2").as("prob_micro"), col("y"))
-    val agg = graft.operators.LmOps.isotonicBins(probs, "prob_micro", "y", 32)
-    val fitted = graft.operators.LmOps.pavFit(
-      agg.select(col("bin"), col("n"), col("n_pos"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
-    q204Fitted = Some(fitted)
-    graft.operators.LmOps.isotonicApply(agg, fitted)
+    // ONE corpus scan (ADVICE r15): collect the bounded bin table, fit
+    // driver-side, rebuild the output from the SAME collected rows — the
+    // old isotonicApply join against the uncached agg plan paid the
+    // anchor cross-join cosine scan twice
+    val rows = graft.operators.LmOps.isotonicBins(probs, "prob_micro", "y", 32)
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fitted = graft.operators.LmOps.pavFit(rows.map(t => (t._1, t._2, t._3)))
+    q204Fitted.put(sfDir, fitted)
+    graft.operators.LmOps.isotonicFromCollected(spark, rows, fitted)
   }
 
-  // the last fit q204 ran with — read by the dynamic oracle AFTER Verify
-  // has executed every query (one sfDir per Verify JVM — the q193 memo
-  // contract)
-  @volatile private var q204Fitted: Option[Seq[(Long, Long)]] = None
+  // the fits q204 ran with, KEYED BY sfDir (ADVICE r15: a single Option
+  // memo yields a wrong oracle if one Verify JVM replays multiple sfDirs)
+  // — read by the dynamic oracle AFTER Verify has executed every query
+  private val q204Fitted =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long)]]
 
   /** Data-dependent q204 oracle: the PAV step function rides in as a
-    * VALUES table; binning, counts and the join replay relationally. */
-  def q204Oracle: Option[String] = q204Fitted.map { fitted =>
-    val values = fitted.map { case (b, v) => s"($b, $v)" }.mkString(", ")
-    s"""WITH $anchorScoredSql,
-       |p AS (SELECT (score_micro + 1000000) // 2 AS pm, y FROM scored),
-       |b AS (
-       |  SELECT CAST(LEAST(pm * 32 // 1000000, 31) AS BIGINT) AS bin,
-       |    CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
-       |    CAST(SUM(pm) AS BIGINT) AS spm
-       |  FROM p GROUP BY 1
-       |),
-       |cal(bin, iso_micro) AS (SELECT * FROM (VALUES $values) v(b2, i2))
-       |SELECT b.bin, n, n_pos, spm // n AS conf_micro,
-       |  CAST(iso_micro AS BIGINT) AS iso_micro
-       |FROM b JOIN cal USING (bin)""".stripMargin
+    * VALUES table; binning, counts and the join replay relationally.
+    * None when the query never ran OR ran against MORE than one sfDir in
+    * this JVM (no single correct oracle exists — the driver then records
+    * the weaker rows-only check instead of hash-comparing a wrong one).
+    * A degenerate empty fit (no input rows) emits a guaranteed-empty
+    * oracle instead of a zero-tuple VALUES syntax error. */
+  def q204Oracle: Option[String] = q204Fitted.toMap match {
+    case m if m.size != 1 => None
+    case m =>
+      val fitted = m.head._2
+      val cal =
+        if (fitted.isEmpty)
+          "cal(bin, iso_micro) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE)"
+        else {
+          val values = fitted.map { case (b, v) => s"($b, $v)" }.mkString(", ")
+          s"cal(bin, iso_micro) AS (SELECT * FROM (VALUES $values) v(b2, i2))"
+        }
+      Some(s"""WITH $anchorScoredSql,
+        |p AS (SELECT (score_micro + 1000000) // 2 AS pm, y FROM scored),
+        |b AS (
+        |  SELECT CAST(GREATEST(LEAST(pm * 32 // 1000000, 31), 0) AS BIGINT) AS bin,
+        |    CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(pm) AS BIGINT) AS spm
+        |  FROM p GROUP BY 1
+        |),
+        |$cal
+        |SELECT b.bin, n, n_pos, spm // n AS conf_micro,
+        |  CAST(iso_micro AS BIGINT) AS iso_micro
+        |FROM b JOIN cal USING (bin)""".stripMargin)
   }
 
   // ---------------------------------------------------------------- q198
@@ -3183,6 +3219,9 @@ object Text {
       |  SELECT source, n_chars AS score,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       |  FROM documents
+      |  -- complete-case key/score mirror of binaryAucBy (ADVICE r15: the
+      |  -- engine drops NULL keys by contract; encode it on BOTH sides)
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
       |),
       |g AS (
       |  SELECT source, score, CAST(SUM(y) AS BIGINT) AS p,
@@ -3268,7 +3307,10 @@ object Text {
       |  SELECT lang, n_chars AS v,
       |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
       |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY lang, n_chars
+      |  FROM documents WHERE source IN ('src0', 'src1')
+      |    -- complete-case key mirror of ksTwoSampleBy (ADVICE r15)
+      |    AND lang IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY lang, n_chars
       |),
       |t AS (
       |  SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
@@ -3295,6 +3337,177 @@ object Text {
       |)
       |SELECT lang, v AS at_value, n_a, n_b, cum_a, cum_b, d_micro
       |FROM d WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+
+  /** q208: PER-SOURCE isotonic calibration (`LmOps.isotonicCalibrateBy`)
+    * — the calibration sibling of the q202/q206 slice dashboards: for
+    * each source shard, PAV-calibrate the length-based English
+    * probability (prob_micro = min(1000·n_chars, 10⁶), the q202
+    * predictor rescaled into the probability domain) against the is_en
+    * label. One independent monotone fit per source from ONE
+    * groupBy(source, bin) pass — no SinglePartition anywhere (keyed-plan
+    * audit in PlanAuditSpec); the fitted steps land in the oracle as a
+    * per-(source, bin) VALUES table (the q204 dynamicOracle pattern) so
+    * binning, counts, join and the per-key step values are all
+    * hash-verified; the PAV pooling itself is spec-gated (EvalOpsSpec
+    * planted per-key violators).
+    */
+  def q208IsotonicBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        least(col("n_chars") * 1000L, lit(1000000L)).as("prob_micro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+    val out = graft.operators.LmOps.isotonicCalibrateBy(docs, Seq("source"),
+      "prob_micro", "is_en", bins = 32)
+    // `out` is literal-built from the bounded collected bin table, so
+    // harvesting the fitted steps for the oracle re-runs NO corpus work
+    q208Fitted.put(sfDir, out.select(col("source"), col("bin"), col("iso_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    out
+  }
+
+  // fits keyed by sfDir (the q193Fitted/q204Fitted contract)
+  private val q208Fitted = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long, Long)]]
+
+  /** Data-dependent q208 oracle: per-(source, bin) fitted steps as a
+    * VALUES table; binning, counts and the two-key join replay
+    * relationally. None when never run or run on several sfDirs; empty
+    * fits emit a guaranteed-empty oracle (the q204Oracle guards). */
+  def q208Oracle: Option[String] = (q208Fitted.toMap match {
+    case m if m.size == 1 => Some(m.head._2)
+    case _ => None
+  }).map { fitted =>
+    val cal =
+      if (fitted.isEmpty)
+        "cal(source, bin, iso_micro) AS (SELECT CAST(NULL AS VARCHAR), " +
+          "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE)"
+      else {
+        val values = fitted.map { case (s, b, v) =>
+          s"('${s.replace("'", "''")}', $b, $v)"
+        }.mkString(", ")
+        s"cal(source, bin, iso_micro) AS (SELECT * FROM (VALUES $values) v(s2, b2, i2))"
+      }
+    s"""WITH p AS (
+       |  SELECT source, LEAST(n_chars * 1000, 1000000) AS pm,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |  -- complete-case key/prob mirror of isotonicCalibrateBy
+       |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+       |),
+       |b AS (
+       |  SELECT source,
+       |    CAST(GREATEST(LEAST(pm * 32 // 1000000, 31), 0) AS BIGINT) AS bin,
+       |    CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(pm) AS BIGINT) AS spm
+       |  FROM p GROUP BY 1, 2
+       |),
+       |$cal
+       |SELECT b.source, b.bin, n, n_pos, spm // n AS conf_micro,
+       |  CAST(iso_micro AS BIGINT) AS iso_micro
+       |FROM b JOIN cal USING (source, bin)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q209
+
+  /** q209: per-source paired DeLong comparison
+    * (`LmOps.binaryAucCompareBy`) — q207's A/B significance test composed
+    * with q202's keyed slice discipline: for each source shard, does raw
+    * character length (scorer A) rank English documents better than
+    * whitespace token count (scorer B), and is the per-slice gap real or
+    * noise? The scorers share every label, so the paired covariance term
+    * shrinks each slice's SE; every window in both placement maps is
+    * partitioned by (source) or (source, b) — zero SinglePartition (the
+    * per-slice A/B readout an eval team consumes after a scorer swap).
+    */
+  def q209AucCompareBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryAucCompareBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars").as("len_score"),
+          size(split(col("text"), " ")).as("tok_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "len_score", "tok_score", "is_en")
+
+  val q209Sql: String = {
+    def placements(tag: String, scoreCol: String): String =
+      s"""g$tag AS (
+         |  SELECT source, $scoreCol AS score, CAST(SUM(y) AS BIGINT) AS p,
+         |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+         |  FROM base GROUP BY 1, 2
+         |),
+         |t$tag AS (SELECT source, CAST(SUM(p) AS BIGINT) AS tp FROM g$tag GROUP BY source),
+         |p$tag AS (
+         |  SELECT g$tag.source, score,
+         |    2 * COALESCE(SUM(ng) OVER w, 0) + ng AS p2,
+         |    2 * (tp - COALESCE(SUM(p) OVER w, 0) - p) + p AS r2
+         |  FROM g$tag JOIN t$tag USING (source)
+         |  WINDOW w AS (PARTITION BY g$tag.source ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT source, n_chars AS sa, len(string_split(text, ' ')) AS sb,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |  -- complete-case key/score mirror of binaryAucCompareBy
+       |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL
+       |),
+       |${placements("a", "sa")},
+       |${placements("b", "sb")},
+       |placed AS (
+       |  SELECT base.source, y,
+       |    CASE WHEN y = 1 THEN pa.p2 ELSE pa.r2 END AS ua,
+       |    CASE WHEN y = 1 THEN pb.p2 ELSE pb.r2 END AS ub
+       |  FROM base
+       |  JOIN pa ON base.source = pa.source AND base.sa = pa.score
+       |  JOIN pb ON base.source = pb.source AND base.sb = pb.score
+       |),
+       |s AS (
+       |  SELECT source, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS n_neg,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ua AS HUGEINT) END), 0) AS sa10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ua AS HUGEINT) * ua END), 0) AS saa10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ub AS HUGEINT) END), 0) AS sb10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ub AS HUGEINT) * ub END), 0) AS sbb10,
+       |    COALESCE(SUM(CASE WHEN y = 1 THEN CAST(ua AS HUGEINT) * ub END), 0) AS sab10,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ua AS HUGEINT) END), 0) AS sa01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ua AS HUGEINT) * ua END), 0) AS saa01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ub AS HUGEINT) END), 0) AS sb01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ub AS HUGEINT) * ub END), 0) AS sbb01,
+       |    COALESCE(SUM(CASE WHEN y = 0 THEN CAST(ua AS HUGEINT) * ub END), 0) AS sab01
+       |  FROM placed GROUP BY source
+       |),
+       |m AS (
+       |  SELECT source, n_pos + n_neg AS n, n_pos, n_neg,
+       |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |      ELSE (CAST(1000000 AS HUGEINT) * sa10)
+       |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_a_micro,
+       |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |      ELSE (CAST(1000000 AS HUGEINT) * sb10)
+       |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_b_micro,
+       |    CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+       |      ROUND(SQRT(GREATEST(0.0,
+       |        (CAST(n_pos * saa10 - sa10 * sa10 AS DOUBLE)
+       |         + CAST(n_pos * sbb10 - sb10 * sb10 AS DOUBLE)
+       |         - 2.0 * CAST(n_pos * sab10 - sa10 * sb10 AS DOUBLE))
+       |          / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+       |             * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+       |             * CAST(n_pos AS DOUBLE)) +
+       |        (CAST(n_neg * saa01 - sa01 * sa01 AS DOUBLE)
+       |         + CAST(n_neg * sbb01 - sb01 * sb01 AS DOUBLE)
+       |         - 2.0 * CAST(n_neg * sab01 - sa01 * sb01 AS DOUBLE))
+       |          / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+       |             * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+       |             * CAST(n_neg AS DOUBLE)))), 6) END AS se6
+       |  FROM s
+       |)
+       |SELECT source, n, n_pos, n_neg, auc_a_micro, auc_b_micro,
+       |  auc_a_micro - auc_b_micro AS diff_micro, se6,
+       |  CASE WHEN se6 <= 0.0 THEN 0.0
+       |    ELSE ROUND((CAST(auc_a_micro - auc_b_micro AS DOUBLE) / 1000000.0)
+       |      / se6, 6) END AS z6
+       |FROM m""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q155
 
@@ -3686,6 +3899,9 @@ object Text {
     QueryDef("q205_auc_delong", q205AucDelong, Some(q205Sql)),
     QueryDef("q206_ks_by_lang", q206KsByLang, Some(q206Sql)),
     QueryDef("q207_auc_compare", q207AucCompare, Some(q207Sql)),
+    QueryDef("q208_isotonic_by_source", q208IsotonicBySource, None,
+      dynamicOracle = Some(() => q208Oracle)),
+    QueryDef("q209_auc_compare_by_source", q209AucCompareBySource, Some(q209Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

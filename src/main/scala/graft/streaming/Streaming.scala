@@ -1278,6 +1278,57 @@ object Streaming {
     ()
   }
 
+  /** Streaming probability-calibration monitor — the ingest-time twin of
+    * the batch `LmOps.calibrationReport` (q197), completing the monitor
+    * quartet (AUC for ranking, KS for ordered values, χ² for categories,
+    * calibration for probabilities): per-batch (bin, n, n_pos, spm, sq)
+    * bin-count deltas in a batch_id-partitioned store, emit = exact
+    * Brier/ECE reliability report over every committed batch in the
+    * retention window via `LmOps.calibrationReportFromCounts`. State is
+    * ≤ `bins` rows per batch — the smallest store of the four. `bins`
+    * must stay constant for the life of the store (it defines bin ids).
+    * Same retention and replay contracts as [[aucMonitorStream]]. Output
+    * at `outDir/batch_id=N`: the per-bin (bin, n, n_pos, conf_micro,
+    * acc_micro, brier_micro, ece_micro) report.
+    */
+  def calibrationMonitorStream(rows: DataFrame, outDir: String,
+      storeDir: String, checkpoint: String, probMicroCol: String = "pm",
+      labelCol: String = "y", bins: Int = 10,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCalibrationBatch(batch, batchId, outDir, storeDir,
+          probMicroCol, labelCol, bins, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[calibrationMonitorStream]] — package-private for
+    * direct idempotency testing. */
+  private[graft] def processCalibrationBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, probMicroCol: String, labelCol: String,
+      bins: Int, retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
+    val mine = graft.operators.LmOps
+      .calibrationBinCounts(batch, probMicroCol, labelCol, bins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.LmOps.calibrationReportFromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming ordered-funnel progress — the ingest-time twin of the batch
     * Funnel.steps operator. Per-entity step-completion times live in a
     * batch_id-partitioned store; each micro-batch advances them with the
