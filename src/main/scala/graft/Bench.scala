@@ -217,20 +217,54 @@ object Bench {
     }
     // cap at the 8 slowest anomalies so a pathological session can't blow
     // the stdout budget; the snapshot's `reps` map still carries them all
-    val anomRecs = results.filter(_.extraRep).sortBy(-_.min).take(8).map { r =>
+    val anomRecsAll = results.filter(_.extraRep).sortBy(-_.min).map { r =>
       "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
         "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
         ",\"cause\":\"" + cause(r) + "\"}"
     }
+    // WATCH tier (r15 verdict): sub-anomaly creep — min ≥ 1.5× the
+    // committed prior AND ≥ 0.5 s, but under the 2× extra-rep trigger —
+    // gets a record (no extra rep) so q93-class drift self-reports from
+    // the artifact instead of sailing two hundredths under the alarm
+    val watchRecsAll = results.filter { r =>
+      !r.extraRep && prior.get(r.name).exists(p =>
+        p > 0.05 && r.min > 1.5 * p && r.min > 0.5)
+    }.sortBy(-_.min).map { r =>
+      "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
+        "],\"p\":" + fmt2(prior(r.name)) + "}"
+    }
+    // anom + watch share a 450-byte stdout sub-budget (slowest-first,
+    // anoms before watches, whole records only) so a pathological session
+    // can't evict the per-query map; the snapshot carries every record
+    def admit(recs: Seq[String], room: Int): (Seq[String], Int) =
+      recs.foldLeft((Seq.empty[String], room)) { case ((acc, rm), rec) =>
+        if (rec.length + 1 <= rm) (acc :+ rec, rm - rec.length - 1) else (acc, rm)
+      }
+    val (anomRecs, telRoom) = admit(anomRecsAll, 450)
+    val (watchRecs, _) = admit(watchRecsAll, telRoom)
     val anom = anomRecs.mkString("{", ",", "}")
+    val watch = watchRecs.mkString("{", ",", "}")
+    val anomFull = anomRecsAll.mkString("{", ",", "}")
+    val watchFull = watchRecsAll.mkString("{", ",", "}")
     val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_.min).sum
     val cal = s""""cal":[${fmt2(calSpark)},${fmt2(calCpu)}]"""
+    // the stdout line's per-query map is COMPACT so all ~200 queries fit
+    // the driver's 2 KB tail (r15 qtrunc lost 70 of 197): keys drop the
+    // leading 'q' and the suffix (collision-checked below), values are
+    // integer CENTISECONDS — "qfmt" declares the encoding in-band.
+    // cache_peak moves to the committed snapshot only; the sf dir shrinks
+    // to its basename. The committed bench_rNN.json keeps every query
+    // under its full name at 3-decimal seconds.
     val head =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec",$cal,$cachePeak,"anom":$anom,"failed":$failed,"sf":"$sfDir""""
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","qfmt":"sans-q centisec",$cal,"anom":$anom,"watch":$watch,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}""""
     val stdoutBudget = 1900 // whole line + sbt's ~70-byte trailer < tail window
-    val entries = results.map(r => (r.min, "\"" + short(r.name) + "\":" + fmt2(r.min)))
+    def csKey(n: String): String = short(n).stripPrefix("q")
+    require(results.map(r => csKey(r.name)).distinct.size == results.size,
+      "compact stdout keys collide — rename the offending query")
+    val entries = results.map(r =>
+      (r.min, "\"" + csKey(r.name) + "\":" + Math.round(r.min * 100)))
     // keep the slowest entries that fit the budget; emit in results order
     // (selected is name-sorted, so that is name order). Keep decisions are
     // by index so two identically-rendered entries can never both slip in
@@ -246,7 +280,7 @@ object Bench {
     val qtrunc = entries.length - kept.length
     val line = s"""{$head,"queries":$qsShort,"qtrunc":$qtrunc}"""
     val snapshot =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qsFull,"cache_mb":$cacheFull,$cachePeak,"reps":$repsFull,"anom":$anom,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qsFull,"cache_mb":$cacheFull,$cachePeak,"reps":$repsFull,"anom":$anomFull,"watch":$watchFull,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), snapshot + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] snapshot write failed: $e") }

@@ -70,6 +70,23 @@ class CacheLifeSpec extends SparkSpec {
     }
   }
 
+  test("driver-materialized readers are declared by hand (plan-audit blind spot)") {
+    // q93 and q184 read the jaccard cache THROUGH q59's
+    // ConnectedComponents pass, which materializes driver-side (iterative
+    // localCheckpoint / small-graph collect) — their analyzed plans carry
+    // no InMemoryRelation lineage back to the cache, so the plan-based
+    // test above can NEVER catch these declarations going missing (r15:
+    // the cache released after q74 and every q93 bench rep paid a partial
+    // or full 5.5 s shingle→jaccard rebuild). Pin them explicitly; any
+    // future query that consumes a shared cache through a driver-side
+    // materialization must be added here AND to the module's consumer set.
+    val (_, cons) = entries("jaccard")
+    val handDeclared = Set("q93_cluster_pick", "q184_leakage_safe_folds")
+    assert(handDeclared.subsetOf(cons),
+      s"jaccard consumer set lost its driver-materialized readers: " +
+        s"${(handDeclared -- cons).toSeq.sorted.mkString(", ")}")
+  }
+
   test("cache-on-cache dependencies imply consumer-set containment") {
     // if cache X is BUILT FROM cache Y, Y must outlive X's readers: every
     // consumer of X must also be declared on Y (the modules encode this

@@ -683,4 +683,140 @@ class EvalOpsSpec extends SparkSpec {
     val only = Seq((1L, "A"), (2L, "A"))
     assert(ks(only) == ((1L, 2L, 0L, 1L, 0L, 0L)))
   }
+
+  test("binaryAucCompareBy equals per-group binaryAucCompare; keyed plan has no SinglePartition") {
+    val xs = Iterator.iterate(577L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(150).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val y = (x >> 2) % 2
+      // scorer a correlates with y, scorer b is a noisier transform of a
+      (s"g${i % 3}", (x >> 5) % 19 + y * 5, (x >> 7) % 13 + y * 2, y)
+    }
+    val df = rows.toDF("k", "sa", "sb", "y")
+    val by = LmOps.binaryAucCompareBy(df, Seq("k"), "sa", "sb", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8))).toMap
+    assert(by.size == 3)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = LmOps.binaryAucCompare(
+        rows.filter(_._1 == g).map(t => (t._2, t._3, t._4))
+          .toDF("sa", "sb", "y"), "sa", "sb", "y").collect()(0)
+      assert(by(g) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        solo.getLong(3), solo.getLong(4), solo.getLong(5),
+        solo.getDouble(6), solo.getDouble(7))),
+        s"slice $g disagrees with the global paired DeLong on its subset")
+    }
+    // the whole point of the keyed form: ZERO SinglePartition exchanges
+    val plan = LmOps.binaryAucCompareBy(df, Seq("k"), "sa", "sb", "y")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "keyed paired DeLong plans a SinglePartition exchange")
+    // null keys/scores drop by contract
+    val withNulls = df.unionByName(
+      Seq[(Option[String], Option[Long], Option[Long], Long)](
+        (None, Some(1L), Some(1L), 1L),
+        (Some("g0"), None, Some(1L), 1L),
+        (Some("g0"), Some(1L), None, 0L))
+      .toDF("k", "sa", "sb", "y"))
+    assert(LmOps.binaryAucCompareBy(withNulls, Seq("k"), "sa", "sb", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      by.map { case (k, v) => k -> v._1 })
+  }
+
+  test("isotonicCalibrateBy: independent per-key PAV, planted violators, cap, keyed plan") {
+    // key A: monotone (passes through untouched); key B: planted violator
+    // in bins 1-2 (pools); key C: strictly decreasing (collapses). Ten
+    // rows per (key, bin) so rates are exact tenths; bins = 4 over
+    // prob_micro in [0, 1e6] → bin width 250000.
+    def mk(k: String, bin: Int, pos: Int): Seq[(String, Long, Long)] =
+      (0 until 10).map(i => (k, bin * 250000L + 100L, if (i < pos) 1L else 0L))
+    val rows =
+      mk("A", 0, 1) ++ mk("A", 1, 5) ++ mk("A", 2, 9) ++
+      mk("B", 0, 2) ++ mk("B", 1, 8) ++ mk("B", 2, 4) ++
+      mk("C", 0, 9) ++ mk("C", 1, 6) ++ mk("C", 2, 3)
+    val df = rows.toDF("k", "pm", "y")
+    val out = LmOps.isotonicCalibrateBy(df, Seq("k"), "pm", "y", bins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out.size == 9)
+    // A monotone: raw rates preserved
+    assert(out(("A", 0L))._3 == 100000L && out(("A", 1L))._3 == 500000L &&
+      out(("A", 2L))._3 == 900000L)
+    // B: bins 1,2 pool at (8+4)/20; bin 0 untouched — and A/C unaffected
+    assert(out(("B", 0L))._3 == 200000L && out(("B", 1L))._3 == 600000L &&
+      out(("B", 2L))._3 == 600000L)
+    // C: full collapse at (9+6+3)/30
+    assert(Seq(0L, 1L, 2L).forall(b => out(("C", b))._3 == 600000L))
+    // counts preserved per (key, bin)
+    assert(out.values.map(_._1).sum == 90L)
+    // single-scan contract: the RETURNED frame is literal-built from the
+    // collected bin table (LocalTableScan, zero exchanges) — consuming it
+    // re-runs no corpus work
+    val outPlan = LmOps.isotonicCalibrateBy(df, Seq("k"), "pm", "y", bins = 4)
+      .queryExecution.executedPlan.toString
+    assert(outPlan.contains("LocalTableScan") && !outPlan.contains("Exchange"),
+      s"isotonicCalibrateBy output is not literal-built:\n$outPlan")
+    // the explicit cap fails loudly instead of collecting unbounded rows
+    val e = intercept[IllegalArgumentException] {
+      LmOps.isotonicCalibrateBy(df, Seq("k"), "pm", "y", bins = 4,
+        maxCollect = 4)
+    }
+    assert(e.getMessage.contains("maxCollect"))
+  }
+
+  test("calibration bin-count deltas merge exactly: two halves equal the whole") {
+    val rows = (0 until 300).map { i =>
+      val pm = (i.toLong * 2654435761L) % 1000001L
+      (pm, if ((pm / 997L + i % 5) % 11L > 4L) 1L else 0L)
+    }
+    val (h1, h2) = rows.splitAt(137)
+    val merged = LmOps.calibrationReportFromCounts(
+      LmOps.calibrationBinCounts(h1.toDF("pm", "y"), "pm", "y", 10)
+        .unionByName(
+          LmOps.calibrationBinCounts(h2.toDF("pm", "y"), "pm", "y", 10)))
+      .orderBy("bin").collect().map(_.toSeq)
+    val whole = LmOps.calibrationReport(rows.toDF("pm", "y"), "pm", "y", 10)
+      .orderBy("bin").collect().map(_.toSeq)
+    assert(merged.toSeq == whole.toSeq,
+      "merged per-batch bin counts disagree with the single-pass report")
+  }
+
+  test("pavFit violation test survives counts that overflow a Long cross-multiply") {
+    // two blocks with n ≈ 4e9: pp·bn ≈ 1.56e19 > Long.MaxValue (9.2e18),
+    // so a raw Long comparison would wrap negative and MISS the violation
+    val big = 4000000000L
+    val fit = LmOps.pavFit(Seq((0L, big, 3900000000L), (1L, big, 100000000L)))
+    // pooled rate = (3.9e9 + 1e8) / 8e9 = 0.5 exactly
+    assert(fit == Seq(0L -> 500000L, 1L -> 500000L),
+      s"overflow inverted the PAV violation test: $fit")
+  }
+
+  test("calibration binning clamps the LOW edge too") {
+    // a (contract-violating) negative prob must land in bin 0, not a
+    // negative bin id; an over-1e6 one in the top bin
+    val rows = Seq((-50000L, 0L), (500000L, 1L), (2000000L, 1L))
+      .toDF("pm", "y")
+    val bins = LmOps.calibrationReport(rows, "pm", "y", bins = 10)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(bins.toSeq == Seq(0L, 5L, 9L), s"bins: ${bins.mkString(",")}")
+  }
+
+  test("memoFit key is data-aware: rewriting the input under the same tag refits") {
+    // pins the q194 contract (r15 verdict): the memo key derives from the
+    // canonicalized plan + backing files, so an input rewrite under an
+    // UNCHANGED config tag must recompute, not serve stale fit state
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("memofit").toString
+    var calls = 0
+    Seq((1L, 10.0)).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    def fit(): String = graft.operators.Similarity.memoFit(
+      spark.read.parquet(dir), "algo|k=2|v") { calls += 1; s"fit$calls" }
+    assert(fit() == "fit1" && calls == 1)
+    assert(fit() == "fit1" && calls == 1, "same data + tag must memo-hit")
+    // Spark overwrite writes fresh part-file names → new key → refit
+    Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    assert(fit() == "fit2" && calls == 2,
+      "input rewrite under the same tag served a stale fit")
+  }
 }

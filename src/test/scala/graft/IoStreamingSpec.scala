@@ -474,6 +474,40 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming calibration monitor equals the batch report over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("calstream").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.calibrationMonitorStream(mem.toDF().toDF("pm", "y"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "pm", "y", bins = 10)
+    // probabilities over the full micro domain; label rate rises with pm
+    // so conf≠acc in some bins (a non-trivial ECE)
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val pm = (i.toLong * 2654435761L) % 1000001L
+      (pm, if ((pm / 997L + i % 5) % 11L > 4L) 1L else 0L)
+    }
+    val b0 = rows(0, 350)
+    val b1 = rows(350, 900)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    val streamed = snap()
+    val batch = graft.operators.LmOps.calibrationReport(
+      (b0 ++ b1).toDF("pm", "y"), "pm", "y", bins = 10)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.map(_(1).asInstanceOf[Long]).sum == 900L)
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processCalibrationBatch(b1.toDF("pm", "y"), 1L,
+      s"$dir/out", s"$dir/store", "pm", "y", 10)
+    assert(snap() == streamed)
+  }
+
   test("streaming funnel equals the batch operator under ts-ordered batches, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

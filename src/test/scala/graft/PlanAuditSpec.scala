@@ -131,10 +131,10 @@ class PlanAuditSpec extends SparkSpec {
     // q205/q207: q196's anchor/stats 1-row crossJoins, once per placement
     // map (LmOps.delongPlacements; q207 runs two maps, one per scorer)
     "q205_auc_delong", "q207_auc_compare",
-    // q204: the isotonic bin table reuses q197's anchor probe (1-row
-    // broadcast exemplar crossJoin); the fitted step function joins back
-    // as an equi-keyed broadcast, not a BNLJ
-    "q204_isotonic",
+    // (q204 left this list when its output became literal-built from the
+    // collected bin table — the single-scan ADVICE-r15 rework: the scan
+    // with the anchor-probe crossJoin now runs once, inside the collect,
+    // and the RETURNED plan is a LocalTableScan)
     // q198: the 1×1 crossJoin of the disagreement row with the value-
     // totals square row (LmOps.krippendorffAlpha — the kappa shape)
     "q198_krippendorff",
@@ -349,6 +349,21 @@ class PlanAuditSpec extends SparkSpec {
         assert(sumSpecs.nonEmpty && sumSpecs.forall(_.contains("b")),
           s"$q runs the cumulative sum outside the bucket windows: $sumSpecs")
     }
+  }
+
+  test("q208/q209 keyed eval family plans stay keyed end-to-end") {
+    // q209: BOTH scorers' placement maps and the final covariance
+    // aggregate are per-source — zero SinglePartition anywhere (the
+    // binaryAucCompareBy contract; slices only add parallelism)
+    val p209 = planOf("q209_auc_compare_by_source")
+    assert(!p209.contains("Exchange SinglePartition"),
+      "q209 plans a SinglePartition exchange — the keyed paired DeLong regressed")
+    // q208: the returned frame is literal-built from the bounded collected
+    // (source, bin) table — consuming it re-runs no corpus work (the
+    // single-scan isotonic contract)
+    val p208 = planOf("q208_isotonic_by_source")
+    assert(p208.contains("LocalTableScan") && !p208.contains("Exchange"),
+      "q208 output is not literal-built from the collected bin table")
   }
 
   test("q61 packing never plans a single-partition global window") {
