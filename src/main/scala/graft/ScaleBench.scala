@@ -1142,6 +1142,78 @@ object ScaleBench {
         s"keyed AUC closed form failed: $a")
     }
 
+    // Keyed paired DeLong at 10M rows / 100 slices: scorer A is the
+    // group_auc ramp (per-key alternating labels over 100k distinct
+    // scores ⇒ auc_a = 500010 micro), scorer B is CONSTANT (all rows tie
+    // ⇒ auc_b = 500000 exactly), so diff = 10 in every slice. With ub
+    // constant the B and AB covariance terms vanish and the positives'
+    // A-placements are {2,4,…,2M} (negatives the same multiset), giving
+    //   nP·Σua² − (Σua)² = P²(P+1)(P−1)/3,  S10 = S01 = (P+1)/(12P²)
+    // at P = 50000 — the expected se6/z6 are computed below with the
+    // OPERATOR'S own double expression order. Gates the fully-keyed
+    // shape: both placement maps and the covariance aggregate per key,
+    // zero SinglePartition, 100 slices in parallel.
+    timed("paired_delong_10M_rows_100_slices") {
+      val n = 10000000L
+      val p = n / 200 // positives (= negatives) per slice
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        (col("id") / 100).cast("long").as("sa"),
+        lit(0L).as("sb"),
+        ((col("id") / 100) % 2).as("y"))
+      // exact component sums (BigInt), then the operator's double math
+      val sa10 = BigInt(p) * (p + 1)
+      val saa10 = BigInt(2) * p * (p + 1) * (2 * p + 1) / 3
+      val num10 = (BigInt(p) * saa10 - sa10 * sa10).toDouble
+      val den10 = 4.0 * p * p * p * (p - 1) * p
+      val se = math.sqrt(math.max(0.0, num10 / den10 + num10 / den10))
+      val se6 = BigDecimal(se).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val z6 = BigDecimal((10.0 / 1000000.0) / se6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = operators.LmOps.binaryAucCompareBy(rows, Seq("k"),
+        "sa", "sb", "y")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("auc_a_micro") === 500010L &&
+          col("auc_b_micro") === 500000L && col("diff_micro") === 10L &&
+          col("n_pos") === p && col("n_neg") === p &&
+          col("se6") === se6 && col("z6") === z6, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed paired-DeLong closed form failed (want se6=$se6 z6=$z6): $a " +
+          out.limit(3).collect().mkString("; "))
+    }
+
+    // Keyed isotonic calibration at 10M rows / 100 slices: per key, 32
+    // bins × 3125 rows with positives = 100·b except a planted violator
+    // pair (bin 10: 1090, bin 11: 1010) ⇒ PAV pools EXACTLY those two
+    // bins in every slice: iso = ⌊2100·10⁶/6250⌋ = 336000 there,
+    // ⌊100b·10⁶/3125⌋ = 32000·b elsewhere (rate(9) = 900 < pooled 1050
+    // per 3125 < rate(12) = 1200, so pooling provably stops). Gates the
+    // one-pass groupBy(key, bin) shape + the 3200-row bounded collect +
+    // 100 independent driver fits.
+    timed("keyed_isotonic_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        expr("id DIV 100 % 32 * 31250 + 15625").as("pm"),
+        expr("""CAST(CASE WHEN id DIV 100 DIV 32 <
+                  CASE WHEN id DIV 100 % 32 = 10 THEN 1090
+                       WHEN id DIV 100 % 32 = 11 THEN 1010
+                       ELSE id DIV 100 % 32 * 100 END
+                THEN 1 ELSE 0 END AS BIGINT)""").as("y"))
+      val out = operators.LmOps.isotonicCalibrateBy(rows, Seq("k"),
+        "pm", "y", bins = 32)
+      val expIso = when(col("bin").isin(10L, 11L), 336000L)
+        .otherwise(col("bin") * 32000L)
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === 3125L && col("iso_micro") === expIso &&
+          col("conf_micro") === col("bin") * 31250L + 15625L, 1))
+          .as("good")).head()
+      require(a.getLong(0) == 3200L && a.getLong(1) == 3200L,
+        s"keyed isotonic closed form failed: $a — " +
+          out.limit(5).collect().mkString("; "))
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same
