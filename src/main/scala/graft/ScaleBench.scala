@@ -1142,6 +1142,27 @@ object ScaleBench {
         s"keyed AUC closed form failed: $a")
     }
 
+    // Average precision at 10M distinct scores: perfectly separated
+    // (positives above all negatives) ⇒ every positive threshold has
+    // precision 1 ⇒ ap = 10⁶ exactly; a constant scorer ⇒ one pooled
+    // threshold at precision = prevalence ⇒ ap = prevalence = 500000
+    // exactly (term = ⌊10⁶·tp·tp/n⌋ = 25·10¹¹ at tp = 5M, ÷tp = 500000).
+    // Gates the same two-phase distinct-score discipline as the AUC.
+    timed("avg_precision_10M_distinct_scores") {
+      val n = 10000000L
+      val m = n / 2
+      val sep = spark.range(n).select(col("id").as("score"),
+        when(col("id") >= m, 1L).otherwise(0L).as("y"))
+      val a = operators.LmOps.binaryAp(sep, "score", "y").head()
+      require(a.getLong(1) == m && a.getLong(3) == 1000000L &&
+        a.getLong(4) == 500000L, s"separated AP closed form failed: $a")
+      val const = spark.range(n).select(lit(7L).as("score"),
+        (col("id") % 2).as("y"))
+      val b = operators.LmOps.binaryAp(const, "score", "y").head()
+      require(b.getLong(3) == 500000L && b.getLong(4) == 500000L,
+        s"constant-scorer AP closed form failed: $b")
+    }
+
     // Keyed paired DeLong at 10M rows / 100 slices: scorer A is the
     // group_auc ramp (per-key alternating labels over 100k distinct
     // scores ⇒ auc_a = 500010 micro), scorer B is CONSTANT (all rows tie

@@ -481,6 +481,67 @@ object Profile {
       .groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb")))
 
+  /** Population Stability Index between two groups' distributions of an
+    * integer value — the banded drift score model-risk practice
+    * thresholds at 0.1 (watch) / 0.25 (act), complementing [[ksTwoSample]]
+    * (max CDF gap: where did it move) with a mass-weighted total (how
+    * much moved, symmetric KL): equal-width value buckets from the pooled
+    * min/max, per-bucket proportions a_b (group A) and e_b (group B),
+    *   PSI = Σ_b (a_b − e_b) · ln(a_b / e_b)
+    * over buckets observed on BOTH sides — a one-sided bucket has an
+    * infinite term, so it is excluded from the sum (the standard
+    * epsilon-free treatment) and surfaced: its row stays (term9 NULL)
+    * and n_skipped counts them.
+    *
+    * Determinism contract: each bucket term is a double computed with
+    * IDENTICAL expression text in both engines, rounded to 9 decimals,
+    * then summed as DECIMAL(24,9) — associative, so engine partial-agg
+    * order can't move the result — and psi6 is the round-6 double of
+    * that exact sum (the se6/z6 discipline; LN agreement across engines
+    * is the q86 perplexity precedent).
+    *
+    * Scale shape: rows reduce to a ≤ `buckets`-row count table in ONE
+    * map-side-combinable groupBy (the bucket id is computed from a
+    * broadcast 1-row min/max frame); everything after is bucket-table
+    * math. Counts ride `n·10⁶` in Long — fine to ~9·10¹² rows (the
+    * bucketDrift bound). Output (one row per bucket observed on either
+    * side): bucket, lo, n_a, n_b, share_a_micro, share_b_micro, term9,
+    * psi6, n_skipped — the scalars ride every row (q155 convention).
+    */
+  def psi(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .where(col("v").isNotNull)
+    val stats = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val g = base.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"(v - __mn) DIV ((__mx - __mn) DIV $buckets + 1)"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__ia")).as("n_a"), sum(lit(1L) - col("__ia")).as("n_b"))
+    val tot = g.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"),
+      coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
+    val terms = g.crossJoin(broadcast(tot)).crossJoin(broadcast(stats))
+      .select(col("bucket"),
+        expr(s"__mn + bucket * ((__mx - __mn) DIV $buckets + 1)").as("lo"),
+        col("n_a"), col("n_b"),
+        expr("n_a * 1000000 DIV __ta").as("share_a_micro"),
+        expr("n_b * 1000000 DIV __tb").as("share_b_micro"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  ROUND((CAST(n_a AS DOUBLE) / __ta - CAST(n_b AS DOUBLE) / __tb)
+                    * LN(CAST(n_a AS DOUBLE) * __tb / (CAST(n_b AS DOUBLE) * __ta)), 9)
+                END""").as("term9"))
+    val sc = terms.agg(
+      round(coalesce(sum(col("term9").cast(DecimalType(24, 9))),
+        lit(0).cast(DecimalType(24, 9))).cast("double"), 6).as("psi6"),
+      coalesce(sum(when((col("n_a") === 0L) =!= (col("n_b") === 0L), 1L)
+        .otherwise(0L)), lit(0L)).as("n_skipped"))
+    terms.crossJoin(broadcast(sc)) // buckets × 1
+  }
+
   /** [[ksTwoSample]] over a PRE-AGGREGATED (v, ca, cb) count table — the
     * incremental form a streaming drift monitor maintains (the
     * [[bucketDriftFromCounts]] contract). Rows with the same value are

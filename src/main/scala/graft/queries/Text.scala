@@ -3509,6 +3509,162 @@ object Text {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q210
+
+  /** q210: average precision (`LmOps.binaryAp`) of the anchor probe —
+    * the PR-curve companion to q196's AUC, and the metric that stays
+    * informative under the class imbalance retrieval evals actually have
+    * (AUC saturates when negatives dominate; AP ≈ precision mass).
+    * Exact-integer micro AP over the distinct-score table (per-threshold
+    * floors, descending two-phase cumulative counts), plus the
+    * prevalence baseline the AP must beat.
+    */
+  def q210AvgPrecision(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryAp(anchorScored(spark, sfDir),
+      "score_micro", "y")
+
+  val q210Sql: String =
+    s"""WITH $anchorScoredSql,
+       |g AS (
+       |  SELECT score_micro AS score, CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+       |  FROM scored GROUP BY score_micro
+       |),
+       |t AS (
+       |  SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(SUM(p + ng), 0) AS BIGINT) AS tot
+       |  FROM g
+       |),
+       |c AS (
+       |  SELECT p, ng, tp, tot,
+       |    COALESCE(SUM(p) OVER w, 0) AS pos_below,
+       |    COALESCE(SUM(p + ng) OVER w, 0) AS all_below
+       |  FROM g, t
+       |  WINDOW w AS (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |),
+       |s AS (
+       |  SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+       |    CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n_neg,
+       |    COALESCE(SUM((CAST(1000000 AS HUGEINT) * p * (tp - pos_below))
+       |      // (tot - all_below)), 0) AS ts
+       |  FROM c
+       |)
+       |SELECT n_pos + n_neg AS n, n_pos, n_neg,
+       |  CAST(CASE WHEN n_pos = 0 THEN 0 ELSE ts // n_pos END AS BIGINT)
+       |    AS ap_micro,
+       |  CAST(CASE WHEN n_pos + n_neg = 0 THEN 0
+       |    ELSE CAST(1000000 AS HUGEINT) * n_pos // (n_pos + n_neg)
+       |    END AS BIGINT) AS prevalence_micro
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q211
+
+  /** q211: per-source calibration report (`LmOps.calibrationReportBy`) —
+    * the reliability slice dashboard completing the keyed eval family
+    * (q202 AUC slices, q206 KS slices, q208 isotonic slices, q209
+    * paired-z slices): per source shard, is the length-based English
+    * probability over/under-confident, and what are the slice's Brier
+    * and ECE? Per-key bins and scalars, zero SinglePartition.
+    */
+  def q211CalibrationBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.calibrationReportBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"),
+          least(col("n_chars") * 1000L, lit(1000000L)).as("prob_micro"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "prob_micro", "is_en", bins = 10)
+
+  val q211Sql: String =
+    """WITH p AS (
+      |  SELECT source, LEAST(n_chars * 1000, 1000000) AS pm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case key/prob mirror of calibrationReportBy
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |b AS (
+      |  SELECT source,
+      |    CAST(GREATEST(LEAST(pm * 10 // 1000000, 9), 0) AS BIGINT) AS bin,
+      |    CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    CAST(SUM(pm) AS BIGINT) AS spm,
+      |    SUM(CAST(pm - y * 1000000 AS HUGEINT) * (pm - y * 1000000)) AS sq
+      |  FROM p GROUP BY 1, 2
+      |),
+      |pb AS (
+      |  SELECT source, bin, n, n_pos, spm // n AS conf_micro,
+      |    n_pos * 1000000 // n AS acc_micro, sq
+      |  FROM b
+      |),
+      |gl AS (
+      |  SELECT source,
+      |    CAST(SUM(sq) // (CAST(SUM(n) AS HUGEINT) * 1000000) AS BIGINT)
+      |      AS brier_micro,
+      |    CAST(SUM(n * abs(acc_micro - conf_micro)) // SUM(n) AS BIGINT)
+      |      AS ece_micro
+      |  FROM pb GROUP BY source
+      |)
+      |SELECT pb.source, bin, n, n_pos, conf_micro, acc_micro,
+      |  brier_micro, ece_micro
+      |FROM pb JOIN gl USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+
+  /** q212: PSI length drift between the q199 source pair
+    * (`Profile.psi`) — the mass-weighted drift total (symmetric-KL over
+    * equal-width buckets, the model-risk 0.1/0.25 dial) complementing
+    * q199's KS (max CDF gap) and q166's per-bucket L1 shares: KS says
+    * WHERE the distribution moved, PSI says HOW MUCH in aggregate.
+    * Exact-integer shares; ln terms round-9 and decimal-summed so the
+    * scalar is engine-order-free.
+    */
+  def q212PsiDrift(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.psi(
+      Tables.load(spark, sfDir, "documents").select(col("n_chars"), col("source")),
+      "n_chars", "source", "src0", "src1", buckets = 16)
+
+  val q212Sql: String =
+    """WITH base AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+      |),
+      |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+      |g AS (
+      |  SELECT (v - mn) // ((mx - mn) // 16 + 1) AS bucket,
+      |    CAST(SUM(ia) AS BIGINT) AS n_a,
+      |    CAST(COUNT(1) - SUM(ia) AS BIGINT) AS n_b
+      |  FROM base, st GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT CAST(COALESCE(SUM(n_a), 0) AS BIGINT) AS ta,
+      |    CAST(COALESCE(SUM(n_b), 0) AS BIGINT) AS tb
+      |  FROM g
+      |),
+      |terms AS (
+      |  SELECT bucket,
+      |    CAST(mn + bucket * ((mx - mn) // 16 + 1) AS BIGINT) AS lo,
+      |    n_a, n_b,
+      |    CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_micro,
+      |    CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_micro,
+      |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |      ROUND((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+      |        * LN(CAST(n_a AS DOUBLE) * tb / (CAST(n_b AS DOUBLE) * ta)), 9)
+      |    END AS term9
+      |  FROM g, t, st
+      |),
+      |sc AS (
+      |  SELECT ROUND(CAST(COALESCE(SUM(CAST(term9 AS DECIMAL(24,9))), 0)
+      |      AS DOUBLE), 6) AS psi6,
+      |    CAST(COALESCE(SUM(CASE WHEN (n_a = 0) != (n_b = 0) THEN 1 ELSE 0
+      |      END), 0) AS BIGINT) AS n_skipped
+      |  FROM terms
+      |)
+      |SELECT bucket, lo, n_a, n_b, share_a_micro, share_b_micro, term9,
+      |  psi6, n_skipped
+      |FROM terms, sc""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -3902,6 +4058,9 @@ object Text {
     QueryDef("q208_isotonic_by_source", q208IsotonicBySource, None,
       dynamicOracle = Some(() => q208Oracle)),
     QueryDef("q209_auc_compare_by_source", q209AucCompareBySource, Some(q209Sql)),
+    QueryDef("q210_avg_precision", q210AvgPrecision, Some(q210Sql)),
+    QueryDef("q211_calibration_by_source", q211CalibrationBySource, Some(q211Sql)),
+    QueryDef("q212_psi_drift", q212PsiDrift, Some(q212Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

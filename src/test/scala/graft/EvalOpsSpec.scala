@@ -802,6 +802,87 @@ class EvalOpsSpec extends SparkSpec {
     assert(bins.toSeq == Seq(0L, 5L, 9L), s"bins: ${bins.mkString(",")}")
   }
 
+  test("binaryAp: hand case, ties pool, separated/constant closed forms, brute force") {
+    def ap(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val r = LmOps.binaryAp(rows.toDF("score", "y"), "score", "y").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // descending: s=3 → P=1/1 (Δr=1/2), s=1 → P=2/3 (Δr=1/2):
+    // terms 10⁶ and ⌊2·10⁶/3⌋ = 666666 → ap = ⌊1666666/2⌋ = 833333
+    assert(ap(Seq((3L, 1L), (2L, 0L), (1L, 1L))) == ((3L, 2L, 1L, 833333L, 666666L)))
+    // a tied block pools: one distinct score, P = 1/2 at full recall
+    assert(ap(Seq((2L, 1L), (2L, 0L))) == ((2L, 1L, 1L, 500000L, 500000L)))
+    // perfectly separated → AP = 1; constant scorer → AP = prevalence
+    assert(ap(Seq((9L, 1L), (8L, 1L), (2L, 0L), (1L, 0L)))._4 == 1000000L)
+    val const = ap(Seq((5L, 1L), (5L, 0L), (5L, 0L), (5L, 0L)))
+    assert(const._4 == const._5 && const._5 == 250000L)
+    // no positives → 0, not NaN
+    assert(ap(Seq((1L, 0L), (2L, 0L))) == ((2L, 0L, 2L, 0L, 0L)))
+    // brute force with the exact per-threshold floor contract
+    val xs = Iterator.iterate(131L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(90).toSeq
+    val rnd = xs.map(x => ((x >> 5) % 21 - 10, (x >> 2) % 2))
+    val g = rnd.groupBy(_._1).toSeq.sortBy(-_._1).map { case (s, rs) =>
+      (s, rs.count(_._2 == 1L).toLong, rs.size.toLong) }
+    val tp = g.map(_._2).sum
+    var (cp, ca, ts) = (0L, 0L, BigInt(0))
+    g.foreach { case (_, p, a) =>
+      cp += p; ca += a; ts += BigInt(1000000L) * p * cp / ca }
+    assert(ap(rnd)._4 == (ts / tp).toLong)
+  }
+
+  test("calibrationReportBy equals per-group calibrationReport, null keys drop") {
+    val xs = Iterator.iterate(271L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(240).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val pm = x % 1000001L
+      (s"g${i % 3}", pm, if ((pm / 991L + i % 3) % 7L > 2L) 1L else 0L) }
+    val by = LmOps.calibrationReportBy(rows.toDF("k", "pm", "y"),
+      Seq("k"), "pm", "y", bins = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = LmOps.calibrationReport(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("pm", "y"),
+        "pm", "y", bins = 8)
+        .collect().map(r => (g, r.getLong(0)) -> r.toSeq).toMap
+      solo.foreach { case (k, v) =>
+        assert(by(k) == v, s"slice $k disagrees with the global report") }
+    }
+    // a null key row drops without disturbing the real slices
+    val withNull = rows.toDF("k", "pm", "y").unionByName(
+      Seq((Option.empty[String], 1L, 1L)).toDF("k", "pm", "y"))
+    assert(LmOps.calibrationReportBy(withNull, Seq("k"), "pm", "y", bins = 8)
+      .collect().length == by.size)
+  }
+
+  test("psi: hand two-bucket case, identical distributions, one-sided buckets skipped") {
+    // A: 80/20 over two buckets, B: 50/50 → PSI = 0.3·ln(1.6) + 0.3·ln(2.5)
+    // (second term: (0.2−0.5)·ln(0.4) = 0.3·ln(2.5)) — round-9 terms sum
+    // to 0.415888 at 6 decimals
+    val hand = Seq.fill(80)((0L, "A")) ++ Seq.fill(20)((9L, "A")) ++
+      Seq.fill(50)((0L, "B")) ++ Seq.fill(50)((9L, "B"))
+    val h = Profile.psi(hand.toDF("v", "g"), "v", "g", "A", "B", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(h.length == 2)
+    assert(h(0).getLong(2) == 80L && h(0).getLong(3) == 50L) // n_a, n_b
+    assert(h(0).getLong(4) == 800000L && h(0).getLong(5) == 500000L)
+    assert(h.forall(_.getDouble(7) == 0.415888)) // psi6 rides every row
+    assert(h.forall(_.getLong(8) == 0L))
+    // identical distributions → every term 0, psi 0
+    val same = Seq.fill(30)((1L, "A")) ++ Seq.fill(10)((5L, "A")) ++
+      Seq.fill(30)((1L, "B")) ++ Seq.fill(10)((5L, "B"))
+    assert(Profile.psi(same.toDF("v", "g"), "v", "g", "A", "B", buckets = 4)
+      .collect().forall(r => r.getDouble(7) == 0.0))
+    // a bucket observed on one side only: term NULL, counted in n_skipped,
+    // the remaining buckets still sum
+    val oneSided = Seq.fill(10)((0L, "A")) ++ Seq.fill(10)((9L, "A")) ++
+      Seq.fill(20)((0L, "B"))
+    val o = Profile.psi(oneSided.toDF("v", "g"), "v", "g", "A", "B", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(o.length == 2 && o.forall(_.getLong(8) == 1L))
+    assert(o(1).isNullAt(6) && !o(0).isNullAt(6))
+  }
+
   test("memoFit key is data-aware: rewriting the input under the same tag refits") {
     // pins the q194 contract (r15 verdict): the memo key derives from the
     // canonicalized plan + backing files, so an input rewrite under an

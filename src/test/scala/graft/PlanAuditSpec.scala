@@ -131,6 +131,13 @@ class PlanAuditSpec extends SparkSpec {
     // q205/q207: q196's anchor/stats 1-row crossJoins, once per placement
     // map (LmOps.delongPlacements; q207 runs two maps, one per scorer)
     "q205_auc_delong", "q207_auc_compare",
+    // q210: the same anchor-exemplar + 1-row min/max/totals stats
+    // crossJoins as q196 (LmOps.binaryApFromCounts)
+    "q210_avg_precision",
+    // q212: the ≤buckets-row term table crossJoins the broadcast 1-row
+    // min/max, totals and psi-scalar frames (Profile.psi — the
+    // q199/q155 drift-totals shape)
+    "q212_psi_drift",
     // (q204 left this list when its output became literal-built from the
     // collected bin table — the single-scan ADVICE-r15 rework: the scan
     // with the anchor-probe crossJoin now runs once, inside the collect,
@@ -337,7 +344,8 @@ class PlanAuditSpec extends SparkSpec {
     // one-row aggregate/totals — map-side partials, ~one row per task
     // crosses each. None of them carries the distinct table itself, which
     // the window-spec assert below pins to per-bucket partitions.
-    Seq("q196_binary_auc" -> "ng", "q199_ks_drift" -> "ca").foreach {
+    Seq("q196_binary_auc" -> "ng", "q199_ks_drift" -> "ca",
+        "q210_avg_precision" -> "p").foreach {
       case (q, cumCol) =>
         val plan = planOf(q)
         val single = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
@@ -358,6 +366,12 @@ class PlanAuditSpec extends SparkSpec {
     val p209 = planOf("q209_auc_compare_by_source")
     assert(!p209.contains("Exchange SinglePartition"),
       "q209 plans a SinglePartition exchange — the keyed paired DeLong regressed")
+    // q211: per-key bins + per-key Brier/ECE — same zero-SinglePartition
+    // contract (calibrationReportBy has no window at all)
+    val p211 = planOf("q211_calibration_by_source")
+    assert(!p211.contains("Exchange SinglePartition"),
+      "q211 plans a SinglePartition exchange — the keyed calibration regressed")
+    assert(!p211.contains("Window"), "q211 must not plan a window")
     // q208: the returned frame is literal-built from the bounded collected
     // (source, bin) table — consuming it re-runs no corpus work (the
     // single-scan isotonic contract)
