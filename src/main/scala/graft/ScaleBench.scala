@@ -1163,6 +1163,25 @@ object ScaleBench {
         s"constant-scorer AP closed form failed: $b")
     }
 
+    // Keyed AP at 10M rows / 100 slices: per key, 100k distinct scores
+    // with the upper half positive ⇒ perfectly separated ⇒ ap = 10⁶ and
+    // prevalence = 500000 in every slice. Gates the fully-keyed AP shape
+    // (per-key bucket widths, keyed windows, keyed totals re-join).
+    timed("keyed_ap_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        (col("id") / 100).cast("long").as("score"),
+        when((col("id") / 100).cast("long") >= 50000L, 1L).otherwise(0L).as("y"))
+      val out = operators.LmOps.binaryApBy(rows, Seq("k"), "score", "y")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("ap_micro") === 1000000L &&
+          col("prevalence_micro") === 500000L &&
+          col("n") === n / 100, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed AP closed form failed: $a")
+    }
+
     // Keyed paired DeLong at 10M rows / 100 slices: scorer A is the
     // group_auc ramp (per-key alternating labels over 100k distinct
     // scores ⇒ auc_a = 500010 micro), scorer B is CONSTANT (all rows tie

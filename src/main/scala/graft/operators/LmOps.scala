@@ -738,6 +738,73 @@ object LmOps {
                   DIV (n_pos + n_neg) AS BIGINT) END""").as("prevalence_micro"))
   }
 
+  /** [[binaryAp]] per key group — the PR-metric slice dashboard
+    * ([[binaryAucBy]]'s companion, and the slice form that matters most:
+    * class imbalance VARIES by slice, so a global AP hides exactly the
+    * slices where AUC is most misleading). Same per-threshold-floor
+    * quantization contract as the global form; per-key bucket widths,
+    * every window partitioned by (keys) or (keys, b), the per-key totals
+    * re-attach after the windows as a |keys|-row join — ZERO
+    * SinglePartition anywhere. Complete-case on keys and scores. Output
+    * (one row per group): keys…, n, n_pos, n_neg, ap_micro,
+    * prevalence_micro.
+    */
+  def binaryApBy(df: DataFrame, keys: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(keys.nonEmpty, "binaryApBy needs at least one key (use binaryAp)")
+    val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
+      "pos_below", "all_below", "n", "n_pos", "n_neg", "ap_micro",
+      "prevalence_micro", "__y", "__tp", "__tot", "__term", "__ts")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    val g = df
+      .select(ks :+ col(scoreCol).cast("long").as("score") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("score").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks :+ col("score"): _*)
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    val stats = g.groupBy(ks: _*)
+      .agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"),
+        sum(col("p")).as("__tp"), sum(col("p") + col("ng")).as("__tot"))
+    val bucketed = g.join(stats.select(ks :+ col("__mn") :+ col("__mx"): _*), keys)
+      .withColumn("b", expr("(score - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.partitionBy(ks: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(ks :+ col("b"): _*)
+      .agg(sum(col("ng")).as("bn"), sum(col("p")).as("bp"))
+      .withColumn("off_n", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .withColumn("off_p", coalesce(sum(col("bp")).over(wOff), lit(0L)))
+      .select(ks ++ Seq(col("b"), col("off_n"), col("off_p")): _*)
+    val wLoc = Window.partitionBy(ks :+ col("b"): _*).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offsets, keys :+ "b")
+      .withColumn("pos_below",
+        col("off_p") + coalesce(sum(col("p")).over(wLoc), lit(0L)))
+      .withColumn("all_below",
+        col("pos_below") + col("off_n") +
+          coalesce(sum(col("ng")).over(wLoc), lit(0L)))
+      .join(stats.select(ks :+ col("__tp") :+ col("__tot"): _*), keys)
+      .withColumn("__term",
+        expr("""CASE WHEN p = 0 THEN 0 ELSE
+                (CAST(1000000 AS DECIMAL(38,0)) * p * (__tp - pos_below))
+                DIV (__tot - all_below) END"""))
+      .groupBy(ks: _*)
+      .agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        coalesce(sum(col("__term").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__ts"))
+      .select(ks ++ Seq(
+        (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 THEN 0
+                ELSE CAST(__ts DIV n_pos AS BIGINT) END""").as("ap_micro"),
+        expr("""CASE WHEN n_pos + n_neg = 0 THEN 0
+                ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n_pos
+                  DIV (n_pos + n_neg) AS BIGINT) END""")
+          .as("prevalence_micro")): _*)
+  }
+
   /** [[binaryAuc]] with the DeLong standard error and a 95% CI (DeLong,
     * DeLong & Clarke-Pearson 1988) — the difference between "AUC 0.71"
     * and "AUC 0.71 ± 0.04" is whether the eval set was big enough to act

@@ -3558,6 +3558,65 @@ object Text {
        |    END AS BIGINT) AS prevalence_micro
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+
+  /** q213: per-source average precision (`LmOps.binaryApBy`) — the
+    * PR-metric slice dashboard closing the keyed eval family: per source
+    * shard, how well does length rank English documents in PRECISION
+    * terms, against each slice's own prevalence baseline? The slice form
+    * matters most for AP because class imbalance varies by slice — the
+    * slices where AUC is most misleading are exactly the ones a global
+    * AP averages away. Fully keyed two-phase pass, zero SinglePartition.
+    */
+  def q213ApBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryApBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars").as("len_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "len_score", "is_en")
+
+  val q213Sql: String =
+    """WITH base AS (
+      |  SELECT source, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case key/score mirror of binaryApBy
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT source, score, CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+      |  FROM base GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT source, CAST(SUM(p) AS BIGINT) AS tp,
+      |    CAST(SUM(p + ng) AS BIGINT) AS tot
+      |  FROM g GROUP BY source
+      |),
+      |c AS (
+      |  SELECT g.source, p, ng, tp, tot,
+      |    COALESCE(SUM(p) OVER w, 0) AS pos_below,
+      |    COALESCE(SUM(p + ng) OVER w, 0) AS all_below
+      |  FROM g JOIN t USING (source)
+      |  WINDOW w AS (PARTITION BY g.source ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |),
+      |s AS (
+      |  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+      |    CAST(SUM(ng) AS BIGINT) AS n_neg,
+      |    COALESCE(SUM(CASE WHEN p = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * p * (tp - pos_below))
+      |        // (tot - all_below) END), 0) AS ts
+      |  FROM c GROUP BY source
+      |)
+      |SELECT source, n_pos + n_neg AS n, n_pos, n_neg,
+      |  CAST(CASE WHEN n_pos = 0 THEN 0 ELSE ts // n_pos END AS BIGINT)
+      |    AS ap_micro,
+      |  CAST(CASE WHEN n_pos + n_neg = 0 THEN 0
+      |    ELSE CAST(1000000 AS HUGEINT) * n_pos // (n_pos + n_neg)
+      |    END AS BIGINT) AS prevalence_micro
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q211
 
   /** q211: per-source calibration report (`LmOps.calibrationReportBy`) —
@@ -4061,6 +4120,7 @@ object Text {
     QueryDef("q210_avg_precision", q210AvgPrecision, Some(q210Sql)),
     QueryDef("q211_calibration_by_source", q211CalibrationBySource, Some(q211Sql)),
     QueryDef("q212_psi_drift", q212PsiDrift, Some(q212Sql)),
+    QueryDef("q213_ap_by_source", q213ApBySource, Some(q213Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -831,6 +831,30 @@ class EvalOpsSpec extends SparkSpec {
     assert(ap(rnd)._4 == (ts / tp).toLong)
   }
 
+  test("binaryApBy equals per-group binaryAp; keyed plan has no SinglePartition") {
+    val xs = Iterator.iterate(419L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(150).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"g${i % 3}", (x >> 5) % 23 - 11, (x >> 2) % 2) }
+    val df = rows.toDF("k", "score", "y")
+    val by = LmOps.binaryApBy(df, Seq("k"), "score", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(by.size == 3)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = LmOps.binaryAp(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("score", "y"),
+        "score", "y").collect()(0)
+      assert(by(g) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        solo.getLong(3), solo.getLong(4))),
+        s"slice $g disagrees with the global AP on its subset")
+    }
+    val plan = LmOps.binaryApBy(df, Seq("k"), "score", "y")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "keyed AP plans a SinglePartition exchange")
+  }
+
   test("calibrationReportBy equals per-group calibrationReport, null keys drop") {
     val xs = Iterator.iterate(271L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(240).toSeq

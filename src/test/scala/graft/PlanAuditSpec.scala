@@ -344,13 +344,17 @@ class PlanAuditSpec extends SparkSpec {
     // one-row aggregate/totals — map-side partials, ~one row per task
     // crosses each. None of them carries the distinct table itself, which
     // the window-spec assert below pins to per-bucket partitions.
-    Seq("q196_binary_auc" -> "ng", "q199_ks_drift" -> "ca",
-        "q210_avg_precision" -> "p").foreach {
-      case (q, cumCol) =>
+    // q210 allows one more: its 1-row stats agg is consumed through TWO
+    // narrow selects (mn/mx before the windows, tp/tot after — the
+    // row-narrowing that bought 36→20 s on the 10M gate), each planning
+    // its own 1-row SinglePartition aggregate
+    Seq(("q196_binary_auc", "ng", 4), ("q199_ks_drift", "ca", 4),
+        ("q210_avg_precision", "p", 5)).foreach {
+      case (q, cumCol, maxSingle) =>
         val plan = planOf(q)
         val single = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
           .findAllMatchIn(plan).map(_.group(1)).toSet.size
-        assert(single <= 4, s"$q plans $single SinglePartition exchanges — " +
+        assert(single <= maxSingle, s"$q plans $single SinglePartition exchanges — " +
           "the distinct-table cumulative sum must stay per-bucket")
         val sumSpecs = s"sum\\($cumCol[^)]*\\) windowspecdefinition\\(([^,]*)".r
           .findAllMatchIn(plan).map(_.group(1)).toList
@@ -366,6 +370,9 @@ class PlanAuditSpec extends SparkSpec {
     val p209 = planOf("q209_auc_compare_by_source")
     assert(!p209.contains("Exchange SinglePartition"),
       "q209 plans a SinglePartition exchange — the keyed paired DeLong regressed")
+    // q213: per-key AP — same zero-SinglePartition contract as q202/q209
+    assert(!planOf("q213_ap_by_source").contains("Exchange SinglePartition"),
+      "q213 plans a SinglePartition exchange — the keyed AP regressed")
     // q211: per-key bins + per-key Brier/ECE — same zero-SinglePartition
     // contract (calibrationReportBy has no window at all)
     val p211 = planOf("q211_calibration_by_source")
