@@ -500,28 +500,41 @@ object Profile {
     * that exact sum (the se6/z6 discipline; LN agreement across engines
     * is the q86 perplexity precedent).
     *
-    * Scale shape: rows reduce to a ≤ `buckets`-row count table in ONE
-    * map-side-combinable groupBy (the bucket id is computed from a
-    * broadcast 1-row min/max frame); everything after is bucket-table
-    * math. Counts ride `n·10⁶` in Long — fine to ~9·10¹² rows (the
-    * bucketDrift bound). Output (one row per bucket observed on either
-    * side): bucket, lo, n_a, n_b, share_a_micro, share_b_micro, term9,
-    * psi6, n_skipped — the scalars ride every row (q155 convention).
+    * Scale shape: rows reduce to the distinct-value count table in ONE
+    * map-side-combinable groupBy (the [[ksTwoSample]] shuffle volume —
+    * shared so one streaming store feeds both monitors), then to ≤
+    * `buckets` rows (bucket ids from a broadcast 1-row min/max frame);
+    * everything after is bucket-table math. Counts ride `n·10⁶` in Long —
+    * fine to ~9·10¹² rows (the bucketDrift bound). Output (one row per
+    * bucket observed on either side): bucket, lo, n_a, n_b,
+    * share_a_micro, share_b_micro, term9, psi6, n_skipped — the scalars
+    * ride every row (q155 convention).
     */
   def psi(df: DataFrame, valueCol: String, groupCol: String,
-      groupA: String, groupB: String, buckets: Int = 16): DataFrame = {
-    require(buckets >= 2 && buckets <= 1024,
-      s"buckets must be in [2, 1024], got $buckets")
-    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      groupA: String, groupB: String, buckets: Int = 16): DataFrame =
+    psiFromCounts(df.filter(col(groupCol).isin(groupA, groupB))
       .select(col(valueCol).cast("long").as("v"),
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
-      .where(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb")),
+      buckets)
+
+  /** [[psi]] over a PRE-AGGREGATED (v, ca, cb) distinct-value count
+    * table — the SAME mergeable store [[ksTwoSampleFromCounts]] reads, so
+    * one streaming value-count store feeds both drift monitors (counts
+    * for the same value combine; NULL values excluded; bucket edges are
+    * recomputed from the merged min/max at emit time). */
+  def psiFromCounts(counts: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val base = counts.where(col("v").isNotNull).groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val stats = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
     val g = base.crossJoin(broadcast(stats))
       .withColumn("bucket",
         expr(s"(v - __mn) DIV ((__mx - __mn) DIV $buckets + 1)"))
       .groupBy(col("bucket"))
-      .agg(sum(col("__ia")).as("n_a"), sum(lit(1L) - col("__ia")).as("n_b"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val tot = g.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"),
       coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
     val terms = g.crossJoin(broadcast(tot)).crossJoin(broadcast(stats))
@@ -540,6 +553,114 @@ object Profile {
       coalesce(sum(when((col("n_a") === 0L) =!= (col("n_b") === 0L), 1L)
         .otherwise(0L)), lit(0L)).as("n_skipped"))
     terms.crossJoin(broadcast(sc)) // buckets × 1
+  }
+
+  /** [[psi]] per key group — the drift slice dashboard sibling of
+    * [[ksTwoSampleBy]] (q206): WHICH slice's distribution moved, in
+    * mass-weighted terms? Per-key bucket edges (each slice buckets its
+    * OWN min/max — a global grid would alias slices with different value
+    * ranges into shared edge buckets), per-key totals and scalars, every
+    * aggregate and join keyed — zero SinglePartition, no window. Same
+    * determinism and skip contracts as [[psi]]. Output (one row per
+    * (key, bucket) observed on either side): keys…, bucket, lo, n_a,
+    * n_b, share_a_micro, share_b_micro, term9, psi6, n_skipped — the
+    * per-key scalars ride every row of their key.
+    */
+  def psiBy(df: DataFrame, keys: Seq[String], valueCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      buckets: Int = 16): DataFrame = {
+    require(keys.nonEmpty, "psiBy needs at least one key (use psi)")
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val reserved = Set("v", "ca", "cb", "bucket", "lo", "n_a", "n_b",
+      "share_a_micro", "share_b_micro", "term9", "psi6", "n_skipped",
+      "__ia", "__mn", "__mx", "__ta", "__tb")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val g0 = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(ks :+ col(valueCol).cast("long").as("v") :+
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"): _*)
+      .where(col("v").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks :+ col("v"): _*)
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+    val stats = g0.groupBy(ks: _*)
+      .agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val g = g0.join(stats, keys)
+      .withColumn("bucket",
+        expr(s"(v - __mn) DIV ((__mx - __mn) DIV $buckets + 1)"))
+      .groupBy(ks :+ col("bucket"): _*)
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val tot = g.groupBy(ks: _*)
+      .agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val terms = g.join(tot, keys).join(stats, keys)
+      .select(ks ++ Seq(col("bucket"),
+        expr(s"__mn + bucket * ((__mx - __mn) DIV $buckets + 1)").as("lo"),
+        col("n_a"), col("n_b"),
+        expr("n_a * 1000000 DIV __ta").as("share_a_micro"),
+        expr("n_b * 1000000 DIV __tb").as("share_b_micro"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  ROUND((CAST(n_a AS DOUBLE) / __ta - CAST(n_b AS DOUBLE) / __tb)
+                    * LN(CAST(n_a AS DOUBLE) * __tb / (CAST(n_b AS DOUBLE) * __ta)), 9)
+                END""").as("term9")): _*)
+    val sc = terms.groupBy(ks: _*).agg(
+      round(coalesce(sum(col("term9").cast(DecimalType(24, 9))),
+        lit(0).cast(DecimalType(24, 9))).cast("double"), 6).as("psi6"),
+      coalesce(sum(when((col("n_a") === 0L) =!= (col("n_b") === 0L), 1L)
+        .otherwise(0L)), lit(0L)).as("n_skipped"))
+    terms.join(sc, keys)
+      .select(ks ++ Seq(col("bucket"), col("lo"), col("n_a"), col("n_b"),
+        col("share_a_micro"), col("share_b_micro"), col("term9"),
+        col("psi6"), col("n_skipped")): _*)
+  }
+
+  /** Mutual information (in nats) + normalized MI between two categorical
+    * columns — the dependence STRENGTH dial complementing [[chiSquare]]'s
+    * significance test: χ² asks "is there ANY association at this n", MI
+    * says "how many nats does knowing A give about B" (the
+    * feature-leakage / redundancy triage a curation team runs over
+    * metadata columns; χ² saturates at corpus n, MI doesn't).
+    *   MI = Σ_{cells, o>0} (o/n)·ln(o·n/(r·c)),
+    *   H(X) = −Σ (cnt/n)·ln(cnt/n),
+    *   NMI = MI / √(H(A)·H(B))   (Strehl & Ghosh 2002; 0 when either
+    * entropy is 0). Zero-observed cells contribute 0 (x·ln x → 0), so NO
+    * cell grid materializes — shuffle volume is the observed distinct-
+    * cell table, never the |A|×|B| grid [[chiSquare]] needs.
+    * Determinism: per-cell/per-value ln terms round-9, summed as
+    * DECIMAL(24,9) (associative), round-6 outputs; NMI computed from the
+    * ROUNDED sums with identical expression text in both engines.
+    * Complete-case on both columns. Output (one row): n, n_a, n_b, mi6,
+    * h_a6, h_b6, nmi6.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val cb = obs.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = obs.agg(coalesce(sum(col("o")), lit(0L)).as("n"),
+      count_distinct(col("a")).as("n_a"), count_distinct(col("b")).as("n_b"))
+    def decSum9(c: Column): Column =
+      round(coalesce(sum(c.cast(DecimalType(24, 9))),
+        lit(0).cast(DecimalType(24, 9))).cast("double"), 6)
+    val mi = obs.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .select(expr("""ROUND(CAST(o AS DOUBLE) / n *
+        LN(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 9)""").as("t"))
+      .agg(decSum9(col("t")).as("mi6"))
+    def entropy(cnts: DataFrame, cn: String, out: String): DataFrame =
+      cnts.crossJoin(broadcast(tot.select(col("n"))))
+        .select(expr(s"""ROUND(-(CAST($cn AS DOUBLE) / n) *
+          LN(CAST($cn AS DOUBLE) / n), 9)""").as("t"))
+        .agg(decSum9(col("t")).as(out))
+    tot.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(ra, "r", "h_a6")))
+      .crossJoin(broadcast(entropy(cb, "c", "h_b6")))
+      .withColumn("nmi6",
+        expr("""CASE WHEN h_a6 <= 0.0 OR h_b6 <= 0.0 THEN 0.0
+                ELSE ROUND(mi6 / SQRT(h_a6 * h_b6), 6) END"""))
+      .select(col("n"), col("n_a"), col("n_b"), col("mi6"),
+        col("h_a6"), col("h_b6"), col("nmi6"))
   }
 
   /** [[ksTwoSample]] over a PRE-AGGREGATED (v, ca, cb) count table — the

@@ -3724,6 +3724,117 @@ object Text {
       |  psi6, n_skipped
       |FROM terms, sc""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  /** q214: per-language PSI drift slices (`Profile.psiBy`) — q206's KS
+    * slice dashboard in mass-weighted terms: WHICH language's length
+    * distribution moved between src0 and src1, and by how much total?
+    * Per-key bucket edges (each slice buckets its own min/max), per-key
+    * scalars, zero SinglePartition.
+    */
+  def q214PsiByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.psiBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("n_chars"), col("source")),
+      Seq("lang"), "n_chars", "source", "src0", "src1", buckets = 8)
+
+  val q214Sql: String =
+    """WITH base AS (
+      |  SELECT lang, n_chars AS v,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1')
+      |    AND lang IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |st AS (SELECT lang, MIN(v) AS mn, MAX(v) AS mx FROM base GROUP BY lang),
+      |g AS (
+      |  SELECT base.lang, (v - mn) // ((mx - mn) // 8 + 1) AS bucket,
+      |    CAST(SUM(ia) AS BIGINT) AS n_a,
+      |    CAST(COUNT(1) - SUM(ia) AS BIGINT) AS n_b
+      |  FROM base JOIN st USING (lang) GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT lang, CAST(SUM(n_a) AS BIGINT) AS ta,
+      |    CAST(SUM(n_b) AS BIGINT) AS tb
+      |  FROM g GROUP BY lang
+      |),
+      |terms AS (
+      |  SELECT g.lang, bucket,
+      |    CAST(mn + bucket * ((mx - mn) // 8 + 1) AS BIGINT) AS lo,
+      |    n_a, n_b,
+      |    CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_micro,
+      |    CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_micro,
+      |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |      ROUND((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+      |        * LN(CAST(n_a AS DOUBLE) * tb / (CAST(n_b AS DOUBLE) * ta)), 9)
+      |    END AS term9
+      |  FROM g JOIN t USING (lang) JOIN st USING (lang)
+      |),
+      |sc AS (
+      |  SELECT lang,
+      |    ROUND(CAST(COALESCE(SUM(CAST(term9 AS DECIMAL(24,9))), 0)
+      |      AS DOUBLE), 6) AS psi6,
+      |    CAST(COALESCE(SUM(CASE WHEN (n_a = 0) != (n_b = 0) THEN 1 ELSE 0
+      |      END), 0) AS BIGINT) AS n_skipped
+      |  FROM terms GROUP BY lang
+      |)
+      |SELECT terms.lang, bucket, lo, n_a, n_b, share_a_micro,
+      |  share_b_micro, term9, psi6, n_skipped
+      |FROM terms JOIN sc USING (lang)""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+
+  /** q215: mutual information of source × language
+    * (`Profile.mutualInfo`) — the dependence-strength dial behind q201's
+    * χ² significance: how many nats does a document's source shard give
+    * about its language (and normalized to [0,1])? The metadata
+    * leakage/redundancy triage a curation team runs — χ² saturates at
+    * corpus n, MI doesn't. No cell grid: only observed cells shuffle.
+    */
+  def q215MutualInfo(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.mutualInfo(
+      Tables.load(spark, sfDir, "documents").select(col("source"), col("lang")),
+      "source", "lang")
+
+  val q215Sql: String =
+    """WITH obs AS (
+      |  SELECT source AS a, lang AS b, CAST(COUNT(1) AS BIGINT) AS o
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND lang IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY a),
+      |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY b),
+      |t AS (
+      |  SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+      |  FROM obs
+      |),
+      |mi AS (
+      |  SELECT ROUND(CAST(COALESCE(SUM(CAST(
+      |    ROUND(CAST(o AS DOUBLE) / n *
+      |      LN(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 9)
+      |    AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS mi6
+      |  FROM obs JOIN ra USING (a) JOIN cb USING (b), t
+      |),
+      |ha AS (
+      |  SELECT ROUND(CAST(COALESCE(SUM(CAST(
+      |    ROUND(-(CAST(r AS DOUBLE) / n) * LN(CAST(r AS DOUBLE) / n), 9)
+      |    AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS h_a6
+      |  FROM ra, t
+      |),
+      |hb AS (
+      |  SELECT ROUND(CAST(COALESCE(SUM(CAST(
+      |    ROUND(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n), 9)
+      |    AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS h_b6
+      |  FROM cb, t
+      |)
+      |SELECT n, n_a, n_b, mi6, h_a6, h_b6,
+      |  CASE WHEN h_a6 <= 0.0 OR h_b6 <= 0.0 THEN 0.0
+      |    ELSE ROUND(mi6 / SQRT(h_a6 * h_b6), 6) END AS nmi6
+      |FROM t, mi, ha, hb""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4121,6 +4232,8 @@ object Text {
     QueryDef("q211_calibration_by_source", q211CalibrationBySource, Some(q211Sql)),
     QueryDef("q212_psi_drift", q212PsiDrift, Some(q212Sql)),
     QueryDef("q213_ap_by_source", q213ApBySource, Some(q213Sql)),
+    QueryDef("q214_psi_by_lang", q214PsiByLang, Some(q214Sql)),
+    QueryDef("q215_mutual_info", q215MutualInfo, Some(q215Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -1229,6 +1229,59 @@ object Streaming {
     ()
   }
 
+  /** Streaming PSI drift monitor — the mass-weighted twin of
+    * [[ksMonitorStream]] over the IDENTICAL (v, ca, cb) distinct-value
+    * count-delta store shape (`Profile.psiFromCounts` reads what
+    * `ksTwoSampleFromCounts` reads): per batch, exact PSI over every
+    * committed batch in the retention window, bucket edges recomputed
+    * from the merged min/max at emit. Same state bound, retention and
+    * replay contracts as the KS monitor. Output at `outDir/batch_id=N`:
+    * the per-bucket (bucket, lo, n_a, n_b, share_a_micro, share_b_micro,
+    * term9, psi6, n_skipped) report.
+    */
+  def psiMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPsiBatch(batch, batchId, outDir, storeDir, valueCol, groupCol,
+          groupA, groupB, buckets, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[psiMonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processPsiBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
+    val mine = batch
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.Profile.psiFromCounts(all, buckets)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming χ² independence monitor — the CATEGORICAL drift twin
     * completing the monitor trio ([[aucMonitorStream]] for ranking,
     * [[ksMonitorStream]] for ordered values): per-batch (a, b, o)

@@ -907,6 +907,48 @@ class EvalOpsSpec extends SparkSpec {
     assert(o(1).isNullAt(6) && !o(0).isNullAt(6))
   }
 
+  test("psiBy equals per-group psi; keyed plan has no SinglePartition") {
+    val xs = Iterator.iterate(733L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(300).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", (x >> 4) % 40, if ((x & 4) == 0) "A" else "B") }
+    val df = rows.toDF("k", "v", "g")
+    val by = Profile.psiBy(df, Seq("k"), "v", "g", "A", "B", buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.psi(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("v", "g"),
+        "v", "g", "A", "B", buckets = 4)
+        .collect().map(r => (grp, r.getLong(0)) -> r.toSeq).toMap
+      solo.foreach { case (kk, v) =>
+        assert(by(kk) == v, s"slice $kk disagrees with the global psi") }
+    }
+    val plan = Profile.psiBy(df, Seq("k"), "v", "g", "A", "B", buckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "keyed PSI plans a SinglePartition exchange")
+  }
+
+  test("mutualInfo: perfect association, independence, degenerate column") {
+    def mi(rows: Seq[(String, String)]) = {
+      val r = Profile.mutualInfo(rows.toDF("a", "b"), "a", "b").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }
+    // 2×2 perfect association at 50/50: every cell term .5·ln2, H = ln2,
+    // NMI exactly 1
+    val assoc = Seq.fill(10)(("u", "p")) ++ Seq.fill(10)(("v", "q"))
+    assert(mi(assoc) == ((20L, 2L, 2L, 0.693147, 0.693147, 0.693147, 1.0)))
+    // independent uniform grid → MI 0, NMI 0, entropies ln2
+    val indep = for (a <- Seq("u", "v"); b <- Seq("p", "q"); _ <- 1 to 20)
+      yield (a, b)
+    assert(mi(indep) == ((80L, 2L, 2L, 0.0, 0.693147, 0.693147, 0.0)))
+    // one-valued B column → H(B) = 0 → NMI defined as 0
+    val degen = Seq(("u", "p"), ("v", "p"), ("u", "p"))
+    val d = mi(degen)
+    assert(d._6 == 0.0 && d._7 == 0.0 && d._4 == 0.0)
+  }
+
   test("memoFit key is data-aware: rewriting the input under the same tag refits") {
     // pins the q194 contract (r15 verdict): the memo key derives from the
     // canonicalized plan + backing files, so an input rewrite under an

@@ -474,6 +474,40 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming PSI monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("psistream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.psiMonitorStream(mem.toDF().toDF("v", "g"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "v", "g", "ref", "live",
+      buckets = 8)
+    // live is ref shifted by +9 on a 0..39 grid; an ignored third group
+    def rows(lo: Int, hi: Int) = (lo until hi).flatMap { i =>
+      val v = (i.toLong * 2654435761L) % 40L
+      Seq((v, "ref"), (v + 9L, "live"), (v, "other"))
+    }
+    val b0 = rows(0, 250)
+    val b1 = rows(250, 700)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val streamed = snap()
+    val batch = graft.operators.Profile.psi(
+      (b0 ++ b1).toDF("v", "g"), "v", "g", "ref", "live", buckets = 8)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.head(7).asInstanceOf[Double] > 0.0) // psi6 non-trivial
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processPsiBatch(b1.toDF("v", "g"), 1L,
+      s"$dir/out", s"$dir/store", "v", "g", "ref", "live", 8)
+    assert(snap() == streamed)
+  }
+
   test("streaming calibration monitor equals the batch report over merged counts, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -138,6 +138,10 @@ class PlanAuditSpec extends SparkSpec {
     // min/max, totals and psi-scalar frames (Profile.psi — the
     // q199/q155 drift-totals shape)
     "q212_psi_drift",
+    // q215: the distinct-cell table crossJoins the broadcast 1-row
+    // totals frame, and the 1-row output assembles three broadcast 1-row
+    // scalar frames (Profile.mutualInfo — the q187 dataset-card shape)
+    "q215_mutual_info",
     // (q204 left this list when its output became literal-built from the
     // collected bin table — the single-scan ADVICE-r15 rework: the scan
     // with the anchor-probe crossJoin now runs once, inside the collect,
