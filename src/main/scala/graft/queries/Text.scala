@@ -2670,6 +2670,24 @@ object Text {
         when(col("label") === col("__albl"), 1L).otherwise(0L).as("y"))
   }
 
+  // the full-dim anchor scoring feeds FIVE eval queries (q196 AUC, q197
+  // calibration, q204 isotonic, q205 DeLong, q210 AP) — share the scored
+  // (score_micro, y) frame per (session, sfDir) like the jaccard family
+  // (it is embeddings-row-sized, tiny next to the cosine scan it saves).
+  // q200 (truncated dims) and q207 (two scorers) compute different score
+  // columns and stay direct. NOTE q204/q210 ALSO reach this cache from
+  // inside driver-side collects at construction time; their returned
+  // plans carry the lineage (q210) or not (q204, literal-built) — q204 is
+  // a hand-declared consumer the plan audit cannot see (the q93 class,
+  // pinned in CacheLifeSpec).
+  private val AnchorConsumers: Set[String] = Set("q196_binary_auc",
+    "q197_calibration", "q204_isotonic", "q205_auc_delong",
+    "q210_avg_precision")
+
+  private def sharedAnchorScored(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "anchor_scored", AnchorConsumers)(
+      anchorScored(spark, sfDir))
+
   private def anchorScoredSqlAt(dim: Int): String = {
     val e = if (dim > 0) s"e.embedding[1:$dim]" else "e.embedding"
     val av = if (dim > 0) s"av[1:$dim]" else "a.av"
@@ -2693,7 +2711,7 @@ object Text {
     * score table (two-phase cumulative negatives — no corpus-sized sort).
     */
   def q196BinaryAuc(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.LmOps.binaryAuc(anchorScored(spark, sfDir),
+    graft.operators.LmOps.binaryAuc(sharedAnchorScored(spark, sfDir),
       "score_micro", "y")
 
   private def aucSqlFor(dim: Int): String =
@@ -2777,7 +2795,7 @@ object Text {
     * integer sums with identical expression text in both engines.
     */
   def q205AucDelong(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.LmOps.binaryAucSe(anchorScored(spark, sfDir),
+    graft.operators.LmOps.binaryAucSe(sharedAnchorScored(spark, sfDir),
       "score_micro", "y")
 
   val q205Sql: String =
@@ -2960,7 +2978,7 @@ object Text {
     */
   def q197Calibration(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.LmOps.calibrationReport(
-      anchorScored(spark, sfDir)
+      sharedAnchorScored(spark, sfDir)
         .select(expr("(score_micro + 1000000) DIV 2").as("prob_micro"), col("y")),
       "prob_micro", "y", bins = 10)
 
@@ -3001,7 +3019,7 @@ object Text {
     * replays the binning, counts and join relationally.
     */
   def q204Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
-    val probs = anchorScored(spark, sfDir)
+    val probs = sharedAnchorScored(spark, sfDir)
       .select(expr("(score_micro + 1000000) DIV 2").as("prob_micro"), col("y"))
     // ONE corpus scan (ADVICE r15): collect the bounded bin table, fit
     // driver-side, rebuild the output from the SAME collected rows — the
@@ -3520,7 +3538,7 @@ object Text {
     * prevalence baseline the AP must beat.
     */
   def q210AvgPrecision(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.LmOps.binaryAp(anchorScored(spark, sfDir),
+    graft.operators.LmOps.binaryAp(sharedAnchorScored(spark, sfDir),
       "score_micro", "y")
 
   val q210Sql: String =

@@ -85,6 +85,11 @@ class CacheLifeSpec extends SparkSpec {
     assert(handDeclared.subsetOf(cons),
       s"jaccard consumer set lost its driver-materialized readers: " +
         s"${(handDeclared -- cons).toSeq.sorted.mkString(", ")}")
+    // q204 reads anchor_scored inside its construction-time collect and
+    // returns a literal-built plan — same blind-spot class
+    val (_, anchorCons) = entries("anchor_scored")
+    assert(anchorCons.contains("q204_isotonic"),
+      "anchor_scored consumer set lost its literal-built reader q204")
   }
 
   test("cache-on-cache dependencies imply consumer-set containment") {
