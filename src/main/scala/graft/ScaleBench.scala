@@ -1182,6 +1182,40 @@ object ScaleBench {
         s"keyed AP closed form failed: $a")
     }
 
+    // Keyed AUC±CI at 10M rows / 100 slices: the group_auc ramp's exact
+    // DeLong interval per slice — with per-key alternating labels the
+    // placement multiset is {2,4,…,2P} for both classes, so
+    // S10 = S01 = (P+1)/(12P²) (the paired gate's derivation with the
+    // constant scorer's zero terms removed) and se6/z-free CI bounds are
+    // asserted exactly with the operator's own double expression order.
+    timed("keyed_auc_ci_10M_rows_100_slices") {
+      val n = 10000000L
+      val p = n / 200
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        (col("id") / 100).cast("long").as("score"),
+        ((col("id") / 100) % 2).as("y"))
+      val sa10 = BigInt(p) * (p + 1)
+      val saa10 = BigInt(2) * p * (p + 1) * (2 * p + 1) / 3
+      val num = (BigInt(p) * saa10 - sa10 * sa10).toDouble
+      val den = 4.0 * p * p * p * (p - 1) * p
+      val se6 = BigDecimal(math.sqrt(num / den + num / den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val auc = 500010L
+      val lo6 = BigDecimal(math.max(0.0, auc.toDouble / 1000000.0 - 1.959964 * se6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val hi6 = BigDecimal(math.min(1.0, auc.toDouble / 1000000.0 + 1.959964 * se6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = operators.LmOps.binaryAucSeBy(rows, Seq("k"), "score", "y")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("auc_micro") === auc && col("se6") === se6 &&
+          col("lo6") === lo6 && col("hi6") === hi6 &&
+          col("n_pos") === p && col("n_neg") === p, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed AUC-CI closed form failed (want se6=$se6 lo=$lo6 hi=$hi6): $a " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // Keyed paired DeLong at 10M rows / 100 slices: scorer A is the
     // group_auc ramp (per-key alternating labels over 100k distinct
     // scores ⇒ auc_a = 500010 micro), scorer B is CONSTANT (all rows tie

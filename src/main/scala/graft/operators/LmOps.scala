@@ -866,6 +866,70 @@ object LmOps {
         col("se6"), col("lo6"), col("hi6"))
   }
 
+  /** [[binaryAucSe]] per key group — the q202 slice dashboard upgraded to
+    * intervals: "AUC by source ± CI" is the honest readout (a slice with
+    * 300 rows and one with 3M get very different error bars; the point
+    * dashboard hides that). The keyed placements come straight from
+    * [[delongPlacementsBy]] — NO row-level join (unlike the paired
+    * compare: one scorer's variance needs only distinct-score sums), so
+    * the whole statistic is keyed windows + one combinable grouped
+    * aggregate — zero SinglePartition. Same SE/CI expression text as the
+    * global form. Output (one row per group): keys…, n, n_pos, n_neg,
+    * auc_micro, se6, lo6, hi6.
+    */
+  def binaryAucSeBy(df: DataFrame, keys: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(keys.nonEmpty,
+      "binaryAucSeBy needs at least one key (use binaryAucSe)")
+    val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
+      "neg_below", "pos_below", "p2", "r2", "__tp", "__y", "n", "n_pos",
+      "n_neg", "auc_micro", "se6", "lo6", "hi6", "a10", "b10", "a01", "b01")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val pl = delongPlacementsBy(df
+      .select(ks :+ col(scoreCol).cast("long").as("score") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("score").isNotNull && ks.map(_.isNotNull).reduce(_ && _)),
+      keys)
+    pl.groupBy(ks: _*)
+      .agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        coalesce(sum(col("p").cast(DecimalType(38, 0)) * col("p2")),
+          lit(0).cast(DecimalType(38, 0))).as("a10"),
+        coalesce(sum(col("p").cast(DecimalType(38, 0)) * col("p2") * col("p2")),
+          lit(0).cast(DecimalType(38, 0))).as("b10"),
+        coalesce(sum(col("ng").cast(DecimalType(38, 0)) * col("r2")),
+          lit(0).cast(DecimalType(38, 0))).as("a01"),
+        coalesce(sum(col("ng").cast(DecimalType(38, 0)) * col("r2") * col("r2")),
+          lit(0).cast(DecimalType(38, 0))).as("b01"))
+      .select(ks ++ Seq(
+        (col("n_pos") + col("n_neg")).as("n"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * a10)
+                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").as("auc_micro"),
+        col("a10"), col("b10"), col("a01"), col("b01")): _*)
+      .withColumn("se6",
+        expr("""CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+                ROUND(SQRT(
+                  CAST(n_pos * b10 - a10 * a10 AS DOUBLE)
+                    / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                       * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+                       * CAST(n_pos AS DOUBLE)) +
+                  CAST(n_neg * b01 - a01 * a01 AS DOUBLE)
+                    / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                       * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+                       * CAST(n_neg AS DOUBLE))), 6) END"""))
+      .withColumn("lo6",
+        expr("""ROUND(GREATEST(0.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+                - 1.959964 * se6), 6)"""))
+      .withColumn("hi6",
+        expr("""ROUND(LEAST(1.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+                + 1.959964 * se6), 6)"""))
+      .select(ks ++ Seq(col("n"), col("n_pos"), col("n_neg"),
+        col("auc_micro"), col("se6"), col("lo6"), col("hi6")): _*)
+  }
+
   /** Per-distinct-score DeLong placements for one scorer: every positive
     * at score s beats fraction p2/(2·nNeg) of the negatives (doubled to
     * stay integral: p2 = 2·negBelow + ngₛ), every negative is beaten by

@@ -3853,6 +3853,84 @@ object Text {
       |    ELSE ROUND(mi6 / SQRT(h_a6 * h_b6), 6) END AS nmi6
       |FROM t, mi, ha, hb""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+
+  /** q216: per-source AUC with DeLong CIs (`LmOps.binaryAucSeBy`) — the
+    * q202 slice dashboard upgraded to intervals: a 300-row slice and a
+    * 3M-row slice get very different error bars, and the point dashboard
+    * hides exactly that. Keyed placements (no row join — one scorer's
+    * variance needs only distinct-score sums), zero SinglePartition.
+    */
+  def q216GroupAucCi(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryAucSeBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars").as("len_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "len_score", "is_en")
+
+  val q216Sql: String =
+    """WITH base AS (
+      |  SELECT source, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case key/score mirror of binaryAucSeBy
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT source, score, CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+      |  FROM base GROUP BY 1, 2
+      |),
+      |c AS (
+      |  SELECT source, p, ng,
+      |    COALESCE(SUM(ng) OVER w, 0) AS neg_below,
+      |    COALESCE(SUM(p) OVER w, 0) AS pos_below
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY source ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |),
+      |t AS (
+      |  SELECT source, CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+      |    CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n_neg,
+      |    COALESCE(SUM(CAST(p AS HUGEINT) * (2 * neg_below + ng)), 0) AS a10,
+      |    COALESCE(SUM(CAST(p AS HUGEINT) * (2 * neg_below + ng)
+      |      * (2 * neg_below + ng)), 0) AS b10
+      |  FROM c GROUP BY source
+      |),
+      |r AS (
+      |  SELECT c.source, t.n_pos, t.n_neg, t.a10, t.b10,
+      |    COALESCE(SUM(CAST(ng AS HUGEINT)
+      |      * ((n_pos - pos_below - p) * 2 + p)), 0) AS a01,
+      |    COALESCE(SUM(CAST(ng AS HUGEINT)
+      |      * ((n_pos - pos_below - p) * 2 + p)
+      |      * ((n_pos - pos_below - p) * 2 + p)), 0) AS b01
+      |  FROM c JOIN t ON c.source = t.source
+      |  GROUP BY c.source, t.n_pos, t.n_neg, t.a10, t.b10
+      |),
+      |m AS (
+      |  SELECT source, n_pos + n_neg AS n, n_pos, n_neg,
+      |    CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+      |      ELSE (CAST(1000000 AS HUGEINT) * a10)
+      |        // (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT) AS auc_micro,
+      |    CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0 ELSE
+      |      ROUND(SQRT(
+      |        CAST(n_pos * b10 - a10 * a10 AS DOUBLE)
+      |          / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |             * CAST(n_pos AS DOUBLE) * CAST(n_pos - 1 AS DOUBLE)
+      |             * CAST(n_pos AS DOUBLE)) +
+      |        CAST(n_neg * b01 - a01 * a01 AS DOUBLE)
+      |          / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+      |             * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)
+      |             * CAST(n_neg AS DOUBLE))), 6) END AS se6
+      |  FROM r
+      |)
+      |SELECT source, n, n_pos, n_neg, auc_micro, se6,
+      |  ROUND(GREATEST(0.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+      |    - 1.959964 * se6), 6) AS lo6,
+      |  ROUND(LEAST(1.0, CAST(auc_micro AS DOUBLE) / 1000000.0
+      |    + 1.959964 * se6), 6) AS hi6
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4252,6 +4330,7 @@ object Text {
     QueryDef("q213_ap_by_source", q213ApBySource, Some(q213Sql)),
     QueryDef("q214_psi_by_lang", q214PsiByLang, Some(q214Sql)),
     QueryDef("q215_mutual_info", q215MutualInfo, Some(q215Sql)),
+    QueryDef("q216_group_auc_ci", q216GroupAucCi, Some(q216Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

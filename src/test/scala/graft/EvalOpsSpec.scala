@@ -855,6 +855,32 @@ class EvalOpsSpec extends SparkSpec {
       "keyed AP plans a SinglePartition exchange")
   }
 
+  test("binaryAucSeBy equals per-group binaryAucSe; keyed plan has no SinglePartition") {
+    val xs = Iterator.iterate(863L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(150).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"g${i % 3}", (x >> 5) % 19 - 9, (x >> 2) % 2) }
+    val df = rows.toDF("k", "score", "y")
+    val by = LmOps.binaryAucSeBy(df, Seq("k"), "score", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toMap
+    assert(by.size == 3)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = LmOps.binaryAucSe(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("score", "y"),
+        "score", "y").collect()(0)
+      assert(by(g) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        solo.getLong(3), solo.getDouble(4), solo.getDouble(5),
+        solo.getDouble(6))),
+        s"slice $g disagrees with the global DeLong interval on its subset")
+    }
+    val plan = LmOps.binaryAucSeBy(df, Seq("k"), "score", "y")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "keyed AUC-CI plans a SinglePartition exchange")
+  }
+
   test("calibrationReportBy equals per-group calibrationReport, null keys drop") {
     val xs = Iterator.iterate(271L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(240).toSeq

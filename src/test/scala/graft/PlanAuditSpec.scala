@@ -377,6 +377,10 @@ class PlanAuditSpec extends SparkSpec {
     // q213: per-key AP — same zero-SinglePartition contract as q202/q209
     assert(!planOf("q213_ap_by_source").contains("Exchange SinglePartition"),
       "q213 plans a SinglePartition exchange — the keyed AP regressed")
+    // q216: per-key AUC±CI — keyed placements, no row join, no
+    // SinglePartition (the binaryAucSeBy contract)
+    assert(!planOf("q216_group_auc_ci").contains("Exchange SinglePartition"),
+      "q216 plans a SinglePartition exchange — the keyed AUC-CI regressed")
     // q211: per-key bins + per-key Brier/ECE — same zero-SinglePartition
     // contract (calibrationReportBy has no window at all)
     val p211 = planOf("q211_calibration_by_source")
