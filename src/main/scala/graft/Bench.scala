@@ -215,52 +215,53 @@ object Bench {
       else if (r.cacheInMb > 2048) "storage-pressure"
       else "env"
     }
-    // cap at the 8 slowest anomalies so a pathological session can't blow
-    // the stdout budget; the snapshot's `reps` map still carries them all
+    def csKey(n: String): String = short(n).stripPrefix("q")
+    // full anomaly records (rep times, GC, winner, cause) go to the
+    // committed snapshot; the STDOUT line carries the slim signal form
+    // "name":[min, prior, "cause"] — the driver's tail is the scarce
+    // resource and the per-query map has first claim on it
     val anomRecsAll = results.filter(_.extraRep).sortBy(-_.min).map { r =>
-      "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
-        "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
-        ",\"cause\":\"" + cause(r) + "\"}"
+      ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
+        fmt2(prior.getOrElse(r.name, 0.0)) + ",\"" + cause(r) + "\"]",
+        "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
+          "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
+          ",\"cause\":\"" + cause(r) + "\"}")
     }
     // WATCH tier (r15 verdict): sub-anomaly creep — min ≥ 1.5× the
     // committed prior AND ≥ 0.5 s, but under the 2× extra-rep trigger —
     // gets a record (no extra rep) so q93-class drift self-reports from
-    // the artifact instead of sailing two hundredths under the alarm
+    // the artifact instead of sailing two hundredths under the alarm.
+    // Stdout slim form "name":[min, prior]; full reps in the snapshot.
     val watchRecsAll = results.filter { r =>
       !r.extraRep && prior.get(r.name).exists(p =>
         p > 0.05 && r.min > 1.5 * p && r.min > 0.5)
     }.sortBy(-_.min).map { r =>
-      "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
-        "],\"p\":" + fmt2(prior(r.name)) + "}"
+      ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
+        fmt2(prior(r.name)) + "]",
+        "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
+          "],\"p\":" + fmt2(prior(r.name)) + "}")
     }
-    // anom + watch share a 450-byte stdout sub-budget (slowest-first,
-    // anoms before watches, whole records only) so a pathological session
-    // can't evict the per-query map; the snapshot carries every record
-    def admit(recs: Seq[String], room: Int): (Seq[String], Int) =
-      recs.foldLeft((Seq.empty[String], room)) { case ((acc, rm), rec) =>
-        if (rec.length + 1 <= rm) (acc :+ rec, rm - rec.length - 1) else (acc, rm)
-      }
-    val (anomRecs, telRoom) = admit(anomRecsAll, 450)
-    val (watchRecs, _) = admit(watchRecsAll, telRoom)
-    val anom = anomRecs.mkString("{", ",", "}")
-    val watch = watchRecs.mkString("{", ",", "}")
-    val anomFull = anomRecsAll.mkString("{", ",", "}")
-    val watchFull = watchRecsAll.mkString("{", ",", "}")
+    val anomFull = anomRecsAll.map(_._2).mkString("{", ",", "}")
+    val watchFull = watchRecsAll.map(_._2).mkString("{", ",", "}")
     val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_.min).sum
     val cal = s""""cal":[${fmt2(calSpark)},${fmt2(calCpu)}]"""
-    // the stdout line's per-query map is COMPACT so all ~200 queries fit
-    // the driver's 2 KB tail (r15 qtrunc lost 70 of 197): keys drop the
-    // leading 'q' and the suffix (collision-checked below), values are
-    // integer CENTISECONDS — "qfmt" declares the encoding in-band.
-    // cache_peak moves to the committed snapshot only; the sf dir shrinks
-    // to its basename. The committed bench_rNN.json keeps every query
-    // under its full name at 3-decimal seconds.
+    // STDOUT LINE LAYOUT (the driver keeps a 2000-char stdout tail and
+    // sbt appends a ~75-byte trailer, so the whole line budgets at 1915):
+    //  1. fixed head — metric/value/unit, "qfmt":"cs" (keys drop the
+    //     leading 'q' and the suffix, collision-checked; values are
+    //     integer centiseconds), cal, failed, sf basename;
+    //  2. the COMPLETE per-query map — first claim on the budget,
+    //     fastest entries dropped only if it genuinely can't fit
+    //     ("qtrunc" records how many; 206 queries ≈ 1760 B, which fits);
+    //  3. slim anom/watch telemetry into whatever room remains
+    //     (slowest-first, whole records; the snapshot carries them all).
+    // The committed bench_rNN.json keeps every query under its full name
+    // at 3-decimal seconds plus full rep/GC/cache telemetry.
     val head =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","qfmt":"sans-q centisec",$cal,"anom":$anom,"watch":$watch,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}""""
-    val stdoutBudget = 1900 // whole line + sbt's ~70-byte trailer < tail window
-    def csKey(n: String): String = short(n).stripPrefix("q")
+      s""""metric":"total","value":${fmt2(total)},"unit":"sec","qfmt":"cs",$cal,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}""""
+    val stdoutBudget = 1920
     require(results.map(r => csKey(r.name)).distinct.size == results.size,
       "compact stdout keys collide — rename the offending query")
     val entries = results.map(r =>
@@ -269,7 +270,24 @@ object Bench {
     // (selected is name-sorted, so that is name order). Keep decisions are
     // by index so two identically-rendered entries can never both slip in
     // on one budget charge.
-    val fixed = head.length + """{,"queries":{},"qtrunc":999}""".length
+    // telemetry renders FIRST into a 250-byte cap (slowest-first, whole
+    // slim records; the snapshot carries every full record), so the map
+    // sizing below sees its TRUE footprint — an empty-telemetry session
+    // gives every byte to the map, an anomalous one costs it ≤250
+    def admit(recs: Seq[String], rm: Int): (Seq[String], Int) =
+      recs.foldLeft((Seq.empty[String], rm)) { case ((acc, r0), rec) =>
+        if (rec.length + 1 <= r0) (acc :+ rec, r0 - rec.length - 1) else (acc, r0)
+      }
+    val (anomRecs, telRoom) = admit(anomRecsAll.map(_._1), 250)
+    val (watchRecs, _) = admit(watchRecsAll.map(_._1), telRoom)
+    // empty telemetry keys are OMITTED from the line (bytes back to the
+    // map; absence = nothing to report — the snapshot always carries both)
+    val anom = if (anomRecs.isEmpty) ""
+      else anomRecs.mkString(""","anom":{""", ",", "}")
+    val watch = if (watchRecs.isEmpty) ""
+      else watchRecs.mkString(""","watch":{""", ",", "}")
+    val fixed = head.length + """{,"queries":{},"qtrunc":999}""".length +
+      anom.length + watch.length
     var room = stdoutBudget - fixed
     val keepIdx = scala.collection.mutable.Set.empty[Int]
     entries.zipWithIndex.sortBy(-_._1._1).foreach { case ((_, e), i) =>
@@ -278,7 +296,8 @@ object Bench {
     val kept = entries.zipWithIndex.collect { case ((_, e), i) if keepIdx(i) => e }
     val qsShort = kept.mkString("{", ",", "}")
     val qtrunc = entries.length - kept.length
-    val line = s"""{$head,"queries":$qsShort,"qtrunc":$qtrunc}"""
+    val line =
+      s"""{$head,"queries":$qsShort,"qtrunc":$qtrunc$anom$watch}"""
     val snapshot =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qsFull,"cache_mb":$cacheFull,$cachePeak,"reps":$repsFull,"anom":$anomFull,"watch":$watchFull,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
