@@ -1176,6 +1176,55 @@ object Streaming {
     ()
   }
 
+  /** Streaming average-precision monitor — the PR-metric twin of
+    * [[aucMonitorStream]] over the IDENTICAL (score, p, ng)
+    * distinct-score count-delta store shape (`LmOps.binaryApFromCounts`
+    * reads what `binaryAucFromCounts` reads): per batch, the exact
+    * per-threshold-floor AP plus the prevalence baseline over every
+    * committed batch in the retention window. Same state bound,
+    * retention and replay contracts. Output at `outDir/batch_id=N`: the
+    * one-row (n, n_pos, n_neg, ap_micro, prevalence_micro) snapshot.
+    */
+  def apMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, scoreCol: String = "score", labelCol: String = "y",
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processApBatch(batch, batchId, outDir, storeDir, scoreCol,
+          labelCol, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[apMonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processApBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, scoreCol: String, labelCol: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
+    val mine = batch
+      .select(col(scoreCol).cast("long").as("score"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("score"))
+      .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.LmOps.binaryApFromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming two-sample KS drift monitor — the ingest-time twin of the
     * batch `Profile.ksTwoSample` (q199): per-batch (v, ca, cb)
     * distinct-value count deltas in a batch_id-partitioned store, emit =

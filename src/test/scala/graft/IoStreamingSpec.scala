@@ -474,6 +474,40 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming AP monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("apstream").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.apMonitorStream(mem.toDF().toDF("score", "y"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "score", "y")
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val s = (i.toLong * 2654435761L) % 43L
+      (s, if (s * 5 % 9 > 3) 1L else 0L)
+    }
+    val b0 = rows(0, 350)
+    val b1 = rows(350, 900)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val streamed = snap()
+    val batch = graft.operators.LmOps.binaryAp(
+      (b0 ++ b1).toDF("score", "y"), "score", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed._1 == 900L && streamed._4 > 0L)
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processApBatch(b1.toDF("score", "y"), 1L,
+      s"$dir/out", s"$dir/store", "score", "y")
+    assert(snap() == streamed)
+  }
+
   test("streaming PSI monitor equals the batch operator over merged counts, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
