@@ -114,6 +114,15 @@ object Bench {
     // what BASELINE comparisons should read.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     val prior = loadPrior()
+    // compact stdout keys (sans-q, sans-suffix) must be unique — validated
+    // UP FRONT so a collision fails in seconds, not after a ~30-minute
+    // session has already done all its work (ADVICE r16)
+    locally {
+      val cs = selected.map { case (n, _) => n.takeWhile(_ != '_').stripPrefix("q") }
+      require(cs.distinct.size == cs.size,
+        "compact stdout keys collide — rename the offending query: " +
+          cs.diff(cs.distinct).distinct.mkString(","))
+    }
     // cache lifecycle: after each query's reps, scoped temps drop and any
     // shared cache whose consumers have all run (or were never selected)
     // unpersists — the r11 drift root cause was 127 queries' worth of
@@ -165,17 +174,18 @@ object Bench {
       QRes(name, secs.min, runs.forall(_._2), secs, runs.map(_._3).toSeq,
         secs.indexOf(secs.min) + 1, extra, bytesIn >> 20, nCached, bytesOut >> 20)
     }
-    // The driver keeps only a ~2.3 KB stdout TAIL, which ALSO captures
-    // sbt's trailing "[success] Total time..." line (~70 bytes) — round
+    // The driver keeps a 2000-char stdout TAIL, which ALSO captures
+    // sbt's trailing "[success] Total time..." line (~75 bytes) — round
     // 13's 2000-byte budget lost the line's head to that trailer. So the
-    // whole line is budgeted at 1900 bytes: summary keys first, anomaly
-    // telemetry next, per-query entries last, 2-decimal trailing-zero-
-    // stripped seconds, and — if the line would still overrun — the
-    // per-query map drops its FASTEST entries first (slow queries are the
-    // ones BASELINE comparison needs; "qtrunc" then records how many
-    // sub-threshold entries were dropped so the truncation is never
-    // silent). The committed bench_rNN.json snapshot always carries every
-    // query at 3 decimals plus full rep/GC/cache telemetry.
+    // whole line is budgeted at 1900 bytes (2000 − 75 − margin): summary
+    // keys first, the complete per-query string next, slim anom/watch
+    // telemetry last, 2-decimal trailing-zero-stripped seconds, and — if
+    // the line would still overrun — the per-query string drops its
+    // FASTEST entries first (slow queries are the ones BASELINE
+    // comparison needs; "qtrunc" then records how many sub-threshold
+    // entries were dropped so the truncation is never silent). The
+    // committed bench_rNN.json snapshot always carries every query at 3
+    // decimals plus full rep/GC/cache telemetry.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt2(v: Double): String = {
@@ -215,6 +225,18 @@ object Bench {
       else if (r.cacheInMb > 2048) "storage-pressure"
       else "env"
     }
+    // watch-tier cause is MACHINE-derived from the record's own reps (r16
+    // verdict: README hand-attributed three watch creeps to "session GC
+    // pressure" while one record's own telemetry showed gc:[0,0]). A creep
+    // whose winning rep spent >30% of its wall time in GC is "gc"; heavy
+    // inherited storage is "storage"; anything else stays an honest "?" —
+    // unattributable from this artifact alone, so nobody should prose it.
+    def watchCause(r: QRes): String = {
+      val winGc = r.repGcMs(r.winRep - 1)
+      if (winGc > (r.min * 1000 * 0.3).toLong) "gc"
+      else if (r.cacheInMb > 2048) "storage"
+      else "?"
+    }
     def csKey(n: String): String = short(n).stripPrefix("q")
     // full anomaly records (rep times, GC, winner, cause) go to the
     // committed snapshot; the STDOUT line carries the slim signal form
@@ -231,15 +253,17 @@ object Bench {
     // committed prior AND ≥ 0.5 s, but under the 2× extra-rep trigger —
     // gets a record (no extra rep) so q93-class drift self-reports from
     // the artifact instead of sailing two hundredths under the alarm.
-    // Stdout slim form "name":[min, prior]; full reps in the snapshot.
+    // Stdout slim form "name":[min, prior, cause]; full reps + the
+    // machine-derived cause in the snapshot.
     val watchRecsAll = results.filter { r =>
       !r.extraRep && prior.get(r.name).exists(p =>
         p > 0.05 && r.min > 1.5 * p && r.min > 0.5)
     }.sortBy(-_.min).map { r =>
       ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
-        fmt2(prior(r.name)) + "]",
+        fmt2(prior(r.name)) + ",\"" + watchCause(r) + "\"]",
         "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
-          "],\"p\":" + fmt2(prior(r.name)) + "}")
+          "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"p\":" + fmt2(prior(r.name)) +
+          ",\"cause\":\"" + watchCause(r) + "\"}")
     }
     val anomFull = anomRecsAll.map(_._2).mkString("{", ",", "}")
     val watchFull = watchRecsAll.map(_._2).mkString("{", ",", "}")
@@ -248,24 +272,28 @@ object Bench {
     val total = results.map(_.min).sum
     val cal = s""""cal":[${fmt2(calSpark)},${fmt2(calCpu)}]"""
     // STDOUT LINE LAYOUT (the driver keeps a 2000-char stdout tail and
-    // sbt appends a ~75-byte trailer, so the whole line budgets at 1915):
-    //  1. fixed head — metric/value/unit, "qfmt":"cs" (keys drop the
-    //     leading 'q' and the suffix, collision-checked; values are
-    //     integer centiseconds), cal, failed, sf basename;
-    //  2. the COMPLETE per-query map — first claim on the budget,
+    // sbt appends a ~75-byte trailer; the whole line budgets at 1900 —
+    // under the derived 1915 for margin):
+    //  1. fixed head — metric/value/unit, "qfmt":"csv" — "queries" is ONE
+    //     JSON STRING of comma-separated name:centisec pairs, names
+    //     dropping the leading 'q' and the suffix (collision-checked up
+    //     front). r16's per-entry JSON object ("93":262) cost 2 quote
+    //     bytes per query; at 206 queries the object alone was 1775 B, so
+    //     ANY telemetry displaced map entries (BENCH_r16 qtrunc: 32). The
+    //     string form is ~1370 B for the same content — the complete map
+    //     AND a full 250-byte telemetry load fit with ~230 B to spare;
+    //  2. the COMPLETE per-query string — first claim on the budget,
     //     fastest entries dropped only if it genuinely can't fit
-    //     ("qtrunc" records how many; 206 queries ≈ 1760 B, which fits);
-    //  3. slim anom/watch telemetry into whatever room remains
+    //     ("qtrunc" records how many — expected 0 from here on);
+    //  3. slim anom/watch telemetry into a 250-byte sub-budget
     //     (slowest-first, whole records; the snapshot carries them all).
     // The committed bench_rNN.json keeps every query under its full name
     // at 3-decimal seconds plus full rep/GC/cache telemetry.
     val head =
-      s""""metric":"total","value":${fmt2(total)},"unit":"sec","qfmt":"cs",$cal,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}""""
-    val stdoutBudget = 1920
-    require(results.map(r => csKey(r.name)).distinct.size == results.size,
-      "compact stdout keys collide — rename the offending query")
+      s""""metric":"total","value":${fmt2(total)},"unit":"sec","qfmt":"csv",$cal,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}""""
+    val stdoutBudget = 1900
     val entries = results.map(r =>
-      (r.min, "\"" + csKey(r.name) + "\":" + Math.round(r.min * 100)))
+      (r.min, csKey(r.name) + ":" + Math.round(r.min * 100)))
     // keep the slowest entries that fit the budget; emit in results order
     // (selected is name-sorted, so that is name order). Keep decisions are
     // by index so two identically-rendered entries can never both slip in
@@ -286,7 +314,7 @@ object Bench {
       else anomRecs.mkString(""","anom":{""", ",", "}")
     val watch = if (watchRecs.isEmpty) ""
       else watchRecs.mkString(""","watch":{""", ",", "}")
-    val fixed = head.length + """{,"queries":{},"qtrunc":999}""".length +
+    val fixed = head.length + """{,"queries":"","qtrunc":999}""".length +
       anom.length + watch.length
     var room = stdoutBudget - fixed
     val keepIdx = scala.collection.mutable.Set.empty[Int]
@@ -294,7 +322,7 @@ object Bench {
       if (room - (e.length + 1) >= 0) { room -= e.length + 1; keepIdx += i }
     }
     val kept = entries.zipWithIndex.collect { case ((_, e), i) if keepIdx(i) => e }
-    val qsShort = kept.mkString("{", ",", "}")
+    val qsShort = kept.mkString("\"", ",", "\"")
     val qtrunc = entries.length - kept.length
     val line =
       s"""{$head,"queries":$qsShort,"qtrunc":$qtrunc$anom$watch}"""

@@ -754,7 +754,8 @@ object LmOps {
     require(keys.nonEmpty, "binaryApBy needs at least one key (use binaryAp)")
     val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
       "pos_below", "all_below", "n", "n_pos", "n_neg", "ap_micro",
-      "prevalence_micro", "__y", "__tp", "__tot", "__term", "__ts")
+      "prevalence_micro", "__y", "__tp", "__tot", "__term", "__ts",
+      "__mn", "__mx")
     require(keys.forall(k => !reserved(k)),
       s"key columns may not collide with internals: ${reserved.mkString("/")}")
     import org.apache.spark.sql.expressions.Window
@@ -883,7 +884,8 @@ object LmOps {
       "binaryAucSeBy needs at least one key (use binaryAucSe)")
     val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
       "neg_below", "pos_below", "p2", "r2", "__tp", "__y", "n", "n_pos",
-      "n_neg", "auc_micro", "se6", "lo6", "hi6", "a10", "b10", "a01", "b01")
+      "n_neg", "auc_micro", "se6", "lo6", "hi6", "a10", "b10", "a01", "b01",
+      "__mn", "__mx")
     require(keys.forall(k => !reserved(k)),
       s"key columns may not collide with internals: ${reserved.mkString("/")}")
     val ks = keys.map(col)
@@ -1081,7 +1083,7 @@ object LmOps {
       "binaryAucCompareBy needs at least one key (use binaryAucCompare)")
     val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
       "neg_below", "pos_below", "sa", "sb", "ua", "ub", "p2", "r2", "__tp",
-      "__y", "n", "n_pos", "n_neg")
+      "__y", "n", "n_pos", "n_neg", "__mn", "__mx")
     require(keys.forall(k => !reserved(k)),
       s"key columns may not collide with internals: ${reserved.mkString("/")}")
     val ks = keys.map(col)
@@ -1162,7 +1164,8 @@ object LmOps {
     // joins — filter both explicitly so the semantics are a contract, not
     // a join artifact
     val reserved = Set("score", "p", "ng", "b", "bn", "off_n", "neg_below",
-      "num2", "n", "n_pos", "n_neg", "auc_micro", "gini_micro", "__y")
+      "num2", "n", "n_pos", "n_neg", "auc_micro", "gini_micro", "__y",
+      "__mn", "__mx")
     require(keys.forall(k => !reserved(k)),
       s"key columns may not collide with internals: ${reserved.mkString("/")}")
     import org.apache.spark.sql.expressions.Window

@@ -92,6 +92,55 @@ class CacheLifeSpec extends SparkSpec {
       "anchor_scored consumer set lost its literal-built reader q204")
   }
 
+  test("release follows RUN order, never name order (q208-sorts-before-q30 class)") {
+    // Query NAMES do not sort numerically: "q208_x" < "q20_y" < "q30_z"
+    // as strings (digits beat '_'; '2' beats '3'), so the nine r16 eval
+    // queries q208–q216 RUN before q30–q99 in the name-sorted bench loop.
+    // The release rule must therefore be EVENT-driven — a cache drops only
+    // when every consumer has actually completed, whatever order the
+    // driver iterates — never a precomputed "release after name X" point
+    // (a lexicographic-max point is correct only while the run order
+    // happens to be lexicographic; a numeric or filtered run breaks it).
+    // Probe with synthetic names reproducing the quirk: numeric intuition
+    // says zz_q30 < zz_q65 < zz_q208, strings sort zz_q208 first.
+    import spark.implicits._
+    val consumers = Set("zz_q208_probe", "zz_q65_probe") // zz_q30 not a consumer
+    def register(): Unit = {
+      graft.core.CacheLife.shared(spark, sfDir, "spec_order_probe", consumers)(
+        Seq(1).toDF("x"))
+      ()
+    }
+    def runSuite(order: Seq[String]): Map[String, Seq[String]] = {
+      var completed = Set.empty[String]
+      order.map { n =>
+        completed += n
+        n -> graft.core.CacheLife.afterQuery(spark, completed)
+          .filter(_ == "spec_order_probe")
+      }.toMap
+    }
+    val names = Seq("zz_q208_probe", "zz_q30_probe", "zz_q65_probe")
+    // bench order = name-sorted: zz_q208 runs FIRST; release must wait
+    // for zz_q65 (the last-RUN consumer) even though zz_q208 is the
+    // numerically-last name
+    register()
+    val lex = runSuite(names.sorted)
+    assert(lex("zz_q208_probe").isEmpty,
+      "cache released at its numerically-last consumer before the " +
+        "lexicographically-later one had run")
+    assert(lex("zz_q65_probe").nonEmpty, "cache failed to release once " +
+      "every consumer had completed (lexicographic run order)")
+    // numeric order: zz_q30, zz_q65, zz_q208 — now zz_q208 runs LAST and
+    // release must wait for it (a string-max release point would fire at
+    // zz_q65, one query early)
+    register()
+    val num = runSuite(Seq("zz_q30_probe", "zz_q65_probe", "zz_q208_probe"))
+    assert(num("zz_q65_probe").isEmpty,
+      "cache released at its string-max consumer before the " +
+        "numerically-later one had run")
+    assert(num("zz_q208_probe").nonEmpty, "cache failed to release once " +
+      "every consumer had completed (numeric run order)")
+  }
+
   test("cache-on-cache dependencies imply consumer-set containment") {
     // if cache X is BUILT FROM cache Y, Y must outlive X's readers: every
     // consumer of X must also be declared on Y (the modules encode this
