@@ -1288,6 +1288,83 @@ object ScaleBench {
           out.limit(5).collect().mkString("; "))
     }
 
+    // Keyed mutual information at 10M rows / 100 slices: per key, two
+    // perfectly-associated binary columns (b = a) ⇒ the two observed
+    // cells each carry o/n = 0.5 and lift 2, so per slice
+    // mi6 = round6(2·round9(0.5·ln 2)) = 0.693147 = h_a6 = h_b6 and
+    // nmi6 = 1.0 exactly. Gates the fully-keyed MI shape: per-key
+    // observed-cell tables and marginals, keyed joins, no grid, zero
+    // SinglePartition, 100 slices in parallel.
+    timed("keyed_mutual_info_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        expr("CAST(id DIV 100 % 2 AS STRING)").as("a"),
+        expr("CAST(id DIV 100 % 2 AS STRING)").as("b"))
+      val out = operators.Profile.mutualInfoBy(rows, Seq("k"), "a", "b")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === n / 100 && col("n_a") === 2L &&
+          col("n_b") === 2L && col("mi6") === 0.693147 &&
+          col("h_a6") === 0.693147 && col("h_b6") === 0.693147 &&
+          col("nmi6") === 1.0, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed MI closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
+    // Kendall τ-b at 10M rows over 100 coarse values with y = x (and the
+    // reversed y): every cross-value pair is concordant (discordant), so
+    //   conc = n₀ − n₁ = 49 999 995 000 000 − 499 995 000 000
+    // exactly (n₁ = n₂ = 100·C(100k, 2)) and τ-b = ±1.0. Gates the
+    // dense-grid double cumulative at 10⁴ cells with 10M underlying rows
+    // — the distinct-cell shuffle plus the two axis-partitioned windows.
+    timed("kendall_tau_b_10M_rows_coarse") {
+      val n = 10000000L
+      val expConc = 49500000000000L
+      val expTies = 499995000000L
+      val fwd = spark.range(n).select((col("id") % 100).as("x"),
+        (col("id") % 100).as("y"))
+      val f = operators.Profile.kendallTauB(fwd, "x", "y").head()
+      require(f.getLong(0) == n && f.getLong(1) == expConc &&
+        f.getLong(2) == 0L && f.getLong(3) == expTies &&
+        f.getLong(4) == expTies && f.getDouble(5) == 1.0,
+        s"kendall forward closed form failed: $f")
+      val rev = spark.range(n).select((col("id") % 100).as("x"),
+        (lit(99L) - col("id") % 100).as("y"))
+      val r = operators.Profile.kendallTauB(rev, "x", "y").head()
+      require(r.getLong(1) == 0L && r.getLong(2) == expConc &&
+        r.getDouble(5) == -1.0, s"kendall reverse closed form failed: $r")
+    }
+
+    // Keyed AP bootstrap CI at 10M rows / 100 slices / 8 resamples: per
+    // slice the scorer is perfectly separated, and Poisson weights never
+    // reorder scores, so EVERY resample with a surviving positive is
+    // still separated ⇒ all 8 resampled APs are exactly 10⁶ ⇒ se6 = 0.0
+    // and lo6 = hi6 = 1.0 in every slice (P(a resample drops all 50k
+    // positives) = e^{−50000}). Gates the md5-coin expansion at 80M
+    // hashed (row, resample) pairs plus the keyed AP machinery with the
+    // resample id as an extra key — zero SinglePartition. (The synthetic
+    // scores are deliberately tie-free, so the "distinct-score" table IS
+    // 90M rows — the gate's cost is the honest worst case; real corpora
+    // tie heavily and shrink it by orders of magnitude.)
+    timed("keyed_ap_ci_10M_rows_100_slices_8_resamples") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        col("id").as("rid"),
+        (col("id") / 100).cast("long").as("score"),
+        when((col("id") / 100).cast("long") >= 50000L, 1L).otherwise(0L).as("y"))
+      val out = operators.LmOps.binaryApCiBy(rows, Seq("k"), "rid",
+        "score", "y", resamples = 8)
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === n / 100 && col("ap_micro") === 1000000L &&
+          col("b") === 8L && col("se6") === 0.0 &&
+          col("lo6") === 1.0 && col("hi6") === 1.0, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed AP-CI closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same

@@ -758,7 +758,6 @@ object LmOps {
       "__mn", "__mx")
     require(keys.forall(k => !reserved(k)),
       s"key columns may not collide with internals: ${reserved.mkString("/")}")
-    import org.apache.spark.sql.expressions.Window
     val ks = keys.map(col)
     val g = df
       .select(ks :+ col(scoreCol).cast("long").as("score") :+
@@ -766,6 +765,17 @@ object LmOps {
       .where(col("score").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
       .groupBy(ks :+ col("score"): _*)
       .agg(sum(col("__y")).as("p"), sum(lit(1L) - col("__y")).as("ng"))
+    apByFromCounts(g, keys)
+  }
+
+  /** The keyed AP machinery over a PRE-AGGREGATED (keys…, score, p, ng)
+    * count table — shared by [[binaryApBy]] and the bootstrap resamples of
+    * [[binaryApCi]]/[[binaryApCiBy]] (each resample id is just one more
+    * key). Same quantization contract and zero-SinglePartition shape as
+    * [[binaryApBy]]. */
+  private def apByFromCounts(g: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
     val stats = g.groupBy(ks: _*)
       .agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"),
         sum(col("p")).as("__tp"), sum(col("p") + col("ng")).as("__tot"))
@@ -804,6 +814,154 @@ object LmOps {
                 ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n_pos
                   DIV (n_pos + n_neg) AS BIGINT) END""")
           .as("prevalence_micro")): _*)
+  }
+
+  /** Poisson-weight expression of the deterministic md5-coin bootstrap:
+    * row `id`, resample `__bs` → weight ~ Poisson(1), via a 60-bit
+    * md5-prefix uniform compared against floor(CDF_k·2⁶⁰) literals
+    * (k = 0..6, tail capped at 7 — P(>6) ≈ 8·10⁻⁵). Both engines evaluate
+    * the SAME hash and the SAME integer thresholds, so every resample is
+    * replayable bit-for-bit (the q60/q62 md5-coin discipline lifted to
+    * weights). */
+  private def poissonWeightSql(idExpr: String, bsExpr: String): String = {
+    val h = s"CAST(CONV(SUBSTRING(MD5(CONCAT($idExpr, ':', $bsExpr)), 1, 15), 16, 10) AS BIGINT)"
+    s"""CASE WHEN $h < 424136118829305329L THEN 0L
+       |     WHEN $h < 848272237658610659L THEN 1L
+       |     WHEN $h < 1060340297073263324L THEN 2L
+       |     WHEN $h < 1131029650211480879L THEN 3L
+       |     WHEN $h < 1148701988496035267L THEN 4L
+       |     WHEN $h < 1152236456152946145L THEN 5L
+       |     WHEN $h < 1152825534095764625L THEN 6L
+       |     ELSE 7L END""".stripMargin
+  }
+
+  /** [[binaryAp]] with a bootstrap standard error and 95% CI — brings the
+    * AP family to parity with [[binaryAucSe]]: without an interval, a
+    * slice-AP difference can't be judged significant. AP has no DeLong-
+    * style closed form, so the interval comes from a DETERMINISTIC
+    * Poisson bootstrap (Poisson(1) weights approximate multinomial
+    * resampling; standard at corpus n): `resamples` (default 64)
+    * resampled APs, each row's weight in resample b an md5-coin of
+    * (id, b) — engine-replayable, oracle-exact, no RNG state.
+    *
+    * Scale shape: the row side pays ONE map-side pass that expands each
+    * row × `resamples` INSIDE the stage (hash + weight + partial agg —
+    * CPU, not shuffle); shuffle volume is `resamples` × the distinct-
+    * score table. Each resample then rides the [[binaryApBy]] keyed
+    * machinery with the resample id as the key — per-resample windows,
+    * zero SinglePartition; only the ≤`resamples`-row AP table crosses a
+    * single partition for the variance sum. ap_micro per resample is the
+    * exact-integer [[binaryAp]] contract; se6/lo6/hi6 are round-6 doubles
+    * of the exact sums with identical expression text in both engines
+    * (normal interval, clamped to [0, 1]). Complete-case on id and score.
+    * Output (one row): n, n_pos, n_neg, ap_micro, prevalence_micro, b,
+    * se6, lo6, hi6.
+    */
+  def binaryApCi(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, resamples: Int = 64): DataFrame = {
+    require(resamples >= 2 && resamples <= 256,
+      s"resamples must be in [2, 256], got $resamples")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(scoreCol).cast("long").as("score"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .where(col("score").isNotNull && col("__id").isNotNull)
+    // the POINT estimate rides the same pass as resample −1 with weight 1
+    // (its per-threshold terms equal binaryAp's exactly), so the whole
+    // operator is ONE expansion + ONE keyed machinery run instead of two
+    // pipelines — measured ~2× on the fixed per-stage overhead
+    val aps = apCiResamples(base, Nil, resamples)
+    val point = aps.filter(col("__bs") === -1).drop("__bs")
+    val ci = aps.filter(col("__bs") >= 0)
+      .agg(count(lit(1)).as("b"),
+        coalesce(sum(col("ap_micro")), lit(0L)).as("__sa"),
+        coalesce(sum(col("ap_micro") * col("ap_micro")), lit(0L)).as("__sa2"))
+      .select(col("b"),
+        expr("""CASE WHEN b < 2 THEN 0.0 ELSE
+                ROUND(SQRT(CAST(b * __sa2 - __sa * __sa AS DOUBLE)
+                  / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE)))
+                  / 1000000.0, 6) END""").as("se6"))
+    point.crossJoin(broadcast(ci))
+      .withColumn("lo6",
+        expr("""ROUND(GREATEST(0.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+                - 1.959964 * se6), 6)"""))
+      .withColumn("hi6",
+        expr("""ROUND(LEAST(1.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+                + 1.959964 * se6), 6)"""))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("ap_micro"),
+        col("prevalence_micro"), col("b"), col("se6"), col("lo6"), col("hi6"))
+  }
+
+  /** Shared expansion of [[binaryApCi]]/[[binaryApCiBy]]: base rows
+    * (keys…, __id, score, __y) → one AP row per (keys…, __bs) with
+    * __bs = −1 carrying the unweighted POINT estimate and __bs in
+    * [0, resamples) the md5-coin Poisson resamples — one groupBy and one
+    * keyed-machinery pass for all of them. */
+  private def apCiResamples(base: DataFrame, keys: Seq[String],
+      resamples: Int): DataFrame = {
+    val ks = keys.map(col)
+    val expanded = base
+      .withColumn("__bs", explode(sequence(lit(-1), lit(resamples - 1))))
+      .withColumn("__w", expr(
+        s"""CASE WHEN __bs = -1 THEN 1L ELSE
+           |${poissonWeightSql("__id", "CAST(__bs AS STRING)")} END""".stripMargin))
+    val counts = expanded
+      .groupBy(ks ++ Seq(col("__bs"), col("score")): _*)
+      .agg(sum(col("__w") * col("__y")).as("p"),
+        sum(col("__w") * (lit(1L) - col("__y"))).as("ng"))
+    apByFromCounts(counts, keys :+ "__bs")
+  }
+
+  /** [[binaryApCi]] per key group — "AP by slice ± CI", the honest form
+    * of the q213 dashboard (slices differ 1000× in size; the point
+    * dashboard hides exactly that). The bootstrap resample id joins the
+    * user keys as one more key through the SAME keyed machinery — per-
+    * (key, resample) windows, per-key variance over a ≤`resamples`-row
+    * table per key, zero SinglePartition anywhere. Same determinism and
+    * complete-case contract as the global form. Output (one row per
+    * group): keys…, n, n_pos, n_neg, ap_micro, prevalence_micro, b, se6,
+    * lo6, hi6.
+    */
+  def binaryApCiBy(df: DataFrame, keys: Seq[String], idCol: String,
+      scoreCol: String, labelCol: String, resamples: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "binaryApCiBy needs at least one key (use binaryApCi)")
+    require(resamples >= 2 && resamples <= 256,
+      s"resamples must be in [2, 256], got $resamples")
+    val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
+      "pos_below", "all_below", "n", "n_pos", "n_neg", "ap_micro",
+      "prevalence_micro", "__y", "__tp", "__tot", "__term", "__ts",
+      "__mn", "__mx", "__id", "__bs", "__w", "__sa", "__sa2",
+      "se6", "lo6", "hi6")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val base = df.select(ks :+ col(idCol).cast("string").as("__id") :+
+        col(scoreCol).cast("long").as("score") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("score").isNotNull && col("__id").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+    // point rides the same pass as resample −1 (see binaryApCi)
+    val aps = apCiResamples(base, keys, resamples)
+    val point = aps.filter(col("__bs") === -1).drop("__bs")
+    val ci = aps.filter(col("__bs") >= 0)
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("b"),
+        coalesce(sum(col("ap_micro")), lit(0L)).as("__sa"),
+        coalesce(sum(col("ap_micro") * col("ap_micro")), lit(0L)).as("__sa2"))
+      .select(ks ++ Seq(col("b"),
+        expr("""CASE WHEN b < 2 THEN 0.0 ELSE
+                ROUND(SQRT(CAST(b * __sa2 - __sa * __sa AS DOUBLE)
+                  / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE)))
+                  / 1000000.0, 6) END""").as("se6")): _*)
+    point.join(ci, keys)
+      .withColumn("lo6",
+        expr("""ROUND(GREATEST(0.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+                - 1.959964 * se6), 6)"""))
+      .withColumn("hi6",
+        expr("""ROUND(LEAST(1.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+                + 1.959964 * se6), 6)"""))
+      .select(ks ++ Seq(col("n"), col("n_pos"), col("n_neg"), col("ap_micro"),
+        col("prevalence_micro"), col("b"), col("se6"), col("lo6"),
+        col("hi6")): _*)
   }
 
   /** [[binaryAuc]] with the DeLong standard error and a 95% CI (DeLong,

@@ -449,6 +449,88 @@ object Profile {
                 AS BIGINT) END""").as("rho_micro"))
   }
 
+  /** Kendall's τ-b rank correlation between two COARSE integer columns —
+    * the tie-aware companion of [[spearman]] (τ-b is the standard
+    * association dial for tied, bucketed scores: star ratings, quality
+    * tiers, length buckets — exactly where Σd²-Spearman's tie correction
+    * is weakest). With C = concordant pairs, D = discordant, n₁/n₂ the
+    * within-tie pair counts of each column and n₀ = n(n−1)/2:
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)).
+    *
+    * Exactness contract: C and D are EXACT integers from a dense-grid
+    * double cumulative — cells = distinct (x, y) counts, densified to the
+    * |X|×|Y| grid (the [[chiSquare]] boundedness contract: both columns
+    * are bounded-cardinality by the operator's coarse-score contract;
+    * this is NOT for near-continuous values — bucket first), then
+    *   B(x,y) = #(x'<x ∧ y'<y) and A(x,y) = #(x'<x ∧ y'>y)
+    * fall out of two chained windows, each partitioned by ONE axis
+    * (PARTITION BY x ORDER BY y, then PARTITION BY y ORDER BY x) — zero
+    * SinglePartition, no pair join: every concordant pair is counted
+    * once by its dominant cell (C = Σ n·B, D = Σ n·A). Products ride
+    * DECIMAL(38,0); the BIGINT outputs are exact to n ≈ 4·10⁹ rows
+    * (C ≤ n²/2). τ-b itself is the round-6 double of the exact integers
+    * with IDENTICAL expression text in both engines. Complete-case.
+    * Degenerate inputs (n < 2, or a constant column making a denominator
+    * factor ≤ 0) report tau_b6 = 0. Output (one row): n, conc, disc,
+    * tie_x_pairs, tie_y_pairs, tau_b6.
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
+    val dx = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__tx"))
+    val dy = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__ty"))
+    // dense |X|×|Y| grid — bounded by the coarse-score contract (the
+    // chiSquare precedent); zero-fill so the window cumulatives see every
+    // (x, y) combination and the prefix sums are evaluable at every cell
+    val grid = dx.select(col("__x")).crossJoin(dy.select(col("__y")))
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val wYup = Window.partitionBy(col("__x")).orderBy(col("__y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wYdn = Window.partitionBy(col("__x")).orderBy(col("__y"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val slice = grid
+      .withColumn("__cyb", coalesce(sum(col("__o")).over(wYup), lit(0L)))
+      .withColumn("__cya", coalesce(sum(col("__o")).over(wYdn), lit(0L)))
+    val wXup = Window.partitionBy(col("__y")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = slice
+      .withColumn("__bb", coalesce(sum(col("__cyb")).over(wXup), lit(0L)))
+      .withColumn("__ba", coalesce(sum(col("__cya")).over(wXup), lit(0L)))
+    val sums = dom.agg(
+      coalesce(sum(col("__o")), lit(0L)).as("n"),
+      coalesce(sum(col("__o").cast(DecimalType(38, 0)) * col("__bb")),
+        lit(0).cast(DecimalType(38, 0))).as("__conc"),
+      coalesce(sum(col("__o").cast(DecimalType(38, 0)) * col("__ba")),
+        lit(0).cast(DecimalType(38, 0))).as("__disc"))
+    val tiesX = dx.agg(coalesce(
+      sum(col("__tx").cast(DecimalType(38, 0)) * (col("__tx") - 1)),
+      lit(0).cast(DecimalType(38, 0))).as("__tx2"))
+    val tiesY = dy.agg(coalesce(
+      sum(col("__ty").cast(DecimalType(38, 0)) * (col("__ty") - 1)),
+      lit(0).cast(DecimalType(38, 0))).as("__ty2"))
+    sums.crossJoin(broadcast(tiesX)).crossJoin(broadcast(tiesY))
+      .select(col("n"),
+        expr("CAST(__conc AS BIGINT)").as("conc"),
+        expr("CAST(__disc AS BIGINT)").as("disc"),
+        expr("CAST(__tx2 DIV 2 AS BIGINT)").as("tie_x_pairs"),
+        expr("CAST(__ty2 DIV 2 AS BIGINT)").as("tie_y_pairs"))
+      .withColumn("tau_b6", expr(
+        """CASE WHEN n < 2
+             OR CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_x_pairs <= 0
+             OR CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_y_pairs <= 0 THEN 0.0
+           ELSE ROUND(CAST(conc - disc AS DOUBLE) /
+             (SQRT(CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_x_pairs AS DOUBLE)) *
+              SQRT(CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_y_pairs AS DOUBLE))), 6) END"""))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over an integer value column
     * between two groups — the ordered-axis drift detector that
     * [[bucketDrift]]'s per-bucket shares can't see (a mass shift between
@@ -661,6 +743,58 @@ object Profile {
                 ELSE ROUND(mi6 / SQRT(h_a6 * h_b6), 6) END"""))
       .select(col("n"), col("n_a"), col("n_b"), col("mi6"),
         col("h_a6"), col("h_b6"), col("nmi6"))
+  }
+
+  /** [[mutualInfo]] per key group — the metadata-leakage triage SLICED
+    * (the dial dashboards actually consume: MI of two metadata columns
+    * *within* each slice — e.g. does source still leak length info once
+    * language is held fixed?). Same determinism contract as the global
+    * form (per-cell/per-value round-9 ln terms summed as DECIMAL(24,9),
+    * round-6 outputs, NMI from the rounded sums); per-key observed-cell
+    * tables only (no |A|×|B| grid), per-key marginals via keyed groupBys
+    * re-joined on the keys — every aggregate and join keyed, zero
+    * SinglePartition, no window. Complete-case on keys and both columns.
+    * Output (one row per key): keys…, n, n_a, n_b, mi6, h_a6, h_b6, nmi6.
+    */
+  def mutualInfoBy(df: DataFrame, keys: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(keys.nonEmpty, "mutualInfoBy needs at least one key (use mutualInfo)")
+    val reserved = Set("a", "b", "o", "r", "c", "n", "n_a", "n_b",
+      "mi6", "h_a6", "h_b6", "nmi6", "__t")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val obs = df.select(ks :+ col(aCol).cast("string").as("a") :+
+        col(bCol).cast("string").as("b"): _*)
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks :+ col("a") :+ col("b"): _*).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(ks :+ col("a"): _*).agg(sum(col("o")).as("r"))
+    val cb = obs.groupBy(ks :+ col("b"): _*).agg(sum(col("o")).as("c"))
+    val tot = obs.groupBy(ks: _*).agg(
+      coalesce(sum(col("o")), lit(0L)).as("n"),
+      count_distinct(col("a")).as("n_a"), count_distinct(col("b")).as("n_b"))
+    def decSum9(c: Column): Column =
+      round(coalesce(sum(c.cast(DecimalType(24, 9))),
+        lit(0).cast(DecimalType(24, 9))).cast("double"), 6)
+    val mi = obs.join(ra, keys :+ "a").join(cb, keys :+ "b")
+      .join(tot.select(ks :+ col("n"): _*), keys)
+      .select(ks :+ expr("""ROUND(CAST(o AS DOUBLE) / n *
+        LN(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 9)""").as("__t"): _*)
+      .groupBy(ks: _*).agg(decSum9(col("__t")).as("mi6"))
+    def entropyBy(cnts: DataFrame, cn: String, out: String): DataFrame =
+      cnts.join(tot.select(ks :+ col("n"): _*), keys)
+        .select(ks :+ expr(s"""ROUND(-(CAST($cn AS DOUBLE) / n) *
+          LN(CAST($cn AS DOUBLE) / n), 9)""").as("__t"): _*)
+        .groupBy(ks: _*).agg(decSum9(col("__t")).as(out))
+    tot.join(mi, keys)
+      .join(entropyBy(ra, "r", "h_a6"), keys)
+      .join(entropyBy(cb, "c", "h_b6"), keys)
+      .withColumn("nmi6",
+        expr("""CASE WHEN h_a6 <= 0.0 OR h_b6 <= 0.0 THEN 0.0
+                ELSE ROUND(mi6 / SQRT(h_a6 * h_b6), 6) END"""))
+      .select(ks ++ Seq(col("n"), col("n_a"), col("n_b"), col("mi6"),
+        col("h_a6"), col("h_b6"), col("nmi6")): _*)
   }
 
   /** [[ksTwoSample]] over a PRE-AGGREGATED (v, ca, cb) count table — the

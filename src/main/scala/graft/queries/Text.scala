@@ -3931,6 +3931,389 @@ object Text {
       |    + 1.959964 * se6), 6) AS hi6
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** q217: per-language mutual information of source × length bucket
+    * (`Profile.mutualInfoBy`) — q215's dependence dial SLICED the way the
+    * leakage-triage dashboards consume it: within each language, how many
+    * nats does a document's source shard still give about its length
+    * band? A global MI (q215) can hide a slice where one shard's lengths
+    * are fully determined. Per-key observed-cell tables and marginals
+    * only (no |A|×|B| grid), every aggregate and join keyed — zero
+    * SinglePartition.
+    */
+  def q217MutualInfoByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.mutualInfoBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 256").as("len_band")),
+      Seq("lang"), "source", "len_band")
+
+  val q217Sql: String =
+    """WITH obs AS (
+      |  SELECT lang, source AS a, CAST(n_chars // 256 AS VARCHAR) AS b,
+      |    CAST(COUNT(1) AS BIGINT) AS o
+      |  FROM documents
+      |  -- complete-case key/column mirror of mutualInfoBy
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |),
+      |ra AS (SELECT lang, a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1, 2),
+      |cb AS (SELECT lang, b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1, 2),
+      |t AS (
+      |  SELECT lang, CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+      |  FROM obs GROUP BY lang
+      |),
+      |mi AS (
+      |  SELECT obs.lang, ROUND(CAST(COALESCE(SUM(CAST(
+      |    ROUND(CAST(o AS DOUBLE) / n *
+      |      LN(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 9)
+      |    AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS mi6
+      |  FROM obs JOIN ra USING (lang, a) JOIN cb USING (lang, b)
+      |    JOIN t USING (lang)
+      |  GROUP BY obs.lang
+      |),
+      |ha AS (
+      |  SELECT ra.lang, ROUND(CAST(COALESCE(SUM(CAST(
+      |    ROUND(-(CAST(r AS DOUBLE) / n) * LN(CAST(r AS DOUBLE) / n), 9)
+      |    AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS h_a6
+      |  FROM ra JOIN t USING (lang) GROUP BY ra.lang
+      |),
+      |hb AS (
+      |  SELECT cb.lang, ROUND(CAST(COALESCE(SUM(CAST(
+      |    ROUND(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n), 9)
+      |    AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS h_b6
+      |  FROM cb JOIN t USING (lang) GROUP BY cb.lang
+      |)
+      |SELECT lang, n, n_a, n_b, mi6, h_a6, h_b6,
+      |  CASE WHEN h_a6 <= 0.0 OR h_b6 <= 0.0 THEN 0.0
+      |    ELSE ROUND(mi6 / SQRT(h_a6 * h_b6), 6) END AS nmi6
+      |FROM t JOIN mi USING (lang) JOIN ha USING (lang) JOIN hb USING (lang)""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+
+  /** q218: Kendall's τ-b of length band × token band
+    * (`Profile.kendallTauB`) — q203's monotone-association dial in its
+    * tie-aware form, on the COARSE buckets where Σd²-Spearman's tie
+    * correction is weakest (64-char length bands vs 8-token bands tie
+    * heavily by construction). Exact concordant/discordant pair counts
+    * from a dense-grid double cumulative — two chained windows, each
+    * partitioned by one axis, zero SinglePartition, no pair join.
+    */
+  def q218KendallTau(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.kendallTauB(
+      Tables.load(spark, sfDir, "documents")
+        .select(expr("n_chars DIV 64").as("len_band"),
+          expr("size(split(text, ' ')) DIV 8").as("tok_band")),
+      "len_band", "tok_band")
+
+  val q218Sql: String =
+    """WITH base AS (
+      |  SELECT n_chars // 64 AS x, len(string_split(text, ' ')) // 8 AS y
+      |  FROM documents
+      |),
+      |cells AS (SELECT x, y, CAST(COUNT(1) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+      |dx AS (SELECT x, CAST(SUM(o) AS BIGINT) AS tx FROM cells GROUP BY x),
+      |dy AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ty FROM cells GROUP BY y),
+      |grid AS (
+      |  SELECT dx.x, dy.y, COALESCE(c.o, 0) AS o
+      |  FROM dx CROSS JOIN dy LEFT JOIN cells c ON c.x = dx.x AND c.y = dy.y
+      |),
+      |sl AS (
+      |  SELECT x, y, o,
+      |    COALESCE(SUM(o) OVER (PARTITION BY x ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cyb,
+      |    COALESCE(SUM(o) OVER (PARTITION BY x ORDER BY y
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS cya
+      |  FROM grid
+      |),
+      |dom AS (
+      |  SELECT x, y, o,
+      |    COALESCE(SUM(cyb) OVER wx, 0) AS bb,
+      |    COALESCE(SUM(cya) OVER wx, 0) AS ba
+      |  FROM sl
+      |  WINDOW wx AS (PARTITION BY y ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |),
+      |s AS (
+      |  SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(CAST(o AS HUGEINT) * bb), 0) AS BIGINT) AS conc,
+      |    CAST(COALESCE(SUM(CAST(o AS HUGEINT) * ba), 0) AS BIGINT) AS disc
+      |  FROM dom
+      |),
+      |tpx AS (
+      |  SELECT CAST(COALESCE(SUM(CAST(tx AS HUGEINT) * (tx - 1)), 0) // 2
+      |    AS BIGINT) AS tie_x_pairs FROM dx
+      |),
+      |tpy AS (
+      |  SELECT CAST(COALESCE(SUM(CAST(ty AS HUGEINT) * (ty - 1)), 0) // 2
+      |    AS BIGINT) AS tie_y_pairs FROM dy
+      |)
+      |SELECT n, conc, disc, tie_x_pairs, tie_y_pairs,
+      |  CASE WHEN n < 2
+      |    OR CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) - tie_x_pairs <= 0
+      |    OR CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) - tie_y_pairs <= 0
+      |    THEN 0.0
+      |  ELSE ROUND(CAST(conc - disc AS DOUBLE) /
+      |    (SQRT(CAST(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+      |       - tie_x_pairs AS DOUBLE)) *
+      |     SQRT(CAST(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+      |       - tie_y_pairs AS DOUBLE))), 6) END AS tau_b6
+      |FROM s, tpx, tpy""".stripMargin
+
+  // ---------------------------------------------------------------- q219
+
+  /** q219: average precision with a bootstrap CI (`LmOps.binaryApCi`) —
+    * brings q210 to parity with the AUC family (q205): AP has no DeLong
+    * closed form, so the interval is a deterministic md5-coin Poisson
+    * bootstrap (64 resamples, each row's weight an md5 of (doc_id,
+    * resample) — engine-replayable, no RNG state). Resamples ride the
+    * keyed AP machinery with the resample id as the key; only the 64-row
+    * AP table crosses a single partition.
+    */
+  def q219ApCi(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryApCi(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("n_chars").as("len_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      "doc_id", "len_score", "is_en", resamples = 64)
+
+  private val apCiBootCte: String =
+    """bo AS (
+      |  SELECT bs, score, CAST(SUM(w * y) AS BIGINT) AS p,
+      |    CAST(SUM(w * (1 - y)) AS BIGINT) AS ng
+      |  FROM (
+      |    SELECT bs, score, y,
+      |      CASE WHEN h < 424136118829305329 THEN 0
+      |           WHEN h < 848272237658610659 THEN 1
+      |           WHEN h < 1060340297073263324 THEN 2
+      |           WHEN h < 1131029650211480879 THEN 3
+      |           WHEN h < 1148701988496035267 THEN 4
+      |           WHEN h < 1152236456152946145 THEN 5
+      |           WHEN h < 1152825534095764625 THEN 6
+      |           ELSE 7 END AS w
+      |    FROM (
+      |      SELECT base.*, r.range AS bs,
+      |        ('0x' || substr(md5(id || ':' || CAST(r.range AS VARCHAR)),
+      |          1, 15))::BIGINT AS h
+      |      FROM base CROSS JOIN range(0, 64) r
+      |    )
+      |  )
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  val q219Sql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |  -- complete-case id/score mirror of binaryApCi
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+       |),
+       |g AS (
+       |  SELECT score, CAST(SUM(y) AS BIGINT) AS p,
+       |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+       |  FROM base GROUP BY 1
+       |),
+       |t AS (
+       |  SELECT CAST(SUM(p) AS BIGINT) AS tp,
+       |    CAST(SUM(p + ng) AS BIGINT) AS tot
+       |  FROM g
+       |),
+       |c AS (
+       |  SELECT score, p, ng, tp, tot,
+       |    COALESCE(SUM(p) OVER w, 0) AS pos_below,
+       |    COALESCE(SUM(p + ng) OVER w, 0) AS all_below
+       |  FROM g, t
+       |  WINDOW w AS (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |),
+       |s AS (
+       |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(ng) AS BIGINT) AS n_neg,
+       |    COALESCE(SUM(CASE WHEN p = 0 THEN 0 ELSE
+       |      (CAST(1000000 AS HUGEINT) * p * (tp - pos_below))
+       |        // (tot - all_below) END), 0) AS ts
+       |  FROM c
+       |),
+       |$apCiBootCte,
+       |bt AS (
+       |  SELECT bs, CAST(SUM(p) AS BIGINT) AS tp,
+       |    CAST(SUM(p + ng) AS BIGINT) AS tot
+       |  FROM bo GROUP BY bs
+       |),
+       |bc AS (
+       |  SELECT bo.bs, score, p, ng, tp, tot,
+       |    COALESCE(SUM(p) OVER w, 0) AS pos_below,
+       |    COALESCE(SUM(p + ng) OVER w, 0) AS all_below
+       |  FROM bo JOIN bt USING (bs)
+       |  WINDOW w AS (PARTITION BY bo.bs ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |),
+       |baps AS (
+       |  SELECT bs, CAST(SUM(p) AS BIGINT) AS bn_pos,
+       |    COALESCE(SUM(CASE WHEN p = 0 THEN 0 ELSE
+       |      (CAST(1000000 AS HUGEINT) * p * (tp - pos_below))
+       |        // (tot - all_below) END), 0) AS bts
+       |  FROM bc GROUP BY bs
+       |),
+       |bap AS (
+       |  SELECT bs, CAST(CASE WHEN bn_pos = 0 THEN 0
+       |    ELSE bts // bn_pos END AS BIGINT) AS ap_micro
+       |  FROM baps
+       |),
+       |ci AS (
+       |  SELECT CAST(COUNT(1) AS BIGINT) AS b,
+       |    CAST(COALESCE(SUM(ap_micro), 0) AS BIGINT) AS sa,
+       |    CAST(COALESCE(SUM(ap_micro * ap_micro), 0) AS BIGINT) AS sa2
+       |  FROM bap
+       |),
+       |m AS (
+       |  SELECT n_pos + n_neg AS n, n_pos, n_neg,
+       |    CAST(CASE WHEN n_pos = 0 THEN 0 ELSE ts // n_pos END AS BIGINT)
+       |      AS ap_micro,
+       |    CAST(CASE WHEN n_pos + n_neg = 0 THEN 0
+       |      ELSE CAST(1000000 AS HUGEINT) * n_pos // (n_pos + n_neg)
+       |      END AS BIGINT) AS prevalence_micro,
+       |    b,
+       |    CASE WHEN b < 2 THEN 0.0 ELSE
+       |      ROUND(SQRT(CAST(b * sa2 - sa * sa AS DOUBLE)
+       |        / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE)))
+       |        / 1000000.0, 6) END AS se6
+       |  FROM s, ci
+       |)
+       |SELECT n, n_pos, n_neg, ap_micro, prevalence_micro, b, se6,
+       |  ROUND(GREATEST(0.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+       |    - 1.959964 * se6), 6) AS lo6,
+       |  ROUND(LEAST(1.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+       |    + 1.959964 * se6), 6) AS hi6
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+
+  /** q220: per-source AP with bootstrap CIs (`LmOps.binaryApCiBy`) — the
+    * q213 slice dashboard upgraded to intervals, completing the eval
+    * family's uncertainty story (q216 did it for AUC): slices differ
+    * 1000× in size and the point dashboard hides exactly that. The
+    * resample id joins the source key through the same keyed machinery —
+    * per-(key, resample) windows, zero SinglePartition anywhere.
+    */
+  def q220ApCiBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryApCiBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("len_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "doc_id", "len_score", "is_en", resamples = 64)
+
+  val q220Sql: String =
+    """WITH base AS (
+      |  SELECT source, CAST(doc_id AS VARCHAR) AS id, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case key/id/score mirror of binaryApCiBy
+      |  WHERE source IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT source, score, CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(COUNT(1) - SUM(y) AS BIGINT) AS ng
+      |  FROM base GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT source, CAST(SUM(p) AS BIGINT) AS tp,
+      |    CAST(SUM(p + ng) AS BIGINT) AS tot
+      |  FROM g GROUP BY source
+      |),
+      |c AS (
+      |  SELECT g.source, score, p, ng, tp, tot,
+      |    COALESCE(SUM(p) OVER w, 0) AS pos_below,
+      |    COALESCE(SUM(p + ng) OVER w, 0) AS all_below
+      |  FROM g JOIN t USING (source)
+      |  WINDOW w AS (PARTITION BY g.source ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |),
+      |s AS (
+      |  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+      |    CAST(SUM(ng) AS BIGINT) AS n_neg,
+      |    COALESCE(SUM(CASE WHEN p = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * p * (tp - pos_below))
+      |        // (tot - all_below) END), 0) AS ts
+      |  FROM c GROUP BY source
+      |),
+      |bo AS (
+      |  SELECT source, bs, score, CAST(SUM(w * y) AS BIGINT) AS p,
+      |    CAST(SUM(w * (1 - y)) AS BIGINT) AS ng
+      |  FROM (
+      |    SELECT source, bs, score, y,
+      |      CASE WHEN h < 424136118829305329 THEN 0
+      |           WHEN h < 848272237658610659 THEN 1
+      |           WHEN h < 1060340297073263324 THEN 2
+      |           WHEN h < 1131029650211480879 THEN 3
+      |           WHEN h < 1148701988496035267 THEN 4
+      |           WHEN h < 1152236456152946145 THEN 5
+      |           WHEN h < 1152825534095764625 THEN 6
+      |           ELSE 7 END AS w
+      |    FROM (
+      |      SELECT base.*, r.range AS bs,
+      |        ('0x' || substr(md5(id || ':' || CAST(r.range AS VARCHAR)),
+      |          1, 15))::BIGINT AS h
+      |      FROM base CROSS JOIN range(0, 64) r
+      |    )
+      |  )
+      |  GROUP BY 1, 2, 3
+      |),
+      |bt AS (
+      |  SELECT source, bs, CAST(SUM(p) AS BIGINT) AS tp,
+      |    CAST(SUM(p + ng) AS BIGINT) AS tot
+      |  FROM bo GROUP BY 1, 2
+      |),
+      |bc AS (
+      |  SELECT bo.source, bo.bs, score, p, ng, tp, tot,
+      |    COALESCE(SUM(p) OVER w, 0) AS pos_below,
+      |    COALESCE(SUM(p + ng) OVER w, 0) AS all_below
+      |  FROM bo JOIN bt USING (source, bs)
+      |  WINDOW w AS (PARTITION BY bo.source, bo.bs ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |),
+      |baps AS (
+      |  SELECT source, bs, CAST(SUM(p) AS BIGINT) AS bn_pos,
+      |    COALESCE(SUM(CASE WHEN p = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * p * (tp - pos_below))
+      |        // (tot - all_below) END), 0) AS bts
+      |  FROM bc GROUP BY 1, 2
+      |),
+      |bap AS (
+      |  SELECT source, bs, CAST(CASE WHEN bn_pos = 0 THEN 0
+      |    ELSE bts // bn_pos END AS BIGINT) AS ap_micro
+      |  FROM baps
+      |),
+      |ci AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS b,
+      |    CAST(COALESCE(SUM(ap_micro), 0) AS BIGINT) AS sa,
+      |    CAST(COALESCE(SUM(ap_micro * ap_micro), 0) AS BIGINT) AS sa2
+      |  FROM bap GROUP BY source
+      |),
+      |m AS (
+      |  SELECT s.source, n_pos + n_neg AS n, n_pos, n_neg,
+      |    CAST(CASE WHEN n_pos = 0 THEN 0 ELSE ts // n_pos END AS BIGINT)
+      |      AS ap_micro,
+      |    CAST(CASE WHEN n_pos + n_neg = 0 THEN 0
+      |      ELSE CAST(1000000 AS HUGEINT) * n_pos // (n_pos + n_neg)
+      |      END AS BIGINT) AS prevalence_micro,
+      |    b,
+      |    CASE WHEN b < 2 THEN 0.0 ELSE
+      |      ROUND(SQRT(CAST(b * sa2 - sa * sa AS DOUBLE)
+      |        / (CAST(b AS DOUBLE) * CAST(b - 1 AS DOUBLE)))
+      |        / 1000000.0, 6) END AS se6
+      |  FROM s JOIN ci USING (source)
+      |)
+      |SELECT source, n, n_pos, n_neg, ap_micro, prevalence_micro, b, se6,
+      |  ROUND(GREATEST(0.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+      |    - 1.959964 * se6), 6) AS lo6,
+      |  ROUND(LEAST(1.0, CAST(ap_micro AS DOUBLE) / 1000000.0
+      |    + 1.959964 * se6), 6) AS hi6
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4331,6 +4714,10 @@ object Text {
     QueryDef("q214_psi_by_lang", q214PsiByLang, Some(q214Sql)),
     QueryDef("q215_mutual_info", q215MutualInfo, Some(q215Sql)),
     QueryDef("q216_group_auc_ci", q216GroupAucCi, Some(q216Sql)),
+    QueryDef("q217_mutual_info_by_lang", q217MutualInfoByLang, Some(q217Sql)),
+    QueryDef("q218_kendall_tau", q218KendallTau, Some(q218Sql)),
+    QueryDef("q219_ap_ci", q219ApCi, Some(q219Sql)),
+    QueryDef("q220_ap_ci_by_source", q220ApCiBySource, Some(q220Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

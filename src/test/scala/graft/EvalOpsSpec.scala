@@ -975,6 +975,113 @@ class EvalOpsSpec extends SparkSpec {
     assert(d._6 == 0.0 && d._7 == 0.0 && d._4 == 0.0)
   }
 
+  test("kendallTauB: hand cases and O(n²) brute force under heavy ties") {
+    def tau(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Double) = {
+      val r = Profile.kendallTauB(rows.toDF("x", "y"), "x", "y").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    }
+    def brute(rows: Seq[(Long, Long)]): (Long, Long) = {
+      var c = 0L; var d = 0L
+      for (i <- rows.indices; j <- i + 1 until rows.size) {
+        val s = java.lang.Long.signum(rows(i)._1 - rows(j)._1) *
+          java.lang.Long.signum(rows(i)._2 - rows(j)._2)
+        if (s > 0) c += 1 else if (s < 0) d += 1
+      }
+      (c, d)
+    }
+    // perfect / inverse monotone, no ties → τ-b = ±1
+    assert(tau(Seq((1L, 10L), (2L, 20L), (5L, 21L), (9L, 90L))) ==
+      ((4L, 6L, 0L, 0L, 0L, 1.0)))
+    assert(tau(Seq((1L, 3L), (2L, 2L), (3L, 1L))) == ((3L, 0L, 3L, 0L, 0L, -1.0)))
+    // tie hand case: x=2 twice → n1=1, C=5, D=0, τ-b = 5/√(5·6) = 0.912871
+    assert(tau(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L))) ==
+      ((4L, 5L, 0L, 1L, 0L, 0.912871)))
+    // degenerate: n<2, and a constant column (n0 − n1 = 0)
+    assert(tau(Seq((7L, 7L)))._6 == 0.0)
+    assert(tau(Seq((1L, 1L), (1L, 2L), (1L, 3L)))._6 == 0.0)
+    // pseudo-random coarse input (heavy ties by construction) vs brute
+    val xs = Iterator.iterate(7L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(120).toSeq
+    val rows = xs.map(x => ((x >> 3) % 7, (x >> 9) % 5))
+    val (bc, bd) = brute(rows)
+    val got = tau(rows)
+    assert((got._2, got._3) == ((bc, bd)),
+      s"conc/disc disagree with brute force: got ${(got._2, got._3)}, want ${(bc, bd)}")
+    // τ from the brute counts through the same formula
+    val n = rows.size.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = rows.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n2 = rows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert((got._4, got._5) == ((n1, n2)))
+    val want = (bc - bd).toDouble /
+      (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+    assert(math.abs(got._6 - want) < 1e-6)
+  }
+
+  test("mutualInfoBy equals per-group mutualInfo, slices never leak") {
+    val xs = Iterator.iterate(11L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(180).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", s"a${(x >> 4) % 4}", s"b${(x >> 7) % 3}") }
+    val by = Profile.mutualInfoBy(rows.toDF("k", "u", "w"), Seq("k"), "u", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.mutualInfo(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("u", "w"),
+        "u", "w").collect()(0)
+      assert(by(grp) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        solo.getDouble(3), solo.getDouble(4), solo.getDouble(5),
+        solo.getDouble(6))), s"slice $grp disagrees with the global operator")
+    }
+  }
+
+  test("binaryApCi: point estimate matches binaryAp, interval brackets it, deterministic") {
+    val xs = Iterator.iterate(23L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(200).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, (x >> 5) % 50, if ((x >> 3) % 3 == 0) 1L else 0L) }
+    val df = rows.toDF("id", "s", "y")
+    val ci = LmOps.binaryApCi(df, "id", "s", "y", resamples = 8).collect()(0)
+    val ap = LmOps.binaryAp(df, "s", "y").collect()(0)
+    // point columns are the exact binaryAp contract, untouched by the boot
+    assert((ci.getLong(0), ci.getLong(1), ci.getLong(2), ci.getLong(3),
+      ci.getLong(4)) == ((ap.getLong(0), ap.getLong(1), ap.getLong(2),
+      ap.getLong(3), ap.getLong(4))))
+    assert(ci.getLong(5) == 8L, "b must equal the resample count")
+    val (apm, se, lo, hi) =
+      (ci.getLong(3), ci.getDouble(6), ci.getDouble(7), ci.getDouble(8))
+    assert(se > 0.0, "mixed-label input must have positive bootstrap se")
+    assert(lo <= apm / 1e6 + 1e-9 && apm / 1e6 <= hi + 1e-9)
+    // md5-coin determinism: a second run is bit-identical
+    val again = LmOps.binaryApCi(df, "id", "s", "y", resamples = 8).collect()(0)
+    assert(again.toSeq == ci.toSeq, "bootstrap must be deterministic")
+    // degenerate: no positives → ap 0, every resample 0, se 0
+    val neg = rows.map(t => (t._1, t._2, 0L)).toDF("id", "s", "y")
+    val d = LmOps.binaryApCi(neg, "id", "s", "y", resamples = 8).collect()(0)
+    assert(d.getLong(3) == 0L && d.getDouble(6) == 0.0)
+  }
+
+  test("binaryApCiBy equals per-group binaryApCi (coins depend only on id and resample)") {
+    val xs = Iterator.iterate(31L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(240).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", i.toLong, (x >> 5) % 40, if ((x >> 2) % 4 == 0) 1L else 0L) }
+    val by = LmOps.binaryApCiBy(rows.toDF("k", "id", "s", "y"),
+      Seq("k"), "id", "s", "y", resamples = 8)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = LmOps.binaryApCi(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3, t._4)).toDF("id", "s", "y"),
+        "id", "s", "y", resamples = 8).collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+  }
+
   test("memoFit key is data-aware: rewriting the input under the same tag refits") {
     // pins the q194 contract (r15 verdict): the memo key derives from the
     // canonicalized plan + backing files, so an input rewrite under an

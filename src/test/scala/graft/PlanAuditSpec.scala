@@ -142,6 +142,17 @@ class PlanAuditSpec extends SparkSpec {
     // totals frame, and the 1-row output assembles three broadcast 1-row
     // scalar frames (Profile.mutualInfo — the q187 dataset-card shape)
     "q215_mutual_info",
+    // q218: the τ-b dense grid crossJoins the two bounded distinct-value
+    // tables (|X| × |Y| by the coarse-score contract — the q201 χ² grid
+    // shape), and the 1-row output assembles the two broadcast 1-row
+    // tie-pair scalar frames (Profile.kendallTauB)
+    "q218_kendall_tau",
+    // q219: the global AP-CI's point row crossJoins the broadcast 1-ROW
+    // bootstrap-CI frame — the only BNLJ left after the point estimate
+    // was fused into the keyed resample pass (LmOps.binaryApCi — the
+    // q205 global-interval shape; the KEYED form q220 plans zero BNLJ
+    // and zero SinglePartition)
+    "q219_ap_ci",
     // (q204 left this list when its output became literal-built from the
     // collected bin table — the single-scan ADVICE-r15 rework: the scan
     // with the anchor-probe crossJoin now runs once, inside the collect,
@@ -393,6 +404,23 @@ class PlanAuditSpec extends SparkSpec {
     val p208 = planOf("q208_isotonic_by_source")
     assert(p208.contains("LocalTableScan") && !p208.contains("Exchange"),
       "q208 output is not literal-built from the collected bin table")
+    // q217: per-key MI — keyed observed-cell tables and marginals only,
+    // zero SinglePartition, no BNLJ (the q215 crossJoins become keyed
+    // equi-joins in mutualInfoBy), no window
+    val p217 = planOf("q217_mutual_info_by_lang")
+    assert(!p217.contains("Exchange SinglePartition"),
+      "q217 plans a SinglePartition exchange — the keyed MI regressed")
+    assert(!p217.contains("BroadcastNestedLoopJoin"),
+      "q217 plans a BNLJ — the keyed MI's marginal joins must stay equi")
+    assert(!p217.contains("Window"), "q217 must not plan a window")
+    // q220: per-key AP±CI — the bootstrap resample id rides as one more
+    // key through the same machinery; zero SinglePartition, zero BNLJ
+    // (the global form q219 keeps the audited 1-row crossJoins instead)
+    val p220 = planOf("q220_ap_ci_by_source")
+    assert(!p220.contains("Exchange SinglePartition"),
+      "q220 plans a SinglePartition exchange — the keyed AP-CI regressed")
+    assert(!p220.contains("BroadcastNestedLoopJoin"),
+      "q220 plans a BNLJ — the keyed AP-CI's joins must stay equi")
   }
 
   test("q61 packing never plans a single-partition global window") {
