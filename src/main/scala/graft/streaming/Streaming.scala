@@ -1431,6 +1431,67 @@ object Streaming {
     ()
   }
 
+  /** Streaming isotonic-calibration monitor — the ingest-time twin of the
+    * batch `LmOps.isotonicCalibrate` (q204), completing the batch↔stream
+    * parity for the calibration family: it rides the SAME (bin, n, n_pos,
+    * spm, sq) count-delta store shape as [[calibrationMonitorStream]]
+    * (one probability store can feed both monitors — the AUC/AP
+    * (score, p, ng) precedent), and the emit step merges the window's
+    * deltas to ≤ `bins` rows, runs PAV driver-side (a no-op at that
+    * size — the q204 bounded-collect contract), and writes the fitted
+    * step literal-built. `bins` must stay constant for the life of the
+    * store. Same retention and replay contracts as [[aucMonitorStream]].
+    * Output at `outDir/batch_id=N`: (bin, n, n_pos, conf_micro,
+    * iso_micro) with iso_micro non-decreasing in bin.
+    */
+  def isotonicMonitorStream(rows: DataFrame, outDir: String,
+      storeDir: String, checkpoint: String, probMicroCol: String = "pm",
+      labelCol: String = "y", bins: Int = 32,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIsotonicBatch(batch, batchId, outDir, storeDir,
+          probMicroCol, labelCol, bins, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[isotonicMonitorStream]] — package-private for
+    * direct idempotency testing. */
+  private[graft] def processIsotonicBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, probMicroCol: String, labelCol: String,
+      bins: Int, retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit collect and the store write
+    // (the processCalibrationBatch lesson)
+    val mine = graft.operators.LmOps
+      .calibrationBinCounts(batch, probMicroCol, labelCol, bins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    // merged per-bin counts → bounded collect (≤ bins rows) → driver PAV
+    // → literal-built emit (the q204 single-scan contract: joining the
+    // uncached agg plan back would re-run the merge)
+    val rows = all.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("spm")).as("__spm"))
+      .withColumn("conf_micro", expr("__spm DIV n"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    graft.operators.LmOps.isotonicFromCollected(spark, rows,
+      graft.operators.LmOps.pavFit(rows.map(t => (t._1, t._2, t._3))))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming ordered-funnel progress — the ingest-time twin of the batch
     * Funnel.steps operator. Per-entity step-completion times live in a
     * batch_id-partitioned store; each micro-batch advances them with the

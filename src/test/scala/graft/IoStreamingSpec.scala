@@ -576,6 +576,45 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming isotonic monitor equals the batch PAV fit over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("isostream").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.isotonicMonitorStream(mem.toDF().toDF("pm", "y"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "pm", "y", bins = 16)
+    // label rate mostly rises with pm but with planted local violations,
+    // so PAV actually pools (a trivial monotone input would pass even if
+    // pooling broke)
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val pm = (i.toLong * 2654435761L) % 1000001L
+      val bump = if ((pm / 62500L) % 4L == 2L) 700L else 0L
+      (pm, if ((pm / 1500L + bump + i % 7) % 13L > 7L) 1L else 0L)
+    }
+    val b0 = rows(0, 400)
+    val b1 = rows(400, 1000)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    val streamed = snap()
+    val batch = graft.operators.LmOps.isotonicCalibrate(
+      (b0 ++ b1).toDF("pm", "y"), "pm", "y", bins = 16)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.map(_(1).asInstanceOf[Long]).sum == 1000L)
+    // the emitted fit is non-decreasing (the isotonic contract)
+    val iso = streamed.map(_(4).asInstanceOf[Long])
+    assert(iso == iso.sorted, s"iso_micro not monotone: $iso")
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processIsotonicBatch(b1.toDF("pm", "y"), 1L,
+      s"$dir/out", s"$dir/store", "pm", "y", 16)
+    assert(snap() == streamed)
+  }
+
   test("streaming funnel equals the batch operator under ts-ordered batches, idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
