@@ -1336,6 +1336,30 @@ object ScaleBench {
         r.getDouble(5) == -1.0, s"kendall reverse closed form failed: $r")
     }
 
+    // Keyed τ-b at 10M rows / 100 slices over 50 coarse values with
+    // y = x per slice: conc = n₀ − n₁ per slice exactly (n per slice
+    // 100k, 2k rows per value ⇒ n₁ = 50·C(2000, 2) = 99 950 000,
+    // n₀ = C(100000, 2) = 4 999 950 000) and τ-b = 1.0 in every slice.
+    // Gates the keyed dense-grid double cumulative — per-key grids via
+    // equi-joins, keyed windows, 100 slices in parallel.
+    timed("keyed_kendall_10M_rows_100_slices") {
+      val n = 10000000L
+      val expConc = 4999950000L - 99950000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        expr("id DIV 100 % 50").as("x"),
+        expr("id DIV 100 % 50").as("y"))
+      val out = operators.Profile.kendallTauBBy(rows, Seq("k"), "x", "y")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === n / 100 && col("conc") === expConc &&
+          col("disc") === 0L && col("tie_x_pairs") === 99950000L &&
+          col("tie_y_pairs") === 99950000L && col("tau_b6") === 1.0, 1))
+          .as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed kendall closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // Keyed AP bootstrap CI at 10M rows / 100 slices / 8 resamples: per
     // slice the scorer is perfectly separated, and Poisson weights never
     // reorder scores, so EVERY resample with a surviving positive is

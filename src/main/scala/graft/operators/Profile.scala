@@ -745,6 +745,84 @@ object Profile {
         col("h_a6"), col("h_b6"), col("nmi6"))
   }
 
+  /** [[kendallTauB]] per key group — the tie-aware association slice
+    * dashboard (is the length↔token relationship still monotone in EVERY
+    * language, or did one slice's re-tokenization break it?). Same
+    * exactness and coarse-score boundedness contract as the global form;
+    * the dense grid densifies per key (a keyed equi-join of the per-key
+    * axis tables — no cross join), every window partitioned by
+    * (keys, one axis), every aggregate and join keyed — zero
+    * SinglePartition. Complete-case on keys and both columns. Output
+    * (one row per key): keys…, n, conc, disc, tie_x_pairs, tie_y_pairs,
+    * tau_b6.
+    */
+  def kendallTauBBy(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keys.nonEmpty, "kendallTauBBy needs at least one key (use kendallTauB)")
+    val reserved = Set("n", "conc", "disc", "tie_x_pairs", "tie_y_pairs",
+      "tau_b6", "__x", "__y", "__o", "__tx", "__ty", "__cyb", "__cya",
+      "__bb", "__ba", "__conc", "__disc", "__tx2", "__ty2")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    val base = df.select(ks :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+    val cells = base.groupBy(ks ++ Seq(col("__x"), col("__y")): _*)
+      .agg(count(lit(1)).as("__o"))
+    val dx = cells.groupBy(ks :+ col("__x"): _*).agg(sum(col("__o")).as("__tx"))
+    val dy = cells.groupBy(ks :+ col("__y"): _*).agg(sum(col("__o")).as("__ty"))
+    // per-key dense grid: the axis tables join on the KEYS (equi), so a
+    // slice only densifies against its own values
+    val grid = dx.select(ks :+ col("__x"): _*)
+      .join(dy.select(ks :+ col("__y"): _*), keys)
+      .join(cells, keys ++ Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val wYup = Window.partitionBy(ks :+ col("__x"): _*).orderBy(col("__y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wYdn = Window.partitionBy(ks :+ col("__x"): _*).orderBy(col("__y"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val slice = grid
+      .withColumn("__cyb", coalesce(sum(col("__o")).over(wYup), lit(0L)))
+      .withColumn("__cya", coalesce(sum(col("__o")).over(wYdn), lit(0L)))
+    val wXup = Window.partitionBy(ks :+ col("__y"): _*).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = slice
+      .withColumn("__bb", coalesce(sum(col("__cyb")).over(wXup), lit(0L)))
+      .withColumn("__ba", coalesce(sum(col("__cya")).over(wXup), lit(0L)))
+    val sums = dom.groupBy(ks: _*).agg(
+      coalesce(sum(col("__o")), lit(0L)).as("n"),
+      coalesce(sum(col("__o").cast(DecimalType(38, 0)) * col("__bb")),
+        lit(0).cast(DecimalType(38, 0))).as("__conc"),
+      coalesce(sum(col("__o").cast(DecimalType(38, 0)) * col("__ba")),
+        lit(0).cast(DecimalType(38, 0))).as("__disc"))
+    val tiesX = dx.groupBy(ks: _*).agg(coalesce(
+      sum(col("__tx").cast(DecimalType(38, 0)) * (col("__tx") - 1)),
+      lit(0).cast(DecimalType(38, 0))).as("__tx2"))
+    val tiesY = dy.groupBy(ks: _*).agg(coalesce(
+      sum(col("__ty").cast(DecimalType(38, 0)) * (col("__ty") - 1)),
+      lit(0).cast(DecimalType(38, 0))).as("__ty2"))
+    sums.join(tiesX, keys).join(tiesY, keys)
+      .select(ks ++ Seq(col("n"),
+        expr("CAST(__conc AS BIGINT)").as("conc"),
+        expr("CAST(__disc AS BIGINT)").as("disc"),
+        expr("CAST(__tx2 DIV 2 AS BIGINT)").as("tie_x_pairs"),
+        expr("CAST(__ty2 DIV 2 AS BIGINT)").as("tie_y_pairs")): _*)
+      .withColumn("tau_b6", expr(
+        """CASE WHEN n < 2
+             OR CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_x_pairs <= 0
+             OR CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_y_pairs <= 0 THEN 0.0
+           ELSE ROUND(CAST(conc - disc AS DOUBLE) /
+             (SQRT(CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_x_pairs AS DOUBLE)) *
+              SQRT(CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)
+                - tie_y_pairs AS DOUBLE))), 6) END"""))
+  }
+
   /** [[mutualInfo]] per key group — the metadata-leakage triage SLICED
     * (the dial dashboards actually consume: MI of two metadata columns
     * *within* each slice — e.g. does source still leak length info once

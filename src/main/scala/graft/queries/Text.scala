@@ -1471,7 +1471,24 @@ object Text {
     * training by definition (they ARE the benchmark), so `contaminated`
     * is false for them and `is_eval` carries the reason.
     */
-  def q64CurationDecision(spark: SparkSession, sfDir: String): DataFrame = {
+  def q64CurationDecision(spark: SparkSession, sfDir: String): DataFrame =
+    sharedCurationDecision(spark, sfDir)
+
+  // the decision frame is the session's most expensive composed read
+  // (six signals), and q74 is exactly one conditional aggregation over
+  // it — share the persisted frame so the funnel re-reads instead of
+  // re-composing (r16 verdict task: q64+q74 paid the compose twice, the
+  // 2nd- and 4th-slowest committed queries). Row-per-document payload:
+  // MEMORY_AND_DISK, released after q74 (name-sorted run order puts q64
+  // first; the subset rule holds for any order).
+  private val DecisionConsumers: Set[String] =
+    Set("q64_curation_decision", "q74_curation_funnel")
+
+  private def sharedCurationDecision(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.CacheLife.shared(spark, sfDir, "curation_decision",
+      DecisionConsumers)(buildCurationDecision(spark, sfDir))
+
+  private def buildCurationDecision(spark: SparkSession, sfDir: String): DataFrame = {
     val dedup = q56DedupDecision(spark, sfDir)
       .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"))
     val quality = q57QualityFilter(spark, sfDir)
@@ -1916,7 +1933,7 @@ object Text {
       .when(!col("quality_keep"), "low_quality")
       .when(!col("sample_keep"), "downsampled")
       .otherwise("kept")
-    q64CurationDecision(spark, sfDir)
+    sharedCurationDecision(spark, sfDir)
       .groupBy(reason.as("reason"))
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -4314,6 +4331,82 @@ object Text {
       |    + 1.959964 * se6), 6) AS hi6
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+
+  /** q221: per-language Kendall's τ-b of length band × token band
+    * (`Profile.kendallTauBBy`) — q218's tie-aware association dial
+    * SLICED: is the length↔token relationship still monotone in EVERY
+    * language, or did one slice's tokenization break it? Per-key dense
+    * grids via keyed equi-joins (no cross join), every window
+    * partitioned by (key, one axis), zero SinglePartition.
+    */
+  def q221KendallTauByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.kendallTauBBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), expr("n_chars DIV 64").as("len_band"),
+          expr("size(split(text, ' ')) DIV 8").as("tok_band")),
+      Seq("lang"), "len_band", "tok_band")
+
+  val q221Sql: String =
+    """WITH base AS (
+      |  SELECT lang, n_chars // 64 AS x, len(string_split(text, ' ')) // 8 AS y
+      |  FROM documents
+      |  -- complete-case key mirror of kendallTauBBy
+      |  WHERE lang IS NOT NULL
+      |),
+      |cells AS (
+      |  SELECT lang, x, y, CAST(COUNT(1) AS BIGINT) AS o
+      |  FROM base GROUP BY 1, 2, 3
+      |),
+      |dx AS (SELECT lang, x, CAST(SUM(o) AS BIGINT) AS tx FROM cells GROUP BY 1, 2),
+      |dy AS (SELECT lang, y, CAST(SUM(o) AS BIGINT) AS ty FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT dx.lang, dx.x, dy.y, COALESCE(c.o, 0) AS o
+      |  FROM dx JOIN dy USING (lang)
+      |  LEFT JOIN cells c ON c.lang = dx.lang AND c.x = dx.x AND c.y = dy.y
+      |),
+      |sl AS (
+      |  SELECT lang, x, y, o,
+      |    COALESCE(SUM(o) OVER (PARTITION BY lang, x ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cyb,
+      |    COALESCE(SUM(o) OVER (PARTITION BY lang, x ORDER BY y
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS cya
+      |  FROM grid
+      |),
+      |dom AS (
+      |  SELECT lang, x, y, o,
+      |    COALESCE(SUM(cyb) OVER wx, 0) AS bb,
+      |    COALESCE(SUM(cya) OVER wx, 0) AS ba
+      |  FROM sl
+      |  WINDOW wx AS (PARTITION BY lang, y ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |),
+      |s AS (
+      |  SELECT lang, CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(CAST(o AS HUGEINT) * bb), 0) AS BIGINT) AS conc,
+      |    CAST(COALESCE(SUM(CAST(o AS HUGEINT) * ba), 0) AS BIGINT) AS disc
+      |  FROM dom GROUP BY lang
+      |),
+      |tpx AS (
+      |  SELECT lang, CAST(COALESCE(SUM(CAST(tx AS HUGEINT) * (tx - 1)), 0) // 2
+      |    AS BIGINT) AS tie_x_pairs FROM dx GROUP BY lang
+      |),
+      |tpy AS (
+      |  SELECT lang, CAST(COALESCE(SUM(CAST(ty AS HUGEINT) * (ty - 1)), 0) // 2
+      |    AS BIGINT) AS tie_y_pairs FROM dy GROUP BY lang
+      |)
+      |SELECT lang, n, conc, disc, tie_x_pairs, tie_y_pairs,
+      |  CASE WHEN n < 2
+      |    OR CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) - tie_x_pairs <= 0
+      |    OR CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) - tie_y_pairs <= 0
+      |    THEN 0.0
+      |  ELSE ROUND(CAST(conc - disc AS DOUBLE) /
+      |    (SQRT(CAST(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+      |       - tie_x_pairs AS DOUBLE)) *
+      |     SQRT(CAST(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+      |       - tie_y_pairs AS DOUBLE))), 6) END AS tau_b6
+      |FROM s JOIN tpx USING (lang) JOIN tpy USING (lang)""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4718,6 +4811,7 @@ object Text {
     QueryDef("q218_kendall_tau", q218KendallTau, Some(q218Sql)),
     QueryDef("q219_ap_ci", q219ApCi, Some(q219Sql)),
     QueryDef("q220_ap_ci_by_source", q220ApCiBySource, Some(q220Sql)),
+    QueryDef("q221_kendall_by_lang", q221KendallTauByLang, Some(q221Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

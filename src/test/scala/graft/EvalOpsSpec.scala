@@ -1019,6 +1019,22 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(got._6 - want) < 1e-6)
   }
 
+  test("kendallTauBBy equals per-group kendallTauB, slices never leak") {
+    val xs = Iterator.iterate(13L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(210).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", (x >> 3) % 7, (x >> 9) % 5) }
+    val by = Profile.kendallTauBBy(rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.kendallTauB(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("x", "y"),
+        "x", "y").collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+  }
+
   test("mutualInfoBy equals per-group mutualInfo, slices never leak") {
     val xs = Iterator.iterate(11L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(180).toSeq

@@ -421,6 +421,14 @@ class PlanAuditSpec extends SparkSpec {
       "q220 plans a SinglePartition exchange — the keyed AP-CI regressed")
     assert(!p220.contains("BroadcastNestedLoopJoin"),
       "q220 plans a BNLJ — the keyed AP-CI's joins must stay equi")
+    // q221: per-key τ-b — per-key dense grids via keyed equi-joins (the
+    // global form q218 crossJoins instead), keyed windows, zero
+    // SinglePartition, zero BNLJ
+    val p221 = planOf("q221_kendall_by_lang")
+    assert(!p221.contains("Exchange SinglePartition"),
+      "q221 plans a SinglePartition exchange — the keyed tau-b regressed")
+    assert(!p221.contains("BroadcastNestedLoopJoin"),
+      "q221 plans a BNLJ — the keyed tau-b's grid joins must stay equi")
   }
 
   test("q61 packing never plans a single-partition global window") {
