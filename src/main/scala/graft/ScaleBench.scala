@@ -1389,6 +1389,57 @@ object ScaleBench {
           out.limit(3).collect().mkString("; "))
     }
 
+    // Keyed χ² at 10M rows / 100 slices: per key a perfectly-associated
+    // 2×2 (b = a) ⇒ χ² = n exactly (every cell's term is 10⁶·n/4), so
+    // chi2_micro = 10¹¹, dof = 1, V = 1.0 in every slice. Gates the
+    // keyed cell-grid shape — per-key grids via equi-joins, keyed
+    // quotient+remainder cell math, 100 slices in parallel.
+    timed("keyed_chi_square_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        expr("CAST(id DIV 100 % 2 AS STRING)").as("a"),
+        expr("CAST(id DIV 100 % 2 AS STRING)").as("b"))
+      val out = operators.Profile.chiSquareBy(rows, Seq("k"), "a", "b")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === n / 100 && col("dof") === 1L &&
+          col("chi2_micro") === 100000000000L &&
+          col("cramers_v") === 1.0, 1)).as("good")).head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed chi-square closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
+    // Keyed Spearman at 10M rows / 100 slices: per key 100k distinct
+    // values with y = x ⇒ ρ = +10⁶ exactly; a second pass with
+    // y = max − x ⇒ ρ = −10⁶ exactly (Σd² = (n³−n)/3). Gates the keyed
+    // two-phase rank maps — per-key min/max buckets, keyed offset and
+    // local windows, keyed rank re-attach joins — at 10M distinct
+    // (key, value) rank rows.
+    timed("keyed_spearman_10M_rows_100_slices") {
+      val n = 10000000L
+      val fwd = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        (col("id") / 100).cast("long").as("x"),
+        (col("id") / 100).cast("long").as("y"))
+      val f = operators.Profile.spearmanBy(fwd, Seq("k"), "x", "y")
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("n") === n / 100 &&
+            col("rho_micro") === 1000000L, 1)).as("good")).head()
+      require(f.getLong(0) == 100L && f.getLong(1) == 100L,
+        s"keyed spearman forward closed form failed: $f")
+      val rev = spark.range(n).select(
+        concat(lit("s"), col("id") % 100).as("k"),
+        (col("id") / 100).cast("long").as("x"),
+        (lit(99999L) - (col("id") / 100).cast("long")).as("y"))
+      val r = operators.Profile.spearmanBy(rev, Seq("k"), "x", "y")
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("n") === n / 100 &&
+            col("rho_micro") === -1000000L, 1)).as("good")).head()
+      require(r.getLong(0) == 100L && r.getLong(1) == 100L,
+        s"keyed spearman reverse closed form failed: $r")
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same

@@ -382,6 +382,57 @@ object Profile {
                   / (CAST(n AS DOUBLE) * least(n_a - 1, n_b - 1))), 6) END"""))
   }
 
+  /** [[chiSquare]] per key group — the categorical association slice
+    * dashboard (is the source×length-band dependence present in EVERY
+    * language, and how strong per slice?), the significance companion of
+    * [[mutualInfoBy]]'s strength dial over the same sliced pair. Same
+    * exact-integer quotient+remainder contract as the global form; the
+    * per-key cell grid densifies by a keyed EQUI-join of the two per-key
+    * distinct-value tables (the [[kendallTauBBy]] grid shape — no cross
+    * join), every aggregate and join keyed — zero SinglePartition.
+    * Complete-case on keys and both columns. Output (one row per key):
+    * keys…, n, n_a, n_b, dof, chi2_micro, cramers_v.
+    */
+  def chiSquareBy(df: DataFrame, keys: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(keys.nonEmpty, "chiSquareBy needs at least one key (use chiSquare)")
+    val reserved = Set("a", "b", "o", "r", "c", "n", "n_a", "n_b", "dof",
+      "chi2_micro", "cramers_v", "__d", "__den", "__cell", "__chi")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val obs = df.select(ks :+ col(aCol).cast("string").as("a") :+
+        col(bCol).cast("string").as("b"): _*)
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks ++ Seq(col("a"), col("b")): _*).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(ks :+ col("a"): _*).agg(sum(col("o")).as("r"))
+    val cb = obs.groupBy(ks :+ col("b"): _*).agg(sum(col("o")).as("c"))
+    val tot = obs.groupBy(ks: _*).agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("n_a"), count_distinct(col("b")).as("n_b"))
+    val cells = ra.join(cb, keys) // per-key |A|×|B|, both sides bounded
+      .join(obs, keys ++ Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    cells.join(tot, keys)
+      .withColumn("__d", (col("o").cast(DecimalType(38, 0)) * col("n") -
+        col("r").cast(DecimalType(38, 0)) * col("c")))
+      .withColumn("__den",
+        expr("CAST(n AS DECIMAL(38,0)) * r * c"))
+      .withColumn("__cell",
+        expr("""(__d * __d DIV __den) * 1000000 +
+                ((__d * __d) % __den) * 1000000 DIV __den"""))
+      .groupBy(ks ++ Seq(col("n"), col("n_a"), col("n_b")): _*)
+      .agg(coalesce(sum(col("__cell").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("__chi"))
+      .select(ks ++ Seq(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        expr("CAST(__chi AS BIGINT)").as("chi2_micro")): _*)
+      .withColumn("cramers_v",
+        expr("""CASE WHEN n = 0 OR least(n_a - 1, n_b - 1) <= 0 THEN 0.0
+                ELSE ROUND(SQRT(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                  / (CAST(n AS DOUBLE) * least(n_a - 1, n_b - 1))), 6) END"""))
+  }
+
   /** Spearman rank correlation between two integer columns — the
     * monotone-association dial of the drift/QA family (is token count
     * still tracking char count, or did a re-tokenization break the
@@ -449,6 +500,70 @@ object Profile {
                 AS BIGINT) END""").as("rho_micro"))
   }
 
+  /** [[spearman]] per key group — the monotone-association slice
+    * dashboard (is token count still tracking char count in EVERY
+    * language?), the average-rank companion of [[kendallTauBBy]] for
+    * fine-grained (lightly-tied) values where the dense grid would be
+    * large. Same doubled-average-rank exact-integer contract as the
+    * global form; per-key rank maps via the keyed two-phase bucket
+    * cumulative (per-key min/max, windows partitioned by (keys) /
+    * (keys, bucket) — a per-key bucket-total table is the only thing
+    * crossing a key's window), ranks re-attach by keyed hash joins —
+    * zero SinglePartition. Complete-case on keys and both columns
+    * (pairwise deletion per key). Output (one row per key): keys…, n,
+    * rho_micro.
+    */
+  def spearmanBy(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keys.nonEmpty, "spearmanBy needs at least one key (use spearman)")
+    val reserved = Set("n", "rho_micro", "__x", "__y", "__v", "__cnt",
+      "__mn", "__mx", "__b", "__bt", "__off", "__below", "__r2___x",
+      "__r2___y", "__d2", "__s")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keys.map(col)
+    def rankMap(rows: DataFrame, c: String): DataFrame = {
+      val g = rows.groupBy(ks :+ col(c).as("__v"): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val stats = g.groupBy(ks: _*)
+        .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      val bucketed = g.join(stats, keys)
+        .withColumn("__b", expr("(__v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+        .drop("__mn", "__mx")
+      val wOff = Window.partitionBy(ks: _*).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(ks :+ col("__b"): _*)
+        .agg(sum(col("__cnt")).as("__bt"))
+        .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+        .select(ks ++ Seq(col("__b"), col("__off")): _*)
+      val wLoc = Window.partitionBy(ks :+ col("__b"): _*).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(offsets, keys :+ "__b")
+        .withColumn("__below",
+          col("__off") + coalesce(sum(col("__cnt")).over(wLoc), lit(0L)))
+        .select(ks ++ Seq(col("__v").as(c),
+          (col("__below") * 2 + col("__cnt") + 1).as(s"__r2_$c")): _*)
+    }
+    val base = df.select(ks :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+    val joined = base
+      .join(rankMap(base.select(ks :+ col("__x"): _*), "__x"), keys :+ "__x")
+      .join(rankMap(base.select(ks :+ col("__y"): _*), "__y"), keys :+ "__y")
+      .withColumn("__d2",
+        (col("__r2___x") - col("__r2___y")).cast(DecimalType(38, 0)))
+    joined.groupBy(ks: _*).agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__d2") * col("__d2")),
+          lit(0).cast(DecimalType(38, 0))).as("__s"))
+      .select(ks ++ Seq(col("n"),
+        expr("""CASE WHEN n < 2 THEN 0 ELSE CAST(1000000 -
+                  (CAST(3000000 AS DECIMAL(38,0)) * __s)
+                  DIV (2 * (CAST(n AS DECIMAL(38,0)) * n * n - n))
+                AS BIGINT) END""").as("rho_micro")): _*)
+  }
+
   /** Kendall's τ-b rank correlation between two COARSE integer columns —
     * the tie-aware companion of [[spearman]] (τ-b is the standard
     * association dial for tied, bucketed scores: star ratings, quality
@@ -474,12 +589,24 @@ object Profile {
     * factor ≤ 0) report tau_b6 = 0. Output (one row): n, conc, disc,
     * tie_x_pairs, tie_y_pairs, tau_b6.
     */
-  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(xCol).cast("long").as("__x"),
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    kendallTauBFromCounts(df.select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
-    val cells = base.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o")))
+
+  /** [[kendallTauB]] over a PRE-AGGREGATED (__x, __y, __o) distinct-cell
+    * count table — the incremental form a streaming association monitor
+    * maintains (the [[ksTwoSampleFromCounts]] contract: same-cell rows
+    * combine, so a batch-delta store may carry duplicates; NULL axis
+    * values are excluded). Cell deltas from disjoint batches SUM to the
+    * whole-data cells — the group homomorphism every monitor store
+    * rides — and the coarse-score contract bounds the store at the
+    * |X|×|Y| cell count, not the row count. */
+  def kendallTauBFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = counts.where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(sum(col("__o")).as("__o"))
     val dx = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__tx"))
     val dy = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__ty"))
     // dense |X|×|Y| grid — bounded by the coarse-score contract (the

@@ -4407,6 +4407,101 @@ object Text {
       |       - tie_y_pairs AS DOUBLE))), 6) END AS tau_b6
       |FROM s JOIN tpx USING (lang) JOIN tpy USING (lang)""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+
+  /** q222: per-language χ² of source × length band (`Profile.chiSquareBy`)
+    * — the significance companion of q217's MI strength dial over the
+    * SAME sliced pair: within each language, is the source×length-band
+    * association statistically there, and how strong (Cramér's V)? The
+    * per-key cell grid densifies by keyed equi-joins (the q221 grid
+    * shape), zero SinglePartition.
+    */
+  def q222ChiSquareByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.chiSquareBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 256").as("len_band")),
+      Seq("lang"), "source", "len_band")
+
+  val q222Sql: String =
+    """WITH obs AS (
+      |  SELECT lang, source AS a, CAST(n_chars // 256 AS VARCHAR) AS b,
+      |    CAST(COUNT(1) AS BIGINT) AS o
+      |  FROM documents
+      |  -- complete-case key/column mirror of chiSquareBy
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |),
+      |ra AS (SELECT lang, a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1, 2),
+      |cb AS (SELECT lang, b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT lang, CAST(SUM(o) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+      |  FROM obs GROUP BY lang
+      |),
+      |cells AS (
+      |  SELECT ra.lang, r, c, COALESCE(o, 0) AS o
+      |  FROM ra JOIN cb USING (lang)
+      |  LEFT JOIN obs ON obs.lang = ra.lang AND obs.a = ra.a AND obs.b = cb.b
+      |),
+      |s AS (
+      |  SELECT cells.lang, n, n_a, n_b,
+      |    CAST(COALESCE(SUM(
+      |      (1000000 * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
+      |      // (CAST(n AS HUGEINT) * r * c)), 0) AS BIGINT) AS chi2_micro
+      |  FROM cells JOIN tot USING (lang) GROUP BY cells.lang, n, n_a, n_b
+      |)
+      |SELECT lang, n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof, chi2_micro,
+      |  CASE WHEN n = 0 OR LEAST(n_a - 1, n_b - 1) <= 0 THEN 0.0
+      |    ELSE ROUND(SQRT(CAST(chi2_micro AS DOUBLE) / 1000000.0
+      |      / (CAST(n AS DOUBLE) * LEAST(n_a - 1, n_b - 1))), 6) END AS cramers_v
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+
+  /** q223: per-language Spearman of chars × tokens (`Profile.spearmanBy`)
+    * — q203's monotone-association QA dial SLICED: is token count still
+    * tracking char count in EVERY language (a per-language tokenizer
+    * regression hides inside the global ρ)? Per-key rank maps via the
+    * keyed two-phase bucket cumulative, ranks re-attach by keyed hash
+    * joins, zero SinglePartition.
+    */
+  def q223SpearmanByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.spearmanBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks")),
+      Seq("lang"), "n_chars", "n_toks")
+
+  val q223Sql: String =
+    """WITH base AS (
+      |  SELECT lang, n_chars AS x, len(string_split(text, ' ')) AS y
+      |  FROM documents
+      |  -- complete-case key mirror of spearmanBy
+      |  WHERE lang IS NOT NULL
+      |),
+      |r AS (
+      |  -- doubled average rank PER KEY: 2·RANK + tieCount − 1
+      |  SELECT lang,
+      |    2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+      |      + COUNT(1) OVER (PARTITION BY lang, x) - 1 AS r2x,
+      |    2 * RANK() OVER (PARTITION BY lang ORDER BY y)
+      |      + COUNT(1) OVER (PARTITION BY lang, y) - 1 AS r2y
+      |  FROM base
+      |),
+      |s AS (
+      |  SELECT lang, CAST(COUNT(1) AS BIGINT) AS n,
+      |    COALESCE(SUM(CAST(r2x - r2y AS HUGEINT) * (r2x - r2y)), 0) AS sd
+      |  FROM r GROUP BY lang
+      |)
+      |SELECT lang, n,
+      |  CAST(CASE WHEN n < 2 THEN 0 ELSE 1000000 -
+      |    (CAST(3000000 AS HUGEINT) * sd)
+      |      // (2 * (CAST(n AS HUGEINT) * n * n - n)) END AS BIGINT) AS rho_micro
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4812,6 +4907,8 @@ object Text {
     QueryDef("q219_ap_ci", q219ApCi, Some(q219Sql)),
     QueryDef("q220_ap_ci_by_source", q220ApCiBySource, Some(q220Sql)),
     QueryDef("q221_kendall_by_lang", q221KendallTauByLang, Some(q221Sql)),
+    QueryDef("q222_chi_square_by_lang", q222ChiSquareByLang, Some(q222Sql)),
+    QueryDef("q223_spearman_by_lang", q223SpearmanByLang, Some(q223Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -1431,6 +1431,60 @@ object Streaming {
     ()
   }
 
+  /** Streaming Kendall-τ-b association monitor — the ingest-time twin of
+    * the batch `Profile.kendallTauB` (q218), extending the monitor family
+    * from marginal drift (KS/PSI watch ONE column's distribution) to
+    * RELATIONSHIP drift: is the length↔token (or score↔label-rate)
+    * association still monotone in the live stream, or did an upstream
+    * re-tokenization silently break it? Store: per-batch (__x, __y, __o)
+    * distinct-CELL count deltas in a batch_id-partitioned store — cells
+    * from disjoint batches sum (the group homomorphism all monitor
+    * stores ride), bounded at the |X|×|Y| cell count by the operator's
+    * coarse-score contract, never the row count. Emit = the exact batch
+    * statistic over every committed batch in the retention window via
+    * `kendallTauBFromCounts`. Same retention and replay contracts as
+    * [[ksMonitorStream]]. Output at `outDir/batch_id=N`: one row —
+    * n, conc, disc, tie_x_pairs, tie_y_pairs, tau_b6.
+    */
+  def tauMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, xCol: String, yCol: String,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processTauBatch(batch, batchId, outDir, storeDir, xCol, yCol,
+          retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[tauMonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processTauBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, xCol: String, yCol: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write
+    // (the processCurationBatch lesson)
+    val mine = batch
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.Profile.kendallTauBFromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming isotonic-calibration monitor — the ingest-time twin of the
     * batch `LmOps.isotonicCalibrate` (q204), completing the batch↔stream
     * parity for the calibration family: it rides the SAME (bin, n, n_pos,

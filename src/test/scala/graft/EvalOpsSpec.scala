@@ -1055,6 +1055,38 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("chiSquareBy equals per-group chiSquare, slices never leak") {
+    val xs = Iterator.iterate(17L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(240).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", s"a${(x >> 4) % 3}", s"b${(x >> 7) % 4}") }
+    val by = Profile.chiSquareBy(rows.toDF("k", "u", "w"), Seq("k"), "u", "w")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.chiSquare(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("u", "w"),
+        "u", "w").collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+  }
+
+  test("spearmanBy equals per-group spearman, slices never leak") {
+    val xs = Iterator.iterate(19L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(240).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", (x >> 3) % 101, (x >> 9) % 37) }
+    val by = Profile.spearmanBy(rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.spearman(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("x", "y"),
+        "x", "y").collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+  }
+
   test("binaryApCi: point estimate matches binaryAp, interval brackets it, deterministic") {
     val xs = Iterator.iterate(23L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(200).toSeq

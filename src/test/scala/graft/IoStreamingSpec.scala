@@ -576,6 +576,43 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming tau-b monitor equals the batch operator over merged cells, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("taustream").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.tauMonitorStream(mem.toDF().toDF("xv", "yv"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "xv", "yv")
+    // coarse, mostly-monotone with planted discordance and heavy ties
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val h = (i.toLong * 2654435761L) % 997L
+      val x = h % 9L
+      val y = if (h % 13L == 5L) 8L - x else (h >> 2) % 3L + x
+      (x, y)
+    }
+    val b0 = rows(0, 300)
+    val b1 = rows(300, 800)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(_.toSeq).toSeq
+    val streamed = snap()
+    val batch = graft.operators.Profile.kendallTauB(
+      (b0 ++ b1).toDF("xv", "yv"), "xv", "yv")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.head(0).asInstanceOf[Long] == 800L)
+    val tau = streamed.head(5).asInstanceOf[Double]
+    assert(tau > 0.0 && tau < 1.0, s"tau should be non-trivial, got $tau")
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processTauBatch(b1.toDF("xv", "yv"), 1L,
+      s"$dir/out", s"$dir/store", "xv", "yv")
+    assert(snap() == streamed)
+  }
+
   test("streaming isotonic monitor equals the batch PAV fit over merged counts, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -429,6 +429,24 @@ class PlanAuditSpec extends SparkSpec {
       "q221 plans a SinglePartition exchange — the keyed tau-b regressed")
     assert(!p221.contains("BroadcastNestedLoopJoin"),
       "q221 plans a BNLJ — the keyed tau-b's grid joins must stay equi")
+    // q222: per-key χ² — per-key cell grids via keyed equi-joins (the
+    // global form q201 crossJoins instead), no window, zero
+    // SinglePartition, zero BNLJ
+    val p222 = planOf("q222_chi_square_by_lang")
+    assert(!p222.contains("Exchange SinglePartition"),
+      "q222 plans a SinglePartition exchange — the keyed chi-square regressed")
+    assert(!p222.contains("BroadcastNestedLoopJoin"),
+      "q222 plans a BNLJ — the keyed chi-square's grid joins must stay equi")
+    assert(!p222.contains("Window"), "q222 must not plan a window")
+    // q223: per-key Spearman — keyed rank maps (windows partitioned by
+    // (key) / (key, bucket)), keyed rank re-attach joins, zero
+    // SinglePartition, zero BNLJ (the global form q203 crossJoins its
+    // 1-row stats instead)
+    val p223 = planOf("q223_spearman_by_lang")
+    assert(!p223.contains("Exchange SinglePartition"),
+      "q223 plans a SinglePartition exchange — the keyed spearman regressed")
+    assert(!p223.contains("BroadcastNestedLoopJoin"),
+      "q223 plans a BNLJ — the keyed spearman's joins must stay equi")
   }
 
   test("q61 packing never plans a single-partition global window") {
