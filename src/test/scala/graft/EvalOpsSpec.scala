@@ -505,6 +505,27 @@ class EvalOpsSpec extends SparkSpec {
       val k2 = Profile.ksTwoSample(kdf, "v", "g", "B", "A").collect()(0)
       assert(k1.getLong(5) == k2.getLong(5) && k1.getLong(0) == k2.getLong(0) &&
         k1.getLong(3) == k2.getLong(4) && k1.getLong(4) == k2.getLong(3))
+      // τ-b: symmetric in its arguments (concordance is a pair property);
+      // reversing one axis swaps conc↔disc and flips the sign exactly;
+      // self-association is exactly 1
+      val t1 = Profile.kendallTauB(pdf, "x", "y").collect()(0)
+      val t2 = Profile.kendallTauB(pdf, "y", "x").collect()(0)
+      assert(t1.getLong(1) == t2.getLong(1) && t1.getLong(2) == t2.getLong(2) &&
+        t1.getDouble(5) == t2.getDouble(5) &&
+        t1.getLong(3) == t2.getLong(4) && t1.getLong(4) == t2.getLong(3))
+      val tr = Profile.kendallTauB(
+        pairs.map(t => (t._1, -t._2)).toDF("x", "y"), "x", "y").collect()(0)
+      assert(tr.getLong(1) == t1.getLong(2) && tr.getLong(2) == t1.getLong(1) &&
+        tr.getDouble(5) == -t1.getDouble(5),
+        s"axis reversal must swap conc/disc and negate tau: $t1 vs $tr")
+      assert(Profile.kendallTauB(pdf, "x", "x").collect()(0).getDouble(5) == 1.0)
+      // MI: symmetric in its arguments (swapped cardinalities/entropies)
+      val m1 = Profile.mutualInfo(cdf, "u", "v").collect()(0)
+      val m2 = Profile.mutualInfo(cdf, "v", "u").collect()(0)
+      assert(m1.getDouble(3) == m2.getDouble(3) &&
+        m1.getDouble(6) == m2.getDouble(6) &&
+        m1.getLong(1) == m2.getLong(2) && m1.getLong(2) == m2.getLong(1) &&
+        m1.getDouble(4) == m2.getDouble(5) && m1.getDouble(5) == m2.getDouble(4))
     }
   }
 
