@@ -1440,6 +1440,24 @@ object ScaleBench {
         s"keyed spearman reverse closed form failed: $r")
     }
 
+    // CMH at 10M rows / 1000 strata: per stratum (10k rows) the two
+    // binaries are exactly INDEPENDENT (a = bit0, b = bit1 of the
+    // in-stratum index) ⇒ every per-stratum d-term is exactly 0 and
+    // every OR-term exactly 625.0, so cmh6 = 0.0 and or_mh6 = 1.0
+    // exactly. Gates the one-groupBy four-conditional-sum shape at a
+    // 1000-row stratum table — no cell grid, no join anywhere.
+    timed("cmh_10M_rows_1000_strata") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        (col("id") % 1000).as("k"),
+        expr("id DIV 1000 % 2").as("a"),
+        expr("id DIV 2000 % 2").as("b"))
+      val r = operators.Profile.cmh2x2(rows, Seq("k"), "a", "b").head()
+      require(r.getLong(0) == 1000L && r.getLong(1) == n &&
+        r.getLong(2) == 0L && r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0,
+        s"CMH independence closed form failed: $r")
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same

@@ -433,6 +433,87 @@ object Profile {
                   / (CAST(n AS DOUBLE) * least(n_a - 1, n_b - 1))), 6) END"""))
   }
 
+  /** Cochran–Mantel–Haenszel test + Mantel-Haenszel pooled odds ratio for
+    * a binary×binary association ACROSS strata — the Simpson's-paradox-
+    * safe member of the association family: the marginal χ² (q201) can
+    * manufacture or hide an association that reverses inside every slice,
+    * the per-slice χ² ([[chiSquareBy]], q222) fragments power over small
+    * strata; CMH pools the per-stratum evidence while CONTROLLING for the
+    * stratum (Cochran 1954, Mantel & Haenszel 1959 — the R
+    * `mantelhaen.test(correct=FALSE)` statistic):
+    *   CMH = (Σ_k (o11 − r1·c1/n))² / Σ_k r1·r2·c1·c2/(n²(n−1)),
+    *   OR_MH = Σ_k (o11·o00/n) / Σ_k (o10·o01/n).
+    * Both columns are binarized with the label contract (=1 ⇒ 1, else 0).
+    *
+    * Determinism: per-stratum terms are rationals with stratum-local
+    * denominators — each is computed as a round-9 double with IDENTICAL
+    * expression text in both engines and summed as DECIMAL(24,9)
+    * (associative — the [[psi]] discipline); cmh6/or_mh6 are round-6
+    * doubles of the rounded sums. Strata with n < 2 carry no information
+    * (the variance term is 0/0) and are excluded from all four sums but
+    * counted in n_skipped; a degenerate margin inside a stratum zeroes
+    * its terms naturally. or_mh6 is NULL when the discordant-pair sum is
+    * 0 (infinite/undefined OR — surfaced, not faked).
+    *
+    * Scale shape: ONE map-side-combinable groupBy(strata) carrying the
+    * four cell counts (binary×binary ⇒ four conditional sums, no cell
+    * grid at all), then a scalar aggregate over the |strata|-row table.
+    * Output (one row): n_strata, n, n_skipped, cmh6, or_mh6.
+    */
+  def cmh2x2(df: DataFrame, strataKeys: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(strataKeys.nonEmpty, "cmh2x2 needs at least one stratum key")
+    val reserved = Set("n_strata", "n", "n_skipped", "cmh6", "or_mh6",
+      "__a", "__b", "o11", "o10", "o01", "o00", "__n", "__d9", "__v9",
+      "__p9", "__q9")
+    require(strataKeys.forall(k => !reserved(k)),
+      s"stratum keys may not collide with internals: ${reserved.mkString("/")}")
+    val ks = strataKeys.map(col)
+    val g = df.select(ks :+
+        when(col(aCol).cast("long") === 1L, 1L).otherwise(0L).as("__a") :+
+        when(col(bCol).cast("long") === 1L, 1L).otherwise(0L).as("__b"): _*)
+      .where(ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks: _*)
+      .agg(sum(col("__a") * col("__b")).as("o11"),
+        sum(col("__a") * (lit(1L) - col("__b"))).as("o10"),
+        sum((lit(1L) - col("__a")) * col("__b")).as("o01"),
+        sum((lit(1L) - col("__a")) * (lit(1L) - col("__b"))).as("o00"),
+        count(lit(1)).as("__n"))
+    // per-stratum round-9 terms, computed only for informative strata
+    val terms = g.select(
+      col("__n"),
+      expr("""CASE WHEN __n >= 2 THEN ROUND(
+                CAST(o11 AS DOUBLE) -
+                CAST(o11 + o10 AS DOUBLE) * (o11 + o01) / __n, 9)
+              END""").as("__d9"),
+      expr("""CASE WHEN __n >= 2 THEN ROUND(
+                CAST(o11 + o10 AS DOUBLE) * (o01 + o00) * (o11 + o01)
+                  * (o10 + o00)
+                  / (CAST(__n AS DOUBLE) * __n * (__n - 1)), 9)
+              END""").as("__v9"),
+      expr("""CASE WHEN __n >= 2 THEN ROUND(
+                CAST(o11 AS DOUBLE) * o00 / __n, 9) END""").as("__p9"),
+      expr("""CASE WHEN __n >= 2 THEN ROUND(
+                CAST(o10 AS DOUBLE) * o01 / __n, 9) END""").as("__q9"))
+    def decSum9(c: Column): Column =
+      coalesce(sum(c.cast(DecimalType(24, 9))),
+        lit(0).cast(DecimalType(24, 9))).cast("double")
+    terms.agg(
+        count(lit(1)).as("n_strata"),
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(when(col("__n") < 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_skipped"),
+        decSum9(col("__d9")).as("__sd"),
+        decSum9(col("__v9")).as("__sv"),
+        decSum9(col("__p9")).as("__sp"),
+        decSum9(col("__q9")).as("__sq"))
+      .select(col("n_strata"), col("n"), col("n_skipped"),
+        expr("""CASE WHEN __sv <= 0.0 THEN 0.0
+                ELSE ROUND(__sd * __sd / __sv, 6) END""").as("cmh6"),
+        expr("""CASE WHEN __sq <= 0.0 THEN NULL
+                ELSE ROUND(__sp / __sq, 6) END""").as("or_mh6"))
+  }
+
   /** Spearman rank correlation between two integer columns — the
     * monotone-association dial of the drift/QA family (is token count
     * still tracking char count, or did a re-tokenization break the

@@ -4502,6 +4502,74 @@ object Text {
       |      // (2 * (CAST(n AS HUGEINT) * n * n - n)) END AS BIGINT) AS rho_micro
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+
+  /** q224: Cochran–Mantel–Haenszel association controlled for language
+    * (`Profile.cmh2x2`) — the Simpson's-paradox-safe capstone of the
+    * association triple: q201 asks "is source associated with long
+    * documents MARGINALLY" (confounded by language), q222 asks it per
+    * slice (fragmenting power), q224 pools the per-language evidence
+    * while holding language fixed, plus the Mantel-Haenszel pooled odds
+    * ratio. One groupBy(lang) with four conditional sums — no cell grid,
+    * scalar output.
+    */
+  def q224CmhSourceLength(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.cmh2x2(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("is_src0"),
+          when(col("n_chars") >= 300L, 1L).otherwise(0L).as("is_long")),
+      Seq("lang"), "is_src0", "is_long")
+
+  val q224Sql: String =
+    """WITH base AS (
+      |  SELECT lang,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b
+      |  FROM documents
+      |  -- complete-case stratum mirror of cmh2x2
+      |  WHERE lang IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT lang,
+      |    CAST(SUM(a * b) AS BIGINT) AS o11,
+      |    CAST(SUM(a * (1 - b)) AS BIGINT) AS o10,
+      |    CAST(SUM((1 - a) * b) AS BIGINT) AS o01,
+      |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS o00,
+      |    CAST(COUNT(1) AS BIGINT) AS n
+      |  FROM base GROUP BY lang
+      |),
+      |t AS (
+      |  SELECT n,
+      |    CASE WHEN n >= 2 THEN ROUND(
+      |      CAST(o11 AS DOUBLE) -
+      |      CAST(o11 + o10 AS DOUBLE) * (o11 + o01) / n, 9) END AS d9,
+      |    CASE WHEN n >= 2 THEN ROUND(
+      |      CAST(o11 + o10 AS DOUBLE) * (o01 + o00) * (o11 + o01)
+      |        * (o10 + o00)
+      |        / (CAST(n AS DOUBLE) * n * (n - 1)), 9) END AS v9,
+      |    CASE WHEN n >= 2 THEN ROUND(
+      |      CAST(o11 AS DOUBLE) * o00 / n, 9) END AS p9,
+      |    CASE WHEN n >= 2 THEN ROUND(
+      |      CAST(o10 AS DOUBLE) * o01 / n, 9) END AS q9
+      |  FROM g
+      |),
+      |s AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS n_strata,
+      |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS n_skipped,
+      |    CAST(COALESCE(SUM(CAST(d9 AS DECIMAL(24,9))), 0) AS DOUBLE) AS sd,
+      |    CAST(COALESCE(SUM(CAST(v9 AS DECIMAL(24,9))), 0) AS DOUBLE) AS sv,
+      |    CAST(COALESCE(SUM(CAST(p9 AS DECIMAL(24,9))), 0) AS DOUBLE) AS sp,
+      |    CAST(COALESCE(SUM(CAST(q9 AS DECIMAL(24,9))), 0) AS DOUBLE) AS sq
+      |  FROM t
+      |)
+      |SELECT n_strata, n, n_skipped,
+      |  CASE WHEN sv <= 0.0 THEN 0.0 ELSE ROUND(sd * sd / sv, 6) END AS cmh6,
+      |  CASE WHEN sq <= 0.0 THEN NULL ELSE ROUND(sp / sq, 6) END AS or_mh6
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4909,6 +4977,7 @@ object Text {
     QueryDef("q221_kendall_by_lang", q221KendallTauByLang, Some(q221Sql)),
     QueryDef("q222_chi_square_by_lang", q222ChiSquareByLang, Some(q222Sql)),
     QueryDef("q223_spearman_by_lang", q223SpearmanByLang, Some(q223Sql)),
+    QueryDef("q224_cmh_pooled", q224CmhSourceLength, Some(q224Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -1151,6 +1151,64 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("cmh2x2: Simpson's paradox hand case, formula replication, n<2 exclusion") {
+    // Two strata, each EXACTLY independent (within-stratum OR = 1), but
+    // pooling marginally manufactures a strong association (OR ≈ 0.117)
+    // — the precise failure CMH exists to avoid: cmh6 must be 0.0 and
+    // or_mh6 exactly 1.0 while the MARGINAL chi-square fires loudly.
+    def rows2x2(k: String, o11: Int, o10: Int, o01: Int, o00: Int) =
+      Seq.fill(o11)((k, 1L, 1L)) ++ Seq.fill(o10)((k, 1L, 0L)) ++
+        Seq.fill(o01)((k, 0L, 1L)) ++ Seq.fill(o00)((k, 0L, 0L))
+    val simpson = rows2x2("s1", 8, 2, 80, 20) ++ rows2x2("s2", 20, 80, 2, 8)
+    val df = simpson.toDF("k", "a", "b")
+    val r = Profile.cmh2x2(df, Seq("k"), "a", "b").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 220L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.0, s"stratified association must vanish: $r")
+    assert(r.getDouble(4) == 1.0, s"MH pooled OR must be exactly 1: $r")
+    val marg = Profile.chiSquare(
+      simpson.map(t => (t._2.toString, t._3.toString)).toDF("a", "b"),
+      "a", "b").collect()(0)
+    assert(marg.getLong(4) > 20000000L,
+      s"the pooled marginal must show the spurious association: $marg")
+    // formula replication on a pseudo-random 3-stratum table: the
+    // operator's round-9/DECIMAL-sum/round-6 pipeline replayed in Scala
+    val xs = Iterator.iterate(29L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(300).toSeq
+    val rnd = xs.zipWithIndex.map { case (x, i) =>
+      (s"k${i % 3}", (x >> 3) % 2, (x >> 7) % 2) }
+    def r9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val byK = rnd.groupBy(_._1).values.map { g =>
+      val o11 = g.count(t => t._2 == 1 && t._3 == 1).toDouble
+      val o10 = g.count(t => t._2 == 1 && t._3 == 0).toDouble
+      val o01 = g.count(t => t._2 == 0 && t._3 == 1).toDouble
+      val o00 = g.count(t => t._2 == 0 && t._3 == 0).toDouble
+      val n = g.size.toDouble
+      (r9(o11 - (o11 + o10) * (o11 + o01) / n),
+        r9((o11 + o10) * (o01 + o00) * (o11 + o01) * (o10 + o00)
+          / (n * n * (n - 1))),
+        r9(o11 * o00 / n), r9(o10 * o01 / n))
+    }
+    val (sd, sv, sp, sq) = byK.foldLeft((BigDecimal(0), BigDecimal(0),
+      BigDecimal(0), BigDecimal(0))) { case ((a, b, c, d), (w, x, y, z)) =>
+      (a + w, b + x, c + y, d + z) }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Profile.cmh2x2(rnd.toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect()(0)
+    assert(got.getDouble(3) == r6(sd.toDouble * sd.toDouble / sv.toDouble),
+      s"cmh6 disagrees with the replayed formula: $got")
+    assert(got.getDouble(4) == r6(sp.toDouble / sq.toDouble),
+      s"or_mh6 disagrees with the replayed formula: $got")
+    // a 1-row stratum carries no information: excluded from the sums,
+    // counted in n_skipped, statistic unchanged
+    val plus = (rnd ++ Seq(("zz", 1L, 1L))).toDF("k", "a", "b")
+    val got2 = Profile.cmh2x2(plus, Seq("k"), "a", "b").collect()(0)
+    assert(got2.getLong(0) == 4L && got2.getLong(2) == 1L &&
+      got2.getDouble(3) == got.getDouble(3) &&
+      got2.getDouble(4) == got.getDouble(4))
+  }
+
   test("memoFit key is data-aware: rewriting the input under the same tag refits") {
     // pins the q194 contract (r15 verdict): the memo key derives from the
     // canonicalized plan + backing files, so an input rewrite under an
