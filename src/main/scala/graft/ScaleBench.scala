@@ -1458,6 +1458,25 @@ object ScaleBench {
         s"CMH independence closed form failed: $r")
     }
 
+    // Cochran–Armitage trend at 10M rows: perfect 2-band separation ⇒
+    // the trend χ²₁ equals N exactly (ca6 = 10⁷); 10 balanced bands with
+    // an independent outcome ⇒ A = 0 exactly (trend 0, ca6 = 0). Gates
+    // the one-groupBy bounded-band shape with DECIMAL(38,0) moments.
+    timed("trend_test_10M_rows") {
+      val n = 10000000L
+      val perfect = spark.range(n).select((col("id") % 2).as("w"),
+        (col("id") % 2).as("y"))
+      val p = operators.Profile.trendTest(perfect, "w", "y").head()
+      require(p.getLong(0) == n && p.getLong(3) == 1L &&
+        p.getDouble(4) == 10000000.0,
+        s"trend perfect closed form failed: $p")
+      val indep = spark.range(n).select((col("id") % 10).as("w"),
+        expr("id DIV 10 % 2").as("y"))
+      val i = operators.Profile.trendTest(indep, "w", "y").head()
+      require(i.getLong(3) == 0L && i.getDouble(4) == 0.0,
+        s"trend independence closed form failed: $i")
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same

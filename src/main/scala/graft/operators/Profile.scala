@@ -514,6 +514,58 @@ object Profile {
                 ELSE ROUND(__sp / __sq, 6) END""").as("or_mh6"))
   }
 
+  /** Cochran–Armitage trend test of a binary outcome across ORDERED
+    * integer groups (Cochran 1954, Armitage 1955) — the dose-response
+    * member of the association family: χ² (q201) asks "is there ANY
+    * association between band and outcome", the trend test asks the
+    * question a curation dashboard actually means — "does the keep/label
+    * rate rise or fall MONOTONICALLY with the band" — and it spends its
+    * single degree of freedom on exactly that, so it fires at sample
+    * sizes where the omnibus χ² is still noise.
+    *
+    * Exact-integer contract: with group weights w = the band value,
+    * N rows, R positives, S1 = Σ w·o1, S2 = Σ w·n, Q = Σ w²·n:
+    *   A = N·S1 − R·S2,  B = N·Q − S2²,
+    *   Z² = N·A² / (R·(N−R)·B)
+    * — A and B are EXACT integers in DECIMAL(38,0) (A ≤ w·N², safe past
+    * 10¹⁷ rows), and ca6 is the round-6 double of the exact integers
+    * with IDENTICAL expression text in both engines (the binaryAucSe
+    * precedent). trend = SIGN(A) (+1 rate rises with the band, −1
+    * falls, 0 flat). Degenerate inputs (R = 0, R = N, or a single/
+    * constant band making B = 0) report ca6 = 0. Complete-case on the
+    * band.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the bounded band
+    * table, then a scalar aggregate — no grid, no window, no join.
+    * Output (one row): n, n_pos, n_groups, trend, ca6.
+    */
+  def trendTest(df: DataFrame, bandCol: String, labelCol: String): DataFrame = {
+    val g = df.select(col(bandCol).cast("long").as("__w"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .where(col("__w").isNotNull)
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    g.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__w").cast(DecimalType(38, 0)) * col("__p")),
+          lit(0).cast(DecimalType(38, 0))).as("__s1"),
+        coalesce(sum(col("__w").cast(DecimalType(38, 0)) * col("__n")),
+          lit(0).cast(DecimalType(38, 0))).as("__s2"),
+        coalesce(sum(col("__w").cast(DecimalType(38, 0)) * col("__w") *
+          col("__n")), lit(0).cast(DecimalType(38, 0))).as("__q"))
+      .withColumn("__a", expr("CAST(n AS DECIMAL(38,0)) * __s1 - CAST(n_pos AS DECIMAL(38,0)) * __s2"))
+      .withColumn("__b", expr("CAST(n AS DECIMAL(38,0)) * __q - __s2 * __s2"))
+      .select(col("n"), col("n_pos"), col("n_groups"),
+        expr("CAST(SIGN(__a) AS BIGINT)").as("trend"),
+        expr("""CASE WHEN n_pos = 0 OR n_pos = n OR __b <= 0 THEN 0.0
+                ELSE ROUND(CAST(n AS DOUBLE) * CAST(__a AS DOUBLE)
+                  * CAST(__a AS DOUBLE)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+                     * CAST(__b AS DOUBLE)), 6) END""").as("ca6"))
+  }
+
   /** Spearman rank correlation between two integer columns — the
     * monotone-association dial of the drift/QA family (is token count
     * still tracking char count, or did a re-tokenization break the

@@ -4570,6 +4570,54 @@ object Text {
       |  CASE WHEN sq <= 0.0 THEN NULL ELSE ROUND(sp / sq, 6) END AS or_mh6
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+
+  /** q225: Cochran–Armitage trend of English rate across length bands
+    * (`Profile.trendTest`) — the dose-response dial of the association
+    * family: not "is band associated with language" (q201's omnibus) but
+    * "does the English rate rise or fall MONOTONICALLY with length" —
+    * one degree of freedom spent on exactly the monotone alternative, so
+    * it fires where the omnibus is still noise. Exact integers to the
+    * last division; one bounded groupBy, no grid, no window, no join.
+    */
+  def q225TrendTest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.trendTest(
+      Tables.load(spark, sfDir, "documents")
+        .select(expr("n_chars DIV 64").as("len_band"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      "len_band", "is_en")
+
+  val q225Sql: String =
+    """WITH g AS (
+      |  SELECT n_chars // 64 AS w, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM documents
+      |  -- complete-case band mirror of trendTest
+      |  WHERE n_chars IS NOT NULL
+      |  GROUP BY 1
+      |),
+      |s AS (
+      |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+      |    CAST(COUNT(1) AS BIGINT) AS n_groups,
+      |    COALESCE(SUM(CAST(w AS HUGEINT) * p), 0) AS s1,
+      |    COALESCE(SUM(CAST(w AS HUGEINT) * n), 0) AS s2,
+      |    COALESCE(SUM(CAST(w AS HUGEINT) * w * n), 0) AS q
+      |  FROM g
+      |),
+      |t AS (
+      |  SELECT n, n_pos, n_groups,
+      |    CAST(n AS HUGEINT) * s1 - CAST(n_pos AS HUGEINT) * s2 AS a,
+      |    CAST(n AS HUGEINT) * q - s2 * s2 AS b
+      |  FROM s
+      |)
+      |SELECT n, n_pos, n_groups, CAST(SIGN(a) AS BIGINT) AS trend,
+      |  CASE WHEN n_pos = 0 OR n_pos = n OR b <= 0 THEN 0.0
+      |    ELSE ROUND(CAST(n AS DOUBLE) * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+      |      / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+      |         * CAST(b AS DOUBLE)), 6) END AS ca6
+      |FROM t""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -4978,6 +5026,7 @@ object Text {
     QueryDef("q222_chi_square_by_lang", q222ChiSquareByLang, Some(q222Sql)),
     QueryDef("q223_spearman_by_lang", q223SpearmanByLang, Some(q223Sql)),
     QueryDef("q224_cmh_pooled", q224CmhSourceLength, Some(q224Sql)),
+    QueryDef("q225_trend_test", q225TrendTest, Some(q225Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

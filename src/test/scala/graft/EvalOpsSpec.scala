@@ -1209,6 +1209,42 @@ class EvalOpsSpec extends SparkSpec {
       got2.getDouble(4) == got.getDouble(4))
   }
 
+  test("trendTest: perfect/flat/degenerate closed forms, BigInt formula replication") {
+    def ca(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+      val r = Profile.trendTest(rows.toDF("w", "y"), "w", "y").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    // perfect 2-band separation: the trend χ²₁ equals N exactly
+    val perfect = Seq.fill(50)((0L, 0L)) ++ Seq.fill(50)((1L, 1L))
+    assert(ca(perfect) == ((100L, 50L, 2L, 1L, 100.0)))
+    // reversed bands: same magnitude, negative trend
+    val rev = perfect.map(t => (1L - t._1, t._2))
+    assert(ca(rev) == ((100L, 50L, 2L, -1L, 100.0)))
+    // exact independence across 5 bands: A = 0, flat trend
+    val indep = for (w <- 0L until 5L; y <- Seq(0L, 1L); _ <- 1 to 10)
+      yield (w, y)
+    assert(ca(indep) == ((100L, 50L, 5L, 0L, 0.0)))
+    // degenerate: all-positive outcome, and a single band (B = 0)
+    assert(ca(Seq((1L, 1L), (2L, 1L)))._5 == 0.0)
+    assert(ca(Seq((3L, 0L), (3L, 1L)))._5 == 0.0)
+    // BigInt formula replication on a pseudo-random banded input
+    val xs = Iterator.iterate(37L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(400).toSeq
+    val rnd = xs.map(x => ((x >> 3) % 8, if ((x >> 6) % (3 + (x >> 3) % 8) == 0L) 1L else 0L))
+    val n = BigInt(rnd.size); val r = BigInt(rnd.count(_._2 == 1L))
+    val s1 = rnd.filter(_._2 == 1L).map(t => BigInt(t._1)).sum
+    val s2 = rnd.map(t => BigInt(t._1)).sum
+    val q = rnd.map(t => BigInt(t._1) * t._1).sum
+    val a = n * s1 - r * s2
+    val b = n * q - s2 * s2
+    val want = BigDecimal(n.toDouble * a.toDouble * a.toDouble /
+      (r.toDouble * (n - r).toDouble * b.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = ca(rnd)
+    assert(got._4 == a.signum.toLong && got._5 == want,
+      s"trend stat disagrees with the replayed formula: $got vs $want")
+  }
+
   test("memoFit key is data-aware: rewriting the input under the same tag refits") {
     // pins the q194 contract (r15 verdict): the memo key derives from the
     // canonicalized plan + backing files, so an input rewrite under an
