@@ -1477,6 +1477,25 @@ object ScaleBench {
         s"trend independence closed form failed: $i")
     }
 
+    // McNemar at 10M paired rows: symmetric discordance (a = bit0,
+    // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
+    // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly
+    // (micro 5·10¹²), trend +1. One scalar map-side aggregate, no key.
+    timed("mcnemar_10M_rows") {
+      val n = 10000000L
+      val sym = spark.range(n).select((col("id") % 2).as("a"),
+        expr("id DIV 2 % 2").as("b"))
+      val s = operators.Profile.mcnemar(sym, "a", "b").head()
+      require(s.getLong(0) == n && s.getLong(5) == 0L && s.getLong(6) == 0L,
+        s"mcnemar symmetric closed form failed: $s")
+      val oneSided = spark.range(n).select((col("id") % 2).as("a"),
+        lit(0L).as("b"))
+      val o = operators.Profile.mcnemar(oneSided, "a", "b").head()
+      require(o.getLong(2) == n / 2 && o.getLong(5) == 1L &&
+        o.getLong(6) == 5000000000000L,
+        s"mcnemar one-sided closed form failed: $o")
+    }
+
     // Two-sample KS at 2×10M rows: side B is side A shifted by s = n/10,
     // so the CDF gap is exactly s/n = 0.1 everywhere in the overlap and
     // first attained at v = s−1 (cum_a = s, cum_b = 0). Gates the same

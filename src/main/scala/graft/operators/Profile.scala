@@ -514,6 +514,45 @@ object Profile {
                 ELSE ROUND(__sp / __sq, 6) END""").as("or_mh6"))
   }
 
+  /** McNemar's test for PAIRED binary decisions (McNemar 1947,
+    * uncorrected) — the policy-migration dial of the association family:
+    * when two keep/drop policies score the SAME documents, agreement
+    * metrics (kappa, q154) ask "how similar are they", McNemar asks the
+    * migration question — "is the disagreement DIRECTIONAL, i.e. does
+    * policy B systematically keep documents A drops (or vice versa),
+    * beyond coin-flip noise?" Only the discordant pairs carry
+    * information:
+    *   χ²₁ = (n₁₀ − n₀₁)² / (n₁₀ + n₀₁).
+    * EXACT integers end-to-end: mcnemar_micro = ⌊10⁶·(n₁₀−n₀₁)²/(n₁₀+n₀₁)⌋
+    * in DECIMAL(38,0) — no doubles anywhere; trend = SIGN(n₁₀ − n₀₁)
+    * (+1 ⇒ A keeps what B drops more often). Zero discordant pairs
+    * (perfect agreement) reports 0. Truthy inputs binarize with the
+    * label contract (=1/true ⇒ 1, else 0).
+    *
+    * Scale shape: ONE map-side-combinable scalar aggregate over the
+    * paired rows — four conditional sums, no groupBy key at all, no
+    * grid, no window, no join. Output (one row): n, n_both, n_a_only,
+    * n_b_only, n_neither, trend, mcnemar_micro.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.select(
+        when(col(aCol).cast("long") === 1L, 1L).otherwise(0L).as("__a"),
+        when(col(bCol).cast("long") === 1L, 1L).otherwise(0L).as("__b"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__a") * col("__b")), lit(0L)).as("n_both"),
+        coalesce(sum(col("__a") * (lit(1L) - col("__b"))), lit(0L)).as("n_a_only"),
+        coalesce(sum((lit(1L) - col("__a")) * col("__b")), lit(0L)).as("n_b_only"),
+        coalesce(sum((lit(1L) - col("__a")) * (lit(1L) - col("__b"))), lit(0L))
+          .as("n_neither"))
+      .select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+        col("n_neither"),
+        expr("CAST(SIGN(n_a_only - n_b_only) AS BIGINT)").as("trend"),
+        expr("""CASE WHEN n_a_only + n_b_only = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0))
+                  * (n_a_only - n_b_only) * (n_a_only - n_b_only))
+                  DIV (n_a_only + n_b_only) AS BIGINT) END""")
+          .as("mcnemar_micro"))
+
   /** Cochran–Armitage trend test of a binary outcome across ORDERED
     * integer groups (Cochran 1954, Armitage 1955) — the dose-response
     * member of the association family: χ² (q201) asks "is there ANY

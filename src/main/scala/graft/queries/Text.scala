@@ -4618,6 +4618,50 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+
+  /** q226: McNemar policy-migration test of Gopher (q57) vs C4 (q110)
+    * keep decisions over the SAME documents (`Profile.mcnemar`) — kappa
+    * (q154) asks how SIMILAR two raters are; a curation team switching
+    * quality filters asks the McNemar question instead: is the
+    * disagreement DIRECTIONAL (one policy systematically keeps what the
+    * other drops) beyond coin-flip noise, and which way? Only the
+    * discordant documents carry information; exact integers end-to-end,
+    * one scalar aggregate over the doc_id-joined decision pair.
+    */
+  def q226PolicyMcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val gopher = q57QualityFilter(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val c4 = q110C4Clean(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("c4_keep"))
+    graft.operators.Profile.mcnemar(
+      gopher.join(c4, "doc_id"), "gopher_keep", "c4_keep")
+  }
+
+  lazy val q226Sql: String =
+    s"""WITH gk AS (SELECT doc_id, keep AS a FROM ($q57Sql)),
+       |ck AS (SELECT doc_id, keep AS b FROM ($q110Sql)),
+       |p AS (
+       |  SELECT CASE WHEN a THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN b THEN 1 ELSE 0 END AS b
+       |  FROM gk JOIN ck USING (doc_id)
+       |),
+       |s AS (
+       |  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS n_both,
+       |    CAST(COALESCE(SUM(a * (1 - b)), 0) AS BIGINT) AS n_a_only,
+       |    CAST(COALESCE(SUM((1 - a) * b), 0) AS BIGINT) AS n_b_only,
+       |    CAST(COALESCE(SUM((1 - a) * (1 - b)), 0) AS BIGINT) AS n_neither
+       |  FROM p
+       |)
+       |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       |  CAST(SIGN(n_a_only - n_b_only) AS BIGINT) AS trend,
+       |  CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0
+       |    ELSE (CAST(1000000 AS HUGEINT)
+       |      * (n_a_only - n_b_only) * (n_a_only - n_b_only))
+       |      // (n_a_only + n_b_only) END AS BIGINT) AS mcnemar_micro
+       |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -5027,6 +5071,7 @@ object Text {
     QueryDef("q223_spearman_by_lang", q223SpearmanByLang, Some(q223Sql)),
     QueryDef("q224_cmh_pooled", q224CmhSourceLength, Some(q224Sql)),
     QueryDef("q225_trend_test", q225TrendTest, Some(q225Sql)),
+    QueryDef("q226_policy_mcnemar", q226PolicyMcnemar, Some(q226Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

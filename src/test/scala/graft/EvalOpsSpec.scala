@@ -1245,6 +1245,22 @@ class EvalOpsSpec extends SparkSpec {
       s"trend stat disagrees with the replayed formula: $got vs $want")
   }
 
+  test("mcnemar: hand case, perfect agreement, swap antisymmetry") {
+    def mc(rows: Seq[(Long, Long)]): Seq[Any] =
+      Profile.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0).toSeq
+    val hand = Seq.fill(3)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(2)((0L, 1L)) ++ Seq.fill(4)((0L, 0L))
+    // (5−2)²·10⁶ / 7 = 1 285 714 (floored)
+    assert(mc(hand) == Seq(14L, 3L, 5L, 2L, 4L, 1L, 1285714L))
+    // perfect agreement: zero discordant pairs, statistic 0, flat trend
+    val agree = Seq((1L, 1L), (0L, 0L), (1L, 1L))
+    assert(mc(agree) == Seq(3L, 2L, 0L, 0L, 1L, 0L, 0L))
+    // swapping the policies flips the trend, keeps the statistic
+    val swapped = hand.map(_.swap)
+    val (h, s) = (mc(hand), mc(swapped))
+    assert(s(6) == h(6) && s(5) == -1L && s(2) == h(3) && s(3) == h(2))
+  }
+
   test("memoFit key is data-aware: rewriting the input under the same tag refits") {
     // pins the q194 contract (r15 verdict): the memo key derives from the
     // canonicalized plan + backing files, so an input rewrite under an
