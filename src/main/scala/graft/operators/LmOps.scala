@@ -856,6 +856,15 @@ object LmOps {
     * (normal interval, clamped to [0, 1]). Complete-case on id and score.
     * Output (one row): n, n_pos, n_neg, ap_micro, prevalence_micro, b,
     * se6, lo6, hi6.
+    *
+    * Empty-input contract: EMPTY input returns ZERO rows — the point
+    * estimate is a group of the shared keyed pass (resample −1), and an
+    * empty input has no groups — unlike [[binaryAp]]/[[binaryAucSe]],
+    * whose global aggregates emit one zero row. Deliberate: coalescing a
+    * synthetic zero row here would fabricate b = 0 "bootstrap" metadata;
+    * callers unioning the eval family over possibly-empty slices should
+    * treat a missing row as "no data", same as [[binaryApCiBy]] does for
+    * an absent key.
     */
   def binaryApCi(df: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, resamples: Int = 64): DataFrame = {

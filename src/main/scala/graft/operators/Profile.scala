@@ -684,6 +684,15 @@ object Profile {
     * zero SinglePartition. Complete-case on keys and both columns
     * (pairwise deletion per key). Output (one row per key): keys…, n,
     * rho_micro.
+    *
+    * Scan-count note: each axis' rank map reads the projected base once
+    * more (build + re-attach ⇒ the source scans ~4×, same shape as the
+    * global [[spearman]]). Deliberately NOT persisted here: the scan is
+    * a pruned two-column read that parquet serves from the page cache,
+    * and q223's bench telemetry has it far off the critical path
+    * (0.84 s at sf0.1 vs 24 s of window work at the 10M gate). A caller
+    * whose input is an EXPENSIVE derived frame (not a scan) should
+    * persist it before calling — CacheLife.scoped is the house tool.
     */
   def spearmanBy(df: DataFrame, keys: Seq[String], xCol: String,
       yCol: String): DataFrame = {

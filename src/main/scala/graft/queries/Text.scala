@@ -4030,6 +4030,8 @@ object Text {
     """WITH base AS (
       |  SELECT n_chars // 64 AS x, len(string_split(text, ' ')) // 8 AS y
       |  FROM documents
+      |  -- complete-case mirror of kendallTauB (both bands derive here)
+      |  WHERE n_chars IS NOT NULL AND text IS NOT NULL
       |),
       |cells AS (SELECT x, y, CAST(COUNT(1) AS BIGINT) AS o FROM base GROUP BY 1, 2),
       |dx AS (SELECT x, CAST(SUM(o) AS BIGINT) AS tx FROM cells GROUP BY x),
@@ -4351,8 +4353,9 @@ object Text {
     """WITH base AS (
       |  SELECT lang, n_chars // 64 AS x, len(string_split(text, ' ')) // 8 AS y
       |  FROM documents
-      |  -- complete-case key mirror of kendallTauBBy
-      |  WHERE lang IS NOT NULL
+      |  -- complete-case key/column mirror of kendallTauBBy (both bands
+      |  -- derive from n_chars/text)
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL
       |),
       |cells AS (
       |  SELECT lang, x, y, CAST(COUNT(1) AS BIGINT) AS o
@@ -4479,8 +4482,9 @@ object Text {
     """WITH base AS (
       |  SELECT lang, n_chars AS x, len(string_split(text, ' ')) AS y
       |  FROM documents
-      |  -- complete-case key mirror of spearmanBy
-      |  WHERE lang IS NOT NULL
+      |  -- complete-case key/column mirror of spearmanBy (x from n_chars,
+      |  -- y from text)
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL
       |),
       |r AS (
       |  -- doubled average rank PER KEY: 2·RANK + tieCount − 1
