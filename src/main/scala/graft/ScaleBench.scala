@@ -1360,18 +1360,24 @@ object ScaleBench {
           out.limit(3).collect().mkString("; "))
     }
 
-    // Keyed AP bootstrap CI at 10M rows / 100 slices / 8 resamples: per
-    // slice the scorer is perfectly separated, and Poisson weights never
-    // reorder scores, so EVERY resample with a surviving positive is
-    // still separated ⇒ all 8 resampled APs are exactly 10⁶ ⇒ se6 = 0.0
-    // and lo6 = hi6 = 1.0 in every slice (P(a resample drops all 50k
-    // positives) = e^{−50000}). Gates the md5-coin expansion at 80M
+    // Keyed AP bootstrap CI at 10M rows / 100 slices / 8 resamples with
+    // the scoreBuckets=1000 quantization knob: per slice the scorer is
+    // perfectly separated at score 50000, and the per-key equal-width
+    // quantization ((99999−0) DIV 1000 + 1 = width exactly 100) keeps the
+    // positive/negative boundary ON a bucket edge, so separation — and
+    // the closed form — survives quantization: Poisson weights never
+    // reorder scores, every resample with a surviving positive is still
+    // separated ⇒ all 8 resampled APs are exactly 10⁶ ⇒ se6 = 0.0 and
+    // lo6 = hi6 = 1.0 in every slice (P(a resample drops all 50k
+    // positives) = e^{−50000}). Gates the md5-coin expansion at 90M
     // hashed (row, resample) pairs plus the keyed AP machinery with the
-    // resample id as an extra key — zero SinglePartition. (The synthetic
-    // scores are deliberately tie-free, so the "distinct-score" table IS
-    // 90M rows — the gate's cost is the honest worst case; real corpora
-    // tie heavily and shrink it by orders of magnitude.)
-    timed("keyed_ap_ci_10M_rows_100_slices_8_resamples") {
+    // resample id as an extra key — zero SinglePartition — at the
+    // BOUNDED shuffle the knob buys: the synthetic scores are tie-free,
+    // so without it the distinct-score table IS 90M rows (the honest
+    // worst case inherent to an exact bootstrap — r17 measured 111 s
+    // here); bucketing caps it at 9×1000 rows per slice, same closed
+    // form.
+    timed("keyed_ap_ci_10M_100_slices_8_resamples_1k_buckets") {
       val n = 10000000L
       val rows = spark.range(n).select(
         concat(lit("s"), col("id") % 100).as("k"),
@@ -1379,7 +1385,7 @@ object ScaleBench {
         (col("id") / 100).cast("long").as("score"),
         when((col("id") / 100).cast("long") >= 50000L, 1L).otherwise(0L).as("y"))
       val out = operators.LmOps.binaryApCiBy(rows, Seq("k"), "rid",
-        "score", "y", resamples = 8)
+        "score", "y", resamples = 8, scoreBuckets = 1000)
       val a = out.agg(count(lit(1)).as("rows"),
         count(when(col("n") === n / 100 && col("ap_micro") === 1000000L &&
           col("b") === 8L && col("se6") === 0.0 &&

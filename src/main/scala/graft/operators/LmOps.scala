@@ -865,15 +865,39 @@ object LmOps {
     * callers unioning the eval family over possibly-empty slices should
     * treat a missing row as "no data", same as [[binaryApCiBy]] does for
     * an absent key.
+    *
+    * `scoreBuckets` (default 0 = off, bit-identical to the original
+    * contract) bounds the bootstrap's honest worst case: on TIE-FREE
+    * scores the distinct-score table IS rows × (resamples+1) — inherent
+    * to an exact bootstrap. A positive value quantizes scores FIRST
+    * (equal-width buckets from a min/max pass — the [[binaryAuc]]
+    * two-phase discipline; order-preserving, so only within-bucket
+    * ranking detail is lost), capping shuffle volume at
+    * (resamples+1) × scoreBuckets regardless of ties. The resulting
+    * point estimate is the exact AP of the QUANTIZED scores (a
+    * documented approximation of the raw-score AP), still fully
+    * deterministic and oracle-replayable.
     */
   def binaryApCi(df: DataFrame, idCol: String, scoreCol: String,
-      labelCol: String, resamples: Int = 64): DataFrame = {
+      labelCol: String, resamples: Int = 64, scoreBuckets: Int = 0): DataFrame = {
     require(resamples >= 2 && resamples <= 256,
       s"resamples must be in [2, 256], got $resamples")
-    val base = df.select(col(idCol).cast("string").as("__id"),
+    require(scoreBuckets == 0 || (scoreBuckets >= 2 && scoreBuckets <= 65536),
+      s"scoreBuckets must be 0 (off) or in [2, 65536], got $scoreBuckets")
+    val base0 = df.select(col(idCol).cast("string").as("__id"),
         col(scoreCol).cast("long").as("score"),
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
       .where(col("score").isNotNull && col("__id").isNotNull)
+    val base = if (scoreBuckets == 0) base0 else {
+      // quantize BEFORE the ×(resamples+1) expansion — the whole point of
+      // the knob is that the min/max pass costs one scan while the
+      // expansion's distinct-score table shrinks from rows to buckets
+      val st = base0.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+      base0.crossJoin(broadcast(st)) // 1-row stats frame (audited BNLJ shape)
+        .withColumn("score",
+          expr(s"(score - __mn) DIV ((__mx - __mn) DIV $scoreBuckets + 1)"))
+        .drop("__mn", "__mx")
+    }
     // the POINT estimate rides the same pass as resample −1 with weight 1
     // (its per-threshold terms equal binaryAp's exactly), so the whole
     // operator is ONE expansion + ONE keyed machinery run instead of two
@@ -929,12 +953,21 @@ object LmOps {
     * complete-case contract as the global form. Output (one row per
     * group): keys…, n, n_pos, n_neg, ap_micro, prevalence_micro, b, se6,
     * lo6, hi6.
+    *
+    * `scoreBuckets` is the keyed twin of [[binaryApCi]]'s knob: each key
+    * buckets its OWN min/max (a global grid would alias slices with
+    * different score ranges — the [[graft.operators.Profile.psiBy]]
+    * precedent), capping the per-key distinct-score table at
+    * (resamples+1) × scoreBuckets. Default 0 = off = bit-identical.
     */
   def binaryApCiBy(df: DataFrame, keys: Seq[String], idCol: String,
-      scoreCol: String, labelCol: String, resamples: Int = 64): DataFrame = {
+      scoreCol: String, labelCol: String, resamples: Int = 64,
+      scoreBuckets: Int = 0): DataFrame = {
     require(keys.nonEmpty, "binaryApCiBy needs at least one key (use binaryApCi)")
     require(resamples >= 2 && resamples <= 256,
       s"resamples must be in [2, 256], got $resamples")
+    require(scoreBuckets == 0 || (scoreBuckets >= 2 && scoreBuckets <= 65536),
+      s"scoreBuckets must be 0 (off) or in [2, 65536], got $scoreBuckets")
     val reserved = Set("score", "p", "ng", "b", "bn", "bp", "off_n", "off_p",
       "pos_below", "all_below", "n", "n_pos", "n_neg", "ap_micro",
       "prevalence_micro", "__y", "__tp", "__tot", "__term", "__ts",
@@ -943,11 +976,20 @@ object LmOps {
     require(keys.forall(k => !reserved(k)),
       s"key columns may not collide with internals: ${reserved.mkString("/")}")
     val ks = keys.map(col)
-    val base = df.select(ks :+ col(idCol).cast("string").as("__id") :+
+    val base0 = df.select(ks :+ col(idCol).cast("string").as("__id") :+
         col(scoreCol).cast("long").as("score") :+
         when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
       .where(col("score").isNotNull && col("__id").isNotNull &&
         ks.map(_.isNotNull).reduce(_ && _))
+    val base = if (scoreBuckets == 0) base0 else {
+      // per-key min/max, quantize before the expansion (see binaryApCi)
+      val st = base0.groupBy(ks: _*)
+        .agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"))
+      base0.join(st, keys)
+        .withColumn("score",
+          expr(s"(score - __mn) DIV ((__mx - __mn) DIV $scoreBuckets + 1)"))
+        .drop("__mn", "__mx")
+    }
     // point rides the same pass as resample −1 (see binaryApCi)
     val aps = apCiResamples(base, keys, resamples)
     val point = aps.filter(col("__bs") === -1).drop("__bs")

@@ -4666,6 +4666,52 @@ object Text {
        |      // (n_a_only + n_b_only) END AS BIGINT) AS mcnemar_micro
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+
+  /** q231: per-source AP bootstrap CI with SCORE QUANTIZATION
+    * (`LmOps.binaryApCiBy(scoreBuckets = 32)`) — q220 with the bounded-
+    * shuffle knob on: each slice's scores quantize into 32 equal-width
+    * buckets from a per-key min/max pass BEFORE the ×(resamples+1)
+    * expansion, so the bootstrap's shuffle volume is
+    * (resamples+1) × buckets per key regardless of score ties — the cap
+    * that tames the tie-free worst case (rows × resamples distinct
+    * scores) at corpus scale. The oracle replays the bucketing exactly:
+    * same per-source min/max, same width expression, then q220's entire
+    * resample pipeline over the quantized scores.
+    */
+  def q231ApCiBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LmOps.binaryApCiBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("len_score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "doc_id", "len_score", "is_en", resamples = 16,
+      scoreBuckets = 32)
+
+  /** q220's whole pipeline from the `g` CTE on is the contract being
+    * re-run over quantized scores, so q231 SPLICES that tail verbatim
+    * (one copy to maintain) behind a bucketing base — only the resample
+    * count literal differs. */
+  lazy val q231Sql: String = {
+    val tail = q220Sql.substring(q220Sql.indexOf("g AS ("))
+    """WITH base0 AS (
+      |  SELECT source, CAST(doc_id AS VARCHAR) AS id, n_chars AS score0,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case key/id/score mirror of binaryApCiBy
+      |  WHERE source IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |st AS (
+      |  SELECT source, MIN(score0) AS mn, MAX(score0) AS mx
+      |  FROM base0 GROUP BY source
+      |),
+      |base AS (
+      |  -- per-key equal-width quantization, the scoreBuckets=32 mirror
+      |  SELECT source, id, (score0 - mn) // ((mx - mn) // 32 + 1) AS score, y
+      |  FROM base0 JOIN st USING (source)
+      |),
+      |""".stripMargin + tail.replace("range(0, 64)", "range(0, 16)")
+  }
+
   // ---------------------------------------------------------------- q155
 
   /** q155: corpus-mix concentration (`Profile.concentration`) — per-source
@@ -5076,6 +5122,7 @@ object Text {
     QueryDef("q224_cmh_pooled", q224CmhSourceLength, Some(q224Sql)),
     QueryDef("q225_trend_test", q225TrendTest, Some(q225Sql)),
     QueryDef("q226_policy_mcnemar", q226PolicyMcnemar, Some(q226Sql)),
+    QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),
     QueryDef("q104_sq8_ann", q104Sq8Ann, Some(q104Sql)),

@@ -1151,6 +1151,54 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("binaryApCi scoreBuckets: width-1 buckets are exact, coarse buckets equal pre-quantized input") {
+    val xs = Iterator.iterate(57L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(200).toSeq
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, (x >> 5) % 40, if ((x >> 3) % 3 == 0) 1L else 0L) }
+    val df = rows.toDF("id", "s", "y")
+    val exact = LmOps.binaryApCi(df, "id", "s", "y", resamples = 8).collect()(0)
+    // scores span < 64, so 64 buckets give width 1: quantization is the
+    // identity shift score−min — order-isomorphic, bit-identical outputs
+    val w1 = LmOps.binaryApCi(df, "id", "s", "y", resamples = 8,
+      scoreBuckets = 64).collect()(0)
+    assert(w1.toSeq == exact.toSeq,
+      "width-1 bucketing must be bit-identical to the exact bootstrap")
+    // coarse buckets: the operator must equal running the EXACT form on
+    // scores quantized by hand with the same min/max width rule (weights
+    // hash only (id, resample), so the whole row agrees, not just AP)
+    val mn = rows.map(_._2).min; val mx = rows.map(_._2).max
+    val w = (mx - mn) / 4 + 1
+    val pre = rows.map(t => (t._1, (t._2 - mn) / w, t._3)).toDF("id", "s", "y")
+    val coarse = LmOps.binaryApCi(df, "id", "s", "y", resamples = 8,
+      scoreBuckets = 4).collect()(0)
+    val byHand = LmOps.binaryApCi(pre, "id", "s", "y", resamples = 8).collect()(0)
+    assert(coarse.toSeq == byHand.toSeq,
+      "scoreBuckets must equal the exact bootstrap over pre-quantized scores")
+  }
+
+  test("binaryApCiBy scoreBuckets buckets each key's own min/max (equals per-group global)") {
+    val xs = Iterator.iterate(91L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(240).toSeq
+    // k1's scores sit in a shifted, wider range than k0's — a shared
+    // global grid would alias them; per-key min/max must not
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val k = s"k${i % 2}"
+      val s = if (i % 2 == 0) (x >> 5) % 40 else 1000 + (x >> 5) % 400
+      (k, i.toLong, s, if ((x >> 2) % 4 == 0) 1L else 0L) }
+    val by = LmOps.binaryApCiBy(rows.toDF("k", "id", "s", "y"),
+      Seq("k"), "id", "s", "y", resamples = 8, scoreBuckets = 4)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 2)
+    for (grp <- Seq("k0", "k1")) {
+      val solo = LmOps.binaryApCi(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3, t._4)).toDF("id", "s", "y"),
+        "id", "s", "y", resamples = 8, scoreBuckets = 4).collect()(0)
+      assert(by(grp) == solo.toSeq,
+        s"slice $grp disagrees with the global bucketed operator")
+    }
+  }
+
   test("cmh2x2: Simpson's paradox hand case, formula replication, n<2 exclusion") {
     // Two strata, each EXACTLY independent (within-stratum OR = 1), but
     // pooling marginally manufactures a strong association (OR ≈ 0.117)
