@@ -1483,6 +1483,27 @@ object ScaleBench {
         s"trend independence closed form failed: $i")
     }
 
+    // Keyed Cochran–Armitage trend at 10M rows / 100 slices: per slice
+    // (100k rows) a perfect 2-band separation ⇒ the trend χ²₁ equals the
+    // slice n exactly (ca6 = 100000.0, trend +1) in every slice. Gates
+    // the keyed one-groupBy bounded-band shape — (key × band) table,
+    // keyed DECIMAL(38,0) moments, zero SinglePartition, no join.
+    timed("keyed_trend_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        (col("id") % 100).as("k"),
+        expr("id DIV 100 % 2").as("w"),
+        expr("id DIV 100 % 2").as("y"))
+      val out = operators.Profile.trendTestBy(rows, Seq("k"), "w", "y")
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === n / 100 && col("n_groups") === 2L &&
+          col("trend") === 1L && col("ca6") === 100000.0, 1)).as("good"))
+        .head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed trend closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // McNemar at 10M paired rows: symmetric discordance (a = bit0,
     // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
     // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly

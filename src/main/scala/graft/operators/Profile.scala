@@ -605,6 +605,56 @@ object Profile {
                      * CAST(__b AS DOUBLE)), 6) END""").as("ca6"))
   }
 
+  /** [[trendTest]] per key group — the dose-response slice dashboard
+    * completing the keyed eval-stat matrix (every other association dial
+    * already has its keyed twin: χ²/MI/Spearman/τ-b/AUC/AP): does the
+    * keep/label rate rise or fall monotonically with the band in EVERY
+    * slice, or does one source invert the dose-response the pooled test
+    * (q225) reports? Same exact-integer contract as the global form —
+    * A and B in DECIMAL(38,0), ca6 the round-6 double of the exact
+    * integers with identical expression text in both engines, degenerate
+    * slices (all/no positives, constant band) report ca6 = 0.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the bounded
+    * (keys × band) table, then a keyed aggregate — no grid, no window,
+    * no join, zero SinglePartition anywhere. Complete-case on keys and
+    * the band. Output (one row per group): keys…, n, n_pos, n_groups,
+    * trend, ca6.
+    */
+  def trendTestBy(df: DataFrame, keys: Seq[String], bandCol: String,
+      labelCol: String): DataFrame = {
+    require(keys.nonEmpty, "trendTestBy needs at least one key (use trendTest)")
+    val reserved = Set("n", "n_pos", "n_groups", "trend", "ca6",
+      "__w", "__y", "__n", "__p", "__s1", "__s2", "__q", "__a", "__b")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val g = df.select(ks :+ col(bandCol).cast("long").as("__w") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("__w").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    g.groupBy(ks: _*).agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__w").cast(DecimalType(38, 0)) * col("__p")),
+          lit(0).cast(DecimalType(38, 0))).as("__s1"),
+        coalesce(sum(col("__w").cast(DecimalType(38, 0)) * col("__n")),
+          lit(0).cast(DecimalType(38, 0))).as("__s2"),
+        coalesce(sum(col("__w").cast(DecimalType(38, 0)) * col("__w") *
+          col("__n")), lit(0).cast(DecimalType(38, 0))).as("__q"))
+      .withColumn("__a", expr("CAST(n AS DECIMAL(38,0)) * __s1 - CAST(n_pos AS DECIMAL(38,0)) * __s2"))
+      .withColumn("__b", expr("CAST(n AS DECIMAL(38,0)) * __q - __s2 * __s2"))
+      .select(ks ++ Seq(col("n"), col("n_pos"), col("n_groups"),
+        expr("CAST(SIGN(__a) AS BIGINT)").as("trend"),
+        expr("""CASE WHEN n_pos = 0 OR n_pos = n OR __b <= 0 THEN 0.0
+                ELSE ROUND(CAST(n AS DOUBLE) * CAST(__a AS DOUBLE)
+                  * CAST(__a AS DOUBLE)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+                     * CAST(__b AS DOUBLE)), 6) END""").as("ca6")): _*)
+  }
+
   /** Spearman rank correlation between two integer columns — the
     * monotone-association dial of the drift/QA family (is token count
     * still tracking char count, or did a re-tokenization break the

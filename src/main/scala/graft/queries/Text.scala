@@ -4622,6 +4622,54 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+
+  /** q230: per-source Cochran–Armitage trend of English rate across
+    * length bands (`Profile.trendTestBy`) — q225's dose-response dial
+    * SLICED, the last keyed twin in the eval-stat matrix: the pooled
+    * trend (q225) can report "rate rises with length" while one source
+    * INVERTS it (the q224 Simpson lesson applied to dose-response); the
+    * slice dashboard shows which. One keyed groupBy over the bounded
+    * (source × band) table, zero SinglePartition.
+    */
+  def q230TrendBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.trendTestBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), expr("n_chars DIV 64").as("len_band"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      Seq("source"), "len_band", "is_en")
+
+  val q230Sql: String =
+    """WITH g AS (
+      |  SELECT source, n_chars // 64 AS w, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM documents
+      |  -- complete-case key/band mirror of trendTestBy
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT source, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+      |    CAST(COUNT(1) AS BIGINT) AS n_groups,
+      |    COALESCE(SUM(CAST(w AS HUGEINT) * p), 0) AS s1,
+      |    COALESCE(SUM(CAST(w AS HUGEINT) * n), 0) AS s2,
+      |    COALESCE(SUM(CAST(w AS HUGEINT) * w * n), 0) AS q
+      |  FROM g GROUP BY source
+      |),
+      |t AS (
+      |  SELECT source, n, n_pos, n_groups,
+      |    CAST(n AS HUGEINT) * s1 - CAST(n_pos AS HUGEINT) * s2 AS a,
+      |    CAST(n AS HUGEINT) * q - s2 * s2 AS b
+      |  FROM s
+      |)
+      |SELECT source, n, n_pos, n_groups, CAST(SIGN(a) AS BIGINT) AS trend,
+      |  CASE WHEN n_pos = 0 OR n_pos = n OR b <= 0 THEN 0.0
+      |    ELSE ROUND(CAST(n AS DOUBLE) * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+      |      / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)
+      |         * CAST(b AS DOUBLE)), 6) END AS ca6
+      |FROM t""".stripMargin
+
   // ---------------------------------------------------------------- q226
 
   /** q226: McNemar policy-migration test of Gopher (q57) vs C4 (q110)
@@ -5122,6 +5170,7 @@ object Text {
     QueryDef("q224_cmh_pooled", q224CmhSourceLength, Some(q224Sql)),
     QueryDef("q225_trend_test", q225TrendTest, Some(q225Sql)),
     QueryDef("q226_policy_mcnemar", q226PolicyMcnemar, Some(q226Sql)),
+    QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),
     QueryDef("q39_ann_lsh", q39AnnLsh, Some(q39Sql)),

@@ -1293,6 +1293,34 @@ class EvalOpsSpec extends SparkSpec {
       s"trend stat disagrees with the replayed formula: $got vs $want")
   }
 
+  test("trendTestBy equals per-group trendTest (incl. a slice inverting the pooled trend)") {
+    val xs = Iterator.iterate(73L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(300).toSeq
+    // k0 rises with the band, k1 FALLS (the Simpson's inversion the slice
+    // dashboard exists to expose), k2 is pseudo-random
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val k = s"k${i % 3}"
+      val w = (x >> 3) % 6
+      val y = i % 3 match {
+        case 0 => if ((x >> 7) % 6 <= w) 1L else 0L
+        case 1 => if ((x >> 7) % 6 >= w) 1L else 0L
+        case _ => if ((x >> 5) % 3 == 0) 1L else 0L
+      }
+      (k, w, y)
+    }
+    val by = Profile.trendTestBy(rows.toDF("k", "w", "y"), Seq("k"), "w", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.trendTest(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("w", "y"),
+        "w", "y").collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+    assert(by("k0")(3) == 1L && by("k1")(3) == -1L,
+      "planted rising/falling slices must carry opposite trend signs")
+  }
+
   test("mcnemar: hand case, perfect agreement, swap antisymmetry") {
     def mc(rows: Seq[(Long, Long)]): Seq[Any] =
       Profile.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0).toSeq

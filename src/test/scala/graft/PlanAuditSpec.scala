@@ -447,6 +447,24 @@ class PlanAuditSpec extends SparkSpec {
       "q223 plans a SinglePartition exchange — the keyed spearman regressed")
     assert(!p223.contains("BroadcastNestedLoopJoin"),
       "q223 plans a BNLJ — the keyed spearman's joins must stay equi")
+    // q230: per-key trend test — one keyed groupBy over the (key × band)
+    // table then a keyed aggregate: no window, no join of any kind, zero
+    // SinglePartition
+    val p230 = planOf("q230_trend_by_source")
+    assert(!p230.contains("Exchange SinglePartition"),
+      "q230 plans a SinglePartition exchange — the keyed trend regressed")
+    assert(!p230.contains("BroadcastNestedLoopJoin") &&
+      !p230.contains("SortMergeJoin") && !p230.contains("BroadcastHashJoin"),
+      "q230 plans a join — the keyed trend is two chained aggregates only")
+    assert(!p230.contains("Window"), "q230 must not plan a window")
+    // q231: per-key bucketed AP-CI — the scoreBuckets min/max attaches by
+    // a KEYED equi-join (per-key grids, not a global 1-row crossJoin), so
+    // the keyed-machinery guarantees hold with the knob on too
+    val p231 = planOf("q231_ap_ci_bucketed")
+    assert(!p231.contains("Exchange SinglePartition"),
+      "q231 plans a SinglePartition exchange — the bucketed keyed AP-CI regressed")
+    assert(!p231.contains("BroadcastNestedLoopJoin"),
+      "q231 plans a BNLJ — the per-key min/max must attach by equi-join")
   }
 
   test("q61 packing never plans a single-partition global window") {
