@@ -1504,6 +1504,29 @@ object ScaleBench {
           out.limit(3).collect().mkString("; "))
     }
 
+    // Benjamini–Hochberg over a 10M-SLICE p-table: 100 planted p = 0
+    // among 10M − 100 nulls at p ≥ 0.1 (heavily tied). Closed form: the
+    // planted zeros satisfy 0·m ≤ α·rank and every null fails even at the
+    // maximal rank (10⁵·10⁷ = 10¹² > 5·10⁴·10⁷ = 5·10¹¹), so EXACTLY the
+    // 100 zeros flag, threshold 0, max-tie rank 100. Gates the two-phase
+    // distinct-p rank at ~900k distinct values — only bucket-total/1-row
+    // frames cross a single partition even at a dashboard 10⁵× wider
+    // than any real slice table.
+    timed("bh_fdr_10M_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(col("id").as("slice"),
+        expr("CASE WHEN id < 100 THEN 0L ELSE 100000 + id % 899999 END")
+          .as("p_micro"))
+      val out = operators.Profile.bhFdr(rows, "p_micro")
+      val a = out.agg(count(lit(1)).as("rows"),
+        coalesce(sum(col("significant")), lit(0L)).as("n_sig"),
+        count(when(col("significant") === 1L && col("slice") < 100L &&
+          col("bh_rank") === 100L && col("m") === n &&
+          col("bh_thresh_micro") === 0L, 1)).as("good")).head()
+      require(a.getLong(0) == n && a.getLong(1) == 100L && a.getLong(2) == 100L,
+        s"BH closed form failed: $a — " + out.limit(3).collect().mkString("; "))
+    }
+
     // McNemar at 10M paired rows: symmetric discordance (a = bit0,
     // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
     // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly

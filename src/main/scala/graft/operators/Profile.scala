@@ -655,6 +655,111 @@ object Profile {
                      * CAST(__b AS DOUBLE)), 6) END""").as("ca6")): _*)
   }
 
+  /** Two-sided normal-tail p-value in MICRO-UNITS from an exact rational
+    * z² = `__zn`/`__zd` (append via [[withTwoSidedNormPMicro]]): the
+    * bridge between the exact-integer test statistics this module emits
+    * and the p-scale that multiple-comparison control ([[bhFdr]]) needs.
+    * p = erfc(√(z²/2)) via the Abramowitz & Stegun 7.1.26 rational
+    * approximation (|ε| ≤ 1.5·10⁻⁷ — below the micro quantum) — chosen
+    * because it needs only SQRT/EXP/polynomial, which DuckDB and Spark
+    * both evaluate as IEEE doubles, so the oracle mirrors carry the
+    * IDENTICAL expression text (the q86 LN-agreement precedent; `e0`
+    * literals keep DuckDB's parser in DOUBLE, not DECIMAL). Degenerate
+    * denominators (`__zd` ≤ 0: empty/constant margins) report p = 10⁶
+    * ("no evidence"), never a divide error. The three step texts are
+    * public so query mirrors splice them verbatim.
+    */
+  val ZSqXqSql: String =
+    "CASE WHEN __zd <= 0 THEN 0.0e0 ELSE " +
+      "SQRT(CAST(__zn AS DOUBLE) / (2.0e0 * CAST(__zd AS DOUBLE))) END"
+  val ErfcTSql: String = "1.0e0 / (1.0e0 + 0.3275911e0 * __xq)"
+  val ErfcPMicroSql: String =
+    "CASE WHEN __zd <= 0 THEN 1000000 ELSE " +
+      "CAST(ROUND(1000000.0e0 * (((((1.061405429e0 * __t - 1.453152027e0) " +
+      "* __t + 1.421413741e0) * __t - 0.284496736e0) * __t " +
+      "+ 0.254829592e0) * __t) * EXP(-__xq * __xq), 0) AS BIGINT) END"
+
+  /** Appends `p_micro` from exact-integer columns `__zn` (z² numerator)
+    * and `__zd` (z² denominator) — see [[ZSqXqSql]]. Intermediates ride
+    * named columns so each step's expression text matches the oracle
+    * CTE chain one-for-one. */
+  def withTwoSidedNormPMicro(df: DataFrame): DataFrame =
+    df.withColumn("__xq", expr(ZSqXqSql))
+      .withColumn("__t", expr(ErfcTSql))
+      .withColumn("p_micro", expr(ErfcPMicroSql))
+      .drop("__xq", "__t")
+
+  /** Benjamini–Hochberg step-up FDR control over a slice dashboard
+    * (Benjamini & Hochberg 1995) — the missing layer once every keyed
+    * statistic emits a 100-slice p-column: reading 100 p-values at
+    * α = 0.05 expects 5 false alarms, so at corpus scale slice alarms
+    * are DOMINATED by false discoveries unless corrected. BH sorts the
+    * m p-values, finds the largest k with p₍ₖ₎ ≤ α·k/m, and flags
+    * everything at or below p₍ₖ₎ — controlling the expected FALSE-
+    * DISCOVERY fraction at α (vs Bonferroni's family-wise rate, which
+    * buys its guarantee with m× the misses).
+    *
+    * Exact-integer contract: input p-values are micro-units
+    * (`p_micro` ∈ [0, 10⁶], e.g. [[withTwoSidedNormPMicro]]); the
+    * step-up condition evaluates as `p_micro·m ≤ alphaMicro·rank` in
+    * Long arithmetic — no doubles anywhere (safe to m ≈ 9·10¹² slices).
+    * Ties share the MAX rank (testing a tied value at its highest index
+    * is the lenient—and correct—step-up reading). Output = every input
+    * row (complete-case on the p column) + `bh_rank` (max-tie rank),
+    * `m`, `bh_thresh_micro` (the step-up threshold p₍ₖ₎, −1 when
+    * nothing clears), `significant` (1/0).
+    *
+    * Scale shape: the input IS a slice table (bounded by the dashboard's
+    * key cardinality, not the corpus), but the machinery still follows
+    * the [[ksTwoSampleFromCounts]] two-phase discipline — distinct-p
+    * count table, equal-width bucket cumulative for the max-tie rank
+    * (only the ≤1025-row bucket-total table and the 1-row
+    * stats/threshold aggregates cross a single partition), rank and
+    * threshold re-attach by equi-join/broadcast — so a million-slice
+    * dashboard still never funnels rows through one task.
+    */
+  def bhFdr(df: DataFrame, pMicroCol: String,
+      alphaMicro: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaMicro > 0 && alphaMicro < 1000000,
+      s"alphaMicro must be in (0, 1000000), got $alphaMicro")
+    val reserved = Set("__pm", "__cnt", "__mn", "__mx", "__b", "__bt",
+      "__off", "__sat", "__thr", "bh_rank", "m", "bh_thresh_micro",
+      "significant")
+    require(!df.columns.exists(c => reserved(c) && c != pMicroCol),
+      s"input columns may not collide with internals: ${reserved.mkString("/")}")
+    val base = df.where(col(pMicroCol).isNotNull)
+      .withColumn("__pm", col(pMicroCol).cast("long"))
+    val g = base.groupBy(col("__pm")).agg(count(lit(1)).as("__cnt"))
+    val stats = g.agg(min(col("__pm")).as("__mn"), max(col("__pm")).as("__mx"),
+      coalesce(sum(col("__cnt")), lit(0L)).as("m"))
+    val bucketed = g.crossJoin(broadcast(stats.select(col("__mn"), col("__mx"))))
+      .withColumn("__b", expr("(__pm - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wLoc = Window.partitionBy(col("__b")).orderBy(col("__pm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bucketed.join(broadcast(offsets), "__b")
+      .withColumn("bh_rank", col("__off") + sum(col("__cnt")).over(wLoc))
+      .crossJoin(broadcast(stats.select(col("m"))))
+      .select(col("__pm"), col("bh_rank"), col("m"))
+    val thr = ranked
+      .agg(max(when(col("__pm") * col("m") <= lit(alphaMicro) * col("bh_rank"),
+        col("__pm"))).as("__thr"))
+    base.join(ranked, "__pm")
+      .crossJoin(broadcast(thr))
+      .withColumn("bh_thresh_micro", coalesce(col("__thr"), lit(-1L)))
+      .withColumn("significant",
+        when(col("__thr").isNotNull && col("__pm") <= col("__thr"), 1L)
+          .otherwise(0L))
+      .drop("__pm", "__thr")
+  }
+
   /** Spearman rank correlation between two integer columns — the
     * monotone-association dial of the drift/QA family (is token count
     * still tracking char count, or did a re-tokenization break the

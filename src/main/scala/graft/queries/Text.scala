@@ -4622,6 +4622,89 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q227
+
+  /** q227: FDR-controlled rate-deviation dashboard (`Profile.bhFdr`) —
+    * the multiple-comparison layer the keyed stat family was missing:
+    * per-(source, lang) long-document rates tested against the pooled
+    * rate (one-sample two-sided z, exact integer z² = num/den, p via the
+    * shared A&S erfc text), then Benjamini–Hochberg step-up at q = 0.05
+    * over the whole slice table — so a 100-slice dashboard expects 5
+    * false alarms CONTROLLED, not reported. Ranks ride the two-phase
+    * bucket cumulative; only bucket-total/1-row frames cross a single
+    * partition.
+    */
+  def q227RateFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    val sl = Tables.load(spark, sfDir, "documents")
+      .where(col("source").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("source"), col("lang"),
+        when(col("n_chars") >= 512, 1L).otherwise(0L).as("__yl"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("__yl")).as("x"))
+    val tot = sl.agg(sum(col("n")).as("__tn"), sum(col("x")).as("__tx"))
+    val withP = graft.operators.Profile.withTwoSidedNormPMicro(
+      sl.crossJoin(broadcast(tot))
+        .withColumn("__zn", expr(
+          """(CAST(x AS DECIMAL(38,0)) * __tn - CAST(n AS DECIMAL(38,0)) * __tx)
+            | * (CAST(x AS DECIMAL(38,0)) * __tn - CAST(n AS DECIMAL(38,0)) * __tx)
+            |""".stripMargin.replace("\n", "")))
+        .withColumn("__zd",
+          expr("CAST(n AS DECIMAL(38,0)) * __tx * (__tn - __tx)")))
+      .drop("__zn", "__zd", "__tn", "__tx")
+    graft.operators.Profile.bhFdr(withP, "p_micro", alphaMicro = 50000L)
+  }
+
+  val q227Sql: String = {
+    val zn = """(CAST(x AS HUGEINT) * __tn - CAST(n AS HUGEINT) * __tx)
+               | * (CAST(x AS HUGEINT) * __tn - CAST(n AS HUGEINT) * __tx)
+               |""".stripMargin.replace("\n", "")
+    s"""WITH d AS (
+       |  SELECT source, lang, CASE WHEN n_chars >= 512 THEN 1 ELSE 0 END AS yl
+       |  FROM documents
+       |  -- complete-case key/value mirror of q227RateFdr
+       |  WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+       |),
+       |sl AS (
+       |  SELECT source, lang, CAST(COUNT(1) AS BIGINT) AS n,
+       |    CAST(SUM(yl) AS BIGINT) AS x
+       |  FROM d GROUP BY 1, 2
+       |),
+       |t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS __tn, CAST(SUM(x) AS BIGINT) AS __tx
+       |  FROM sl
+       |),
+       |z AS (
+       |  SELECT source, lang, n, x, $zn AS __zn,
+       |    CAST(n AS HUGEINT) * __tx * (__tn - __tx) AS __zd
+       |  FROM sl, t
+       |),
+       |-- the three erfc steps splice Profile's shared expression text
+       |xq AS (SELECT *, ${graft.operators.Profile.ZSqXqSql} AS __xq FROM z),
+       |tt AS (SELECT *, ${graft.operators.Profile.ErfcTSql} AS __t FROM xq),
+       |p AS (
+       |  SELECT source, lang, n, x, __zd,
+       |    ${graft.operators.Profile.ErfcPMicroSql} AS p_micro
+       |  FROM tt
+       |),
+       |r AS (
+       |  SELECT source, lang, n, x, p_micro,
+       |    CAST(COUNT(1) OVER (ORDER BY p_micro) AS BIGINT) AS bh_rank,
+       |    CAST(COUNT(1) OVER () AS BIGINT) AS m
+       |  FROM p
+       |),
+       |th AS (
+       |  SELECT MAX(CASE WHEN p_micro * m <= 50000 * bh_rank
+       |    THEN p_micro END) AS thr
+       |  FROM r
+       |)
+       |SELECT source, lang, n, x, p_micro, bh_rank, m,
+       |  COALESCE(thr, -1) AS bh_thresh_micro,
+       |  CASE WHEN thr IS NOT NULL AND p_micro <= thr THEN 1 ELSE 0 END
+       |    AS significant
+       |FROM r, th""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q230
 
   /** q230: per-source Cochran–Armitage trend of English rate across
@@ -5170,6 +5253,7 @@ object Text {
     QueryDef("q224_cmh_pooled", q224CmhSourceLength, Some(q224Sql)),
     QueryDef("q225_trend_test", q225TrendTest, Some(q225Sql)),
     QueryDef("q226_policy_mcnemar", q226PolicyMcnemar, Some(q226Sql)),
+    QueryDef("q227_rate_fdr", q227RateFdr, Some(q227Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

@@ -1321,6 +1321,49 @@ class EvalOpsSpec extends SparkSpec {
       "planted rising/falling slices must carry opposite trend signs")
   }
 
+  test("bhFdr: planted alternatives flagged exactly, step-up pull-in, ties, empty rejection set") {
+    def run(ps: Seq[Long]): Map[Long, (Long, Long, Long, Long)] =
+      Profile.bhFdr(ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("slice", "p_micro"), "p_micro")
+        .collect().map(r => r.getLong(0) ->       // output: slice, p_micro,
+          ((r.getLong(2), r.getLong(3),           // bh_rank, m,
+            r.getLong(4), r.getLong(5)))).toMap   // bh_thresh_micro, significant
+    // 5 planted alternatives (p = 0.0001) among 95 nulls spread 0.2..0.96:
+    // at q = 0.05 exactly the planted five clear (rank 5: 100·100 ≤
+    // 50000·5; the best null at rank 6: 200000·100 >> 50000·6)
+    val planted = Seq.fill(5)(100L) ++ (0 until 95).map(i => 200000L + i * 8000L)
+    val got = run(planted)
+    assert(got.values.forall(_._2 == 100L), "m must be the slice count")
+    val sig = got.filter(_._2._4 == 1L).keySet
+    assert(sig == (0 until 5).map(_.toLong).toSet,
+      s"exactly the planted slices must be flagged, got $sig")
+    assert(got(0L)._3 == 100L, "threshold must be the planted p")
+    assert(got(0L)._1 == 5L, "tied planted p-values share the max rank")
+    // step-up pull-in — the signature BH behavior a step-DOWN gets wrong:
+    // rank 2 fails its own test (3·40000 > 2·50000) but rank 3 passes
+    // (3·45000 ≤ 3·50000), so ALL THREE are rejected
+    val pull = run(Seq(1000L, 40000L, 45000L))
+    assert(pull.values.forall(v => v._4 == 1L && v._3 == 45000L),
+      s"step-up must pull the failing middle rank in: $pull")
+    // nothing clears: threshold sentinel −1, zero flags
+    val none = run(Seq(900000L, 950000L, 990000L))
+    assert(none.values.forall(v => v._4 == 0L && v._3 == -1L))
+  }
+
+  test("withTwoSidedNormPMicro: z²=0 → p=1, erfc(1) reference value, degenerate denominator") {
+    val df = Seq(
+      (1L, 0L, 100L),      // z² = 0 → p = 1
+      (2L, 200L, 100L),    // z² = 2 → x = 1 → p = erfc(1) ≈ 0.157299
+      (3L, 5000L, 100L),   // z² = 50 → p ≈ 0 (1.5e-12 rounds to 0)
+      (4L, 7L, 0L))        // degenerate denominator → p = 1 by contract
+      .toDF("slice", "__zn", "__zd")
+    val p = Profile.withTwoSidedNormPMicro(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(p(1L) == 1000000L && p(4L) == 1000000L && p(3L) == 0L)
+    assert(math.abs(p(2L) - 157299L) <= 2,
+      s"erfc(1) must be ≈ 0.157299 within the A&S 7.1.26 error bound, got ${p(2L)}")
+  }
+
   test("mcnemar: hand case, perfect agreement, swap antisymmetry") {
     def mc(rows: Seq[(Long, Long)]): Seq[Any] =
       Profile.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0).toSeq

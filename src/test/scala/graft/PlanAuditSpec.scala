@@ -171,6 +171,10 @@ class PlanAuditSpec extends SparkSpec {
     // (n_a, n_b) totals frame and the 1-row min/max bucket-stats frame
     // (Profile.ksTwoSample — the drift-totals shape)
     "q199_ks_drift",
+    // q227: the BH layer crossJoins three broadcast 1-ROW frames — the
+    // pooled totals, the distinct-p min/max bucket stats, and the step-up
+    // threshold (Profile.bhFdr — the ksTwoSample drift-totals shape)
+    "q227_rate_fdr",
     // q189: the coverage lookup joins the broadcast pct list (3 rows)
     // against the cumulative FREQUENCY-HISTOGRAM table (distinct count
     // values — Zipf-small, never vocabulary-sized) on a range-straddle
