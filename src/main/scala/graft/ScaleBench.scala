@@ -1562,6 +1562,23 @@ object ScaleBench {
         s"KS shift closed form failed: $r")
     }
 
+    // Wasserstein-1 at 2×10M rows over the SAME shift construction: a
+    // shift by s moves every unit of mass exactly s, so W1 = s exactly
+    // (w1_micro = 10⁶·s) — the area closed form, where KS only sees the
+    // 0.1 gap. Gates the third reader of the (v, ca, cb) store at 11M
+    // distinct values: per-bucket cumulative AND per-bucket LEAD with
+    // the bucket-boundary successor off the ≤1025-row bucket table.
+    timed("wasserstein1_20M_rows") {
+      val n = 10000000L
+      val s = n / 10
+      val a = spark.range(n).select(col("id").as("v"), lit("A").as("g"))
+      val b = spark.range(n).select((col("id") + s).as("v"), lit("B").as("g"))
+      val r = operators.Profile.wasserstein1(a.unionByName(b), "v", "g", "A", "B").head()
+      require(r.getLong(0) == n && r.getLong(1) == n &&
+        r.getLong(2) == n + s && r.getLong(3) == 1000000L * s,
+        s"W1 shift closed form failed: $r")
+    }
+
     // 10h. C4 cleaning at 1M docs with closed-form truth: ids ≡ 0 mod 7
     // get a 3-good-sentence page (kept), ids ≡ 1 mod 7 a lorem-ipsum page
     // (blocked), everyone else a 1-sentence page (dropped, not blocked).

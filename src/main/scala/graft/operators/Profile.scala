@@ -1159,6 +1159,94 @@ object Profile {
         col("psi6"), col("n_skipped")): _*)
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two groups'
+    * distributions of an integer value — the third drift dial alongside
+    * [[ksTwoSample]] (max CDF gap: WHERE it moved) and [[psi]] (mass-
+    * weighted symmetric KL: how much mass moved): W1 is the AREA between
+    * the two CDFs, i.e. how FAR the mass moved, in the value's own
+    * units — the dial that distinguishes "5% of documents got 10 chars
+    * longer" from "5% got 10k chars longer", which KS scores
+    * identically.
+    *
+    * Exact-integer contract: over the sorted distinct values v with
+    * cumulative counts cumA/cumB and totals ta/tb,
+    *   W1 = Σ_v |cumA·tb − cumB·ta| · Δv / (ta·tb),   Δv = next(v) − v,
+    * every term an exact DECIMAL(38,0) product (exact while
+    * ta·tb·range·10⁶ < 10³⁸ — corpus-safe to ~10¹⁵ rows/side at 10⁶
+    * value ranges); w1_micro = (10⁶·Σ) DIV (ta·tb), micro-units OF THE
+    * VALUE SCALE. An empty side reports 0 (the [[ksTwoSample]]
+    * convention). Output (one row): n_a, n_b, n_values, w1_micro.
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame =
+    wasserstein1FromCounts(df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb")))
+
+  /** [[wasserstein1]] over a PRE-AGGREGATED (v, ca, cb) distinct-value
+    * count table — the THIRD reader of the SAME mergeable store
+    * [[ksTwoSampleFromCounts]] and [[psiFromCounts]] share, so one
+    * streaming value-count store now feeds all three drift monitors.
+    *
+    * Scale shape: the [[ksTwoSampleFromCounts]] two-phase cumulative
+    * (equal-width buckets from a min/max pass, per-bucket parallel
+    * windows, only the ≤1025-row bucket-total table crossing
+    * SinglePartition) plus one extra per-bucket LEAD for Δv — the
+    * bucket-BOUNDARY successor comes from the next bucket's min v,
+    * carried on the same bucket-total table, so no global sort and no
+    * extra exchange anywhere.
+    */
+  def wasserstein1FromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = counts.where(col("v").isNotNull).groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val stats = g.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b", expr("(v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNxt = Window.orderBy(col("b"))
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"),
+        min(col("v")).as("__bmn"))
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wOff), lit(0L)))
+      .withColumn("__nxt", lead(col("__bmn"), 1).over(wNxt))
+      .select(col("b"), col("off_a"), col("off_b"), col("__nxt"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("b")).orderBy(col("v"))
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLoc))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLoc))
+      // Δv: in-bucket successor, else the next bucket's min (the global
+      // max value gets NULL → Δ = 0 via the coalesce below)
+      .withColumn("__nv", coalesce(lead(col("v"), 1).over(wLead), col("__nxt")))
+    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_values"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__term",
+        expr("""ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                - CAST(cum_b AS DECIMAL(38,0)) * n_a)
+                * (COALESCE(__nv, v) - v)"""))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("n_values")).as("n_values"),
+        coalesce(sum(col("__term")), lit(0).cast(DecimalType(38, 0)))
+          .as("__area"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __area)
+                  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END""")
+          .as("w1_micro"))
+      // empty store → zero rows (the ksTwoSampleFromCounts convention),
+      // not a row of nulls
+      .where(col("n_values").isNotNull)
+  }
+
   /** Mutual information (in nats) + normalized MI between two categorical
     * columns — the dependence STRENGTH dial complementing [[chiSquare]]'s
     * significance test: χ² asks "is there ANY association at this n", MI

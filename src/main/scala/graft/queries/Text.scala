@@ -4622,6 +4622,55 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q228
+
+  /** q228: Wasserstein-1 drift between two sources' length distributions
+    * (`Profile.wasserstein1`) — the third drift dial completing q199
+    * (KS: max CDF gap, WHERE the mass moved) and q212 (PSI: how MUCH
+    * moved): W1 is the area between the CDFs — how FAR it moved, in
+    * chars — the dial that separates "5% of docs got 10 chars longer"
+    * from "5% got 10k chars longer", which KS scores identically. Exact
+    * integers over the same distinct-value table KS/PSI read; two-phase
+    * bucket cumulative, no global sort.
+    */
+  def q228W1Drift(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.wasserstein1(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("n_chars"), col("source")),
+      "n_chars", "source", "src0", "src1")
+
+  val q228Sql: String =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents
+      |  -- complete-case value mirror of wasserstein1
+      |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+      |  GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(COUNT(1) AS BIGINT) AS n_values
+      |  FROM g
+      |),
+      |c AS (
+      |  SELECT v, SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+      |    LEAD(v) OVER (ORDER BY v) AS nv
+      |  FROM g
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |s AS (
+      |  SELECT COALESCE(SUM(ABS(CAST(cum_a AS HUGEINT) * n_b
+      |    - CAST(cum_b AS HUGEINT) * n_a) * (COALESCE(nv, v) - v)), 0) AS area
+      |  FROM c, t
+      |)
+      |SELECT n_a, n_b, n_values,
+      |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT) * area)
+      |      // (CAST(n_a AS HUGEINT) * n_b) END AS BIGINT) AS w1_micro
+      |FROM t, s""".stripMargin
+
   // ---------------------------------------------------------------- q227
 
   /** q227: FDR-controlled rate-deviation dashboard (`Profile.bhFdr`) —
@@ -5254,6 +5303,7 @@ object Text {
     QueryDef("q225_trend_test", q225TrendTest, Some(q225Sql)),
     QueryDef("q226_policy_mcnemar", q226PolicyMcnemar, Some(q226Sql)),
     QueryDef("q227_rate_fdr", q227RateFdr, Some(q227Sql)),
+    QueryDef("q228_w1_drift", q228W1Drift, Some(q228Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

@@ -1331,6 +1331,58 @@ object Streaming {
     ()
   }
 
+  /** Streaming Wasserstein-1 drift monitor — the THIRD reader of the
+    * IDENTICAL (v, ca, cb) distinct-value count-delta store
+    * [[ksMonitorStream]] and [[psiMonitorStream]] maintain
+    * (`Profile.wasserstein1FromCounts`): one value-count store now feeds
+    * all three drift dials — max CDF gap (KS: where), mass-weighted
+    * total (PSI: how much), and CDF area (W1: how far, in value units).
+    * Same retention and replay contracts. Output at
+    * `outDir/batch_id=N`: one row — n_a, n_b, n_values, w1_micro.
+    */
+  def w1MonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processW1Batch(batch, batchId, outDir, storeDir, valueCol, groupCol,
+          groupA, groupB, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[w1MonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processW1Batch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // without it each action re-scans and re-aggregates the batch (the
+    // processCurationBatch lesson)
+    val mine = batch
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.Profile.wasserstein1FromCounts(all)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming χ² independence monitor — the CATEGORICAL drift twin
     * completing the monitor trio ([[aucMonitorStream]] for ranking,
     * [[ksMonitorStream]] for ordered values): per-batch (a, b, o)

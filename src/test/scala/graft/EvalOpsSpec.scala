@@ -705,6 +705,55 @@ class EvalOpsSpec extends SparkSpec {
     assert(ks(only) == ((1L, 2L, 0L, 1L, 0L, 0L)))
   }
 
+  test("wasserstein1: shift closed form, point masses, identical/empty sides, BigInt replication, store merge") {
+    def w1(rows: Seq[(Long, String)]): Long = {
+      val out = Profile.wasserstein1(rows.toDF("v", "g"), "v", "g", "A", "B")
+        .collect()
+      assert(out.length == 1); out(0).getLong(3)
+    }
+    // shift by δ: W1 = δ exactly, independent of the base distribution
+    val base = Seq(0L, 1L, 1L, 4L, 9L, 9L, 9L, 23L)
+    val shift = base.map(v => (v, "A")) ++ base.map(v => (v + 7L, "B"))
+    assert(w1(shift) == 7000000L, "shift-by-7 must report exactly 7.0")
+    // point masses 0 vs 10 with UNEQUAL counts: W1 = 10 exactly
+    assert(w1(Seq((0L, "A"), (10L, "B"), (10L, "B"))) == 10000000L)
+    // identical distributions: 0; empty side: 0 by contract
+    assert(w1(Seq((3L, "A"), (5L, "A"), (3L, "B"), (5L, "B"))) == 0L)
+    assert(w1(Seq((3L, "A"), (5L, "A"))) == 0L)
+    // BigInt replication of Σ|cumA·tb − cumB·ta|·Δv on pseudo-random data
+    val xs = Iterator.iterate(41L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(300).toSeq
+    val rnd = xs.zipWithIndex.map { case (x, i) =>
+      ((x >> 4) % 97 - 20, if (i % 2 == 0) "A" else "B") }
+    val aCnt = rnd.filter(_._2 == "A").groupBy(_._1).view.mapValues(_.size).toMap
+    val bCnt = rnd.filter(_._2 == "B").groupBy(_._1).view.mapValues(_.size).toMap
+    val vs = (aCnt.keySet ++ bCnt.keySet).toSeq.sorted
+    val (ta, tb) = (BigInt(aCnt.values.sum), BigInt(bCnt.values.sum))
+    var (ca, cb, area) = (BigInt(0), BigInt(0), BigInt(0))
+    for ((v, nv) <- vs.zip(vs.drop(1))) {
+      ca += BigInt(aCnt.getOrElse(v, 0)); cb += BigInt(bCnt.getOrElse(v, 0))
+      area += (ca * tb - cb * ta).abs * (nv - v)
+    }
+    val want = (BigInt(1000000) * area / (ta * tb)).toLong
+    assert(w1(rnd) == want, s"W1 disagrees with the replayed formula")
+    // the (v, ca, cb) store is mergeable: two batch deltas ≡ the whole
+    val counts = rnd.toDF("v", "g")
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "B", 1L).otherwise(0L)).as("cb"))
+    val half1 = rnd.take(150); val half2 = rnd.drop(150)
+    def delta(rs: Seq[(Long, String)]) = rs.toDF("v", "g")
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "B", 1L).otherwise(0L)).as("cb"))
+    val merged = Profile.wasserstein1FromCounts(
+      delta(half1).unionByName(delta(half2))).collect()(0)
+    val whole = Profile.wasserstein1FromCounts(counts).collect()(0)
+    assert(merged.toSeq == whole.toSeq, "batch deltas must merge to the whole")
+    // empty store → zero rows, not a null row
+    assert(Profile.wasserstein1FromCounts(counts.limit(0)).collect().isEmpty)
+  }
+
   test("binaryAucCompareBy equals per-group binaryAucCompare; keyed plan has no SinglePartition") {
     val xs = Iterator.iterate(577L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(150).toSeq

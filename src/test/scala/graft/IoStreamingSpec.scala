@@ -542,6 +542,43 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming W1 monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("w1stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.w1MonitorStream(mem.toDF().toDF("v", "g"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "v", "g", "ref", "live")
+    // live is ref shifted by +9, so the merged-window W1 must be exactly
+    // 9.0 (shift closed form); an ignored third group
+    def rows(lo: Int, hi: Int) = (lo until hi).flatMap { i =>
+      val v = (i.toLong * 2654435761L) % 40L
+      Seq((v, "ref"), (v + 9L, "live"), (v, "other"))
+    }
+    val b0 = rows(0, 250)
+    val b1 = rows(250, 700)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    val streamed = snap()
+    val batch = graft.operators.Profile.wasserstein1(
+      (b0 ++ b1).toDF("v", "g"), "v", "g", "ref", "live")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed._1 == 700L && streamed._4 == 9000000L,
+      s"shift-by-9 closed form must survive the store merge: $streamed")
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processW1Batch(b1.toDF("v", "g"), 1L,
+      s"$dir/out", s"$dir/store", "v", "g", "ref", "live")
+    assert(snap() == streamed)
+  }
+
   test("streaming calibration monitor equals the batch report over merged counts, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

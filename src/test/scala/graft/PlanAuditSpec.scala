@@ -171,6 +171,10 @@ class PlanAuditSpec extends SparkSpec {
     // (n_a, n_b) totals frame and the 1-row min/max bucket-stats frame
     // (Profile.ksTwoSample — the drift-totals shape)
     "q199_ks_drift",
+    // q228: the distinct-value CDF table crossJoins the broadcast 1-ROW
+    // min/max stats and totals frames (Profile.wasserstein1 — the q199
+    // ksTwoSample shape, third reader of the same store)
+    "q228_w1_drift",
     // q227: the BH layer crossJoins three broadcast 1-ROW frames — the
     // pooled totals, the distinct-p min/max bucket stats, and the step-up
     // threshold (Profile.bhFdr — the ksTwoSample drift-totals shape)
