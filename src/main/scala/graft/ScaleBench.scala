@@ -1527,6 +1527,31 @@ object ScaleBench {
         s"BH closed form failed: $a — " + out.limit(3).collect().mkString("; "))
     }
 
+    // Keyed CUSUM at 10M rows / 100 monitors × 100k-step sequences: each
+    // key runs in-control (x = target, increments −allowance → S pinned
+    // at 0) until step 99000, then drifts +2·allowance (S grows
+    // allowance/step). Closed form: S ≥ 300 = 60·allowance from the 60th
+    // drift step on ⇒ exactly 941 alarm rows per key, 94100 total, zero
+    // downward alarms. Gates the per-key double-window (running sum +
+    // running min) over genuinely LONG sequences — the shape where a
+    // naive global sort would collapse to one task.
+    timed("keyed_cusum_10M_rows_100_monitors") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        (col("id") % 100).as("k"),
+        expr("id DIV 100").as("b"),
+        expr("CASE WHEN id DIV 100 >= 99000 THEN 110L ELSE 100L END").as("x"),
+        lit(100L).as("target"), lit(5L).as("allowance"),
+        lit(300L).as("threshold"))
+      val out = operators.Profile.cusumBy(rows, Seq("k"), "b", "x",
+        "target", "allowance", "threshold")
+      val a = out.agg(count(lit(1)).as("rows"),
+        coalesce(sum(col("alarm_hi")), lit(0L)).as("hi"),
+        coalesce(sum(col("alarm_lo")), lit(0L)).as("lo")).head()
+      require(a.getLong(0) == n && a.getLong(1) == 94100L && a.getLong(2) == 0L,
+        s"keyed CUSUM closed form failed: $a")
+    }
+
     // McNemar at 10M paired rows: symmetric discordance (a = bit0,
     // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
     // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly

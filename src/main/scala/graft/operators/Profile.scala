@@ -760,6 +760,73 @@ object Profile {
       .drop("__pm", "__thr")
   }
 
+  /** Two-sided CUSUM change detection over an ordered integer series
+    * (Page 1954) — the "page now" layer the drift statistics were
+    * missing: KS/PSI/W1 score each snapshot, but a SMALL persistent
+    * shift never crosses a per-snapshot threshold; CUSUM accumulates
+    * exactly that evidence and fires when it exceeds `threshold`. The
+    * classic one-sided recursions
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − target − allowance)
+    *   S⁻_t = max(0, S⁻_{t−1} + target − allowance − x_t)
+    * evaluate WINDOW-CLOSED-FORM (no recursion): with
+    * W_t = Σ_{i≤t}(x_i − target − allowance),
+    *   S⁺_t = W_t − min(0, min_{j≤t} W_j)
+    * (and symmetrically for S⁻) — two running sums and two running mins,
+    * all exact Long integers, no doubles anywhere. `target` (the
+    * in-control level), `allowance` (the slack κ — drifts smaller than
+    * κ per step never accumulate) and `threshold` (h) are COLUMNS so a
+    * caller can attach data-derived control limits (a broadcast 1-row
+    * frame) or plain literals; they are read per row and normally
+    * constant.
+    *
+    * Scale/shape contract: the input is a bounded SEQUENCE table (daily
+    * counts, per-batch monitor emissions — thousands of rows, never the
+    * corpus), ordered by a unique `ordCol` per key; the global form runs
+    * one window over that bounded sequence (the bucket-total-table
+    * sanction), [[cusumBy]] partitions every window by the keys. Output
+    * (one row per input row): [keys…,] ord, x, s_hi, s_lo, alarm_hi,
+    * alarm_lo (1/0 — s ≥ threshold).
+    */
+  def cusum(df: DataFrame, ordCol: String, xCol: String,
+      targetCol: String, allowanceCol: String, thresholdCol: String): DataFrame =
+    cusumImpl(df, Nil, ordCol, xCol, targetCol, allowanceCol, thresholdCol)
+
+  /** [[cusum]] per key group — one alarm state per slice/monitor, every
+    * window partitioned by the keys (zero SinglePartition). */
+  def cusumBy(df: DataFrame, keys: Seq[String], ordCol: String, xCol: String,
+      targetCol: String, allowanceCol: String, thresholdCol: String): DataFrame = {
+    require(keys.nonEmpty, "cusumBy needs at least one key (use cusum)")
+    cusumImpl(df, keys, ordCol, xCol, targetCol, allowanceCol, thresholdCol)
+  }
+
+  private def cusumImpl(df: DataFrame, keys: Seq[String], ordCol: String,
+      xCol: String, targetCol: String, allowanceCol: String,
+      thresholdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Set("__x", "__tg", "__ka", "__h", "__wp", "__wn",
+      "s_hi", "s_lo", "alarm_hi", "alarm_lo")
+    require(!keys.exists(reserved) && !reserved(ordCol),
+      s"key/ord columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val base = df.select(ks ++ Seq(col(ordCol), col(xCol).cast("long").as("__x"),
+        col(targetCol).cast("long").as("__tg"),
+        col(allowanceCol).cast("long").as("__ka"),
+        col(thresholdCol).cast("long").as("__h")): _*)
+      .where(col(ordCol).isNotNull && col("__x").isNotNull &&
+        (ks.map(_.isNotNull) :+ lit(true)).reduce(_ && _))
+    val w = Window.partitionBy(ks: _*).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__wp", sum(col("__x") - col("__tg") - col("__ka")).over(w))
+      .withColumn("__wn", sum(col("__tg") - col("__ka") - col("__x")).over(w))
+      .withColumn("s_hi", col("__wp") - least(lit(0L), min(col("__wp")).over(w)))
+      .withColumn("s_lo", col("__wn") - least(lit(0L), min(col("__wn")).over(w)))
+      .select(ks ++ Seq(col(ordCol), col("__x").as("x"),
+        col("s_hi"), col("s_lo"),
+        when(col("s_hi") >= col("__h"), 1L).otherwise(0L).as("alarm_hi"),
+        when(col("s_lo") >= col("__h"), 1L).otherwise(0L).as("alarm_lo")): _*)
+  }
+
   /** Spearman rank correlation between two integer columns — the
     * monotone-association dial of the drift/QA family (is token count
     * still tracking char count, or did a re-tokenization break the

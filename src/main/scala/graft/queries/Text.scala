@@ -4622,6 +4622,61 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+
+  /** q229: CUSUM change alarm over daily event volume (`Profile.cusum`) —
+    * the "page now" layer on top of the per-snapshot drift dials
+    * (q199/q212/q228): a persistent small shift in daily counts never
+    * crosses a per-day threshold, but its CUSUM accumulates and fires.
+    * Control limits derive from the data in ONE broadcast 1-row frame
+    * (target = mean daily count, allowance = target/20, threshold =
+    * target/2 — the ±5%-drift-ignored, half-day-of-evidence-to-page
+    * convention); the window runs over the bounded day sequence. Exact
+    * Long integers end-to-end.
+    */
+  def q229CusumDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .where(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tgt = daily.agg(expr("SUM(x) DIV COUNT(1)").as("__tgt"))
+    val seq = daily.crossJoin(broadcast(tgt))
+      .withColumn("target", col("__tgt"))
+      .withColumn("allowance", expr("__tgt DIV 20"))
+      .withColumn("threshold", expr("__tgt DIV 2"))
+      .drop("__tgt")
+    graft.operators.Profile.cusum(seq, "day", "x",
+      "target", "allowance", "threshold")
+  }
+
+  val q229Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(1) AS BIGINT) AS x
+      |  FROM events
+      |  -- complete-case ts mirror of q229CusumDaily
+      |  WHERE ts IS NOT NULL
+      |  GROUP BY 1
+      |),
+      |t AS (SELECT CAST(SUM(x) // COUNT(1) AS BIGINT) AS tgt FROM daily),
+      |s AS (
+      |  SELECT day, x, tgt // 2 AS h,
+      |    SUM(x - tgt - tgt // 20) OVER wo AS wp,
+      |    SUM(tgt - tgt // 20 - x) OVER wo AS wn
+      |  FROM daily, t
+      |  WINDOW wo AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |c AS (
+      |  SELECT day, x, h,
+      |    wp - LEAST(0, MIN(wp) OVER wo) AS s_hi,
+      |    wn - LEAST(0, MIN(wn) OVER wo) AS s_lo
+      |  FROM s
+      |  WINDOW wo AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT day, x, CAST(s_hi AS BIGINT) AS s_hi, CAST(s_lo AS BIGINT) AS s_lo,
+      |  CASE WHEN s_hi >= h THEN 1 ELSE 0 END AS alarm_hi,
+      |  CASE WHEN s_lo >= h THEN 1 ELSE 0 END AS alarm_lo
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- q228
 
   /** q228: Wasserstein-1 drift between two sources' length distributions
@@ -5304,6 +5359,7 @@ object Text {
     QueryDef("q226_policy_mcnemar", q226PolicyMcnemar, Some(q226Sql)),
     QueryDef("q227_rate_fdr", q227RateFdr, Some(q227Sql)),
     QueryDef("q228_w1_drift", q228W1Drift, Some(q228Sql)),
+    QueryDef("q229_cusum_daily", q229CusumDaily, Some(q229Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

@@ -1331,6 +1331,64 @@ object Streaming {
     ()
   }
 
+  /** CUSUM change ALARM over a streaming per-batch statistic — the "page
+    * now" layer on top of the monitor family: every monitor emits a
+    * per-batch statistic, but a small persistent shift never crosses a
+    * per-emission threshold; this layer folds the Page (1954) recursion
+    *   S⁺ = max(0, S⁺ + x − target − allowance)
+    *   S⁻ = max(0, S⁻ + target − allowance − x)
+    * over the EMISSION SEQUENCE with O(1) state per monitor (two Longs
+    * in a batch_id-partitioned state store — the fold twin of the batch
+    * `Profile.cusum` window closed form, spec-pinned equal). `statOf`
+    * reduces each micro-batch to its scalar statistic (a count, a
+    * monitor emission's w1_micro/psi6-micro — a BOUNDED 1-row read by
+    * construction). Exact Long integers; alarm when S ≥ threshold.
+    * Replay contract: reprocessing batch N reads only state < N, so a
+    * retry emits the identical alarm row.
+    */
+  def cusumAlarmStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, statOf: DataFrame => Long, target: Long,
+      allowance: Long, threshold: Long): StreamingQuery = {
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCusumBatch(batch.sparkSession, statOf(batch), batchId,
+          outDir, storeDir, target, allowance, threshold)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cusumAlarmStream]] — package-private for direct
+    * idempotency testing. The state read is a ≤1-row bounded collect (the
+    * latest committed batch's two Longs), never data. */
+  private[graft] def processCusumBatch(spark: SparkSession, stat: Long,
+      batchId: Long, outDir: String, storeDir: String, target: Long,
+      allowance: Long, threshold: Long): Unit = {
+    import spark.implicits._
+    val statePath = s"$storeDir/state"
+    val hp = new org.apache.hadoop.fs.Path(statePath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val prev: (Long, Long) =
+      if (fs.exists(hp))
+        try spark.read.parquet(statePath)
+          .filter(col("batch_id") < batchId)
+          .orderBy(col("batch_id").desc).limit(1)
+          .select(col("s_hi"), col("s_lo")).collect()
+          .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+        catch { case _: org.apache.spark.sql.AnalysisException => (0L, 0L) }
+      else (0L, 0L)
+    val sHi = math.max(0L, prev._1 + stat - target - allowance)
+    val sLo = math.max(0L, prev._2 + target - allowance - stat)
+    val row = Seq((stat, sHi, sLo,
+        if (sHi >= threshold) 1L else 0L, if (sLo >= threshold) 1L else 0L))
+      .toDF("stat", "s_hi", "s_lo", "alarm_hi", "alarm_lo")
+    row.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    row.select(col("s_hi"), col("s_lo"))
+      .write.mode("overwrite").parquet(s"$statePath/batch_id=$batchId")
+    ()
+  }
+
   /** Streaming Wasserstein-1 drift monitor — the THIRD reader of the
     * IDENTICAL (v, ca, cb) distinct-value count-delta store
     * [[ksMonitorStream]] and [[psiMonitorStream]] maintain

@@ -705,6 +705,50 @@ class EvalOpsSpec extends SparkSpec {
     assert(ks(only) == ((1L, 2L, 0L, 1L, 0L, 0L)))
   }
 
+  test("cusum: hand recursion replication; cusumBy equals per-key global") {
+    // hand fold of the Page recursion on a drifting series
+    val xs = Iterator.iterate(67L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(60).toSeq
+    val series = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, 100L + (x % 21) - 10 + (if (i >= 40) 15L else 0L)) }
+    def hand(s: Seq[(Long, Long)], tg: Long, ka: Long, h: Long) = {
+      var (hi, lo) = (0L, 0L)
+      s.sortBy(_._1).map { case (o, x) =>
+        hi = math.max(0L, hi + x - tg - ka); lo = math.max(0L, lo + tg - ka - x)
+        (o, x, hi, lo, if (hi >= h) 1L else 0L, if (lo >= h) 1L else 0L)
+      }
+    }
+    val df = series.toDF("b", "x")
+      .withColumn("target", lit(100L)).withColumn("allowance", lit(5L))
+      .withColumn("threshold", lit(60L))
+    val got = Profile.cusum(df, "b", "x", "target", "allowance", "threshold")
+      .orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == hand(series, 100L, 5L, 60L),
+      "window closed form must equal the Page recursion")
+    assert(got.exists(_._5 == 1L), "the planted late drift must alarm")
+    // keyed: two series with opposite drifts, each must match its solo run
+    val keyed = series.map { case (o, x) => ("up", o, x) } ++
+      series.map { case (o, x) => ("down", o, 200L - x) }
+    val by = Profile.cusumBy(keyed.toDF("k", "b", "x")
+        .withColumn("target", lit(100L)).withColumn("allowance", lit(5L))
+        .withColumn("threshold", lit(60L)),
+      Seq("k"), "b", "x", "target", "allowance", "threshold")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    for (k <- Seq("up", "down")) {
+      val solo = Profile.cusum(keyed.filter(_._1 == k)
+          .map(t => (t._2, t._3)).toDF("b", "x")
+          .withColumn("target", lit(100L)).withColumn("allowance", lit(5L))
+          .withColumn("threshold", lit(60L)),
+        "b", "x", "target", "allowance", "threshold")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      solo.foreach { case (o, row) =>
+        assert(by((k, o)) == row, s"slice $k ord $o disagrees with the global operator")
+      }
+    }
+  }
+
   test("wasserstein1: shift closed form, point masses, identical/empty sides, BigInt replication, store merge") {
     def w1(rows: Seq[(Long, String)]): Long = {
       val out = Profile.wasserstein1(rows.toDF("v", "g"), "v", "g", "A", "B")

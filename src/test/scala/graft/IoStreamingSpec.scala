@@ -542,6 +542,54 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming CUSUM alarm: silent under null, fires at the planted drift batch, idempotent, equals batch closed form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("cusumstream").toString
+    // per-batch stat = sum of the batch's values; target 1000, allowance
+    // 50 (±5% ignored), threshold 300 (persistent evidence pages)
+    val mem = MemoryStream[Long]
+    val q = Streaming.cusumAlarmStream(mem.toDF().toDF("v"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt",
+      b => b.agg(coalesce(sum(col("v")), lit(0L))).collect()(0).getLong(0),
+      target = 1000L, allowance = 50L, threshold = 300L)
+    // batches 0-3: null regime, stats inside target ± allowance — the
+    // recursion must stay pinned at 0 (no creep, no false alarm);
+    // batches 4-6: a persistent +150 shift — S⁺ grows 100/batch and must
+    // fire EXACTLY at batch 6 (100, 200, 300)
+    val batches = Seq(1010L, 960L, 1040L, 990L, 1150L, 1150L, 1150L)
+    batches.foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+    def snap(b: Int) = spark.read.parquet(s"$dir/out/batch_id=$b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val got = batches.indices.map(snap)
+    assert(got.take(4).forall(r => r._2 == 0L && r._4 == 0L),
+      s"null regime must stay at S⁺ = 0 with no alarms: $got")
+    assert(got.forall(_._5 == 0L), "no downward alarm anywhere")
+    assert(got.map(_._2).drop(4) == Seq(100L, 200L, 300L),
+      s"planted drift must accumulate 100/batch: $got")
+    assert(got.map(_._4) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 1L),
+      s"the alarm must fire exactly at batch 6: $got")
+    // replaying batch 6 reads only state < 6: identical emission
+    Streaming.processCusumBatch(spark, 1150L, 6L, s"$dir/out", s"$dir/store",
+      1000L, 50L, 300L)
+    assert(snap(6) == got(6))
+    // the O(1) streaming fold equals the batch window closed form over
+    // the same (batch_id, stat) sequence
+    val batch = graft.operators.Profile.cusum(
+      batches.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("b", "x")
+        .withColumn("target", lit(1000L)).withColumn("allowance", lit(50L))
+        .withColumn("threshold", lit(300L)),
+      "b", "x", "target", "allowance", "threshold")
+      .orderBy("b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(batch == got, s"fold and closed form disagree:\n$batch\n$got")
+  }
+
   test("streaming W1 monitor equals the batch operator over merged counts, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

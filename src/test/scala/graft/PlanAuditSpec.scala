@@ -171,6 +171,9 @@ class PlanAuditSpec extends SparkSpec {
     // (n_a, n_b) totals frame and the 1-row min/max bucket-stats frame
     // (Profile.ksTwoSample — the drift-totals shape)
     "q199_ks_drift",
+    // q229: the day sequence crossJoins ONE broadcast 1-ROW control-limit
+    // frame (mean daily count → target/allowance/threshold)
+    "q229_cusum_daily",
     // q228: the distinct-value CDF table crossJoins the broadcast 1-ROW
     // min/max stats and totals frames (Profile.wasserstein1 — the q199
     // ksTwoSample shape, third reader of the same store)
