@@ -174,6 +174,24 @@ object Bench {
       QRes(name, secs.min, runs.forall(_._2), secs, runs.map(_._3).toSeq,
         secs.indexOf(secs.min) + 1, extra, bytesIn >> 20, nCached, bytesOut >> 20)
     }
+    // END-OF-SESSION retry for every anomaly-tier query (r17 verdict): the
+    // inline extra rep above shares the spike's moment; a rep at session
+    // end — different cache/heap/host state, minutes later — is what
+    // confirms or refutes the 'env' attribution from THIS artifact alone,
+    // instead of by the next round's rerun. Evidence only: the reported
+    // min (and totals) keep their in-place reps. Caveat a reader needs:
+    // by session end every shared cache is released, so a retry of a
+    // cache-consumer query includes the cache rebuild its in-place reps
+    // amortized — read retry against the FIRST in-place rep, not the min.
+    val fnByName = selected.toMap
+    val retrySecs: Map[String, Double] = results.filter(_.extraRep).map { r =>
+      graft.core.CacheLife.releaseScoped(spark)
+      val t0 = System.nanoTime()
+      try fnByName(r.name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${r.name} retry failed: ${e.getMessage}") }
+      r.name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     // The driver keeps a 2000-char stdout TAIL, which ALSO captures
     // sbt's trailing "[success] Total time..." line (~75 bytes) — round
     // 13's 2000-byte budget lost the line's head to that trailer. So the
@@ -243,11 +261,16 @@ object Bench {
     // "name":[min, prior, "cause"] — the driver's tail is the scarce
     // resource and the per-query map has first claim on it
     val anomRecsAll = results.filter(_.extraRep).sortBy(-_.min).map { r =>
+      // 4th slim element = the END-OF-SESSION retry (seconds): retry ≈
+      // prior refutes the spike (env confirmed); retry ≈ min says the
+      // slowdown reproduces outside the spike's moment — code-side
+      val retry = retrySecs.getOrElse(r.name, 0.0)
       ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
-        fmt2(prior.getOrElse(r.name, 0.0)) + ",\"" + cause(r) + "\"]",
+        fmt2(prior.getOrElse(r.name, 0.0)) + ",\"" + cause(r) + "\"," +
+        fmt2(retry) + "]",
         "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
           "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
-          ",\"cause\":\"" + cause(r) + "\"}")
+          ",\"retry\":" + fmt2(retry) + ",\"cause\":\"" + cause(r) + "\"}")
     }
     // WATCH tier (r15 verdict): sub-anomaly creep — min ≥ 1.5× the
     // committed prior AND ≥ 0.5 s, but under the 2× extra-rep trigger —
