@@ -1604,6 +1604,28 @@ object ScaleBench {
         s"W1 shift closed form failed: $r")
     }
 
+    // Keyed Wasserstein-1 at 10M rows / 100 slices: per slice B is A
+    // shifted by s = 1000 on a 100k grid ⇒ w1_micro = 10⁹ exactly in
+    // every slice. Gates the per-key two-phase cumulative + per-key Δv
+    // lead at 10M distinct (key, value) rows.
+    timed("keyed_w1_10M_rows_100_slices") {
+      val n = 10000000L
+      val s = 1000L
+      val a = spark.range(n / 2).select(
+        (col("id") % 100).as("k"), expr("id DIV 100").as("v"), lit("A").as("g"))
+      val b = spark.range(n / 2).select(
+        (col("id") % 100).as("k"), expr(s"id DIV 100 + $s").as("v"),
+        lit("B").as("g"))
+      val out = operators.Profile.wasserstein1By(a.unionByName(b),
+        Seq("k"), "v", "g", "A", "B")
+      val r = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n_a") === n / 200 && col("n_b") === n / 200 &&
+          col("w1_micro") === s * 1000000L, 1)).as("good")).head()
+      require(r.getLong(0) == 100L && r.getLong(1) == 100L,
+        s"keyed W1 shift closed form failed: $r — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // 10h. C4 cleaning at 1M docs with closed-form truth: ids ≡ 0 mod 7
     // get a 3-good-sentence page (kept), ids ≡ 1 mod 7 a lorem-ipsum page
     // (blocked), everyone else a 1-sentence page (dropped, not blocked).

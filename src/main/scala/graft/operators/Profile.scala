@@ -1314,6 +1314,76 @@ object Profile {
       .where(col("n_values").isNotNull)
   }
 
+  /** [[wasserstein1]] per key group — the how-FAR drift slice dashboard
+    * completing the keyed drift matrix ([[ksTwoSampleBy]] q206 = where,
+    * [[psiBy]] q214 = how much): WHICH slice's distribution moved, and
+    * by how many value units? Per-key two-phase machinery throughout —
+    * each key buckets its OWN min/max (the [[psiBy]] aliasing argument),
+    * offset/local/lead windows all partitioned by (keys)/(keys, bucket),
+    * the bucket-boundary successor rides the per-key bucket table, rank
+    * tables re-attach by keyed equi-joins — zero SinglePartition, no
+    * global sort. Same exactness and empty-side contracts as the global
+    * form. Output (one row per key): keys…, n_a, n_b, n_values,
+    * w1_micro.
+    */
+  def wasserstein1By(df: DataFrame, keys: Seq[String], valueCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "wasserstein1By needs at least one key (use wasserstein1)")
+    val reserved = Set("v", "ca", "cb", "b", "ba", "bb", "off_a", "off_b",
+      "cum_a", "cum_b", "n_a", "n_b", "n_values", "w1_micro", "__ia",
+      "__mn", "__mx", "__bmn", "__nxt", "__nv", "__term", "__area")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val g = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(ks :+ col(valueCol).cast("long").as("v") :+
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"): _*)
+      .where(col("v").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ks :+ col("v"): _*)
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+    val stats = g.groupBy(ks: _*)
+      .agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val bucketed = g.join(stats, keys)
+      .withColumn("b", expr("(v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.partitionBy(ks: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNxt = Window.partitionBy(ks: _*).orderBy(col("b"))
+    val offsets = bucketed.groupBy(ks :+ col("b"): _*)
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"),
+        min(col("v")).as("__bmn"))
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wOff), lit(0L)))
+      .withColumn("__nxt", lead(col("__bmn"), 1).over(wNxt))
+      .select(ks ++ Seq(col("b"), col("off_a"), col("off_b"), col("__nxt")): _*)
+    val wLoc = Window.partitionBy(ks :+ col("b"): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(ks :+ col("b"): _*).orderBy(col("v"))
+    val cum = bucketed.join(offsets, keys :+ "b")
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLoc))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLoc))
+      .withColumn("__nv", coalesce(lead(col("v"), 1).over(wLead), col("__nxt")))
+    val tot = g.groupBy(ks: _*)
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        count(lit(1)).as("n_values"))
+    cum.join(tot, keys)
+      .withColumn("__term",
+        expr("""ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                - CAST(cum_b AS DECIMAL(38,0)) * n_a)
+                * (COALESCE(__nv, v) - v)"""))
+      .groupBy(ks: _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("n_values")).as("n_values"),
+        coalesce(sum(col("__term")), lit(0).cast(DecimalType(38, 0)))
+          .as("__area"))
+      .select(ks ++ Seq(col("n_a"), col("n_b"), col("n_values"),
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __area)
+                  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END""")
+          .as("w1_micro")): _*)
+  }
+
   /** Mutual information (in nats) + normalized MI between two categorical
     * columns — the dependence STRENGTH dial complementing [[chiSquare]]'s
     * significance test: χ² asks "is there ANY association at this n", MI

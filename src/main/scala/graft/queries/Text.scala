@@ -4622,6 +4622,57 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+
+  /** q232: per-language Wasserstein-1 drift between two sources' length
+    * distributions (`Profile.wasserstein1By`) — q228's how-FAR dial
+    * SLICED, completing the keyed drift matrix (q206 KS-by-lang = where,
+    * q214 PSI-by-lang = how much): WHICH language's length distribution
+    * moved between the sources, and by how many chars? Per-key two-phase
+    * cumulative + per-key Δv lead, every window keyed — zero
+    * SinglePartition.
+    */
+  def q232W1ByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.wasserstein1By(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("n_chars"), col("source")),
+      Seq("lang"), "n_chars", "source", "src0", "src1")
+
+  val q232Sql: String =
+    """WITH g AS (
+      |  SELECT lang, n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents
+      |  -- complete-case key/value mirror of wasserstein1By
+      |  WHERE source IN ('src0', 'src1') AND lang IS NOT NULL
+      |    AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) AS BIGINT) AS n_b, CAST(COUNT(1) AS BIGINT) AS n_values
+      |  FROM g GROUP BY lang
+      |),
+      |c AS (
+      |  SELECT lang, v, SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+      |    LEAD(v) OVER (PARTITION BY lang ORDER BY v) AS nv
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY lang ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |s AS (
+      |  SELECT c.lang, COALESCE(SUM(ABS(CAST(cum_a AS HUGEINT) * n_b
+      |    - CAST(cum_b AS HUGEINT) * n_a) * (COALESCE(nv, v) - v)), 0) AS area
+      |  FROM c JOIN t USING (lang)
+      |  GROUP BY c.lang
+      |)
+      |SELECT lang, n_a, n_b, n_values,
+      |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT) * area)
+      |      // (CAST(n_a AS HUGEINT) * n_b) END AS BIGINT) AS w1_micro
+      |FROM t JOIN s USING (lang)""".stripMargin
+
   // ---------------------------------------------------------------- q229
 
   /** q229: CUSUM change alarm over daily event volume (`Profile.cusum`) —
@@ -5360,6 +5411,7 @@ object Text {
     QueryDef("q227_rate_fdr", q227RateFdr, Some(q227Sql)),
     QueryDef("q228_w1_drift", q228W1Drift, Some(q228Sql)),
     QueryDef("q229_cusum_daily", q229CusumDaily, Some(q229Sql)),
+    QueryDef("q232_w1_by_lang", q232W1ByLang, Some(q232Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

@@ -798,6 +798,30 @@ class EvalOpsSpec extends SparkSpec {
     assert(Profile.wasserstein1FromCounts(counts.limit(0)).collect().isEmpty)
   }
 
+  test("wasserstein1By equals per-group wasserstein1 (incl. shifted ranges and an empty side)") {
+    val xs = Iterator.iterate(83L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(400).toSeq
+    // k0/k1 differ in value RANGE (per-key min/max must not alias); k2's
+    // B side is empty (w1 = 0 by contract, still one row)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val k = s"k${i % 3}"
+      val v = if (i % 3 == 0) (x >> 4) % 50 else 5000 + (x >> 4) % 900
+      val g = if (i % 3 == 2) "A" else if ((x >> 9) % 2 == 0) "A" else "B"
+      (k, v, g)
+    }
+    val by = Profile.wasserstein1By(rows.toDF("k", "v", "g"),
+      Seq("k"), "v", "g", "A", "B")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.wasserstein1(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("v", "g"),
+        "v", "g", "A", "B").collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+    assert(by("k2").last == 0L, "an empty side must report w1 = 0")
+  }
+
   test("binaryAucCompareBy equals per-group binaryAucCompare; keyed plan has no SinglePartition") {
     val xs = Iterator.iterate(577L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(150).toSeq

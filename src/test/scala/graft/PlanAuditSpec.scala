@@ -468,6 +468,14 @@ class PlanAuditSpec extends SparkSpec {
       !p230.contains("SortMergeJoin") && !p230.contains("BroadcastHashJoin"),
       "q230 plans a join — the keyed trend is two chained aggregates only")
     assert(!p230.contains("Window"), "q230 must not plan a window")
+    // q232: per-key W1 — per-key min/max buckets, keyed offset/local/lead
+    // windows, keyed totals join, zero SinglePartition, zero BNLJ (the
+    // global form q228 crossJoins its 1-row frames instead)
+    val p232 = planOf("q232_w1_by_lang")
+    assert(!p232.contains("Exchange SinglePartition"),
+      "q232 plans a SinglePartition exchange — the keyed W1 regressed")
+    assert(!p232.contains("BroadcastNestedLoopJoin"),
+      "q232 plans a BNLJ — the keyed W1's joins must stay equi")
     // q231: per-key bucketed AP-CI — the scoreBuckets min/max attaches by
     // a KEYED equi-join (per-key grids, not a global 1-row crossJoin), so
     // the keyed-machinery guarantees hold with the knob on too
