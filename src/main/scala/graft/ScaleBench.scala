@@ -1552,6 +1552,25 @@ object ScaleBench {
         s"keyed CUSUM closed form failed: $a")
     }
 
+    // Randomization test at 10M rows × 8 resamples: perfect separation
+    // (A all-positive, B all-negative) ⇒ d_obs = 10⁶; no md5 coin split
+    // of 10M rows reproduces |d| = 10⁶ (P ≈ 2⁻¹⁰⁷), so n_ge = 0 and
+    // p_micro = ⌊10⁶/9⌋ = 111111 exactly. Gates the map-side ×B md5
+    // expansion at 80M hashed (row, resample) pairs with a B-row shuffle
+    // — the permutation engine's whole 100 TB claim.
+    timed("perm_test_10M_rows_8_resamples") {
+      val n = 10000000L
+      val rows = spark.range(n).select(col("id"),
+        when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
+        (lit(1L) - col("id") % 2).as("y"))
+      val r = operators.Profile.permTestRate(rows, "id", "g", "y", "A", "B",
+        resamples = 8).head()
+      require(r.getLong(0) == n / 2 && r.getLong(1) == n / 2 &&
+        r.getLong(4) == 1000000L && r.getLong(6) == 0L &&
+        r.getLong(7) == 111111L,
+        s"permutation separation closed form failed: $r")
+    }
+
     // McNemar at 10M paired rows: symmetric discordance (a = bit0,
     // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
     // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly

@@ -655,6 +655,82 @@ object Profile {
                      * CAST(__b AS DOUBLE)), 6) END""").as("ca6")): _*)
   }
 
+  /** Deterministic randomization (permutation) test for a rate difference
+    * between two groups (Fisher 1935; the md5-coin form of the q219
+    * bootstrap discipline) — the assumption-free significance dial: the
+    * z/χ² family leans on normal approximations that misbehave on tiny
+    * or lopsided slices, while the permutation p needs NOTHING beyond
+    * exchangeability under H₀. Each of `resamples` pseudo-permutations
+    * reassigns every row to group A' iff its 60-bit md5 prefix of
+    * (id, b) clears thr = ⌊2⁶⁰·n_A/N⌋ (binomial reassignment — the
+    * standard large-n randomization-test variant of the fixed-margin
+    * permutation; both engines evaluate the SAME hash against the SAME
+    * integer threshold, so every resample replays bit-for-bit);
+    * p = (#{|d_b| ≥ |d_obs|} + 1) / (B + 1) (the add-one "at least as
+    * extreme including the identity" convention, never exactly 0).
+    *
+    * Exact-integer contract: rate diffs ride micro-units with DECIMAL
+    * numerators and floor DIV (d = ⌊10⁶·x₁/n₁⌋ − ⌊10⁶·x₂/n₂⌋); the
+    * degenerate resample that empties a side (P ≈ 2⁻ⁿ) reports d_b = 0,
+    * deterministically in both engines. Complete-case on id.
+    *
+    * Scale shape: the ×B expansion is map-side CPU (hash + flag +
+    * partial agg) — shuffle volume is the B-row per-resample table plus
+    * one broadcast 1-row totals/observed frame; nothing row-sized
+    * crosses a partition boundary. Output (one row): n_a, n_b, x_a,
+    * x_b, d_obs_micro, b, n_ge, p_micro.
+    */
+  def permTestRate(df: DataFrame, idCol: String, groupCol: String,
+      labelCol: String, groupA: String, groupB: String,
+      resamples: Int = 128): DataFrame = {
+    require(resamples >= 8 && resamples <= 1024,
+      s"resamples must be in [8, 1024], got $resamples")
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(idCol).cast("string").as("__id"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"))
+      .where(col("__id").isNotNull)
+    val obs = base.agg(
+        coalesce(sum(col("__ia")), lit(0L)).as("n_a"),
+        coalesce(sum(lit(1L) - col("__ia")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ia") * col("__y")), lit(0L)).as("x_a"),
+        coalesce(sum((lit(1L) - col("__ia")) * col("__y")), lit(0L)).as("x_b"))
+      .withColumn("d_obs_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * x_a) DIV n_a
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * x_b) DIV n_b AS BIGINT)
+          |END""".stripMargin))
+      // ⌊2⁶⁰·n_A/N⌋ — the exact integer coin threshold both engines share
+      .withColumn("__thr", expr(
+        """CASE WHEN n_a + n_b = 0 THEN 0L ELSE
+          |CAST((CAST(1152921504606846976 AS DECIMAL(38,0)) * n_a)
+          |  DIV (n_a + n_b) AS BIGINT) END""".stripMargin))
+    val h = "CAST(CONV(SUBSTRING(MD5(CONCAT(__id, ':', CAST(__b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val perB = base
+      .withColumn("__b", explode(sequence(lit(0), lit(resamples - 1))))
+      .crossJoin(broadcast(obs.select(col("__thr"))))
+      .withColumn("__ca", when(expr(h) < col("__thr"), 1L).otherwise(0L))
+      .groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__n1"),
+        sum(col("__ca") * col("__y")).as("__x1"),
+        sum(lit(1L) - col("__ca")).as("__n2"),
+        sum((lit(1L) - col("__ca")) * col("__y")).as("__x2"))
+      .withColumn("__d", expr(
+        """CASE WHEN __n1 = 0 OR __n2 = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * __x1) DIV __n1
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * __x2) DIV __n2 AS BIGINT)
+          |END""".stripMargin))
+    perB.crossJoin(broadcast(obs.select(col("d_obs_micro"))))
+      .agg(count(lit(1)).as("b"),
+        coalesce(sum(when(abs(col("__d")) >= abs(col("d_obs_micro")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_ge"))
+      .crossJoin(broadcast(obs.drop("__thr")))
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("d_obs_micro"), col("b"), col("n_ge"),
+        expr("CAST((1000000 * (n_ge + 1)) DIV (b + 1) AS BIGINT)")
+          .as("p_micro"))
+  }
+
   /** Two-sided normal-tail p-value in MICRO-UNITS from an exact rational
     * z² = `__zn`/`__zd` (append via [[withTwoSidedNormPMicro]]): the
     * bridge between the exact-integer test statistics this module emits

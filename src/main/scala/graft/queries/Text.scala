@@ -4622,6 +4622,82 @@ object Text {
       |         * CAST(b AS DOUBLE)), 6) END AS ca6
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+
+  /** q233: randomization test of the en-rate difference between two
+    * sources (`Profile.permTestRate`) — the assumption-free significance
+    * dial beside the z/χ² family (q201/q227 lean on normal
+    * approximations that misbehave on tiny or lopsided slices; the
+    * permutation p needs only exchangeability). 128 deterministic
+    * md5-coin reassignments, each row's coin an exact 60-bit hash of
+    * (doc_id, resample) against the ⌊2⁶⁰·n_A/N⌋ integer threshold —
+    * engine-replayable bit-for-bit, shuffle volume the 128-row resample
+    * table.
+    */
+  def q233PermTest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.permTestRate(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+      "doc_id", "source", "is_en", "src0", "src1", resamples = 128)
+
+  val q233Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case id mirror of permTestRate
+      |  WHERE source IN ('src0', 'src1') AND doc_id IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(COUNT(1) - SUM(ia), 0) AS BIGINT) AS n_b,
+      |    CAST(COALESCE(SUM(ia * y), 0) AS BIGINT) AS x_a,
+      |    CAST(COALESCE(SUM((1 - ia) * y), 0) AS BIGINT) AS x_b
+      |  FROM base
+      |),
+      |o AS (
+      |  SELECT n_a, n_b, x_a, x_b,
+      |    CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * x_a) // n_a
+      |      - (CAST(1000000 AS HUGEINT) * x_b) // n_b END AS BIGINT)
+      |      AS d_obs_micro,
+      |    CAST(CASE WHEN n_a + n_b = 0 THEN 0 ELSE
+      |      (CAST(1152921504606846976 AS HUGEINT) * n_a)
+      |        // (n_a + n_b) END AS BIGINT) AS thr
+      |  FROM t
+      |),
+      |pb AS (
+      |  SELECT b, CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(ca * y) AS BIGINT) AS x1,
+      |    CAST(SUM(1 - ca) AS BIGINT) AS n2,
+      |    CAST(SUM((1 - ca) * y) AS BIGINT) AS x2
+      |  FROM (
+      |    SELECT y, r.range AS b,
+      |      CASE WHEN ('0x' || substr(md5(id || ':' ||
+      |        CAST(r.range AS VARCHAR)), 1, 15))::BIGINT < thr
+      |        THEN 1 ELSE 0 END AS ca
+      |    FROM base CROSS JOIN range(0, 128) r, o
+      |  )
+      |  GROUP BY b
+      |),
+      |pd AS (
+      |  SELECT b, CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE
+      |    (CAST(1000000 AS HUGEINT) * x1) // n1
+      |    - (CAST(1000000 AS HUGEINT) * x2) // n2 END AS BIGINT) AS d
+      |  FROM pb
+      |),
+      |c AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS bb,
+      |    CAST(COALESCE(SUM(CASE WHEN ABS(d) >= ABS(d_obs_micro)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+      |  FROM pd, o
+      |)
+      |SELECT n_a, n_b, x_a, x_b, d_obs_micro, bb AS b, n_ge,
+      |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
+      |FROM o, c""".stripMargin
+
   // ---------------------------------------------------------------- q232
 
   /** q232: per-language Wasserstein-1 drift between two sources' length
@@ -5412,6 +5488,7 @@ object Text {
     QueryDef("q228_w1_drift", q228W1Drift, Some(q228Sql)),
     QueryDef("q229_cusum_daily", q229CusumDaily, Some(q229Sql)),
     QueryDef("q232_w1_by_lang", q232W1ByLang, Some(q232Sql)),
+    QueryDef("q233_perm_test", q233PermTest, Some(q233Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

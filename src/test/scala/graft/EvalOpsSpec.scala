@@ -1481,6 +1481,45 @@ class EvalOpsSpec extends SparkSpec {
       s"erfc(1) must be ≈ 0.157299 within the A&S 7.1.26 error bound, got ${p(2L)}")
   }
 
+  test("permTestRate: separation floors p at 1/(B+1), null stays insignificant, deterministic") {
+    // perfect separation: A all positive, B all negative → d_obs = 10⁶;
+    // no coin reassignment of 200 rows can reproduce |d| = 10⁶ unless a
+    // resample reproduces the exact split (P ≈ 2⁻²⁰⁰), so n_ge = 0 and
+    // p hits its floor (0+1)/(B+1)
+    val sep = (0 until 100).map(i => (i.toLong, "A", 1L)) ++
+      (100 until 200).map(i => (i.toLong, "B", 0L))
+    val s = Profile.permTestRate(sep.toDF("id", "g", "y"), "id", "g", "y",
+      "A", "B", resamples = 16).collect()(0)
+    assert(s.getLong(4) == 1000000L && s.getLong(6) == 0L &&
+      s.getLong(7) == 1000000L / 17L,
+      s"separated groups must floor the permutation p: $s")
+    // exact null: y alternates independently of the group → the observed
+    // diff is tiny and many resamples beat it (deterministic given the
+    // md5 coins; the assertion pins "clearly insignificant")
+    val nul = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "A" else "B",
+      (i / 2 % 2).toLong))
+    val p = Profile.permTestRate(nul.toDF("id", "g", "y"), "id", "g", "y",
+      "A", "B", resamples = 64).collect()(0)
+    assert(p.getLong(4) == 0L, s"alternating labels give d_obs = 0: $p")
+    assert(p.getLong(7) == 1000000L,
+      s"d_obs = 0 is beaten-or-tied by every resample — p must be 1: $p")
+    // md5-coin determinism: a second run is bit-identical
+    val again = Profile.permTestRate(nul.toDF("id", "g", "y"), "id", "g", "y",
+      "A", "B", resamples = 64).collect()(0)
+    assert(again.toSeq == p.toSeq, "the randomization test must be deterministic")
+    // a mild real difference (0.60 vs 0.56 on 150/150 — inside the null
+    // noise band): p lands strictly between the floor and 1
+    val mild = (0 until 300).map { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        if (i % 2 == 0) (if (i % 50 < 30) 1L else 0L)
+        else (if (i % 50 < 28) 1L else 0L))
+    }
+    val m = Profile.permTestRate(mild.toDF("id", "g", "y"), "id", "g", "y",
+      "A", "B", resamples = 64).collect()(0)
+    assert(m.getLong(7) > 1000000L / 65L && m.getLong(7) < 1000000L,
+      s"a mild difference must land between the floor and 1: $m")
+  }
+
   test("mcnemar: hand case, perfect agreement, swap antisymmetry") {
     def mc(rows: Seq[(Long, Long)]): Seq[Any] =
       Profile.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0).toSeq

@@ -171,6 +171,10 @@ class PlanAuditSpec extends SparkSpec {
     // (n_a, n_b) totals frame and the 1-row min/max bucket-stats frame
     // (Profile.ksTwoSample — the drift-totals shape)
     "q199_ks_drift",
+    // q233: the ×B expansion and the B-row resample table each crossJoin
+    // a broadcast 1-ROW totals/threshold/observed frame
+    // (Profile.permTestRate — the q219 md5-coin shape)
+    "q233_perm_test",
     // q229: the day sequence crossJoins ONE broadcast 1-ROW control-limit
     // frame (mean daily count → target/allowance/threshold)
     "q229_cusum_daily",
