@@ -1552,6 +1552,32 @@ object ScaleBench {
         s"keyed CUSUM closed form failed: $a")
     }
 
+    // RBO at 1M queries × k=10 (10M ranking rows per side): side B is
+    // side A identically ranked ⇒ RBO_EXT = (1−p)Σp^{d−1} + p^k = 1.0
+    // exactly at round-6 in EVERY query; a doc-id-offset B is fully
+    // disjoint ⇒ 0.0 exactly. Gates the keyed rank join + bounded ≤k²
+    // depth expansion at retrieval-eval scale — zero SinglePartition.
+    timed("rbo_1M_queries_k10") {
+      val nq = 1000000L
+      def ranks(off: Long) = spark.range(nq * 10).select(
+        (col("id") % nq).as("query_id"),
+        (col("id") + off).as("doc_id"),
+        expr(s"CAST(id DIV $nq AS INT) + 1").as("rank"))
+      val a = ranks(0L)
+      val same = operators.LmOps.rbo(a, ranks(0L), k = 10)
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("rbo6") === 1.0 && col("n_common") === 10L, 1))
+            .as("good")).head()
+      require(same.getLong(0) == nq && same.getLong(1) == nq,
+        s"RBO identical closed form failed: $same")
+      val disj = operators.LmOps.rbo(a, ranks(100000000L), k = 10)
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("rbo6") === 0.0 && col("n_common") === 0L, 1))
+            .as("good")).head()
+      require(disj.getLong(0) == nq && disj.getLong(1) == nq,
+        s"RBO disjoint closed form failed: $disj")
+    }
+
     // Randomization test at 10M rows × 8 resamples: perfect separation
     // (A all-positive, B all-negative) ⇒ d_obs = 10⁶; no md5 coin split
     // of 10M rows reproduces |d| = 10⁶ (P ≈ 2⁻¹⁰⁷), so n_ge = 0 and

@@ -340,6 +340,75 @@ object LmOps {
     * is independent of corpus size — like the RRF fusion (q133), the
     * expensive part already happened in the retrievers.
     */
+  /** Rank-biased overlap between two top-k rankings per query (Webber,
+    * Moffat & Zobel 2010) — the LIST-similarity dial [[rankingMetrics]]
+    * lacks: recall/MRR score a system against binary relevance, RBO
+    * scores two RANKINGS against each other (old retriever vs new
+    * retriever, ANN vs exact shortlist — "how much did the ranking
+    * itself move?"), top-weighted so disagreement at rank 1 costs more
+    * than at rank k. With A_d = |S₁:d ∩ T₁:d| / d the agreement at
+    * depth d:
+    *   RBO_EXT = (1−p)·Σ_{d=1..k} p^{d−1}·A_d  +  p^k·A_k
+    * (the standard extrapolated point estimate — identical lists score
+    * exactly 1, disjoint lists 0; p = persistence, 0.9 ≈ "top ~10 ranks
+    * carry the weight").
+    *
+    * Determinism contract: overlap counts are exact integers (each
+    * common doc contributes to every depth ≥ max(rank_a, rank_b));
+    * per-depth terms are round-9 doubles with IDENTICAL expression text
+    * in both engines (POWER/e0 literals — the psi/erfc discipline)
+    * summed as DECIMAL(24,9); rbo6/agreement are round-6/micro outputs.
+    *
+    * Scale shape: the rank join and every aggregate key on the query id;
+    * the depth expansion is a bounded ≤k² rows per query (k ≤ 1000 by
+    * contract — top-k lists, never corpora); zero SinglePartition.
+    * Caller contract: `rankCol` is 1..k and unique per (query, side) —
+    * the [[rankingMetrics]] input shape. Queries present in only one
+    * side score overlap 0 at every depth. Output (one row per query):
+    * query_id, n_common, agreement_k_micro, rbo6.
+    */
+  def rbo(a: DataFrame, b: DataFrame, k: Int, p: Double = 0.9,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k > 0 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val qc = col(queryCol)
+    val sa = a.filter(col(rankCol) <= k)
+      .select(qc, col(docCol), col(rankCol).as("__ra"))
+    val sb = b.filter(col(rankCol) <= k)
+      .select(qc, col(docCol), col(rankCol).as("__rb"))
+    // every query from either side keeps a row (one-sided queries → 0)
+    val queries = sa.select(qc).union(sb.select(qc)).distinct()
+    // each common doc enters every prefix-intersection at depth ≥ max rank
+    val cm = sa.join(sb, Seq(queryCol, docCol))
+      .select(qc, greatest(col("__ra"), col("__rb")).as("__m"))
+      .groupBy(qc, col("__m")).agg(count(lit(1)).as("__c"))
+    val depths = queries.withColumn("__d", explode(sequence(lit(1), lit(k))))
+    val cmR = cm.withColumnRenamed(queryCol, "__qc")
+    val agree = depths.join(cmR,
+        col(queryCol) === col("__qc") && col("__m") <= col("__d"), "left")
+      .groupBy(qc, col("__d"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__a"))
+    val pe = s"${p}e0"
+    agree
+      .withColumn("__term", expr(
+        s"ROUND((1.0e0 - $pe) * POWER($pe, __d - 1) " +
+          "* CAST(__a AS DOUBLE) / __d, 9)"))
+      .withColumn("__ext", expr(
+        s"CASE WHEN __d = $k THEN " +
+          s"ROUND(POWER($pe, $k) * CAST(__a AS DOUBLE) / __d, 9) " +
+          "ELSE 0.0e0 END"))
+      .groupBy(qc)
+      .agg(max(when(col("__d") === k, col("__a"))).as("n_common"),
+        round(coalesce(
+          sum(col("__term").cast(DecimalType(24, 9)) +
+            col("__ext").cast(DecimalType(24, 9))),
+          lit(0).cast(DecimalType(24, 9))).cast("double"), 6).as("rbo6"))
+      .select(qc, col("n_common"),
+        expr(s"n_common * 1000000 DIV $k").as("agreement_k_micro"),
+        col("rbo6"))
+  }
+
   def rankingMetrics(truth: DataFrame, system: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
       rankCol: String = "rank"): DataFrame = {

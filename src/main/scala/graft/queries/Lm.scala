@@ -380,8 +380,84 @@ object Lm {
       |    ELSE 2 * precision_micro * recall_micro // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+
+  /** q234: rank-biased overlap between the balance ranking and the
+    * hash-proxy ranking (`LmOps.rbo`, Webber 2010) — the list-similarity
+    * dial beside q146's relevance metrics: recall/MRR score a system
+    * against binary truth; RBO scores two RANKINGS against each other
+    * (old vs new retriever, ANN vs exact shortlist), top-weighted at
+    * persistence p = 0.9. Same deterministic ranking fixture as q146, so
+    * the overlap is partial and every depth term is non-trivial; all
+    * joins/aggregates keyed by query, ≤k² bounded depth expansion.
+    */
+  def q234Rbo(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_nationkey").as("query_id"), col("c_custkey").as("doc_id"),
+        col("c_acctbal"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_acctbal").desc, col("doc_id"))
+    val truth = cust.withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= 5).drop("c_acctbal")
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000003L)), col("doc_id"))
+    val system = cust.withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= 5).drop("c_acctbal")
+    LmOps.rbo(truth, system, k = 5, p = 0.9)
+  }
+
+  val q234Sql: String =
+    """WITH t AS (
+      |  SELECT c_nationkey AS query_id, c_custkey AS doc_id,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rank
+      |  FROM customer
+      |),
+      |s AS (
+      |  SELECT c_nationkey AS query_id, c_custkey AS doc_id,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY (c_custkey * 2654435761) % 1000003, c_custkey) AS rank
+      |  FROM customer
+      |),
+      |ta AS (SELECT query_id, doc_id, rank FROM t WHERE rank <= 5),
+      |sb AS (SELECT query_id, doc_id, rank FROM s WHERE rank <= 5),
+      |qs AS (
+      |  SELECT DISTINCT query_id FROM (
+      |    SELECT query_id FROM ta UNION ALL SELECT query_id FROM sb)
+      |),
+      |cm AS (
+      |  SELECT ta.query_id, GREATEST(ta.rank, sb.rank) AS m,
+      |    CAST(COUNT(1) AS BIGINT) AS c
+      |  FROM ta JOIN sb USING (query_id, doc_id)
+      |  GROUP BY 1, 2
+      |),
+      |d AS (SELECT query_id, r.range + 1 AS dd FROM qs CROSS JOIN range(0, 5) r),
+      |ag AS (
+      |  SELECT d.query_id, dd, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS a
+      |  FROM d LEFT JOIN cm ON cm.query_id = d.query_id AND cm.m <= d.dd
+      |  GROUP BY 1, 2
+      |),
+      |tm AS (
+      |  SELECT query_id, dd, a,
+      |    ROUND((1.0e0 - 0.9e0) * POWER(0.9e0, dd - 1)
+      |      * CAST(a AS DOUBLE) / dd, 9) AS term,
+      |    CASE WHEN dd = 5 THEN
+      |      ROUND(POWER(0.9e0, 5) * CAST(a AS DOUBLE) / dd, 9)
+      |      ELSE 0.0e0 END AS extt
+      |  FROM ag
+      |)
+      |SELECT query_id,
+      |  MAX(CASE WHEN dd = 5 THEN a END) AS n_common,
+      |  CAST(MAX(CASE WHEN dd = 5 THEN a END) * 1000000 // 5 AS BIGINT)
+      |    AS agreement_k_micro,
+      |  ROUND(CAST(COALESCE(SUM(CAST(term AS DECIMAL(24,9))
+      |    + CAST(extt AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS rbo6
+      |FROM tm GROUP BY query_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q146_retrieval_metrics", q146RetrievalMetrics, Some(q146Sql)),
+    QueryDef("q234_rbo", q234Rbo, Some(q234Sql)),
     QueryDef("q149_rouge2", q149Rouge, Some(q149Sql)),
     QueryDef("q167_chrf", q167Chrf, Some(q167Sql)),
     QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),

@@ -176,6 +176,40 @@ class LmSpec extends SparkSpec {
     assert(got(3L) == ((1, 0, 0L, 0L, 0L)))
   }
 
+  test("rbo: identical lists 1.0, disjoint 0.0, one-sided query, replayed-formula check") {
+    import spark.implicits._
+    def lists(rows: Seq[(Long, Long, Int)]) = rows.toDF("query_id", "doc_id", "rank")
+    val a = lists((1 to 5).map(r => (1L, r.toLong, r)))
+    // identical lists: RBO_EXT = (1−p)Σp^{d−1} + p^k = 1 exactly at round-6
+    val same = LmOps.rbo(a, a, k = 5).collect().head
+    assert(same.getAs[Long]("n_common") == 5L &&
+      same.getAs[Long]("agreement_k_micro") == 1000000L &&
+      same.getAs[Double]("rbo6") == 1.0, s"identical lists must score 1.0: $same")
+    // disjoint lists: 0 everywhere
+    val b = lists((1 to 5).map(r => (1L, 100L + r, r)))
+    val disj = LmOps.rbo(a, b, k = 5).collect().head
+    assert(disj.getAs[Long]("n_common") == 0L && disj.getAs[Double]("rbo6") == 0.0)
+    // a query present on ONE side only still reports a zero row
+    val c = lists((1 to 5).map(r => (7L, r.toLong, r)))
+    val oneSided = LmOps.rbo(a, c, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("rbo6")).toMap
+    assert(oneSided.keySet == Set(1L, 7L) && oneSided.values.forall(_ == 0.0))
+    // replayed formula on a cyclic shift: ranks (1..k) vs (2..k,1) give
+    // A_d = d−1 for d < k and A_k = k
+    val k = 5; val p = 0.9
+    val shifted = lists((1 to k).map(r => (1L, r.toLong, r % k + 1)))
+    val got = LmOps.rbo(a, shifted, k = k, p = p).collect().head
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = BigDecimal((1 to k).map { d =>
+      val ad = if (d == k) k else d - 1
+      r9((1.0 - p) * math.pow(p, d - 1) * ad.toDouble / d) +
+        (if (d == k) r9(math.pow(p, k) * ad.toDouble / d) else BigDecimal(0))
+    }.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("rbo6") == want,
+      s"rbo disagrees with the replayed formula: $got vs $want")
+    assert(got.getAs[Long]("n_common") == k.toLong)
+  }
+
   test("rankingMetrics ignores ranks beyond k on both sides") {
     import spark.implicits._
     val truth = Seq((1L, 1L, 1), (1L, 2L, 9)).toDF("query_id", "doc_id", "rank")
