@@ -1597,6 +1597,30 @@ object ScaleBench {
         s"permutation separation closed form failed: $r")
     }
 
+    // Keyed randomization test at 10M rows / 100 slices × 8 resamples:
+    // per slice (100k rows) A is all-positive and B all-negative ⇒
+    // d_obs = 10⁶ and no coin split reproduces it ⇒ every slice floors
+    // at p = ⌊10⁶/9⌋ = 111111. Gates the per-key threshold equi-joins +
+    // the (key × B)-row shuffle at 80M hashed pairs.
+    timed("keyed_perm_test_10M_rows_100_slices") {
+      val n = 10000000L
+      // the group bit must be independent of the key (id % 100 and id % 2
+      // correlate), so it comes from the id's hundreds digit
+      val rows = spark.range(n).select(
+        (col("id") % 100).as("k"), col("id"),
+        expr("CASE WHEN id DIV 100 % 2 = 0 THEN 'A' ELSE 'B' END").as("g"),
+        expr("1L - id DIV 100 % 2").as("y"))
+      val out = operators.Profile.permTestRateBy(rows, Seq("k"), "id", "g",
+        "y", "A", "B", resamples = 8)
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n_a") === n / 200 && col("d_obs_micro") === 1000000L &&
+          col("n_ge") === 0L && col("p_micro") === 111111L, 1)).as("good"))
+        .head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed permutation closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // McNemar at 10M paired rows: symmetric discordance (a = bit0,
     // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
     // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly

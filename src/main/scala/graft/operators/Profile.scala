@@ -731,6 +731,75 @@ object Profile {
           .as("p_micro"))
   }
 
+  /** [[permTestRate]] per key group — the assumption-free significance
+    * dial per slice, keeping the keyed-twin symmetry of the eval matrix
+    * (and exactly where the permutation test matters most: small or
+    * lopsided slices are where the z/χ² normal approximations break).
+    * Each key draws its own coin threshold ⌊2⁶⁰·n_A/N⌋ from ITS margins
+    * and the coins hash only (id, resample), so the keyed output equals
+    * running the global test on each slice alone (spec-pinned). All
+    * joins/aggregates keyed — zero SinglePartition; shuffle volume is
+    * the (keys × B) resample table. Output (one row per key): keys…,
+    * n_a, n_b, x_a, x_b, d_obs_micro, b, n_ge, p_micro.
+    */
+  def permTestRateBy(df: DataFrame, keys: Seq[String], idCol: String,
+      groupCol: String, labelCol: String, groupA: String, groupB: String,
+      resamples: Int = 128): DataFrame = {
+    require(keys.nonEmpty, "permTestRateBy needs at least one key (use permTestRate)")
+    require(resamples >= 8 && resamples <= 1024,
+      s"resamples must be in [8, 1024], got $resamples")
+    val reserved = Set("n_a", "n_b", "x_a", "x_b", "d_obs_micro", "b",
+      "n_ge", "p_micro", "__id", "__ia", "__y", "__thr", "__b", "__ca",
+      "__n1", "__x1", "__n2", "__x2", "__d")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(ks :+ col(idCol).cast("string").as("__id") :+
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia") :+
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("__y"): _*)
+      .where(col("__id").isNotNull && ks.map(_.isNotNull).reduce(_ && _))
+    val obs = base.groupBy(ks: _*).agg(
+        coalesce(sum(col("__ia")), lit(0L)).as("n_a"),
+        coalesce(sum(lit(1L) - col("__ia")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ia") * col("__y")), lit(0L)).as("x_a"),
+        coalesce(sum((lit(1L) - col("__ia")) * col("__y")), lit(0L)).as("x_b"))
+      .withColumn("d_obs_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * x_a) DIV n_a
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * x_b) DIV n_b AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("__thr", expr(
+        """CASE WHEN n_a + n_b = 0 THEN 0L ELSE
+          |CAST((CAST(1152921504606846976 AS DECIMAL(38,0)) * n_a)
+          |  DIV (n_a + n_b) AS BIGINT) END""".stripMargin))
+    val h = "CAST(CONV(SUBSTRING(MD5(CONCAT(__id, ':', CAST(__b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val perB = base
+      .withColumn("__b", explode(sequence(lit(0), lit(resamples - 1))))
+      .join(obs.select(ks :+ col("__thr"): _*), keys)
+      .withColumn("__ca", when(expr(h) < col("__thr"), 1L).otherwise(0L))
+      .groupBy(ks :+ col("__b"): _*)
+      .agg(sum(col("__ca")).as("__n1"),
+        sum(col("__ca") * col("__y")).as("__x1"),
+        sum(lit(1L) - col("__ca")).as("__n2"),
+        sum((lit(1L) - col("__ca")) * col("__y")).as("__x2"))
+      .withColumn("__d", expr(
+        """CASE WHEN __n1 = 0 OR __n2 = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * __x1) DIV __n1
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * __x2) DIV __n2 AS BIGINT)
+          |END""".stripMargin))
+    perB.join(obs.select(ks :+ col("d_obs_micro").as("__do"): _*), keys)
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("b"),
+        coalesce(sum(when(abs(col("__d")) >= abs(col("__do")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_ge"))
+      .join(obs.drop("__thr"), keys)
+      .select(ks ++ Seq(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("d_obs_micro"), col("b"), col("n_ge"),
+        expr("CAST((1000000 * (n_ge + 1)) DIV (b + 1) AS BIGINT)")
+          .as("p_micro")): _*)
+  }
+
   /** Two-sided normal-tail p-value in MICRO-UNITS from an exact rational
     * z² = `__zn`/`__zd` (append via [[withTwoSidedNormPMicro]]): the
     * bridge between the exact-integer test statistics this module emits

@@ -4698,6 +4698,83 @@ object Text {
       |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
       |FROM o, c""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+
+  /** q235: per-language randomization test of the long-document-rate
+    * difference between two sources (`Profile.permTestRateBy`) — q233's
+    * assumption-free significance dial SLICED, exactly where it matters:
+    * small/lopsided language slices are where the z/χ² normal
+    * approximations (q227) break, and the permutation p needs only
+    * exchangeability. Each language draws its own md5-coin threshold
+    * from its margins; shuffle volume is the (lang × 64) resample table.
+    */
+  def q235PermTestByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.permTestRateBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("doc_id"), col("source"),
+          when(col("n_chars") >= 512, 1L).otherwise(0L).as("is_long")),
+      Seq("lang"), "doc_id", "source", "is_long", "src0", "src1",
+      resamples = 64)
+
+  val q235Sql: String =
+    """WITH base AS (
+      |  SELECT lang, CAST(doc_id AS VARCHAR) AS id,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+      |    CASE WHEN n_chars >= 512 THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  -- complete-case key/id mirror of permTestRateBy
+      |  WHERE source IN ('src0', 'src1') AND doc_id IS NOT NULL
+      |    AND lang IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT lang, CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(COUNT(1) - SUM(ia), 0) AS BIGINT) AS n_b,
+      |    CAST(COALESCE(SUM(ia * y), 0) AS BIGINT) AS x_a,
+      |    CAST(COALESCE(SUM((1 - ia) * y), 0) AS BIGINT) AS x_b
+      |  FROM base GROUP BY lang
+      |),
+      |o AS (
+      |  SELECT lang, n_a, n_b, x_a, x_b,
+      |    CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * x_a) // n_a
+      |      - (CAST(1000000 AS HUGEINT) * x_b) // n_b END AS BIGINT)
+      |      AS d_obs_micro,
+      |    CAST(CASE WHEN n_a + n_b = 0 THEN 0 ELSE
+      |      (CAST(1152921504606846976 AS HUGEINT) * n_a)
+      |        // (n_a + n_b) END AS BIGINT) AS thr
+      |  FROM t
+      |),
+      |pb AS (
+      |  SELECT lang, b, CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(ca * y) AS BIGINT) AS x1,
+      |    CAST(SUM(1 - ca) AS BIGINT) AS n2,
+      |    CAST(SUM((1 - ca) * y) AS BIGINT) AS x2
+      |  FROM (
+      |    SELECT base.lang, y, r.range AS b,
+      |      CASE WHEN ('0x' || substr(md5(id || ':' ||
+      |        CAST(r.range AS VARCHAR)), 1, 15))::BIGINT < thr
+      |        THEN 1 ELSE 0 END AS ca
+      |    FROM base CROSS JOIN range(0, 64) r JOIN o USING (lang)
+      |  )
+      |  GROUP BY 1, 2
+      |),
+      |pd AS (
+      |  SELECT lang, b, CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE
+      |    (CAST(1000000 AS HUGEINT) * x1) // n1
+      |    - (CAST(1000000 AS HUGEINT) * x2) // n2 END AS BIGINT) AS d
+      |  FROM pb
+      |),
+      |c AS (
+      |  SELECT pd.lang, CAST(COUNT(1) AS BIGINT) AS bb,
+      |    CAST(COALESCE(SUM(CASE WHEN ABS(d) >= ABS(d_obs_micro)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+      |  FROM pd JOIN o USING (lang)
+      |  GROUP BY pd.lang
+      |)
+      |SELECT o.lang, n_a, n_b, x_a, x_b, d_obs_micro, bb AS b, n_ge,
+      |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
+      |FROM o JOIN c ON c.lang = o.lang""".stripMargin
+
   // ---------------------------------------------------------------- q232
 
   /** q232: per-language Wasserstein-1 drift between two sources' length
@@ -5489,6 +5566,7 @@ object Text {
     QueryDef("q229_cusum_daily", q229CusumDaily, Some(q229Sql)),
     QueryDef("q232_w1_by_lang", q232W1ByLang, Some(q232Sql)),
     QueryDef("q233_perm_test", q233PermTest, Some(q233Sql)),
+    QueryDef("q235_perm_test_by_lang", q235PermTestByLang, Some(q235Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

@@ -1520,6 +1520,37 @@ class EvalOpsSpec extends SparkSpec {
       s"a mild difference must land between the floor and 1: $m")
   }
 
+  test("permTestRateBy equals per-group permTestRate (per-key thresholds, shared coins)") {
+    val xs = Iterator.iterate(47L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(360).toSeq
+    // k0 balanced groups, k1 lopsided 2:1 (its own coin threshold), k2
+    // strongly separated (p must floor)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val k = s"k${i % 3}"
+      val g = i % 3 match {
+        case 1 => if (i % 9 < 6) "A" else "B"
+        case _ => if (i % 2 == 0) "A" else "B"
+      }
+      val y = i % 3 match {
+        case 2 => if (g == "A") 1L else 0L
+        case _ => if ((x >> 6) % 3 == 0) 1L else 0L
+      }
+      (k, i.toLong, g, y)
+    }
+    val by = Profile.permTestRateBy(rows.toDF("k", "id", "g", "y"),
+      Seq("k"), "id", "g", "y", "A", "B", resamples = 16)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.permTestRate(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3, t._4)).toDF("id", "g", "y"),
+        "id", "g", "y", "A", "B", resamples = 16).collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+    assert(by("k2").last == 1000000L / 17L,
+      "the separated slice must floor its permutation p")
+  }
+
   test("mcnemar: hand case, perfect agreement, swap antisymmetry") {
     def mc(rows: Seq[(Long, Long)]): Seq[Any] =
       Profile.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0).toSeq

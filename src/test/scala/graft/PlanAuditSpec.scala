@@ -472,6 +472,15 @@ class PlanAuditSpec extends SparkSpec {
       !p230.contains("SortMergeJoin") && !p230.contains("BroadcastHashJoin"),
       "q230 plans a join — the keyed trend is two chained aggregates only")
     assert(!p230.contains("Window"), "q230 must not plan a window")
+    // q235: per-key randomization test — per-key coin thresholds attach
+    // by keyed equi-joins (the global form q233 crossJoins 1-row frames
+    // instead), keyed aggregates only, zero SinglePartition, zero BNLJ
+    val p235 = planOf("q235_perm_test_by_lang")
+    assert(!p235.contains("Exchange SinglePartition"),
+      "q235 plans a SinglePartition exchange — the keyed perm test regressed")
+    assert(!p235.contains("BroadcastNestedLoopJoin"),
+      "q235 plans a BNLJ — the per-key threshold joins must stay equi")
+    assert(!p235.contains("Window"), "q235 must not plan a window")
     // q232: per-key W1 — per-key min/max buckets, keyed offset/local/lead
     // windows, keyed totals join, zero SinglePartition, zero BNLJ (the
     // global form q228 crossJoins its 1-row frames instead)
