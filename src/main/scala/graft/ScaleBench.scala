@@ -1656,6 +1656,28 @@ object ScaleBench {
         s"KS shift closed form failed: $r")
     }
 
+    // Jensen–Shannon at 2×10M rows: fully DISJOINT sides (B = A + n) put
+    // every bucket one-sided, each contributing share·ln2/2, so js6 hits
+    // the ln 2 bound EXACTLY (0.693147 at round-6) — the case PSI must
+    // exclude entirely (all buckets one-sided); identical sides read 0.
+    // Gates the fourth (v, ca, cb)-store reader at 20M distinct values.
+    timed("js_divergence_20M_rows") {
+      val n = 10000000L
+      val a = spark.range(n).select(col("id").as("v"), lit("A").as("g"))
+      val bDisj = spark.range(n).select((col("id") + n).as("v"), lit("B").as("g"))
+      val d = operators.Profile.jsDivergence(a.unionByName(bDisj),
+        "v", "g", "A", "B").agg(count(lit(1)).as("rows"),
+          count(when(col("js6") === 0.693147, 1)).as("good")).head()
+      require(d.getLong(0) == d.getLong(1) && d.getLong(0) >= 16L,
+        s"JS disjoint closed form failed: $d")
+      val bSame = spark.range(n).select(col("id").as("v"), lit("B").as("g"))
+      val s = operators.Profile.jsDivergence(a.unionByName(bSame),
+        "v", "g", "A", "B").agg(count(lit(1)).as("rows"),
+          count(when(col("js6") === 0.0, 1)).as("good")).head()
+      require(s.getLong(0) == s.getLong(1) && s.getLong(0) == 16L,
+        s"JS identical closed form failed: $s")
+    }
+
     // Wasserstein-1 at 2×10M rows over the SAME shift construction: a
     // shift by s moves every unit of mass exactly s, so W1 = s exactly
     // (w1_micro = 10⁶·s) — the area closed form, where KS only sees the

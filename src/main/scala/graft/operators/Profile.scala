@@ -1371,6 +1371,77 @@ object Profile {
         col("psi6"), col("n_skipped")): _*)
   }
 
+  /** Jensen–Shannon divergence between two groups' distributions of an
+    * integer value (Lin 1991) — the BOUNDED drift dial rounding out the
+    * family: PSI's symmetric-KL terms blow up on one-sided buckets (the
+    * operator excludes-and-counts them, q212's `n_skipped`), while every
+    * JS term is finite BY CONSTRUCTION — a one-sided bucket contributes
+    * exactly share·ln2 — and the total lives in [0, ln 2], so thresholds
+    * transfer across datasets. Same equal-width buckets from the pooled
+    * min/max as [[psi]]:
+    *   JS = ½·Σ_b [ a_b·ln(2a_b/(a_b+e_b)) + e_b·ln(2e_b/(a_b+e_b)) ]
+    * (shares a_b/e_b; 0·ln(…) terms are 0 — no epsilon, no exclusions).
+    *
+    * Determinism contract: each bucket term is a round-9 double with
+    * IDENTICAL expression text in both engines summed as DECIMAL(24,9)
+    * (the [[psi]] discipline); js6 is the round-6 double of the exact
+    * sum. Scale shape: identical to [[psi]] — and [[jsDivergenceFromCounts]]
+    * reads the SAME (v, ca, cb) mergeable store as KS/PSI/W1, making it
+    * the store's FOURTH monitor-ready reader. Output (one row per bucket
+    * observed on either side): bucket, lo, n_a, n_b, share_a_micro,
+    * share_b_micro, term9, js6 — the scalar rides every row (q155
+    * convention).
+    */
+  def jsDivergence(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16): DataFrame =
+    jsDivergenceFromCounts(df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb")),
+      buckets)
+
+  /** [[jsDivergence]] over the PRE-AGGREGATED (v, ca, cb) distinct-value
+    * count store shared with [[ksTwoSampleFromCounts]] /
+    * [[psiFromCounts]] / [[wasserstein1FromCounts]]. */
+  def jsDivergenceFromCounts(counts: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val base = counts.where(col("v").isNotNull).groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val stats = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val g = base.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"(v - __mn) DIV ((__mx - __mn) DIV $buckets + 1)"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val tot = g.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"),
+      coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
+    val terms = g.crossJoin(broadcast(tot)).crossJoin(broadcast(stats))
+      .select(col("bucket"),
+        expr(s"__mn + bucket * ((__mx - __mn) DIV $buckets + 1)").as("lo"),
+        col("n_a"), col("n_b"),
+        expr("n_a * 1000000 DIV __ta").as("share_a_micro"),
+        expr("n_b * 1000000 DIV __tb").as("share_b_micro"),
+        // 0·ln(…) terms vanish exactly; a one-sided bucket is share·ln2
+        expr("""ROUND(0.5e0 * (
+                  CASE WHEN n_a = 0 THEN 0.0e0 ELSE
+                    (CAST(n_a AS DOUBLE) / __ta)
+                    * LN(2.0e0 * (CAST(n_a AS DOUBLE) / __ta)
+                         / (CAST(n_a AS DOUBLE) / __ta
+                            + CAST(n_b AS DOUBLE) / __tb)) END
+                  + CASE WHEN n_b = 0 THEN 0.0e0 ELSE
+                    (CAST(n_b AS DOUBLE) / __tb)
+                    * LN(2.0e0 * (CAST(n_b AS DOUBLE) / __tb)
+                         / (CAST(n_a AS DOUBLE) / __ta
+                            + CAST(n_b AS DOUBLE) / __tb)) END), 9)""")
+          .as("term9"))
+    val sc = terms.agg(
+      round(coalesce(sum(col("term9").cast(DecimalType(24, 9))),
+        lit(0).cast(DecimalType(24, 9))).cast("double"), 6).as("js6"))
+    terms.crossJoin(broadcast(sc)) // buckets × 1
+  }
+
   /** Wasserstein-1 (earth-mover) distance between two groups'
     * distributions of an integer value — the third drift dial alongside
     * [[ksTwoSample]] (max CDF gap: WHERE it moved) and [[psi]] (mass-

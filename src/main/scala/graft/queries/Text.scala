@@ -4698,6 +4698,69 @@ object Text {
       |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
       |FROM o, c""".stripMargin
 
+  // ---------------------------------------------------------------- q236
+
+  /** q236: Jensen–Shannon drift between two sources' length
+    * distributions (`Profile.jsDivergence`) — the BOUNDED dial closing
+    * the drift quartet (q199 KS: where; q212 PSI: how much, but with
+    * excluded one-sided buckets; q228 W1: how far): every JS term is
+    * finite by construction (a one-sided bucket contributes exactly
+    * share·ln2) and the total lives in [0, ln 2], so alert thresholds
+    * transfer across datasets. Fourth reader of the same distinct-value
+    * store.
+    */
+  def q236JsDrift(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.jsDivergence(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("n_chars"), col("source")),
+      "n_chars", "source", "src0", "src1", buckets = 16)
+
+  val q236Sql: String =
+    """WITH base AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+      |),
+      |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+      |g AS (
+      |  SELECT (v - mn) // ((mx - mn) // 16 + 1) AS bucket,
+      |    CAST(SUM(ia) AS BIGINT) AS n_a,
+      |    CAST(COUNT(1) - SUM(ia) AS BIGINT) AS n_b
+      |  FROM base, st GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT CAST(COALESCE(SUM(n_a), 0) AS BIGINT) AS ta,
+      |    CAST(COALESCE(SUM(n_b), 0) AS BIGINT) AS tb
+      |  FROM g
+      |),
+      |terms AS (
+      |  SELECT bucket,
+      |    CAST(mn + bucket * ((mx - mn) // 16 + 1) AS BIGINT) AS lo,
+      |    n_a, n_b,
+      |    CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_micro,
+      |    CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_micro,
+      |    ROUND(0.5e0 * (
+      |      CASE WHEN n_a = 0 THEN 0.0e0 ELSE
+      |        (CAST(n_a AS DOUBLE) / ta)
+      |        * LN(2.0e0 * (CAST(n_a AS DOUBLE) / ta)
+      |             / (CAST(n_a AS DOUBLE) / ta
+      |                + CAST(n_b AS DOUBLE) / tb)) END
+      |      + CASE WHEN n_b = 0 THEN 0.0e0 ELSE
+      |        (CAST(n_b AS DOUBLE) / tb)
+      |        * LN(2.0e0 * (CAST(n_b AS DOUBLE) / tb)
+      |             / (CAST(n_a AS DOUBLE) / ta
+      |                + CAST(n_b AS DOUBLE) / tb)) END), 9) AS term9
+      |  FROM g, t, st
+      |),
+      |sc AS (
+      |  SELECT ROUND(CAST(COALESCE(SUM(CAST(term9 AS DECIMAL(24,9))), 0)
+      |      AS DOUBLE), 6) AS js6
+      |  FROM terms
+      |)
+      |SELECT bucket, lo, n_a, n_b, share_a_micro, share_b_micro, term9, js6
+      |FROM terms, sc""".stripMargin
+
   // ---------------------------------------------------------------- q235
 
   /** q235: per-language randomization test of the long-document-rate
@@ -5567,6 +5630,7 @@ object Text {
     QueryDef("q232_w1_by_lang", q232W1ByLang, Some(q232Sql)),
     QueryDef("q233_perm_test", q233PermTest, Some(q233Sql)),
     QueryDef("q235_perm_test_by_lang", q235PermTestByLang, Some(q235Sql)),
+    QueryDef("q236_js_drift", q236JsDrift, Some(q236Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

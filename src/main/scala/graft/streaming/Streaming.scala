@@ -1441,6 +1441,57 @@ object Streaming {
     ()
   }
 
+  /** Streaming Jensen–Shannon drift monitor — the FOURTH reader of the
+    * (v, ca, cb) distinct-value count-delta store
+    * ([[ksMonitorStream]]/[[psiMonitorStream]]/[[w1MonitorStream]]):
+    * the BOUNDED dial — every term finite (one-sided buckets contribute
+    * share·ln2, no exclusions), total in [0, ln 2], so one alert
+    * threshold transfers across streams. Same retention and replay
+    * contracts. Output at `outDir/batch_id=N`: per-bucket rows with the
+    * js6 scalar riding each.
+    */
+  def jsMonitorStream(rows: DataFrame, outDir: String, storeDir: String,
+      checkpoint: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processJsBatch(batch, batchId, outDir, storeDir, valueCol, groupCol,
+          groupA, groupB, buckets, retainBatches)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[jsMonitorStream]] — package-private for direct
+    * idempotency testing. */
+  private[graft] def processJsBatch(batch: DataFrame, batchId: Long,
+      outDir: String, storeDir: String, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
+    val spark = batch.sparkSession
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, s"$storeDir/counts", horizon)
+    // persist: `mine` feeds BOTH the emit union and the store write —
+    // the processCurationBatch lesson
+    val mine = batch
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = committedOr(spark, s"$storeDir/counts", batchId, mine.limit(0),
+      horizon).unionByName(mine)
+    graft.operators.Profile.jsDivergenceFromCounts(all, buckets)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    mine.write.mode("overwrite").parquet(s"$storeDir/counts/batch_id=$batchId")
+    mine.unpersist()
+    ()
+  }
+
   /** Streaming χ² independence monitor — the CATEGORICAL drift twin
     * completing the monitor trio ([[aucMonitorStream]] for ranking,
     * [[ksMonitorStream]] for ordered values): per-batch (a, b, o)

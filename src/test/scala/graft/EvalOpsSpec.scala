@@ -822,6 +822,47 @@ class EvalOpsSpec extends SparkSpec {
     assert(by("k2").last == 0L, "an empty side must report w1 = 0")
   }
 
+  test("jsDivergence: identical 0, disjoint ln2, one-sided buckets kept, symmetric, merge") {
+    def js(rows: Seq[(Long, String)], buckets: Int = 16) =
+      Profile.jsDivergence(rows.toDF("v", "g"), "v", "g", "A", "B", buckets)
+        .collect()
+    // identical distributions: every term is ln 1 = 0 exactly
+    val same = Seq(1L, 5L, 9L).flatMap(v => Seq((v, "A"), (v, "B")))
+    assert(js(same).forall(_.getAs[Double]("js6") == 0.0))
+    // fully disjoint: every bucket one-sided, each contributing
+    // share·ln2/2 — the total is EXACTLY the ln 2 bound at round-6
+    val disj = Seq.fill(40)((0L, "A")) ++ Seq.fill(60)((1000L, "B"))
+    val d = js(disj)
+    assert(d.forall(_.getAs[Double]("js6") == 0.693147),
+      s"disjoint sides must hit the ln2 bound: ${d.toSeq}")
+    // a one-sided bucket gets a FINITE term (psi excludes it: n_skipped)
+    val mixed = Seq.fill(10)((0L, "A")) ++ Seq.fill(10)((0L, "B")) ++
+      Seq.fill(5)((1000L, "A"))
+    val m = js(mixed)
+    assert(m.forall(r => !r.isNullAt(r.fieldIndex("term9"))),
+      "JS terms must be finite on one-sided buckets")
+    val psiSkipped = Profile.psi(mixed.toDF("v", "g"), "v", "g", "A", "B")
+      .collect().head.getAs[Long]("n_skipped")
+    assert(psiSkipped == 1L, "the same data must trip psi's exclusion")
+    val mJs = m.head.getAs[Double]("js6")
+    assert(mJs > 0.0 && mJs < 0.693148, s"JS must stay inside [0, ln2]: $mJs")
+    // symmetry: swapping the groups leaves js6 unchanged
+    val swapped = Profile.jsDivergence(mixed.toDF("v", "g"), "v", "g",
+      "B", "A").collect().head.getAs[Double]("js6")
+    assert(swapped == mJs, s"JS must be symmetric: $mJs vs $swapped")
+    // the (v, ca, cb) store merges: two batch deltas ≡ the whole
+    def delta(rs: Seq[(Long, String)]) = rs.toDF("v", "g")
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "B", 1L).otherwise(0L)).as("cb"))
+    val whole = Profile.jsDivergenceFromCounts(delta(mixed))
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val merged = Profile.jsDivergenceFromCounts(
+      delta(mixed.take(12)).unionByName(delta(mixed.drop(12))))
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(merged == whole, "batch deltas must merge to the whole")
+  }
+
   test("binaryAucCompareBy equals per-group binaryAucCompare; keyed plan has no SinglePartition") {
     val xs = Iterator.iterate(577L)(x => (x * 48271) % 2147483647L)
       .drop(1).take(150).toSeq

@@ -627,6 +627,40 @@ class IoStreamingSpec extends SparkSpec {
     assert(snap() == streamed)
   }
 
+  test("streaming JS monitor equals the batch operator over merged counts, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("jsstream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.jsMonitorStream(mem.toDF().toDF("v", "g"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", "v", "g", "ref", "live",
+      buckets = 8)
+    def rows(lo: Int, hi: Int) = (lo until hi).flatMap { i =>
+      val v = (i.toLong * 2654435761L) % 40L
+      Seq((v, "ref"), (v + 9L, "live"), (v, "other"))
+    }
+    val b0 = rows(0, 250)
+    val b1 = rows(250, 700)
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(s"$dir/out/batch_id=1")
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val streamed = snap()
+    val batch = graft.operators.Profile.jsDivergence(
+      (b0 ++ b1).toDF("v", "g"), "v", "g", "ref", "live", buckets = 8)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    val js = streamed.head(7).asInstanceOf[Double]
+    assert(js > 0.0 && js < 0.693148, s"js6 must be inside (0, ln2): $js")
+    // replaying batch 1 sees only batch-0 store state: identical snapshot
+    Streaming.processJsBatch(b1.toDF("v", "g"), 1L,
+      s"$dir/out", s"$dir/store", "v", "g", "ref", "live", 8)
+    assert(snap() == streamed)
+  }
+
   test("streaming calibration monitor equals the batch report over merged counts, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -134,6 +134,10 @@ class PlanAuditSpec extends SparkSpec {
     // q210: the same anchor-exemplar + 1-row min/max/totals stats
     // crossJoins as q196 (LmOps.binaryApFromCounts)
     "q210_avg_precision",
+    // q236: the ≤buckets-row JS term table crossJoins the broadcast
+    // 1-row min/max, totals and scalar frames (Profile.jsDivergence —
+    // the q212 psi shape, fourth reader of the same store)
+    "q236_js_drift",
     // q212: the ≤buckets-row term table crossJoins the broadcast 1-row
     // min/max, totals and psi-scalar frames (Profile.psi — the
     // q199/q155 drift-totals shape)
