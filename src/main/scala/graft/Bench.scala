@@ -174,24 +174,35 @@ object Bench {
       QRes(name, secs.min, runs.forall(_._2), secs, runs.map(_._3).toSeq,
         secs.indexOf(secs.min) + 1, extra, bytesIn >> 20, nCached, bytesOut >> 20)
     }
-    // END-OF-SESSION retry for every anomaly-tier query (r17 verdict): the
-    // inline extra rep above shares the spike's moment; a rep at session
-    // end — different cache/heap/host state, minutes later — is what
-    // confirms or refutes the 'env' attribution from THIS artifact alone,
-    // instead of by the next round's rerun. Evidence only: the reported
-    // min (and totals) keep their in-place reps. Caveat a reader needs:
-    // by session end every shared cache is released, so a retry of a
+    // END-OF-SESSION retry for every anomaly-tier AND watch-tier query
+    // (r17 verdict asked for anom; r18 for watch — its "?"-cause records
+    // kept needing next-round reruns to corroborate): the inline extra
+    // rep above shares the spike's moment; a rep at session end —
+    // different cache/heap/host state, minutes later — is what confirms
+    // or refutes the 'env' attribution from THIS artifact alone, instead
+    // of by the next round's rerun. Evidence only: the reported min (and
+    // totals) keep their in-place reps. Caveats a reader needs: by
+    // session end every shared cache is released, so a retry of a
     // cache-consumer query includes the cache rebuild its in-place reps
-    // amortized — read retry against the FIRST in-place rep, not the min.
+    // amortized — read retry against the FIRST in-place rep, not the
+    // min; and a retry that THROWS records the -1.0 sentinel (ADVICE
+    // r18) so a fast crash never reads as environmental refutation.
     val fnByName = selected.toMap
-    val retrySecs: Map[String, Double] = results.filter(_.extraRep).map { r =>
-      graft.core.CacheLife.releaseScoped(spark)
-      val t0 = System.nanoTime()
-      try fnByName(r.name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${r.name} retry failed: ${e.getMessage}") }
-      r.name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // watch tier (r15 verdict): sub-anomaly creep — min ≥ 1.5× the
+    // committed prior AND ≥ 0.5 s, under the 2× extra-rep trigger
+    def isWatch(r: QRes): Boolean =
+      !r.extraRep && prior.get(r.name).exists(p =>
+        p > 0.05 && r.min > 1.5 * p && r.min > 0.5)
+    val retrySecs: Map[String, Double] =
+      results.filter(r => r.extraRep || isWatch(r)).map { r =>
+        graft.core.CacheLife.releaseScoped(spark)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fnByName(r.name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${r.name} retry failed: ${e.getMessage}"); false }
+        r.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
     // The driver keeps a 2000-char stdout TAIL, which ALSO captures
     // sbt's trailing "[success] Total time..." line (~75 bytes) — round
     // 13's 2000-byte budget lost the line's head to that trailer. So the
@@ -274,19 +285,19 @@ object Bench {
     }
     // WATCH tier (r15 verdict): sub-anomaly creep — min ≥ 1.5× the
     // committed prior AND ≥ 0.5 s, but under the 2× extra-rep trigger —
-    // gets a record (no extra rep) so q93-class drift self-reports from
-    // the artifact instead of sailing two hundredths under the alarm.
-    // Stdout slim form "name":[min, prior, cause]; full reps + the
-    // machine-derived cause in the snapshot.
-    val watchRecsAll = results.filter { r =>
-      !r.extraRep && prior.get(r.name).exists(p =>
-        p > 0.05 && r.min > 1.5 * p && r.min > 0.5)
-    }.sortBy(-_.min).map { r =>
+    // gets a record (no inline extra rep, but an end-of-session retry
+    // like the anom tier: r18 verdict) so q93-class drift self-reports
+    // AND self-adjudicates from the artifact instead of sailing two
+    // hundredths under the alarm. Stdout slim form
+    // "name":[min, prior, cause, retry]; full reps + the machine-derived
+    // cause in the snapshot.
+    val watchRecsAll = results.filter(isWatch).sortBy(-_.min).map { r =>
+      val retry = retrySecs.getOrElse(r.name, 0.0)
       ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
-        fmt2(prior(r.name)) + ",\"" + watchCause(r) + "\"]",
+        fmt2(prior(r.name)) + ",\"" + watchCause(r) + "\"," + fmt2(retry) + "]",
         "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
           "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"p\":" + fmt2(prior(r.name)) +
-          ",\"cause\":\"" + watchCause(r) + "\"}")
+          ",\"retry\":" + fmt2(retry) + ",\"cause\":\"" + watchCause(r) + "\"}")
     }
     val anomFull = anomRecsAll.map(_._2).mkString("{", ",", "}")
     val watchFull = watchRecsAll.map(_._2).mkString("{", ",", "}")

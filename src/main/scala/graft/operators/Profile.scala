@@ -871,7 +871,10 @@ object Profile {
     val reserved = Set("__pm", "__cnt", "__mn", "__mx", "__b", "__bt",
       "__off", "__sat", "__thr", "bh_rank", "m", "bh_thresh_micro",
       "significant")
-    require(!df.columns.exists(c => reserved(c) && c != pMicroCol),
+    // no exemption for pMicroCol itself (ADVICE r18): a p column named
+    // "m"/"bh_rank"/"significant" would survive the check but collide
+    // with the re-emitted output columns after the __pm join
+    require(!df.columns.exists(reserved),
       s"input columns may not collide with internals: ${reserved.mkString("/")}")
     val base = df.where(col(pMicroCol).isNotNull)
       .withColumn("__pm", col(pMicroCol).cast("long"))
@@ -1418,6 +1421,13 @@ object Profile {
     val tot = g.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"),
       coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
     val terms = g.crossJoin(broadcast(tot)).crossJoin(broadcast(stats))
+      // empty-SIDE guard (ADVICE r18): a side with zero total has no
+      // distribution to compare — emit ZERO rows (the
+      // ksTwoSampleFromCounts empty-store convention) instead of
+      // integer-DIV-by-zero shares. Distinct from the one-sided-BUCKET
+      // case the scaladoc's "no exclusions" refers to (finite share·ln2
+      // terms), which needs both TOTALS positive to be well-defined.
+      .where(col("__ta") > 0 && col("__tb") > 0)
       .select(col("bucket"),
         expr(s"__mn + bucket * ((__mx - __mn) DIV $buckets + 1)").as("lo"),
         col("n_a"), col("n_b"),

@@ -4751,7 +4751,8 @@ object Text {
       |        * LN(2.0e0 * (CAST(n_b AS DOUBLE) / tb)
       |             / (CAST(n_a AS DOUBLE) / ta
       |                + CAST(n_b AS DOUBLE) / tb)) END), 9) AS term9
-      |  FROM g, t, st
+      |  -- empty-SIDE guard mirror of jsDivergenceFromCounts: zero rows
+      |  FROM g, t, st WHERE ta > 0 AND tb > 0
       |),
       |sc AS (
       |  SELECT ROUND(CAST(COALESCE(SUM(CAST(term9 AS DECIMAL(24,9))), 0)

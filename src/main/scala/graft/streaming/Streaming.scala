@@ -1348,31 +1348,40 @@ object Streaming {
     */
   def cusumAlarmStream(rows: DataFrame, outDir: String, storeDir: String,
       checkpoint: String, statOf: DataFrame => Long, target: Long,
-      allowance: Long, threshold: Long): StreamingQuery = {
+      allowance: Long, threshold: Long,
+      retainBatches: Int = DefaultRetainBatches): StreamingQuery = {
+    checkRetain(retainBatches)
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCusumBatch(batch.sparkSession, statOf(batch), batchId,
-          outDir, storeDir, target, allowance, threshold)
+          outDir, storeDir, target, allowance, threshold, retainBatches)
       }
       .start()
   }
 
   /** One micro-batch of [[cusumAlarmStream]] — package-private for direct
     * idempotency testing. The state read is a ≤1-row bounded collect (the
-    * latest committed batch's two Longs), never data. */
+    * latest committed batch's two Longs), never data. Old state partitions
+    * prune like every other store (ADVICE r18): only the latest committed
+    * batch is ever read, so without pruning the partitioned directory —
+    * and the per-batch listing/read cost — grows with total stream
+    * length. */
   private[graft] def processCusumBatch(spark: SparkSession, stat: Long,
       batchId: Long, outDir: String, storeDir: String, target: Long,
-      allowance: Long, threshold: Long): Unit = {
+      allowance: Long, threshold: Long,
+      retainBatches: Int = DefaultRetainBatches): Unit = {
     import spark.implicits._
     val statePath = s"$storeDir/state"
+    val horizon = horizonOf(batchId, retainBatches)
+    pruneStore(spark, statePath, horizon)
     val hp = new org.apache.hadoop.fs.Path(statePath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val prev: (Long, Long) =
       if (fs.exists(hp))
         try spark.read.parquet(statePath)
-          .filter(col("batch_id") < batchId)
+          .filter(col("batch_id") < batchId && col("batch_id") >= horizon)
           .orderBy(col("batch_id").desc).limit(1)
           .select(col("s_hi"), col("s_lo")).collect()
           .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
