@@ -1630,6 +1630,46 @@ object ScaleBench {
           out.limit(3).collect().mkString("; "))
     }
 
+    // Mean-diff randomization test at 10M rows × 8 resamples: A all
+    // value 1000, B all value 0 ⇒ d_obs = 10⁹ micro; no md5 coin split
+    // reproduces a pure resample (P ≈ 2⁻¹⁰⁷), so n_ge = 0 and p floors
+    // at ⌊10⁶/9⌋ = 111111. Same 80M-hashed-pairs map-side expansion as
+    // the rate gate, now with DECIMAL(38,0) sum lanes.
+    timed("perm_test_mean_10M_rows_8_resamples") {
+      val n = 10000000L
+      val rows = spark.range(n).select(col("id"),
+        when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
+        ((lit(1L) - col("id") % 2) * 1000L).as("x"))
+      val r = operators.Profile.permTestMean(rows, "id", "g", "x", "A", "B",
+        resamples = 8).head()
+      require(r.getLong(0) == n / 2 && r.getLong(1) == n / 2 &&
+        r.getLong(2) == 1000L * n / 2 && r.getLong(3) == 0L &&
+        r.getLong(4) == 1000000000L && r.getLong(6) == 0L &&
+        r.getLong(7) == 111111L,
+        s"mean permutation separation closed form failed: $r")
+    }
+
+    // Keyed mean randomization test at 10M rows / 100 slices × 8
+    // resamples: per slice A is all-1000 and B all-0 ⇒ every slice
+    // floors at p = 111111 (group bit from the hundreds digit — it must
+    // be independent of the id % 100 key).
+    timed("keyed_perm_test_mean_10M_rows_100_slices") {
+      val n = 10000000L
+      val rows = spark.range(n).select(
+        (col("id") % 100).as("k"), col("id"),
+        expr("CASE WHEN id DIV 100 % 2 = 0 THEN 'A' ELSE 'B' END").as("g"),
+        expr("(1L - id DIV 100 % 2) * 1000").as("x"))
+      val out = operators.Profile.permTestMeanBy(rows, Seq("k"), "id", "g",
+        "x", "A", "B", resamples = 8)
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n_a") === n / 200 && col("d_obs_micro") === 1000000000L &&
+          col("n_ge") === 0L && col("p_micro") === 111111L, 1)).as("good"))
+        .head()
+      require(a.getLong(0) == 100L && a.getLong(1) == 100L,
+        s"keyed mean permutation closed form failed: $a — " +
+          out.limit(3).collect().mkString("; "))
+    }
+
     // McNemar at 10M paired rows: symmetric discordance (a = bit0,
     // b = bit1 ⇒ n₁₀ = n₀₁ = 2.5M) ⇒ statistic exactly 0, flat trend;
     // one-sided discordance (b ≡ 0 ⇒ n₀₁ = 0) ⇒ χ²₁ = n₁₀ = 5M exactly

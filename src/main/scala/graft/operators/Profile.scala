@@ -800,6 +800,156 @@ object Profile {
           .as("p_micro")): _*)
   }
 
+  /** Deterministic randomization test for a MEAN difference between two
+    * groups — [[permTestRate]]'s continuous-outcome twin, completing the
+    * assumption-free family (rates answer "did the long-doc share move";
+    * means answer "did the average length/score itself move", and the
+    * t-test's normality lean is exactly what a permutation p avoids on
+    * skewed length/score distributions). Identical md5-coin binomial
+    * reassignment: each of `resamples` pseudo-permutations reassigns a
+    * row to group A' iff its 60-bit md5 prefix of (id, b) clears
+    * thr = ⌊2⁶⁰·n_A/N⌋; p = (#{|d_b| ≥ |d_obs|} + 1)/(B + 1).
+    *
+    * Exact-integer contract: values Long-cast, group sums carried as
+    * DECIMAL(38,0); micro-mean diffs d = (10⁶·s₁) DIV n₁ − (10⁶·s₂) DIV
+    * n₂ — and DIV here is TRUNCATING division in BOTH engines (Spark
+    * `DIV` and DuckDB `//` are C-semantics, verified on negative
+    * operands), so negative-valued columns replay bit-for-bit too. A
+    * resample that empties a side reports d_b = 0 (the [[permTestRate]]
+    * degenerate convention). Complete-case on id AND value. Safe while
+    * 10⁶·|Σx| < 10³⁸ (~10¹⁵ rows at 10¹⁶-scale values). Scale shape
+    * unchanged from the rate twin: the ×B expansion is map-side, shuffle
+    * is the B-row resample table. Output (one row): n_a, n_b, s_a, s_b
+    * (the exact value sums as BIGINT), d_obs_micro, b, n_ge, p_micro.
+    */
+  def permTestMean(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, groupA: String, groupB: String,
+      resamples: Int = 128): DataFrame = {
+    require(resamples >= 8 && resamples <= 1024,
+      s"resamples must be in [8, 1024], got $resamples")
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(idCol).cast("string").as("__id"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__id").isNotNull && col("__x").isNotNull)
+    val obs = base.agg(
+        coalesce(sum(col("__ia")), lit(0L)).as("n_a"),
+        coalesce(sum(lit(1L) - col("__ia")), lit(0L)).as("n_b"),
+        coalesce(sum((col("__ia") * col("__x")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__sa"),
+        coalesce(sum(((lit(1L) - col("__ia")) * col("__x"))
+          .cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__sb"))
+      .withColumn("d_obs_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * __sa) DIV n_a
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * __sb) DIV n_b AS BIGINT)
+          |END""".stripMargin))
+      // ⌊2⁶⁰·n_A/N⌋ — the exact integer coin threshold both engines share
+      .withColumn("__thr", expr(
+        """CASE WHEN n_a + n_b = 0 THEN 0L ELSE
+          |CAST((CAST(1152921504606846976 AS DECIMAL(38,0)) * n_a)
+          |  DIV (n_a + n_b) AS BIGINT) END""".stripMargin))
+    val h = "CAST(CONV(SUBSTRING(MD5(CONCAT(__id, ':', CAST(__b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val perB = base
+      .withColumn("__b", explode(sequence(lit(0), lit(resamples - 1))))
+      .crossJoin(broadcast(obs.select(col("__thr"))))
+      .withColumn("__ca", when(expr(h) < col("__thr"), 1L).otherwise(0L))
+      .groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__n1"),
+        sum((col("__ca") * col("__x")).cast(DecimalType(38, 0))).as("__s1"),
+        sum(lit(1L) - col("__ca")).as("__n2"),
+        sum(((lit(1L) - col("__ca")) * col("__x")).cast(DecimalType(38, 0)))
+          .as("__s2"))
+      .withColumn("__d", expr(
+        """CASE WHEN __n1 = 0 OR __n2 = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * __s1) DIV __n1
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * __s2) DIV __n2 AS BIGINT)
+          |END""".stripMargin))
+    perB.crossJoin(broadcast(obs.select(col("d_obs_micro"))))
+      .agg(count(lit(1)).as("b"),
+        coalesce(sum(when(abs(col("__d")) >= abs(col("d_obs_micro")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_ge"))
+      .crossJoin(broadcast(obs.drop("__thr")))
+      .select(col("n_a"), col("n_b"),
+        col("__sa").cast("long").as("s_a"), col("__sb").cast("long").as("s_b"),
+        col("d_obs_micro"), col("b"), col("n_ge"),
+        expr("CAST((1000000 * (n_ge + 1)) DIV (b + 1) AS BIGINT)")
+          .as("p_micro"))
+  }
+
+  /** [[permTestMean]] per key group — the keyed twin, mirroring
+    * [[permTestRateBy]]: each key draws its own coin threshold from ITS
+    * margins and the coins hash only (id, resample), so the keyed output
+    * equals running the global test on each slice alone (spec-pinned).
+    * All joins/aggregates keyed — zero SinglePartition; shuffle volume is
+    * the (keys × B) resample table. Output (one row per key): keys…,
+    * n_a, n_b, s_a, s_b, d_obs_micro, b, n_ge, p_micro.
+    */
+  def permTestMeanBy(df: DataFrame, keys: Seq[String], idCol: String,
+      groupCol: String, valueCol: String, groupA: String, groupB: String,
+      resamples: Int = 128): DataFrame = {
+    require(keys.nonEmpty, "permTestMeanBy needs at least one key (use permTestMean)")
+    require(resamples >= 8 && resamples <= 1024,
+      s"resamples must be in [8, 1024], got $resamples")
+    val reserved = Set("n_a", "n_b", "s_a", "s_b", "d_obs_micro", "b",
+      "n_ge", "p_micro", "__id", "__ia", "__x", "__thr", "__b", "__ca",
+      "__n1", "__s1", "__n2", "__s2", "__d", "__sa", "__sb", "__do")
+    require(keys.forall(k => !reserved(k)),
+      s"key columns may not collide with internals: ${reserved.mkString("/")}")
+    val ks = keys.map(col)
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(ks :+ col(idCol).cast("string").as("__id") :+
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia") :+
+        col(valueCol).cast("long").as("__x"): _*)
+      .where(col("__id").isNotNull && col("__x").isNotNull &&
+        ks.map(_.isNotNull).reduce(_ && _))
+    val obs = base.groupBy(ks: _*).agg(
+        coalesce(sum(col("__ia")), lit(0L)).as("n_a"),
+        coalesce(sum(lit(1L) - col("__ia")), lit(0L)).as("n_b"),
+        coalesce(sum((col("__ia") * col("__x")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__sa"),
+        coalesce(sum(((lit(1L) - col("__ia")) * col("__x"))
+          .cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__sb"))
+      .withColumn("d_obs_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * __sa) DIV n_a
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * __sb) DIV n_b AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("__thr", expr(
+        """CASE WHEN n_a + n_b = 0 THEN 0L ELSE
+          |CAST((CAST(1152921504606846976 AS DECIMAL(38,0)) * n_a)
+          |  DIV (n_a + n_b) AS BIGINT) END""".stripMargin))
+    val h = "CAST(CONV(SUBSTRING(MD5(CONCAT(__id, ':', CAST(__b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val perB = base
+      .withColumn("__b", explode(sequence(lit(0), lit(resamples - 1))))
+      .join(obs.select(ks :+ col("__thr"): _*), keys)
+      .withColumn("__ca", when(expr(h) < col("__thr"), 1L).otherwise(0L))
+      .groupBy(ks :+ col("__b"): _*)
+      .agg(sum(col("__ca")).as("__n1"),
+        sum((col("__ca") * col("__x")).cast(DecimalType(38, 0))).as("__s1"),
+        sum(lit(1L) - col("__ca")).as("__n2"),
+        sum(((lit(1L) - col("__ca")) * col("__x")).cast(DecimalType(38, 0)))
+          .as("__s2"))
+      .withColumn("__d", expr(
+        """CASE WHEN __n1 = 0 OR __n2 = 0 THEN 0 ELSE
+          |CAST((CAST(1000000 AS DECIMAL(38,0)) * __s1) DIV __n1
+          |  - (CAST(1000000 AS DECIMAL(38,0)) * __s2) DIV __n2 AS BIGINT)
+          |END""".stripMargin))
+    perB.join(obs.select(ks :+ col("d_obs_micro").as("__do"): _*), keys)
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("b"),
+        coalesce(sum(when(abs(col("__d")) >= abs(col("__do")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_ge"))
+      .join(obs.drop("__thr"), keys)
+      .select(ks ++ Seq(col("n_a"), col("n_b"),
+        col("__sa").cast("long").as("s_a"), col("__sb").cast("long").as("s_b"),
+        col("d_obs_micro"), col("b"), col("n_ge"),
+        expr("CAST((1000000 * (n_ge + 1)) DIV (b + 1) AS BIGINT)")
+          .as("p_micro")): _*)
+  }
+
   /** Two-sided normal-tail p-value in MICRO-UNITS from an exact rational
     * z² = `__zn`/`__zd` (append via [[withTwoSidedNormPMicro]]): the
     * bridge between the exact-integer test statistics this module emits

@@ -4698,6 +4698,158 @@ object Text {
       |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
       |FROM o, c""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+
+  /** q238: randomization test of the MEAN length difference between two
+    * sources (`Profile.permTestMean`) — q233's continuous-outcome twin:
+    * the rate test asks "did the long-doc SHARE move", this asks "did
+    * the average length itself move", with the same md5-coin
+    * reassignment and no normality lean (document lengths are exactly
+    * the skewed distribution a t-test mishandles). 128 deterministic
+    * resamples; exact DECIMAL sums, truncating-DIV micro-means; shuffle
+    * volume the 128-row resample table.
+    */
+  def q238PermTestMean(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.permTestMean(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars", "src0", "src1", resamples = 128)
+
+  val q238Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+      |    n_chars AS x
+      |  FROM documents
+      |  -- complete-case id/value mirror of permTestMean
+      |  WHERE source IN ('src0', 'src1') AND doc_id IS NOT NULL
+      |    AND n_chars IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(COUNT(1) - SUM(ia), 0) AS BIGINT) AS n_b,
+      |    CAST(COALESCE(SUM(ia * x), 0) AS HUGEINT) AS sa,
+      |    CAST(COALESCE(SUM((1 - ia) * x), 0) AS HUGEINT) AS sb
+      |  FROM base
+      |),
+      |o AS (
+      |  SELECT n_a, n_b, sa, sb,
+      |    CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * sa) // n_a
+      |      - (CAST(1000000 AS HUGEINT) * sb) // n_b END AS BIGINT)
+      |      AS d_obs_micro,
+      |    CAST(CASE WHEN n_a + n_b = 0 THEN 0 ELSE
+      |      (CAST(1152921504606846976 AS HUGEINT) * n_a)
+      |        // (n_a + n_b) END AS BIGINT) AS thr
+      |  FROM t
+      |),
+      |pb AS (
+      |  SELECT b, CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(ca * x) AS HUGEINT) AS s1,
+      |    CAST(SUM(1 - ca) AS BIGINT) AS n2,
+      |    CAST(SUM((1 - ca) * x) AS HUGEINT) AS s2
+      |  FROM (
+      |    SELECT x, r.range AS b,
+      |      CASE WHEN ('0x' || substr(md5(id || ':' ||
+      |        CAST(r.range AS VARCHAR)), 1, 15))::BIGINT < thr
+      |        THEN 1 ELSE 0 END AS ca
+      |    FROM base CROSS JOIN range(0, 128) r, o
+      |  )
+      |  GROUP BY b
+      |),
+      |pd AS (
+      |  SELECT b, CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE
+      |    (CAST(1000000 AS HUGEINT) * s1) // n1
+      |    - (CAST(1000000 AS HUGEINT) * s2) // n2 END AS BIGINT) AS d
+      |  FROM pb
+      |),
+      |c AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS bb,
+      |    CAST(COALESCE(SUM(CASE WHEN ABS(d) >= ABS(d_obs_micro)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+      |  FROM pd, o
+      |)
+      |SELECT n_a, n_b, CAST(sa AS BIGINT) AS s_a, CAST(sb AS BIGINT) AS s_b,
+      |  d_obs_micro, bb AS b, n_ge,
+      |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
+      |FROM o, c""".stripMargin
+
+  // ---------------------------------------------------------------- q239
+
+  /** q239: per-language randomization test of the mean length
+    * difference between two sources (`Profile.permTestMeanBy`) — q238
+    * SLICED, the q235 symmetry: each language draws its own md5-coin
+    * threshold from its margins, so the keyed output equals running the
+    * global test on each slice alone; shuffle volume the (lang × 64)
+    * resample table.
+    */
+  def q239PermTestMeanByLang(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.permTestMeanBy(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), col("doc_id"), col("source"), col("n_chars")),
+      Seq("lang"), "doc_id", "source", "n_chars", "src0", "src1",
+      resamples = 64)
+
+  val q239Sql: String =
+    """WITH base AS (
+      |  SELECT lang, CAST(doc_id AS VARCHAR) AS id,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+      |    n_chars AS x
+      |  FROM documents
+      |  -- complete-case key/id/value mirror of permTestMeanBy
+      |  WHERE source IN ('src0', 'src1') AND doc_id IS NOT NULL
+      |    AND lang IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT lang, CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(COUNT(1) - SUM(ia), 0) AS BIGINT) AS n_b,
+      |    CAST(COALESCE(SUM(ia * x), 0) AS HUGEINT) AS sa,
+      |    CAST(COALESCE(SUM((1 - ia) * x), 0) AS HUGEINT) AS sb
+      |  FROM base GROUP BY lang
+      |),
+      |o AS (
+      |  SELECT lang, n_a, n_b, sa, sb,
+      |    CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0 ELSE
+      |      (CAST(1000000 AS HUGEINT) * sa) // n_a
+      |      - (CAST(1000000 AS HUGEINT) * sb) // n_b END AS BIGINT)
+      |      AS d_obs_micro,
+      |    CAST(CASE WHEN n_a + n_b = 0 THEN 0 ELSE
+      |      (CAST(1152921504606846976 AS HUGEINT) * n_a)
+      |        // (n_a + n_b) END AS BIGINT) AS thr
+      |  FROM t
+      |),
+      |pb AS (
+      |  SELECT lang, b, CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(ca * x) AS HUGEINT) AS s1,
+      |    CAST(SUM(1 - ca) AS BIGINT) AS n2,
+      |    CAST(SUM((1 - ca) * x) AS HUGEINT) AS s2
+      |  FROM (
+      |    SELECT base.lang, x, r.range AS b,
+      |      CASE WHEN ('0x' || substr(md5(id || ':' ||
+      |        CAST(r.range AS VARCHAR)), 1, 15))::BIGINT < thr
+      |        THEN 1 ELSE 0 END AS ca
+      |    FROM base CROSS JOIN range(0, 64) r JOIN o USING (lang)
+      |  )
+      |  GROUP BY 1, 2
+      |),
+      |pd AS (
+      |  SELECT lang, b, CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE
+      |    (CAST(1000000 AS HUGEINT) * s1) // n1
+      |    - (CAST(1000000 AS HUGEINT) * s2) // n2 END AS BIGINT) AS d
+      |  FROM pb
+      |),
+      |c AS (
+      |  SELECT pd.lang, CAST(COUNT(1) AS BIGINT) AS bb,
+      |    CAST(COALESCE(SUM(CASE WHEN ABS(d) >= ABS(d_obs_micro)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+      |  FROM pd JOIN o USING (lang)
+      |  GROUP BY pd.lang
+      |)
+      |SELECT o.lang, n_a, n_b, CAST(sa AS BIGINT) AS s_a,
+      |  CAST(sb AS BIGINT) AS s_b, d_obs_micro, bb AS b, n_ge,
+      |  CAST((1000000 * (n_ge + 1)) // (bb + 1) AS BIGINT) AS p_micro
+      |FROM o JOIN c ON c.lang = o.lang""".stripMargin
+
   // ---------------------------------------------------------------- q236
 
   /** q236: Jensen–Shannon drift between two sources' length
@@ -5631,6 +5783,8 @@ object Text {
     QueryDef("q232_w1_by_lang", q232W1ByLang, Some(q232Sql)),
     QueryDef("q233_perm_test", q233PermTest, Some(q233Sql)),
     QueryDef("q235_perm_test_by_lang", q235PermTestByLang, Some(q235Sql)),
+    QueryDef("q238_perm_test_mean", q238PermTestMean, Some(q238Sql)),
+    QueryDef("q239_perm_test_mean_by_lang", q239PermTestMeanByLang, Some(q239Sql)),
     QueryDef("q236_js_drift", q236JsDrift, Some(q236Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),

@@ -1592,6 +1592,80 @@ class EvalOpsSpec extends SparkSpec {
       "the separated slice must floor its permutation p")
   }
 
+  test("permTestMean: separation floors p, null means p=1, negatives deterministic") {
+    // perfect separation: A all value 1000, B all value 0 → d_obs =
+    // 10⁹ micro; no coin reassignment of 200 rows reproduces |d| = 10⁹
+    // (it would need a pure resample split, P ≈ 2⁻²⁰⁰), so p floors
+    val sep = (0 until 100).map(i => (i.toLong, "A", 1000L)) ++
+      (100 until 200).map(i => (i.toLong, "B", 0L))
+    val s = Profile.permTestMean(sep.toDF("id", "g", "x"), "id", "g", "x",
+      "A", "B", resamples = 16).collect()(0)
+    assert(s.getLong(2) == 100000L && s.getLong(3) == 0L,
+      s"exact sums must ride the output: $s")
+    assert(s.getLong(4) == 1000000000L && s.getLong(6) == 0L &&
+      s.getLong(7) == 1000000L / 17L,
+      s"separated means must floor the permutation p: $s")
+    // exact null: the value depends only on i/2, the group alternates
+    // within each value pair → d_obs = 0 and every resample ties it
+    val nul = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B", (i / 2 % 7).toLong))
+    val p = Profile.permTestMean(nul.toDF("id", "g", "x"), "id", "g", "x",
+      "A", "B", resamples = 64).collect()(0)
+    assert(p.getLong(4) == 0L && p.getLong(7) == 1000000L,
+      s"paired values give d_obs = 0 and p = 1: $p")
+    // NEGATIVE values: the trunc-DIV micro-mean contract must be
+    // deterministic (Spark DIV and DuckDB // share C semantics); the
+    // shifted-by-constant run must agree with the original on n_ge
+    // (|d| comparisons are shift-invariant up to the shared remainder,
+    // and with values ≡ 0 mod nothing here we pin plain determinism)
+    val neg = (0 until 300).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B", (i % 13).toLong - 6L))
+    val n1 = Profile.permTestMean(neg.toDF("id", "g", "x"), "id", "g", "x",
+      "A", "B", resamples = 32).collect()(0)
+    val n2 = Profile.permTestMean(neg.toDF("id", "g", "x"), "id", "g", "x",
+      "A", "B", resamples = 32).collect()(0)
+    assert(n1.toSeq == n2.toSeq, "negative-valued runs must be deterministic")
+    assert(n1.getLong(2) + n1.getLong(3) == neg.map(_._3).sum,
+      s"signed sums must be exact: $n1")
+    // null values drop (complete-case): adding value-null rows changes nothing
+    val withNulls = neg.map(t => (t._1, t._2, Option(t._3))) ++
+      Seq((900L, "A", Option.empty[Long]), (901L, "B", Option.empty[Long]))
+    val n3 = Profile.permTestMean(withNulls.toDF("id", "g", "x"), "id", "g",
+      "x", "A", "B", resamples = 32).collect()(0)
+    assert(n3.toSeq == n1.toSeq, "value-null rows must be dropped complete-case")
+  }
+
+  test("permTestMeanBy equals per-group permTestMean (per-key thresholds, shared coins)") {
+    val xs = Iterator.iterate(47L)(x => (x * 48271) % 2147483647L)
+      .drop(1).take(360).toSeq
+    // k0 balanced, k1 lopsided 2:1 (its own coin threshold), k2 strongly
+    // separated in the value (p must floor)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val k = s"k${i % 3}"
+      val g = i % 3 match {
+        case 1 => if (i % 9 < 6) "A" else "B"
+        case _ => if (i % 2 == 0) "A" else "B"
+      }
+      val v = i % 3 match {
+        case 2 => if (g == "A") 5000L else 0L
+        case _ => (x >> 6) % 97
+      }
+      (k, i.toLong, g, v)
+    }
+    val by = Profile.permTestMeanBy(rows.toDF("k", "id", "g", "x"),
+      Seq("k"), "id", "g", "x", "A", "B", resamples = 16)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 3)
+    for (grp <- Seq("k0", "k1", "k2")) {
+      val solo = Profile.permTestMean(
+        rows.filter(_._1 == grp).map(t => (t._2, t._3, t._4)).toDF("id", "g", "x"),
+        "id", "g", "x", "A", "B", resamples = 16).collect()(0)
+      assert(by(grp) == solo.toSeq, s"slice $grp disagrees with the global operator")
+    }
+    assert(by("k2").last == 1000000L / 17L,
+      "the separated slice must floor its permutation p")
+  }
+
   test("mcnemar: hand case, perfect agreement, swap antisymmetry") {
     def mc(rows: Seq[(Long, Long)]): Seq[Any] =
       Profile.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0).toSeq

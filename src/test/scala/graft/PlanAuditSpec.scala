@@ -179,6 +179,9 @@ class PlanAuditSpec extends SparkSpec {
     // a broadcast 1-ROW totals/threshold/observed frame
     // (Profile.permTestRate — the q219 md5-coin shape)
     "q233_perm_test",
+    // q238: the same three broadcast 1-ROW frames as q233 — the mean
+    // twin rides the identical md5-coin machinery (Profile.permTestMean)
+    "q238_perm_test_mean",
     // q229: the day sequence crossJoins ONE broadcast 1-ROW control-limit
     // frame (mean daily count → target/allowance/threshold)
     "q229_cusum_daily",
@@ -485,6 +488,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p235.contains("BroadcastNestedLoopJoin"),
       "q235 plans a BNLJ — the per-key threshold joins must stay equi")
     assert(!p235.contains("Window"), "q235 must not plan a window")
+    // q239: the mean twin of q235 — same keyed md5-coin machinery, per-
+    // key thresholds by equi-join, zero SinglePartition, zero BNLJ
+    val p239 = planOf("q239_perm_test_mean_by_lang")
+    assert(!p239.contains("Exchange SinglePartition"),
+      "q239 plans a SinglePartition exchange — the keyed mean perm test regressed")
+    assert(!p239.contains("BroadcastNestedLoopJoin"),
+      "q239 plans a BNLJ — the per-key threshold joins must stay equi")
+    assert(!p239.contains("Window"), "q239 must not plan a window")
     // q232: per-key W1 — per-key min/max buckets, keyed offset/local/lead
     // windows, keyed totals join, zero SinglePartition, zero BNLJ (the
     // global form q228 crossJoins its 1-row frames instead)
