@@ -1766,6 +1766,33 @@ object ScaleBench {
           out.limit(3).collect().mkString("; "))
     }
 
+    // W1 drift ATTRIBUTION at 2×10M rows: B is A with the single value
+    // c moved to c+d, both inside attribution bucket c DIV width — the
+    // whole CDF difference (hence the whole area) lives in that bucket,
+    // so contrib_micro = 10⁶ there and 0 in the other 15. Gates the
+    // fifth store reader: same two-phase cumulative, plus the bounded
+    // 16-bucket rollup and exact integer share division.
+    timed("w1_attribution_20M_rows") {
+      val n = 10000000L
+      val c = 2000000L
+      val d = 10000L
+      val a = spark.range(n).select(col("id").as("v"), lit("A").as("g"))
+      val b = spark.range(n).select(
+        when(col("id") === c, c + d).otherwise(col("id")).as("v"),
+        lit("B").as("g"))
+      val out = operators.Profile.w1Attribution(a.unionByName(b),
+        "v", "g", "A", "B", buckets = 16)
+      val hitBucket = c / ((n - 1) / 16 + 1)
+      val r = out.agg(count(lit(1)).as("rows"),
+        coalesce(sum(when(col("bucket") === hitBucket, col("contrib_micro"))),
+          lit(0L)).as("hit"),
+        coalesce(sum(col("contrib_micro")), lit(0L)).as("total")).head()
+      require(r.getLong(0) == 16L && r.getLong(1) == 1000000L &&
+        r.getLong(2) == 1000000L,
+        s"W1 attribution closed form failed: $r — " +
+          out.orderBy(col("bucket")).limit(17).collect().mkString("; "))
+    }
+
     // 10h. C4 cleaning at 1M docs with closed-form truth: ids ≡ 0 mod 7
     // get a 3-good-sentence page (kept), ids ≡ 1 mod 7 a lorem-ipsum page
     // (blocked), everyone else a 1-sentence page (dropped, not blocked).

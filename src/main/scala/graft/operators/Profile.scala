@@ -1690,6 +1690,102 @@ object Profile {
       .where(col("n_values").isNotNull)
   }
 
+  /** Drift ATTRIBUTION over the Wasserstein-1 decomposition — the
+    * "which value ranges moved" layer the drift dials were missing:
+    * KS/PSI/W1/JS say THAT a distribution moved (and how much / how
+    * far), but an actionable alarm needs the top movers. W1's area
+    * integral decomposes exactly over disjoint value ranges, so each of
+    * `buckets` equal-width ranges gets its EXACT share of the total
+    * area: contrib_micro = (10⁶ · Σ_{v ∈ bucket} |cumA·tb − cumB·ta|·Δv)
+    * DIV total_area — exact integers end-to-end (the per-value terms are
+    * the same DECIMAL(38,0) products [[wasserstein1FromCounts]] sums;
+    * this operator just rolls them up per range instead of discarding
+    * the decomposition). A planted shift confined to one bucket
+    * attributes 10⁶ (100%) to exactly that bucket.
+    *
+    * Scale shape: identical to [[wasserstein1FromCounts]] — two-phase
+    * cumulative over 1024 machinery buckets (only the bucket-total
+    * table crosses SinglePartition), one extra keyed groupBy onto the
+    * ≤`buckets` attribution ranges, totals attach as broadcast 1-row
+    * frames. Empty side → zero rows (the W1/KS convention). Output (one
+    * row per attribution bucket observed on either side): bucket, lo
+    * (range lower bound in value units), n_a, n_b, contrib_micro, and
+    * the w1_micro scalar riding every row (q155 convention).
+    */
+  def w1Attribution(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, buckets: Int = 16): DataFrame =
+    w1AttributionFromCounts(df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("__ia")).as("ca"), sum(lit(1L) - col("__ia")).as("cb")),
+      buckets)
+
+  /** [[w1Attribution]] over the PRE-AGGREGATED (v, ca, cb) distinct-value
+    * count store — the FIFTH reader of the store KS/PSI/W1/JS share, so
+    * a streaming monitor's alarm can be attributed from the same state
+    * it fired on. */
+  def w1AttributionFromCounts(counts: DataFrame, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val g = counts.where(col("v").isNotNull).groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val stats = g.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b", expr("(v - __mn) DIV ((__mx - __mn) DIV 1024 + 1)"))
+      // the ATTRIBUTION range this value's area term rolls up into
+      .withColumn("bucket",
+        expr(s"(v - __mn) DIV ((__mx - __mn) DIV $buckets + 1)"))
+      .withColumn("lo",
+        expr(s"__mn + bucket * ((__mx - __mn) DIV $buckets + 1)"))
+      .drop("__mn", "__mx")
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNxt = Window.orderBy(col("b"))
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"),
+        min(col("v")).as("__bmn"))
+      .withColumn("off_a", coalesce(sum(col("ba")).over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("bb")).over(wOff), lit(0L)))
+      .withColumn("__nxt", lead(col("__bmn"), 1).over(wNxt))
+      .select(col("b"), col("off_a"), col("off_b"), col("__nxt"))
+    val wLoc = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("b")).orderBy(col("v"))
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wLoc))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wLoc))
+      .withColumn("__nv", coalesce(lead(col("v"), 1).over(wLead), col("__nxt")))
+    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val perBucket = cum.crossJoin(broadcast(tot))
+      .withColumn("__term",
+        expr("""ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                - CAST(cum_b AS DECIMAL(38,0)) * n_a)
+                * (COALESCE(__nv, v) - v)"""))
+      .groupBy(col("bucket"), col("lo"))
+      .agg(coalesce(sum(col("ca")), lit(0L)).as("n_a_bucket"),
+        coalesce(sum(col("cb")), lit(0L)).as("n_b_bucket"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        coalesce(sum(col("__term")), lit(0).cast(DecimalType(38, 0)))
+          .as("__area"))
+    val totArea = perBucket.agg(
+      coalesce(sum(col("__area")), lit(0).cast(DecimalType(38, 0)))
+        .as("__ta_area"))
+    perBucket.crossJoin(broadcast(totArea))
+      // empty side → zero rows (the wasserstein1FromCounts convention)
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("bucket"), col("lo"),
+        col("n_a_bucket").as("n_a"), col("n_b_bucket").as("n_b"),
+        expr("""CASE WHEN __ta_area = 0 THEN 0
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __area)
+                  DIV __ta_area AS BIGINT) END""").as("contrib_micro"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * __ta_area)
+                  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("w1_micro"))
+  }
+
   /** [[wasserstein1]] per key group — the how-FAR drift slice dashboard
     * completing the keyed drift matrix ([[ksTwoSampleBy]] q206 = where,
     * [[psiBy]] q214 = how much): WHICH slice's distribution moved, and

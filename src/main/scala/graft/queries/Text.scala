@@ -4914,6 +4914,74 @@ object Text {
       |SELECT bucket, lo, n_a, n_b, share_a_micro, share_b_micro, term9, js6
       |FROM terms, sc""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+
+  /** q237: drift ATTRIBUTION over the source-length drift
+    * (`Profile.w1Attribution`) — the actionable layer on the q228 W1
+    * dial: W1 says how FAR the mass moved; this decomposes the same
+    * exact area integral over 16 equal-width length ranges, so the
+    * alarm comes with "WHICH lengths moved" (contrib_micro = each
+    * range's exact integer share of the area; a shift confined to one
+    * range attributes 10⁶ to exactly that range). Fifth reader of the
+    * same (v, ca, cb) distinct-value store the KS/PSI/W1/JS monitors
+    * share.
+    */
+  def q237DriftAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.w1Attribution(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("n_chars"), col("source")),
+      "n_chars", "source", "src0", "src1", buckets = 16)
+
+  val q237Sql: String =
+    """WITH base AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+      |    CAST(COUNT(1) - SUM(ia) AS BIGINT) AS cb
+      |  FROM base GROUP BY v
+      |),
+      |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM g),
+      |t AS (
+      |  SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na,
+      |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb
+      |  FROM g
+      |),
+      |c AS (
+      |  SELECT v, (v - mn) // ((mx - mn) // 16 + 1) AS bucket,
+      |    CAST(mn + ((v - mn) // ((mx - mn) // 16 + 1))
+      |      * ((mx - mn) // 16 + 1) AS BIGINT) AS lo,
+      |    ca, cb,
+      |    SUM(ca) OVER (ORDER BY v) AS cum_a,
+      |    SUM(cb) OVER (ORDER BY v) AS cum_b,
+      |    LEAD(v) OVER (ORDER BY v) AS nv
+      |  FROM g, st
+      |),
+      |tm AS (
+      |  SELECT bucket, lo, ca, cb,
+      |    ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+      |      * (COALESCE(nv, v) - v) AS term
+      |  FROM c, t
+      |),
+      |pb AS (
+      |  SELECT bucket, lo, CAST(SUM(ca) AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(COALESCE(SUM(term), 0) AS HUGEINT) AS area
+      |  FROM tm GROUP BY 1, 2
+      |),
+      |ta AS (SELECT CAST(COALESCE(SUM(area), 0) AS HUGEINT) AS tarea FROM pb)
+      |SELECT bucket, lo, n_a, n_b,
+      |  CAST(CASE WHEN tarea = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT) * area) // tarea END AS BIGINT)
+      |    AS contrib_micro,
+      |  CAST((CAST(1000000 AS HUGEINT) * tarea)
+      |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS w1_micro
+      |-- empty-SIDE guard mirror of w1AttributionFromCounts: zero rows
+      |FROM pb, ta, t WHERE na > 0 AND nb > 0""".stripMargin
+
   // ---------------------------------------------------------------- q235
 
   /** q235: per-language randomization test of the long-document-rate
@@ -5786,6 +5854,7 @@ object Text {
     QueryDef("q238_perm_test_mean", q238PermTestMean, Some(q238Sql)),
     QueryDef("q239_perm_test_mean_by_lang", q239PermTestMeanByLang, Some(q239Sql)),
     QueryDef("q236_js_drift", q236JsDrift, Some(q236Sql)),
+    QueryDef("q237_drift_attribution", q237DriftAttribution, Some(q237Sql)),
     QueryDef("q230_trend_by_source", q230TrendBySource, Some(q230Sql)),
     QueryDef("q231_ap_ci_bucketed", q231ApCiBucketed, Some(q231Sql)),
     QueryDef("q160_hard_negatives", q160HardNegatives, Some(q160Sql)),

@@ -1592,6 +1592,34 @@ class EvalOpsSpec extends SparkSpec {
       "the separated slice must floor its permutation p")
   }
 
+  test("w1Attribution: single-bucket shift attributes 100%, scalar matches wasserstein1") {
+    // both sides hold values 0..999 except B moves the mass at value 100
+    // to 110 — the whole CDF difference lives on [100, 110), inside
+    // attribution bucket 100 DIV 63 = 1 of 16 (width = 999 DIV 16 + 1)
+    val rows = (0 until 1000).map(v => (s"a$v", "A", v.toLong)) ++
+      (0 until 1000).map(v => (s"b$v", "B", if (v == 100) 110L else v.toLong))
+    val df = rows.toDF("id", "g", "v")
+    val out = Profile.w1Attribution(df, "v", "g", "A", "B", buckets = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.size == 16, s"all 16 observed buckets must emit: ${out.size}")
+    assert(out(1L)._4 == 1000000L,
+      s"the shifted bucket must carry 100% of the area: ${out(1L)}")
+    assert(out.filter(_._1 != 1L).values.forall(_._4 == 0L),
+      "untouched buckets must attribute zero")
+    // the riding scalar equals the wasserstein1 operator's w1_micro:
+    // area = 10 values × |Δcum|·tb = 10 × 1000 ⇒ 10⁶·10⁴/(10³·10³) = 10⁴
+    val w1 = Profile.wasserstein1(df, "v", "g", "A", "B")
+      .collect()(0).getLong(3)
+    assert(w1 == 10000L && out.values.forall(_._5 == w1),
+      s"attribution's riding w1_micro must equal wasserstein1's: $w1 vs ${out(1L)}")
+    // empty side → zero rows (the W1/KS convention)
+    val oneSided = Profile.w1Attribution(
+      rows.filter(_._2 == "A").toDF("id", "g", "v"), "v", "g", "A", "B")
+    assert(oneSided.count() == 0L, "an empty side must emit zero rows")
+  }
+
   test("permTestMean: separation floors p, null means p=1, negatives deterministic") {
     // perfect separation: A all value 1000, B all value 0 → d_obs =
     // 10⁹ micro; no coin reassignment of 200 rows reproduces |d| = 10⁹

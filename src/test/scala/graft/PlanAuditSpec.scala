@@ -189,6 +189,10 @@ class PlanAuditSpec extends SparkSpec {
     // min/max stats and totals frames (Profile.wasserstein1 — the q199
     // ksTwoSample shape, third reader of the same store)
     "q228_w1_drift",
+    // q237: the same W1 cumulative machinery plus the bounded 16-bucket
+    // rollup — 1-row stats/totals/total-area broadcast frames
+    // (Profile.w1Attribution, fifth reader of the same store)
+    "q237_drift_attribution",
     // q227: the BH layer crossJoins three broadcast 1-ROW frames — the
     // pooled totals, the distinct-p min/max bucket stats, and the step-up
     // threshold (Profile.bhFdr — the ksTwoSample drift-totals shape)
