@@ -1585,6 +1585,27 @@ object ScaleBench {
             .as("good")).head()
       require(disj.getLong(0) == nq && disj.getLong(1) == nq,
         s"RBO disjoint closed form failed: $disj")
+
+      // slice rollup + corpus deciles over the same identical-lists
+      // closed form: every slice must average exactly 10⁶ micro and
+      // every decile must read 10⁶ — gates the keyed rollup and the
+      // constant-key two-phase quantile at 1M queries / 100 slices.
+      val slices = spark.range(nq).select(col("id").as("query_id"),
+        (col("id") % 100).cast("string").as("slice"))
+      val by = operators.LmOps.rboBy(a, ranks(0L), slices, k = 10)
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("n_queries") === nq / 100 &&
+            col("mean_rbo_micro") === 1000000L &&
+            col("min_rbo_micro") === 1000000L &&
+            col("mean_agreement_micro") === 1000000L, 1)).as("good")).head()
+      require(by.getLong(0) == 100L && by.getLong(1) == 100L,
+        s"RBO slice rollup closed form failed: $by")
+      val dec = operators.LmOps.rboQuantiles(a, ranks(0L), k = 10,
+          qs = Seq(0.1, 0.5, 0.9))
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("value") === 1000000L, 1)).as("good")).head()
+      require(dec.getLong(0) == 3L && dec.getLong(1) == 3L,
+        s"RBO decile closed form failed: $dec")
     }
 
     // Randomization test at 10M rows × 8 resamples: perfect separation

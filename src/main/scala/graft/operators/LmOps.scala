@@ -409,6 +409,60 @@ object LmOps {
         col("rbo6"))
   }
 
+  /** Per-slice rollup of [[rbo]] — the dashboard twin: q234 emits one
+    * row per query, but "did the re-ranker move DE queries more than EN
+    * queries" needs the slice view. `slices` maps each query to ONE
+    * slice (inner join — unmapped queries drop; the caller owns the
+    * mapping's uniqueness). Means are exact integers: rbo6 is a round-6
+    * double, so rbo_micro = ROUND(rbo6·10⁶) is exact in both engines
+    * (the identical-expression-text discipline) and mean_rbo_micro =
+    * Σ rbo_micro DIV n — floor division, no doubles in the aggregate.
+    *
+    * Scale shape: the per-query pass is [[rbo]]'s (keyed joins, ≤k²
+    * bounded depth expansion); the rollup is one map-side-combinable
+    * groupBy on the slice key. Output (one row per slice): slice,
+    * n_queries, mean_rbo_micro, min_rbo_micro, max_rbo_micro,
+    * mean_agreement_micro.
+    */
+  def rboBy(a: DataFrame, b: DataFrame, slices: DataFrame, k: Int,
+      p: Double = 0.9, queryCol: String = "query_id",
+      docCol: String = "doc_id", rankCol: String = "rank",
+      sliceCol: String = "slice"): DataFrame = {
+    val per = rbo(a, b, k, p, queryCol, docCol, rankCol)
+      .withColumn("__rm", expr("CAST(ROUND(rbo6 * 1000000.0e0, 0) AS BIGINT)"))
+    per.join(slices.select(col(queryCol), col(sliceCol)), Seq(queryCol))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(col("__rm")), lit(0L)).as("__sm"),
+        coalesce(min(col("__rm")), lit(0L)).as("min_rbo_micro"),
+        coalesce(max(col("__rm")), lit(0L)).as("max_rbo_micro"),
+        coalesce(sum(col("agreement_k_micro")), lit(0L)).as("__sa"))
+      .select(col(sliceCol), col("n_queries"),
+        expr("__sm DIV n_queries").as("mean_rbo_micro"),
+        col("min_rbo_micro"), col("max_rbo_micro"),
+        expr("__sa DIV n_queries").as("mean_agreement_micro"))
+  }
+
+  /** Corpus-level distribution of [[rbo]] — exact quantiles of
+    * rbo_micro over every query, the one-glance "how much did the
+    * ranking move overall" view (the mean alone hides a bimodal
+    * half-moved/half-identical split that the deciles expose). Rides
+    * `Sketches.groupedQuantiles` with a constant key: fully
+    * distributed, two-phase histogram ranks, value at 0-indexed rank
+    * ⌊q·(n−1)⌋ — no driver collect, no global sort. Output (one row
+    * per requested quantile): q, value (rbo_micro at that rank).
+    */
+  def rboQuantiles(a: DataFrame, b: DataFrame, k: Int, qs: Seq[Double],
+      p: Double = 0.9, queryCol: String = "query_id",
+      docCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
+    require(qs.nonEmpty, "rboQuantiles needs at least one quantile")
+    val per = rbo(a, b, k, p, queryCol, docCol, rankCol)
+      .select(expr("CAST(ROUND(rbo6 * 1000000.0e0, 0) AS BIGINT)")
+        .as("rbo_micro"), lit(0).as("__all"))
+    Sketches.groupedQuantiles(per, "__all", "rbo_micro", qs)
+      .select(col("q"), col("value"))
+  }
+
   def rankingMetrics(truth: DataFrame, system: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
       rankCol: String = "rank"): DataFrame = {

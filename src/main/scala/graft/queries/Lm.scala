@@ -391,7 +391,11 @@ object Lm {
     * the overlap is partial and every depth term is non-trivial; all
     * joins/aggregates keyed by query, ≤k² bounded depth expansion.
     */
-  def q234Rbo(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The q234/q240/q241 ranking fixture: per-nation top-5 customers by
+    * balance (truth) vs by a deterministic hash proxy (system) — partial
+    * overlap, every depth term non-trivial. */
+  private def q234Rankings(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val cust = Tables.load(spark, sfDir, "customer")
       .select(col("c_nationkey").as("query_id"), col("c_custkey").as("doc_id"),
@@ -404,6 +408,11 @@ object Lm {
       .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000003L)), col("doc_id"))
     val system = cust.withColumn("rank", row_number().over(wS))
       .filter(col("rank") <= 5).drop("c_acctbal")
+    (truth, system)
+  }
+
+  def q234Rbo(spark: SparkSession, sfDir: String): DataFrame = {
+    val (truth, system) = q234Rankings(spark, sfDir)
     LmOps.rbo(truth, system, k = 5, p = 0.9)
   }
 
@@ -455,9 +464,77 @@ object Lm {
       |    + CAST(extt AS DECIMAL(24,9))), 0) AS DOUBLE), 6) AS rbo6
       |FROM tm GROUP BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+
+  /** q240: RBO rolled up per region (`LmOps.rboBy`) — the slice
+    * dashboard on q234's per-query rows: which REGION's rankings moved
+    * most under the hash-proxy re-ranker? Exact integer means
+    * (rbo_micro = ROUND(rbo6·10⁶), floor-DIV mean), one keyed rollup
+    * over the per-query pass.
+    */
+  def q240RboByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val (truth, system) = q234Rankings(spark, sfDir)
+    val slices = Tables.load(spark, sfDir, "nation")
+      .join(Tables.load(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("query_id"), col("r_name").as("slice"))
+    LmOps.rboBy(truth, system, slices, k = 5, p = 0.9)
+  }
+
+  val q240Sql: String =
+    s"""WITH perq AS ($q234Sql),
+       |rm AS (
+       |  SELECT query_id,
+       |    CAST(ROUND(rbo6 * 1000000.0e0, 0) AS BIGINT) AS rmm,
+       |    agreement_k_micro AS am
+       |  FROM perq
+       |),
+       |sl AS (
+       |  SELECT n_nationkey AS query_id, r_name AS slice
+       |  FROM nation JOIN region ON n_regionkey = r_regionkey
+       |),
+       |g AS (
+       |  SELECT slice, CAST(COUNT(1) AS BIGINT) AS n_queries,
+       |    CAST(SUM(rmm) AS BIGINT) AS sm,
+       |    CAST(MIN(rmm) AS BIGINT) AS min_rbo_micro,
+       |    CAST(MAX(rmm) AS BIGINT) AS max_rbo_micro,
+       |    CAST(SUM(am) AS BIGINT) AS sa
+       |  FROM rm JOIN sl USING (query_id) GROUP BY slice
+       |)
+       |SELECT slice, n_queries, sm // n_queries AS mean_rbo_micro,
+       |  min_rbo_micro, max_rbo_micro, sa // n_queries AS mean_agreement_micro
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q241
+
+  /** q241: corpus-level RBO distribution (`LmOps.rboQuantiles`) — exact
+    * quantiles of rbo_micro over every query, value at 0-indexed rank
+    * ⌊q·(n−1)⌋ through the distributed two-phase histogram (no driver
+    * step, no global sort); the deciles expose a bimodal
+    * moved/identical split the q240 means would hide.
+    */
+  def q241RboDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (truth, system) = q234Rankings(spark, sfDir)
+    LmOps.rboQuantiles(truth, system, k = 5,
+      qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+  }
+
+  val q241Sql: String =
+    s"""WITH perq AS ($q234Sql),
+       |v AS (SELECT CAST(ROUND(rbo6 * 1000000.0e0, 0) AS BIGINT) AS v FROM perq),
+       |n AS (SELECT COUNT(1) AS c FROM v),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q
+       |  FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) t(q))
+       |SELECT q, r.v AS value
+       |FROM qs JOIN r
+       |  ON r.rn = CAST(floor(q * ((SELECT c FROM n) - 1)) AS BIGINT) + 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q146_retrieval_metrics", q146RetrievalMetrics, Some(q146Sql)),
     QueryDef("q234_rbo", q234Rbo, Some(q234Sql)),
+    QueryDef("q240_rbo_by_region", q240RboByRegion, Some(q240Sql)),
+    QueryDef("q241_rbo_deciles", q241RboDeciles, Some(q241Sql)),
     QueryDef("q149_rouge2", q149Rouge, Some(q149Sql)),
     QueryDef("q167_chrf", q167Chrf, Some(q167Sql)),
     QueryDef("q85_html_extract", q85HtmlExtract, Some(q85Sql)),

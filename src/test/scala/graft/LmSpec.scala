@@ -210,6 +210,41 @@ class LmSpec extends SparkSpec {
     assert(got.getAs[Long]("n_common") == k.toLong)
   }
 
+  test("rboBy: exact integer slice means; unmapped queries drop") {
+    import spark.implicits._
+    def lists(rows: Seq[(Long, Long, Int)]) = rows.toDF("query_id", "doc_id", "rank")
+    // q1/q2 → slice s0 (identical + disjoint: mean = (10⁶+0) DIV 2),
+    // q3 → s1 (identical: mean = 10⁶); q9 has rankings but NO slice row
+    val a = lists(for (q <- Seq(1L, 2L, 3L, 9L); r <- 1 to 3)
+      yield (q, q * 10 + r, r))
+    val b = lists(for (q <- Seq(1L, 2L, 3L, 9L); r <- 1 to 3)
+      yield (q, if (q == 2L) 900 + r else q * 10 + r, r))
+    val slices = Seq((1L, "s0"), (2L, "s0"), (3L, "s1")).toDF("query_id", "slice")
+    val got = LmOps.rboBy(a, b, slices, k = 3)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet == Set("s0", "s1"), s"unmapped q9 must drop: $got")
+    assert(got("s0") == Seq(2L, 500000L, 0L, 1000000L, 500000L),
+      s"s0 must average the identical and disjoint queries exactly: ${got("s0")}")
+    assert(got("s1") == Seq(1L, 1000000L, 1000000L, 1000000L, 1000000L),
+      s"s1 is a single identical query: ${got("s1")}")
+  }
+
+  test("rboQuantiles: rank-at-floor(q(n-1)) over the per-query rbo_micro") {
+    import spark.implicits._
+    def lists(rows: Seq[(Long, Long, Int)]) = rows.toDF("query_id", "doc_id", "rank")
+    // 10 queries: 0..4 identical (rbo_micro 10⁶), 5..9 disjoint (0) —
+    // deciles pick rank floor(q·9): q=0.1→0 (value 0), q=0.5→4 (0),
+    // q=0.6→5 (10⁶), q=0.9→8 (10⁶)
+    val a = lists(for (q <- 0L until 10L; r <- 1 to 3) yield (q, q * 10 + r, r))
+    val b = lists(for (q <- 0L until 10L; r <- 1 to 3)
+      yield (q, if (q >= 5L) 900 + q * 10 + r else q * 10 + r, r))
+    val got = LmOps.rboQuantiles(a, b, k = 3,
+      qs = Seq(0.1, 0.5, 0.6, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.1 -> 0L, 0.5 -> 0L, 0.6 -> 1000000L, 0.9 -> 1000000L),
+      s"decile ranks must split the bimodal distribution: $got")
+  }
+
   test("rankingMetrics ignores ranks beyond k on both sides") {
     import spark.implicits._
     val truth = Seq((1L, 1L, 1), (1L, 2L, 9)).toDF("query_id", "doc_id", "rank")
