@@ -58,6 +58,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let AQE plan the SUBTREES UNDER persisted frames too (off by
+      // default only to keep cached output partitioning stable for
+      // downstream reuse): the shared/scoped caches (KN scores, shingle
+      // tables, quantile bases) otherwise materialize with the static
+      // shuffle-partition count and every cached-scan stage inherits it —
+      // partition counts should come from AQE's size estimates at ANY
+      // scale, not from a constant (guide §2: scale-adaptive partitioning)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // sf0.1 tables are single ~10-60MB files; smaller splits let the
       // CPU-dense expression work (GMFs, folds) use all local cores
       .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)

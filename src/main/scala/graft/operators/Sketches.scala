@@ -305,12 +305,27 @@ object Sketches {
       nBuckets: Int = 256): DataFrame = {
     val k = col(keyCol)
     val v = col(valueCol)
-    val ext = df.groupBy(keyCol).agg(
+    // The three data passes (extrema, histogram, rank-bucket selection)
+    // each re-evaluate `df`; when the input is anything beyond a pruned
+    // scan (a join, a whole upstream pipeline as in the rbo deciles), that
+    // triples the dominant cost. Persist the two-column projection once —
+    // scoped, so the bench/verify lifecycle drops it right after the query
+    // — and let all passes read the narrow cache. A bare scan/filter/
+    // project input stays unpersisted: re-reading two pruned parquet
+    // columns is cheaper than materializing them to storage at any scale.
+    val narrow = df.select(k, v)
+    val base =
+      if (cheapRescan(narrow)) narrow
+      else graft.core.CacheLife.scoped(narrow.persist())
+    val ext = base.groupBy(keyCol).agg(
       min(v).as("mn"), max(v).as("mx"), count(lit(1)).as("n"))
       .withColumn("w",
         greatest((col("mx") - col("mn")) / lit(nBuckets.toDouble),
           lit(java.lang.Double.MIN_NORMAL)))
-    val rows = df.join(ext, keyCol)
+    // ext is ≤ |keys| rows — broadcast it so the data side is NEVER
+    // shuffled for the bucket assignment (was a sort-merge join: one
+    // Exchange+Sort of the whole input per call)
+    val rows = base.join(broadcast(ext), keyCol)
       .withColumn("bucket",
         least(floor((v - col("mn")) / col("w")), lit(nBuckets - 1)).cast("int"))
       .select(k, v, col("bucket"))
@@ -321,15 +336,37 @@ object Sketches {
     val ranks = ext.select(k, col("n"))
       .withColumn("q", explode(array(qs.map(lit): _*)))
       .withColumn("k0", floor(col("q") * (col("n") - 1).cast("double")).cast("long"))
-    val targets = ranks.join(hb, keyCol)
+    // ranks (≤ |keys|·|qs| rows) vs hb (≤ |keys|·nBuckets rows): both
+    // histogram-sized; broadcasting the smaller keeps this join off the
+    // exchange path too
+    val targets = broadcast(ranks).join(hb, keyCol)
       .filter(col("below") <= col("k0") && col("k0") < col("below") + col("c"))
       .select(k, col("q"), col("bucket"), (col("k0") - col("below") + 1).as("rn"))
-    val winB = Window.partitionBy(k, col("bucket")).orderBy(v)
-    val ranked = rows
-      .join(targets.select(k, col("bucket")).distinct(), Seq(keyCol, "bucket"),
-        "left_semi")
-      .withColumn("rn", row_number().over(winB).cast("long"))
-    ranked.join(targets, Seq(keyCol, "bucket", "rn"))
+    // targets is ≤ |keys|·|qs| rows; ONE broadcast inner join both prunes
+    // rows to the rank-bearing buckets and attaches (q, rn) — the old
+    // semi-join + rank + second join shape paid two broadcast builds and
+    // re-ran the histogram subtree for each. A bucket holding several
+    // requested ranks duplicates its rows ≤|qs|×, so the rank window adds
+    // q to its partition key and the rn filter picks the order statistic.
+    val winB = Window.partitionBy(k, col("bucket"), col("q")).orderBy(v)
+    val out = rows.join(broadcast(targets), Seq(keyCol, "bucket"))
+      .withColumn("__rn", row_number().over(winB).cast("long"))
+      .filter(col("__rn") === col("rn"))
       .select(k, col("q"), v.as("value"))
+    // ≤ |keys|·|qs| rows; callers routinely reference the result once per
+    // quantile (lo/hi fence filters) — persist so each reference reads the
+    // tiny cache instead of re-running the whole two-phase machinery
+    graft.core.CacheLife.scoped(out.persist())
+  }
+
+  /** True when re-evaluating `df` is just a pruned scan (leaf / Filter /
+    * Project chain): such plans are cheaper to re-read than to persist.
+    * Anything with a join, aggregate, window, generate, union … is worth
+    * caching before a multi-pass consumer. */
+  private def cheapRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    df.queryExecution.optimizedPlan.find { p =>
+      !(p.isInstanceOf[LProject] || p.isInstanceOf[LFilter] || p.children.isEmpty)
+    }.isEmpty
   }
 }
