@@ -123,8 +123,15 @@ object LmOps {
       textCol: String = "text"): (DataFrame, DataFrame) = {
     val pairs = bigramPairs(corpus.select(lit(0L).as("__id"), col(textCol)),
       buckets, "__id", textCol)
-    val c2 = pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c"))
-    val c1 = pairs.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+    // persisted: c2 is read by the derived context totals AND the scorer's
+    // broadcast build — without the pin each reader re-tokenizes the corpus
+    // (broadcast builds never share subtrees). Bounded at B² rows.
+    val c2 = graft.core.CacheLife.scoped(
+      pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c")).persist())
+    // context totals roll up from the B²-bounded bigram table — a second
+    // tokenize-and-shuffle pass over the corpus computed the same number
+    // (Σ_b2 c(b1,b2) ≡ count of pairs with context b1; the knCounts shape)
+    val c1 = c2.groupBy(col("b1")).agg(sum(col("c")).as("c1"))
     (c2, c1)
   }
 
@@ -193,7 +200,11 @@ object LmOps {
       textCol: String = "text"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val pairs = bigramPairs(corpus.select(lit(0L).as("__id"), col(textCol)),
       buckets, "__id", textCol)
-    val c2 = pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c"))
+    // persisted: c2 feeds FOUR readers (c1n, rt, tv, and the scorer's
+    // broadcast) and each is built independently — the pin makes the
+    // corpus tokenize-and-count run once. Bounded at B² rows.
+    val c2 = graft.core.CacheLife.scoped(
+      pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c")).persist())
     val c1n = c2.groupBy(col("b1"))
       .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1pl"))
     val rt = c2.groupBy(col("b2")).agg(count(lit(1)).as("n1pr"))
@@ -255,8 +266,14 @@ object LmOps {
     val tok = corpus
       .select(col(labelCol).as("cls"), explode(TextOps.tokens(col(textCol))).as("__tok"))
       .select(col("cls"), bucket(col("__tok"), buckets).as("b"))
-    val cnt = tok.groupBy(col("cls"), col("b")).agg(count(lit(1)).as("c"))
-    val tot = tok.groupBy(col("cls")).agg(count(lit(1)).as("tc"))
+    // persisted: cnt is read by the derived class totals, the class list,
+    // and the dense-weights broadcast — one tokenize pass total. Bounded
+    // at classes × buckets rows.
+    val cnt = graft.core.CacheLife.scoped(
+      tok.groupBy(col("cls"), col("b")).agg(count(lit(1)).as("c")).persist())
+    // class totals roll up from the bounded (cls, b) count table instead
+    // of re-tokenizing the corpus (Σ_b c ≡ token count of the class)
+    val tot = cnt.groupBy(col("cls")).agg(sum(col("c")).as("tc"))
     val classes = tot.select(col("cls"))
     val dense = spark.range(buckets).select(col("id").as("b"))
       .crossJoin(broadcast(classes))
@@ -287,9 +304,15 @@ object LmOps {
     docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
       .select(col(idCol), bucket(col("__tok"), buckets).as("b"))
+      // collapse to per-doc term frequencies BEFORE attaching weights: the
+      // weights join multiplies every row by |classes|, so it must run on
+      // the (doc, bucket) tf table, not the raw token stream — Σ_tokens w
+      // ≡ Σ_buckets tf·w (same mean to well past the round-6 output)
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("__tf"))
       .join(broadcast(weights), Seq("b"))
       .groupBy(col(idCol), col("cls"))
-      .agg(sum(col("w")).as("__like"))
+      .agg(sum(col("__tf") * col("w")).as("__like"))
       .join(broadcast(priors), Seq("cls"))
       .select(col(idCol), col("cls"),
         round(col("prior") + col("__like"), 6).as("score"))
@@ -896,9 +919,14 @@ object LmOps {
     * [[binaryApCi]]/[[binaryApCiBy]] (each resample id is just one more
     * key). Same quantization contract and zero-SinglePartition shape as
     * [[binaryApBy]]. */
-  private def apByFromCounts(g: DataFrame, keys: Seq[String]): DataFrame = {
+  private def apByFromCounts(g0: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ks = keys.map(col)
+    // the count table is read by the extrema/total aggregate AND the
+    // bucket-assignment join; persisting it runs the upstream (for the
+    // bootstrap: the ×(resamples+1) expansion and its groupBy) exactly
+    // once — its size is the distinct-score table, bounded by contract
+    val g = graft.core.CacheLife.scoped(g0.persist())
     val stats = g.groupBy(ks: _*)
       .agg(min(col("score")).as("__mn"), max(col("score")).as("__mx"),
         sum(col("p")).as("__tp"), sum(col("p") + col("ng")).as("__tot"))
@@ -1024,8 +1052,12 @@ object LmOps {
     // the POINT estimate rides the same pass as resample −1 with weight 1
     // (its per-threshold terms equal binaryAp's exactly), so the whole
     // operator is ONE expansion + ONE keyed machinery run instead of two
-    // pipelines — measured ~2× on the fixed per-stage overhead
-    val aps = apCiResamples(base, Nil, resamples)
+    // pipelines — measured ~2× on the fixed per-stage overhead. The
+    // (resamples+1)-row result is persisted because BOTH the point filter
+    // and the variance aggregate read it — otherwise each branch re-runs
+    // the full expansion + keyed machinery
+    val aps = graft.core.CacheLife.scoped(
+      apCiResamples(base, Nil, resamples).persist())
     val point = aps.filter(col("__bs") === -1).drop("__bs")
     val ci = aps.filter(col("__bs") >= 0)
       .agg(count(lit(1)).as("b"),
@@ -1113,8 +1145,10 @@ object LmOps {
           expr(s"(score - __mn) DIV ((__mx - __mn) DIV $scoreBuckets + 1)"))
         .drop("__mn", "__mx")
     }
-    // point rides the same pass as resample −1 (see binaryApCi)
-    val aps = apCiResamples(base, keys, resamples)
+    // point rides the same pass as resample −1 (see binaryApCi); persisted
+    // for the same two-reader reason — ≤ |keys|·(resamples+1) rows
+    val aps = graft.core.CacheLife.scoped(
+      apCiResamples(base, keys, resamples).persist())
     val point = aps.filter(col("__bs") === -1).drop("__bs")
     val ci = aps.filter(col("__bs") >= 0)
       .groupBy(ks: _*)

@@ -1047,8 +1047,13 @@ object TextOps {
     val tok = corpus
       .select(isTarget.as("__t"), explode(tokens(col(textCol))).as("__tok"))
       .select(col("__t"), (tokenHash(col("__tok")) % buckets).as("b"))
-    val feat = tok.groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"), count(when(col("__t"), lit(1))).as("ct"))
+    // persisted: feat (≤ `buckets` rows) is read by the totals broadcast
+    // AND the dense left join — without the pin each build re-tokenizes
+    // the whole corpus
+    val feat = graft.core.CacheLife.scoped(
+      tok.groupBy(col("b"))
+        .agg(count(lit(1)).as("cr"), count(when(col("__t"), lit(1))).as("ct"))
+        .persist())
     val tots = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // DENSE over all bucket ids (the table is bounded at `buckets` rows by
     // construction): buckets unseen in the reference corpus carry the
