@@ -67,6 +67,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
+  /** [[load]] spread to at least the session's default parallelism — for
+    * queries whose dominant cost is map-side expression work straight off
+    * the scan (wide DECIMAL aggregates, per-row kernels): a single-row-
+    * group parquet file is ONE split, pinning that work to one core.
+    * No-op when the input already carries enough splits (real clusters,
+    * multi-file tables), so the at-scale plan is unchanged. */
+  def loadPar(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Plans.ensureMinPartitions(load(spark, sfDir, name),
+      spark.sparkContext.defaultParallelism)
+
   /** `events` with `ts` normalized to epoch-nanosecond longs, whatever the
     * parquet physical type. Older testdata generations wrote TIMESTAMP(NANOS)
     * (read as ns-longs under nanosAsLong); current ones write timestamp[us],

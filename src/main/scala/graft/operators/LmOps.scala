@@ -86,7 +86,11 @@ object LmOps {
   def htmlExtract(docs: DataFrame, htmlCol: String = "html",
       idCol: String = "doc_id", minWords: Int = 5, linkRatio: Int = 4): DataFrame = {
     val ex = htmlText(col(htmlCol), minWords, linkRatio)
-    docs.select(col(idCol), ex.getField("text").as("text"),
+    // regex-cascade CPU with no shuffle below it — spread a single-split
+    // input across cores (no-op when splits suffice)
+    val docsPar = graft.core.Plans.ensureMinPartitions(docs,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    docsPar.select(col(idCol), ex.getField("text").as("text"),
       ex.getField("n_blocks").cast("long").as("n_blocks"),
       ex.getField("n_kept").cast("long").as("n_kept"))
   }
@@ -103,7 +107,11 @@ object LmOps {
   private def bigramPairs(docs: DataFrame, buckets: Int, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    docs
+    // tokenize+hash is the CPU of every LM pass and runs BEFORE the first
+    // exchange — a single-split input would pin it to one core (no-op on
+    // inputs with enough splits; the Inversion.invert convention)
+    graft.core.Plans.ensureMinPartitions(docs,
+        docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), transform(toks, t => bucket(t, buckets)).as("__bs"))
       // pair each bucket with its successor; the last position has a null
       // successor (get() tolerates the out-of-range index under ANSI mode)
@@ -263,7 +271,8 @@ object LmOps {
   def nbTrain(corpus: DataFrame, labelCol: String, buckets: Int = 4096,
       alpha: Double = 0.5, textCol: String = "text"): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val tok = corpus
+    val tok = graft.core.Plans.ensureMinPartitions(corpus,
+        corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(labelCol).as("cls"), explode(TextOps.tokens(col(textCol))).as("__tok"))
       .select(col("cls"), bucket(col("__tok"), buckets).as("b"))
     // persisted: cnt is read by the derived class totals, the class list,
@@ -301,7 +310,8 @@ object LmOps {
       buckets: Int = 4096, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
+    graft.core.Plans.ensureMinPartitions(docs,
+        docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
       .select(col(idCol), bucket(col("__tok"), buckets).as("b"))
       // collapse to per-doc term frequencies BEFORE attaching weights: the

@@ -1044,7 +1044,8 @@ object TextOps {
   def dsirWeights(corpus: DataFrame, isTarget: Column, buckets: Int = 8192,
       alpha: Double = 0.5, textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
-    val tok = corpus
+    val tok = graft.core.Plans.ensureMinPartitions(corpus,
+        corpus.sparkSession.sparkContext.defaultParallelism)
       .select(isTarget.as("__t"), explode(tokens(col(textCol))).as("__tok"))
       .select(col("__t"), (tokenHash(col("__tok")) % buckets).as("b"))
     // persisted: feat (≤ `buckets` rows) is read by the totals broadcast
@@ -1074,7 +1075,8 @@ object TextOps {
     * aggregation collapses map-side. */
   def dsirScoreAgainst(docs: DataFrame, weights: DataFrame, buckets: Int = 8192,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Plans.ensureMinPartitions(docs,
+        docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .select(col(idCol), (tokenHash(col("__tok")) % buckets).as("b"))
       .join(broadcast(weights), "b")

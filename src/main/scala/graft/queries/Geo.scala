@@ -17,7 +17,10 @@ object Geo {
 
   /** q10: CMOD5N copol GMF evaluated per pixel as a codegen'd expression. */
   def q10Cmod5n(spark: SparkSession, sfDir: String): DataFrame = {
-    val sc = SceneDef.scene(spark, sfDir)
+    // per-pixel expression work — spread the single-split cached scene
+    // across cores (no-op when the input already has enough partitions)
+    val sc = graft.core.Plans.ensureMinPartitions(
+      SceneDef.scene(spark, sfDir), spark.sparkContext.defaultParallelism)
     sc.select(
       col("okey"), col("lnum"),
       r6(Directions.toDb(GmfColumns.cmod5n(col("incidence"), col("wspd"), col("phi"))))
@@ -34,7 +37,10 @@ object Geo {
 
   /** q11: VH (crosspol) GMFs — sigmoid-blend family + the dummy power law. */
   def q11VhGmfs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sc = SceneDef.scene(spark, sfDir)
+    // per-pixel expression work — spread the single-split cached scene
+    // across cores (no-op when the input already has enough partitions)
+    val sc = graft.core.Plans.ensureMinPartitions(
+      SceneDef.scene(spark, sfDir), spark.sparkContext.defaultParallelism)
     sc.select(
       col("okey"), col("lnum"),
       r6(Directions.toDb(GmfColumns.s1V2(col("incidence"), col("wspd_vh")))).as("s1_v2_db"),
@@ -50,7 +56,10 @@ object Geo {
 
   /** q12: direction-convention conversions E1-E6 (detrend.py:96-201). */
   def q12Directions(spark: SparkSession, sfDir: String): DataFrame = {
-    val sc = SceneDef.scene(spark, sfDir)
+    // per-pixel expression work — spread the single-split cached scene
+    // across cores (no-op when the input already has enough partitions)
+    val sc = graft.core.Plans.ensureMinPartitions(
+      SceneDef.scene(spark, sfDir), spark.sparkContext.defaultParallelism)
     val dirMeteo = (col("okey") % 360).cast("double")
     sc.select(
       col("okey"), col("lnum"),

@@ -36,7 +36,10 @@ object Models {
     * evaluated over the scene.
     */
   def q19Dsig(spark: SparkSession, sfDir: String): DataFrame = {
-    val sc = SceneDef.scene(spark, sfDir)
+    // per-pixel GMF + dsig expression work — spread the single-split
+    // cached scene across cores (no-op with enough input partitions)
+    val sc = graft.core.Plans.ensureMinPartitions(
+      SceneDef.scene(spark, sfDir), spark.sparkContext.defaultParallelism)
     val sigma0Cr = GmfColumns.s1V2(col("incidence"), col("wspd_vh"))
     sc.select(
       col("okey"), col("lnum"),

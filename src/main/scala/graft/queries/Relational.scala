@@ -21,7 +21,9 @@ object Relational {
 
   /** q01: TPC-H Q1-style pricing summary — scan+filter+groupBy agg. */
   def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    // decimal-aggregate map CPU straight off the scan — parallelize a
+    // single-split input (no-op at scale; Tables.loadPar)
+    val lineitem = Tables.loadPar(spark, sfDir, "lineitem")
     lineitem
       .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -173,7 +175,7 @@ object Relational {
     */
   def q53Rollup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val lineitem = Tables.loadPar(spark, sfDir, "lineitem")
     val base = lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -227,7 +229,7 @@ object Relational {
     * produced BY the cube from a null grouping value.
     */
   def q114Cube(spark: SparkSession, sfDir: String): DataFrame = {
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val lineitem = Tables.loadPar(spark, sfDir, "lineitem")
     lineitem
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(

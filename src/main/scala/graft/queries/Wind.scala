@@ -44,7 +44,11 @@ object Wind {
     * re-expresses the kernel as a cross join + lexicographic arg_min.
     */
   def q15InvertCrosspol(spark: SparkSession, sfDir: String): DataFrame = {
-    val sc = SceneDef.scene(spark, sfDir)
+    // the forward-model GMF below runs BEFORE the dedup shuffle — spread
+    // the single-split cached scene so it isn't single-core (the kernel
+    // itself already parallelizes inside Inversion.invert)
+    val sc = graft.core.Plans.ensureMinPartitions(
+      SceneDef.scene(spark, sfDir), spark.sparkContext.defaultParallelism)
     val luts = Inversion.buildLuts(spark, None, Some("gmf_s1_v2"), highRes = true)
     val nan = lit(Double.NaN)
     // (okey, lnum) is not unique in the generated lineitem — dedupe the
