@@ -702,14 +702,24 @@ object LmOps {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = queries.select(col("term")).distinct()
-    val toks = docs.select(col(idCol),
-      size(TextOps.tokens(col(textCol))).as("dl"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+    // tokenize ONCE per row into an array column, then derive dl and the
+    // explode from it (two separate tokens() calls evaluated the split
+    // twice per row); spread a single-split input across cores first
+    val docsPar = graft.core.Plans.ensureMinPartitions(docs,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val toks = docsPar
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
     val matched = toks.join(broadcast(terms), Seq("term"))
-    val tf = matched.groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // query-vocab × matching-docs bounded, and read by BOTH the df rollup
+    // broadcast and the scoring join — pinned so the corpus tokenize runs
+    // once, not once per reader
+    val tf = graft.core.CacheLife.scoped(
+      matched.groupBy(col(idCol), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")).persist())
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n"),
+    val stats = docsPar.agg(count(lit(1)).as("n"),
       avg(size(TextOps.tokens(col(textCol)))).as("avgdl"))
     val perTerm = tf
       .join(broadcast(df), Seq("term"))

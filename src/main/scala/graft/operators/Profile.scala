@@ -25,6 +25,15 @@ object Profile {
     * round(double) tie hazards. Columns must be numeric with ≤2
     * meaningful decimals (the TPC-H money/quantity shape).
     */
+
+  /** Query-scoped persist of a BOUNDED intermediate (distinct-value /
+    * bucket-table sized) read by several plan branches — broadcast builds
+    * and filter branches never share subtrees, so without the pin each
+    * reader re-runs the whole upstream. Released by the bench/verify
+    * cache lifecycle right after the query. */
+  private def pin(df: DataFrame): DataFrame =
+    graft.core.CacheLife.scoped(df.persist())
+
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     // TWO aggregation passes, not one: mixing countDistinct with plain
@@ -1028,7 +1037,10 @@ object Profile {
       s"input columns may not collide with internals: ${reserved.mkString("/")}")
     val base = df.where(col(pMicroCol).isNotNull)
       .withColumn("__pm", col(pMicroCol).cast("long"))
-    val g = base.groupBy(col("__pm")).agg(count(lit(1)).as("__cnt"))
+    // distinct-p sized (≤10⁶ rows by the micro-unit domain) and read by
+    // the stats broadcast AND the bucket pipeline — pinned so the caller's
+    // upstream (typically a computed per-slice p table) runs once
+    val g = pin(base.groupBy(col("__pm")).agg(count(lit(1)).as("__cnt")))
     val stats = g.agg(min(col("__pm")).as("__mn"), max(col("__pm")).as("__mx"),
       coalesce(sum(col("__cnt")), lit(0L)).as("m"))
     val bucketed = g.crossJoin(broadcast(stats.select(col("__mn"), col("__mx"))))
@@ -1042,10 +1054,12 @@ object Profile {
       .select(col("__b"), col("__off"))
     val wLoc = Window.partitionBy(col("__b")).orderBy(col("__pm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = bucketed.join(broadcast(offsets), "__b")
+    // same size as g; read by the step-up threshold aggregate AND the
+    // final row-level join
+    val ranked = pin(bucketed.join(broadcast(offsets), "__b")
       .withColumn("bh_rank", col("__off") + sum(col("__cnt")).over(wLoc))
       .crossJoin(broadcast(stats.select(col("m"))))
-      .select(col("__pm"), col("bh_rank"), col("m"))
+      .select(col("__pm"), col("bh_rank"), col("m")))
     val thr = ranked
       .agg(max(when(col("__pm") * col("m") <= lit(alphaMicro) * col("bh_rank"),
         col("__pm"))).as("__thr"))

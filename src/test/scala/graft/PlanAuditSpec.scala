@@ -348,11 +348,22 @@ class PlanAuditSpec extends SparkSpec {
     // eagerly at construction and never appear in the query plan)
     for (name <- Seq("q57_quality_filter", "q60_stratified_sample", "q62_decode_pool",
         "q75_png_roundtrip", "q77_jpeg_dc", "q78_flac_roundtrip", "q83_pii_scrub",
-        "q84_jpeg_color", "q85_html_extract", "q91_url_canon", "q92_normalize",
+        "q84_jpeg_color", "q91_url_canon", "q92_normalize",
         "q193_pca_project", "q194_kmeans_assign")) {
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name plans an Exchange — map-side decision queries must not shuffle")
+    }
+    // q85: the regex cascade is the heaviest per-row kernel of the set, so
+    // it spreads a single-split input across cores (Plans.ensureMinPartitions
+    // — the guide's one-huge-unsplittable-file remedy, a no-op whenever the
+    // scan already carries enough splits). The ONLY exchange allowed is
+    // that round-robin; a hash/range exchange would still be a regression.
+    locally {
+      val plan = planOf("q85_html_extract")
+      val other = "Exchange (?!RoundRobinPartitioning)".r.findFirstIn(plan)
+      assert(other.isEmpty,
+        s"q85_html_extract plans a non-round-robin Exchange — map-side decisions must not shuffle by key")
     }
   }
 
