@@ -1127,7 +1127,11 @@ object TextOps {
       zip_with(toks, sequence(lit(1), size_(toks)), (t, i) => struct(t.as("t"),
         hashUnit(concat_ws("#", col(idCol), lit(epoch), i)).as("u"))),
       p => p.getField("u") >= rate)
-    docs.select(col(idCol),
+    // per-token md5 coins with no shuffle below — spread a single-split
+    // input across cores (no-op when splits suffice)
+    graft.core.Plans.ensureMinPartitions(docs,
+        docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
       size_(toks).as("n_tokens"),
       size_(kept).as("n_kept"),
       concat_ws(" ", transform(kept, p => p.getField("t"))).as("augmented_text"))

@@ -50,7 +50,9 @@ object Relational {
 
   /** q02: 5-way join, dims broadcast — revenue by nation and order status. */
   def q02JoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    // the fact side of the broadcast joins + the revenue DECIMAL math is
+    // map CPU straight off the scan — parallelize single-split input
+    val lineitem = Tables.loadPar(spark, sfDir, "lineitem")
     val orders   = Tables.load(spark, sfDir, "orders")
     val customer = Tables.load(spark, sfDir, "customer")
     val nation   = Tables.load(spark, sfDir, "nation")
@@ -79,7 +81,7 @@ object Relational {
 
   /** q03: top-20 customers by exact revenue (deterministic tie-break). */
   def q03TopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val lineitem = Tables.loadPar(spark, sfDir, "lineitem")
     val orders   = Tables.load(spark, sfDir, "orders")
     val customer = Tables.load(spark, sfDir, "customer")
     lineitem
