@@ -46,14 +46,33 @@ object Plans {
 
   /** Repartition `df` up to at least `minPar` output partitions — used ahead
     * of CPU-bound per-row kernels that would otherwise inherit a single file
-    * split's parallelism. Reads the physical plan's output partitioning
-    * (planning only — unlike `.rdd`, no RDD lineage is materialized).
-    * On a real cluster with many input splits this is a no-op.
+    * split's parallelism.
+    *
+    * The no-op-at-scale gate reads the ACTUAL planned split count of the
+    * plan's parquet scan leaves (`FileSourceScanExec.execute()` builds the
+    * FileScanRDD on the driver — planning work only, no job runs). A
+    * non-bucketed scan's `outputPartitioning` is `UnknownPartitioning(0)`
+    * regardless of how many splits it carries (ADVICE r19), so gating on it
+    * made every call site repartition unconditionally — a pure regression
+    * on real multi-split inputs. With the split-count gate, an input that
+    * already fans out to `minPar` map tasks (any real multi-file table at
+    * scale) passes through unchanged; only genuinely split-starved inputs
+    * (the local single-row-group bench files) pay the round-robin spread.
+    * Frames with no file-scan leaves (cached/in-memory inputs) keep the old
+    * partitioning-based gate.
     */
-  def ensureMinPartitions(df: DataFrame, minPar: Int): DataFrame =
-    if (df.queryExecution.executedPlan.outputPartitioning.numPartitions < minPar)
-      df.repartition(minPar)
-    else df
+  def ensureMinPartitions(df: DataFrame, minPar: Int): DataFrame = {
+    def partitioned = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val planned =
+      try {
+        val scanParts = df.queryExecution.sparkPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.execute().getNumPartitions
+        }
+        if (scanParts.nonEmpty) scanParts.max else partitioned
+      } catch { case _: Throwable => partitioned }
+    if (planned < minPar) df.repartition(minPar) else df
+  }
 }
 
 /** Loader for the driver-provided TPC-H-ish parquet tables (TESTDATA.md). */

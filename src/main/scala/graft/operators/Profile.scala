@@ -159,10 +159,20 @@ object Profile {
     * groupBy — key columns only ever shuffle.
     */
   def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame =
-    df.select(col(lhs), col(rhs)).distinct()
-      .groupBy(col(lhs)).agg(count(lit(1)).as("__n"))
+    // a key violates lhs → rhs iff it sees ≥2 distinct rhs values —
+    // equivalently min(rhs) ≠ max(rhs), or both a null and a non-null rhs
+    // (min/max skip nulls; the null/non-null case keeps the DISTINCT-pair
+    // semantics this used to compute). min/max/count are all map-side
+    // combinable, so the check is ONE exchange of |distinct lhs| partial
+    // rows — the previous distinct-pairs pass shuffled every (lhs, rhs)
+    // pair and then re-shuffled the pair table to regroup by lhs.
+    df.groupBy(col(lhs))
+      .agg(min(col(rhs)).as("__mn"), max(col(rhs)).as("__mx"),
+        count(col(rhs)).as("__nn"), count(lit(1)).as("__all"))
       .agg(count(lit(1)).as("n_keys"),
-        coalesce(sum(when(col("__n") > 1, 1L)), lit(0L)).as("n_violations"))
+        coalesce(sum(when(col("__mn") =!= col("__mx") ||
+          (col("__nn") > 0 && col("__nn") < col("__all")), 1L)), lit(0L))
+          .as("n_violations"))
 
   /** Inclusion-dependency check a.acol ⊆ b.bcol: one row with a's distinct
     * key count and the ORPHANS (a-keys absent from b) — the
@@ -171,11 +181,18 @@ object Profile {
     */
   def inclusionOrphans(a: DataFrame, acol: String, b: DataFrame,
       bcol: String): DataFrame = {
-    val ak = a.select(col(acol).as("__k")).distinct()
-    val orphans = ak.join(b.select(col(bcol).as("__k")).distinct(),
-      Seq("__k"), "left_anti")
-    ak.agg(count(lit(1)).as("n_keys"))
-      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_violations"))))
+    // membership flags via ONE tagged-union groupBy (map-side combinable)
+    // instead of two distinct exchanges + an anti-join: per key, did it
+    // appear in a, in b, or both. A null a-key stays an orphan (a null key
+    // never equi-joins — the previous left_anti semantics).
+    val keys = a.select(col(acol).as("__k"), lit(1).as("__s"))
+      .unionAll(b.select(col(bcol).as("__k"), lit(2).as("__s")))
+      .groupBy(col("__k"))
+      .agg(max(col("__s") === 1).as("__in_a"), max(col("__s") === 2).as("__in_b"))
+    keys.agg(
+      coalesce(sum(when(col("__in_a"), 1L)), lit(0L)).as("n_keys"),
+      coalesce(sum(when(col("__in_a") &&
+        (!col("__in_b") || col("__k").isNull), 1L)), lit(0L)).as("n_violations"))
   }
 
   /** Per-group winsorization — the REPAIR companion of [[madOutliers]]:

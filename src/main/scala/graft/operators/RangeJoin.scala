@@ -62,10 +62,17 @@ object RangeJoin {
              else bucketWidth
     require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
+    // the bucket-local candidate work (join + residual filter + whatever
+    // the caller aggregates) runs in the STREAMED side's map stage when
+    // the other side broadcasts — a split-starved input pins it to one
+    // core (r20 probe: the whole q23 join ran as 1 task). Spread both
+    // sides; no-op on any multi-split input (split-count gate).
+    val minPar = points.sparkSession.sparkContext.defaultParallelism
     // empty/inverted intervals ([s, e) with e <= s) contain no point and
     // would explode to a DESCENDING bucket sequence (spurious buckets);
     // drop them before the expansion — exactly the half-open semantics
-    val p = points.withColumn("__bucket", expr(s"$ptCol DIV $bw"))
+    val p = graft.core.Plans.ensureMinPartitions(points, minPar)
+      .withColumn("__bucket", expr(s"$ptCol DIV $bw"))
     val iv = intervals.where(col(endCol) > col(startCol))
       .withColumn("__bucket",
         explode(sequence(expr(s"$startCol DIV $bw"),
@@ -105,11 +112,19 @@ object RangeJoin {
     else bucketWidth
     require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
-    val l = left.where(col(lEnd) > col(lStart))
+    // same single-task hazard as pointInInterval: the bucket-local pair
+    // work runs in the streamed side's map stage (r20 probe: q142 ran as
+    // 1 task, 3.6 executor-seconds on one core). Spread both sides —
+    // whichever ends up streamed carries the candidate loop; no-op on
+    // multi-split inputs (split-count gate).
+    val minPar = left.sparkSession.sparkContext.defaultParallelism
+    val left2 = graft.core.Plans.ensureMinPartitions(left, minPar)
+    val right2 = graft.core.Plans.ensureMinPartitions(right, minPar)
+    val l = left2.where(col(lEnd) > col(lStart))
       .withColumn("__bucket",
         explode(sequence(expr(s"$lStart DIV $bw"),
           expr(s"($lEnd - 1) DIV $bw"))))
-    val r = right.where(col(rEnd) > col(rStart))
+    val r = right2.where(col(rEnd) > col(rStart))
       .withColumn("__bucket",
         explode(sequence(expr(s"$rStart DIV $bw"),
           expr(s"($rEnd - 1) DIV $bw"))))

@@ -66,8 +66,12 @@ object Multimedia {
   def q108VideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Video
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread the single-split corpus before the per-frame encode kernel
+    // (the q139/q123 convention — r20 probe: the 4·|docs| JPEG encodes ran
+    // as ONE task without it; no-op on a many-split corpus)
+    val docs = graft.core.Plans.ensureMinPartitions(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+      spark.sparkContext.defaultParallelism).as[(Long, String)]
     val frames = docs.flatMap { case (id, text) =>
       val b = text.getBytes("UTF-8")
       (0 until 4).map { k =>

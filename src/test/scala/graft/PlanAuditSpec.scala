@@ -105,9 +105,9 @@ class PlanAuditSpec extends SparkSpec {
     // q166: bucket shares and the TV summary crossJoin broadcast totals —
     // all build sides BOUNDED at 1 row (Profile.bucketDrift)
     "q166_bucket_drift",
-    // q170: each inclusion check crossJoins its broadcast orphan-count
-    // row BOUNDED at 1 row (Profile.inclusionOrphans)
-    "q170_dependency_profile",
+    // (q170 left this list when inclusionOrphans became a single
+    // tagged-union membership aggregate — the orphan-count crossJoin no
+    // longer exists)
     // q171: the decay weights crossJoin the broadcast reference-day row
     // BOUNDED at 1 row (Sketches.halfLifeScore)
     "q171_half_life_trend",
