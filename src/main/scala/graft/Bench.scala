@@ -251,9 +251,9 @@ object Bench {
         "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
         ",\"in_mb\":" + r.cacheInMb + "}"
     }.mkString("{", ",", "}")
-    // anomaly records ride the STDOUT line (the driver's artifact): one per
-    // query whose min exceeded 2× its committed prior-round value, carrying
-    // rep times, GC deltas, winning rep, and a named cause heuristic
+    // anomaly records (one per query whose min exceeded 2× its committed
+    // prior-round value) carry rep times, GC deltas, winning rep, and a
+    // named cause heuristic — full records in the snapshot, count on the line
     def cause(r: QRes): String = {
       val winGc = r.repGcMs(r.winRep - 1)
       val p = prior.getOrElse(r.name, 0.0)
@@ -275,99 +275,100 @@ object Bench {
       else "?"
     }
     def csKey(n: String): String = short(n).stripPrefix("q")
-    // full anomaly records (rep times, GC, winner, cause) go to the
-    // committed snapshot; the STDOUT line carries the slim signal form
-    // "name":[min, prior, "cause"] — the driver's tail is the scarce
-    // resource and the per-query map has first claim on it
+    // anomaly records (rep times, GC, winner, retry, cause) go ONLY to the
+    // committed snapshot since r20 — in r19 the slim stdout copies
+    // displaced 7 per-query map entries (qtrunc: 7); the line now carries
+    // just the counts ("anomn"/"watchn") so the map always has the budget
     val anomRecsAll = results.filter(_.extraRep).sortBy(-_.min).map { r =>
-      // 4th slim element = the END-OF-SESSION retry (seconds): retry ≈
-      // prior refutes the spike (env confirmed); retry ≈ min says the
-      // slowdown reproduces outside the spike's moment — code-side
+      // retry = the END-OF-SESSION rerun (seconds): retry ≈ prior refutes
+      // the spike (env confirmed); retry ≈ min says the slowdown
+      // reproduces outside the spike's moment — code-side
       val retry = retrySecs.getOrElse(r.name, 0.0)
-      ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
-        fmt2(prior.getOrElse(r.name, 0.0)) + ",\"" + cause(r) + "\"," +
-        fmt2(retry) + "]",
-        "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
-          "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
-          ",\"retry\":" + fmt2(retry) + ",\"cause\":\"" + cause(r) + "\"}")
+      "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
+        "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"win\":" + r.winRep +
+        ",\"p\":" + fmt2(prior.getOrElse(r.name, 0.0)) +
+        ",\"retry\":" + fmt2(retry) + ",\"cause\":\"" + cause(r) + "\"}"
     }
     // WATCH tier (r15 verdict): sub-anomaly creep — min ≥ 1.5× the
     // committed prior AND ≥ 0.5 s, but under the 2× extra-rep trigger —
-    // gets a record (no inline extra rep, but an end-of-session retry
-    // like the anom tier: r18 verdict) so q93-class drift self-reports
-    // AND self-adjudicates from the artifact instead of sailing two
-    // hundredths under the alarm. Stdout slim form
-    // "name":[min, prior, cause, retry]; full reps + the machine-derived
-    // cause in the snapshot.
+    // gets a snapshot record (no inline extra rep, but an end-of-session
+    // retry like the anom tier: r18 verdict) so q93-class drift
+    // self-reports AND self-adjudicates from the artifact instead of
+    // sailing two hundredths under the alarm.
     val watchRecsAll = results.filter(isWatch).sortBy(-_.min).map { r =>
       val retry = retrySecs.getOrElse(r.name, 0.0)
-      ("\"" + csKey(r.name) + "\":[" + fmt2(r.min) + "," +
-        fmt2(prior(r.name)) + ",\"" + watchCause(r) + "\"," + fmt2(retry) + "]",
-        "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
-          "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"p\":" + fmt2(prior(r.name)) +
-          ",\"retry\":" + fmt2(retry) + ",\"cause\":\"" + watchCause(r) + "\"}")
+      "\"" + short(r.name) + "\":{\"s\":[" + r.repSecs.map(fmt2).mkString(",") +
+        "],\"gc\":[" + r.repGcMs.mkString(",") + "],\"p\":" + fmt2(prior(r.name)) +
+        ",\"retry\":" + fmt2(retry) + ",\"cause\":\"" + watchCause(r) + "\"}"
     }
-    val anomFull = anomRecsAll.map(_._2).mkString("{", ",", "}")
-    val watchFull = watchRecsAll.map(_._2).mkString("{", ",", "}")
+    val anomFull = anomRecsAll.mkString("{", ",", "}")
+    val watchFull = watchRecsAll.mkString("{", ",", "}")
     val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_.min).sum
-    val cal = s""""cal":[${fmt2(calSpark)},${fmt2(calCpu)}]"""
-    // STDOUT LINE LAYOUT (the driver keeps a 2000-char stdout tail and
-    // sbt appends a ~75-byte trailer; the whole line budgets at 1900 —
-    // under the derived 1915 for margin):
-    //  1. fixed head — metric/value/unit, "qfmt":"csv" — "queries" is ONE
-    //     JSON STRING of comma-separated name:centisec pairs, names
-    //     dropping the leading 'q' and the suffix (collision-checked up
-    //     front). r16's per-entry JSON object ("93":262) cost 2 quote
-    //     bytes per query; at 206 queries the object alone was 1775 B, so
-    //     ANY telemetry displaced map entries (BENCH_r16 qtrunc: 32). The
-    //     string form is ~1370 B for the same content — the complete map
-    //     AND a full 250-byte telemetry load fit with ~230 B to spare;
-    //  2. the COMPLETE per-query string — first claim on the budget,
-    //     fastest entries dropped only if it genuinely can't fit
-    //     ("qtrunc" records how many — expected 0 from here on);
-    //  3. slim anom/watch telemetry into a 250-byte sub-budget
-    //     (slowest-first, whole records; the snapshot carries them all).
+    // host telemetry in the cal block (r19 verdict): logical core count and
+    // 1-min load average, so a local[32]-on-fewer-cores oversubscription or
+    // a busy host is attributable from the artifact alone
+    val physCores = Runtime.getRuntime.availableProcessors()
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cal =
+      s""""cal":[${fmt2(calSpark)},${fmt2(calCpu)},$physCores,${fmt2(load1m)}]"""
+    // STDOUT LINE LAYOUT (the driver keeps a 2000-char stdout tail, parses
+    // the JSON line found in it, and sbt appends a ~75-byte trailer; the
+    // whole line budgets at 1900 — under the derived 1915 for margin):
+    //  1. fixed head — metric/value/unit/cal/failed/sf and the anom/watch
+    //     COUNTS ("anomn"/"watchn"; the full records live only in the
+    //     committed snapshot since r20 — they displaced 7 map entries in
+    //     r19);
+    //  2. "queries" — the driver-contract JSON OBJECT mapping FULL query
+    //     names to seconds, filled SLOWEST-FIRST with as many entries as
+    //     the budget allows. The full-name map for all 231 queries is
+    //     ~5.6 KB and a 2000-char tail cannot carry it (r19 verdict asked
+    //     for the full map + qtrunc 0: arithmetically impossible
+    //     together), so the object carries the slow tier the comparator
+    //     needs most and "qrest" (next) completes the line;
+    //  3. "qrest" — every query NOT in the object, as the r17-19 compact
+    //     csv string "id:centiseconds" (id = query number sans 'q'/suffix,
+    //     collision-checked up front), so the LINE still reports all
+    //     queries: "qtrunc" counts queries missing from BOTH (expected 0;
+    //     fastest-first drops only if the line genuinely cannot fit).
     // The committed bench_rNN.json keeps every query under its full name
-    // at 3-decimal seconds plus full rep/GC/cache telemetry.
+    // at 3-decimal seconds plus full rep/GC/cache/anom/watch telemetry.
     val head =
-      s""""metric":"total","value":${fmt2(total)},"unit":"sec","qfmt":"csv",$cal,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}""""
+      s""""metric":"total","value":${fmt2(total)},"unit":"sec",$cal,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}","anomn":${anomRecsAll.length},"watchn":${watchRecsAll.length}"""
     val stdoutBudget = 1900
-    val entries = results.map(r =>
-      (r.min, csKey(r.name) + ":" + Math.round(r.min * 100)))
-    // keep the slowest entries that fit the budget; emit in results order
-    // (selected is name-sorted, so that is name order). Keep decisions are
-    // by index so two identically-rendered entries can never both slip in
-    // on one budget charge.
-    // telemetry renders FIRST into a 250-byte cap (slowest-first, whole
-    // slim records; the snapshot carries every full record), so the map
-    // sizing below sees its TRUE footprint — an empty-telemetry session
-    // gives every byte to the map, an anomalous one costs it ≤250
-    def admit(recs: Seq[String], rm: Int): (Seq[String], Int) =
-      recs.foldLeft((Seq.empty[String], rm)) { case ((acc, r0), rec) =>
-        if (rec.length + 1 <= r0) (acc :+ rec, r0 - rec.length - 1) else (acc, r0)
-      }
-    val (anomRecs, telRoom) = admit(anomRecsAll.map(_._1), 250)
-    val (watchRecs, _) = admit(watchRecsAll.map(_._1), telRoom)
-    // empty telemetry keys are OMITTED from the line (bytes back to the
-    // map; absence = nothing to report — the snapshot always carries both)
-    val anom = if (anomRecs.isEmpty) ""
-      else anomRecs.mkString(""","anom":{""", ",", "}")
-    val watch = if (watchRecs.isEmpty) ""
-      else watchRecs.mkString(""","watch":{""", ",", "}")
-    val fixed = head.length + """{,"queries":"","qtrunc":999}""".length +
-      anom.length + watch.length
-    var room = stdoutBudget - fixed
-    val keepIdx = scala.collection.mutable.Set.empty[Int]
-    entries.zipWithIndex.sortBy(-_._1._1).foreach { case ((_, e), i) =>
-      if (room - (e.length + 1) >= 0) { room -= e.length + 1; keepIdx += i }
+    case class Entry(min: Double, obj: String, csv: String)
+    val entries = results.map(r => Entry(r.min,
+      "\"" + r.name + "\":" + fmt2(r.min),
+      csKey(r.name) + ":" + Math.round(r.min * 100)))
+    // admission: start with every entry in the csv string, then promote
+    // the slowest into the JSON object while the rendered line fits; if
+    // even csv-only overruns, drop the fastest csv entries (qtrunc counts
+    // them). Sets are tracked by index so two identically-rendered
+    // entries can never both slip in on one budget charge.
+    val byMinDesc = entries.zipWithIndex.sortBy { case (e, i) => (-e.min, i) }
+    def lineOf(objIdx: Set[Int], csvIdx: Set[Int]): String = {
+      val obj = entries.zipWithIndex
+        .collect { case (e, i) if objIdx(i) => e.obj }.mkString("{", ",", "}")
+      val csv = entries.zipWithIndex
+        .collect { case (e, i) if csvIdx(i) => e.csv }.mkString("\"", ",", "\"")
+      val qtrunc = entries.length - objIdx.size - csvIdx.size
+      s"""{$head,"queries":$obj,"qrest":$csv,"qtrunc":$qtrunc}"""
     }
-    val kept = entries.zipWithIndex.collect { case ((_, e), i) if keepIdx(i) => e }
-    val qsShort = kept.mkString("\"", ",", "\"")
-    val qtrunc = entries.length - kept.length
-    val line =
-      s"""{$head,"queries":$qsShort,"qtrunc":$qtrunc$anom$watch}"""
+    var objIdx = Set.empty[Int]
+    var csvIdx = entries.indices.toSet
+    // fastest-first eviction only if csv alone cannot fit (defensive)
+    byMinDesc.reverseIterator.takeWhile(_ =>
+      lineOf(objIdx, csvIdx).length > stdoutBudget)
+      .foreach { case (_, i) => csvIdx -= i }
+    // slowest-first promotion into the driver-parseable object
+    byMinDesc.foreach { case (_, i) =>
+      if (csvIdx(i) && lineOf(objIdx + i, csvIdx - i).length <= stdoutBudget) {
+        objIdx += i; csvIdx -= i
+      }
+    }
+    val line = lineOf(objIdx, csvIdx)
     val snapshot =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$cal,"queries":$qsFull,"cache_mb":$cacheFull,$cachePeak,"reps":$repsFull,"anom":$anomFull,"watch":$watchFull,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same cached-plan re-planning flag as Bench/GraftSession so the
+      // verified plans are the measured plans (r19 verdict hygiene item)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

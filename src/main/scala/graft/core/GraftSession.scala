@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan the subtrees UNDER persisted frames (partition
+      // counts from size estimates at any scale, not the static shuffle
+      // constant). Set HERE — the shared builder — so bench, verify and
+      // the plan-audit specs all plan identically (r19 verdict: it was
+      // bench-only, so the measured plan was not the verified plan)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as ns-longs (exact)
