@@ -68,15 +68,24 @@ object Plans {
     * partitioning-based gate.
     */
   def ensureMinPartitions(df: DataFrame, minPar: Int): DataFrame = {
-    def partitioned = df.queryExecution.executedPlan.outputPartitioning.numPartitions
     val planned =
       try {
-        val scanParts = df.queryExecution.sparkPlan.collectLeaves().collect {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-            s.execute().getNumPartitions
+        // the PRE-adaptive plan: the AQE wrapper reports
+        // UnknownPartitioning(0) before execution even over a subtree that
+        // ends in a full-width shuffle, which double-spread e.g. the
+        // inversion kernel's already-deduped input (one redundant exchange)
+        val sp = df.queryExecution.sparkPlan
+        val outParts = sp.outputPartitioning.numPartitions
+        if (outParts > 0) outParts
+        else {
+          val scanParts = sp.collectLeaves().collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.execute().getNumPartitions
+          }
+          if (scanParts.nonEmpty) scanParts.max else 0
         }
-        if (scanParts.nonEmpty) scanParts.max else partitioned
-      } catch { case _: Throwable => partitioned }
+      } catch { case _: Throwable =>
+        df.queryExecution.executedPlan.outputPartitioning.numPartitions }
     if (planned < minPar) df.repartition(minPar) else df
   }
 }
