@@ -1404,6 +1404,44 @@ object ScaleBench {
           out.limit(3).collect().mkString("; "))
     }
 
+    // The scoreBuckets knob's bound, measured head-to-head (r19 verdict):
+    // the SAME 1M-row / 20-slice / 8-resample bootstrap runs once with
+    // bucketing OFF — the scores are tie-free, so the distinct-score
+    // table IS the full (resamples+1)×rows expansion, the honest
+    // exact-bootstrap worst case q220 hits — and once with
+    // scoreBuckets=1000, which caps it at (resamples+1)×buckets rows per
+    // slice REGARDLESS of ties. Quantization keeps the positive/negative
+    // boundary on a bucket edge (width (49999−0) DIV 1000 + 1 = 50, the
+    // boundary 25000 = 500·50), so BOTH runs must produce the identical
+    // closed form (ap=10⁶, se6=0, lo6=hi6=1.0 in all 20 slices): the two
+    // printed seconds document what the knob buys, the asserts prove it
+    // changes cost, not results. 1M (not 10M) keeps the unbucketed worst
+    // case gate-able — r17 measured 111 s for it at 10M rows.
+    def apCiKnobRows = {
+      val n = 1000000L
+      spark.range(n).select(
+        concat(lit("s"), col("id") % 20).as("k"),
+        col("id").as("rid"),
+        (col("id") / 20).cast("long").as("score"),
+        when((col("id") / 20).cast("long") >= 25000L, 1L).otherwise(0L).as("y"))
+    }
+    def apCiKnobGate(out: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val a = out.agg(count(lit(1)).as("rows"),
+        count(when(col("n") === 50000L && col("ap_micro") === 1000000L &&
+          col("b") === 8L && col("se6") === 0.0 &&
+          col("lo6") === 1.0 && col("hi6") === 1.0, 1)).as("good")).head()
+      require(a.getLong(0) == 20L && a.getLong(1) == 20L,
+        s"$tag AP-CI closed form failed: $a")
+    }
+    timed("keyed_ap_ci_1M_tie_free_exact_no_buckets") {
+      apCiKnobGate(operators.LmOps.binaryApCiBy(apCiKnobRows, Seq("k"), "rid",
+        "score", "y", resamples = 8, scoreBuckets = 0), "unbucketed")
+    }
+    timed("keyed_ap_ci_1M_same_input_1k_buckets") {
+      apCiKnobGate(operators.LmOps.binaryApCiBy(apCiKnobRows, Seq("k"), "rid",
+        "score", "y", resamples = 8, scoreBuckets = 1000), "bucketed")
+    }
+
     // Keyed χ² at 10M rows / 100 slices: per key a perfectly-associated
     // 2×2 (b = a) ⇒ χ² = n exactly (every cell's term is 10⁶·n/4), so
     // chi2_micro = 10¹¹, dof = 1, V = 1.0 in every slice. Gates the
