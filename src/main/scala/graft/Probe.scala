@@ -38,6 +38,7 @@ object Probe {
     @volatile var gcMs = 0L
     @volatile var shuffleReadB = 0L
     @volatile var shuffleWriteB = 0L
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, String)]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -48,6 +49,9 @@ object Probe {
         gcMs += i.taskMetrics.jvmGCTime
         shuffleReadB += i.taskMetrics.shuffleReadMetrics.totalBytesRead
         shuffleWriteB += i.taskMetrics.shuffleWriteMetrics.bytesWritten
+        stageRows.add((i.stageId, i.numTasks, i.taskMetrics.executorRunTime,
+          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+          i.name.take(60)))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -68,9 +72,9 @@ object Probe {
           java.nio.file.Paths.get(s"plans/r20/${name}_$tag.txt"), txt)
       }
       var best = Double.MaxValue
-      (1 to reps).foreach { _ =>
+      (1 to reps).foreach { rep =>
         jobs = 0; stages = 0; tasks = 0; taskMs = 0; gcMs = 0
-        shuffleReadB = 0; shuffleWriteB = 0
+        shuffleReadB = 0; shuffleWriteB = 0; stageRows.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -79,6 +83,14 @@ object Probe {
         println(f"[probe] $name wall=$wall%.3f jobs=$jobs stages=$stages " +
           f"tasks=$tasks taskSec=${taskMs / 1e3}%.2f gcSec=${gcMs / 1e3}%.2f " +
           f"shufR=${shuffleReadB >> 20}MB shufW=${shuffleWriteB >> 20}MB")
+        if (rep == reps && sys.env.contains("SPARK_GRAFT_STAGES")) {
+          import scala.jdk.CollectionConverters._
+          stageRows.asScala.toSeq.sortBy(-_._4).take(8).foreach {
+            case (id, nt, ems, wms, nm) =>
+              println(f"[stage]   id=$id%-4d tasks=$nt%-3d taskSec=${ems / 1e3}%6.2f " +
+                f"wallSec=${wms / 1e3}%6.2f  $nm")
+          }
+        }
         best = math.min(best, wall)
         graft.core.CacheLife.releaseScoped(spark)
       }

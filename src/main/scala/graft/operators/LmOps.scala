@@ -1107,7 +1107,13 @@ object LmOps {
   private def apCiResamples(base: DataFrame, keys: Seq[String],
       resamples: Int): DataFrame = {
     val ks = keys.map(col)
-    val expanded = base
+    // the ×(resamples+1) explode + per-coin md5 + partial aggregate all run
+    // in the INPUT's map stage — a split-starved scan pins that CPU to one
+    // core (r20 probe: q220's slowest stage was this, 1 task, 0.9 s).
+    // Spread first; no-op on multi-split inputs (split-count gate).
+    val spread = graft.core.Plans.ensureMinPartitions(base,
+      base.sparkSession.sparkContext.defaultParallelism)
+    val expanded = spread
       .withColumn("__bs", explode(sequence(lit(-1), lit(resamples - 1))))
       .withColumn("__w", expr(
         s"""CASE WHEN __bs = -1 THEN 1L ELSE
