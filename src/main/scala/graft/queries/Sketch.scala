@@ -103,7 +103,12 @@ object Sketch {
   def q125HllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(spark, sfDir)
     val regs = sharedHllRegisters(spark, sfDir)
-    val srcs = t.select("source").distinct()
+    // the distinct (source, tok) table feeds BOTH sides of the exact-
+    // intersection self-join and the source list — pinned so the corpus
+    // tokenize+distinct runs once, not three times (bounded: vocab ×
+    // sources rows; upstream contains the distinct's shuffle)
+    val td = graft.core.CacheLife.scoped(t.distinct().persist())
+    val srcs = td.select("source").distinct()
     val pairs = srcs.select(col("source").as("sa"))
       .crossJoin(srcs.select(col("source").as("sb")))
       .filter(col("sa") < col("sb"))
@@ -116,7 +121,6 @@ object Sketch {
       .agg(max(col("reg")).as("reg"))
     val eu = Sketches.hllEstimate(uregs, Seq("sa", "sb"))
       .withColumnRenamed("est_distinct", "est_union")
-    val td = t.distinct()
     val ex = td.select(col("source").as("xa"), col("tok"))
       .join(td.select(col("source").as("xb"), col("tok")), "tok")
       .filter(col("xa") < col("xb"))

@@ -5677,7 +5677,7 @@ object Text {
     * a pair-count-sized cache per threshold, nothing recomputed).
     */
   def q172DedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = Tables.load(spark, sfDir, "documents").count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     val pairs = sharedJaccard(spark, sfDir)
       .select(col("doc_b"), round(col("jaccard"), 6).as("j"))
     Seq(0.7, 0.8, 0.9).map { t =>

@@ -38,7 +38,7 @@ object Web {
     */
   def q89PageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val n = docs.count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     val nodes = docs.select(col("doc_id").as("node"))
     GraphOps.pageRank(nodes, linkGraph(docs, n), iters = 5)
       .select(col("node").as("doc_id"), col("pr_micro"),
@@ -97,7 +97,7 @@ object Web {
     */
   def q148LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val n = docs.count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     GraphOps.labelPropagation(docs.select(col("doc_id").as("node")),
         linkGraph(docs, n), iters = 4)
       .select(col("node").as("doc_id"), col("label"))
@@ -149,7 +149,7 @@ object Web {
     */
   def q169PersonalizedPr(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val n = docs.count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     GraphOps.personalizedPageRank(
       docs.select(col("doc_id").as("node")), linkGraph(docs, n),
       docs.filter(col("doc_id") % 50 === 0).select(col("doc_id").as("node")),
@@ -217,7 +217,7 @@ object Web {
     */
   def q164NeighborSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    GraphOps.twoHopSample(undirectedLinks(docs, docs.count()), k1 = 2, k2 = 2)
+    GraphOps.twoHopSample(undirectedLinks(docs, Tables.rowCount(spark, sfDir, "documents")), k1 = 2, k2 = 2)
   }
 
   val q164Sql: String =
@@ -242,7 +242,7 @@ object Web {
     */
   def q165NegativeEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val n = docs.count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     GraphOps.negativeEdges(docs.select(col("doc_id").as("node")),
       undirectedLinks(docs, n), n, m = 8, k = 3)
   }
@@ -283,7 +283,7 @@ object Web {
     */
   def q112Triangles(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val n = docs.count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     GraphOps.triangleCounts(docs.select(col("doc_id").as("node")),
         linkGraph(docs, n))
       .select(col("node").as("doc_id"), col("n_triangles"))
