@@ -527,6 +527,9 @@ object Text {
     * driver scalar (same class as the LUT collects).
     */
   def q106PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT spread: partitioning the postings cache turned the bigram
+    // self-join into a 196-task shuffle join (probe A/B 1.60 -> 3.38 s);
+    // the 1-partition cache keeps both probes broadcast-local
     val docs = Tables.load(spark, sfDir, "documents")
     val post = graft.core.CacheLife.scoped(Index.positionalPostings(docs).persist())
     val a = post.as("a")
@@ -2261,7 +2264,9 @@ object Text {
     * document's word sequence.
     */
   def q81BpeEncode(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Bpe.encode(Tables.load(spark, sfDir, "documents"),
+    // the greedy merge fold is per-doc map CPU over a broadcast merge list —
+    // spread the single-split corpus first (no-op on a many-split corpus)
+    graft.operators.Bpe.encode(Tables.loadPar(spark, sfDir, "documents"),
       trainedMerges(spark, sfDir))
       .select(col("doc_id"), col("n_bpe"), col("preview"))
 
