@@ -58,6 +58,7 @@ object LutIO {
     */
   def readLut(spark: SparkSession, path: String): (Lut, Map[String, String]) = {
     val df = spark.read.parquet(path)
+    // BOUND: 1 metadata row + the dense LUT grid (≤ ~1M cells by the model axes)
     val meta = df.select("model", "pol", "units", "resolution").distinct().collect()
     require(meta.length == 1, s"LUT at $path must carry uniform metadata")
     val m = meta.head

@@ -96,6 +96,7 @@ object ConnectedComponents {
     var fp = fingerprint(e) // materializes the lazy checkpoint
     if (fp._1 > 0L && fp._1 <= smallGraphThreshold) {
       import spark.implicits._
+      // BOUND: gated — fp._1 (edge count) ≤ smallGraphThreshold
       val local = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

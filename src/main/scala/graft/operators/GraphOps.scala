@@ -118,6 +118,7 @@ object GraphOps {
       dampNum: Int, dampDen: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    // BOUND: gated by smallGraphThreshold — the caller proved |nodes|/|edges| under it
     val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect()
     val idx = nodeIds.zipWithIndex.toMap
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -227,10 +228,12 @@ object GraphOps {
       dampDen: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    // BOUND: gated by smallGraphThreshold — the caller proved |nodes|/|edges| under it
     val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect()
     val idx = nodeIds.zipWithIndex.toMap
     val isSeed = {
-      val s = seedSet.select(col("node").cast("long")).as[Long].collect().toSet
+      // BOUND: seed set — ≤ smallGraphThreshold by the same gate
+    val s = seedSet.select(col("node").cast("long")).as[Long].collect().toSet
       nodeIds.map(s.contains)
     }
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -348,6 +351,7 @@ object GraphOps {
       iters: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    // BOUND: gated by smallGraphThreshold — the caller proved |nodes|/|edges| under it
     val nodeIds = nodes.select(col("node").cast("long")).as[Long].collect()
     val idx = nodeIds.zipWithIndex.toMap
     val es = ue.select(col("src").cast("long"), col("dst").cast("long"))

@@ -317,7 +317,14 @@ object LmOps {
       // collapse to per-doc term frequencies BEFORE attaching weights: the
       // weights join multiplies every row by |classes|, so it must run on
       // the (doc, bucket) tf table, not the raw token stream — Σ_tokens w
-      // ≡ Σ_buckets tf·w (same mean to well past the round-6 output)
+      // ≡ Σ_buckets tf·w (same mean to well past the round-6 output).
+      // FLOAT HAZARD (ADVICE r19): the regrouping reassociates the double
+      // sum, so a likelihood landing exactly on a 0.5e-6 boundary could
+      // flip the 6th decimal vs a token-order sum. Verified hash-identical
+      // at sf0.001/0.01/0.1; sums were already order-nondeterministic
+      // (shuffle order), so this adds no NEW nondeterminism class — but if
+      // oracle equality at other scales ever breaks here, quantize w to a
+      // fixed grid before summing.
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("__tf"))
       .join(broadcast(weights), Seq("b"))
@@ -1799,6 +1806,7 @@ object LmOps {
     // and rebuild the output from the COLLECTED rows — joining the
     // uncached agg plan would re-run the corpus aggregation a second
     // time (ADVICE r15).
+    // BOUND: one row per calibration bin — ≤ bins rows
     val rows = isotonicBins(df, probMicroCol, labelCol, bins)
       .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"))
       .collect()

@@ -553,6 +553,7 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val phi = scored.agg(sum(col("__d2"))).head().getDouble(0)
       if (phi > 0) {
+        // BOUND: kmeans|| oversample — E[rows] = l per round (≲ 2·l w.h.p.), never corpus-sized
         val picked = scored
           .where(TextOps.hashUnit(concat_ws("#", col("__id"), lit(r))) <
             lit(l.toDouble) * col("__d2") / lit(phi))
@@ -577,6 +578,7 @@ object Similarity {
           }
           bestId
         }
+      // BOUND: one (centroid, weight) row per kmeans|| candidate — ≤ k + l·rounds rows
       }.toDF("__c")
       .groupBy("__c").agg(count(lit(1)).as("__w"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -720,6 +722,7 @@ object Similarity {
           posexplode(transform(sequence(lit(1), lit(subDim)), i =>
             element_at(col("v"), (col("sub") * subDim + i).cast("int"))
               .cast("double"))).as(Seq("i", "x")))
+        // BOUND: ≤ m·codebookSize·subDim rows — the PQ codebook grid, never corpus-sized
         .groupBy(col("sub"), col("code"), col("i"))
         .agg(avg(col("x")).as("mn"))
         .collect()
@@ -1011,6 +1014,7 @@ object Similarity {
   def sq8Scales(corpus: DataFrame, vecCol: String): Array[(Double, Double)] = {
     val rows = corpus
       .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      // BOUND: one (min, max) row per vector dimension — ≤ dim rows
       .groupBy(col("pos"))
       .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
@@ -1221,6 +1225,7 @@ object Similarity {
          |    struct(i AS i, i + jj AS j,
          |           CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))""".stripMargin)))
       .select(col("col.i"), col("col.j"), col("col.p"))
+      // BOUND: ≤ d·(d+1)/2 moment cells — dimension-squared, never corpus-sized
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
       .collect()
     val n = cells.head.getLong(3)
@@ -1229,6 +1234,7 @@ object Similarity {
       moment(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       moment(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
     }
+    // BOUND: one sum row per vector dimension — ≤ dim rows
     val sumsMap = vectors.select(posexplode(col(vecCol)))
       .groupBy(col("pos")).agg(sum(col("col").cast("double")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap

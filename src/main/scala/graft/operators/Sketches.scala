@@ -259,6 +259,7 @@ object Sketches {
     val width = math.max((mx - mn) / nBuckets, java.lang.Double.MIN_NORMAL)
     val bucketOf = least(floor((v - lit(mn)) / lit(width)), lit(nBuckets - 1))
       .cast("int").as("bucket")
+    // BOUND: one count per histogram bucket — ≤ nBuckets rows
     val hist = df.select(bucketOf).groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // cumulative count strictly below each bucket
@@ -299,6 +300,12 @@ object Sketches {
     *    buckets (semi-join filter), never a global or per-key full sort.
     * Quantile semantics match [[exactQuantiles]]: value at 0-indexed rank
     * floor(q·(n_key−1)).
+    *
+    * SCALE CONTRACT: `keyCol` must be BOUNDED cardinality (grouping keys:
+    * nations, languages, deciles — not row ids). The per-key extrema and
+    * rank frames are driver-broadcast (≤ |keys| and ≤ |keys|·|qs| rows);
+    * a row-id-cardinality key would build a data-sized broadcast where
+    * the pre-r19 sort-merge join merely degraded gracefully.
     */
   def groupedQuantiles(
       df: DataFrame, keyCol: String, valueCol: String, qs: Seq[Double],

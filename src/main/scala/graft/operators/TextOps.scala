@@ -407,6 +407,7 @@ object TextOps {
     val span = math.max(1L, (hi - lo) / nBuckets + 1)
     val bucketed = base.withColumn("__bucket",
       expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${span}L"))
+    // BOUND: one total per id bucket — ≤ nBuckets rows by construction
     val totals = bucketed.groupBy(col("__bucket")).agg(sum(col("n_tok")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
@@ -905,6 +906,7 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"))
+    // BOUND: one row per distinct document token-count — ≤ max doc length values
     val counts = base.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     if (counts.isEmpty)
@@ -1000,6 +1002,7 @@ object TextOps {
     val keyed = docs.select(col(idCol),
         md5(concat_ws(":", lit(epoch), col(idCol))).as("__k"))
       .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    // BOUND: 256 md5-prefix buckets
     val counts = keyed.groupBy(col("__b")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (counts.isEmpty)

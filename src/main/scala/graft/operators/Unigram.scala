@@ -108,6 +108,7 @@ object Unigram {
     var model: DataFrame = seedVocab(docs, vocabSize, maxPieceLen, textCol)
       .select(col("piece"), col("weight").as("count"))
     for (_ <- 1 to iters) {
+      // BOUND: the piece model — ≤ seed-vocab rows (vocabSize-scale), never corpus-sized
       val rows = model.select(col("piece"), col("count")).collect()
       val total = rows.map(_.getLong(1)).sum.toDouble
       val logp = rows.map(r => r.getString(0) ->
@@ -142,6 +143,7 @@ object Unigram {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // BOUND: the trained piece model — ≤ vocabSize-scale rows
     val logp = model.select(col("piece"), col("logp")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bc = spark.sparkContext.broadcast(logp)

@@ -173,6 +173,7 @@ object WordPiece {
     * initial or continuation piece by its `##` status. `words` is the
     * [[symTable]] output (column `w`). */
   def trainedVocab(words: DataFrame, merges: Seq[Merge]): Vocab = {
+    // BOUND: distinct corpus characters — alphabet-sized (≲ a few hundred rows)
     val chars = words.select(explode(split(col("w"), "")).as("c"))
       .filter(col("c") =!= "").distinct().collect().map(_.getString(0)).toSet
     val init = chars ++ merges.map(_.merged).filterNot(_.startsWith("##"))

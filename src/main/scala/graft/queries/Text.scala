@@ -338,6 +338,7 @@ object Text {
     // assignment itself
     val cents = Similarity.memoFit(emb, "kmeans||3rounds|lloyd2|k=8|embedding") {
       val init = Similarity.kmeansParallelInit(emb, k = 8, rounds = 3)
+      // BOUND: k = 8 centroid rows
       Similarity.lloydRefine(emb, init, iters = 2)
         .orderBy(col("cent_id")).collect()
         .map(_.getSeq[Double](1).toArray)
@@ -3047,6 +3048,7 @@ object Text {
     // driver-side, rebuild the output from the SAME collected rows — the
     // old isotonicApply join against the uncached agg plan paid the
     // anchor cross-join cosine scan twice
+    // BOUND: 32 calibration-bin rows
     val rows = graft.operators.LmOps.isotonicBins(probs, "prob_micro", "y", 32)
       .select(col("bin"), col("n"), col("n_pos"), col("conf_micro"))
       .collect()
@@ -3402,6 +3404,7 @@ object Text {
       "prob_micro", "is_en", bins = 32)
     // `out` is literal-built from the bounded collected bin table, so
     // harvesting the fitted steps for the oracle re-runs NO corpus work
+    // BOUND: ≤ |sources| × 32 bin rows (out is literal-built from that table)
     q208Fitted.put(sfDir, out.select(col("source"), col("bin"), col("iso_micro"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
     out

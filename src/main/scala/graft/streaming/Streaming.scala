@@ -840,6 +840,7 @@ object Streaming {
     import spark.implicits._
     val hashed = batch.select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
     // merge every strictly-earlier batch's filter (mergeInPlace = bitwise OR)
+    // BOUND: one bloom blob per committed batch — bits sized by expectedKeys, not rows
     val prior = committedOr(spark, s"$storeDir/bloom", batchId,
       Seq.empty[Array[Byte]].toDF("bits"))
       .collect().map(_.getAs[Array[Byte]]("bits"))
@@ -1701,6 +1702,7 @@ object Streaming {
     // merged per-bin counts → bounded collect (≤ bins rows) → driver PAV
     // → literal-built emit (the q204 single-scan contract: joining the
     // uncached agg plan back would re-run the merge)
+    // BOUND: one row per calibration bin — ≤ bins rows
     val rows = all.groupBy(col("bin"))
       .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
         sum(col("spm")).as("__spm"))

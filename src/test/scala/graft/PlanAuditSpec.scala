@@ -654,4 +654,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchemas.nonEmpty && readSchemas.forall(_.split(",").length <= 4),
       s"q06 scan reads an unpruned schema: $readSchemas")
   }
+
+  test("every driver collect in library code declares its bound") {
+    // r19 verdict: driver-side collects are acceptable at 100 TB only
+    // while their row bounds hold — so every `.collect()` in the library
+    // surface must state its scale contract where it stands: either a
+    // `limit(` in the statement or a `// BOUND:` line within the 8
+    // preceding lines. A collect of a frame nobody proved bounded fails
+    // here before it OOMs a driver.
+    val dirs = Seq("operators", "queries", "streaming", "models", "core",
+      "functions", "pipeline", "sources", "sql")
+    val offenders = for {
+      dir <- dirs
+      f <- Option(new java.io.File(s"src/main/scala/graft/$dir").listFiles())
+        .toSeq.flatten.filter(_.getName.endsWith(".scala"))
+      lines = java.nio.file.Files.readString(f.toPath).split("\n", -1).toSeq
+      (line, i) <- lines.zipWithIndex
+      if line.contains(".collect()")
+      ctx = lines.slice(math.max(0, i - 8), i + 1).mkString("\n")
+      if !ctx.contains("BOUND:") && !ctx.contains("limit(")
+    } yield s"${f.getPath}:${i + 1}"
+    assert(offenders.isEmpty,
+      s"collect() without a declared bound (add `// BOUND: <scale contract>`):\n" +
+        offenders.mkString("\n"))
+  }
 }
