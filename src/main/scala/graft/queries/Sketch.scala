@@ -103,12 +103,8 @@ object Sketch {
   def q125HllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val t = toks(spark, sfDir)
     val regs = sharedHllRegisters(spark, sfDir)
-    // the distinct (source, tok) table feeds BOTH sides of the exact-
-    // intersection self-join and the source list — pinned so the corpus
-    // tokenize+distinct runs once, not three times (bounded: vocab ×
-    // sources rows; upstream contains the distinct's shuffle)
-    val td = graft.core.CacheLife.scoped(t.distinct().persist())
-    val srcs = td.select("source").distinct()
+    val td = t.distinct()
+    val srcs = t.select("source").distinct()
     val pairs = srcs.select(col("source").as("sa"))
       .crossJoin(srcs.select(col("source").as("sb")))
       .filter(col("sa") < col("sb"))
